@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-provided synthetic corpus (TESTDATA.md).
   *
@@ -14,8 +16,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    // reader rejects. Sessions set spark.sql.legacy.parquet.nanosAsLong=true
+    // so the column arrives as LONG nanos; convert to a proper timestamp
+    // (micros) here so every query sees the declared TIMESTAMP schema.
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   /** Register all tables as temp views (for spark.sql-style queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -103,7 +103,7 @@ object TextFunctions {
     val grams = transform(
       sequence(lit(0), greatest(n - window, lit(0))),
       i => xxhash64(concat_ws(" ",
-        slice(toks, i + 1, window))))
+        slice(toks, i + 1, lit(window)))))
     slice(array_sort(grams), 1, k)
   }
 }

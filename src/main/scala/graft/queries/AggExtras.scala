@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{GeoMean, NativeExpressions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Residual SURVEY §2.3 rows: approx_count_distinct (HLL), the full ranking
+  * window family, collect_set, a typed Aggregator UDAF, a native codegen
+  * Expression, and a plain scalar UDF.
+  */
+object AggExtras {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // approx_count_distinct (HyperLogLog++). The approximate value is
+    // engine-specific, so the DECLARED check is tolerance-vs-exact folded
+    // into the output: the estimate must land within 10% of the exact count
+    // (default rsd = 0.05, so 10% is a 2-sigma bound).
+    QueryDef.sql(
+      "q60_approx_count_distinct",
+      "SELECT CAST(1 AS INTEGER) AS within_tol") { (s, dir) =>
+      t(s, dir, "orders")
+        .agg(approx_count_distinct(col("o_custkey")).as("apx"),
+          countDistinct(col("o_custkey")).as("ex"))
+        .select((abs(col("apx") - col("ex"))
+          <= col("ex").cast("double") * 0.10).cast("int").as("within_tol"))
+    },
+
+    // ------------------------------------------------------------------
+    // Full ranking window family: rank / dense_rank / ntile / percent_rank
+    // / cume_dist. One shuffle by o_orderstatus, one sort per partition.
+    QueryDef.sql(
+      "q61_rank_family",
+      """SELECT o_orderstatus, o_orderkey,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS nt,
+        |  round(percent_rank() OVER w, 4) AS prnk,
+        |  round(cume_dist() OVER w, 4) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderstatus ASC, o_orderkey ASC""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("nt"),
+          round(percent_rank().over(w), 4).as("prnk"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .orderBy(col("o_orderstatus").asc, col("o_orderkey").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // collect_set, made deterministic with sort_array.
+    QueryDef.sql(
+      "q62_collect_set",
+      """SELECT o_orderstatus,
+        |  list_sort(list_distinct(list(o_orderpriority))) AS prios
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(sort_array(collect_set(col("o_orderpriority"))).as("prios"))
+        .orderBy(col("o_orderstatus").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Typed Aggregator UDAF: geometric mean of order prices per status.
+    QueryDef.sql(
+      "q63_udaf_geomean",
+      """SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 4) AS geo
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC""".stripMargin) { (s, dir) =>
+      val geoMean = udaf(GeoMean)
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(geoMean(col("o_totalprice")), 4).as("geo"))
+        .orderBy(col("o_orderstatus").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Native codegen Expression (VectorL2Norm): compiled into the
+    // whole-stage-codegen loop — no UDF dispatch, no boxing.
+    QueryDef.sql(
+      "q64_native_l2norm",
+      """SELECT vec_id,
+        |  round(sqrt(list_reduce(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)), 4)
+        |    AS l2
+        |FROM embeddings ORDER BY vec_id ASC LIMIT 200""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(NativeExpressions.vectorL2Norm(col("embedding")), 4).as("l2"))
+        .orderBy(col("vec_id").asc)
+        .limit(200)
+    },
+
+    // ------------------------------------------------------------------
+    // Plain scalar Scala UDF (the §2.3 UDF row; for perf-critical paths the
+    // native-Expression route of q64 is preferred).
+    QueryDef.sql(
+      "q65_scalar_udf",
+      """SELECT n_nationkey, reverse(n_name) AS rev
+        |FROM nation ORDER BY n_nationkey ASC""".stripMargin) { (s, dir) =>
+      val revUdf = udf((x: String) => if (x == null) null else x.reverse)
+      t(s, dir, "nation")
+        .select(col("n_nationkey"), revUdf(col("n_name")).as("rev"))
+        .orderBy(col("n_nationkey").asc)
+    }
+  )
+}

@@ -112,13 +112,17 @@ object CoreRelational {
         |  CAST(l_linenumber AS BIGINT) AS ln_big,
         |  CAST(l_returnflag = 'R' AS INTEGER) AS is_return
         |FROM lineitem
-        |ORDER BY l_orderkey ASC, l_linenumber ASC LIMIT 500""".stripMargin) { (s, dir) =>
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, qty_int ASC, ln_big ASC,
+        |  is_return ASC LIMIT 500""".stripMargin) { (s, dir) =>
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus, so
+      // the LIMIT cut must be under a total order over ALL output columns.
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           floor(col("l_quantity")).cast("int").as("qty_int"),
           col("l_linenumber").cast("long").as("ln_big"),
           (col("l_returnflag") === "R").cast("int").as("is_return"))
-        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("qty_int").asc, col("ln_big").asc, col("is_return").asc)
         .limit(500)
     },
 
@@ -525,7 +529,8 @@ object CoreRelational {
     // Date/time scalar family + monthly aggregate.
     QueryDef.sql(
       "q27_date_trunc_month",
-      """SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n,
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+        |  count(*) AS n,
         |  round(sum(o_totalprice),4) AS total
         |FROM orders GROUP BY m ORDER BY m ASC""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
@@ -571,7 +576,10 @@ object CoreRelational {
         |  round(exp(l_discount),4) AS ex,
         |  l_orderkey % 7 AS m7
         |FROM lineitem
-        |ORDER BY l_orderkey ASC, l_linenumber ASC LIMIT 500""".stripMargin) { (s, dir) =>
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, r_sqrt ASC, fl ASC,
+        |  ce ASC, p2 ASC, lg ASC, ex ASC, m7 ASC LIMIT 500""".stripMargin) { (s, dir) =>
+      // Total order over all output columns: (l_orderkey, l_linenumber) has
+      // duplicates in the synthetic corpus, so the LIMIT needs every column.
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           round(sqrt(abs(col("l_extendedprice"))), 4).as("r_sqrt"),
@@ -581,7 +589,9 @@ object CoreRelational {
           round(log(col("l_quantity") + 1), 4).as("lg"),
           round(exp(col("l_discount")), 4).as("ex"),
           (col("l_orderkey") % 7).as("m7"))
-        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("r_sqrt").asc, col("fl").asc, col("ce").asc, col("p2").asc,
+          col("lg").asc, col("ex").asc, col("m7").asc)
         .limit(500)
     },
 
@@ -724,11 +734,11 @@ object CoreRelational {
     // explode / posexplode generator over array data.
     QueryDef.sql(
       "q37_explode",
-      """SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS pos,
-        |  round(CAST(u.x AS DOUBLE),6) AS v
-        |FROM embeddings,
-        |  LATERAL unnest(embedding) WITH ORDINALITY AS u(x, i)
-        |WHERE vec_id < 5
+      """SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS pos, round(u.x, 6) AS v
+        |FROM (SELECT vec_id,
+        |        unnest(list_transform(embedding,
+        |          (x, i) -> {'i': i, 'x': CAST(x AS DOUBLE)})) AS u
+        |      FROM embeddings WHERE vec_id < 5)
         |ORDER BY vec_id ASC, pos ASC""".stripMargin) { (s, dir) =>
       t(s, dir, "embeddings")
         .filter(col("vec_id") < 5)

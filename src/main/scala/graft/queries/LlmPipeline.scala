@@ -1,0 +1,352 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{NativeExpressions => NE, TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (north-star extension, SURVEY §2.3):
+  * deduplication (exact-normalized, MinHash-LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+  * and text analysis (token stats, quality, language-ID, fingerprints).
+  *
+  * Scale discipline: every query is a declarative DataFrame plan. Dedup
+  * never does all-pairs at scale — the normalized-hash and MinHash paths
+  * hash-partition by digest/bucket so the shuffle moves one row per
+  * candidate, not O(n²). The quadratic variants (q44/q45) are correctness
+  * oracles over bounded slices; q42/q47 are the 100 TB paths.
+  */
+object LlmPipeline {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  /** embeddings with the float vector widened to ARRAY<DOUBLE>. */
+  private def embD(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), VF.toDoubles(col("embedding")).as("v"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Exact dedup on whitespace-normalized text: sha256 digest, keep the
+    // lowest doc_id per digest. One shuffle hash-partitioned by digest;
+    // at 100 TB this is the canonical first dedup pass (no all-pairs).
+    QueryDef.sql(
+      "q40_dedup_exact_norm",
+      """SELECT min(doc_id) AS keeper, digest, count(*) AS dups
+        |FROM (SELECT doc_id,
+        |        sha256(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS digest
+        |      FROM documents) d
+        |GROUP BY digest
+        |ORDER BY keeper ASC""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("digest", sha2(TF.normalizeText(col("text")), 256))
+      val w = Window.partitionBy(col("digest")).orderBy(col("doc_id").asc)
+      d.withColumn("rn", row_number().over(w))
+        .withColumn("dups", count(lit(1)).over(Window.partitionBy(col("digest"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id").as("keeper"), col("digest"), col("dups"))
+        .orderBy(col("keeper").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Brute-force cosine top-k for a fixed probe vector. The probe side is
+    // a 1-row broadcast; the corpus streams through narrow expressions and
+    // TakeOrdered keeps only k rows — works unchanged at any corpus size.
+    QueryDef.sql(
+      "q41_cosine_topk",
+      """WITH p AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+        |           FROM embeddings WHERE vec_id = 1),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings WHERE vec_id <> 1)
+        |SELECT vec_id, round(list_cosine_similarity(v, pv), 4) AS cosine
+        |FROM e, p
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val probe = broadcast(e.filter(col("vec_id") === 1)
+        .select(col("embedding").as("pv")))
+      e.filter(col("vec_id") =!= 1)
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          round(NE.vectorCosine(col("embedding"), col("pv")), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+    },
+
+    // ------------------------------------------------------------------
+    // MinHash + LSH near-dup candidates: word-3-shingles → 16 minhash
+    // signatures → 4 bands of 4 → bucket join. The only shuffle is the
+    // groupBy on (band, band_hash): candidate generation is O(n·bands),
+    // never O(n²) — the 100 TB dedup path. xxhash64 is Spark-only, so this
+    // is a rows-only check (plus unit tests on planted duplicates).
+    QueryDef.rowsOnly("q42_dedup_minhash_lsh") { (s, dir) =>
+      // Explode to one row per (doc, shingle), hash with 16 seeds as plain
+      // codegen'd xxhash64 columns, then groupBy(doc_id).min — partial
+      // (map-side) min aggregation means the shuffle carries 16 longs per
+      // doc per partition. This is the formulation that holds at 100 TB;
+      // per-row interpreted lambda loops do not.
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val shingles = transform(
+        sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3))))
+      val exploded = docs(s, dir)
+        .select(col("doc_id"), explode(shingles).as("sh"))
+      val sigs = exploded
+        .groupBy(col("doc_id"))
+        .agg((0 until 16).map(j => min(xxhash64(lit(j), col("sh"))).as(s"s$j")).head,
+          (1 until 16).map(j => min(xxhash64(lit(j), col("sh"))).as(s"s$j")): _*)
+      val bands = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until 4).map(i => col(s"s${b * 4 + i}")): _*).as("bh")))
+      val withSig = sigs
+        .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      // bucket join: docs sharing any band hash become candidate pairs
+      withSig.groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"))
+          .as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .distinct()
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // SimHash near-dup: 32-bit simhash over token hashes; pairs at hamming
+    // distance <= 6 among doc_id < 200. The simhash itself is a narrow
+    // shuffle-free expression (the scale path groups by simhash prefix
+    // bands, same LSH idea as q42); the pair scan here is a bounded slice.
+    QueryDef.rowsOnly("q43_dedup_simhash") { (s, dir) =>
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val th = transform(toks, tk => xxhash64(tk))
+      val bitSums: Seq[Column] = (0 until 32).map { i =>
+        aggregate(col("th"), lit(0L), (acc, h) =>
+          acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L)))
+      }
+      val base = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), th.as("th"))
+      val sim = bitSums.zipWithIndex.map { case (b, i) =>
+        when(b > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      val d = base.select(col("doc_id"), sim.as("simhash"))
+      val a = d.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+      val b = d.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("hamming") <= 6)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // n-gram (unigram-set) Jaccard similarity over a bounded slice —
+    // exact verification layer for the LSH candidates. DuckDB-checkable
+    // because both engines use plain set algebra (no hashing).
+    QueryDef.sql(
+      "q44_jaccard_neardup",
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS s
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.9
+        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          array_distinct(TF.tokens(lower(trim(col("text"))))).as("s"))
+      val a = d.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      val b = d.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+            / size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.9)
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-dup pairs above a threshold. Exact all-pairs
+    // formulation for the oracle; the 100 TB path is q47's LSH buckets
+    // (this plan broadcasts one side so there is still no shuffle).
+    QueryDef.sql(
+      "q45_neardup_embedding",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+        |ORDER BY id_a ASC, id_b ASC""".stripMargin) { (s, dir) =>
+      // Native codegen dot product + norms PREcomputed per row (n, not n²,
+      // norm evaluations): the per-pair cost inside the nested-loop join is
+      // one tight primitive loop, so the scan is compute-bound.
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        NE.vectorL2Norm(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        NE.vectorL2Norm(col("embedding")).as("nb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(NE.vectorDot(col("va"), col("vb"))
+            / (col("na") * col("nb")), 4).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Multi-probe brute-force ANN: top-3 neighbors for each probe
+    // (vec_id < 5). Probes broadcast; one window pass partitioned by probe.
+    QueryDef.sql(
+      "q46_ann_bruteforce",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT p.pid, e.vec_id,
+        |    round(list_cosine_similarity(e.v, p.pv), 4) AS cosine
+        |  FROM e JOIN p ON e.vec_id <> p.pid),
+        |ranked AS (
+        |  SELECT pid, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY pid
+        |      ORDER BY cosine DESC, vec_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT pid, rnk, vec_id, cosine FROM ranked WHERE rnk <= 3
+        |ORDER BY pid ASC, rnk ASC""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val p = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("pid"), col("embedding").as("pv")))
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      e.join(p, col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"),
+          round(NE.vectorCosine(col("embedding"), col("pv")), 4).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("pid"), col("rnk"), col("vec_id"), col("cosine"))
+        .orderBy(col("pid").asc, col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // LSH-bucketed ANN (the scale path): 8 deterministic sign-projection
+    // hyperplanes → 256 buckets; neighbor search only touches the probe's
+    // bucket. Bucket assignment is a narrow expression; the search is a
+    // broadcast join against one bucket — at 100 TB candidates shrink by
+    // ~256× vs brute force. Rows-only (hyperplanes are xxhash64-seeded).
+    QueryDef.rowsOnly("q47_ann_lsh_buckets") { (s, dir) =>
+      // hyperplane j, coordinate i → deterministic ±1 from xxhash64(j*64+i)
+      def planeSum(j: Int): Column =
+        aggregate(
+          zip_with(col("v"), sequence(lit(0), lit(63)), (x, i) =>
+            x * when(xxhash64((lit(j * 64) + i).cast("long"))
+              .bitwiseAND(lit(1L)) === 0L, lit(1.0)).otherwise(lit(-1.0))),
+          lit(0.0), (acc, x) => acc + x)
+      val bucket = (0 until 8).map(j =>
+        when(planeSum(j) > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce((a, b) => a + b)
+      embD(s, dir)
+        .select(col("vec_id"), bucket.as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"),
+          min(col("vec_id")).as("min_id"))
+        .orderBy(col("bucket").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Per-document text statistics: token counts, subword (BPE-ish) counts,
+    // character-class ratios, stopword ratio, mean token length, composite
+    // quality score. Pure narrow expressions — a single pass at any scale.
+    QueryDef.sql(
+      "q48_text_stats",
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS n_subwords,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |      / length(text) END, 4) AS alpha_ratio,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+        |        x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+        |      AS DOUBLE) / len(toks) END, 4) AS stop_ratio,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(list_reduce(list_transform(toks,
+        |        x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS DOUBLE)
+        |      / len(toks) END, 4) AS mean_tok_len
+        |FROM t ORDER BY doc_id ASC""".stripMargin) { (s, dir) =>
+      docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          TF.subwordCount(col("text")).as("n_subwords"),
+          round(TF.alphaRatio(col("text")), 4).as("alpha_ratio"),
+          round(TF.stopwordRatio(col("text")), 4).as("stop_ratio"),
+          round(TF.meanTokenLen(col("text")), 4).as("mean_tok_len"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Language identification: profile-word voting with deterministic
+    // (hits, lang)-max tie-break, identical struct ordering in both engines.
+    QueryDef.sql(
+      "q49_lang_id",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_aggregate([
+        |    {'hits': len(list_filter(toks, x -> x IN ('the','and','of','to','is','with'))), 'lang': 'en'},
+        |    {'hits': len(list_filter(toks, x -> x IN ('der','die','das','und','ist','mit'))), 'lang': 'de'},
+        |    {'hits': len(list_filter(toks, x -> x IN ('le','la','les','et','est','avec'))), 'lang': 'fr'},
+        |    {'hits': len(list_filter(toks, x -> x IN ('el','la','los','que','es','con'))), 'lang': 'es'},
+        |    {'hits': len(list_filter(toks, x -> x IN ('的','是','和','了','在','不'))), 'lang': 'zh'}
+        |  ], 'max') AS best FROM t)
+        |SELECT CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS pred,
+        |  count(*) AS n
+        |FROM s GROUP BY pred ORDER BY pred ASC""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(TF.languageId(col("text")).as("pred"))
+        .groupBy(col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("pred").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Winnowing-style document fingerprints (k smallest window hashes).
+    // xxhash64-based → rows-only; determinism is unit-tested instead.
+    QueryDef.rowsOnly("q50_fingerprint") { (s, dir) =>
+      docs(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Corpus-level token accounting by (table) language — the bookkeeping
+    // query every training-data pipeline runs. Map-side partial agg; the
+    // shuffle moves one row per language.
+    QueryDef.sql(
+      "q51_token_accounting",
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang").asc)
+    }
+  )
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables, compare against the Spark result
+parquet dumped by graft.Verify (columns sorted by name, values compared
+row-by-row). Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+con.execute("SET TimeZone='UTC'")
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+results = {}
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        results[name] = "NO_SPARK_OUTPUT"
+        continue
+    spark_df = con.sql(f"SELECT * FROM '{files[0]}'").df()
+    if name not in oracle:
+        results[name] = f"ROWS_ONLY rows={len(spark_df)}"
+        continue
+    try:
+        duck_df = con.sql(oracle[name]).df()
+    except Exception as e:
+        results[name] = f"ORACLE_SQL_ERROR: {str(e)[:200]}"
+        continue
+    s = spark_df[sorted(spark_df.columns)]
+    o = duck_df[sorted(duck_df.columns)]
+    if list(s.columns) != list(o.columns):
+        results[name] = f"SCHEMA_MISMATCH spark={list(s.columns)} duck={list(o.columns)}"
+        continue
+    if len(s) != len(o):
+        results[name] = f"ROWCOUNT_MISMATCH spark={len(s)} duck={len(o)}"
+        continue
+    # value compare, normalizing to strings (ints/floats/lists/timestamps)
+    def norm(df):
+        out = []
+        for row in df.itertuples(index=False):
+            vals = []
+            for v in row:
+                if v is None:
+                    vals.append("NULL")
+                elif isinstance(v, float):
+                    vals.append("NULL" if v != v else f"{v:.6f}")
+                elif hasattr(v, "tolist"):  # numpy arrays / lists
+                    lv = v.tolist()
+                    vals.append(str([f"{x:.6f}" if isinstance(x, float) else str(x) for x in lv]))
+                else:
+                    sv = str(v)
+                    vals.append("NULL" if sv in ("nan", "NaT", "None") else sv)
+            out.append("|".join(vals))
+        return out
+    sn, on_ = norm(s), norm(o)
+    bad = [(i, a, b) for i, (a, b) in enumerate(zip(sn, on_)) if a != b]
+    if bad:
+        i, a, b = bad[0]
+        results[name] = f"VALUE_MISMATCH n={len(bad)} first@{i}: spark={a[:120]} duck={b[:120]}"
+    else:
+        results[name] = "PASS"
+
+npass = sum(1 for v in results.values() if v == "PASS")
+nrows = sum(1 for v in results.values() if v.startswith("ROWS_ONLY"))
+for k, v in sorted(results.items()):
+    print(f"{k:32s} {v}")
+print(f"\n{npass} PASS, {nrows} ROWS_ONLY, {len(results) - npass - nrows} FAIL of {len(results)}")
