@@ -1,0 +1,138 @@
+package graft.n5
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** One decoded N5 block: grid position, actual (edge-trimmed) shape in
+  * x,y,z order, and the element payload widened to Long (integer dtypes)
+  * or Double (float dtypes), in x-fastest flat order.
+  */
+final case class DecodedBlock(
+    grid: Array[Int],
+    shape: Array[Int],
+    longs: Array[Long],    // null for float dtypes
+    doubles: Array[Double] // null for integer dtypes
+) {
+  def numElements: Int = shape.product
+  def isFloat: Boolean = doubles != null
+}
+
+/** N5 block binary codec.
+  *
+  * Layout (verified against the golden fixture, FIXTURES.md §A; reference
+  * read path `n5_utils.py:6-18` via zarr's N5Store): big-endian
+  * `uint16 mode` (0 = default), `uint16 ndim`, `ndim × uint32` actual block
+  * dims (x,y,z order, edge blocks trimmed), then the (optionally gzip'd)
+  * element payload. Element order is x-fastest C-order of the z,y,x view —
+  * i.e. flat index = x + y*sx + z*sx*sy with the LOCAL block shape.
+  *
+  * Unsigned dtypes are widened on read and narrowed on write (single
+  * DtypeCodec path — SURVEY §7 flags scattered sign handling as the main
+  * correctness hazard here).
+  */
+object BlockCodec {
+
+  /** Decode a raw block file. */
+  def decode(raw: Array[Byte], dtype: Dtype, comp: Compression): DecodedBlock = {
+    val hdr = ByteBuffer.wrap(raw).order(ByteOrder.BIG_ENDIAN)
+    val mode = hdr.getShort() & 0xffff
+    require(mode == 0, s"unsupported N5 block mode: $mode (varlength not implemented)")
+    val ndim = hdr.getShort() & 0xffff
+    val shape = Array.fill(ndim)(hdr.getInt())
+    val headerLen = 4 + 4 * ndim
+    val n = shape.product
+    val payload = decompress(raw, headerLen, comp, n * dtype.bytesPerElement)
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+    dtype match {
+      case Dtype.Float32 =>
+        val out = new Array[Double](n)
+        var i = 0; while (i < n) { out(i) = buf.getFloat().toDouble; i += 1 }
+        DecodedBlock(null, shape, null, out)
+      case Dtype.Float64 =>
+        val out = new Array[Double](n)
+        var i = 0; while (i < n) { out(i) = buf.getDouble(); i += 1 }
+        DecodedBlock(null, shape, null, out)
+      case d =>
+        val out = new Array[Long](n)
+        var i = 0
+        d match {
+          case Dtype.UInt8 => while (i < n) { out(i) = buf.get() & 0xffL; i += 1 }
+          case Dtype.Int8 => while (i < n) { out(i) = buf.get().toLong; i += 1 }
+          case Dtype.UInt16 => while (i < n) { out(i) = buf.getShort() & 0xffffL; i += 1 }
+          case Dtype.Int16 => while (i < n) { out(i) = buf.getShort().toLong; i += 1 }
+          case Dtype.UInt32 => while (i < n) { out(i) = buf.getInt() & 0xffffffffL; i += 1 }
+          case Dtype.Int32 => while (i < n) { out(i) = buf.getInt().toLong; i += 1 }
+          // uint64 values above Long.MaxValue wrap (documented narrowing)
+          case Dtype.UInt64 | Dtype.Int64 => while (i < n) { out(i) = buf.getLong(); i += 1 }
+          case _ => throw new IllegalStateException(s"unreachable: $d")
+        }
+        DecodedBlock(null, shape, out, null)
+    }
+  }
+
+  /** Encode a block to the N5 binary layout. Exactly one of longs/doubles
+    * must be non-null, length == shape.product.
+    */
+  def encode(
+      shape: Array[Int],
+      longs: Array[Long],
+      doubles: Array[Double],
+      dtype: Dtype,
+      comp: Compression): Array[Byte] = {
+    val n = shape.product
+    val payload = ByteBuffer.allocate(n * dtype.bytesPerElement)
+      .order(ByteOrder.BIG_ENDIAN)
+    dtype match {
+      case Dtype.Float32 =>
+        var i = 0; while (i < n) { payload.putFloat(doubles(i).toFloat); i += 1 }
+      case Dtype.Float64 =>
+        var i = 0; while (i < n) { payload.putDouble(doubles(i)); i += 1 }
+      case d =>
+        var i = 0
+        d match {
+          case Dtype.UInt8 | Dtype.Int8 =>
+            while (i < n) { payload.put((longs(i) & 0xffL).toByte); i += 1 }
+          case Dtype.UInt16 | Dtype.Int16 =>
+            while (i < n) { payload.putShort((longs(i) & 0xffffL).toShort); i += 1 }
+          case Dtype.UInt32 | Dtype.Int32 =>
+            while (i < n) { payload.putInt((longs(i) & 0xffffffffL).toInt); i += 1 }
+          case Dtype.UInt64 | Dtype.Int64 =>
+            while (i < n) { payload.putLong(longs(i)); i += 1 }
+          case _ => throw new IllegalStateException(s"unreachable: $d")
+        }
+    }
+    val body = compress(payload.array(), comp)
+    val out = ByteBuffer.allocate(4 + 4 * shape.length + body.length)
+      .order(ByteOrder.BIG_ENDIAN)
+    out.putShort(0.toShort)
+    out.putShort(shape.length.toShort)
+    shape.foreach(out.putInt)
+    out.put(body)
+    out.array()
+  }
+
+  private def decompress(
+      raw: Array[Byte], off: Int, comp: Compression, expected: Int): Array[Byte] =
+    comp.codec match {
+      case "raw" => java.util.Arrays.copyOfRange(raw, off, raw.length)
+      case "gzip" =>
+        val in = new GZIPInputStream(
+          new ByteArrayInputStream(raw, off, raw.length - off))
+        try in.readNBytes(expected) finally in.close()
+      case other => throw new IllegalArgumentException(
+        s"unsupported compression for read: $other")
+    }
+
+  private def compress(data: Array[Byte], comp: Compression): Array[Byte] =
+    comp.codec match {
+      case "raw" => data
+      case "gzip" =>
+        val bos = new ByteArrayOutputStream(data.length / 2 + 64)
+        val out = new GZIPOutputStream(bos)
+        out.write(data); out.close()
+        bos.toByteArray
+      case other => throw new IllegalArgumentException(
+        s"unsupported compression for write: $other")
+    }
+}

@@ -1,0 +1,119 @@
+package graft.n5
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Public N5 API over the DSv2 connector: block tables, element views, and
+  * block reassembly (the Spark-native equivalents of the reference's
+  * read/slice/rechunk/write surface — `n5_utils.py`, `tif_to_n5.py:22`).
+  */
+object N5 {
+
+  /** Block table of a dataset: one row per stored block. */
+  def read(spark: SparkSession, root: String, dataset: String): DataFrame =
+    spark.read.format("n5").option("dataset", dataset).load(root)
+
+  /** Write a block table (gx,gy,gz,shape,data) as a dataset. */
+  def write(
+      df: DataFrame, root: String, dataset: String, attrs: DatasetAttributes,
+      extraAttrs: Map[String, String] = Map.empty): Unit =
+    df.write.format("n5")
+      .option("dataset", dataset)
+      .option("dimensions", attrs.dimensions.mkString(","))
+      .option("blockSize", attrs.blockSize.mkString(","))
+      .option("dataType", attrs.dataType.name)
+      .option("compression", attrs.compression.codec)
+      .option("compressionLevel", attrs.compression.level.toString)
+      .option("extraAttrs",
+        (attrs.extra ++ extraAttrs).map { case (k, v) => s"$k=$v" }.mkString(";;"))
+      .mode("append")
+      .save(root)
+
+  /** Per-element view (x,y,z,v) of a block table. Lazy posexplode +
+    * integer index math — only queries that genuinely need per-voxel rows
+    * pay for the explosion (SURVEY §1.4). Flat index is x-fastest within
+    * the local (trimmed) block shape.
+    */
+  def elements(blocks: DataFrame): DataFrame =
+    blocks
+      .select(col("x0"), col("y0"), col("z0"), col("shape"),
+        posexplode(col("data")).as(Seq("i", "v")))
+      .select(
+        expr("x0 + i % shape[0]").as("x"),
+        expr("y0 + (i div shape[0]) % shape[1]").as("y"),
+        expr("z0 + i div (shape[0] * shape[1])").as("z"),
+        col("v"))
+
+  /** Ranged box scan [start, end) — reference `read_n5_block`
+    * (`n5_utils.py:6-18`). Grid predicates prune block FILES via the DSv2
+    * filter pushdown before any I/O; element predicates trim block edges.
+    */
+  def readBox(
+      spark: SparkSession, root: String, dataset: String,
+      start: Array[Long], end: Array[Long]): DataFrame = {
+    val attrs = N5Meta.datasetAttributes(root, dataset)
+    val bs = attrs.blockSize
+    val blocks = read(spark, root, dataset)
+      .filter(col("gx") >= (start(0) / bs(0)).toInt
+        && col("gx") <= ((end(0) - 1) / bs(0)).toInt
+        && col("gy") >= (start(1) / bs(1)).toInt
+        && col("gy") <= ((end(1) - 1) / bs(1)).toInt
+        && col("gz") >= (start(2) / bs(2)).toInt
+        && col("gz") <= ((end(2) - 1) / bs(2)).toInt)
+    elements(blocks)
+      .filter(col("x") >= start(0) && col("x") < end(0)
+        && col("y") >= start(1) && col("y") < end(1)
+        && col("z") >= start(2) && col("z") < end(2))
+  }
+
+  /** Reassemble an element table (x,y,z,v) into the (gx,gy,gz,shape,data)
+    * block layout of `target`, ready for `write`. One shuffle keyed by grid
+    * position with in-partition sort — the rechunk Exchange of
+    * `tif_to_n5.py:22` / `n5_to_tif.py:50`.
+    *
+    * Scale note: this is the element-level formulation (shuffle volume =
+    * voxel count). The block-fragment regroup (≤8 fragment rows per output
+    * block instead of per-voxel rows, SURVEY §7 "hard parts") drops shuffle
+    * row count by ~blockSize³ and is the planned optimization; the writer
+    * interface is unchanged by it.
+    */
+  def blocksFromElements(
+      elems: DataFrame, target: DatasetAttributes,
+      elemSparkType: DataType): DataFrame = {
+    val Array(dx, dy, dz) = target.dimensions.map(_.toString)
+    val Array(bx, by, bz) = target.blockSize.map(_.toString)
+    elems
+      .withColumn("gx", expr(s"CAST(x div $bx AS INT)"))
+      .withColumn("gy", expr(s"CAST(y div $by AS INT)"))
+      .withColumn("gz", expr(s"CAST(z div $bz AS INT)"))
+      // local (edge-trimmed) block shape
+      .withColumn("sx", expr(s"CAST(least($bx, $dx - gx * $bx) AS INT)"))
+      .withColumn("sy", expr(s"CAST(least($by, $dy - gy * $by) AS INT)"))
+      .withColumn("sz", expr(s"CAST(least($bz, $dz - gz * $bz) AS INT)"))
+      .withColumn("idx", expr(
+        s"CAST((x - gx * $bx) + (y - gy * $by) * sx + (z - gz * $bz) * sx * sy AS INT)"))
+      .groupBy(col("gx"), col("gy"), col("gz"), col("sx"), col("sy"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("v")))).as("cells"))
+      .select(col("gx"), col("gy"), col("gz"),
+        array(col("sx"), col("sy"), col("sz")).as("shape"),
+        transform(col("cells"), c =>
+          c.getField("v").cast(elemSparkType)).as("data"))
+  }
+
+  /** Rechunk a dataset to a new block size (same dims/dtype), reference
+    * `array.rechunk` (`tif_to_n5.py:22`).
+    */
+  def rechunk(
+      spark: SparkSession, srcRoot: String, srcDataset: String,
+      dstRoot: String, dstDataset: String, newBlockSize: Array[Int],
+      compression: Compression = Compression("gzip")): DatasetAttributes = {
+    val src = N5Meta.datasetAttributes(srcRoot, srcDataset)
+    val dst = src.copy(blockSize = newBlockSize, compression = compression)
+    val elems = elements(read(spark, srcRoot, srcDataset))
+    val blocks = blocksFromElements(elems, dst,
+      graft.sources.n5.N5Schema.elementType(dst.dataType))
+    write(blocks, dstRoot, dstDataset, dst)
+    dst
+  }
+}

@@ -1,0 +1,167 @@
+package graft.n5
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import scala.jdk.CollectionConverters._
+
+/** N5 element dtype with its JVM widening (JVM has no unsigned types, so
+  * uint8→Short, uint16→Int, uint32→Long; SURVEY §7 "hard parts"). One codec
+  * object per dtype keeps sign handling in a single place.
+  *
+  * Reference semantics: dataset attributes carry `dataType` strings like
+  * "uint8" (`/root/reference/data/test.n5/mri/c0/s0/attributes.json`).
+  */
+sealed abstract class Dtype(
+    val name: String, val bytesPerElement: Int) extends Serializable
+object Dtype {
+  case object UInt8 extends Dtype("uint8", 1)
+  case object Int8 extends Dtype("int8", 1)
+  case object UInt16 extends Dtype("uint16", 2)
+  case object Int16 extends Dtype("int16", 2)
+  case object UInt32 extends Dtype("uint32", 4)
+  case object Int32 extends Dtype("int32", 4)
+  case object UInt64 extends Dtype("uint64", 8)
+  case object Int64 extends Dtype("int64", 8)
+  case object Float32 extends Dtype("float32", 4)
+  case object Float64 extends Dtype("float64", 8)
+
+  val all: Seq[Dtype] = Seq(UInt8, Int8, UInt16, Int16, UInt32, Int32,
+    UInt64, Int64, Float32, Float64)
+
+  def fromName(n: String): Dtype =
+    all.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"unsupported N5 dataType: $n"))
+}
+
+/** Compression codec id. blosc is JNI-only on the JVM → declared
+  * unsupported (SURVEY §4). level -1 = default (as in the fixture attrs).
+  */
+final case class Compression(codec: String, level: Int = -1)
+    extends Serializable {
+  require(codec == "gzip" || codec == "raw",
+    s"unsupported N5 compression: $codec (blosc/xz need native libs)")
+}
+
+/** Dataset attributes (attributes.json of a dataset directory).
+  * dimensions/blockSize are in N5's x,y,z order (x fastest-varying in the
+  * block payload). `extra` carries domain metadata (pixelResolution,
+  * downsamplingFactors, ...) verbatim as JSON strings.
+  */
+final case class DatasetAttributes(
+    dimensions: Array[Long],
+    blockSize: Array[Int],
+    dataType: Dtype,
+    compression: Compression,
+    extra: Map[String, String] = Map.empty) extends Serializable {
+
+  def ndim: Int = dimensions.length
+
+  /** Grid size per axis: ceil(dim / blockSize). */
+  def gridDims: Array[Int] =
+    dimensions.zip(blockSize).map { case (d, b) => ((d + b - 1) / b).toInt }
+
+  /** Actual (edge-trimmed) block shape at a grid position. */
+  def blockShape(grid: Array[Int]): Array[Int] =
+    grid.indices.map { i =>
+      val start = grid(i).toLong * blockSize(i)
+      math.min(blockSize(i).toLong, dimensions(i) - start).toInt
+    }.toArray
+
+  /** All grid positions (cartesian product over axes). */
+  def gridPositions: Seq[Array[Int]] = {
+    val ranges = gridDims.map(n => 0 until n)
+    ranges.foldRight(Seq(List.empty[Int])) { (r, acc) =>
+      for (i <- r; rest <- acc) yield i :: rest
+    }.map(_.toArray)
+  }
+}
+
+/** attributes.json reader/writer over the Hadoop FileSystem API, so the
+  * same code path serves local disk in tests and HDFS/S3-compatible stores
+  * on a real cluster. (Jackson ships with Spark; no extra deps.)
+  *
+  * Mirrors the reference's metadata handling (`create_n5.py:20-37`,
+  * `n5_multiscale.py:82`) without copying any code: read the JSON dict,
+  * expose the four structural keys, round-trip everything else.
+  */
+object N5Meta {
+  private def mapper = new ObjectMapper()
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
+
+  def readJson(p: Path): JsonNode = {
+    val in = fs(p).open(p)
+    try mapper.readTree(in) finally in.close()
+  }
+
+  private def writeJson(p: Path, node: JsonNode): Unit = {
+    val out = fs(p).create(p, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
+  }
+
+  def datasetAttributes(root: String, dataset: String): DatasetAttributes = {
+    val j = readJson(new Path(root, s"$dataset/attributes.json"))
+    val dims = j.get("dimensions").elements().asScala.map(_.asLong()).toArray
+    val bs = j.get("blockSize").elements().asScala.map(_.asInt()).toArray
+    val dt = Dtype.fromName(j.get("dataType").asText())
+    val comp =
+      if (j.has("compression") && j.get("compression").isObject) {
+        val c = j.get("compression")
+        Compression(c.get("type").asText(),
+          if (c.has("level")) c.get("level").asInt() else -1)
+      } else Compression("raw")
+    val structural = Set("dimensions", "blockSize", "dataType", "compression")
+    val extra = j.properties().asScala
+      .filterNot(e => structural(e.getKey))
+      .map(e => e.getKey -> e.getValue.toString).toMap
+    DatasetAttributes(dims, bs, dt, comp, extra)
+  }
+
+  def writeDatasetAttributes(
+      root: String, dataset: String, a: DatasetAttributes): Unit = {
+    val o = mapper.createObjectNode()
+    val dims = o.putArray("dimensions"); a.dimensions.foreach(dims.add)
+    val bs = o.putArray("blockSize"); a.blockSize.foreach(bs.add)
+    o.put("dataType", a.dataType.name)
+    val c = o.putObject("compression")
+    c.put("type", a.compression.codec)
+    if (a.compression.codec == "gzip") {
+      c.put("useZlib", false)
+      c.put("level", a.compression.level)
+    }
+    a.extra.foreach { case (k, v) => o.set[ObjectNode](k, mapper.readTree(v)) }
+    val p = new Path(root, s"$dataset/attributes.json")
+    fs(p).mkdirs(p.getParent)
+    writeJson(p, o)
+  }
+
+  /** Read/merge arbitrary group attributes (e.g. multiscale `scales`). */
+  def updateGroupAttributes(
+      root: String, group: String, attrs: Map[String, String]): Unit = {
+    val p =
+      if (group.isEmpty) new Path(root, "attributes.json")
+      else new Path(root, s"$group/attributes.json")
+    val f = fs(p)
+    f.mkdirs(p.getParent)
+    val base =
+      if (f.exists(p)) readJson(p).asInstanceOf[ObjectNode]
+      else mapper.createObjectNode()
+    attrs.foreach { case (k, v) => base.set[ObjectNode](k, mapper.readTree(v)) }
+    writeJson(p, base)
+  }
+
+  /** Ensure the container root exists with the n5 version marker. */
+  def ensureRoot(root: String, version: String = "2.5.1"): Unit = {
+    val p = new Path(root, "attributes.json")
+    val f = fs(p)
+    f.mkdirs(p.getParent)
+    if (!f.exists(p)) {
+      val o = mapper.createObjectNode()
+      o.put("n5", version)
+      writeJson(p, o)
+    }
+  }
+}

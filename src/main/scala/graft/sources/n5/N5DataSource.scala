@@ -1,0 +1,391 @@
+package graft.sources.n5
+
+import java.util
+
+import graft.n5._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector for the N5 chunked-array format — the engine's
+  * core novel piece (SURVEY §7 Phase 2-3; reference read/write semantics:
+  * `n5_utils.py:6-18`, `n5_utils.py:21-33`).
+  *
+  * Read: `spark.read.format("n5").option("dataset", "mri/c0/s0").load(root)`
+  * yields one row per stored block:
+  * (gx,gy,gz INT, x0,y0,z0 LONG, shape ARRAY<INT>, data ARRAY<elem>), with
+  * unsigned dtypes widened (uint8→SHORT, uint16→INT, uint32→LONG).
+  *
+  * Scale design:
+  *  - one InputPartition per block file → a 1000-executor cluster reads a
+  *    100 TB volume with full parallelism and no driver bottleneck beyond
+  *    the block listing (listing is one RPC per grid directory);
+  *  - grid predicates (gx/gy/gz =, <, >, IN, ranges) are pushed down and
+  *    prune block files BEFORE any I/O — a box read touches only
+  *    intersecting chunks, exactly like the reference's zarr slicing
+  *    (`n5_to_tif.py:26`);
+  *  - column pruning skips payload decode entirely for metadata-only
+  *    queries (block counts, grid scans).
+  *
+  * Write: `df.write.format("n5").option(...)` with rows
+  * (gx,gy,gz,shape,data). Blocks are write-disjoint by grid position
+  * (Spark partitions never share a block), writes are idempotent blind
+  * overwrites (task retry safe — same semantics as `ometif_to_n5.py:205`),
+  * and attributes.json is committed AFTER the data by the driver, fixing
+  * the reference's metadata-before-data wart (`n5_multiscale.py:133`).
+  */
+class N5DataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "n5"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = options.get("path")
+    val dataset = options.getOrDefault("dataset", "")
+    if (root != null && options.containsKey("dataset")) {
+      val attrs = N5Meta.datasetAttributes(root, dataset)
+      N5Schema.blockSchema(attrs.dataType)
+    } else {
+      // write-only usage where attrs come from options
+      N5Schema.blockSchema(
+        Dtype.fromName(options.getOrDefault("dataType", "uint8")))
+    }
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new N5Table(new CaseInsensitiveStringMap(properties), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object N5Schema {
+  def elementType(d: Dtype): DataType = d match {
+    case Dtype.UInt8 => ShortType
+    case Dtype.Int8 => ByteType
+    case Dtype.UInt16 => IntegerType
+    case Dtype.Int16 => ShortType
+    case Dtype.UInt32 => LongType
+    case Dtype.Int32 => IntegerType
+    case Dtype.UInt64 | Dtype.Int64 => LongType
+    case Dtype.Float32 => FloatType
+    case Dtype.Float64 => DoubleType
+  }
+
+  def blockSchema(d: Dtype): StructType = StructType(Seq(
+    StructField("gx", IntegerType, nullable = false),
+    StructField("gy", IntegerType, nullable = false),
+    StructField("gz", IntegerType, nullable = false),
+    StructField("x0", LongType, nullable = false),
+    StructField("y0", LongType, nullable = false),
+    StructField("z0", LongType, nullable = false),
+    StructField("shape", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("data", ArrayType(elementType(d), containsNull = false), nullable = false)))
+}
+
+class N5Table(options: CaseInsensitiveStringMap, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def root: String = options.get("path")
+  private def dataset: String = options.getOrDefault("dataset", "")
+
+  override def name(): String = s"n5:`$root`/$dataset"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val attrs = N5Meta.datasetAttributes(root, dataset)
+    new N5ScanBuilder(root, dataset, attrs)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new N5WriteBuilder(root, dataset, options, info)
+}
+
+// ---------------------------------------------------------------- read path
+
+class N5ScanBuilder(root: String, dataset: String, attrs: DatasetAttributes)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = N5Schema.blockSchema(attrs.dataType)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, _) = filters.partition(isGridFilter)
+    pushed = supported
+    // we only PRUNE with them; Spark re-evaluates everything for safety
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def isGridFilter(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => Set("gx", "gy", "gz")(a)
+    case GreaterThan(a, _) => Set("gx", "gy", "gz")(a)
+    case GreaterThanOrEqual(a, _) => Set("gx", "gy", "gz")(a)
+    case LessThan(a, _) => Set("gx", "gy", "gz")(a)
+    case LessThanOrEqual(a, _) => Set("gx", "gy", "gz")(a)
+    case In(a, _) => Set("gx", "gy", "gz")(a)
+    case _ => false
+  }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new N5Scan(root, dataset, attrs, pushed, required)
+}
+
+class N5Scan(
+    root: String, dataset: String, attrs: DatasetAttributes,
+    filters: Array[Filter], required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Keep only grid positions satisfying the pushed gx/gy/gz predicates. */
+  private def keep(grid: Array[Int]): Boolean = {
+    val byAxis = Map("gx" -> grid(0), "gy" -> (if (grid.length > 1) grid(1) else 0),
+      "gz" -> (if (grid.length > 2) grid(2) else 0))
+    filters.forall {
+      case EqualTo(a, v) => byAxis(a) == asInt(v)
+      case GreaterThan(a, v) => byAxis(a) > asInt(v)
+      case GreaterThanOrEqual(a, v) => byAxis(a) >= asInt(v)
+      case LessThan(a, v) => byAxis(a) < asInt(v)
+      case LessThanOrEqual(a, v) => byAxis(a) <= asInt(v)
+      case In(a, vs) => vs.map(asInt).contains(byAxis(a))
+      case _ => true
+    }
+  }
+  private def asInt(v: Any): Int = v match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
+    case o => o.toString.toInt
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val rootPath = new HPath(root)
+    val fs = rootPath.getFileSystem(conf)
+    attrs.gridPositions
+      .filter(keep)
+      .filter { g =>
+        fs.exists(new HPath(rootPath, s"$dataset/${g.mkString("/")}"))
+      }
+      .map(g => N5BlockPartition(root, dataset, g): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new N5ReaderFactory(attrs, required)
+}
+
+final case class N5BlockPartition(
+    root: String, dataset: String, grid: Array[Int]) extends InputPartition
+
+class N5ReaderFactory(attrs: DatasetAttributes, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new N5BlockReader(p.asInstanceOf[N5BlockPartition], attrs, required)
+}
+
+/** Reads one block file and emits one row. Payload decode is skipped
+  * entirely when the `data` column was pruned away.
+  */
+class N5BlockReader(
+    part: N5BlockPartition, attrs: DatasetAttributes, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private var done = false
+  private var row: InternalRow = _
+
+  private def needsData = required.fieldNames.contains("data")
+
+  override def next(): Boolean = {
+    if (done) return false
+    done = true
+    val g = part.grid
+    val blockPath = new HPath(part.root, s"${part.dataset}/${g.mkString("/")}")
+    val fs = blockPath.getFileSystem(new Configuration())
+    val shape: Array[Int] = attrs.blockShape(g)
+    val dataArr: GenericArrayData =
+      if (needsData) {
+        val in = fs.open(blockPath)
+        val raw =
+          try in.readAllBytes()
+          finally in.close()
+        val dec = BlockCodec.decode(raw, attrs.dataType, attrs.compression)
+        toSparkArray(dec)
+      } else null
+    val values = required.fieldNames.map {
+      case "gx" => g(0)
+      case "gy" => if (g.length > 1) g(1) else 0
+      case "gz" => if (g.length > 2) g(2) else 0
+      case "x0" => g(0).toLong * attrs.blockSize(0)
+      case "y0" => if (g.length > 1) g(1).toLong * attrs.blockSize(1) else 0L
+      case "z0" => if (g.length > 2) g(2).toLong * attrs.blockSize(2) else 0L
+      case "shape" => new GenericArrayData(shape.map(i => i: Any))
+      case "data" => dataArr
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    row = InternalRow.fromSeq(values.toSeq)
+    true
+  }
+
+  private def toSparkArray(dec: DecodedBlock): GenericArrayData = {
+    val n = dec.numElements
+    attrs.dataType match {
+      case Dtype.UInt8 =>
+        new GenericArrayData(Array.tabulate(n)(i => dec.longs(i).toShort: Any))
+      case Dtype.Int8 =>
+        new GenericArrayData(Array.tabulate(n)(i => dec.longs(i).toByte: Any))
+      case Dtype.UInt16 =>
+        new GenericArrayData(Array.tabulate(n)(i => dec.longs(i).toInt: Any))
+      case Dtype.Int16 =>
+        new GenericArrayData(Array.tabulate(n)(i => dec.longs(i).toShort: Any))
+      case Dtype.Int32 =>
+        new GenericArrayData(Array.tabulate(n)(i => dec.longs(i).toInt: Any))
+      case Dtype.UInt32 | Dtype.UInt64 | Dtype.Int64 =>
+        new GenericArrayData(Array.tabulate(n)(i => dec.longs(i): Any))
+      case Dtype.Float32 =>
+        new GenericArrayData(Array.tabulate(n)(i => dec.doubles(i).toFloat: Any))
+      case Dtype.Float64 =>
+        new GenericArrayData(Array.tabulate(n)(i => dec.doubles(i): Any))
+    }
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+// --------------------------------------------------------------- write path
+
+class N5WriteBuilder(
+    root: String, dataset: String,
+    options: CaseInsensitiveStringMap, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val attrs = writeAttrs()
+      new N5BatchWrite(root, dataset, attrs, info.schema(), doTruncate)
+    }
+  }
+
+  /** Attributes from writer options, falling back to an existing
+    * attributes.json (append to an existing dataset).
+    */
+  private def writeAttrs(): DatasetAttributes = {
+    if (options.containsKey("dimensions")) {
+      DatasetAttributes(
+        options.get("dimensions").split(",").map(_.trim.toLong),
+        options.getOrDefault("blockSize",
+          options.get("dimensions")).split(",").map(_.trim.toInt),
+        Dtype.fromName(options.getOrDefault("dataType", "uint8")),
+        Compression(options.getOrDefault("compression", "gzip"),
+          options.getOrDefault("compressionLevel", "-1").toInt),
+        Option(options.get("extraAttrs"))
+          .map(parseExtra).getOrElse(Map.empty))
+    } else N5Meta.datasetAttributes(root, dataset)
+  }
+
+  /** extraAttrs option: `key1=json1;;key2=json2`. */
+  private def parseExtra(s: String): Map[String, String] =
+    s.split(";;").filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+}
+
+class N5BatchWrite(
+    root: String, dataset: String, attrs: DatasetAttributes,
+    inputSchema: StructType, truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side prep: optional truncate, container root marker
+    if (truncate) {
+      val p = new HPath(root, dataset)
+      val fs = p.getFileSystem(new Configuration())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    N5Meta.ensureRoot(root)
+    new N5WriterFactory(root, dataset, attrs, inputSchema)
+  }
+
+  /** Metadata commit AFTER data: the dataset only becomes readable once
+    * every task has written its blocks.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    N5Meta.writeDatasetAttributes(root, dataset, attrs)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class N5WriterFactory(
+    root: String, dataset: String, attrs: DatasetAttributes,
+    inputSchema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new N5BlockWriter(root, dataset, attrs, inputSchema)
+}
+
+/** Writes each incoming (gx,gy,gz,shape,data) row as one block file.
+  * Blind idempotent overwrite → task retries and speculative execution are
+  * safe without any rename/commit protocol (blocks are write-disjoint).
+  */
+class N5BlockWriter(
+    root: String, dataset: String, attrs: DatasetAttributes,
+    inputSchema: StructType) extends DataWriter[InternalRow] {
+
+  private val fs: FileSystem =
+    new HPath(root).getFileSystem(new Configuration())
+  private val idx: Map[String, Int] =
+    inputSchema.fieldNames.zipWithIndex.toMap
+  private val elemType = N5Schema.elementType(attrs.dataType)
+
+  override def write(r: InternalRow): Unit = {
+    val gx = r.getInt(idx("gx"))
+    val gy = if (idx.contains("gy")) r.getInt(idx("gy")) else 0
+    val gz = if (idx.contains("gz")) r.getInt(idx("gz")) else 0
+    val shape = r.getArray(idx("shape")).toIntArray()
+    val data = r.getArray(idx("data"))
+    val n = shape.product
+    require(data.numElements() == n,
+      s"block ($gx,$gy,$gz): data has ${data.numElements()} elements, shape needs $n")
+    val (longs, doubles) = elemType match {
+      case ShortType => (data.toShortArray().map(_.toLong), null)
+      case ByteType => (data.toByteArray().map(_.toLong), null)
+      case IntegerType => (data.toIntArray().map(_.toLong), null)
+      case LongType => (data.toLongArray(), null)
+      case FloatType => (null, data.toFloatArray().map(_.toDouble))
+      case DoubleType => (null, data.toDoubleArray())
+      case other => throw new IllegalArgumentException(s"bad element type $other")
+    }
+    val bytes = BlockCodec.encode(shape, longs, doubles, attrs.dataType,
+      attrs.compression)
+    val path = new HPath(root, s"$dataset/$gx/$gy/$gz")
+    fs.mkdirs(path.getParent)
+    val out = fs.create(path, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  override def commit(): WriterCommitMessage = N5CommitMessage
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
+case object N5CommitMessage extends WriterCommitMessage

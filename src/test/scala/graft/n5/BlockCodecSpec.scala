@@ -1,0 +1,97 @@
+package graft.n5
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests against the reference fixture
+  * `/root/reference/data/test.n5/mri/c0/s0` (4 gzip blocks). Expected
+  * values were computed INDEPENDENTLY of this codec (python gzip+struct
+  * decode of the raw block files):
+  *   block (0,0,0): shape 128x128x27, sum 18077459
+  *   block (0,1,0): shape 128x98x27,  sum 13598034
+  *   block (1,0,0): shape 58x128x27,  sum 5266225
+  *   block (1,1,0): shape 58x98x27,   sum 3843199
+  *   total elements 1134972 (= 186*226*27), sum 40784917, min 0, max 255
+  */
+class BlockCodecSpec extends AnyFunSuite {
+
+  private val fixtureRoot = "/root/reference/data/test.n5"
+  private val fixtureDs = "mri/c0/s0"
+
+  private val golden = Map(
+    (0, 0, 0) -> (Array(128, 128, 27), 18077459L),
+    (0, 1, 0) -> (Array(128, 98, 27), 13598034L),
+    (1, 0, 0) -> (Array(58, 128, 27), 5266225L),
+    (1, 1, 0) -> (Array(58, 98, 27), 3843199L))
+
+  test("attrs parse matches the fixture attributes.json") {
+    val a = N5Meta.datasetAttributes(fixtureRoot, fixtureDs)
+    assert(a.dimensions.toSeq == Seq(186L, 226L, 27L))
+    assert(a.blockSize.toSeq == Seq(128, 128, 128))
+    assert(a.dataType == Dtype.UInt8)
+    assert(a.compression.codec == "gzip")
+    assert(a.gridDims.toSeq == Seq(2, 2, 1))
+    assert(a.blockShape(Array(1, 1, 0)).toSeq == Seq(58, 98, 27))
+    assert(a.extra.contains("pixelResolution"))
+  }
+
+  test("decode matches independent golden values for all 4 fixture blocks") {
+    val a = N5Meta.datasetAttributes(fixtureRoot, fixtureDs)
+    var total = 0L
+    var count = 0L
+    golden.foreach { case ((gx, gy, gz), (shape, sum)) =>
+      val raw = Files.readAllBytes(
+        Paths.get(fixtureRoot, fixtureDs, s"$gx/$gy/$gz"))
+      val dec = BlockCodec.decode(raw, a.dataType, a.compression)
+      assert(dec.shape.toSeq == shape.toSeq, s"block $gx/$gy/$gz shape")
+      assert(dec.longs.sum == sum, s"block $gx/$gy/$gz sum")
+      assert(dec.longs.forall(v => v >= 0 && v <= 255), "uint8 range")
+      total += dec.longs.sum
+      count += dec.numElements
+    }
+    assert(count == 1134972L)
+    assert(total == 40784917L)
+  }
+
+  test("encode/decode round-trips across dtypes and codecs") {
+    val shapes = Seq(Array(4, 3, 2), Array(1, 1, 1), Array(7, 5, 3))
+    val rng = new scala.util.Random(42)
+    for {
+      comp <- Seq(Compression("gzip"), Compression("raw"))
+      shape <- shapes
+      dtype <- Seq(Dtype.UInt8, Dtype.UInt16, Dtype.Int32, Dtype.Int64)
+    } {
+      val n = shape.product
+      val max = dtype match {
+        case Dtype.UInt8 => 256L
+        case Dtype.UInt16 => 65536L
+        case _ => 1000000L
+      }
+      val vals = Array.fill(n)(math.abs(rng.nextLong()) % max)
+      val enc = BlockCodec.encode(shape, vals, null, dtype, comp)
+      val dec = BlockCodec.decode(enc, dtype, comp)
+      assert(dec.shape.toSeq == shape.toSeq)
+      assert(dec.longs.toSeq == vals.toSeq, s"$dtype/$comp")
+    }
+    // float dtypes
+    for (dtype <- Seq(Dtype.Float32, Dtype.Float64)) {
+      val shape = Array(5, 4, 3)
+      val vals = Array.fill(shape.product)(
+        if (dtype == Dtype.Float32) rng.nextFloat().toDouble else rng.nextDouble())
+      val enc = BlockCodec.encode(shape, null, vals, dtype, Compression("gzip"))
+      val dec = BlockCodec.decode(enc, dtype, Compression("gzip"))
+      assert(dec.doubles.toSeq == vals.toSeq, dtype.toString)
+    }
+  }
+
+  test("fixture block encode round-trip is byte-faithful") {
+    val a = N5Meta.datasetAttributes(fixtureRoot, fixtureDs)
+    val raw = Files.readAllBytes(Paths.get(fixtureRoot, fixtureDs, "1/1/0"))
+    val dec = BlockCodec.decode(raw, a.dataType, a.compression)
+    val enc = BlockCodec.encode(dec.shape, dec.longs, null, a.dataType,
+      a.compression)
+    val dec2 = BlockCodec.decode(enc, a.dataType, a.compression)
+    assert(dec2.shape.toSeq == dec.shape.toSeq)
+    assert(dec2.longs.toSeq == dec.longs.toSeq)
+  }
+}
