@@ -1,0 +1,63 @@
+package graft
+
+import graft.n5.{Compression, Dtype, Multiscale, N5}
+import graft.sources.tiff.TiffVolume
+import org.apache.spark.sql.SparkSession
+
+/** CLI dispatch over the engine's volume operations — the Spark analogue of
+  * the reference's five argparse mains (R15; `tif_to_n5.py:63-107`,
+  * `n5_to_tif.py:54-86`, `n5_multiscale.py:139-211`, `create_n5.py:40-59`).
+  * `--master` replaces `--dask-scheduler`; Spark conf replaces the dask
+  * YAML config flattening.
+  *
+  * Usage:
+  *   graft.Cli tif2n5 <inDir> <outRoot> <dataset> [blockSize x,y,z] [codec]
+  *   graft.Cli n52tif <root> <dataset> <outDir> [prefix]
+  *   graft.Cli rechunk <srcRoot> <srcDs> <dstRoot> <dstDs> <bx,by,bz>
+  *   graft.Cli multiscale <root> <group> [fx,fy,fz] [maxLevels]
+  *   graft.Cli create <templateRoot> <templateDs> <outRoot> <outDs> [codec] [dtype]
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-cli")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  private def ints(s: String): Array[Int] = s.split(",").map(_.trim.toInt)
+
+  def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "tif2n5" :: in :: root :: ds :: rest =>
+      val bs = rest.headOption.map(ints).getOrElse(Array(512, 512, 512))
+      val codec = Compression(rest.drop(1).headOption.getOrElse("gzip"))
+      val a = TiffVolume.ingestSlices(spark, in, root, ds, bs,
+        compression = codec)
+      println(s"ingested ${a.dimensions.mkString("x")} as $root/$ds")
+    case "n52tif" :: root :: ds :: out :: rest =>
+      val n = TiffVolume.exportSlices(spark, root, ds, out,
+        rest.headOption.getOrElse("slice_"))
+      println(s"exported $n slices to $out")
+    case "rechunk" :: sr :: sd :: dr :: dd :: bs :: Nil =>
+      val a = N5.rechunk(spark, sr, sd, dr, dd, ints(bs))
+      println(s"rechunked to ${a.blockSize.mkString("x")} at $dr/$dd")
+    case "multiscale" :: root :: group :: rest =>
+      val f = rest.headOption.map(ints).getOrElse(Array(2, 2, 2))
+      val n = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+      val levels = Multiscale.buildPyramid(spark, root, group, f, n)
+      println(s"built ${levels.length} levels under $root/$group")
+    case "create" :: tr :: td :: or :: od :: rest =>
+      val codec = rest.headOption.filter(_ != "same").map(Compression(_))
+      val dt = rest.drop(1).headOption.filter(_ != "same").map(Dtype.fromName)
+      val a = N5.createDatasetLike(tr, td, or, od, codec, dt)
+      println(s"created $or/$od (${a.dataType.name}, " +
+        s"${a.compression.codec}, ${a.dimensions.mkString("x")})")
+    case other =>
+      System.err.println(s"unknown command: ${other.mkString(" ")}")
+      System.err.println("commands: tif2n5 n52tif rechunk multiscale create")
+      sys.exit(2)
+  }
+}

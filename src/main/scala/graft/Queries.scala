@@ -12,7 +12,8 @@ object Queries {
   def all: Seq[QueryDef] =
     CoreRelational.defs ++
       graft.queries.LlmPipeline.defs ++
-      graft.queries.AggExtras.defs
+      graft.queries.AggExtras.defs ++
+      graft.queries.N5Queries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

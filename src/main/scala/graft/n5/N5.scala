@@ -101,6 +101,24 @@ object N5 {
           c.getField("v").cast(elemSparkType)).as("data"))
   }
 
+  /** DDL-from-template (reference `create_dataset`, `create_n5.py:7-37`):
+    * create an empty dataset cloning the template's shape/chunks/dtype/
+    * compression, with optional overrides. Metadata-only — no block data.
+    */
+  def createDatasetLike(
+      templateRoot: String, templateDataset: String,
+      outRoot: String, outDataset: String,
+      compression: Option[Compression] = None,
+      dtype: Option[Dtype] = None): DatasetAttributes = {
+    val t = N5Meta.datasetAttributes(templateRoot, templateDataset)
+    val out = t.copy(
+      compression = compression.getOrElse(t.compression),
+      dataType = dtype.getOrElse(t.dataType))
+    N5Meta.ensureRoot(outRoot)
+    N5Meta.writeDatasetAttributes(outRoot, outDataset, out)
+    out
+  }
+
   /** Rechunk a dataset to a new block size (same dims/dtype), reference
     * `array.rechunk` (`tif_to_n5.py:22`).
     */

@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.n5.{Multiscale, N5, N5Meta}
+import org.apache.spark.sql.functions._
+
+/** N5 array-engine checks over the reference's golden fixture
+  * (`/root/reference/data/test.n5`). These are rows-only entries for the
+  * driver (DuckDB cannot read N5); the hard numeric assertions — block
+  * checksums, per-voxel round-trip equality, windowed-mean equivalence —
+  * live in the graft.n5 test suites against independently computed values.
+  */
+object N5Queries {
+
+  private val fixtureRoot = "/root/reference/data/test.n5"
+  private val fixtureDs = "mri/c0/s0"
+  private def tmpRoot(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$name.n5"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Block-table scan (R1 surface): per-block shape + checksum.
+    QueryDef.rowsOnly("q80_n5_block_scan") { (s, _) =>
+      N5.read(s, fixtureRoot, fixtureDs)
+        .select(col("gx"), col("gy"), col("gz"),
+          col("shape"), size(col("data")).as("n"),
+          aggregate(col("data"), lit(0L), (a, x) => a + x).as("checksum"))
+        .orderBy(col("gx"), col("gy"), col("gz"))
+    },
+
+    // Element view stats (UDTF/generator row: 3-D unravel of block payloads).
+    QueryDef.rowsOnly("q81_n5_element_stats") { (s, _) =>
+      N5.elements(N5.read(s, fixtureRoot, fixtureDs))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+    },
+
+    // Ranged box scan with grid pruning (R1, read_n5_block semantics).
+    QueryDef.rowsOnly("q82_n5_readbox") { (s, _) =>
+      N5.readBox(s, fixtureRoot, fixtureDs,
+        Array(100L, 100L, 0L), Array(150L, 180L, 16L))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"))
+    },
+
+    // Write path + round trip (R2/R4 surface): rechunk to 64^3 gzip and
+    // verify voxel-sum equality inside the query output.
+    QueryDef.rowsOnly("q83_n5_roundtrip") { (s, _) =>
+      val out = tmpRoot("rt")
+      N5.rechunk(s, fixtureRoot, fixtureDs, out, "vol/s0", Array(64, 64, 64))
+      val orig = N5.elements(N5.read(s, fixtureRoot, fixtureDs))
+        .agg(sum(col("v")).as("orig_sum"), count(lit(1)).as("orig_n"))
+      val rt = N5.elements(N5.read(s, out, "vol/s0"))
+        .agg(sum(col("v")).as("rt_sum"), count(lit(1)).as("rt_n"))
+      orig.crossJoin(rt)
+        .select(col("orig_n"), col("rt_n"), col("orig_sum"), col("rt_sum"),
+          (col("orig_sum") === col("rt_sum")
+            && col("orig_n") === col("rt_n")).cast("int").as("ok"))
+    },
+
+    // Multiscale pyramid (R9): s1 windowed mean, trim boundary.
+    QueryDef.rowsOnly("q84_n5_multiscale") { (s, _) =>
+      val out = tmpRoot("ms")
+      N5.rechunk(s, fixtureRoot, fixtureDs, out, "vol/s0", Array(128, 128, 128))
+      val attrs = Multiscale.downsampleLevel(s, out, "vol", 1, Array(2, 2, 2))
+      N5.elements(N5.read(s, out, "vol/s1"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("total"))
+        .withColumn("dims", lit(attrs.dimensions.mkString("x")))
+    }
+  )
+}

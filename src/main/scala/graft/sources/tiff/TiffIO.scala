@@ -1,0 +1,48 @@
+package graft.sources.tiff
+
+import java.awt.image.{BufferedImage, DataBufferByte, DataBufferUShort}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Grayscale TIFF encode/decode via the JDK's built-in ImageIO TIFF plugin
+  * (JDK 9+; no external deps). 8-bit and 16-bit single-channel images —
+  * the slice formats the reference produces/consumes (`n5_to_tif.py:17`,
+  * `tif_to_n5.py:21`).
+  */
+object TiffIO {
+
+  final case class Slice(width: Int, height: Int, pixels: Array[Int])
+
+  /** Encode a row-major (x fastest) pixel array as a grayscale TIFF. */
+  def encode(width: Int, height: Int, pixels: Array[Int], bits: Int): Array[Byte] = {
+    require(pixels.length == width * height,
+      s"pixel count ${pixels.length} != $width x $height")
+    val img = bits match {
+      case 8 =>
+        val im = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+        val buf = im.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+        var i = 0; while (i < pixels.length) { buf(i) = pixels(i).toByte; i += 1 }
+        im
+      case 16 =>
+        val im = new BufferedImage(width, height, BufferedImage.TYPE_USHORT_GRAY)
+        val buf = im.getRaster.getDataBuffer.asInstanceOf[DataBufferUShort].getData
+        var i = 0; while (i < pixels.length) { buf(i) = pixels(i).toShort; i += 1 }
+        im
+      case b => throw new IllegalArgumentException(s"unsupported bit depth $b")
+    }
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "tiff", bos), "no TIFF writer available")
+    bos.toByteArray
+  }
+
+  /** Decode a grayscale TIFF into (width, height, row-major pixels). */
+  def decode(bytes: Array[Byte]): Slice = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](w * h)
+    img.getRaster.getPixels(0, 0, w, h, out)
+    Slice(w, h, out)
+  }
+}

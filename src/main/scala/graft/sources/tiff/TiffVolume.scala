@@ -1,0 +1,95 @@
+package graft.sources.tiff
+
+import graft.n5.{Compression, DatasetAttributes, Dtype, N5, N5Meta}
+import graft.sources.n5.N5Schema
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** N5 volume <-> 2-D TIFF slice series, the reference's ingest/export pair
+  * (`tif_to_n5.py:15-60`, `n5_to_tif.py:32-51`), Spark-native:
+  *
+  * Export: element view → regroup by z (one shuffle) → each task encodes
+  * and writes its slices directly (data never returns to the driver — same
+  * worker-writes discipline as Dask's `store(lock=False)`).
+  *
+  * Ingest: `binaryFile` scan (one task per slice file) → executor-side
+  * decode → element view → block regroup → N5 DSv2 writer. The slab loop
+  * of `tif_to_n5.py:53-58` becomes ordinary bounded partitions.
+  */
+object TiffVolume {
+
+  /** Export every z-slice of a dataset as `prefix%05d.tif` under outDir. */
+  def exportSlices(
+      spark: SparkSession, root: String, dataset: String,
+      outDir: String, prefix: String = "slice_"): Int = {
+    val attrs = N5Meta.datasetAttributes(root, dataset)
+    val Array(w, h, _) = attrs.dimensions.map(_.toInt)
+    val bits = attrs.dataType match {
+      case Dtype.UInt8 | Dtype.Int8 => 8
+      case Dtype.UInt16 | Dtype.Int16 => 16
+      case d => throw new IllegalArgumentException(
+        s"TIFF export supports 8/16-bit integer volumes, got ${d.name}")
+    }
+    val e = N5.elements(N5.read(spark, root, dataset))
+    val slices = e
+      .withColumn("idx", (col("x") + col("y") * w).cast("int"))
+      .groupBy(col("z"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("v")))).as("cells"))
+      .select(col("z").cast("int").as("z"),
+        transform(col("cells"), c => c.getField("v").cast("int")).as("px"))
+    slices.foreachPartition { it: Iterator[Row] =>
+      val conf = new Configuration()
+      it.foreach { r =>
+        val z = r.getInt(0)
+        val px = r.getSeq[Int](1).toArray
+        val bytes = TiffIO.encode(w, h, px, bits)
+        val p = new HPath(outDir, f"$prefix$z%05d.tif")
+        val fs = p.getFileSystem(conf)
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        try out.write(bytes) finally out.close()
+      }
+    }
+    val dir = new HPath(outDir)
+    dir.getFileSystem(new Configuration())
+      .globStatus(new HPath(dir, s"$prefix*.tif")).length
+  }
+
+  /** Ingest a directory of grayscale TIFF slices (z order = numeric order
+    * of the last integer in each file name) into an N5 dataset.
+    */
+  def ingestSlices(
+      spark: SparkSession, inDir: String,
+      dstRoot: String, dstDataset: String,
+      blockSize: Array[Int],
+      dtype: Dtype = Dtype.UInt8,
+      compression: Compression = Compression("gzip")): DatasetAttributes = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tif")
+      .load(inDir)
+      .select(col("path"), col("content"))
+      // z index: last run of digits in the file name
+      .withColumn("z",
+        regexp_extract(col("path"), "(\\d+)\\.tif$", 1).cast("long"))
+    val decoded = files.select(col("z"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (z, bytes) =>
+        val s = TiffIO.decode(bytes)
+        (z, s.width, s.height, s.pixels)
+      }).toDF("z", "w", "h", "px")
+    val Row(w: Int, h: Int, nz: Long) = decoded
+      .agg(max(col("w")), max(col("h")), count(lit(1))).collect()(0)
+    val attrs = DatasetAttributes(
+      Array(w.toLong, h.toLong, nz), blockSize, dtype, compression)
+    val elems = decoded
+      .select(col("z"), posexplode(col("px")).as(Seq("i", "v")))
+      .select(expr(s"CAST(i % $w AS BIGINT)").as("x"),
+        expr(s"CAST(i div $w AS BIGINT)").as("y"), col("z"), col("v"))
+    val blocks = N5.blocksFromElements(elems, attrs,
+      N5Schema.elementType(dtype))
+    N5.write(blocks, dstRoot, dstDataset, attrs)
+    attrs
+  }
+}

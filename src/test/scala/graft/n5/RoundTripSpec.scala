@@ -1,0 +1,110 @@
+package graft.n5
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+import graft.sources.tiff.{TiffIO, TiffVolume}
+import org.apache.spark.sql.functions._
+
+/** The reference's own end-to-end smoke test (`README.md:17-23`):
+  * N5 → 2-D TIFF series → re-ingested N5 (re-chunked, gzip) → multiscale.
+  * Voxel-level equality all the way through.
+  */
+class RoundTripSpec extends SparkSpec {
+
+  private val fixtureRoot = "/root/reference/data/test.n5"
+  private val fixtureDs = "mri/c0/s0"
+
+  test("tiff codec round-trips 8- and 16-bit slices") {
+    val rng = new scala.util.Random(7)
+    for (bits <- Seq(8, 16)) {
+      val w = 33; val h = 21
+      val px = Array.fill(w * h)(rng.nextInt(if (bits == 8) 256 else 65536))
+      val s = TiffIO.decode(TiffIO.encode(w, h, px, bits))
+      assert(s.width == w && s.height == h)
+      assert(s.pixels.toSeq == px.toSeq, s"$bits-bit")
+    }
+  }
+
+  test("README round trip: N5 -> TIFF series -> N5 (64^3 gzip) -> multiscale") {
+    val tmp = Files.createTempDirectory("n5tif").toString
+    // 1. export all 27 z-slices
+    val n = TiffVolume.exportSlices(spark, fixtureRoot, fixtureDs, s"$tmp/tif")
+    assert(n == 27)
+    // (Hadoop local FS also writes .crc sidecars; count only the slices)
+    assert(Files.list(Paths.get(s"$tmp/tif"))
+      .filter(_.toString.endsWith(".tif")).count() == 27)
+
+    // 2. re-ingest re-chunked
+    val attrs = TiffVolume.ingestSlices(spark, s"$tmp/tif",
+      s"$tmp/out.n5", "vol/s0", Array(64, 64, 64))
+    assert(attrs.dimensions.toSeq == Seq(186L, 226L, 27L))
+
+    // 3. voxel equality against the original
+    val orig = N5.elements(N5.read(spark, fixtureRoot, fixtureDs))
+      .select(col("x"), col("y"), col("z"), col("v").cast("long").as("v"))
+    val rt = N5.elements(N5.read(spark, s"$tmp/out.n5", "vol/s0"))
+      .select(col("x"), col("y"), col("z"), col("v").cast("long").as("v2"))
+    assert(rt.count() == 1134972L)
+    val joined = orig.join(rt, Seq("x", "y", "z"))
+    assert(joined.count() == 1134972L)
+    assert(joined.filter(col("v") =!= col("v2")).count() == 0L)
+
+    // 4. multiscale levels on the re-ingested volume
+    val levels = Multiscale.buildPyramid(spark, s"$tmp/out.n5", "vol",
+      maxLevels = 2)
+    assert(levels.length == 2)
+    assert(levels(0).dimensions.toSeq == Seq(93L, 113L, 13L))
+    assert(levels(1).dimensions.toSeq == Seq(46L, 56L, 6L))
+  }
+
+  test("multiscale s1 equals an independently computed windowed mean") {
+    val tmp = Files.createTempDirectory("n5ms").toString
+    // materialize the fixture as group vol/s0 (same chunking)
+    N5.rechunk(spark, fixtureRoot, fixtureDs, tmp, "vol/s0", Array(128, 128, 128))
+    Multiscale.downsampleLevel(spark, tmp, "vol", 1, Array(2, 2, 2))
+
+    // independent expectation: decode the fixture into one dense array and
+    // compute the trimmed 2x2x2 windowed mean with plain loops
+    val a = N5Meta.datasetAttributes(fixtureRoot, fixtureDs)
+    val Array(dx, dy, dz) = a.dimensions.map(_.toInt)
+    val dense = new Array[Int](dx * dy * dz)
+    for (g <- a.gridPositions) {
+      val raw = java.nio.file.Files.readAllBytes(
+        Paths.get(fixtureRoot, fixtureDs, g.mkString("/")))
+      val dec = BlockCodec.decode(raw, a.dataType, a.compression)
+      val Array(sx, sy, _) = dec.shape
+      val x0 = g(0) * 128; val y0 = g(1) * 128; val z0 = g(2) * 128
+      var i = 0
+      while (i < dec.numElements) {
+        val x = x0 + i % sx
+        val y = y0 + (i / sx) % sy
+        val z = z0 + i / (sx * sy)
+        dense(x + y * dx + z * dx * dy) = dec.longs(i).toInt
+        i += 1
+      }
+    }
+    val (ox, oy, oz) = (dx / 2, dy / 2, dz / 2)
+    var expectedSum = 0L
+    val expected = new Array[Long](ox * oy * oz)
+    for (z <- 0 until oz; y <- 0 until oy; x <- 0 until ox) {
+      var s = 0L
+      for (dzz <- 0 until 2; dyy <- 0 until 2; dxx <- 0 until 2)
+        s += dense((2 * x + dxx) + (2 * y + dyy) * dx + (2 * z + dzz) * dx * dy)
+      val m = (s.toDouble / 8.0).toLong // truncation, numpy astype semantics
+      expected(x + y * ox + z * ox * oy) = m
+      expectedSum += m
+    }
+
+    val s1 = N5.elements(N5.read(spark, tmp, "vol/s1"))
+    val r = s1.agg(count(lit(1)), sum(col("v").cast("long"))).collect()(0)
+    assert(r.getLong(0) == ox.toLong * oy * oz)
+    assert(r.getLong(1) == expectedSum)
+    // spot-check individual voxels
+    val sample = s1.filter(col("x") < 4 && col("y") < 4 && col("z") < 2)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getAs[Number](3).longValue()))
+    sample.foreach { case (x, y, z, v) =>
+      assert(v == expected((x + y * ox + z * ox * oy).toInt), s"voxel ($x,$y,$z)")
+    }
+  }
+}
