@@ -13,7 +13,8 @@ object Queries {
     CoreRelational.defs ++
       graft.queries.LlmPipeline.defs ++
       graft.queries.AggExtras.defs ++
-      graft.queries.N5Queries.defs
+      graft.queries.N5Queries.defs ++
+      graft.queries.StreamingQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming operators (SURVEY §2.3 streaming rows + §7 Phase 6):
+  * the same event-time windowed aggregations as the batch queries
+  * (q70-q72), watermarked stateful dedup, and a custom
+  * mapGroupsWithState accumulator. All transforms are defined once on
+  * unbounded DataFrames; batch/stream equivalence is asserted by
+  * graft.streaming.StreamingSpec.
+  *
+  * Scale notes: streaming state (window aggs, dedup keys, per-group state)
+  * is partitioned by key across executors and bounded by the watermark —
+  * at 100 TB/day the state size is windows-per-key, not events. The N5
+  * slab ingest commits whole blocks per micro-batch (idempotent overwrite),
+  * so replays are safe — at-least-once + idempotent block writes, the
+  * declared non-goal trade (SURVEY §2.3 non-goals).
+  */
+object Streams {
+
+  /** Tumbling 1-hour aggregate with a 10-minute watermark. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      .select(col("window.start").as("w"), col("n"), col("sv"))
+
+  /** Sliding 1-hour/30-minute aggregate with watermark. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      .select(col("window.start").as("w"), col("n"), col("sv"))
+
+  /** Session windows (30-minute gap) per user with watermark. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("n"), col("sv"))
+
+  /** Stateful dedup on event_id within the watermark (late duplicates
+    * beyond it are dropped by definition).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserStat(user_id: Long, n: Long, lastTs: Timestamp)
+
+  /** Custom stateful accumulator via mapGroupsWithState: running event
+    * count + latest timestamp per user (the §2.3 "custom state" row).
+    */
+  def userStats(events: DataFrame): Dataset[UserStat] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, new Timestamp(0)))
+          var n = prev.n
+          var last = prev.lastTs
+          rows.foreach { case (_, t) =>
+            n += 1
+            if (t.after(last)) last = t
+          }
+          val next = UserStat(uid, n, last)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming TIFF-slab ingest (reference `tif_to_n5.py:53-58` semantics):
+    * watch a directory for arriving slice files, decode each micro-batch on
+    * the executors, write complete N5 blocks per batch (blockSize z = slab
+    * depth 1 keeps every batch block-aligned → idempotent commits).
+    */
+  def tiffSlabIngest(
+      spark: SparkSession, inDir: String, dstRoot: String, dstDataset: String,
+      width: Int, height: Int, depth: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val attrs = graft.n5.DatasetAttributes(
+      Array(width.toLong, height.toLong, depth.toLong),
+      Array(width, height, 1),
+      graft.n5.Dtype.UInt8, graft.n5.Compression("gzip"))
+    val stream = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.tif")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(inDir)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val decoded = batch
+          .withColumn("z",
+            regexp_extract(col("path"), "(\\d+)\\.tif$", 1).cast("long"))
+          .select(col("z"), col("content")).as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (z, bytes) =>
+            val s = graft.sources.tiff.TiffIO.decode(bytes)
+            (z, s.pixels)
+          }).toDF("z", "px")
+        val elems = decoded
+          .select(col("z"), posexplode(col("px")).as(Seq("i", "v")))
+          .select(expr(s"CAST(i % $width AS BIGINT)").as("x"),
+            expr(s"CAST(i div $width AS BIGINT)").as("y"), col("z"), col("v"))
+        val blocks = graft.n5.N5.blocksFromElements(elems, attrs,
+          org.apache.spark.sql.types.ShortType)
+        graft.n5.N5.write(blocks, dstRoot, dstDataset, attrs)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import graft.n5.N5
+import graft.sources.tiff.TiffVolume
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Stream-equals-batch equivalence (SURVEY §5.5): the same windowed
+  * aggregations produce identical results via Structured Streaming
+  * (file source, Trigger.AvailableNow, complete/append mode) and plain
+  * batch execution.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // a dedicated dir holding only the events table, ts already converted to
+  // a proper TIMESTAMP, for the file stream source
+  private lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("evstream").toString
+    Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(s"$d/events")
+    s"$d/events"
+  }
+
+  private def streamEvents(): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+
+  private def batchEvents(): DataFrame = Tables.load(spark, sfDir, "events")
+
+  private def runComplete(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"stream vs batch mismatch: stream=${a.count()} batch=${b.count()}")
+  }
+
+  test("tumbling window agg: stream (AvailableNow) equals batch") {
+    val streamed = runComplete(Streams.tumblingAgg(streamEvents()), "tumb")
+    val batch = Streams.tumblingAgg(batchEvents())
+    assertSameRows(streamed, batch)
+  }
+
+  test("sliding window agg: stream equals batch") {
+    val streamed = runComplete(Streams.slidingAgg(streamEvents()), "slide")
+    val batch = Streams.slidingAgg(batchEvents())
+    assertSameRows(streamed, batch)
+  }
+
+  test("session window agg: stream equals batch") {
+    val streamed = runComplete(Streams.sessionAgg(streamEvents()), "sess")
+    val batch = Streams.sessionAgg(batchEvents())
+    assertSameRows(streamed, batch)
+  }
+
+  test("stateful dedup within watermark drops in-stream duplicates") {
+    // duplicate every event, stream the union, dedup on event_id
+    val d = Files.createTempDirectory("dup").toString
+    val ev = spark.read.parquet(eventsDir)
+    ev.union(ev).write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(ev.schema).parquet(d)
+    val q = Streams.dedupWithinWatermark(stream)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("dedup")
+    val expected = batchEvents().count()
+    assert(got.count() == expected,
+      s"dedup kept ${got.count()} of ${2 * expected}, want $expected")
+    assert(got.select(col("event_id")).distinct().count() == expected)
+  }
+
+  test("custom mapGroupsWithState user stats equal batch groupBy") {
+    val q = Streams.userStats(streamEvents())
+      .writeStream.format("memory").queryName("ustats")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // update mode re-emits a row per group per batch; keep the final state
+    val got = spark.table("ustats")
+      .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+    val expected = batchEvents()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    assertSameRows(got, expected)
+  }
+
+  test("streaming TIFF slab ingest equals batch ingest (Phase 6)") {
+    val tmp = Files.createTempDirectory("slab").toString
+    // slices from the fixture
+    val n = TiffVolume.exportSlices(spark,
+      "/root/reference/data/test.n5", "mri/c0/s0", s"$tmp/tif")
+    assert(n == 27)
+    val q = Streams.tiffSlabIngest(spark, s"$tmp/tif",
+      s"$tmp/stream.n5", "vol/s0", 186, 226, 27)
+    q.awaitTermination()
+    val e = N5.elements(N5.read(spark, s"$tmp/stream.n5", "vol/s0"))
+    val r = e.agg(count(lit(1)), sum(col("v"))).collect()(0)
+    assert(r.getLong(0) == 1134972L)
+    assert(r.getLong(1) == 40784917L)
+  }
+}
