@@ -14,7 +14,8 @@ object Queries {
       graft.queries.LlmPipeline.defs ++
       graft.queries.AggExtras.defs ++
       graft.queries.N5Queries.defs ++
-      graft.queries.StreamingQueries.defs
+      graft.queries.StreamingQueries.defs ++
+      graft.queries.MultimodalQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

@@ -1,0 +1,122 @@
+package graft.functions
+
+import graft.sources.tiff.TiffIO
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines:
+  * media as opaque BINARY columns + typed metadata, with decode /
+  * feature-extraction / resize / frame-sampling as executor-side
+  * mapPartitions transforms over typed Datasets.
+  *
+  * The IMAGE path is fully real (JDK ImageIO TIFF codec — encode, decode,
+  * features, resize all execute and are oracle/test-verified). The audio
+  * and video decoders are DETERMINISTIC STUBS (this container has no
+  * audio/video codec libraries): the Spark-side plumbing — schema, batch
+  * shape, partitioning, feature signature — is real and tested; swapping
+  * the stub body for a real codec changes nothing else.
+  *
+  * Scale notes: all transforms are narrow (no shuffle); media bytes never
+  * move except scan → task. Partition sizing is governed by
+  * spark.sql.files.maxPartitionBytes on the binaryFile scan, so a 100 TB
+  * media corpus streams through executors at bounded memory.
+  */
+object Multimodal {
+
+  final case class MediaRow(id: Long, media_type: String, bytes: Array[Byte])
+  final case class ImageFeatures(
+      id: Long, width: Int, height: Int,
+      mean_intensity: Double, min_intensity: Int, max_intensity: Int)
+  final case class AudioFeatures(id: Long, n_samples: Int, rms: Double)
+  final case class FrameSample(id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** Decode grayscale images and extract intensity features. REAL decode. */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val s = TiffIO.decode(m.bytes)
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < s.pixels.length) {
+        val v = s.pixels(i); sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      ImageFeatures(m.id, s.width, s.height,
+        sum.toDouble / s.pixels.length, mn, mx)
+    })
+  }
+
+  /** Nearest-neighbour resize to (tw, th). REAL pixels in, real pixels out. */
+  def resizeImages(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val s = TiffIO.decode(m.bytes)
+      val out = new Array[Int](tw * th)
+      var y = 0
+      while (y < th) {
+        val sy = y * s.height / th
+        var x = 0
+        while (x < tw) {
+          out(x + y * tw) = s.pixels(x * s.width / tw + sy * s.width)
+          x += 1
+        }
+        y += 1
+      }
+      MediaRow(m.id, m.media_type, TiffIO.encode(tw, th, out, 8))
+    })
+  }
+
+  /** Audio feature extraction. STUB DECODE: interprets the payload as
+    * signed 8-bit PCM (deterministic fake — no audio codecs in this
+    * environment). Real implementation swaps only the body.
+    */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val samples = m.bytes // STUB: pretend bytes are PCM samples
+      var acc = 0.0
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i).toDouble; acc += v * v; i += 1
+      }
+      AudioFeatures(m.id, samples.length,
+        if (samples.isEmpty) 0.0 else math.sqrt(acc / samples.length))
+    })
+  }
+
+  /** Sample every k-th "frame" of a video payload. STUB DECODE: frames are
+    * fixed-size byte windows, fingerprinted with a rolling hash.
+    */
+  def sampleFrames(
+      media: Dataset[MediaRow], frameBytes: Int, every: Int): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val nFrames = m.bytes.length / frameBytes
+      (0 until nFrames by every).map { f =>
+        var h = 1125899906842597L // STUB frame fingerprint (FNV-ish)
+        var i = f * frameBytes
+        val end = i + frameBytes
+        while (i < end) { h = 31 * h + m.bytes(i); i += 1 }
+        FrameSample(m.id, f, h)
+      }
+    }
+  }
+
+  /** Render embeddings as real 8x8 grayscale TIFFs — a deterministic media
+    * corpus generator for tests/queries: pixel = floor((v+1)*127.5)
+    * clamped to [0,255].
+    */
+  def embeddingsAsImages(embeddings: DataFrame): Dataset[MediaRow] = {
+    import embeddings.sparkSession.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val px = v.map(x =>
+          math.max(0, math.min(255, math.floor((x + 1.0) * 127.5).toInt)))
+        val side = math.sqrt(px.length).toInt
+        MediaRow(id, "image/tiff", TiffIO.encode(side, side, px, 8))
+      })
+  }
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column checks. q90 exercises the REAL image path end-to-end
+  * (embedding → TIFF bytes on executors → decode → intensity features) and
+  * is oracle-checked because the TIFF encode/decode round trip is the
+  * identity on pixels, so DuckDB can recompute the features directly from
+  * the quantized embedding. q91/q92 exercise the stubbed audio/video
+  * plumbing (rows-only).
+  */
+object MultimodalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    QueryDef.sql(
+      "q90_multimodal_image_features",
+      """WITH px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |  FROM embeddings)
+        |SELECT vec_id AS id,
+        |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  round(CAST(list_reduce(p, (a, b) -> a + b) AS DOUBLE) / len(p), 4)
+        |    AS mean_intensity,
+        |  CAST(list_aggregate(p, 'min') AS INTEGER) AS min_intensity,
+        |  CAST(list_aggregate(p, 'max') AS INTEGER) AS max_intensity
+        |FROM px ORDER BY id ASC LIMIT 100""".stripMargin) { (s, dir) =>
+      val media = Multimodal.embeddingsAsImages(Tables.load(s, dir, "embeddings"))
+      Multimodal.imageFeatures(media).toDF()
+        .select(col("id"), col("width"), col("height"),
+          round(col("mean_intensity"), 4).as("mean_intensity"),
+          col("min_intensity"), col("max_intensity"))
+        .orderBy(col("id").asc)
+        .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // Image resize: 8x8 -> 4x4 nearest neighbour, then re-extract features
+    // (rows-only: the resized bytes are engine-internal).
+    QueryDef.rowsOnly("q91_multimodal_resize") { (s, dir) =>
+      val media = Multimodal.embeddingsAsImages(Tables.load(s, dir, "embeddings"))
+      val resized = Multimodal.resizeImages(media, 4, 4)
+      Multimodal.imageFeatures(resized).toDF()
+        .select(col("id"), col("width"), col("height"),
+          round(col("mean_intensity"), 4).as("mean_intensity"))
+        .orderBy(col("id").asc)
+        .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // Audio (stub decode) + video frame sampling (stub decode) over
+    // document payloads treated as opaque media bytes.
+    QueryDef.rowsOnly("q92_multimodal_audio_frames") { (s, dir) =>
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, b) => Multimodal.MediaRow(id, "audio/pcm-stub", b) }
+      val audio = Multimodal.audioFeatures(media).toDF()
+        .select(col("id"), col("n_samples"), round(col("rms"), 4).as("rms"))
+      val frames = Multimodal.sampleFrames(media, frameBytes = 64, every = 2)
+        .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
+      audio.join(frames, Seq("id"), "left")
+        .na.fill(0L, Seq("n_frames"))
+        .orderBy(col("id").asc)
+        .limit(200)
+    }
+  )
+}
