@@ -247,16 +247,22 @@ object CoreRelational {
     },
 
     // ------------------------------------------------------------------
-    // Theta (non-equi) join. Both sides are dimension-sized; Spark plans a
-    // broadcast nested-loop join. At scale the small side stays broadcast.
+    // Theta (non-equi) join. The naive plan is a BroadcastNestedLoopJoin
+    // with O(|part|*|supplier|) comparisons — quadratic if both sides grow.
+    // Scale-safe formulation: the predicate only depends on supplier via
+    // s_suppkey % 50, so pre-aggregate supplier to a 50-row (m, cnt)
+    // dimension; the nested loop is then |part| x 50 and the broadcast side
+    // is CONSTANT-sized no matter how large supplier grows.
     QueryDef.sql(
       "q11_join_theta",
       """SELECT count(*) AS n
         |FROM part p JOIN supplier s ON p.p_size < s.s_suppkey % 50""".stripMargin) { (s, dir) =>
-      t(s, dir, "part").as("p")
-        .join(t(s, dir, "supplier").as("s"),
-          col("p.p_size") < (col("s.s_suppkey") % 50))
-        .agg(count(lit(1)).as("n"))
+      val mods = t(s, dir, "supplier")
+        .groupBy((col("s_suppkey") % 50).as("m"))
+        .agg(count(lit(1)).as("cnt"))
+      t(s, dir, "part")
+        .join(broadcast(mods), col("p_size") < col("m"))
+        .agg(sum(col("cnt")).cast("long").as("n"))
     },
 
     // ------------------------------------------------------------------
