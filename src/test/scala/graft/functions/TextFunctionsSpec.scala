@@ -1,0 +1,110 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the text-analysis operators: planted near-duplicates
+  * must be caught by the MinHash-LSH and SimHash pipelines, fingerprints
+  * must be deterministic, and the heuristics must score sensibly.
+  */
+class TextFunctionsSpec extends SparkSpec {
+
+  import graft.functions.{TextFunctions => TF}
+
+  private lazy val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into " +
+      "the deep green forest while the sun slowly sets behind the hills"
+
+  /** corpus: doc 0 and 1 identical after normalization; doc 2 near-dup
+    * (one word changed); doc 3 unrelated.
+    */
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, base),
+      (1L, "  " + base.toUpperCase + "  "),
+      (2L, base.replace("slowly", "quickly")),
+      (3L, "completely different content about spark query engines and " +
+        "distributed columnar execution plans with adaptive optimization"))
+      .toDF("doc_id", "text")
+  }
+
+  test("normalizeText collapses case and whitespace") {
+    val r = docs.select(TF.normalizeText(col("text")).as("n"))
+      .collect().map(_.getString(0))
+    assert(r(0) == r(1))
+    assert(r(0) != r(2))
+  }
+
+  test("dedup by normalized sha2 digest keeps one of the identical pair") {
+    val d = docs.withColumn("digest", sha2(TF.normalizeText(col("text")), 256))
+    val survivors = d.groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .collect()
+    assert(survivors.length == 3)
+    assert(survivors.find(_.getLong(2) == 2L).map(_.getLong(1)).contains(0L))
+  }
+
+  test("simhash of near-duplicates is close, unrelated docs far") {
+    val toks = TF.tokens(TF.normalizeText(col("text")))
+    val th = transform(toks, t => xxhash64(t))
+    val bitSums = (0 until 32).map { i =>
+      aggregate(col("th"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+    }
+    val sim = bitSums.zipWithIndex.map { case (b, i) =>
+      when(b > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val h = docs.select(col("doc_id"), th.as("th"))
+      .select(col("doc_id"), sim.as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(0L), h(1L)) == 0, "identical docs -> identical simhash")
+    assert(hamming(h(0L), h(2L)) <= 6, "near-dup within threshold")
+    assert(hamming(h(0L), h(3L)) > 6, "unrelated doc beyond threshold")
+  }
+
+  test("fingerprint is deterministic and identical for normalized dupes") {
+    val fp = docs.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fp2 = docs.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fp == fp2, "two evaluations agree")
+    assert(fp(0L) == fp(1L), "normalization-equal docs share fingerprints")
+    assert(fp(0L) != fp(3L))
+    assert(fp(0L).size <= 8)
+  }
+
+  test("language id picks profile languages and falls back to und") {
+    import spark.implicits._
+    val d = Seq(
+      "the cat and the dog is with me",
+      "der hund und die katze ist mit mir",
+      "le chat et la chienne est avec moi",
+      "xyzzy qwerty asdf").toDF("text")
+    val got = d.select(TF.languageId(col("text"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "fr", "und"))
+  }
+
+  test("quality score orders fluent text above noise") {
+    import spark.implicits._
+    val d = Seq(
+      ("fluent", base),
+      ("noise", "@@@ ### $$$ %%% ^^^ &&& *** ((( )))")).toDF("k", "text")
+    val s = d.select(col("k"), TF.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s("fluent") > s("noise"))
+    assert(s.values.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("token and subword counts") {
+    import spark.implicits._
+    val d = Seq("hello, world! it's 42 degrees").toDF("text")
+    val r = d.select(TF.tokenCount(col("text")).as("t"),
+      TF.subwordCount(col("text")).as("s")).collect()(0)
+    assert(r.getLong(0) == 5)
+    // hello , world ! it ' s 4 2 degrees -> 10
+    assert(r.getLong(1) == 10)
+  }
+}
