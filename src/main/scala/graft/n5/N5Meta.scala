@@ -153,6 +153,35 @@ object N5Meta {
     writeJson(p, base)
   }
 
+  /** Effective physical pixel resolution with the reference's precedence
+    * (R8, `n5_multiscale.py:37-60`): `pixelResolution` attr as either a
+    * {unit, dimensions} dict or a bare list, scaled by
+    * `downsamplingFactors` when present, else the supplied defaults.
+    * (The reference's bug of reading the unit from the `dimensions` key —
+    * `n5_multiscale.py:42` — is deliberately NOT replicated.)
+    */
+  def pixelResolution(
+      attrs: DatasetAttributes,
+      default: Option[(Array[Double], String)] = None): (Array[Double], String) = {
+    val defaultRes = default.map(_._1).getOrElse(Array(1.0, 1.0, 1.0))
+    val defaultUnit = default.map(_._2).getOrElse("um")
+    val node = attrs.extra.get("pixelResolution").map(mapper.readTree)
+    val (res, unit) = node match {
+      case Some(j) if j.isObject =>
+        (j.get("dimensions").elements().asScala.map(_.asDouble()).toArray,
+          if (j.has("unit")) j.get("unit").asText() else defaultUnit)
+      case Some(j) if j.isArray =>
+        (j.elements().asScala.map(_.asDouble()).toArray, defaultUnit)
+      case _ => (defaultRes, defaultUnit)
+    }
+    val scaled = attrs.extra.get("downsamplingFactors").map(mapper.readTree)
+      .filter(_.isArray)
+      .map(_.elements().asScala.map(_.asDouble()).toArray)
+      .map(f => res.zip(f).map { case (r, fc) => r * fc })
+      .getOrElse(res)
+    (scaled, unit)
+  }
+
   /** Ensure the container root exists with the n5 version marker. */
   def ensureRoot(root: String, version: String = "2.5.1"): Unit = {
     val p = new Path(root, "attributes.json")

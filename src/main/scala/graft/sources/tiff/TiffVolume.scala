@@ -57,6 +57,52 @@ object TiffVolume {
       .globStatus(new HPath(dir, s"$prefix*.tif")).length
   }
 
+  /** Export one sub-box [start,end) as a single multi-page TIFF (one page
+    * per z) — reference `n5_block_to_tif` (`n5_to_tif.py:20-29`), with the
+    * same safe-cast discipline: an 8-bit target errors if any voxel
+    * overflows (ANSI cast), mirroring numpy `casting='safe'`.
+    */
+  def exportBox(
+      spark: SparkSession, root: String, dataset: String, outFile: String,
+      start: Array[Long], end: Array[Long], bitsOverride: Int = 0): Unit = {
+    val attrs = N5Meta.datasetAttributes(root, dataset)
+    val bits = if (bitsOverride > 0) bitsOverride else attrs.dataType match {
+      case Dtype.UInt8 | Dtype.Int8 => 8
+      case _ => 16
+    }
+    val limit = (1 << bits) - 1
+    val (w, h) = ((end(0) - start(0)).toInt, (end(1) - start(1)).toInt)
+    val pages = N5.readBox(spark, root, dataset, start, end)
+      .select(col("z"),
+        ((col("x") - start(0)) + (col("y") - start(1)) * w).cast("int").as("idx"),
+        col("v").cast("int").as("v"))
+      .groupBy(col("z"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("v")))).as("cells"))
+      .orderBy(col("z"))
+      .select(transform(col("cells"), c => c.getField("v")).as("px"))
+      .collect()
+    val imgs = pages.map { r =>
+      val px = r.getSeq[Int](0).toArray
+      require(px.forall(v => v >= 0 && v <= limit),
+        s"safe cast violation: voxel outside [0, $limit] for $bits-bit TIFF")
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(TiffIO.encode(w, h, px, bits)))
+    }
+    val p = new HPath(outFile)
+    val fs = p.getFileSystem(new Configuration())
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    imgs.foreach(i =>
+      writer.writeToSequence(new javax.imageio.IIOImage(i, null, null), null))
+    writer.endWriteSequence()
+    ios.close()
+    out.close()
+  }
+
   /** Ingest a directory of grayscale TIFF slices (z order = numeric order
     * of the last integer in each file name) into an N5 dataset.
     */
