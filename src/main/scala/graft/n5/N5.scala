@@ -120,9 +120,21 @@ object N5 {
   }
 
   /** Rechunk a dataset to a new block size (same dims/dtype), reference
-    * `array.rechunk` (`tif_to_n5.py:22`).
+    * `array.rechunk` (`tif_to_n5.py:22`). Delegates to the block-fragment
+    * regroup (Regroup.rechunkBlocks): one shuffle of ≤8 fragment rows per
+    * output block instead of one row per voxel.
     */
   def rechunk(
+      spark: SparkSession, srcRoot: String, srcDataset: String,
+      dstRoot: String, dstDataset: String, newBlockSize: Array[Int],
+      compression: Compression = Compression("gzip")): DatasetAttributes =
+    Regroup.rechunkBlocks(spark, srcRoot, srcDataset, dstRoot, dstDataset,
+      newBlockSize, compression)
+
+  /** Element-shuffle rechunk (kept for equivalence testing; the fragment
+    * path above is the production formulation).
+    */
+  def rechunkViaElements(
       spark: SparkSession, srcRoot: String, srcDataset: String,
       dstRoot: String, dstDataset: String, newBlockSize: Array[Int],
       compression: Compression = Compression("gzip")): DatasetAttributes = {

@@ -1,0 +1,55 @@
+package graft.n5
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Fragment-regroup rechunk: equivalence with the element-shuffle path on
+  * the golden fixture and on a float32 volume (bit-exact payload transport).
+  */
+class RegroupSpec extends SparkSpec {
+
+  private val fixtureRoot = "/root/reference/data/test.n5"
+  private val fixtureDs = "mri/c0/s0"
+
+  test("fragment rechunk equals element rechunk per voxel (fixture, 48^3)") {
+    val t1 = Files.createTempDirectory("rgA").toString
+    val t2 = Files.createTempDirectory("rgB").toString
+    Regroup.rechunkBlocks(spark, fixtureRoot, fixtureDs, t1, "v/s0",
+      Array(48, 48, 48))
+    N5.rechunkViaElements(spark, fixtureRoot, fixtureDs, t2, "v/s0",
+      Array(48, 48, 48))
+    val a = N5.elements(N5.read(spark, t1, "v/s0"))
+    val b = N5.elements(N5.read(spark, t2, "v/s0"))
+      .withColumnRenamed("v", "v2")
+    assert(a.count() == 1134972L)
+    val j = a.join(b, Seq("x", "y", "z"))
+    assert(j.count() == 1134972L)
+    assert(j.filter(col("v") =!= col("v2")).count() == 0L)
+    // block files must match the 48^3 grid of a 186x226x27 volume: 4x5x1
+    val blocks = N5.read(spark, t1, "v/s0").count()
+    assert(blocks == 4L * 5 * 1)
+  }
+
+  test("float32 volume round-trips bit-exactly through fragment rechunk") {
+    val root = Files.createTempDirectory("rgF").toString
+    val dims = Array(10L, 7L, 5L)
+    val attrs = DatasetAttributes(dims, Array(4, 4, 4), Dtype.Float32,
+      Compression("gzip"))
+    val elems = spark.range(dims.product)
+      .select((col("id") % dims(0)).as("x"),
+        ((col("id") / dims(0)) % dims(1)).cast("long").as("y"),
+        (col("id") / (dims(0) * dims(1))).cast("long").as("z"))
+      .withColumn("v", (sin(col("x") * 1.7) + col("y") * 0.25
+        - col("z") * 3.5).cast("float"))
+    N5.write(N5.blocksFromElements(elems, attrs,
+      org.apache.spark.sql.types.FloatType), root, "v/s0", attrs)
+    Regroup.rechunkBlocks(spark, root, "v/s0", root, "v2/s0", Array(3, 5, 2))
+    val orig = N5.elements(N5.read(spark, root, "v/s0"))
+    val back = N5.elements(N5.read(spark, root, "v2/s0"))
+      .withColumnRenamed("v", "v2")
+    val j = orig.join(back, Seq("x", "y", "z"))
+    assert(j.count() == dims.product)
+    assert(j.filter(col("v") =!= col("v2")).count() == 0L)
+  }
+}
