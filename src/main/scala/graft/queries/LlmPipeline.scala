@@ -269,6 +269,18 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
+    // LSH-bucketed top-k search (the production ANN path): probes scan
+    // only their own bucket + Hamming-1 neighbours (~12% of the corpus at
+    // 6 planes) instead of everything. Recall vs brute force is asserted
+    // in VectorSearchSpec.
+    QueryDef.rowsOnly("q52_ann_lsh_search") { (s, dir) =>
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      graft.functions.VectorSearch
+        .lshTopK(e, e.filter(col("vec_id") < 5), k = 3)
+        .orderBy(col("pid").asc, col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
     // Per-document text statistics: token counts, subword (BPE-ish) counts,
     // character-class ratios, stopword ratio, mean token length, composite
     // quality score. Pure narrow expressions — a single pass at any scale.
