@@ -1,0 +1,32 @@
+package graft
+
+import graft.functions.{VectorDotF, VectorL2Norm}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the native codegen
+  * expressions as SQL functions so `spark.sql("SELECT vector_dot(a, b)")`
+  * works anywhere (pure SQL users, thrift server, notebooks).
+  *
+  * Usage: `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDotF].getName, "vector_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vector_dot(a, b) takes two arguments")
+        VectorDotF(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vector_l2_norm"),
+      new ExpressionInfo(classOf[VectorL2Norm].getName, "vector_l2_norm"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vector_l2_norm(a) takes one argument")
+        VectorL2Norm(args(0))
+      }))
+  }
+}
