@@ -175,15 +175,44 @@ class N5Scan(
     case o => o.toString.toInt
   }
 
+  /** Enumerate stored blocks by walking the grid directory tree level by
+    * level, applying the pushed per-axis predicates DURING traversal: a
+    * pruned gx subtree is never listed at all. One listStatus RPC per
+    * surviving directory (vs one exists() per grid position), and sparse
+    * volumes (missing blocks) are handled for free.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
-    val rootPath = new HPath(root)
+    val rootPath = new HPath(root, dataset)
     val fs = rootPath.getFileSystem(conf)
-    attrs.gridPositions
-      .filter(keep)
-      .filter { g =>
-        fs.exists(new HPath(rootPath, s"$dataset/${g.mkString("/")}"))
+    val axes = Array("gx", "gy", "gz")
+
+    def axisOk(axis: Int, v: Int): Boolean = filters.forall {
+      case EqualTo(a, x) if a == axes(axis) => v == asInt(x)
+      case GreaterThan(a, x) if a == axes(axis) => v > asInt(x)
+      case GreaterThanOrEqual(a, x) if a == axes(axis) => v >= asInt(x)
+      case LessThan(a, x) if a == axes(axis) => v < asInt(x)
+      case LessThanOrEqual(a, x) if a == axes(axis) => v <= asInt(x)
+      case In(a, xs) if a == axes(axis) => xs.map(asInt).contains(v)
+      case _ => true
+    }
+
+    def walk(dir: HPath, axis: Int, prefix: List[Int]): Seq[Array[Int]] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (!name.forall(_.isDigit)) Nil
+        else {
+          val v = name.toInt
+          if (!axisOk(axis, v)) Nil
+          else if (axis == attrs.ndim - 1) {
+            if (st.isFile) Seq((prefix :+ v).toArray) else Nil
+          } else if (st.isDirectory) walk(st.getPath, axis + 1, prefix :+ v)
+          else Nil
+        }
       }
+
+    walk(rootPath, 0, Nil)
+      .filter(keep)
       .map(g => N5BlockPartition(root, dataset, g): InputPartition)
       .toArray
   }
