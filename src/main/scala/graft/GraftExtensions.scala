@@ -17,16 +17,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDotF].getName, "vector_dot"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "vector_dot(a, b) takes two arguments")
-        VectorDotF(args(0), args(1))
-      }))
+      GraftExtensions.dotBuilder))
     ext.injectFunction((
       new FunctionIdentifier("vector_l2_norm"),
       new ExpressionInfo(classOf[VectorL2Norm].getName, "vector_l2_norm"),
-      (args: Seq[Expression]) => {
-        require(args.length == 1, "vector_l2_norm(a) takes one argument")
-        VectorL2Norm(args(0))
-      }))
+      GraftExtensions.normBuilder))
+  }
+}
+
+object GraftExtensions {
+  private[graft] val dotBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "vector_dot(a, b) takes two arguments")
+    VectorDotF(args(0), args(1))
+  }
+  private[graft] val normBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "vector_l2_norm(a) takes one argument")
+    VectorL2Norm(args(0))
+  }
+
+  /** Register the same functions on an already-running session (the
+    * extensions path only applies at session build time).
+    */
+  def registerOn(spark: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(
+      spark, "vector_dot", dotBuilder)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(
+      spark, "vector_l2_norm", normBuilder)
   }
 }
