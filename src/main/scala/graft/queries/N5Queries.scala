@@ -66,6 +66,34 @@ object N5Queries {
       N5.elements(N5.read(s, out, "vol/s1"))
         .agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("total"))
         .withColumn("dims", lit(attrs.dimensions.mkString("x")))
+    },
+
+    // Bulk-volume throughput: synthesize a 256x256x64 (4.2M voxel) volume,
+    // write 64^3 blocks, fragment-rechunk to 96^3, derive one multiscale
+    // level — the full volume dataflow at a size where per-block work, the
+    // fragment shuffle, and the reduction all register in the bench.
+    QueryDef.rowsOnly("q85_n5_bulk_pipeline") { (s, _) =>
+      import graft.n5.{Compression, DatasetAttributes, Dtype}
+      val out = tmpRoot("bulk")
+      val dims = Array(256L, 256L, 64L)
+      val attrs = DatasetAttributes(dims, Array(64, 64, 64), Dtype.UInt8,
+        Compression("gzip"))
+      val elems = s.range(dims.product)
+        .select((col("id") % dims(0)).as("x"),
+          ((col("id") / dims(0)) % dims(1)).cast("long").as("y"),
+          (col("id") / (dims(0) * dims(1))).cast("long").as("z"))
+        .select(col("x"), col("y"), col("z"),
+          ((col("x") * 7 + col("y") * 13 + col("z") * 29) % 256).as("v"))
+      N5.write(N5.blocksFromElements(elems, attrs,
+        org.apache.spark.sql.types.ShortType), out, "vol/s0", attrs)
+      graft.n5.Regroup.rechunkBlocks(s, out, "vol/s0", out, "re/s0",
+        Array(96, 96, 96))
+      Multiscale.downsampleLevel(s, out, "re", 1, Array(2, 2, 2))
+      val a = N5.elements(N5.read(s, out, "re/s0"))
+        .agg(count(lit(1)).as("n0"), sum(col("v")).as("sum0"))
+      val b = N5.elements(N5.read(s, out, "re/s1"))
+        .agg(count(lit(1)).as("n1"), sum(col("v").cast("long")).as("sum1"))
+      a.crossJoin(b)
     }
   )
 }
