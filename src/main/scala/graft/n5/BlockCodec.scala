@@ -112,27 +112,44 @@ object BlockCodec {
     out.array()
   }
 
+  /** Wire formats match n5-java: gzip = GZIP stream, bzip2 = standard
+    * bzip2 stream (commons-compress), lz4 = lz4-java LZ4BlockOutputStream
+    * framing, zstd = zstd frame (n5-zstandard extension).
+    */
   private def decompress(
-      raw: Array[Byte], off: Int, comp: Compression, expected: Int): Array[Byte] =
+      raw: Array[Byte], off: Int, comp: Compression, expected: Int): Array[Byte] = {
+    def drain(in: java.io.InputStream): Array[Byte] =
+      try in.readNBytes(expected) finally in.close()
+    val bis = new ByteArrayInputStream(raw, off, raw.length - off)
     comp.codec match {
       case "raw" => java.util.Arrays.copyOfRange(raw, off, raw.length)
-      case "gzip" =>
-        val in = new GZIPInputStream(
-          new ByteArrayInputStream(raw, off, raw.length - off))
-        try in.readNBytes(expected) finally in.close()
+      case "gzip" => drain(new GZIPInputStream(bis))
+      case "bzip2" => drain(
+        new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(bis))
+      case "lz4" => drain(new net.jpountz.lz4.LZ4BlockInputStream(bis))
+      case "zstd" => drain(new com.github.luben.zstd.ZstdInputStream(bis))
       case other => throw new IllegalArgumentException(
         s"unsupported compression for read: $other")
     }
+  }
 
-  private def compress(data: Array[Byte], comp: Compression): Array[Byte] =
+  private def compress(data: Array[Byte], comp: Compression): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(data.length / 2 + 64)
+    def fill(out: java.io.OutputStream): Array[Byte] = {
+      out.write(data); out.close(); bos.toByteArray
+    }
     comp.codec match {
       case "raw" => data
-      case "gzip" =>
-        val bos = new ByteArrayOutputStream(data.length / 2 + 64)
-        val out = new GZIPOutputStream(bos)
-        out.write(data); out.close()
-        bos.toByteArray
+      case "gzip" => fill(new GZIPOutputStream(bos))
+      case "bzip2" => fill(
+        new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(
+          bos, if (comp.level > 0) comp.level else 9))
+      case "lz4" => fill(new net.jpountz.lz4.LZ4BlockOutputStream(
+        bos, if (comp.level > 0) comp.level else 65536))
+      case "zstd" => fill(new com.github.luben.zstd.ZstdOutputStream(
+        bos, if (comp.level > 0) comp.level else 3))
       case other => throw new IllegalArgumentException(
         s"unsupported compression for write: $other")
     }
+  }
 }

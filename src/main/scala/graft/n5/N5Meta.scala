@@ -35,13 +35,25 @@ object Dtype {
       throw new IllegalArgumentException(s"unsupported N5 dataType: $n"))
 }
 
-/** Compression codec id. blosc is JNI-only on the JVM → declared
-  * unsupported (SURVEY §4). level -1 = default (as in the fixture attrs).
+/** Compression codec id + codec-specific parameter (`level`):
+  * gzip → deflate level (-1 = default), bzip2 → block size 1-9,
+  * lz4 → block size in bytes, zstd → level. blosc is JNI-only on the
+  * JVM → declared unsupported (SURVEY §4); xz not bundled.
   */
 final case class Compression(codec: String, level: Int = -1)
     extends Serializable {
-  require(codec == "gzip" || codec == "raw",
-    s"unsupported N5 compression: $codec (blosc/xz need native libs)")
+  require(Compression.supported(codec),
+    s"unsupported N5 compression: $codec " +
+      s"(supported: ${Compression.supported.mkString(", ")}; blosc/xz need native libs)")
+}
+object Compression {
+  val supported: Set[String] = Set("raw", "gzip", "bzip2", "lz4", "zstd")
+  def defaultParam(codec: String): Int = codec match {
+    case "bzip2" => 9
+    case "lz4" => 65536
+    case "zstd" => 3
+    case _ => -1
+  }
 }
 
 /** Dataset attributes (attributes.json of a dataset directory).
@@ -110,8 +122,12 @@ object N5Meta {
     val comp =
       if (j.has("compression") && j.get("compression").isObject) {
         val c = j.get("compression")
-        Compression(c.get("type").asText(),
-          if (c.has("level")) c.get("level").asInt() else -1)
+        val codec = c.get("type").asText()
+        val param =
+          if (c.has("level")) c.get("level").asInt()
+          else if (c.has("blockSize")) c.get("blockSize").asInt()
+          else Compression.defaultParam(codec)
+        Compression(codec, param)
       } else Compression("raw")
     val structural = Set("dimensions", "blockSize", "dataType", "compression")
     val extra = j.properties().asScala
@@ -128,9 +144,15 @@ object N5Meta {
     o.put("dataType", a.dataType.name)
     val c = o.putObject("compression")
     c.put("type", a.compression.codec)
-    if (a.compression.codec == "gzip") {
-      c.put("useZlib", false)
-      c.put("level", a.compression.level)
+    a.compression.codec match {
+      case "gzip" =>
+        c.put("useZlib", false)
+        c.put("level", a.compression.level)
+      case "bzip2" | "lz4" =>
+        c.put("blockSize", a.compression.level)
+      case "zstd" =>
+        c.put("level", a.compression.level)
+      case _ => ()
     }
     a.extra.foreach { case (k, v) => o.set[ObjectNode](k, mapper.readTree(v)) }
     val p = new Path(root, s"$dataset/attributes.json")

@@ -57,7 +57,9 @@ class BlockCodecSpec extends AnyFunSuite {
     val shapes = Seq(Array(4, 3, 2), Array(1, 1, 1), Array(7, 5, 3))
     val rng = new scala.util.Random(42)
     for {
-      comp <- Seq(Compression("gzip"), Compression("raw"))
+      comp <- Seq(Compression("gzip"), Compression("raw"),
+        Compression("bzip2", 9), Compression("lz4", 65536),
+        Compression("zstd", 3))
       shape <- shapes
       dtype <- Seq(Dtype.UInt8, Dtype.UInt16, Dtype.Int32, Dtype.Int64)
     } {

@@ -53,6 +53,29 @@ class DtypeRoundTripSpec extends SparkSpec {
   test("uint16 volume round-trips through the connector") {
     roundTrip(Dtype.UInt16, identity)
   }
+
+  test("bzip2/lz4/zstd datasets round-trip through the connector") {
+    for (codec <- Seq("bzip2", "lz4", "zstd")) {
+      val root = Files.createTempDirectory(s"cc_$codec").toString
+      val dims = Array(9L, 6L, 4L)
+      val attrs = DatasetAttributes(dims, Array(4, 4, 4), Dtype.UInt8,
+        Compression(codec, Compression.defaultParam(codec)))
+      val elems = spark.range(dims.product)
+        .select((col("id") % dims(0)).as("x"),
+          ((col("id") / dims(0)) % dims(1)).cast("long").as("y"),
+          (col("id") / (dims(0) * dims(1))).cast("long").as("z"),
+          (col("id") % 256).as("v"))
+      N5.write(N5.blocksFromElements(elems, attrs,
+        org.apache.spark.sql.types.ShortType), root, "v/s0", attrs)
+      val back = N5Meta.datasetAttributes(root, "v/s0")
+      assert(back.compression.codec == codec, codec)
+      val n = N5.elements(N5.read(spark, root, "v/s0"))
+        .agg(count(lit(1)), sum(col("v"))).collect()(0)
+      assert(n.getLong(0) == dims.product, codec)
+      assert(n.getLong(1) == spark.range(dims.product)
+        .agg(sum(col("id") % 256)).collect()(0).getLong(0), codec)
+    }
+  }
   test("int32 volume round-trips through the connector") {
     roundTrip(Dtype.Int32, identity)
   }
