@@ -31,6 +31,88 @@ object Regroup {
   final case class OutBlock(
       gx: Int, gy: Int, gz: Int, shape: Array[Int], data: Array[Long])
 
+  /** Shuffle fragments to their output blocks and paste (shared by
+    * rechunk and the slice-ingest path).
+    */
+  def assemble(
+      frags: org.apache.spark.sql.Dataset[Frag],
+      dst: DatasetAttributes): org.apache.spark.sql.Dataset[OutBlock] = {
+    import frags.sparkSession.implicits._
+    frags
+      .groupByKey(f => (f.tgx, f.tgy, f.tgz))
+      .mapGroups { (key: (Int, Int, Int), it: Iterator[Frag]) =>
+        val (tgx, tgy, tgz) = key
+        val tshape = dst.blockShape(Array(tgx, tgy, tgz))
+        val Array(tsx, tsy, _) = tshape
+        val out = new Array[Long](tshape.product)
+        it.foreach { f =>
+          var z = 0
+          while (z < f.sz) {
+            var y = 0
+            while (y < f.sy) {
+              val srcBase = (y + z * f.sy) * f.sx
+              val dstBase = (f.ox +
+                (f.oy + y) * tsx + (f.oz + z) * tsx.toLong * tsy).toInt
+              System.arraycopy(f.data, srcBase, out, dstBase, f.sx)
+              y += 1
+            }
+            z += 1
+          }
+        }
+        OutBlock(tgx, tgy, tgz, tshape, out)
+      }
+  }
+
+  /** Fragment full z-slices (z, x-fastest pixels of a w×h plane) into the
+    * block-column rectangles they intersect — the scale path for slice
+    * ingest: shuffle rows are fragments (blocks-per-slice), not pixels.
+    * Slices may arrive offset in z (streaming slabs pass absolute z).
+    */
+  def slicesToBlocks(
+      slices: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      dst: DatasetAttributes): org.apache.spark.sql.Dataset[OutBlock] = {
+    import slices.sparkSession.implicits._
+    val Array(w, h, _) = dst.dimensions.map(_.toInt)
+    val Array(nbx, nby, nbz) = dst.blockSize
+    val frags = slices.flatMap { case (z, px) =>
+      val gz = (z / nbz).toInt
+      val oz = (z - gz.toLong * nbz).toInt
+      val fr = Seq.newBuilder[Frag]
+      var tgy = 0
+      while (tgy.toLong * nby < h) {
+        val y0 = tgy * nby
+        val fy = math.min(nby, h - y0)
+        var tgx = 0
+        while (tgx.toLong * nbx < w) {
+          val x0 = tgx * nbx
+          val fx = math.min(nbx, w - x0)
+          val buf = new Array[Long](fx * fy)
+          var y = 0
+          while (y < fy) {
+            System.arraycopy(px, x0 + (y0 + y) * w, buf, y * fx, fx)
+            y += 1
+          }
+          fr += Frag(tgx, tgy, gz, 0, 0, oz, fx, fy, 1, buf)
+          tgx += 1
+        }
+        tgy += 1
+      }
+      fr.result()
+    }
+    assemble(frags, dst)
+  }
+
+  /** Write assembled blocks with the dtype's Spark element type. */
+  def writeAssembled(
+      assembled: org.apache.spark.sql.Dataset[OutBlock],
+      dstRoot: String, dstDataset: String, dst: DatasetAttributes): Unit = {
+    val elemT = N5Schema.elementType(dst.dataType)
+    val blocks = assembled.toDF()
+      .select(col("gx"), col("gy"), col("gz"), col("shape"),
+        col("data").cast(s"array<${elemT.catalogString}>").as("data"))
+    N5.write(blocks, dstRoot, dstDataset, dst)
+  }
+
   /** Rechunk src dataset into dstRoot/dstDataset with a new block size.
     * One fragment shuffle; no element explosion.
     */
@@ -104,29 +186,7 @@ object Regroup {
       fr.result()
     }
 
-    val assembled = frags
-      .groupByKey(f => (f.tgx, f.tgy, f.tgz))
-      .mapGroups { (key: (Int, Int, Int), it: Iterator[Frag]) =>
-        val (tgx, tgy, tgz) = key
-        val tshape = dst.blockShape(Array(tgx, tgy, tgz))
-        val Array(tsx, tsy, _) = tshape
-        val out = new Array[Long](tshape.product)
-        it.foreach { f =>
-          var z = 0
-          while (z < f.sz) {
-            var y = 0
-            while (y < f.sy) {
-              val srcBase = (y + z * f.sy) * f.sx
-              val dstBase = (f.ox +
-                (f.oy + y) * tsx + (f.oz + z) * tsx.toLong * tsy).toInt
-              System.arraycopy(f.data, srcBase, out, dstBase, f.sx)
-              y += 1
-            }
-            z += 1
-          }
-        }
-        OutBlock(tgx, tgy, tgz, tshape, out)
-      }
+    val assembled = assemble(frags, dst)
 
     val blocks =
       if (isFloat)

@@ -116,19 +116,15 @@ object OmeTiffVolume {
         }
       }.toDF("c", "z", "px")
 
-    val elems = decoded
-      .select(col("c"), col("z"), posexplode(col("px")).as(Seq("i", "v")))
-      .select(col("c"),
-        expr(s"CAST(i % $xn AS BIGINT)").as("x"),
-        expr(s"CAST(i div $xn AS BIGINT)").as("y"),
-        col("z").cast("long").as("z"), col("v"))
-
-    // ---- per-channel datasets c{c}/<dataset> (ometif_to_n5.py:111-116) ----
+    // ---- per-channel datasets c{c}/<dataset> (ometif_to_n5.py:111-116),
+    // fragment regroup per channel (shuffle rows = slice∩block rectangles)
     (box.cStart until (box.cStart + box.cSize)).map { c =>
-      val blocks = N5.blocksFromElements(
-        elems.filter(col("c") === c).drop("c"),
-        attrs, N5Schema.elementType(dtype))
-      N5.write(blocks, dstRoot, s"c$c/$dataset", attrs)
+      val slices = decoded.filter(col("c") === c)
+        .select(col("z").cast("long"), col("px").cast("array<bigint>"))
+        .as[(Long, Array[Long])]
+      graft.n5.Regroup.writeAssembled(
+        graft.n5.Regroup.slicesToBlocks(slices, attrs),
+        dstRoot, s"c$c/$dataset", attrs)
       attrs
     }
   }

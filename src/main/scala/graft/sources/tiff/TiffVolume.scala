@@ -129,13 +129,13 @@ object TiffVolume {
       .agg(max(col("w")), max(col("h")), count(lit(1))).collect()(0)
     val attrs = DatasetAttributes(
       Array(w.toLong, h.toLong, nz), blockSize, dtype, compression)
-    val elems = decoded
-      .select(col("z"), posexplode(col("px")).as(Seq("i", "v")))
-      .select(expr(s"CAST(i % $w AS BIGINT)").as("x"),
-        expr(s"CAST(i div $w AS BIGINT)").as("y"), col("z"), col("v"))
-    val blocks = N5.blocksFromElements(elems, attrs,
-      N5Schema.elementType(dtype))
-    N5.write(blocks, dstRoot, dstDataset, attrs)
+    // fragment path: shuffle rows are (slice ∩ block-column) rectangles,
+    // not pixels — same bytes, ~blockSize² fewer rows
+    val slices = decoded.select(col("z"), col("px").cast("array<bigint>"))
+      .as[(Long, Array[Long])]
+    graft.n5.Regroup.writeAssembled(
+      graft.n5.Regroup.slicesToBlocks(slices, attrs),
+      dstRoot, dstDataset, attrs)
     attrs
   }
 }

@@ -103,21 +103,17 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val decoded = batch
+        val slices = batch
           .withColumn("z",
             regexp_extract(col("path"), "(\\d+)\\.tif$", 1).cast("long"))
           .select(col("z"), col("content")).as[(Long, Array[Byte])]
           .mapPartitions(_.map { case (z, bytes) =>
             val s = graft.sources.tiff.TiffIO.decode(bytes)
-            (z, s.pixels)
-          }).toDF("z", "px")
-        val elems = decoded
-          .select(col("z"), posexplode(col("px")).as(Seq("i", "v")))
-          .select(expr(s"CAST(i % $width AS BIGINT)").as("x"),
-            expr(s"CAST(i div $width AS BIGINT)").as("y"), col("z"), col("v"))
-        val blocks = graft.n5.N5.blocksFromElements(elems, attrs,
-          org.apache.spark.sql.types.ShortType)
-        graft.n5.N5.write(blocks, dstRoot, dstDataset, attrs)
+            (z, s.pixels.map(_.toLong))
+          })
+        graft.n5.Regroup.writeAssembled(
+          graft.n5.Regroup.slicesToBlocks(slices, attrs),
+          dstRoot, dstDataset, attrs)
         ()
       }
       .start()
