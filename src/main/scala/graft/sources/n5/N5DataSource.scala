@@ -148,10 +148,25 @@ class N5ScanBuilder(root: String, dataset: String, attrs: DatasetAttributes)
 
 class N5Scan(
     root: String, dataset: String, attrs: DatasetAttributes,
-    filters: Array[Filter], required: StructType) extends Scan with Batch {
+    filters: Array[Filter], required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Decoded size estimate from the surviving block list — lets Catalyst
+    * broadcast small (or heavily pruned) block tables in joins.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = survivors.length.toLong
+    private val bytes = survivors.map(g =>
+      attrs.blockShape(g).map(_.toLong).product *
+        attrs.dataType.bytesPerElement + 64L).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
 
   /** Keep only grid positions satisfying the pushed gx/gy/gz predicates. */
   private def keep(grid: Array[Int]): Boolean = {
@@ -179,9 +194,17 @@ class N5Scan(
     * level, applying the pushed per-axis predicates DURING traversal: a
     * pruned gx subtree is never listed at all. One listStatus RPC per
     * surviving directory (vs one exists() per grid position), and sparse
-    * volumes (missing blocks) are handled for free.
+    * volumes (missing blocks) are handled for free. Listed once, shared
+    * with the statistics estimate.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val survivors: Seq[Array[Int]] = listSurvivors()
+
+  override def planInputPartitions(): Array[InputPartition] =
+    survivors
+      .map(g => N5BlockPartition(root, dataset, g): InputPartition)
+      .toArray
+
+  private def listSurvivors(): Seq[Array[Int]] = {
     val conf = new Configuration()
     val rootPath = new HPath(root, dataset)
     val fs = rootPath.getFileSystem(conf)
@@ -211,10 +234,7 @@ class N5Scan(
         }
       }
 
-    walk(rootPath, 0, Nil)
-      .filter(keep)
-      .map(g => N5BlockPartition(root, dataset, g): InputPartition)
-      .toArray
+    walk(rootPath, 0, Nil).filter(keep)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
