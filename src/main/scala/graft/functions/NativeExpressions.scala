@@ -80,7 +80,12 @@ case class VectorDotF(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // mismatched dimensions are corrupt input: fail like the DuckDB oracle
+    // (list_cosine_similarity errors), never return a plausible-wrong score
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vector_dot: mismatched lengths $n vs ${y.numElements()}")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -96,7 +101,11 @@ case class VectorDotF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "vector_dot: mismatched lengths " + $n + " vs " + $b.numElements());
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);

@@ -99,7 +99,8 @@ final case class DatasetAttributes(
   * expose the four structural keys, round-trip everything else.
   */
 object N5Meta {
-  private def mapper = new ObjectMapper()
+  // ObjectMapper is thread-safe once configured; share a single instance
+  private val mapper = new ObjectMapper()
 
   private def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
 
@@ -144,14 +145,19 @@ object N5Meta {
     o.put("dataType", a.dataType.name)
     val c = o.putObject("compression")
     c.put("type", a.compression.codec)
+    // persist a SPEC-VALID parameter: n5-java rejects blockSize <= 0, so
+    // internal default markers are replaced by the codec default
+    val param =
+      if (a.compression.level > 0) a.compression.level
+      else Compression.defaultParam(a.compression.codec)
     a.compression.codec match {
       case "gzip" =>
         c.put("useZlib", false)
-        c.put("level", a.compression.level)
+        c.put("level", a.compression.level) // -1 = zlib default, spec-legal
       case "bzip2" | "lz4" =>
-        c.put("blockSize", a.compression.level)
+        c.put("blockSize", param)
       case "zstd" =>
-        c.put("level", a.compression.level)
+        c.put("level", param)
       case _ => ()
     }
     a.extra.foreach { case (k, v) => o.set[ObjectNode](k, mapper.readTree(v)) }

@@ -262,7 +262,8 @@ object CoreRelational {
         .agg(count(lit(1)).as("cnt"))
       t(s, dir, "part")
         .join(broadcast(mods), col("p_size") < col("m"))
-        .agg(sum(col("cnt")).cast("long").as("n"))
+        // coalesce: count(*) over zero matches is 0, never NULL
+        .agg(coalesce(sum(col("cnt")), lit(0L)).cast("long").as("n"))
     },
 
     // ------------------------------------------------------------------

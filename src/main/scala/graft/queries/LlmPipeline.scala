@@ -99,10 +99,11 @@ object LlmPipeline {
       val exploded = docs(s, dir)
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), explode(shingles).as("sh"))
+      val sigCols = (0 until 16).map(j =>
+        min(xxhash64(lit(j), col("sh"))).as(s"s$j"))
       val sigs = exploded
         .groupBy(col("doc_id"))
-        .agg((0 until 16).map(j => min(xxhash64(lit(j), col("sh"))).as(s"s$j")).head,
-          (1 until 16).map(j => min(xxhash64(lit(j), col("sh"))).as(s"s$j")): _*)
+        .agg(sigCols.head, sigCols.tail: _*)
       val bands = (0 until 4).map(b =>
         struct(lit(b).as("band"),
           xxhash64((0 until 4).map(i => col(s"s${b * 4 + i}")): _*).as("bh")))

@@ -115,18 +115,24 @@ object OmeTiffVolume {
           (c, z - box.zStart, out)
         }
       }.toDF("c", "z", "px")
+      // one Spark action runs below PER CHANNEL; without caching, the
+      // opaque mapPartitions above would re-read and re-decode every
+      // channel's pages nc times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- per-channel datasets c{c}/<dataset> (ometif_to_n5.py:111-116),
     // fragment regroup per channel (shuffle rows = slice∩block rectangles)
-    (box.cStart until (box.cStart + box.cSize)).map { c =>
-      val slices = decoded.filter(col("c") === c)
-        .select(col("z").cast("long"), col("px").cast("array<bigint>"))
-        .as[(Long, Array[Long])]
-      graft.n5.Regroup.writeAssembled(
-        graft.n5.Regroup.slicesToBlocks(slices, attrs),
-        dstRoot, s"c$c/$dataset", attrs)
-      attrs
-    }
+    try {
+      (box.cStart until (box.cStart + box.cSize)).map { c =>
+        val slices = decoded.filter(col("c") === c)
+          .select(col("z").cast("long"), col("px").cast("array<bigint>"))
+          .as[(Long, Array[Long])]
+        graft.n5.Regroup.writeAssembled(
+          graft.n5.Regroup.slicesToBlocks(slices, attrs),
+          dstRoot, s"c$c/$dataset", attrs)
+        attrs
+      }
+    } finally decoded.unpersist()
   }
 
   private def readFile(path: String): Array[Byte] = {

@@ -113,26 +113,46 @@ object TiffVolume {
       dtype: Dtype = Dtype.UInt8,
       compression: Compression = Compression("gzip")): DatasetAttributes = {
     import spark.implicits._
+    val maxVal = dtype match {
+      case Dtype.UInt8 | Dtype.Int8 => 255L
+      case Dtype.UInt16 | Dtype.Int16 => 65535L
+      case _ => Long.MaxValue
+    }
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tif")
       .load(inDir)
-      .select(col("path"), col("content"))
-      // z index: last run of digits in the file name
-      .withColumn("z",
+      // numeric sort key: last run of digits in the file name; files
+      // without one are rejected rather than silently mis-placed
+      .withColumn("zraw",
         regexp_extract(col("path"), "(\\d+)\\.tif$", 1).cast("long"))
-    val decoded = files.select(col("z"), col("content")).as[(Long, Array[Byte])]
+    require(files.filter(col("zraw").isNull).isEmpty,
+      s"$inDir contains .tif files without a numeric suffix")
+    // z COORDINATE = rank in numeric order (glob-sort semantics,
+    // tif_to_n5.py:21) — 1-based or gappy numbering still ingests densely
+    val ranked = files
+      .withColumn("z", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("zraw"))).cast("long") - 1)
+    val decoded = ranked.select(col("z"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (z, bytes) =>
         val s = TiffIO.decode(bytes)
         (z, s.width, s.height, s.pixels)
       }).toDF("z", "w", "h", "px")
     val Row(w: Int, h: Int, nz: Long) = decoded
       .agg(max(col("w")), max(col("h")), count(lit(1))).collect()(0)
+    val bad = decoded.filter(col("w") =!= w || col("h") =!= h).count()
+    require(bad == 0, s"$bad slices differ from the ${w}x$h plane size")
     val attrs = DatasetAttributes(
       Array(w.toLong, h.toLong, nz), blockSize, dtype, compression)
     // fragment path: shuffle rows are (slice ∩ block-column) rectangles,
     // not pixels — same bytes, ~blockSize² fewer rows
     val slices = decoded.select(col("z"), col("px").cast("array<bigint>"))
       .as[(Long, Array[Long])]
+      .map { case (z, px) =>
+        // safe cast (numpy casting='safe' analogue): fail, don't wrap
+        require(px.forall(v => v >= 0 && v <= maxVal),
+          s"slice $z has values outside ${dtype.name} range [0, $maxVal]")
+        (z, px)
+      }
     graft.n5.Regroup.writeAssembled(
       graft.n5.Regroup.slicesToBlocks(slices, attrs),
       dstRoot, dstDataset, attrs)

@@ -57,6 +57,45 @@ class RoundTripSpec extends SparkSpec {
     assert(levels(1).dimensions.toSeq == Seq(46L, 56L, 6L))
   }
 
+  test("ingest accepts 1-based / gappy slice numbering (rank, not value)") {
+    val tmp = Files.createTempDirectory("rank").toString
+    // three 4x3 slices numbered 1, 2, 10 — z coordinates must be 0,1,2
+    for ((n, v) <- Seq((1, 10), (2, 20), (10, 30))) {
+      val bytes = graft.sources.tiff.TiffIO.encode(4, 3,
+        Array.fill(12)(v), 8)
+      Files.write(java.nio.file.Paths.get(tmp, f"s_$n%05d.tif"), bytes)
+    }
+    val attrs = TiffVolume.ingestSlices(spark, tmp, s"$tmp/o.n5", "v/s0",
+      Array(4, 3, 2))
+    assert(attrs.dimensions.toSeq == Seq(4L, 3L, 3L))
+    val byZ = N5.elements(N5.read(spark, s"$tmp/o.n5", "v/s0"))
+      .groupBy(col("z")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getShort(1), r.getShort(2))).toMap
+    assert(byZ == Map(0L -> (10, 10), 1L -> (20, 20), 2L -> (30, 30)))
+  }
+
+  test("ingest rejects mixed slice sizes and out-of-range values") {
+    val tmp = Files.createTempDirectory("badsz").toString
+    Files.write(java.nio.file.Paths.get(tmp, "s_00000.tif"),
+      graft.sources.tiff.TiffIO.encode(4, 3, Array.fill(12)(1), 8))
+    Files.write(java.nio.file.Paths.get(tmp, "s_00001.tif"),
+      graft.sources.tiff.TiffIO.encode(2, 2, Array.fill(4)(1), 8))
+    val ex = intercept[IllegalArgumentException] {
+      TiffVolume.ingestSlices(spark, tmp, s"$tmp/o.n5", "v/s0", Array(4, 3, 2))
+    }
+    assert(ex.getMessage.contains("differ"))
+
+    val tmp2 = Files.createTempDirectory("badrange").toString
+    Files.write(java.nio.file.Paths.get(tmp2, "s_00000.tif"),
+      graft.sources.tiff.TiffIO.encode(2, 2, Array(0, 1, 300, 2), 16))
+    val ex2 = intercept[Exception] {
+      TiffVolume.ingestSlices(spark, tmp2, s"$tmp2/o.n5", "v/s0",
+        Array(2, 2, 1)) // default uint8: 300 must fail the safe cast
+    }
+    assert(ex2.getMessage.contains("range") ||
+      ex2.getCause != null && ex2.getCause.getMessage.contains("range"))
+  }
+
   test("multiscale s1 equals an independently computed windowed mean") {
     val tmp = Files.createTempDirectory("n5ms").toString
     // materialize the fixture as group vol/s0 (same chunking)
