@@ -350,6 +350,53 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
+    // Vocabulary frequency stats: top-20 tokens corpus-wide. explode +
+    // hash agg with map-side combine — the shuffle carries one row per
+    // distinct token per partition, not per occurrence.
+    QueryDef.sql(
+      "q53_vocab_topk",
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |      FROM documents)
+        |WHERE length(tok) > 0
+        |GROUP BY tok
+        |ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(explode(TF.tokens(lower(trim(col("text"))))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(20)
+    },
+
+    // ------------------------------------------------------------------
+    // Quality filter: the standard "drop low-quality docs" pass — count
+    // survivors per source above a quality threshold. Narrow filter +
+    // small agg; at 100 TB this is one streaming pass.
+    QueryDef.sql(
+      "q54_quality_filter",
+      """WITH q AS (SELECT source,
+        |    (least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
+        |     + least((CASE WHEN len(string_split_regex(trim(text),'\s+')) = 0
+        |        THEN 0.0 ELSE CAST(len(list_filter(
+        |            list_transform(string_split_regex(trim(text),'\s+'), x -> lower(x)),
+        |            x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+        |          AS DOUBLE) / len(string_split_regex(trim(text),'\s+')) END) * 4.0, 1.0)
+        |     + (CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |          / length(text) END)) / 3.0 AS q
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept
+        |FROM q WHERE round(q, 4) >= 0.5
+        |GROUP BY source ORDER BY source ASC""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .withColumn("q", TF.qualityScore(col("text")))
+        .filter(col("q") >= 0.5)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source").asc)
+    },
+
+    // ------------------------------------------------------------------
     // Corpus-level token accounting by (table) language — the bookkeeping
     // query every training-data pipeline runs. Map-side partial agg; the
     // shuffle moves one row per language.
