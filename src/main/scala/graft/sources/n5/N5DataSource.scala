@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => swrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -101,7 +102,7 @@ class N5Table(options: CaseInsensitiveStringMap, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val attrs = N5Meta.datasetAttributes(root, dataset)
@@ -333,6 +334,32 @@ class N5WriteBuilder(
     override def toBatch: BatchWrite = {
       val attrs = writeAttrs()
       new N5BatchWrite(root, dataset, attrs, info.schema(), doTruncate)
+    }
+    /** Streaming sink: each micro-batch writes its block rows with the
+      * same idempotent blind-overwrite writers; replayed epochs rewrite
+      * identical bytes (at-least-once + idempotent = the declared
+      * semantics, SURVEY §2.3 non-goals). Attrs are (re)committed after
+      * every epoch so the dataset is readable between batches.
+      */
+    override def toStreaming: swrite.StreamingWrite = {
+      val attrs = writeAttrs()
+      new swrite.StreamingWrite {
+        // never truncate per epoch — earlier micro-batches' blocks persist
+        private val batch =
+          new N5BatchWrite(root, dataset, attrs, info.schema(), false)
+        override def createStreamingWriterFactory(
+            pinfo: PhysicalWriteInfo): swrite.StreamingDataWriterFactory = {
+          val f = batch.createBatchWriterFactory(pinfo)
+            .asInstanceOf[N5WriterFactory]
+          (partitionId: Int, taskId: Long, _: Long) =>
+            f.createWriter(partitionId, taskId)
+        }
+        override def commit(
+            epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+          batch.commit(messages)
+        override def abort(
+            epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+      }
     }
   }
 

@@ -100,6 +100,30 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, expected)
   }
 
+  test("writeStream.format(n5): native streaming sink commits block rows") {
+    val tmp = Files.createTempDirectory("n5sink").toString
+    // stream the fixture's 4 block rows (as parquet files) into a new N5
+    val blocks = N5.read(spark, "/root/reference/data/test.n5", "mri/c0/s0")
+    blocks.write.mode("overwrite").parquet(s"$tmp/rows")
+    val stream = spark.readStream.schema(blocks.schema).parquet(s"$tmp/rows")
+    val q = stream.writeStream
+      .format("n5")
+      .option("path", s"$tmp/out.n5")
+      .option("dataset", "vol/s0")
+      .option("dimensions", "186,226,27")
+      .option("blockSize", "128,128,128")
+      .option("dataType", "uint8")
+      .option("compression", "gzip")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val e = N5.elements(N5.read(spark, s"$tmp/out.n5", "vol/s0"))
+    val r = e.agg(count(lit(1)), sum(col("v"))).collect()(0)
+    assert(r.getLong(0) == 1134972L)
+    assert(r.getLong(1) == 40784917L)
+  }
+
   test("streaming TIFF slab ingest equals batch ingest (Phase 6)") {
     val tmp = Files.createTempDirectory("slab").toString
     // slices from the fixture
