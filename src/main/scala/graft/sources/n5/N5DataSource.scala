@@ -106,7 +106,11 @@ class N5Table(options: CaseInsensitiveStringMap, tableSchema: StructType)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val attrs = N5Meta.datasetAttributes(root, dataset)
-    new N5ScanBuilder(root, dataset, attrs)
+    // merge table options (load-time) over scan options
+    val merged = new java.util.HashMap[String, String]()
+    o.forEach((k, v) => merged.put(k, v))
+    options.forEach((k, v) => merged.put(k, v))
+    new N5ScanBuilder(root, dataset, attrs, new CaseInsensitiveStringMap(merged))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -115,7 +119,9 @@ class N5Table(options: CaseInsensitiveStringMap, tableSchema: StructType)
 
 // ---------------------------------------------------------------- read path
 
-class N5ScanBuilder(root: String, dataset: String, attrs: DatasetAttributes)
+class N5ScanBuilder(
+    root: String, dataset: String, attrs: DatasetAttributes,
+    options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -144,12 +150,18 @@ class N5ScanBuilder(root: String, dataset: String, attrs: DatasetAttributes)
     required = requiredSchema
 
   override def build(): Scan =
-    new N5Scan(root, dataset, attrs, pushed, required)
+    new N5Scan(root, dataset, attrs, pushed, required,
+      targetBytes = options.getOrDefault(
+        "targetPartitionBytes", (128L * 1024 * 1024).toString).toLong,
+      maxBlocksPerPartition = options.getOrDefault(
+        "maxBlocksPerPartition", Long.MaxValue.toString).toLong)
 }
 
 class N5Scan(
     root: String, dataset: String, attrs: DatasetAttributes,
-    filters: Array[Filter], required: StructType)
+    filters: Array[Filter], required: StructType,
+    targetBytes: Long = 128L * 1024 * 1024,
+    maxBlocksPerPartition: Long = Long.MaxValue)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -200,10 +212,21 @@ class N5Scan(
     */
   private lazy val survivors: Seq[Array[Int]] = listSurvivors()
 
-  override def planInputPartitions(): Array[InputPartition] =
-    survivors
-      .map(g => N5BlockPartition(root, dataset, g): InputPartition)
+  /** Group blocks into partitions of ~targetBytes decoded payload (default
+    * 128 MiB). One-partition-per-block would mean tens of millions of
+    * tasks on a 100 TB volume; grouping keeps task count = volume size /
+    * target, while the walk order preserves grid locality within a task.
+    * `maxBlocksPerPartition=1` restores per-block tasks if desired.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val blockBytes = math.max(1L,
+      attrs.blockSize.map(_.toLong).product * attrs.dataType.bytesPerElement)
+    val perPartition = math.max(1L, math.min(
+      maxBlocksPerPartition, targetBytes / blockBytes)).toInt
+    survivors.grouped(perPartition)
+      .map(gs => N5BlocksPartition(root, dataset, gs.toArray): InputPartition)
       .toArray
+  }
 
   private def listSurvivors(): Seq[Array[Int]] = {
     val conf = new Configuration()
@@ -242,33 +265,34 @@ class N5Scan(
     new N5ReaderFactory(attrs, required)
 }
 
-final case class N5BlockPartition(
-    root: String, dataset: String, grid: Array[Int]) extends InputPartition
+final case class N5BlocksPartition(
+    root: String, dataset: String, grids: Array[Array[Int]]) extends InputPartition
 
 class N5ReaderFactory(attrs: DatasetAttributes, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new N5BlockReader(p.asInstanceOf[N5BlockPartition], attrs, required)
+    new N5BlockReader(p.asInstanceOf[N5BlocksPartition], attrs, required)
 }
 
-/** Reads one block file and emits one row. Payload decode is skipped
+/** Emits one row per block of its partition; payload decode is skipped
   * entirely when the `data` column was pruned away.
   */
 class N5BlockReader(
-    part: N5BlockPartition, attrs: DatasetAttributes, required: StructType)
+    part: N5BlocksPartition, attrs: DatasetAttributes, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private var done = false
+  private var i = -1
   private var row: InternalRow = _
+  private val fs: FileSystem =
+    new HPath(part.root).getFileSystem(new Configuration())
 
   private def needsData = required.fieldNames.contains("data")
 
   override def next(): Boolean = {
-    if (done) return false
-    done = true
-    val g = part.grid
+    i += 1
+    if (i >= part.grids.length) return false
+    val g = part.grids(i)
     val blockPath = new HPath(part.root, s"${part.dataset}/${g.mkString("/")}")
-    val fs = blockPath.getFileSystem(new Configuration())
     val shape: Array[Int] = attrs.blockShape(g)
     val dataArr: GenericArrayData =
       if (needsData) {

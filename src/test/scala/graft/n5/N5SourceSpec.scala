@@ -47,8 +47,28 @@ class N5SourceSpec extends SparkSpec {
     val scan = df.queryExecution.executedPlan.collectFirst {
       case b: BatchScanExec => b
     }.get
-    assert(scan.inputPartitions.length == 2, "gx=0 must prune to 2 of 4 blocks")
+    val plannedBlocks = scan.inputPartitions.map {
+      case p: graft.sources.n5.N5BlocksPartition => p.grids.length
+    }.sum
+    assert(plannedBlocks == 2, "gx=0 must prune to 2 of 4 blocks")
     assert(df.count() == 2)
+  }
+
+  test("blocks group into size-targeted partitions (task-count control)") {
+    // default 128 MiB target: all 4 fixture blocks (2 MiB decoded each)
+    // land in one partition
+    def partitions(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get.inputPartitions
+    assert(partitions(N5.read(spark, fixtureRoot, fixtureDs)).length == 1)
+    // per-block tasks restored via maxBlocksPerPartition=1
+    val perBlock = spark.read.format("n5")
+      .option("dataset", fixtureDs)
+      .option("maxBlocksPerPartition", "1")
+      .load(fixtureRoot)
+    assert(partitions(perBlock).length == 4)
+    assert(perBlock.count() == 4)
   }
 
   test("readBox returns exactly the requested box (ref read_n5_block)") {
