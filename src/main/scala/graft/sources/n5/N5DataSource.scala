@@ -152,16 +152,21 @@ class N5ScanBuilder(
   override def build(): Scan =
     new N5Scan(root, dataset, attrs, pushed, required,
       targetBytes = options.getOrDefault(
-        "targetPartitionBytes", (128L * 1024 * 1024).toString).toLong,
+        "targetPartitionBytes", N5Scan.DefaultTargetPartitionBytes.toString).toLong,
       maxBlocksPerPartition = options.getOrDefault(
         "maxBlocksPerPartition", Long.MaxValue.toString).toLong)
+}
+
+object N5Scan {
+  /** ~decoded bytes per scan partition (targetPartitionBytes option). */
+  val DefaultTargetPartitionBytes: Long = 128L * 1024 * 1024
 }
 
 class N5Scan(
     root: String, dataset: String, attrs: DatasetAttributes,
     filters: Array[Filter], required: StructType,
-    targetBytes: Long = 128L * 1024 * 1024,
-    maxBlocksPerPartition: Long = Long.MaxValue)
+    targetBytes: Long,
+    maxBlocksPerPartition: Long)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -221,8 +226,8 @@ class N5Scan(
   override def planInputPartitions(): Array[InputPartition] = {
     val blockBytes = math.max(1L,
       attrs.blockSize.map(_.toLong).product * attrs.dataType.bytesPerElement)
-    val perPartition = math.max(1L, math.min(
-      maxBlocksPerPartition, targetBytes / blockBytes)).toInt
+    val perPartition = math.min(Int.MaxValue.toLong, math.max(1L,
+      math.min(maxBlocksPerPartition, targetBytes / blockBytes))).toInt
     survivors.grouped(perPartition)
       .map(gs => N5BlocksPartition(root, dataset, gs.toArray): InputPartition)
       .toArray
@@ -367,8 +372,12 @@ class N5WriteBuilder(
       */
     override def toStreaming: swrite.StreamingWrite = {
       val attrs = writeAttrs()
+      // truncate-per-epoch (Complete mode) would have to wipe earlier
+      // epochs' blocks; silently ignoring it would leave stale blocks on
+      // disk, so reject it up front — the sink is append-only
+      if (doTruncate) throw new UnsupportedOperationException(
+        "n5 streaming sink supports Append output mode only")
       new swrite.StreamingWrite {
-        // never truncate per epoch — earlier micro-batches' blocks persist
         private val batch =
           new N5BatchWrite(root, dataset, attrs, info.schema(), false)
         override def createStreamingWriterFactory(

@@ -113,10 +113,12 @@ object TiffVolume {
       dtype: Dtype = Dtype.UInt8,
       compression: Compression = Compression("gzip")): DatasetAttributes = {
     import spark.implicits._
-    val maxVal = dtype match {
-      case Dtype.UInt8 | Dtype.Int8 => 255L
-      case Dtype.UInt16 | Dtype.Int16 => 65535L
-      case _ => Long.MaxValue
+    val (loVal, hiVal) = dtype match {
+      case Dtype.UInt8 => (0L, 255L)
+      case Dtype.Int8 => (-128L, 127L)
+      case Dtype.UInt16 => (0L, 65535L)
+      case Dtype.Int16 => (-32768L, 32767L)
+      case _ => (Long.MinValue, Long.MaxValue)
     }
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tif")
@@ -125,37 +127,49 @@ object TiffVolume {
       // without one are rejected rather than silently mis-placed
       .withColumn("zraw",
         regexp_extract(col("path"), "(\\d+)\\.tif$", 1).cast("long"))
-    require(files.filter(col("zraw").isNull).isEmpty,
-      s"$inDir contains .tif files without a numeric suffix")
-    // z COORDINATE = rank in numeric order (glob-sort semantics,
-    // tif_to_n5.py:21) — 1-based or gappy numbering still ingests densely
-    val ranked = files
-      .withColumn("z", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("zraw"))).cast("long") - 1)
+    // z COORDINATE = rank in numeric order with path tiebreak (glob-sort
+    // semantics, tif_to_n5.py:21) — 1-based or gappy numbering ingests
+    // densely; ranking happens on the tiny driver-side (path, zraw) list
+    // so the per-file decode parallelism of the binaryFile scan survives
+    // (a global window would funnel all content through one task)
+    val order = files.select(col("path"), col("zraw"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.toString.toLong)))
+    require(order.forall(_._2.isDefined),
+      s"$inDir contains .tif files without a numeric suffix: " +
+        order.filter(_._2.isEmpty).map(_._1).take(3).mkString(", "))
+    val rankByPath = order.sortBy { case (p, z) => (z.get, p) }
+      .zipWithIndex.map { case ((p, _), i) => (p, i.toLong) }.toSeq
+    val ranked = files.join(
+      broadcast(rankByPath.toDF("path", "z")), Seq("path"))
     val decoded = ranked.select(col("z"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (z, bytes) =>
         val s = TiffIO.decode(bytes)
         (z, s.width, s.height, s.pixels)
       }).toDF("z", "w", "h", "px")
-    val Row(w: Int, h: Int, nz: Long) = decoded
-      .agg(max(col("w")), max(col("h")), count(lit(1))).collect()(0)
-    val bad = decoded.filter(col("w") =!= w || col("h") =!= h).count()
-    require(bad == 0, s"$bad slices differ from the ${w}x$h plane size")
-    val attrs = DatasetAttributes(
-      Array(w.toLong, h.toLong, nz), blockSize, dtype, compression)
-    // fragment path: shuffle rows are (slice ∩ block-column) rectangles,
-    // not pixels — same bytes, ~blockSize² fewer rows
-    val slices = decoded.select(col("z"), col("px").cast("array<bigint>"))
-      .as[(Long, Array[Long])]
-      .map { case (z, px) =>
-        // safe cast (numpy casting='safe' analogue): fail, don't wrap
-        require(px.forall(v => v >= 0 && v <= maxVal),
-          s"slice $z has values outside ${dtype.name} range [0, $maxVal]")
-        (z, px)
-      }
-    graft.n5.Regroup.writeAssembled(
-      graft.n5.Regroup.slicesToBlocks(slices, attrs),
-      dstRoot, dstDataset, attrs)
-    attrs
+      // three actions follow (geometry agg, size check, write): cache the
+      // decoded slices instead of re-reading + re-decoding every TIFF
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val Row(w: Int, h: Int, nz: Long) = decoded
+        .agg(max(col("w")), max(col("h")), count(lit(1))).collect()(0)
+      val bad = decoded.filter(col("w") =!= w || col("h") =!= h).count()
+      require(bad == 0, s"$bad slices differ from the ${w}x$h plane size")
+      val attrs = DatasetAttributes(
+        Array(w.toLong, h.toLong, nz), blockSize, dtype, compression)
+      // fragment path: shuffle rows are (slice ∩ block-column) rectangles,
+      // not pixels — same bytes, ~blockSize² fewer rows
+      val slices = decoded.select(col("z"), col("px").cast("array<bigint>"))
+        .as[(Long, Array[Long])]
+        .map { case (z, px) =>
+          // safe cast (numpy casting='safe' analogue): fail, don't wrap
+          require(px.forall(v => v >= loVal && v <= hiVal),
+            s"slice $z has values outside ${dtype.name} range [$loVal, $hiVal]")
+          (z, px)
+        }
+      graft.n5.Regroup.writeAssembled(
+        graft.n5.Regroup.slicesToBlocks(slices, attrs),
+        dstRoot, dstDataset, attrs)
+      attrs
+    } finally decoded.unpersist()
   }
 }
