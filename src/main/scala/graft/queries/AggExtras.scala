@@ -60,6 +60,23 @@ object AggExtras {
     },
 
     // ------------------------------------------------------------------
+    // Exact interpolated percentiles (median + p90) per group; Spark's
+    // percentile() and DuckDB's quantile_cont share linear interpolation.
+    QueryDef.sql(
+      "q66_percentiles",
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"))
+        .orderBy(col("o_orderstatus").asc)
+    },
+
+    // ------------------------------------------------------------------
     // collect_set, made deterministic with sort_array.
     QueryDef.sql(
       "q62_collect_set",
