@@ -19,10 +19,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Cli {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-cli")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // spark-submit injects spark.master; default to local[*] elsewhere
+    if (!sys.props.contains("spark.master") && !sys.env.contains("MASTER"))
+      builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, args.toList)
     finally spark.stop()
