@@ -14,6 +14,20 @@ class VectorSearchSpec extends SparkSpec {
 
   private lazy val probes = emb.filter(col("vec_id") < 10)
 
+  test("native VectorDotF/L2Norm agree with the higher-order-function path") {
+    import graft.functions.{NativeExpressions => NE, VectorFunctions => VF}
+    val two = emb.limit(50)
+      .select(col("vec_id"), col("embedding"),
+        VF.toDoubles(col("embedding")).as("vd"))
+    val cmp = two.select(
+      abs(NE.vectorL2Norm(col("embedding")) - VF.l2norm(col("vd"))).as("dn"),
+      abs(NE.vectorDot(col("embedding"), col("embedding"))
+        - VF.dot(col("vd"), col("vd"))).as("dd"))
+      .agg(max(col("dn")), max(col("dd"))).collect()(0)
+    assert(cmp.getDouble(0) == 0.0, "norms must agree bit-for-bit")
+    assert(cmp.getDouble(1) == 0.0, "dots must agree bit-for-bit")
+  }
+
   test("lsh buckets are deterministic and cover the corpus") {
     val b1 = emb.withColumn("b",
       VectorSearch.signBucket(col("embedding"), 6, 64))
