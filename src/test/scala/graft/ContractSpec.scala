@@ -1,0 +1,35 @@
+package graft
+
+/** Driver-contract invariants — the exact failure mode that zeroed round 1
+  * (finished queries never wired into SparkEntry) can never silently
+  * recur: the registry must be non-empty, names unique, every oracle key
+  * backed by a query, and the flagship entry must produce rows.
+  */
+class ContractSpec extends SparkSpec {
+
+  test("query registry is populated with unique names") {
+    val names = Queries.all.map(_.name)
+    assert(names.nonEmpty, "SparkEntry.queries must not be empty")
+    assert(names.size == names.distinct.size,
+      s"duplicate query names: ${names.diff(names.distinct).distinct}")
+    assert(names.size >= 70, s"expected the full surface, got ${names.size}")
+  }
+
+  test("every oracle key corresponds to a declared query") {
+    val q = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(q)
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+    assert(SparkEntry.oracleSql.size >= 55)
+  }
+
+  test("flagship entry returns rows on sf0.001 (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL is single-statement and names no absolute paths") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(!sql.contains(";"), s"$k: oracle must be a single statement")
+      assert(!sql.contains("/root/"), s"$k: oracle must use table names")
+    }
+  }
+}
