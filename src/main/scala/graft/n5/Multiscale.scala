@@ -51,8 +51,94 @@ object Multiscale {
     out
   }
 
-  /** Derive s{level} from s{level-1} by windowed mean with trim. */
+  /** Derive s{level} from s{level-1} by windowed mean with trim.
+    * Dispatches to the block-local formulation when the factors divide the
+    * block size (the usual case): the mean reduction then happens INSIDE
+    * each source block with no element shuffle at all — the only exchange
+    * moves the already-8×-reduced fragments to their output blocks.
+    */
   def downsampleLevel(
+      spark: SparkSession, root: String, group: String, level: Int,
+      factors: Array[Int]): DatasetAttributes = {
+    val src = N5Meta.datasetAttributes(root, s"$group/s${level - 1}")
+    if (src.blockSize.zip(factors).forall { case (b, f) => b % f == 0 }
+      && src.dataType != Dtype.Float32 && src.dataType != Dtype.Float64)
+      downsampleLevelBlockLocal(spark, root, group, level, factors)
+    else
+      downsampleLevelElements(spark, root, group, level, factors)
+  }
+
+  /** Block-local coarsen: every source block is f-aligned (blockSize
+    * divisible by factors), so its windowed mean lands entirely inside
+    * output block (g div f) at offset ((g mod f) * blockSize/f) — one
+    * fragment per source block, assembled with the Regroup machinery.
+    * Narrow mean computation; the shuffle carries 1/(fx·fy·fz) of the
+    * data as fragment rows, not element rows.
+    */
+  def downsampleLevelBlockLocal(
+      spark: SparkSession, root: String, group: String, level: Int,
+      factors: Array[Int]): DatasetAttributes = {
+    val src = N5Meta.datasetAttributes(root, s"$group/s${level - 1}")
+    val Array(fx, fy, fz) = factors
+    val dstDims = src.dimensions.zip(factors).map { case (d, f) => d / f }
+    val dst = src.copy(dimensions = dstDims)
+    val Array(bx, by, bz) = src.blockSize
+    import spark.implicits._
+    val typed = N5.read(spark, root, s"$group/s${level - 1}")
+      .select(col("gx"), col("gy"), col("gz"), col("shape"),
+        col("data").cast("array<bigint>"))
+      .as[(Int, Int, Int, Array[Int], Array[Long])]
+    val frags = typed.map { case (gx, gy, gz, sshape, data) =>
+      val Array(sx, sy, sz) = sshape
+      // output extent from this block, trimmed to the global floor(D/f)
+      def ext(g: Int, b: Int, s: Int, f: Int, dOut: Long): Int = {
+        val o0 = g.toLong * b / f
+        (math.min((g.toLong * b + s) / f, dOut) - o0).toInt
+      }
+      val (ox, oy, oz) = (ext(gx, bx, sx, fx, dstDims(0)),
+        ext(gy, by, sy, fy, dstDims(1)), ext(gz, bz, sz, fz, dstDims(2)))
+      val out = new Array[Long](math.max(0, ox * oy * oz))
+      val win = fx.toLong * fy * fz
+      var z = 0
+      while (z < oz) {
+        var y = 0
+        while (y < oy) {
+          var x = 0
+          while (x < ox) {
+            var s = 0L
+            var dz = 0
+            while (dz < fz) {
+              var dy = 0
+              while (dy < fy) {
+                var dx = 0
+                val base = (x * fx) + (y * fy + dy) * sx +
+                  (z * fz + dz) * sx * sy
+                while (dx < fx) { s += data(base + dx); dx += 1 }
+                dy += 1
+              }
+              dz += 1
+            }
+            // numpy astype semantics: truncate toward zero
+            out(x + y * ox + z * ox * oy) = (s.toDouble / win).toLong
+            x += 1
+          }
+          y += 1
+        }
+        z += 1
+      }
+      Regroup.Frag(gx / fx, gy / fy, gz / fz,
+        (gx % fx) * (bx / fx), (gy % fy) * (by / fy), (gz % fz) * (bz / fz),
+        ox, oy, oz, out)
+    }.filter(_.data.nonEmpty)
+    Regroup.writeAssembled(Regroup.assemble(frags, dst),
+      root, s"$group/s$level", dst)
+    dst
+  }
+
+  /** Element-shuffle formulation (general fallback; float dtypes, factors
+    * not dividing the block size).
+    */
+  def downsampleLevelElements(
       spark: SparkSession, root: String, group: String, level: Int,
       factors: Array[Int]): DatasetAttributes = {
     val src = N5Meta.datasetAttributes(root, s"$group/s${level - 1}")

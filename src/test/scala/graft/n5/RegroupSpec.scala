@@ -31,6 +31,23 @@ class RegroupSpec extends SparkSpec {
     assert(blocks == 4L * 5 * 1)
   }
 
+  test("block-local multiscale coarsen equals the element-shuffle path") {
+    val t1 = Files.createTempDirectory("msA").toString
+    val t2 = Files.createTempDirectory("msB").toString
+    // 48^3 chunking: 48 divisible by 2 -> block-local path eligible
+    N5.rechunk(spark, fixtureRoot, fixtureDs, t1, "vol/s0", Array(48, 48, 48))
+    N5.rechunk(spark, fixtureRoot, fixtureDs, t2, "vol/s0", Array(48, 48, 48))
+    Multiscale.downsampleLevelBlockLocal(spark, t1, "vol", 1, Array(2, 2, 2))
+    Multiscale.downsampleLevelElements(spark, t2, "vol", 1, Array(2, 2, 2))
+    val a = N5.elements(N5.read(spark, t1, "vol/s1"))
+    val b = N5.elements(N5.read(spark, t2, "vol/s1"))
+      .withColumnRenamed("v", "v2")
+    val j = a.join(b, Seq("x", "y", "z"))
+    assert(a.count() == 93L * 113 * 13)
+    assert(j.count() == a.count())
+    assert(j.filter(col("v") =!= col("v2")).count() == 0L)
+  }
+
   test("float32 volume round-trips bit-exactly through fragment rechunk") {
     val root = Files.createTempDirectory("rgF").toString
     val dims = Array(10L, 7L, 5L)
