@@ -75,6 +75,27 @@ class VolumePropertySpec extends SparkSpec {
     }
   }
 
+  test("block-local coarsen equals element coarsen on random volumes") {
+    forAllCases { (dims0, bs0, seed) =>
+      // force factor-divisible block sizes (the block-local precondition)
+      val bs = bs0.map(b => math.max(2, b / 2 * 2))
+      val dims = dims0.map(d => math.max(4L, d))
+      val r1 = writeVolume(dims, bs, seed)
+      val r2 = writeVolume(dims, bs, seed)
+      Multiscale.downsampleLevelBlockLocal(spark, r1, "vol", 1, Array(2, 2, 2))
+      Multiscale.downsampleLevelElements(spark, r2, "vol", 1, Array(2, 2, 2))
+      val a = N5.elements(N5.read(spark, r1, "vol/s1"))
+      val b = N5.elements(N5.read(spark, r2, "vol/s1"))
+        .withColumnRenamed("v", "v2")
+      val j = a.join(b, Seq("x", "y", "z"))
+      assert(a.count() == dims.zip(Seq(2, 2, 2)).map { case (d, f) => d / f }.product,
+        s"dims=${dims.mkString("x")} bs=${bs.mkString("x")}")
+      assert(j.count() == a.count())
+      assert(j.filter(col("v") =!= col("v2")).count() == 0L,
+        s"coarsen mismatch dims=${dims.mkString("x")} bs=${bs.mkString("x")}")
+    }
+  }
+
   test("windowed mean of a constant volume is that constant") {
     val dims = Array(8L, 8L, 4L)
     val root = Files.createTempDirectory("propc").toString
