@@ -14,8 +14,16 @@ object N5Queries {
 
   private val fixtureRoot = "/root/reference/data/test.n5"
   private val fixtureDs = "mri/c0/s0"
-  private def tmpRoot(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_$name.n5"
+  /** Scratch container path, wiped first — stale blocks from an earlier
+    * run with different geometry must not leak into checks.
+    */
+  private def tmpRoot(name: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_$name.n5"
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs.exists(hp)) fs.delete(hp, true)
+    p
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
