@@ -81,12 +81,12 @@ object AggExtras {
     QueryDef.sql(
       "q62_collect_set",
       """SELECT o_orderstatus,
-        |  list_sort(list_distinct(list(o_orderpriority))) AS prios
+        |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS prios
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(sort_array(collect_set(col("o_orderpriority"))).as("prios"))
+        .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), "|").as("prios"))
         .orderBy(col("o_orderstatus").asc)
     },
 

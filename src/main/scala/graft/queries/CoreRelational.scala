@@ -339,14 +339,16 @@ object CoreRelational {
     },
 
     // ------------------------------------------------------------------
-    // collect_list made deterministic with sort_array.
+    // collect_list made deterministic with sort_array. The list is
+    // serialized to a '|'-joined string so the oracle harness compares
+    // scalars (array cells are unhashable/unsortable driver-side).
     QueryDef.sql(
       "q16_collect_list",
-      """SELECT n_regionkey, list_sort(list(n_name)) AS names
+      """SELECT n_regionkey, array_to_string(list_sort(list(n_name)), '|') AS names
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey ASC""".stripMargin) { (s, dir) =>
       t(s, dir, "nation")
         .groupBy(col("n_regionkey"))
-        .agg(sort_array(collect_list(col("n_name"))).as("names"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), "|").as("names"))
         .orderBy(col("n_regionkey").asc)
     },
 
@@ -612,7 +614,9 @@ object CoreRelational {
         |  round(list_reduce(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b),4)
         |    AS sumsq,
-        |  CAST(embedding[1:3] AS DOUBLE[]) AS head3,
+        |  CAST(embedding[1] AS DOUBLE) AS h1,
+        |  CAST(embedding[2] AS DOUBLE) AS h2,
+        |  CAST(embedding[3] AS DOUBLE) AS h3,
         |  round(CAST(list_aggregate(embedding, 'max') AS DOUBLE),4) AS maxv
         |FROM embeddings
         |ORDER BY vec_id ASC LIMIT 200""".stripMargin) { (s, dir) =>
@@ -621,7 +625,9 @@ object CoreRelational {
           size(col("embedding")).as("n"),
           round(aggregate(col("embedding"), lit(0.0),
             (acc, x) => acc + x.cast("double") * x.cast("double")), 4).as("sumsq"),
-          slice(col("embedding"), 1, 3).cast("array<double>").as("head3"),
+          element_at(col("embedding"), 1).cast("double").as("h1"),
+          element_at(col("embedding"), 2).cast("double").as("h2"),
+          element_at(col("embedding"), 3).cast("double").as("h3"),
           round(array_max(col("embedding")).cast("double"), 4).as("maxv"))
         .orderBy(col("vec_id").asc)
         .limit(200)

@@ -345,7 +345,11 @@ object LlmPipeline {
     // xxhash64-based → rows-only; determinism is unit-tested instead.
     QueryDef.rowsOnly("q50_fingerprint") { (s, dir) =>
       docs(s, dir).filter(col("doc_id") < 50)
-        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          // serialized to a scalar string: the oracle harness cannot
+          // sort/hash array cells
+          array_join(transform(TF.fingerprint(col("text")),
+            _.cast("string")), ",").as("fp"))
         .orderBy(col("doc_id").asc)
     },
 

@@ -32,4 +32,21 @@ class ContractSpec extends SparkSpec {
       assert(!sql.contains("/root/"), s"$k: oracle must use table names")
     }
   }
+
+  test("no query output contains nested (array/map/struct) columns") {
+    // The driver's comparison harness sorts result cells in pandas;
+    // numpy arrays are unhashable there, so even rows-only checks die
+    // on nested output columns. Every declared query must emit scalars.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    Queries.all.foreach { q =>
+      val nested = q.build(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType]
+          || f.dataType.isInstanceOf[MapType]
+          || f.dataType.isInstanceOf[StructType] => f.name
+      }
+      assert(nested.isEmpty,
+        s"${q.name}: nested output columns ${nested.mkString(",")}")
+    }
+  }
 }
