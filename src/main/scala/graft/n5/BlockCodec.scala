@@ -140,7 +140,12 @@ object BlockCodec {
     }
     comp.codec match {
       case "raw" => data
-      case "gzip" => fill(new GZIPOutputStream(bos))
+      case "gzip" =>
+        // honor the requested deflate level (attributes.json records it);
+        // level <= 0 means zlib default
+        fill(new GZIPOutputStream(bos) {
+          if (comp.level > 0) `def`.setLevel(comp.level)
+        })
       case "bzip2" => fill(
         new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(
           bos, if (comp.level > 0) comp.level else 9))

@@ -21,33 +21,51 @@ import org.apache.spark.sql.functions._
   */
 object Multiscale {
 
+  /** Integer per-axis absolute factor of level k relative to s0: f^k
+    * (`n5_multiscale.py:110`). Exact integer arithmetic, no float pow.
+    */
+  private[n5] def levelFactors(factors: Array[Int], level: Int): Array[Long] =
+    factors.map(f => (0 until level).foldLeft(1L)((a, _) => a * f))
+
+  /** Per-level dataset `extra` attrs matching the reference checkpoint
+    * format (`n5_multiscale.py:121-128`): absolute downsamplingFactors
+    * f^level plus the s0 pixelResolution propagated verbatim — consumers
+    * (incl. our own `N5Meta.pixelResolution`) derive the effective
+    * resolution as pixelResolution × downsamplingFactors.
+    */
+  private def levelExtra(
+      src: DatasetAttributes, factors: Array[Int], level: Int): Map[String, String] =
+    src.extra + ("downsamplingFactors" ->
+      levelFactors(factors, level).mkString("[", ",", "]"))
+
   /** Build levels s1..sN under `group` from `group/s0`. Returns the
-    * attributes of each created level. Also records the `scales` group
-    * attribute (`n5_multiscale.py:133`) — but AFTER the data is written.
+    * attributes of each created level. Also records the `scales` (integer
+    * factor lists, including s0's [1,1,1]) and `axes` group attributes
+    * (`n5_multiscale.py:133`) — but AFTER the data is written.
     */
   def buildPyramid(
       spark: SparkSession, root: String, group: String,
       factors: Array[Int] = Array(2, 2, 2),
       maxLevels: Int = 8,
-      thumbnailSize: Long = 64L): Seq[DatasetAttributes] = {
+      thumbnailSize: Long = 64L,
+      axes: Seq[String] = Seq("x", "y", "z")): Seq[DatasetAttributes] = {
     val s0 = N5Meta.datasetAttributes(root, s"$group/s0")
     var prev = s0
     var level = 1
     var out = Seq.empty[DatasetAttributes]
-    var scales = Seq(Array(1.0, 1.0, 1.0))
+    var scales = Seq(levelFactors(factors, 0))
     while (level <= maxLevels && prev.dimensions.zip(factors)
         .forall { case (d, f) => d / f >= 1 } &&
         prev.dimensions.max > thumbnailSize) {
       val attrs = downsampleLevel(spark, root, group, level, factors)
       out :+= attrs
-      scales :+= factors.zipWithIndex
-        .map { case (f, i) => math.pow(f, level).toDouble }
+      scales :+= levelFactors(factors, level)
       prev = attrs
       level += 1
     }
     N5Meta.updateGroupAttributes(root, group, Map(
       "scales" -> scales.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"),
-      "downsamplingFactors" -> factors.mkString("[", ",", "]")))
+      "axes" -> axes.map(a => s""""$a"""").mkString("[", ",", "]")))
     out
   }
 
@@ -81,7 +99,8 @@ object Multiscale {
     val src = N5Meta.datasetAttributes(root, s"$group/s${level - 1}")
     val Array(fx, fy, fz) = factors
     val dstDims = src.dimensions.zip(factors).map { case (d, f) => d / f }
-    val dst = src.copy(dimensions = dstDims)
+    val dst = src.copy(dimensions = dstDims,
+      extra = levelExtra(src, factors, level))
     val Array(bx, by, bz) = src.blockSize
     import spark.implicits._
     val typed = N5.read(spark, root, s"$group/s${level - 1}")
@@ -144,7 +163,8 @@ object Multiscale {
     val src = N5Meta.datasetAttributes(root, s"$group/s${level - 1}")
     val Array(fx, fy, fz) = factors
     val dstDims = src.dimensions.zip(factors).map { case (d, f) => d / f }
-    val dst = src.copy(dimensions = dstDims)
+    val dst = src.copy(dimensions = dstDims,
+      extra = levelExtra(src, factors, level))
     val isFloat =
       src.dataType == Dtype.Float32 || src.dataType == Dtype.Float64
     val e = N5.elements(N5.read(spark, root, s"$group/s${level - 1}"))

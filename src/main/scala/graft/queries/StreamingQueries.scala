@@ -56,12 +56,14 @@ object StreamingQueries {
 
     // ------------------------------------------------------------------
     // Session windows (30-minute gap) per user; oracle reconstructs
-    // sessions with lag + cumulative break flags.
+    // sessions with lag + cumulative break flags. Spark's session_window
+    // is [t, t+gap) — an event EXACTLY gap-distant starts a new session —
+    // so the oracle break condition is >=, not >.
     QueryDef.sql(
       "q72_window_session",
       """WITH o AS (SELECT user_id, event_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
-        |       OR ts - lag(ts) OVER w > INTERVAL 30 minutes
+        |       OR ts - lag(ts) OVER w >= INTERVAL 30 minutes
         |       THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

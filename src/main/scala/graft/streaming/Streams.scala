@@ -103,13 +103,24 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // The filename digits are the ABSOLUTE 0-based z coordinate (this
+        // streaming path has no global view for dense ranking, unlike
+        // TiffVolume.ingestSlices). Validate instead of letting a bad
+        // name surface as a null-encoder NPE or zero-extent arraycopy.
+        val digits = regexp_extract(col("path"), "(\\d+)\\.tif$", 1)
         val slices = batch
+          // no-match yields '' which an ANSI cast would reject opaquely
           .withColumn("z",
-            regexp_extract(col("path"), "(\\d+)\\.tif$", 1).cast("long"))
-          .select(col("z"), col("content")).as[(Long, Array[Byte])]
-          .mapPartitions(_.map { case (z, bytes) =>
+            when(length(digits) === 0, lit(null)).otherwise(digits.cast("long")))
+          .select(col("z"), col("content"), col("path"))
+          .as[(java.lang.Long, Array[Byte], String)]
+          .mapPartitions(_.map { case (z, bytes, path) =>
+            require(z != null,
+              s"slice file name must end in <digits>.tif (0-based z): $path")
+            require(z >= 0 && z < depth,
+              s"slice z=$z out of range [0, $depth) for $path")
             val s = graft.sources.tiff.TiffIO.decode(bytes)
-            (z, s.pixels.map(_.toLong))
+            (z.toLong, s.pixels.map(_.toLong))
           })
         graft.n5.Regroup.writeAssembled(
           graft.n5.Regroup.slicesToBlocks(slices, attrs),

@@ -96,4 +96,21 @@ class BlockCodecSpec extends AnyFunSuite {
     assert(dec2.shape.toSeq == dec.shape.toSeq)
     assert(dec2.longs.toSeq == dec.longs.toSeq)
   }
+
+  test("gzip honors the requested deflate level") {
+    // highly compressible payload: level 1 must produce more bytes than
+    // level 9, and both must decode back to the original
+    val shape = Array(64, 64, 4)
+    val vals = Array.tabulate(shape.product)(i => (i % 7).toLong)
+    val fast = BlockCodec.encode(shape, vals, null, Dtype.UInt8,
+      Compression("gzip", 1))
+    val best = BlockCodec.encode(shape, vals, null, Dtype.UInt8,
+      Compression("gzip", 9))
+    assert(fast.length > best.length,
+      s"level 1 (${fast.length} B) should compress worse than level 9 (${best.length} B)")
+    for ((enc, lvl) <- Seq((fast, 1), (best, 9))) {
+      val dec = BlockCodec.decode(enc, Dtype.UInt8, Compression("gzip", lvl))
+      assert(dec.longs.toSeq == vals.toSeq, s"level $lvl")
+    }
+  }
 }

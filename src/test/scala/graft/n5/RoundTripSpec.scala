@@ -146,4 +146,45 @@ class RoundTripSpec extends SparkSpec {
       assert(v == expected((x + y * ox + z * ox * oy).toInt), s"voxel ($x,$y,$z)")
     }
   }
+
+  test("pyramid metadata matches the reference checkpoint format") {
+    val tmp = Files.createTempDirectory("n5meta").toString
+    N5.rechunk(spark, fixtureRoot, fixtureDs, tmp, "vol/s0", Array(128, 128, 128))
+    Multiscale.buildPyramid(spark, tmp, "vol", maxLevels = 2)
+
+    // per-level dataset attrs: absolute integer downsamplingFactors f^level
+    // and pixelResolution propagated from s0 (n5_multiscale.py:121-128)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val s0 = N5Meta.datasetAttributes(tmp, "vol/s0")
+    for (level <- 1 to 2) {
+      val a = N5Meta.datasetAttributes(tmp, s"vol/s$level")
+      val f = mapper.readTree(a.extra("downsamplingFactors"))
+      assert((0 until 3).forall(i => f.get(i).isIntegralNumber),
+        s"s$level downsamplingFactors must be integers: $f")
+      val want = math.pow(2, level).toLong
+      assert((0 until 3).forall(i => f.get(i).asLong() == want),
+        s"s$level downsamplingFactors: $f")
+      assert(a.extra.get("pixelResolution") == s0.extra.get("pixelResolution"),
+        s"s$level pixelResolution must be propagated from s0")
+      // effective resolution (R8 precedence) scales by f^level
+      val (res0, _) = N5Meta.pixelResolution(s0)
+      val (res, _) = N5Meta.pixelResolution(a)
+      assert(res.toSeq == res0.map(_ * want).toSeq,
+        s"s$level effective resolution ${res.toSeq} != ${res0.map(_ * want).toSeq}")
+    }
+
+    // group attrs: scales as integer lists incl. s0, plus axes; no
+    // group-level downsamplingFactors (n5_multiscale.py:133)
+    val g = N5Meta.readJson(new org.apache.hadoop.fs.Path(tmp, "vol/attributes.json"))
+    val scales = g.get("scales")
+    assert(scales != null && scales.size() == 3, s"scales: $scales")
+    for (k <- 0 until 3; i <- 0 until 3) {
+      assert(scales.get(k).get(i).isIntegralNumber, s"scales[$k][$i] not int")
+      assert(scales.get(k).get(i).asLong() == math.pow(2, k).toLong)
+    }
+    val axes = g.get("axes")
+    assert(axes != null && (0 until 3).map(axes.get(_).asText()) == Seq("x", "y", "z"))
+    assert(!g.has("downsamplingFactors"),
+      "group must not carry a base-factor downsamplingFactors attribute")
+  }
 }
