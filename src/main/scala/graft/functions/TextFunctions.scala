@@ -100,9 +100,12 @@ object TextFunctions {
   def fingerprint(text: Column, window: Int = 3, k: Int = 8): Column = {
     val toks = tokens(normalizeText(text))
     val n = size(toks)
+    // md5 hex digests (not xxhash64): lexicographic min/sort over hex
+    // strings is engine-portable, so the DuckDB oracle recomputes the
+    // identical fingerprint
     val grams = transform(
       sequence(lit(0), greatest(n - window, lit(0))),
-      i => xxhash64(concat_ws(" ",
+      i => md5(concat_ws(" ",
         slice(toks, i + 1, lit(window)))))
     slice(array_sort(grams), 1, k)
   }

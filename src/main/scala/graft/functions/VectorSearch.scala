@@ -11,20 +11,37 @@ import org.apache.spark.sql.functions._
   * The scale path is sign-random-projection LSH: nPlanes deterministic
   * hyperplanes give 2^nPlanes buckets; a probe only scans its own bucket
   * plus the nPlanes buckets at Hamming distance 1 (multi-probe), so the
-  * candidate set is ~n·(nPlanes+1)/2^nPlanes instead of n. All hyperplane
-  * signs derive from xxhash64(plane*dim + i) — no stored model, any
-  * executor recomputes them, and bucket assignment is a narrow expression.
+  * candidate set is ~n·(nPlanes+1)/2^nPlanes instead of n. The hyperplane
+  * sign matrix is derived from md5("plane dim") on the driver and embedded
+  * in the plan as literals — the same role as a broadcast random-projection
+  * matrix, and reproducible by the DuckDB oracle from the same definition.
   */
 object VectorSearch {
 
+  /** Deterministic ±1 hyperplane matrix: sign(j, i) = +1 iff the top bit
+    * of md5("j i") is 0. Pure function of (nPlanes, dim) — any process
+    * (Spark driver, DuckDB oracle generator) recomputes identical planes.
+    */
+  def planeSigns(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (j, i) =>
+      val d = md.digest(s"$j $i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((d(0) & 0x80) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** The sign row for plane j as a DuckDB list literal (oracle SQL). */
+  def planeSignsSql(nPlanes: Int, dim: Int, j: Int): String =
+    planeSigns(nPlanes, dim)(j)
+      .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
   /** Sign-projection bucket id for an ARRAY<FLOAT> column. */
   def signBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val signs = planeSigns(nPlanes, dim)
     def planeSum(j: Int): Column =
       aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) =>
-          x.cast("double") * when(
-            xxhash64((lit(j * dim) + i).cast("long"))
-              .bitwiseAND(lit(1L)) === 0L, lit(1.0)).otherwise(lit(-1.0))),
+        zip_with(vec, typedlit(signs(j).toSeq), (x, s) =>
+          x.cast("double") * s),
         lit(0.0), (acc, x) => acc + x)
     (0 until nPlanes)
       .map(j => when(planeSum(j) > 0, lit(1 << j)).otherwise(lit(0)))
@@ -45,19 +62,29 @@ object VectorSearch {
       .select(col("pid"), col("rnk"), col("vec_id"), col("cosine"))
   }
 
+  /** Bucket-id XOR masks for multi-probe at Hamming distance <= radius
+    * (own bucket first). Shared by lshTopK, its DuckDB oracle, and the
+    * recall spec so all three probe the identical candidate set.
+    */
+  def probeMasks(nPlanes: Int, radius: Int): Seq[Int] = {
+    def combos(start: Int, left: Int): Seq[Int] =
+      if (left == 0) Seq(0)
+      else (start until nPlanes).flatMap(j =>
+        combos(j + 1, left - 1).map(m => m | (1 << j)))
+    (0 to radius).flatMap(r => combos(0, r))
+  }
+
   /** LSH top-k: candidates limited to the probe's bucket and its
-    * Hamming-1 neighbours. Returns the same schema as bruteForceTopK.
+    * Hamming<=probeRadius neighbours (multi-probe). Returns the same
+    * schema as bruteForceTopK.
     */
   def lshTopK(
       emb: DataFrame, probes: DataFrame, k: Int,
-      nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 6, dim: Int = 64, probeRadius: Int = 2): DataFrame = {
     val bucketed = emb
       .withColumn("bucket", signBucket(col("embedding"), nPlanes, dim))
-    // probe-side: explode own bucket + all hamming-1 buckets
-    val probeSet = (0 to nPlanes).map { j =>
-      if (j == nPlanes) col("bucket")
-      else col("bucket").bitwiseXOR(lit(1 << j))
-    }
+    val probeSet = probeMasks(nPlanes, probeRadius)
+      .map(m => col("bucket").bitwiseXOR(lit(m)))
     val p = broadcast(probes
       .withColumn("bucket", signBucket(col("embedding"), nPlanes, dim))
       .select(col("vec_id").as("pid"), col("embedding").as("pv"),

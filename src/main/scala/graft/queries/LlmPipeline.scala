@@ -29,6 +29,19 @@ object LlmPipeline {
   private def embD(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"), VF.toDoubles(col("embedding")).as("v"))
 
+  /** DuckDB expression computing the q47/q52 sign-projection bucket of a
+    * 64-dim ARRAY<DOUBLE> column `v`, with the same md5-derived literal
+    * hyperplanes as VectorSearch.signBucket. Sequential left-fold sum →
+    * bit-exact agreement with Spark's aggregate().
+    */
+  private def bucketSqlExpr(nPlanes: Int): String =
+    (0 until nPlanes).map { j =>
+      val signs = graft.functions.VectorSearch.planeSignsSql(nPlanes, 64, j)
+      s"""(CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+         |  i -> v[i] * ($signs)[i]), (a, b) -> a + b) > 0
+         |  THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -81,12 +94,34 @@ object LlmPipeline {
     // MinHash + LSH near-dup candidates: word-3-shingles → 16 minhash
     // signatures → 4 bands of 4 → bucket join. The only shuffle is the
     // groupBy on (band, band_hash): candidate generation is O(n·bands),
-    // never O(n²) — the 100 TB dedup path. xxhash64 is Spark-only, so this
-    // is a rows-only check (plus unit tests on planted duplicates).
-    QueryDef.rowsOnly("q42_dedup_minhash_lsh") { (s, dir) =>
+    // never O(n²) — the 100 TB dedup path. Minhashes are lexicographic
+    // minima of seeded md5 hex digests, which DuckDB recomputes
+    // identically — a full hash-equality oracle, not rows-only.
+    QueryDef.sql(
+      "q42_dedup_minhash_lsh", {
+        val sigSelects = (0 until 16)
+          .map(j => s"min(md5('$j ' || sh)) AS s$j").mkString(", ")
+        val bandSelects = (0 until 4).map { b =>
+          val cols = (0 until 4).map(i => s"s${b * 4 + i}").mkString(", ")
+          s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bh FROM sig"
+        }.mkString("\nUNION ALL ")
+        s"""WITH t AS (SELECT doc_id,
+           |    string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS toks
+           |  FROM documents),
+           |ex AS (SELECT doc_id,
+           |    unnest(list_transform(generate_series(0, greatest(len(toks) - 3, 0)),
+           |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
+           |  FROM t),
+           |sig AS (SELECT doc_id, $sigSelects FROM ex GROUP BY doc_id),
+           |bands AS ($bandSelects)
+           |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |FROM bands x JOIN bands y
+           |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+           |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
+      }) { (s, dir) =>
       // Explode to one row per (doc, shingle), hash with 16 seeds as plain
-      // codegen'd xxhash64 columns, then groupBy(doc_id).min — partial
-      // (map-side) min aggregation means the shuffle carries 16 longs per
+      // codegen'd md5 columns, then groupBy(doc_id).min — partial
+      // (map-side) min aggregation means the shuffle carries 16 digests per
       // doc per partition. This is the formulation that holds at 100 TB;
       // per-row interpreted lambda loops do not.
       val toks = TF.tokens(TF.normalizeText(col("text")))
@@ -100,13 +135,14 @@ object LlmPipeline {
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), explode(shingles).as("sh"))
       val sigCols = (0 until 16).map(j =>
-        min(xxhash64(lit(j), col("sh"))).as(s"s$j"))
+        min(md5(concat(lit(s"$j "), col("sh")))).as(s"s$j"))
       val sigs = exploded
         .groupBy(col("doc_id"))
         .agg(sigCols.head, sigCols.tail: _*)
       val bands = (0 until 4).map(b =>
         struct(lit(b).as("band"),
-          xxhash64((0 until 4).map(i => col(s"s${b * 4 + i}")): _*).as("bh")))
+          md5(concat_ws("|",
+            (0 until 4).map(i => col(s"s${b * 4 + i}")): _*)).as("bh")))
       val withSig = sigs
         .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
@@ -127,9 +163,31 @@ object LlmPipeline {
     // distance <= 6 among doc_id < 200. The simhash itself is a narrow
     // shuffle-free expression (the scale path groups by simhash prefix
     // bands, same LSH idea as q42); the pair scan here is a bounded slice.
-    QueryDef.rowsOnly("q43_dedup_simhash") { (s, dir) =>
+    // Token hash = low 60 bits of md5 — both engines derive the identical
+    // integer, so this is a full hash-equality oracle.
+    QueryDef.sql(
+      "q43_dedup_simhash", {
+        val simExpr = (0 until 32).map { i =>
+          s"""(CASE WHEN list_reduce(list_transform(th,
+             |    h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END),
+             |    (a, b) -> a + b) > 0 THEN ${1L << i} ELSE 0 END)""".stripMargin
+        }.mkString(" + ")
+        s"""WITH t AS (SELECT doc_id,
+           |    list_transform(
+           |      string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'),
+           |      tk -> ('0x' || substr(md5(tk), 18, 15))::BIGINT) AS th
+           |  FROM documents WHERE doc_id < 200),
+           |s AS (SELECT doc_id, $simExpr AS simhash FROM t)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           |FROM s a JOIN s b
+           |  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 6
+           |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
+      }) { (s, dir) =>
       val toks = TF.tokens(TF.normalizeText(col("text")))
-      val th = transform(toks, tk => xxhash64(tk))
+      // low 60 bits of md5 as a non-negative long (conv parses hex)
+      val th = transform(toks, tk =>
+        conv(substring(md5(tk), 18, 15), 16, 10).cast("long"))
       val bitSums: Seq[Column] = (0 until 32).map { i =>
         aggregate(col("th"), lit(0L), (acc, h) =>
           acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
@@ -250,20 +308,19 @@ object LlmPipeline {
     // hyperplanes → 256 buckets; neighbor search only touches the probe's
     // bucket. Bucket assignment is a narrow expression; the search is a
     // broadcast join against one bucket — at 100 TB candidates shrink by
-    // ~256× vs brute force. Rows-only (hyperplanes are xxhash64-seeded).
-    QueryDef.rowsOnly("q47_ann_lsh_buckets") { (s, dir) =>
-      // hyperplane j, coordinate i → deterministic ±1 from xxhash64(j*64+i)
-      def planeSum(j: Int): Column =
-        aggregate(
-          zip_with(col("v"), sequence(lit(0), lit(63)), (x, i) =>
-            x * when(xxhash64((lit(j * 64) + i).cast("long"))
-              .bitwiseAND(lit(1L)) === 0L, lit(1.0)).otherwise(lit(-1.0))),
-          lit(0.0), (acc, x) => acc + x)
-      val bucket = (0 until 8).map(j =>
-        when(planeSum(j) > 0, lit(1 << j)).otherwise(lit(0)))
-        .reduce((a, b) => a + b)
+    // ~256× vs brute force. The md5-derived sign matrix is embedded as
+    // literals in both plans → full hash-equality oracle.
+    QueryDef.sql(
+      "q47_ann_lsh_buckets",
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, ${bucketSqlExpr(8)} AS bucket FROM e)
+         |SELECT bucket, count(*) AS n, min(vec_id) AS min_id
+         |FROM b GROUP BY bucket ORDER BY bucket ASC""".stripMargin) { (s, dir) =>
       embD(s, dir)
-        .select(col("vec_id"), bucket.as("bucket"))
+        .select(col("vec_id"),
+          graft.functions.VectorSearch.signBucket(col("v"), 8, 64).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"),
           min(col("vec_id")).as("min_id"))
         .orderBy(col("bucket").asc)
@@ -273,8 +330,29 @@ object LlmPipeline {
     // LSH-bucketed top-k search (the production ANN path): probes scan
     // only their own bucket + Hamming-1 neighbours (~12% of the corpus at
     // 6 planes) instead of everything. Recall vs brute force is asserted
-    // in VectorSearchSpec.
-    QueryDef.rowsOnly("q52_ann_lsh_search") { (s, dir) =>
+    // in VectorSearchSpec; the oracle reproduces buckets, multi-probe
+    // candidate sets, and the final ranking exactly.
+    QueryDef.sql(
+      "q52_ann_lsh_search", {
+        val masks = graft.functions.VectorSearch.probeMasks(6, 2)
+          .map(m => s"xor(bucket, $m)").mkString(", ")
+        s"""WITH e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |b AS (SELECT vec_id, v, ${bucketSqlExpr(6)} AS bucket FROM e),
+           |p AS (SELECT vec_id AS pid, v AS pv,
+           |    unnest([$masks]) AS bucket
+           |  FROM b WHERE vec_id < 5),
+           |cand AS (SELECT p.pid, e.vec_id,
+           |    round(list_cosine_similarity(e.v, p.pv), 4) AS cosine
+           |  FROM b e JOIN p ON e.bucket = p.bucket AND e.vec_id <> p.pid),
+           |ranked AS (SELECT pid, vec_id, cosine,
+           |    row_number() OVER (PARTITION BY pid
+           |      ORDER BY cosine DESC, vec_id ASC) AS rnk
+           |  FROM cand)
+           |SELECT pid, rnk, vec_id, cosine FROM ranked WHERE rnk <= 3
+           |ORDER BY pid ASC, rnk ASC""".stripMargin
+      }) { (s, dir) =>
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       graft.functions.VectorSearch
         .lshTopK(e, e.filter(col("vec_id") < 5), k = 3)
@@ -341,15 +419,23 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
-    // Winnowing-style document fingerprints (k smallest window hashes).
-    // xxhash64-based → rows-only; determinism is unit-tested instead.
-    QueryDef.rowsOnly("q50_fingerprint") { (s, dir) =>
+    // Winnowing-style document fingerprints: the 8 lexicographically
+    // smallest md5 window digests, joined to one scalar string — both
+    // engines derive the identical value (full oracle).
+    QueryDef.sql(
+      "q50_fingerprint",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 50),
+        |g AS (SELECT doc_id,
+        |    list_transform(generate_series(0, greatest(len(toks) - 3, 0)),
+        |      i -> md5(array_to_string(toks[i+1:i+3], ' '))) AS grams
+        |  FROM t)
+        |SELECT doc_id, array_to_string(list_sort(grams)[1:8], ',') AS fp
+        |FROM g ORDER BY doc_id ASC""".stripMargin) { (s, dir) =>
       docs(s, dir).filter(col("doc_id") < 50)
         .select(col("doc_id"),
-          // serialized to a scalar string: the oracle harness cannot
-          // sort/hash array cells
-          array_join(transform(TF.fingerprint(col("text")),
-            _.cast("string")), ",").as("fp"))
+          array_join(TF.fingerprint(col("text")), ",").as("fp"))
         .orderBy(col("doc_id").asc)
     },
 

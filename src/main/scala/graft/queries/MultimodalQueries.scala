@@ -40,9 +40,26 @@ object MultimodalQueries {
     },
 
     // ------------------------------------------------------------------
-    // Image resize: 8x8 -> 4x4 nearest neighbour, then re-extract features
-    // (rows-only: the resized bytes are engine-internal).
-    QueryDef.rowsOnly("q91_multimodal_resize") { (s, dir) =>
+    // Image resize: 8x8 -> 4x4 nearest neighbour, then re-extract features.
+    // The engine runs the REAL pipeline (encode → decode → NN resize →
+    // re-encode → decode → features); the oracle recomputes the same pixels
+    // directly from the quantized embedding: resized(x, y) = p[2x + 16y].
+    QueryDef.sql(
+      "q91_multimodal_resize",
+      """WITH px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |  FROM embeddings),
+        |r AS (SELECT vec_id,
+        |    list_transform(generate_series(0, 15),
+        |      k -> p[2 * (k % 4) + 16 * (k // 4) + 1]) AS rp
+        |  FROM px)
+        |SELECT vec_id AS id,
+        |  CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+        |  round(CAST(list_reduce(rp, (a, b) -> a + b) AS DOUBLE) / len(rp), 4)
+        |    AS mean_intensity
+        |FROM r ORDER BY id ASC LIMIT 100""".stripMargin) { (s, dir) =>
       val media = Multimodal.embeddingsAsImages(Tables.load(s, dir, "embeddings"))
       val resized = Multimodal.resizeImages(media, 4, 4)
       Multimodal.imageFeatures(resized).toDF()
@@ -54,8 +71,27 @@ object MultimodalQueries {
 
     // ------------------------------------------------------------------
     // Audio (stub decode) + video frame sampling (stub decode) over
-    // document payloads treated as opaque media bytes.
-    QueryDef.rowsOnly("q92_multimodal_audio_frames") { (s, dir) =>
+    // document payloads treated as opaque media bytes. The stub interprets
+    // UTF-8 bytes as signed 8-bit PCM — the oracle rebuilds the byte view
+    // from hex(encode(text)), so even the stub path is hash-checked: RMS
+    // over signed bytes and ceil((len/64)/2) sampled frames.
+    QueryDef.sql(
+      "q92_multimodal_audio_frames",
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, n,
+        |    list_transform(generate_series(1, n),
+        |      i -> CASE WHEN ('0x' || substr(hx, 2*i - 1, 2))::INTEGER > 127
+        |        THEN ('0x' || substr(hx, 2*i - 1, 2))::INTEGER - 256
+        |        ELSE ('0x' || substr(hx, 2*i - 1, 2))::INTEGER END) AS sb
+        |  FROM b)
+        |SELECT doc_id AS id, CAST(n AS INTEGER) AS n_samples,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE
+        |    sqrt(list_reduce(list_transform(sb, v -> CAST(v AS DOUBLE) * v),
+        |      (a, c) -> a + c) / n) END, 4) AS rms,
+        |  CAST((n // 64 + 1) // 2 AS BIGINT) AS n_frames
+        |FROM s ORDER BY id ASC LIMIT 200""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = Tables.load(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))

@@ -66,9 +66,9 @@ class VectorSearchSpec extends SparkSpec {
       VectorSearch.signBucket(col("embedding"), 6, 64))
       .select("bucket").collect().map(_.getInt(0))
     val total = emb.count().toDouble
+    val masks = VectorSearch.probeMasks(6, 2)
     val avgCand = probeBuckets.map { b =>
-      (0 until 6).map(j => sizes.getOrElse(b ^ (1 << j), 0L)).sum +
-        sizes.getOrElse(b, 0L)
+      masks.map(m => sizes.getOrElse(b ^ m, 0L)).sum
     }.sum.toDouble / probeBuckets.length
     info(f"avg candidates = $avgCand%.0f of $total%.0f (${avgCand / total * 100}%.1f%%)")
     assert(avgCand / total < 0.5, "LSH must scan well under half the corpus")
