@@ -29,6 +29,26 @@ object LlmPipeline {
   private def embD(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"), VF.toDoubles(col("embedding")).as("v"))
 
+  /** Minhash permutation family h_j(x) = (a_j·x + b_j) mod p over the
+    * md5-derived 60-bit base hash reduced mod p. Fixed large primes keep
+    * the family deterministic and identical in both engines; any a ≠ 0
+    * mod prime p is a bijection of Z_p, so each h_j is a valid
+    * permutation for min-wise hashing.
+    */
+  private object MinhashParams {
+    val p: Long = 2147483647L // 2^31 - 1 (prime); a·h + b stays < 2^62
+    private val as = Array(
+      1299709L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L,
+      104395301L, 122949823L, 141650939L, 160481183L, 179424673L,
+      198491317L, 217645177L, 236887691L, 256203161L, 275604541L)
+    private val bs = Array(
+      104729L, 224737L, 350377L, 479909L, 611953L, 746773L, 882377L,
+      1020379L, 1159523L, 1299709L, 1441859L, 1583539L, 1727239L,
+      1870667L, 2015177L, 2160553L)
+    def a(j: Int): Long = as(j)
+    def b(j: Int): Long = bs(j)
+  }
+
   /** DuckDB expression computing the q47/q52 sign-projection bucket of a
     * 64-dim ARRAY<DOUBLE> column `v`, with the same md5-derived literal
     * hyperplanes as VectorSearch.signBucket. Sequential left-fold sum →
@@ -94,13 +114,16 @@ object LlmPipeline {
     // MinHash + LSH near-dup candidates: word-3-shingles → 16 minhash
     // signatures → 4 bands of 4 → bucket join. The only shuffle is the
     // groupBy on (band, band_hash): candidate generation is O(n·bands),
-    // never O(n²) — the 100 TB dedup path. Minhashes are lexicographic
-    // minima of seeded md5 hex digests, which DuckDB recomputes
-    // identically — a full hash-equality oracle, not rows-only.
+    // never O(n²) — the 100 TB dedup path. ONE md5 per shingle yields a
+    // 60-bit base hash; the 16 signature functions are affine permutations
+    // (a_j·h + b_j) mod p of that base — integer arithmetic both engines
+    // reproduce exactly → full hash-equality oracle at 1/16th the digest
+    // cost of seeded-md5-per-signature.
     QueryDef.sql(
       "q42_dedup_minhash_lsh", {
         val sigSelects = (0 until 16)
-          .map(j => s"min(md5('$j ' || sh)) AS s$j").mkString(", ")
+          .map(j => s"min((${MinhashParams.a(j)} * h + ${MinhashParams.b(j)}) " +
+            s"% ${MinhashParams.p}) AS s$j").mkString(", ")
         val bandSelects = (0 until 4).map { b =>
           val cols = (0 until 4).map(i => s"s${b * 4 + i}").mkString(", ")
           s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bh FROM sig"
@@ -108,10 +131,13 @@ object LlmPipeline {
         s"""WITH t AS (SELECT doc_id,
            |    string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS toks
            |  FROM documents),
-           |ex AS (SELECT doc_id,
+           |ex0 AS (SELECT doc_id,
            |    unnest(list_transform(generate_series(0, greatest(len(toks) - 3, 0)),
            |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
            |  FROM t),
+           |ex AS (SELECT doc_id,
+           |    ('0x' || substr(md5(sh), 18, 15))::BIGINT % ${MinhashParams.p} AS h
+           |  FROM ex0),
            |sig AS (SELECT doc_id, $sigSelects FROM ex GROUP BY doc_id),
            |bands AS ($bandSelects)
            |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -119,11 +145,11 @@ object LlmPipeline {
            |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
            |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
       }) { (s, dir) =>
-      // Explode to one row per (doc, shingle), hash with 16 seeds as plain
-      // codegen'd md5 columns, then groupBy(doc_id).min — partial
-      // (map-side) min aggregation means the shuffle carries 16 digests per
-      // doc per partition. This is the formulation that holds at 100 TB;
-      // per-row interpreted lambda loops do not.
+      // Explode to one row per (doc, shingle), md5 ONCE, then 16 affine
+      // permutations as codegen'd integer columns; groupBy(doc_id).min —
+      // partial (map-side) min aggregation means the shuffle carries 16
+      // longs per doc per partition. This is the formulation that holds at
+      // 100 TB; per-row interpreted lambda loops do not.
       val toks = TF.tokens(TF.normalizeText(col("text")))
       // element_at lookups instead of slice() copies: ~3x cheaper shingle
       // construction in the interpreted higher-order path
@@ -134,15 +160,19 @@ object LlmPipeline {
       val exploded = docs(s, dir)
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), explode(shingles).as("sh"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("sh")), 18, 15), 16, 10).cast("long")
+            % MinhashParams.p).as("h"))
       val sigCols = (0 until 16).map(j =>
-        min(md5(concat(lit(s"$j "), col("sh")))).as(s"s$j"))
+        min((col("h") * MinhashParams.a(j) + MinhashParams.b(j))
+          % MinhashParams.p).as(s"s$j"))
       val sigs = exploded
         .groupBy(col("doc_id"))
         .agg(sigCols.head, sigCols.tail: _*)
       val bands = (0 until 4).map(b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|",
-            (0 until 4).map(i => col(s"s${b * 4 + i}")): _*)).as("bh")))
+            (0 until 4).map(i => col(s"s${b * 4 + i}").cast("string")): _*)).as("bh")))
       val withSig = sigs
         .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
