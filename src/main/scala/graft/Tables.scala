@@ -27,6 +27,17 @@ object Tables {
     else df
   }
 
+  /** Spread a small single-split input across all cores before a
+    * compute-bound narrow stage (per-row digests, dot products, codecs).
+    * The local testdata is one parquet row group per table, so without
+    * this those stages pin to ONE task; on a real multi-TB table the scan
+    * itself supplies thousands of splits and this round-robin exchange is
+    * a rounding error next to the stage it feeds — it moves each input
+    * row once, before the expensive expressions run on it.
+    */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
   /** Register all tables as temp views (for spark.sql-style queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -157,7 +157,7 @@ object LlmPipeline {
         sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
         i => concat_ws(" ", try_element_at(col("toks"), i + 1),
           try_element_at(col("toks"), i + 2), try_element_at(col("toks"), i + 3)))
-      val exploded = docs(s, dir)
+      val exploded = Tables.spread(s, docs(s, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), explode(shingles).as("sh"))
         .select(col("doc_id"),
@@ -223,7 +223,7 @@ object LlmPipeline {
           acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
             .otherwise(lit(-1L)))
       }
-      val base = docs(s, dir).filter(col("doc_id") < 200)
+      val base = Tables.spread(s, docs(s, dir).filter(col("doc_id") < 200))
         .select(col("doc_id"), th.as("th"))
       val sim = bitSums.zipWithIndex.map { case (b, i) =>
         when(b > 0, lit(1L << i)).otherwise(lit(0L))
@@ -285,8 +285,10 @@ object LlmPipeline {
       // norm evaluations): the per-pair cost inside the nested-loop join is
       // one tight primitive loop, so the scan is compute-bound.
       val e = emb(s, dir)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        NE.vectorL2Norm(col("embedding")).as("na"))
+      // spread the STREAM side: the n² dot-product loop parallelizes across
+      // all cores instead of inheriting the scan's single local split
+      val a = Tables.spread(s, e).select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), NE.vectorL2Norm(col("embedding")).as("na"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
         NE.vectorL2Norm(col("embedding")).as("nb"))
       a.crossJoin(broadcast(b))
@@ -442,7 +444,7 @@ object LlmPipeline {
         |SELECT CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS pred,
         |  count(*) AS n
         |FROM s GROUP BY pred ORDER BY pred ASC""".stripMargin) { (s, dir) =>
-      docs(s, dir)
+      Tables.spread(s, docs(s, dir))
         .select(TF.languageId(col("text")).as("pred"))
         .groupBy(col("pred")).agg(count(lit(1)).as("n"))
         .orderBy(col("pred").asc)

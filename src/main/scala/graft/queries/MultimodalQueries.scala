@@ -30,7 +30,10 @@ object MultimodalQueries {
         |  CAST(list_aggregate(p, 'min') AS INTEGER) AS min_intensity,
         |  CAST(list_aggregate(p, 'max') AS INTEGER) AS max_intensity
         |FROM px ORDER BY id ASC LIMIT 100""".stripMargin) { (s, dir) =>
-      val media = Multimodal.embeddingsAsImages(Tables.load(s, dir, "embeddings"))
+      // spread: the per-row TIFF encode/decode work must not inherit the
+      // local single-split scan (one task); at scale the scan is split-rich
+      val media = Multimodal.embeddingsAsImages(
+        Tables.spread(s, Tables.load(s, dir, "embeddings")))
       Multimodal.imageFeatures(media).toDF()
         .select(col("id"), col("width"), col("height"),
           round(col("mean_intensity"), 4).as("mean_intensity"),
@@ -60,7 +63,8 @@ object MultimodalQueries {
         |  round(CAST(list_reduce(rp, (a, b) -> a + b) AS DOUBLE) / len(rp), 4)
         |    AS mean_intensity
         |FROM r ORDER BY id ASC LIMIT 100""".stripMargin) { (s, dir) =>
-      val media = Multimodal.embeddingsAsImages(Tables.load(s, dir, "embeddings"))
+      val media = Multimodal.embeddingsAsImages(
+        Tables.spread(s, Tables.load(s, dir, "embeddings")))
       val resized = Multimodal.resizeImages(media, 4, 4)
       Multimodal.imageFeatures(resized).toDF()
         .select(col("id"), col("width"), col("height"),
@@ -93,7 +97,7 @@ object MultimodalQueries {
         |  CAST((n // 64 + 1) // 2 AS BIGINT) AS n_frames
         |FROM s ORDER BY id ASC LIMIT 200""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val media = Tables.load(s, dir, "documents")
+      val media = Tables.spread(s, Tables.load(s, dir, "documents"))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
         .as[(Long, Array[Byte])]
         .map { case (id, b) => Multimodal.MediaRow(id, "audio/pcm-stub", b) }
