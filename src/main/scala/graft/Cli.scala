@@ -22,6 +22,7 @@ object Cli {
     val builder = SparkSession.builder()
       .appName("graft-cli")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     // spark-submit injects spark.master; default to local[*] elsewhere
     if (!sys.props.contains("spark.master") && !sys.env.contains("MASTER"))
       builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]")

@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: registers the native codegen
   * expressions as SQL functions so `spark.sql("SELECT vector_dot(a, b)")`
-  * works anywhere (pure SQL users, thrift server, notebooks).
+  * works anywhere (pure SQL users, thrift server, notebooks), and the
+  * N5 box-pruning analyzer rule (element-coordinate range predicates →
+  * block-grid pruning in the DSv2 scan).
   *
   * Usage: `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`.
@@ -22,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vector_l2_norm"),
       new ExpressionInfo(classOf[VectorL2Norm].getName, "vector_l2_norm"),
       GraftExtensions.normBuilder))
+    ext.injectPostHocResolutionRule(s => graft.plans.N5BoxPruning(s))
   }
 }
 

@@ -34,16 +34,25 @@ object N5 {
     * integer index math — only queries that genuinely need per-voxel rows
     * pay for the explosion (SURVEY §1.4). Flat index is x-fastest within
     * the local (trimmed) block shape.
+    *
+    * The coordinate columns carry axis metadata so the
+    * [[graft.plans.N5BoxPruning]] analyzer rule can convert range
+    * predicates on x/y/z into gx/gy/gz block-grid predicates that the DSv2
+    * scan prunes on — an ad-hoc `elements(...).filter(x between a and b)`
+    * then reads only intersecting block FILES, like `readBox`.
     */
-  def elements(blocks: DataFrame): DataFrame =
+  def elements(blocks: DataFrame): DataFrame = {
+    def axisMeta(i: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(graft.plans.N5BoxPruning.AxisKey, i.toLong).build()
     blocks
       .select(col("x0"), col("y0"), col("z0"), col("shape"),
         posexplode(col("data")).as(Seq("i", "v")))
       .select(
-        expr("x0 + i % shape[0]").as("x"),
-        expr("y0 + (i div shape[0]) % shape[1]").as("y"),
-        expr("z0 + i div (shape[0] * shape[1])").as("z"),
+        expr("x0 + i % shape[0]").as("x", axisMeta(0)),
+        expr("y0 + (i div shape[0]) % shape[1]").as("y", axisMeta(1)),
+        expr("z0 + i div (shape[0] * shape[1])").as("z", axisMeta(2)),
         col("v"))
+  }
 
   /** Ranged box scan [start, end) — reference `read_n5_block`
     * (`n5_utils.py:6-18`). Grid predicates prune block FILES via the DSv2

@@ -98,6 +98,12 @@ class N5Table(options: CaseInsensitiveStringMap, tableSchema: StructType)
   private def root: String = options.get("path")
   private def dataset: String = options.getOrDefault("dataset", "")
 
+  /** Dataset attributes for planner-side rules (None for write-only tables
+    * whose attributes.json does not exist yet).
+    */
+  private[graft] lazy val readAttributes: Option[DatasetAttributes] =
+    scala.util.Try(N5Meta.datasetAttributes(root, dataset)).toOption
+
   override def name(): String = s"n5:`$root`/$dataset"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
