@@ -5,10 +5,15 @@ import graft.n5.{Multiscale, N5, N5Meta}
 import org.apache.spark.sql.functions._
 
 /** N5 array-engine checks over the reference's golden fixture
-  * (`/root/reference/data/test.n5`). These are rows-only entries for the
-  * driver (DuckDB cannot read N5); the hard numeric assertions — block
-  * checksums, per-voxel round-trip equality, windowed-mean equivalence —
-  * live in the graft.n5 test suites against independently computed values.
+  * (`/root/reference/data/test.n5`). DuckDB cannot read N5, but the fixture
+  * is static, so q80-q84 declare their oracles as GOLDEN CONSTANTS — the
+  * same values the graft.n5 test suites derive independently (raw gzip
+  * block decode in BlockCodecSpec/N5SourceSpec, independent windowed-mean
+  * equivalence in RoundTripSpec) — turning the driver's rows-only check
+  * into a full hash-equality check against frozen expected output. q85
+  * synthesizes its volume from a closed-form expression, so its oracle is
+  * COMPUTED in DuckDB end-to-end (generate_series → windowed mean), no
+  * constants involved.
   */
 object N5Queries {
 
@@ -28,7 +33,19 @@ object N5Queries {
   val defs: Seq[QueryDef] = Seq(
 
     // Block-table scan (R1 surface): per-block shape + checksum.
-    QueryDef.rowsOnly("q80_n5_block_scan") { (s, _) =>
+    QueryDef.sql(
+      "q80_n5_block_scan",
+      """SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
+        |  CAST(gz AS INTEGER) AS gz, CAST(sx AS INTEGER) AS sx,
+        |  CAST(sy AS INTEGER) AS sy, CAST(sz AS INTEGER) AS sz,
+        |  CAST(n AS INTEGER) AS n, CAST(checksum AS BIGINT) AS checksum
+        |FROM (VALUES
+        |  (0, 0, 0, 128, 128, 27, 442368, 18077459),
+        |  (0, 1, 0, 128,  98, 27, 338688, 13598034),
+        |  (1, 0, 0,  58, 128, 27, 200448,  5266225),
+        |  (1, 1, 0,  58,  98, 27, 153468,  3843199))
+        |  t(gx, gy, gz, sx, sy, sz, n, checksum)
+        |ORDER BY gx, gy, gz""".stripMargin) { (s, _) =>
       N5.read(s, fixtureRoot, fixtureDs)
         .select(col("gx"), col("gy"), col("gz"),
           // shape flattened to scalars: the oracle harness cannot
@@ -42,14 +59,20 @@ object N5Queries {
     },
 
     // Element view stats (UDTF/generator row: 3-D unravel of block payloads).
-    QueryDef.rowsOnly("q81_n5_element_stats") { (s, _) =>
+    QueryDef.sql(
+      "q81_n5_element_stats",
+      """SELECT CAST(1134972 AS BIGINT) AS n, CAST(40784917 AS BIGINT) AS total,
+        |  CAST(0 AS SMALLINT) AS mn, CAST(255 AS SMALLINT) AS mx""".stripMargin) { (s, _) =>
       N5.elements(N5.read(s, fixtureRoot, fixtureDs))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
           min(col("v")).as("mn"), max(col("v")).as("mx"))
     },
 
     // Ranged box scan with grid pruning (R1, read_n5_block semantics).
-    QueryDef.rowsOnly("q82_n5_readbox") { (s, _) =>
+    QueryDef.sql(
+      "q82_n5_readbox",
+      """SELECT CAST(64000 AS BIGINT) AS n, CAST(3656865 AS BIGINT) AS total,
+        |  CAST(100 AS BIGINT) AS x_min, CAST(149 AS BIGINT) AS x_max""".stripMargin) { (s, _) =>
       N5.readBox(s, fixtureRoot, fixtureDs,
         Array(100L, 100L, 0L), Array(150L, 180L, 16L))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
@@ -58,7 +81,11 @@ object N5Queries {
 
     // Write path + round trip (R2/R4 surface): rechunk to 64^3 gzip and
     // verify voxel-sum equality inside the query output.
-    QueryDef.rowsOnly("q83_n5_roundtrip") { (s, _) =>
+    QueryDef.sql(
+      "q83_n5_roundtrip",
+      """SELECT CAST(1134972 AS BIGINT) AS orig_n, CAST(1134972 AS BIGINT) AS rt_n,
+        |  CAST(40784917 AS BIGINT) AS orig_sum, CAST(40784917 AS BIGINT) AS rt_sum,
+        |  CAST(1 AS INTEGER) AS ok""".stripMargin) { (s, _) =>
       val out = tmpRoot("rt")
       N5.rechunk(s, fixtureRoot, fixtureDs, out, "vol/s0", Array(64, 64, 64))
       val orig = N5.elements(N5.read(s, fixtureRoot, fixtureDs))
@@ -71,8 +98,13 @@ object N5Queries {
             && col("orig_n") === col("rt_n")).cast("int").as("ok"))
     },
 
-    // Multiscale pyramid (R9): s1 windowed mean, trim boundary.
-    QueryDef.rowsOnly("q84_n5_multiscale") { (s, _) =>
+    // Multiscale pyramid (R9): s1 windowed mean, trim boundary. Golden
+    // total independently confirmed by RoundTripSpec's element-groupBy
+    // mean equivalence on the same fixture.
+    QueryDef.sql(
+      "q84_n5_multiscale",
+      """SELECT CAST(136617 AS BIGINT) AS n, CAST(4950560 AS BIGINT) AS total,
+        |  '93x113x13' AS dims""".stripMargin) { (s, _) =>
       val out = tmpRoot("ms")
       N5.rechunk(s, fixtureRoot, fixtureDs, out, "vol/s0", Array(128, 128, 128))
       val attrs = Multiscale.downsampleLevel(s, out, "vol", 1, Array(2, 2, 2))
@@ -85,7 +117,19 @@ object N5Queries {
     // write 64^3 blocks, fragment-rechunk to 96^3, derive one multiscale
     // level — the full volume dataflow at a size where per-block work, the
     // fragment shuffle, and the reduction all register in the bench.
-    QueryDef.rowsOnly("q85_n5_bulk_pipeline") { (s, _) =>
+    QueryDef.sql(
+      "q85_n5_bulk_pipeline",
+      """WITH e AS (
+        |  SELECT i % 256 AS x, (i // 256) % 256 AS y, i // 65536 AS z,
+        |         ((i % 256) * 7 + ((i // 256) % 256) * 13 + (i // 65536) * 29) % 256 AS v
+        |  FROM (SELECT unnest(generate_series(0, 4194303)) AS i)
+        |),
+        |s0 AS (SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(v) AS BIGINT) AS sum0 FROM e),
+        |s1c AS (SELECT x // 2 AS xx, y // 2 AS yy, z // 2 AS zz,
+        |          CAST(floor(avg(v)) AS BIGINT) AS m
+        |        FROM e GROUP BY xx, yy, zz),
+        |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n1, CAST(sum(m) AS BIGINT) AS sum1 FROM s1c)
+        |SELECT s0.n0, s0.sum0, s1.n1, s1.sum1 FROM s0, s1""".stripMargin) { (s, _) =>
       import graft.n5.{Compression, DatasetAttributes, Dtype}
       val out = tmpRoot("bulk")
       val dims = Array(256L, 256L, 64L)
