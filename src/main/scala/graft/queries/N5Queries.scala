@@ -79,6 +79,20 @@ object N5Queries {
           min(col("x")).as("x_min"), max(col("x")).as("x_max"))
     },
 
+    // Ad-hoc element-view box filter — no readBox, no manual grid math:
+    // the N5BoxPruning analyzer rule (GraftExtensions) converts the x/y/z
+    // range conjuncts to gx/gy/gz bounds and the DSv2 scan prunes to the
+    // single intersecting block file (fixture block (0,1,0)) before I/O.
+    QueryDef.sql(
+      "q86_n5_pruned_box",
+      """SELECT CAST(153600 AS BIGINT) AS n, CAST(5698252 AS BIGINT) AS total,
+        |  CAST(130 AS BIGINT) AS y_min, CAST(15 AS BIGINT) AS z_max""".stripMargin) { (s, _) =>
+      N5.elements(N5.read(s, fixtureRoot, fixtureDs))
+        .filter(col("x") < 100 && col("y") >= 130 && col("z") < 16)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
+          min(col("y")).as("y_min"), max(col("z")).as("z_max"))
+    },
+
     // Write path + round trip (R2/R4 surface): rechunk to 64^3 gzip and
     // verify voxel-sum equality inside the query output.
     QueryDef.sql(
