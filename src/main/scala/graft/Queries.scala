@@ -12,6 +12,7 @@ object Queries {
   def all: Seq[QueryDef] =
     CoreRelational.defs ++
       graft.queries.LlmPipeline.defs ++
+      graft.queries.TrainingPipeline.defs ++
       graft.queries.AggExtras.defs ++
       graft.queries.N5Queries.defs ++
       graft.queries.StreamingQueries.defs ++

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators every large-scale training-data pipeline
+  * runs downstream of dedup/quality filtering: deterministic sampling,
+  * train/val/test splitting, sequence packing, and TF-IDF term scoring.
+  *
+  * Scale discipline: sampling and splitting are pure narrow filters on a
+  * content-stable hash (no rand(), no global state — reproducible across
+  * engines, partitionings and reruns, and a re-run on a grown corpus keeps
+  * prior assignments). Packing is one window pass partitioned by source;
+  * TF-IDF is two hash aggregations and a shuffle join on term — all
+  * formulations whose shuffle volume is the data reduction itself.
+  */
+object TrainingPipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Deterministic bucket in [0, 10): first 8 md5 hex chars of the key as
+    * an integer, mod 10. Identical arithmetic in DuckDB.
+    */
+  private def hashBucket(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 10
+
+  private val bucketSql =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Stratified deterministic ~10% sample: keep bucket 0. Hash-based, so
+    // the sample is reproducible and consistent across reruns/engines —
+    // the rand()-free sampling a training pipeline needs for lineage.
+    QueryDef.sql(
+      "q55_sample_stratified",
+      s"""SELECT source, count(*) AS n_sampled,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM documents
+         |WHERE $bucketSql = 0
+         |GROUP BY source ORDER BY source ASC""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .filter(hashBucket(col("doc_id")) === 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("source").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Deterministic 80/10/10 train/val/test split on the same hash family.
+    // A document's split never changes when the corpus grows — the
+    // property that keeps eval sets uncontaminated across pipeline runs.
+    QueryDef.sql(
+      "q56_train_split",
+      s"""WITH b AS (SELECT source, n_chars, $bucketSql AS bk FROM documents)
+         |SELECT CASE WHEN bk < 8 THEN 'train' WHEN bk = 8 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM b GROUP BY split ORDER BY split ASC""".stripMargin) { (s, dir) =>
+      val bk = hashBucket(col("doc_id"))
+      docs(s, dir)
+        .withColumn("split",
+          when(bk < 8, "train").when(bk === 8, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("split").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Sequence packing: assign documents (in stable doc_id order, per
+    // source) to contiguous 4096-token bins via a running token sum —
+    // the standard pre-tokenization packing pass. One window per source
+    // partition; at 100 TB the partition key spreads sources across the
+    // cluster and no global sort is needed.
+    QueryDef.sql(
+      "q57_sequence_packing",
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok,
+        |    sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |b AS (SELECT source, (cum - tok) // 4096 AS bin,
+        |    CAST(sum(tok) AS BIGINT) AS bin_tokens
+        |  FROM c GROUP BY source, bin)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+        |  round(avg(bin_tokens), 4) AS avg_bin_tokens
+        |FROM b GROUP BY source ORDER BY source ASC""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          TF.tokenCount(col("text")).as("tok"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .select(col("source"), col("tok"),
+          expr("(cum - tok) div 4096").as("bin"))
+        .groupBy(col("source"), col("bin"))
+        .agg(sum(col("tok")).as("bin_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bins"),
+          max(col("bin_tokens")).as("max_bin_tokens"),
+          round(avg(col("bin_tokens")), 4).as("avg_bin_tokens"))
+        .orderBy(col("source").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // TF-IDF top-5 terms for probe documents. Term frequencies and
+    // document frequencies are both map-side-combined hash aggs; the
+    // tf⨝df join shuffles on the term — vocabulary-sized, not corpus-
+    // sized. Probe restriction pushes below the join.
+    QueryDef.sql(
+      "q58_tfidf_topk",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf
+        |  FROM toks WHERE length(tok) > 0 GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.tok,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+        |  WHERE tf.doc_id < 5),
+        |ranked AS (SELECT doc_id, tok, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, tok ASC) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, tok, tfidf
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY doc_id ASC, rnk ASC""".stripMargin) { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          explode(TF.tokens(lower(trim(col("text"))))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = broadcast(docs(s, dir).agg(count(lit(1)).as("n")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("tok").asc)
+      tf.filter(col("doc_id") < 5)
+        .join(dfreq, "tok")
+        .crossJoin(n)
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 4)
+            .as("tfidf"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("rnk"), col("tok"), col("tfidf"))
+        .orderBy(col("doc_id").asc, col("rnk").asc)
+    }
+  )
+}
