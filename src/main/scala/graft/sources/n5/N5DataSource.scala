@@ -305,7 +305,7 @@ class N5BlockReader(
     val g = part.grids(i)
     val blockPath = new HPath(part.root, s"${part.dataset}/${g.mkString("/")}")
     val shape: Array[Int] = attrs.blockShape(g)
-    val dataArr: GenericArrayData =
+    val dataArr: org.apache.spark.sql.catalyst.util.ArrayData =
       if (needsData) {
         val in = fs.open(blockPath)
         val raw =
@@ -329,25 +329,35 @@ class N5BlockReader(
     true
   }
 
-  private def toSparkArray(dec: DecodedBlock): GenericArrayData = {
+  /** Payload → Spark array without per-element boxing:
+    * UnsafeArrayData.fromPrimitiveArray stores the elements contiguously,
+    * so a 16M-voxel block costs one primitive-array copy instead of 16M
+    * boxed objects (this path dominates every element-view read).
+    */
+  private def toSparkArray(dec: DecodedBlock): org.apache.spark.sql.catalyst.expressions.UnsafeArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
     val n = dec.numElements
     attrs.dataType match {
-      case Dtype.UInt8 =>
-        new GenericArrayData(Array.tabulate(n)(i => dec.longs(i).toShort: Any))
+      case Dtype.UInt8 | Dtype.Int16 =>
+        val a = new Array[Short](n)
+        var i = 0; while (i < n) { a(i) = dec.longs(i).toShort; i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(a)
       case Dtype.Int8 =>
-        new GenericArrayData(Array.tabulate(n)(i => dec.longs(i).toByte: Any))
-      case Dtype.UInt16 =>
-        new GenericArrayData(Array.tabulate(n)(i => dec.longs(i).toInt: Any))
-      case Dtype.Int16 =>
-        new GenericArrayData(Array.tabulate(n)(i => dec.longs(i).toShort: Any))
-      case Dtype.Int32 =>
-        new GenericArrayData(Array.tabulate(n)(i => dec.longs(i).toInt: Any))
+        val a = new Array[Byte](n)
+        var i = 0; while (i < n) { a(i) = dec.longs(i).toByte; i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(a)
+      case Dtype.UInt16 | Dtype.Int32 =>
+        val a = new Array[Int](n)
+        var i = 0; while (i < n) { a(i) = dec.longs(i).toInt; i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(a)
       case Dtype.UInt32 | Dtype.UInt64 | Dtype.Int64 =>
-        new GenericArrayData(Array.tabulate(n)(i => dec.longs(i): Any))
+        UnsafeArrayData.fromPrimitiveArray(dec.longs)
       case Dtype.Float32 =>
-        new GenericArrayData(Array.tabulate(n)(i => dec.doubles(i).toFloat: Any))
+        val a = new Array[Float](n)
+        var i = 0; while (i < n) { a(i) = dec.doubles(i).toFloat; i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(a)
       case Dtype.Float64 =>
-        new GenericArrayData(Array.tabulate(n)(i => dec.doubles(i): Any))
+        UnsafeArrayData.fromPrimitiveArray(dec.doubles)
     }
   }
 
