@@ -18,14 +18,21 @@ class N5BoxPruningSpec extends SparkSpec {
 
   private def elems: DataFrame = N5.elements(N5.read(spark, root, ds))
 
+  /** N5 scans in the planned physical plan (unwrapping AQE). */
+  private def scansOf(df: DataFrame): Seq[N5Scan] = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect { case b: BatchScanExec => b.scan.asInstanceOf[N5Scan] }
+  }
+
   /** Surviving block count reported by the planned N5 scan. */
   private def scannedBlocks(df: DataFrame): Long = {
-    val scans = df.queryExecution.executedPlan.collect {
-      case b: BatchScanExec => b
-    }
+    val scans = scansOf(df)
     assert(scans.length == 1, s"expected one N5 scan, got ${scans.length}")
-    scans.head.scan.asInstanceOf[N5Scan].estimateStatistics()
-      .numRows().getAsLong
+    scans.head.estimateStatistics().numRows().getAsLong
   }
 
   test("x upper bound prunes to the gx=0 block column") {
@@ -76,5 +83,43 @@ class N5BoxPruningSpec extends SparkSpec {
   test("non-axis filters leave the scan untouched") {
     val df = elems.filter(col("v") > 200)
     assert(scannedBlocks(df) == 4)
+  }
+
+  test("renamed coordinate column still prunes (alias keeps metadata)") {
+    val df = elems.select(col("x").as("px"), col("v")).filter(col("px") < 100)
+    assert(scannedBlocks(df) == 2)
+    assert(df.count() == 100L * 226 * 27)
+  }
+
+  test("derived coordinate expressions never prune") {
+    // (x * 2) < 100 implies x < 50 but the rule must NOT reason about
+    // arbitrary arithmetic — no metadata on the derived alias, no pruning
+    val df = elems.select((col("x") * 2).as("dx"), col("v"))
+      .filter(col("dx") < 100)
+    assert(scannedBlocks(df) == 4)
+    assert(df.count() == 50L * 226 * 27)
+  }
+
+  test("filter above a two-relation join is conservatively skipped") {
+    val a = elems.select(col("x"), col("v").as("va"))
+    val b = elems.select(col("x").as("bx"), col("v").as("vb"))
+    val joined = a.join(b, col("x") === col("bx"))
+      .filter(col("x") === 0 && col("va") === col("vb"))
+    val scans = scansOf(joined)
+    assert(scans.length == 2)
+    // the filter's subtree holds two N5 relations -> no pruning on either
+    scans.foreach(s =>
+      assert(s.estimateStatistics().numRows().getAsLong == 4))
+    // x===0 matches y*z pairs from gx=0 blocks on both sides, self-equijoined
+    assert(joined.count() > 0)
+  }
+
+  test("filters applied per side before a join prune each side") {
+    val a = elems.filter(col("x") < 100).select(col("x"), col("y"), col("v").as("va"))
+    val b = elems.filter(col("x") >= 130).select(col("x").as("bx"), col("y").as("by"), col("v").as("vb"))
+    val joined = a.join(b, col("y") === col("by") && col("x") === col("bx") - 130)
+    val counts = scansOf(joined)
+      .map(_.estimateStatistics().numRows().getAsLong)
+    assert(counts.sorted == Seq(2L, 2L), s"per-side pruning missing: $counts")
   }
 }
