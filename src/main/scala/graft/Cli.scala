@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   graft.Cli tif2n5 <inDir> <outRoot> <dataset> [blockSize x,y,z] [codec]
   *   graft.Cli n52tif <root> <dataset> <outDir> [prefix]
+  *   graft.Cli n52tif-box <root> <dataset> <out.tif> <x0,y0,z0> <x1,y1,z1> [bits]
+  *   graft.Cli ometif2n5 <in.tif> <outRoot> <dataset> <nChannels> [pageOrder] [blockSize] [codec]
   *   graft.Cli rechunk <srcRoot> <srcDs> <dstRoot> <dstDs> <bx,by,bz>
   *   graft.Cli multiscale <root> <group> [fx,fy,fz] [maxLevels]
   *   graft.Cli create <templateRoot> <templateDs> <outRoot> <outDs> [codec] [dtype]
@@ -53,6 +55,23 @@ object Cli {
       val n = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
       val levels = Multiscale.buildPyramid(spark, root, group, f, n)
       println(s"built ${levels.length} levels under $root/$group")
+    // single-box export (reference n5_to_tif block dispatch,
+    // `n5_to_tif.py:81-86`): start/end are x,y,z CSV, end exclusive
+    case "n52tif-box" :: root :: ds :: out :: st :: en :: rest =>
+      val bits = rest.headOption.map(_.toInt).getOrElse(0)
+      TiffVolume.exportBox(spark, root, ds, out,
+        st.split(",").map(_.trim.toLong), en.split(",").map(_.trim.toLong), bits)
+      println(s"exported box [$st,$en) to $out")
+    // OME-style multi-channel ingest (reference ometif_to_n5 CLI,
+    // `ometif_to_n5.py:209-293`): one dataset per channel at c{c}/<ds>
+    case "ometif2n5" :: in :: root :: ds :: nc :: rest =>
+      val order = rest.headOption.getOrElse("cz")
+      val bs = rest.drop(1).headOption.map(ints).getOrElse(Array(128, 128, 128))
+      val codec = Compression(rest.drop(2).headOption.getOrElse("gzip"))
+      val as = graft.sources.tiff.OmeTiffVolume.ingest(spark, in, root, ds,
+        nc.toInt, order, blockSize = bs, compression = codec)
+      println(s"ingested ${as.length} channels " +
+        s"(${as.head.dimensions.mkString("x")}) under $root/c*/$ds")
     case "create" :: tr :: td :: or :: od :: rest =>
       val codec = rest.headOption.filter(_ != "same").map(Compression(_))
       val dt = rest.drop(1).headOption.filter(_ != "same").map(Dtype.fromName)
@@ -61,7 +80,8 @@ object Cli {
         s"${a.compression.codec}, ${a.dimensions.mkString("x")})")
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: tif2n5 n52tif rechunk multiscale create")
+      System.err.println(
+        "commands: tif2n5 n52tif n52tif-box ometif2n5 rechunk multiscale create")
       sys.exit(2)
   }
 }

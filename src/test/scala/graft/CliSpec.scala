@@ -36,6 +36,42 @@ class CliSpec extends SparkSpec {
       s"$tmp/c.n5", "empty/s0", "raw", "uint16"))
     val c = N5Meta.datasetAttributes(s"$tmp/c.n5", "empty/s0")
     assert(c.compression.codec == "raw" && c.dataType.name == "uint16")
+
+    Cli.run(spark, List("n52tif-box", s"$tmp/b.n5", "vol/s0",
+      s"$tmp/box.tif", "100,100,0", "150,180,16"))
+    val (pages, w, h) = graft.sources.tiff.OmeTiffVolume.pageGeometry(
+      Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/box.tif")))
+    assert(pages == 16 && w == 50 && h == 80)
+  }
+
+  test("ometif2n5 dispatch ingests a 2-channel multi-page tiff") {
+    import javax.imageio.ImageIO
+    import javax.imageio.stream.FileImageOutputStream
+    val tmp = Files.createTempDirectory("cliome").toString
+    val f = new java.io.File(s"$tmp/in.tif")
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val out = new FileImageOutputStream(f)
+    writer.setOutput(out)
+    writer.prepareWriteSequence(null)
+    // page order cz: pages (c0,z0),(c0,z1),(c1,z0),(c1,z1), 8x6 gradient
+    for (c <- 0 until 2; z <- 0 until 2) {
+      val px = Array.tabulate(8 * 6)(i => (c * 50 + z * 10 + i) % 256)
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(
+        graft.sources.tiff.TiffIO.encode(8, 6, px, 8)))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); out.close()
+    Cli.run(spark, List("ometif2n5", f.getAbsolutePath, s"$tmp/o.n5", "s0",
+      "2", "cz", "8,8,8"))
+    for (c <- 0 until 2) {
+      val a = N5Meta.datasetAttributes(s"$tmp/o.n5", s"c$c/s0")
+      assert(a.dimensions.toSeq == Seq(8L, 6L, 2L))
+      val s = N5.elements(N5.read(spark, s"$tmp/o.n5", s"c$c/s0"))
+        .agg(sum(col("v"))).collect()(0).getLong(0)
+      val expected = (for (z <- 0 until 2; i <- 0 until 48)
+        yield (c * 50 + z * 10 + i) % 256).sum.toLong
+      assert(s == expected, s"channel $c voxel sum")
+    }
   }
 
   test("unsupported blosc compression fails with a clear message") {
