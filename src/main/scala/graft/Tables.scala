@@ -30,13 +30,16 @@ object Tables {
   /** Spread a small single-split input across all cores before a
     * compute-bound narrow stage (per-row digests, dot products, codecs).
     * The local testdata is one parquet row group per table, so without
-    * this those stages pin to ONE task; on a real multi-TB table the scan
-    * itself supplies thousands of splits and this round-robin exchange is
-    * a rounding error next to the stage it feeds — it moves each input
-    * row once, before the expensive expressions run on it.
+    * this those stages pin to ONE task. Conditional on the planned
+    * partition count: on a real multi-TB table the scan itself supplies
+    * thousands of splits and this is a literal no-op (no exchange in the
+    * plan at all); only an input narrower than the core count pays the
+    * one round-robin move of its rows.
     */
-  def spread(spark: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(spark.sparkContext.defaultParallelism)
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   /** Register all tables as temp views (for spark.sql-style queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
