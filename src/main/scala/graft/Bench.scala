@@ -39,7 +39,9 @@ object Bench {
       "\"" + k + "\":" + (if (err.isDefined) "-1" else f"$v%.3f")
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+      // strip quotes, backslashes and ALL control chars — any of them
+      // inside an exception message would break the JSON line
+      "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\p{Cntrl}]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

@@ -65,6 +65,7 @@ object Cli {
     // OME-style multi-channel ingest (reference ometif_to_n5 CLI,
     // `ometif_to_n5.py:209-293`): one dataset per channel at c{c}/<ds>
     case "ometif2n5" :: in :: root :: ds :: nc :: rest =>
+      require(nc.toInt > 0, s"nChannels must be positive, got $nc")
       val order = rest.headOption.getOrElse("cz")
       val bs = rest.drop(1).headOption.map(ints).getOrElse(Array(128, 128, 128))
       val codec = Compression(rest.drop(2).headOption.getOrElse("gzip"))

@@ -95,8 +95,10 @@ object TextFunctions {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** Rolling-hash document fingerprint: xxhash64 of each w-token window,
-    * keep the k smallest (a winnowing-style sketch). Deterministic. */
+  /** Rolling document fingerprint: md5 hex digest of each w-token window,
+    * keep the k lexicographically smallest (a winnowing-style sketch).
+    * Deterministic and engine-portable — the q50 oracle recomputes the
+    * identical digests in DuckDB, which a numeric xxhash64 would not allow. */
   def fingerprint(text: Column, window: Int = 3, k: Int = 8): Column = {
     val toks = tokens(normalizeText(text))
     val n = size(toks)

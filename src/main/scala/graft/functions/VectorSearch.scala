@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Brute force is the exactness baseline (one pass, TakeOrdered top-k).
   * The scale path is sign-random-projection LSH: nPlanes deterministic
-  * hyperplanes give 2^nPlanes buckets; a probe only scans its own bucket
-  * plus the nPlanes buckets at Hamming distance 1 (multi-probe), so the
-  * candidate set is ~n·(nPlanes+1)/2^nPlanes instead of n. The hyperplane
+  * hyperplanes give 2^nPlanes buckets; a probe only scans the buckets
+  * within Hamming distance `probeRadius` of its own (multi-probe), so the
+  * candidate set is ~n·Σ_{r<=probeRadius} C(nPlanes,r)/2^nPlanes instead
+  * of n (22/64 of the corpus at the nPlanes=6, radius=2 defaults — recall
+  * vs cost is tuned by radius). The hyperplane
   * sign matrix is derived from md5("plane dim") on the driver and embedded
   * in the plan as literals — the same role as a broadcast random-projection
   * matrix, and reproducible by the DuckDB oracle from the same definition.

@@ -3,7 +3,7 @@ package graft.plans
 import graft.sources.n5.N5Table
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
@@ -24,9 +24,17 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * trimming still happens element-wise above the Generate).
   *
   * Soundness limits (conservative by construction): only top-level
-  * conjuncts, only `axis cmp literal` shapes, and only when the subtree
-  * under the Filter contains exactly one N5 relation — anything else is
-  * left untouched, never mis-pruned.
+  * conjuncts, only `axis cmp literal` shapes, only when the subtree under
+  * the Filter contains exactly one N5 relation, and only when that
+  * relation is reached through pushdown-safe unary operators
+  * (Project/Filter/Generate/SubqueryAlias). The path restriction is what
+  * makes the rewrite sound: an order-sensitive operator between the
+  * filter and the scan (Window, Sort+Limit, Aggregate, Join) would
+  * observe different input under pruning, and it also guarantees the
+  * tagged coordinate column actually descends from this relation (a
+  * tagged column smuggled in from elsewhere implies a Join/Union on the
+  * path, which bails). Anything not matching is left untouched, never
+  * mis-pruned.
   */
 case class N5BoxPruning(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
@@ -42,8 +50,10 @@ case class N5BoxPruning(spark: SparkSession)
           case r: DataSourceV2Relation if r.table.isInstanceOf[N5Table] => r
         } match {
           case Seq(rel) =>
-            gridCondition(rel, bounds) match {
-              case Some(gc) if !alreadyInjected(child, rel, gc) =>
+            (gridCondition(rel, bounds), pathConjuncts(child, rel)) match {
+              case (Some(gc), Some(existing))
+                  if !splitConjunctivePredicates(gc)
+                    .forall(p => existing.exists(_.semanticEquals(p))) =>
                 Filter(cond, inject(child, rel, gc))
               case _ => f
             }
@@ -51,6 +61,26 @@ case class N5BoxPruning(spark: SparkSession)
         }
       }
   }
+
+  /** Conjuncts of every Filter on the path from `p` down to `rel`, or None
+    * when the path crosses anything other than pushdown-safe unary
+    * operators. A None both blocks unsound pruning (order-sensitive
+    * operators, foreign tagged columns via Join/Union) and the returned
+    * conjuncts are the dedup set that keeps re-analysis from stacking
+    * duplicate grid filters.
+    */
+  private def pathConjuncts(
+      p: LogicalPlan, rel: DataSourceV2Relation): Option[Seq[Expression]] =
+    p match {
+      case r: DataSourceV2Relation =>
+        if (r eq rel) Some(Nil) else None
+      case Filter(c, child) =>
+        pathConjuncts(child, rel).map(splitConjunctivePredicates(c) ++ _)
+      case pr: Project => pathConjuncts(pr.child, rel)
+      case g: Generate => pathConjuncts(g.child, rel)
+      case s: SubqueryAlias => pathConjuncts(s.child, rel)
+      case _ => None
+    }
 
   /** Per-axis inclusive [lo, hi] bounds from `axis cmp literal` conjuncts. */
   private def axisBounds(conjuncts: Seq[Expression]): Map[Int, (Option[Long], Option[Long])] = {
@@ -88,7 +118,7 @@ case class N5BoxPruning(spark: SparkSession)
     table.readAttributes.flatMap { attrs =>
       val gridNames = Array("gx", "gy", "gz")
       val preds = bounds.toSeq.sortBy(_._1).flatMap { case (axis, (lo, hi)) =>
-        if (axis >= attrs.ndim) Nil
+        if (axis < 0 || axis >= attrs.ndim || axis >= gridNames.length) Nil
         else rel.output.find(_.name == gridNames(axis)).toSeq.flatMap { g =>
           val bs = attrs.blockSize(axis).toLong
           val loPred = lo.map(l =>
@@ -104,19 +134,6 @@ case class N5BoxPruning(spark: SparkSession)
 
   private def clampInt(v: Long): Int =
     math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, v)).toInt
-
-  /** True when an equivalent grid filter already sits above the relation
-    * (re-analysis of an extended plan must not stack duplicates).
-    */
-  private def alreadyInjected(
-      plan: LogicalPlan, rel: DataSourceV2Relation, gc: Expression): Boolean =
-    plan.exists {
-      case Filter(c, r: DataSourceV2Relation) if r eq rel =>
-        val existing = splitConjunctivePredicates(c)
-        splitConjunctivePredicates(gc)
-          .forall(p => existing.exists(_.semanticEquals(p)))
-      case _ => false
-    }
 
   private def inject(
       plan: LogicalPlan, rel: DataSourceV2Relation, gc: Expression): LogicalPlan =

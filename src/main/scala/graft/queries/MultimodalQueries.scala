@@ -4,12 +4,13 @@ import graft.{QueryDef, Tables}
 import graft.functions.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column checks. q90 exercises the REAL image path end-to-end
-  * (embedding → TIFF bytes on executors → decode → intensity features) and
-  * is oracle-checked because the TIFF encode/decode round trip is the
-  * identity on pixels, so DuckDB can recompute the features directly from
-  * the quantized embedding. q91/q92 exercise the stubbed audio/video
-  * plumbing (rows-only).
+/** Multimodal-column checks, all three oracle-checked. q90/q91 exercise
+  * the REAL image path end-to-end (embedding → TIFF bytes on executors →
+  * decode [→ resize → re-encode → decode] → intensity features); the TIFF
+  * round trip is the identity on pixels, so DuckDB recomputes the features
+  * directly from the quantized embedding. q92 exercises the stubbed
+  * audio/video plumbing, whose byte-level semantics DuckDB also
+  * reproduces exactly.
   */
 object MultimodalQueries {
 

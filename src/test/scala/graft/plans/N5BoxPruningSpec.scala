@@ -114,6 +114,32 @@ class N5BoxPruningSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("a window between the filter and the scan blocks pruning") {
+    import org.apache.spark.sql.expressions.Window
+    // row_number must rank ALL voxels of each z-slice; pruning below the
+    // window would silently renumber — the rule must bail on the unsafe path
+    val w = Window.partitionBy(col("z")).orderBy(col("y"), col("x"))
+    val df = elems.withColumn("r", row_number().over(w))
+      .filter(col("x") < 100)
+    assert(scannedBlocks(df) == 4, "pruning through a Window is unsound")
+    val maxR = df.agg(max(col("r"))).collect()(0).getInt(0)
+    assert(maxR == 225 * 186 + 99 + 1, s"rank computed over pruned input: $maxR")
+  }
+
+  test("re-analysis of a growing plan does not stack duplicate grid filters") {
+    var df = elems.filter(col("x") < 100).filter(col("y") >= 130)
+    // each chained operation re-analyzes the whole tree and re-runs the rule
+    (1 to 4).foreach(_ => df = df.select(col("x"), col("y"), col("z"), col("v")))
+    df = df.filter(col("v") >= 0)
+    val filters = df.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    // 3 user filters + exactly one injected filter per axis bound (x, y)
+    assert(filters.length <= 5, s"grid filters stacked: ${filters.length}")
+    assert(scannedBlocks(df) == 1)
+    assert(df.count() == 100L * 96 * 27)
+  }
+
   test("filters applied per side before a join prune each side") {
     val a = elems.filter(col("x") < 100).select(col("x"), col("y"), col("v").as("va"))
     val b = elems.filter(col("x") >= 130).select(col("x").as("bx"), col("y").as("by"), col("v").as("vb"))
