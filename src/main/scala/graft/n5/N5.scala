@@ -76,6 +76,95 @@ object N5 {
         && col("z") >= start(2) && col("z") < end(2))
   }
 
+  /** Ranged box write [start, end): upsert an element table (x,y,z,v)
+    * into an EXISTING dataset — reference `write_n5_block` semantics
+    * (`n5_utils.py:21-33`; note the reference's own version transposes a
+    * materialized copy and never persists — that bug is not replicated).
+    *
+    * Blocks fully inside the box are rebuilt from the input; partially
+    * covered blocks are read executor-side (open-per-task, like
+    * `ometif_to_n5.py:174-182`), overlaid, and rewritten — so voxels
+    * outside the box are preserved exactly. One shuffle keyed by target
+    * block whose volume is the box itself; blocks are write-disjoint so
+    * the write inherits the connector's idempotent-overwrite retry safety.
+    */
+  def writeBox(
+      spark: SparkSession, root: String, dataset: String,
+      start: Array[Long], end: Array[Long], elems: DataFrame): Unit = {
+    val attrs = N5Meta.datasetAttributes(root, dataset)
+    require(attrs.ndim == 3, "writeBox expects a 3-D dataset")
+    require(start.zip(end).forall { case (s, e) => s < e },
+      s"empty box [${start.mkString(",")}, ${end.mkString(",")})")
+    require(start.forall(_ >= 0) &&
+      end.zip(attrs.dimensions).forall { case (e, d) => e <= d },
+      s"box exceeds dims ${attrs.dimensions.mkString("x")}")
+    val Array(bx, by, bz) = attrs.blockSize
+    val isFloat =
+      attrs.dataType == Dtype.Float32 || attrs.dataType == Dtype.Float64
+    import spark.implicits._
+    val inBox = elems.filter(
+      col("x") >= start(0) && col("x") < end(0)
+        && col("y") >= start(1) && col("y") < end(1)
+        && col("z") >= start(2) && col("z") < end(2))
+    // one typed pipeline for all dtypes: floats travel as raw Double bits
+    val typed: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] =
+      if (isFloat)
+        inBox.select(col("x"), col("y"), col("z"), col("v").cast("double"))
+          .as[(Long, Long, Long, Double)]
+          .map { case (x, y, z, v) =>
+            (x, y, z, java.lang.Double.doubleToRawLongBits(v))
+          }
+      else
+        inBox.select(col("x"), col("y"), col("z"), col("v").cast("bigint"))
+          .as[(Long, Long, Long, Long)]
+    val assembled = typed
+      .groupByKey { case (x, y, z, _) =>
+        ((x / bx).toInt, (y / by).toInt, (z / bz).toInt)
+      }
+      .mapGroups { (g, it) =>
+        val grid = Array(g._1, g._2, g._3)
+        val shape = attrs.blockShape(grid)
+        val Array(sx, sy, _) = shape
+        // start from the stored block (zeros when absent/sparse)
+        val base = new Array[Long](shape.product)
+        val path = new org.apache.hadoop.fs.Path(
+          root, s"$dataset/${grid.mkString("/")}")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        if (fs.exists(path)) {
+          val in = fs.open(path)
+          val raw = try in.readAllBytes() finally in.close()
+          val dec = BlockCodec.decode(raw, attrs.dataType, attrs.compression)
+          var i = 0
+          val n = math.min(base.length, dec.numElements)
+          if (dec.isFloat)
+            while (i < n) {
+              base(i) = java.lang.Double.doubleToRawLongBits(dec.doubles(i)); i += 1
+            }
+          else
+            while (i < n) { base(i) = dec.longs(i); i += 1 }
+        }
+        val ox = g._1.toLong * bx
+        val oy = g._2.toLong * by
+        val oz = g._3.toLong * bz
+        it.foreach { case (x, y, z, v) =>
+          base(((x - ox) + (y - oy) * sx + (z - oz) * sx * sy).toInt) = v
+        }
+        Regroup.OutBlock(g._1, g._2, g._3, shape, base)
+      }
+    val elemT = graft.sources.n5.N5Schema.elementType(attrs.dataType)
+    val blocks =
+      if (isFloat)
+        assembled.map(b => (b.gx, b.gy, b.gz, b.shape,
+          b.data.map(java.lang.Double.longBitsToDouble)))
+          .toDF("gx", "gy", "gz", "shape", "data")
+          .withColumn("data", col("data").cast(s"array<${elemT.catalogString}>"))
+      else
+        assembled.toDF()
+          .select(col("gx"), col("gy"), col("gz"), col("shape"),
+            col("data").cast(s"array<${elemT.catalogString}>").as("data"))
+    write(blocks, root, dataset, attrs)
+  }
+
   /** Reassemble an element table (x,y,z,v) into the (gx,gy,gz,shape,data)
     * block layout of `target`, ready for `write`. One shuffle keyed by grid
     * position with in-partition sort — the rechunk Exchange of

@@ -112,6 +112,40 @@ object N5Queries {
             && col("orig_n") === col("rt_n")).cast("int").as("ok"))
     },
 
+    // Ranged box UPSERT (R2, write_n5_block semantics with the reference's
+    // lost-write bug fixed): rechunk the fixture to a scratch copy, overwrite
+    // a block-boundary-crossing box with a closed-form pattern, verify the
+    // box took the new values and everything outside is preserved exactly.
+    QueryDef.sql(
+      "q87_n5_writebox",
+      """SELECT CAST(1134972 AS BIGINT) AS n, CAST(49245517 AS BIGINT) AS total,
+        |  CAST(18013800 AS BIGINT) AS box_sum, CAST(1 AS INTEGER) AS ok""".stripMargin) { (s, _) =>
+      val out = tmpRoot("wbq")
+      N5.rechunk(s, fixtureRoot, fixtureDs, out, "vol/s0", Array(64, 64, 64))
+      val start = Array(10L, 20L, 3L)
+      val end = Array(150L, 100L, 20L)
+      val Array(dx, dy, dz) = start.zip(end).map { case (a, b) => b - a }
+      val patch = s.range(dx * dy * dz).select(
+        expr(s"id % $dx + ${start(0)}").as("x"),
+        expr(s"(id div $dx) % $dy + ${start(1)}").as("y"),
+        expr(s"id div ${dx * dy} + ${start(2)}").as("z"))
+        .select(col("x"), col("y"), col("z"),
+          ((col("x") + col("y") * 2 + col("z") * 3) % 200).as("v"))
+      val beforeSum = N5.elements(N5.read(s, out, "vol/s0"))
+        .agg(sum(col("v"))).collect()(0).getLong(0)
+      val oldBox = N5.readBox(s, out, "vol/s0", start, end)
+        .agg(sum(col("v"))).collect()(0).getLong(0)
+      val newBox = patch.agg(sum(col("v"))).collect()(0).getLong(0)
+      N5.writeBox(s, out, "vol/s0", start, end, patch)
+      N5.elements(N5.read(s, out, "vol/s0"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+        .crossJoin(N5.readBox(s, out, "vol/s0", start, end)
+          .agg(sum(col("v")).as("box_sum")))
+        .select(col("n"), col("total"), col("box_sum"),
+          (col("total") === beforeSum - oldBox + newBox
+            && col("box_sum") === newBox).cast("int").as("ok"))
+    },
+
     // Multiscale pyramid (R9): s1 windowed mean, trim boundary. Golden
     // total independently confirmed by RoundTripSpec's element-groupBy
     // mean equivalence on the same fixture.

@@ -1,0 +1,88 @@
+package graft.n5
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Ranged box upsert (reference write_n5_block semantics, with the
+  * reference's lost-write bug fixed): voxels inside the box take the new
+  * values, every voxel outside is preserved exactly, partial edge blocks
+  * are read-modify-written.
+  */
+class WriteBoxSpec extends SparkSpec {
+
+  private val fixtureRoot = "/root/reference/data/test.n5"
+  private val fixtureDs = "mri/c0/s0"
+
+  private def boxElems(start: Array[Long], end: Array[Long]) = {
+    val Array(dx, dy, dz) = start.zip(end).map { case (s, e) => e - s }
+    spark.range(dx * dy * dz).select(
+      expr(s"id % $dx + ${start(0)}").as("x"),
+      expr(s"(id div $dx) % $dy + ${start(1)}").as("y"),
+      expr(s"id div ${dx * dy} + ${start(2)}").as("z"))
+      .select(col("x"), col("y"), col("z"),
+        ((col("x") + col("y") * 2 + col("z") * 3) % 200).as("v"))
+  }
+
+  test("writeBox upserts the box and preserves everything outside (R2)") {
+    val tmp = Files.createTempDirectory("wb").toString
+    // private working copy of the fixture, 64^3 blocks so the box crosses
+    // block boundaries and leaves partial blocks on every face
+    N5.rechunk(spark, fixtureRoot, fixtureDs, s"$tmp/w.n5", "vol/s0",
+      Array(64, 64, 64))
+    val start = Array(10L, 20L, 3L)
+    val end = Array(150L, 100L, 20L)
+
+    val before = N5.elements(N5.read(spark, s"$tmp/w.n5", "vol/s0"))
+      .agg(sum(col("v")), count(lit(1))).collect()(0)
+    val oldBoxSum = N5.readBox(spark, s"$tmp/w.n5", "vol/s0", start, end)
+      .agg(sum(col("v"))).collect()(0).getLong(0)
+    val newBoxSum = boxElems(start, end)
+      .agg(sum(col("v"))).collect()(0).getLong(0)
+
+    N5.writeBox(spark, s"$tmp/w.n5", "vol/s0", start, end,
+      boxElems(start, end))
+
+    val after = N5.elements(N5.read(spark, s"$tmp/w.n5", "vol/s0"))
+      .agg(sum(col("v")), count(lit(1))).collect()(0)
+    assert(after.getLong(1) == before.getLong(1), "voxel count changed")
+    assert(after.getLong(0) == before.getLong(0) - oldBoxSum + newBoxSum,
+      "voxels outside the box were not preserved exactly")
+    // the box itself now holds the new values
+    val boxNow = N5.readBox(spark, s"$tmp/w.n5", "vol/s0", start, end)
+      .agg(sum(col("v"))).collect()(0).getLong(0)
+    assert(boxNow == newBoxSum)
+  }
+
+  test("writeBox on a float dataset preserves float payloads bit-exactly") {
+    val tmp = Files.createTempDirectory("wbf").toString
+    val attrs = DatasetAttributes(Array(32L, 32L, 8L), Array(16, 16, 8),
+      Dtype.Float32, Compression("gzip"))
+    val base = spark.range(32L * 32 * 8).select(
+      expr("id % 32").as("x"), expr("(id div 32) % 32").as("y"),
+      expr("id div 1024").as("z"),
+      (col("id") % 7).cast("float").as("v"))
+    N5.write(N5.blocksFromElements(base, attrs,
+      org.apache.spark.sql.types.FloatType), s"$tmp/f.n5", "vol/s0", attrs)
+
+    val start = Array(5L, 5L, 2L)
+    val end = Array(20L, 30L, 6L)
+    val patch = spark.range(15L * 25 * 4).select(
+      expr("id % 15 + 5").as("x"), expr("(id div 15) % 25 + 5").as("y"),
+      expr("id div 375 + 2").as("z"),
+      lit(2.5f).as("v"))
+    N5.writeBox(spark, s"$tmp/f.n5", "vol/s0", start, end, patch)
+
+    val e = N5.elements(N5.read(spark, s"$tmp/f.n5", "vol/s0"))
+    val inside = e.filter(col("x").between(5, 19) && col("y").between(5, 29)
+      && col("z").between(2, 5))
+    assert(inside.filter(col("v") =!= 2.5f).count() == 0)
+    val outsideCount = e.count() - inside.count()
+    // outside voxels keep base formula values (id % 7 as float)
+    val outsideOk = e.filter(!(col("x").between(5, 19) && col("y").between(5, 29)
+      && col("z").between(2, 5)))
+      .filter(col("v") =!= ((col("x") + col("y") * 32 + col("z") * 1024) % 7).cast("float"))
+    assert(outsideOk.count() == 0 && outsideCount > 0)
+  }
+}
