@@ -22,6 +22,14 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.size >= 55)
   }
 
+  test("every declared query is oracle-checked (no rows-only entries)") {
+    // Since round 3 the whole surface hash-matches DuckDB — N5 fixture
+    // queries via golden constants. A new rows-only entry is a conscious
+    // decision, not an accident: update this test when making it.
+    val rowsOnly = Queries.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(rowsOnly.isEmpty, s"queries without oracles: $rowsOnly")
+  }
+
   test("flagship entry returns rows on sf0.001 (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
