@@ -57,23 +57,61 @@ object N5 {
   /** Ranged box scan [start, end) — reference `read_n5_block`
     * (`n5_utils.py:6-18`). Grid predicates prune block FILES via the DSv2
     * filter pushdown before any I/O; element predicates trim block edges.
+    *
+    * `fillMissing=true` (default) reproduces zarr fill-value semantics on
+    * sparse volumes: voxels of the box whose block file is absent come
+    * back as zeros, so the result is always a dense box — what
+    * `da.from_zarr(...)[slices]` returns. The missing-grid check is a
+    * metadata-only scan (no payload decode) over just the box's grid
+    * range, and zero rows are generated only for the absent blocks'
+    * intersection with the box. `fillMissing=false` returns only stored
+    * voxels (the sparse block-table view).
     */
   def readBox(
       spark: SparkSession, root: String, dataset: String,
-      start: Array[Long], end: Array[Long]): DataFrame = {
+      start: Array[Long], end: Array[Long],
+      fillMissing: Boolean = true): DataFrame = {
     val attrs = N5Meta.datasetAttributes(root, dataset)
     val bs = attrs.blockSize
+    val g0 = Array.tabulate(3)(i => (start(i) / bs(i)).toInt)
+    val g1 = Array.tabulate(3)(i => ((end(i) - 1) / bs(i)).toInt)
     val blocks = read(spark, root, dataset)
-      .filter(col("gx") >= (start(0) / bs(0)).toInt
-        && col("gx") <= ((end(0) - 1) / bs(0)).toInt
-        && col("gy") >= (start(1) / bs(1)).toInt
-        && col("gy") <= ((end(1) - 1) / bs(1)).toInt
-        && col("gz") >= (start(2) / bs(2)).toInt
-        && col("gz") <= ((end(2) - 1) / bs(2)).toInt)
-    elements(blocks)
+      .filter(col("gx") >= g0(0) && col("gx") <= g1(0)
+        && col("gy") >= g0(1) && col("gy") <= g1(1)
+        && col("gz") >= g0(2) && col("gz") <= g1(2))
+    val inBox = (df: DataFrame) => df
       .filter(col("x") >= start(0) && col("x") < end(0)
         && col("y") >= start(1) && col("y") < end(1)
         && col("z") >= start(2) && col("z") < end(2))
+    val stored = inBox(elements(blocks))
+    if (!fillMissing) return stored
+    // metadata-only scan (payload pruned): which of the box's grid
+    // positions exist on disk? The box grid range is small by construction.
+    val present = blocks.select(col("gx"), col("gy"), col("gz")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val missing = for {
+      gx <- g0(0) to g1(0); gy <- g0(1) to g1(1); gz <- g0(2) to g1(2)
+      if !present((gx, gy, gz))
+    } yield (gx, gy, gz)
+    if (missing.isEmpty) return stored
+    val elemT = graft.sources.n5.N5Schema.elementType(attrs.dataType)
+    val zeros = missing.map { case (gx, gy, gz) =>
+      // intersection of the missing block with the box, in global coords
+      val lo = Array(math.max(start(0), gx.toLong * bs(0)),
+        math.max(start(1), gy.toLong * bs(1)),
+        math.max(start(2), gz.toLong * bs(2)))
+      val hi = Array(
+        math.min(end(0), math.min((gx + 1).toLong * bs(0), attrs.dimensions(0))),
+        math.min(end(1), math.min((gy + 1).toLong * bs(1), attrs.dimensions(1))),
+        math.min(end(2), math.min((gz + 1).toLong * bs(2), attrs.dimensions(2))))
+      val Array(dx, dy, dz) = lo.zip(hi).map { case (a, b) => math.max(0L, b - a) }
+      spark.range(dx * dy * dz).select(
+        expr(s"id % $dx + ${lo(0)}").as("x"),
+        expr(s"(id div $dx) % $dy + ${lo(1)}").as("y"),
+        expr(s"id div ${dx * dy} + ${lo(2)}").as("z"),
+        lit(0).cast(elemT).as("v"))
+    }.reduce(_ union _)
+    stored.union(zeros)
   }
 
   /** Ranged box write [start, end): upsert an element table (x,y,z,v)
