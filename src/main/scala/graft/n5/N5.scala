@@ -10,9 +10,31 @@ import org.apache.spark.sql.types.DataType
   */
 object N5 {
 
+  /** Hadoop conf for executor-side block access: one per JVM, not one per
+    * task group (Configuration construction re-parses default resources).
+    */
+  @transient private lazy val taskConf =
+    new org.apache.hadoop.conf.Configuration()
+
   /** Block table of a dataset: one row per stored block. */
   def read(spark: SparkSession, root: String, dataset: String): DataFrame =
     spark.read.format("n5").option("dataset", dataset).load(root)
+
+  /** Dense (x,y,z) coordinate table for the box [start, end), x-fastest —
+    * the single source of the id→coordinate unravel used by box-shaped
+    * generators (q87, specs) so the layout can never drift from the
+    * element view's.
+    */
+  def boxGrid(
+      spark: SparkSession, start: Array[Long], end: Array[Long]): DataFrame = {
+    val Array(dx, dy, dz) = start.zip(end).map { case (s, e) => e - s }
+    require(dx > 0 && dy > 0 && dz > 0,
+      s"empty box [${start.mkString(",")}, ${end.mkString(",")})")
+    spark.range(dx * dy * dz).select(
+      expr(s"id % $dx + ${start(0)}").as("x"),
+      expr(s"(id div $dx) % $dy + ${start(1)}").as("y"),
+      expr(s"id div ${dx * dy} + ${start(2)}").as("z"))
+  }
 
   /** Write a block table (gx,gy,gz,shape,data) as a dataset. */
   def write(
@@ -85,18 +107,35 @@ object N5 {
         && col("z") >= start(2) && col("z") < end(2))
     val stored = inBox(elements(blocks))
     if (!fillMissing) return stored
-    // metadata-only scan (payload pruned): which of the box's grid
-    // positions exist on disk? The box grid range is small by construction.
-    val present = blocks.select(col("gx"), col("gy"), col("gz")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
-    val missing = for {
+    // Which of the box's grid positions exist on disk? Pure driver-side
+    // directory walk bounded to the box's grid range (one listStatus per
+    // surviving directory) — no Spark job at plan-construction time.
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dsPath = new org.apache.hadoop.fs.Path(root, dataset)
+    val fs = dsPath.getFileSystem(conf)
+    val present = scala.collection.mutable.Set.empty[(Int, Int, Int)]
+    def digits(s: String) = s.nonEmpty && s.forall(_.isDigit)
+    if (fs.exists(dsPath)) fs.listStatus(dsPath).foreach { xs =>
+      if (digits(xs.getPath.getName) && xs.isDirectory) {
+        val gx = xs.getPath.getName.toInt
+        if (gx >= g0(0) && gx <= g1(0)) fs.listStatus(xs.getPath).foreach { ys =>
+          if (digits(ys.getPath.getName) && ys.isDirectory) {
+            val gy = ys.getPath.getName.toInt
+            if (gy >= g0(1) && gy <= g1(1)) fs.listStatus(ys.getPath).foreach { zs =>
+              if (digits(zs.getPath.getName) && zs.isFile) {
+                val gz = zs.getPath.getName.toInt
+                if (gz >= g0(2) && gz <= g1(2)) present += ((gx, gy, gz))
+              }
+            }
+          }
+        }
+      }
+    }
+    // intersection boxes of the absent blocks with [start, end)
+    val missingBoxes: Seq[(Long, Long, Long, Long, Long, Long)] = (for {
       gx <- g0(0) to g1(0); gy <- g0(1) to g1(1); gz <- g0(2) to g1(2)
       if !present((gx, gy, gz))
-    } yield (gx, gy, gz)
-    if (missing.isEmpty) return stored
-    val elemT = graft.sources.n5.N5Schema.elementType(attrs.dataType)
-    val zeros = missing.map { case (gx, gy, gz) =>
-      // intersection of the missing block with the box, in global coords
+    } yield {
       val lo = Array(math.max(start(0), gx.toLong * bs(0)),
         math.max(start(1), gy.toLong * bs(1)),
         math.max(start(2), gz.toLong * bs(2)))
@@ -104,13 +143,31 @@ object N5 {
         math.min(end(0), math.min((gx + 1).toLong * bs(0), attrs.dimensions(0))),
         math.min(end(1), math.min((gy + 1).toLong * bs(1), attrs.dimensions(1))),
         math.min(end(2), math.min((gz + 1).toLong * bs(2), attrs.dimensions(2))))
-      val Array(dx, dy, dz) = lo.zip(hi).map { case (a, b) => math.max(0L, b - a) }
-      spark.range(dx * dy * dz).select(
-        expr(s"id % $dx + ${lo(0)}").as("x"),
-        expr(s"(id div $dx) % $dy + ${lo(1)}").as("y"),
-        expr(s"id div ${dx * dy} + ${lo(2)}").as("z"),
-        lit(0).cast(elemT).as("v"))
-    }.reduce(_ union _)
+      (lo(0), lo(1), lo(2), hi(0), hi(1), hi(2))
+    }).filter(b => b._4 > b._1 && b._5 > b._2 && b._6 > b._3)
+    if (missingBoxes.isEmpty) return stored
+    // ONE dataset of small box descriptors; zero rows stream lazily from
+    // per-box iterators on the executors — a box over thousands of absent
+    // blocks stays a single flat relation, not a union tower.
+    val elemT = graft.sources.n5.N5Schema.elementType(attrs.dataType)
+    import spark.implicits._
+    val par = math.max(1, math.min(missingBoxes.size,
+      spark.sparkContext.defaultParallelism))
+    val zeros = spark.createDataset(missingBoxes).repartition(par)
+      .flatMap { case (l0, l1, l2, h0, h1, h2) =>
+        val dx = h0 - l0; val dy = h1 - l1
+        val n = dx * dy * (h2 - l2)
+        new Iterator[(Long, Long, Long)] {
+          private var i = 0L
+          override def hasNext: Boolean = i < n
+          override def next(): (Long, Long, Long) = {
+            val t = (l0 + i % dx, l1 + (i / dx) % dy, l2 + i / (dx * dy))
+            i += 1; t
+          }
+        }
+      }
+      .toDF("x", "y", "z")
+      .withColumn("v", lit(0).cast(elemT))
     stored.union(zeros)
   }
 
@@ -119,12 +176,18 @@ object N5 {
     * (`n5_utils.py:21-33`; note the reference's own version transposes a
     * materialized copy and never persists — that bug is not replicated).
     *
-    * Blocks fully inside the box are rebuilt from the input; partially
-    * covered blocks are read executor-side (open-per-task, like
-    * `ometif_to_n5.py:174-182`), overlaid, and rewritten — so voxels
-    * outside the box are preserved exactly. One shuffle keyed by target
-    * block whose volume is the box itself; blocks are write-disjoint so
-    * the write inherits the connector's idempotent-overwrite retry safety.
+    * Blocks fully covered by the box are rebuilt from the input without
+    * reading; partially covered blocks are read executor-side
+    * (open-per-task, like `ometif_to_n5.py:174-182`), overlaid, and
+    * rewritten — so voxels outside the box are preserved exactly. One
+    * shuffle keyed by target block whose volume is the box itself. The
+    * writer publishes blocks via atomic temp+rename, so a retried or
+    * speculative attempt re-reads either the old or the new COMPLETE
+    * bytes and overlays the same patch — the read-modify-write is
+    * idempotent, never torn. Out-of-range values for the dataset's dtype
+    * fail loudly (safe-cast discipline, `n5_to_tif.py:28`), they never
+    * wrap. Precondition: at most one input row per voxel — duplicate
+    * (x,y,z) coordinates resolve arbitrarily (shuffle arrival order).
     */
   def writeBox(
       spark: SparkSession, root: String, dataset: String,
@@ -155,6 +218,18 @@ object N5 {
       else
         inBox.select(col("x"), col("y"), col("z"), col("v").cast("bigint"))
           .as[(Long, Long, Long, Long)]
+    // safe-cast discipline: integer dtypes fail loudly on out-of-range
+    // input instead of silently wrapping in the codec
+    val valueRange: Option[(Long, Long)] = attrs.dataType match {
+      case Dtype.UInt8 => Some((0L, 255L))
+      case Dtype.Int8 => Some((-128L, 127L))
+      case Dtype.UInt16 => Some((0L, 65535L))
+      case Dtype.Int16 => Some((-32768L, 32767L))
+      case Dtype.UInt32 => Some((0L, 4294967295L))
+      case Dtype.Int32 => Some((Int.MinValue.toLong, Int.MaxValue.toLong))
+      case _ => None
+    }
+    val dtypeName = attrs.dataType.name
     val assembled = typed
       .groupByKey { case (x, y, z, _) =>
         ((x / bx).toInt, (y / by).toInt, (z / bz).toInt)
@@ -163,30 +238,49 @@ object N5 {
         val grid = Array(g._1, g._2, g._3)
         val shape = attrs.blockShape(grid)
         val Array(sx, sy, _) = shape
-        // start from the stored block (zeros when absent/sparse)
-        val base = new Array[Long](shape.product)
-        val path = new org.apache.hadoop.fs.Path(
-          root, s"$dataset/${grid.mkString("/")}")
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        if (fs.exists(path)) {
-          val in = fs.open(path)
-          val raw = try in.readAllBytes() finally in.close()
-          val dec = BlockCodec.decode(raw, attrs.dataType, attrs.compression)
-          var i = 0
-          val n = math.min(base.length, dec.numElements)
-          if (dec.isFloat)
-            while (i < n) {
-              base(i) = java.lang.Double.doubleToRawLongBits(dec.doubles(i)); i += 1
-            }
-          else
-            while (i < n) { base(i) = dec.longs(i); i += 1 }
-        }
+        val vol = shape.product
         val ox = g._1.toLong * bx
         val oy = g._2.toLong * by
         val oz = g._3.toLong * bz
+        // materialize the patch first: a group covering the whole block
+        // (unique-voxel precondition) needs no read at all
+        val idxs = new Array[Int](vol)
+        val vals = new Array[Long](vol)
+        var m = 0
         it.foreach { case (x, y, z, v) =>
-          base(((x - ox) + (y - oy) * sx + (z - oz) * sx * sy).toInt) = v
+          valueRange.foreach { case (lo, hi) =>
+            if (v < lo || v > hi) throw new IllegalArgumentException(
+              s"writeBox: value $v at ($x,$y,$z) outside $dtypeName range [$lo, $hi]")
+          }
+          if (m >= vol) throw new IllegalArgumentException(
+            s"writeBox: more input rows than voxels in block " +
+              s"(${grid.mkString(",")}) — duplicate (x,y,z) coordinates")
+          idxs(m) = ((x - ox) + (y - oy) * sx + (z - oz) * sx * sy).toInt
+          vals(m) = v
+          m += 1
         }
+        val base = new Array[Long](vol)
+        if (m < vol) {
+          // partial cover: start from the stored block (zeros when absent)
+          val path = new org.apache.hadoop.fs.Path(
+            root, s"$dataset/${grid.mkString("/")}")
+          val fs = path.getFileSystem(taskConf)
+          if (fs.exists(path)) {
+            val in = fs.open(path)
+            val raw = try in.readAllBytes() finally in.close()
+            val dec = BlockCodec.decode(raw, attrs.dataType, attrs.compression)
+            var i = 0
+            val n = math.min(base.length, dec.numElements)
+            if (dec.isFloat)
+              while (i < n) {
+                base(i) = java.lang.Double.doubleToRawLongBits(dec.doubles(i)); i += 1
+              }
+            else
+              while (i < n) { base(i) = dec.longs(i); i += 1 }
+          }
+        }
+        var i = 0
+        while (i < m) { base(idxs(i)) = vals(i); i += 1 }
         Regroup.OutBlock(g._1, g._2, g._3, shape, base)
       }
     val elemT = graft.sources.n5.N5Schema.elementType(attrs.dataType)

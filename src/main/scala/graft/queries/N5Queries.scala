@@ -124,11 +124,7 @@ object N5Queries {
       N5.rechunk(s, fixtureRoot, fixtureDs, out, "vol/s0", Array(64, 64, 64))
       val start = Array(10L, 20L, 3L)
       val end = Array(150L, 100L, 20L)
-      val Array(dx, dy, dz) = start.zip(end).map { case (a, b) => b - a }
-      val patch = s.range(dx * dy * dz).select(
-        expr(s"id % $dx + ${start(0)}").as("x"),
-        expr(s"(id div $dx) % $dy + ${start(1)}").as("y"),
-        expr(s"id div ${dx * dy} + ${start(2)}").as("z"))
+      val patch = N5.boxGrid(s, start, end)
         .select(col("x"), col("y"), col("z"),
           ((col("x") + col("y") * 2 + col("z") * 3) % 200).as("v"))
       val beforeSum = N5.elements(N5.read(s, out, "vol/s0"))

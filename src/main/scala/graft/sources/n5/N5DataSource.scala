@@ -469,15 +469,23 @@ class N5WriterFactory(
 }
 
 /** Writes each incoming (gx,gy,gz,shape,data) row as one block file.
-  * Blind idempotent overwrite → task retries and speculative execution are
-  * safe without any rename/commit protocol (blocks are write-disjoint).
+  * Each block is written to a hidden temp file and atomically renamed
+  * into place (FileContext rename with OVERWRITE — atomic on POSIX and
+  * HDFS), so a crashed or speculative task can never leave a torn block
+  * behind: readers (including writeBox's read-modify-write) always see
+  * either the old complete bytes or the new complete bytes. Blocks are
+  * write-disjoint across tasks, so retries are idempotent. Orphaned temp
+  * files from crashes are invisible to scans (non-digit names) and
+  * overwritten-by-name on retry.
   */
 class N5BlockWriter(
     root: String, dataset: String, attrs: DatasetAttributes,
     inputSchema: StructType) extends DataWriter[InternalRow] {
 
-  private val fs: FileSystem =
-    new HPath(root).getFileSystem(new Configuration())
+  private val conf = new Configuration()
+  private val fs: FileSystem = new HPath(root).getFileSystem(conf)
+  private val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+    fs.getUri, conf)
   private val idx: Map[String, Int] =
     inputSchema.fieldNames.zipWithIndex.toMap
   private val elemType = N5Schema.elementType(attrs.dataType)
@@ -504,8 +512,15 @@ class N5BlockWriter(
       attrs.compression)
     val path = new HPath(root, s"$dataset/$gx/$gy/$gz")
     fs.mkdirs(path.getParent)
-    val out = fs.create(path, true)
-    try out.write(bytes) finally out.close()
+    // unique temp per attempt: concurrent speculative attempts must not
+    // share a temp file (a truncate under a live fd would corrupt the
+    // published inode on POSIX)
+    val tmp = new HPath(path.getParent,
+      s".${path.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try { out.write(bytes); out.close() }
+    catch { case e: Throwable => out.close(); fs.delete(tmp, false); throw e }
+    fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   override def commit(): WriterCommitMessage = N5CommitMessage

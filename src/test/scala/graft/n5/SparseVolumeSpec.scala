@@ -19,9 +19,7 @@ class SparseVolumeSpec extends SparkSpec {
     val tmp = Files.createTempDirectory("sparse").toString
     val attrs = DatasetAttributes(Array(64L, 64L, 16L), Array(32, 32, 32),
       Dtype.UInt8, Compression("gzip"))
-    val elems = spark.range(64L * 64 * 16).select(
-      expr("id % 64").as("x"), expr("(id div 64) % 64").as("y"),
-      expr("id div 4096").as("z"))
+    val elems = N5.boxGrid(spark, Array(0L, 0L, 0L), Array(64L, 64L, 16L))
       .select(col("x"), col("y"), col("z"),
         ((col("x") + col("y") + col("z")) % 251 + 1).as("v")) // never 0
       .filter((col("x") < 32 && col("y") < 32)

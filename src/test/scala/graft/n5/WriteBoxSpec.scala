@@ -15,15 +15,10 @@ class WriteBoxSpec extends SparkSpec {
   private val fixtureRoot = "/root/reference/data/test.n5"
   private val fixtureDs = "mri/c0/s0"
 
-  private def boxElems(start: Array[Long], end: Array[Long]) = {
-    val Array(dx, dy, dz) = start.zip(end).map { case (s, e) => e - s }
-    spark.range(dx * dy * dz).select(
-      expr(s"id % $dx + ${start(0)}").as("x"),
-      expr(s"(id div $dx) % $dy + ${start(1)}").as("y"),
-      expr(s"id div ${dx * dy} + ${start(2)}").as("z"))
+  private def boxElems(start: Array[Long], end: Array[Long]) =
+    N5.boxGrid(spark, start, end)
       .select(col("x"), col("y"), col("z"),
         ((col("x") + col("y") * 2 + col("z") * 3) % 200).as("v"))
-  }
 
   test("writeBox upserts the box and preserves everything outside (R2)") {
     val tmp = Files.createTempDirectory("wb").toString
@@ -53,6 +48,20 @@ class WriteBoxSpec extends SparkSpec {
     val boxNow = N5.readBox(spark, s"$tmp/w.n5", "vol/s0", start, end)
       .agg(sum(col("v"))).collect()(0).getLong(0)
     assert(boxNow == newBoxSum)
+  }
+
+  test("writeBox rejects out-of-range values instead of wrapping") {
+    val tmp = Files.createTempDirectory("wbr").toString
+    N5.rechunk(spark, fixtureRoot, fixtureDs, s"$tmp/r.n5", "vol/s0",
+      Array(64, 64, 64))
+    val bad = N5.boxGrid(spark, Array(0L, 0L, 0L), Array(8L, 8L, 2L))
+      .select(col("x"), col("y"), col("z"), lit(1000L).as("v"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      N5.writeBox(spark, s"$tmp/r.n5", "vol/s0",
+        Array(0L, 0L, 0L), Array(8L, 8L, 2L), bad)
+    }
+    assert(ex.getMessage.contains("outside uint8 range")
+      || String.valueOf(ex.getCause).contains("outside uint8 range"))
   }
 
   test("writeBox on a float dataset preserves float payloads bit-exactly") {
