@@ -333,17 +333,26 @@ object N5 {
 
   /** DDL-from-template (reference `create_dataset`, `create_n5.py:7-37`):
     * create an empty dataset cloning the template's shape/chunks/dtype/
-    * compression, with optional overrides. Metadata-only — no block data.
+    * compression, with optional overrides. `overwrite=true` (the
+    * reference's default) clears any existing blocks at the target path
+    * first — without it, stale blocks from a previous dataset with the
+    * same path would remain readable under the new metadata.
     */
   def createDatasetLike(
       templateRoot: String, templateDataset: String,
       outRoot: String, outDataset: String,
       compression: Option[Compression] = None,
-      dtype: Option[Dtype] = None): DatasetAttributes = {
+      dtype: Option[Dtype] = None,
+      overwrite: Boolean = true): DatasetAttributes = {
     val t = N5Meta.datasetAttributes(templateRoot, templateDataset)
     val out = t.copy(
       compression = compression.getOrElse(t.compression),
       dataType = dtype.getOrElse(t.dataType))
+    if (overwrite) {
+      val p = new org.apache.hadoop.fs.Path(outRoot, outDataset)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     N5Meta.ensureRoot(outRoot)
     N5Meta.writeDatasetAttributes(outRoot, outDataset, out)
     out

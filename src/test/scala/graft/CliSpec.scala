@@ -42,6 +42,14 @@ class CliSpec extends SparkSpec {
     val (pages, w, h) = graft.sources.tiff.OmeTiffVolume.pageGeometry(
       Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/box.tif")))
     assert(pages == 16 && w == 50 && h == 80)
+
+    // LAST (destructive): create over an existing dataset clears its
+    // stale blocks (reference overwrite=True semantics) — the new empty
+    // dataset must scan as empty
+    Cli.run(spark, List("create", s"$tmp/b.n5", "vol/s0",
+      s"$tmp/b.n5", "vol/s0"))
+    assert(N5.read(spark, s"$tmp/b.n5", "vol/s0").count() == 0,
+      "stale blocks survived create(overwrite)")
   }
 
   test("ometif2n5 dispatch ingests a 2-channel multi-page tiff") {
