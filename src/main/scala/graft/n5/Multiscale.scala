@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * coarsen applies — planned optimization, same writer interface).
   * Each level is committed before the next starts: fault isolation per
   * level, unlike the reference's single giant task graph.
+  *
+  * Sparse inputs (missing block files): missing source blocks yield
+  * missing output blocks, and a window straddling a stored/missing
+  * boundary averages only the stored voxels — this diverges from zarr
+  * fill-value semantics (which would average in zeros). Densify first
+  * (`N5.readBox` fill + `N5.writeBox`) when reference-exact output over
+  * sparse volumes matters.
   */
 object Multiscale {
 

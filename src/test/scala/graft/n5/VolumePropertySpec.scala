@@ -59,6 +59,38 @@ class VolumePropertySpec extends SparkSpec {
     }
   }
 
+  test("writeBox law: persisted overlay equals the in-memory overlay") {
+    forAllCases { (dims, bs, seed) =>
+      val root = writeVolume(dims, bs, seed)
+      val rng = new scala.util.Random(seed)
+      def pick(d: Long): (Long, Long) = {
+        val a = rng.nextInt(d.toInt)
+        (a.toLong, (a + 1 + rng.nextInt(d.toInt - a)).toLong)
+      }
+      val (x0, x1) = pick(dims(0))
+      val (y0, y1) = pick(dims(1))
+      val (z0, z1) = pick(dims(2))
+      val start = Array(x0, y0, z0)
+      val end = Array(x1, y1, z1)
+      def patched(x: Long, y: Long, z: Long): Long =
+        (x * 7 + y * 3 + z * 11 + seed) % 256
+      val patch = N5.boxGrid(spark, start, end)
+        .select(col("x"), col("y"), col("z"),
+          ((col("x") * 7 + col("y") * 3 + col("z") * 11 + seed) % 256).as("v"))
+      N5.writeBox(spark, root, "vol/s0", start, end, patch)
+      val back = N5.elements(N5.read(spark, root, "vol/s0")).collect()
+      assert(back.length == dims.product)
+      back.foreach { r =>
+        val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val inBox = x >= x0 && x < x1 && y >= y0 && y < y1 && z >= z0 && z < z1
+        val expected = if (inBox) patched(x, y, z) else voxel(seed, x, y, z)
+        assert(r.getAs[Number](3).longValue() == expected,
+          s"voxel ($x,$y,$z) box=[${start.mkString(",")},${end.mkString(",")}) " +
+            s"dims=${dims.mkString("x")} bs=${bs.mkString("x")}")
+      }
+    }
+  }
+
   test("rechunk preserves voxels and box reads commute with rechunk") {
     forAllCases { (dims, bs, seed) =>
       val root = writeVolume(dims, bs, seed)
