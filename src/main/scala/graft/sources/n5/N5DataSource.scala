@@ -108,6 +108,7 @@ class N5Table(options: CaseInsensitiveStringMap, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
@@ -177,6 +178,13 @@ class N5Scan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming read: new block files become rows as they appear (see
+    * N5MicroBatchStream for the offset design).
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new N5MicroBatchStream(root, dataset, attrs, required)
 
   /** Decoded size estimate from the surviving block list — lets Catalyst
     * broadcast small (or heavily pruned) block tables in joins.
