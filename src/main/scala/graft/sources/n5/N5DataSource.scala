@@ -169,6 +169,61 @@ object N5Scan {
   val DefaultTargetPartitionBytes: Long = 128L * 1024 * 1024
 }
 
+/** Per-axis evaluation of pushed gx/gy/gz filters — shared by the batch
+  * scan's pruned directory walk and the streaming source.
+  */
+object N5GridFilters {
+  private val axes = Array("gx", "gy", "gz")
+
+  def asInt(v: Any): Int = v match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
+    case o => o.toString.toInt
+  }
+
+  /** True when grid value v on `axis` satisfies every pushed filter. */
+  def axisOk(filters: Array[Filter])(axis: Int, v: Int): Boolean =
+    filters.forall {
+      case EqualTo(a, x) if a == axes(axis) => v == asInt(x)
+      case GreaterThan(a, x) if a == axes(axis) => v > asInt(x)
+      case GreaterThanOrEqual(a, x) if a == axes(axis) => v >= asInt(x)
+      case LessThan(a, x) if a == axes(axis) => v < asInt(x)
+      case LessThanOrEqual(a, x) if a == axes(axis) => v <= asInt(x)
+      case In(a, xs) if a == axes(axis) => xs.map(asInt).contains(v)
+      case _ => true
+    }
+}
+
+/** The grid-directory walk shared by the batch scan and the streaming
+  * source: digit-named tree traversal applying the per-axis predicate
+  * DURING descent (a pruned gx subtree is never listed), yielding
+  * (grid, modificationTime) per stored block file.
+  */
+object N5GridWalk {
+  def list(
+      fs: FileSystem, base: HPath, ndim: Int,
+      axisOk: (Int, Int) => Boolean): Seq[(Array[Int], Long)] = {
+    def digits(s: String) = s.nonEmpty && s.forall(_.isDigit)
+    def walk(dir: HPath, axis: Int, prefix: List[Int]): Seq[(Array[Int], Long)] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (!digits(name)) Nil
+        else {
+          val v = name.toInt
+          if (!axisOk(axis, v)) Nil
+          else if (axis == ndim - 1) {
+            if (st.isFile) Seq(((prefix :+ v).toArray, st.getModificationTime))
+            else Nil
+          } else if (st.isDirectory) walk(st.getPath, axis + 1, prefix :+ v)
+          else Nil
+        }
+      }
+    if (fs.exists(base)) walk(base, 0, Nil) else Nil
+  }
+}
+
 class N5Scan(
     root: String, dataset: String, attrs: DatasetAttributes,
     filters: Array[Filter], required: StructType,
@@ -180,11 +235,12 @@ class N5Scan(
   override def toBatch: Batch = this
 
   /** Streaming read: new block files become rows as they appear (see
-    * N5MicroBatchStream for the offset design).
+    * N5MicroBatchStream for the offset design). Pushed grid filters prune
+    * the streaming walk exactly like the batch scan's.
     */
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new N5MicroBatchStream(root, dataset, attrs, required)
+    new N5MicroBatchStream(root, dataset, attrs, required, filters, targetBytes)
 
   /** Decoded size estimate from the surviving block list — lets Catalyst
     * broadcast small (or heavily pruned) block tables in joins.
@@ -201,26 +257,8 @@ class N5Scan(
   }
 
   /** Keep only grid positions satisfying the pushed gx/gy/gz predicates. */
-  private def keep(grid: Array[Int]): Boolean = {
-    val byAxis = Map("gx" -> grid(0), "gy" -> (if (grid.length > 1) grid(1) else 0),
-      "gz" -> (if (grid.length > 2) grid(2) else 0))
-    filters.forall {
-      case EqualTo(a, v) => byAxis(a) == asInt(v)
-      case GreaterThan(a, v) => byAxis(a) > asInt(v)
-      case GreaterThanOrEqual(a, v) => byAxis(a) >= asInt(v)
-      case LessThan(a, v) => byAxis(a) < asInt(v)
-      case LessThanOrEqual(a, v) => byAxis(a) <= asInt(v)
-      case In(a, vs) => vs.map(asInt).contains(byAxis(a))
-      case _ => true
-    }
-  }
-  private def asInt(v: Any): Int = v match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case s: Short => s.toInt
-    case b: Byte => b.toInt
-    case o => o.toString.toInt
-  }
+  private def keep(grid: Array[Int]): Boolean =
+    grid.indices.forall(a => N5GridFilters.axisOk(filters)(a, grid(a)))
 
   /** Enumerate stored blocks by walking the grid directory tree level by
     * level, applying the pushed per-axis predicates DURING traversal: a
@@ -248,36 +286,10 @@ class N5Scan(
   }
 
   private def listSurvivors(): Seq[Array[Int]] = {
-    val conf = new Configuration()
     val rootPath = new HPath(root, dataset)
-    val fs = rootPath.getFileSystem(conf)
-    val axes = Array("gx", "gy", "gz")
-
-    def axisOk(axis: Int, v: Int): Boolean = filters.forall {
-      case EqualTo(a, x) if a == axes(axis) => v == asInt(x)
-      case GreaterThan(a, x) if a == axes(axis) => v > asInt(x)
-      case GreaterThanOrEqual(a, x) if a == axes(axis) => v >= asInt(x)
-      case LessThan(a, x) if a == axes(axis) => v < asInt(x)
-      case LessThanOrEqual(a, x) if a == axes(axis) => v <= asInt(x)
-      case In(a, xs) if a == axes(axis) => xs.map(asInt).contains(v)
-      case _ => true
-    }
-
-    def walk(dir: HPath, axis: Int, prefix: List[Int]): Seq[Array[Int]] =
-      fs.listStatus(dir).toSeq.flatMap { st =>
-        val name = st.getPath.getName
-        if (!name.forall(_.isDigit)) Nil
-        else {
-          val v = name.toInt
-          if (!axisOk(axis, v)) Nil
-          else if (axis == attrs.ndim - 1) {
-            if (st.isFile) Seq((prefix :+ v).toArray) else Nil
-          } else if (st.isDirectory) walk(st.getPath, axis + 1, prefix :+ v)
-          else Nil
-        }
-      }
-
-    walk(rootPath, 0, Nil).filter(keep)
+    val fs = rootPath.getFileSystem(new Configuration())
+    N5GridWalk.list(fs, rootPath, attrs.ndim, N5GridFilters.axisOk(filters))
+      .map(_._1).filter(keep)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -528,6 +540,11 @@ class N5BlockWriter(
     val out = fs.create(tmp, true)
     try { out.write(bytes); out.close() }
     catch { case e: Throwable => out.close(); fs.delete(tmp, false); throw e }
+    // stamp the mtime at PUBLISH time (not temp-close time) so the
+    // streaming source's watermark can never advance past a block that
+    // is not yet visible — the stamp→rename gap is microseconds, well
+    // inside the source's grace window
+    fs.setTimes(tmp, System.currentTimeMillis(), -1)
     fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 

@@ -5,27 +5,38 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
 /** Streaming N5 source: `spark.readStream.format("n5")` emits each block
   * file as one row when it APPEARS (or is rewritten with a newer mtime) —
   * the live-acquisition counterpart of the streaming sink, e.g. a
   * microscope writing blocks while a Spark job derives stats or
-  * multiscale levels downstream.
+  * multiscale levels downstream. Pushed gx/gy/gz filters prune the
+  * streaming directory walk exactly like the batch scan.
   *
-  * Offset design mirrors Spark's file source: a modification-time
-  * watermark plus the set of paths AT the watermark (mtime granularity
-  * means several blocks can share it). A batch is "files newer than the
-  * previous watermark, minus those already seen at it" — exactly-once
-  * accounting without an unbounded seen-set: the offset carries only the
-  * boundary files. The snapshot backing `latestOffset` is cached and
-  * keyed by the offset so `planInputPartitions` never races concurrent
-  * writers; blocks are published by atomic rename, so a listed file is
-  * always complete.
+  * Offset design: a modification-time watermark plus the block paths
+  * within a GRACE WINDOW behind it. A batch admits files with
+  * `mtime <= end.watermark`, newer than `start.watermark - grace`, and
+  * not in the start offset's recent set. The grace window is what makes
+  * late VISIBILITY safe: the writer stamps each block's mtime immediately
+  * before its atomic rename, so a block can become listable at most
+  * microseconds after its mtime — far inside the window — and a block
+  * whose rename lands after a concurrent listing is picked up by the next
+  * batch instead of being lost behind the watermark. Offset size stays
+  * bounded (files of the last `grace` ms), unlike a full seen-set.
+  *
+  * Delivery semantics: exactly-once for append-only volumes (the spec
+  * drives two slabs through one checkpoint). A rewritten block (newer
+  * mtime) is re-delivered by design. Checkpoint recovery replays a
+  * committed range by re-listing the directory, so blocks deleted or
+  * rewritten between crash and restart can change a replayed batch —
+  * at-least-once under concurrent mutation, like the reference's blind
+  * block overwrites.
   */
 class N5MicroBatchStream(
     root: String, dataset: String, attrs: DatasetAttributes,
-    required: StructType)
+    required: StructType, filters: Array[Filter], targetBytes: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   import N5MicroBatchStream._
@@ -33,23 +44,10 @@ class N5MicroBatchStream(
   @transient private lazy val fs =
     new HPath(root).getFileSystem(new Configuration())
 
-  /** (grid, mtime) of every stored block right now. */
-  private def listBlocks(): Seq[(Array[Int], Long)] = {
-    val base = new HPath(root, dataset)
-    def digits(s: String) = s.nonEmpty && s.forall(_.isDigit)
-    def walk(dir: HPath, axis: Int, prefix: List[Int]): Seq[(Array[Int], Long)] =
-      if (!fs.exists(dir)) Nil
-      else fs.listStatus(dir).toSeq.flatMap { st =>
-        val name = st.getPath.getName
-        if (!digits(name)) Nil
-        else if (axis == attrs.ndim - 1) {
-          if (st.isFile) Seq(((prefix :+ name.toInt).toArray,
-            st.getModificationTime)) else Nil
-        } else if (st.isDirectory) walk(st.getPath, axis + 1, prefix :+ name.toInt)
-        else Nil
-      }
-    walk(base, 0, Nil)
-  }
+  /** (grid, mtime) of every stored block surviving the pushed filters. */
+  private def listBlocks(): Seq[(Array[Int], Long)] =
+    N5GridWalk.list(fs, new HPath(root, dataset), attrs.ndim,
+      N5GridFilters.axisOk(filters))
 
   // snapshot backing the most recent latestOffset(), so a planned batch
   // sees exactly the files its end offset described
@@ -66,7 +64,7 @@ class N5MicroBatchStream(
     else {
       val wm = snapshot.map(_._2).max
       N5SourceOffset(wm,
-        snapshot.filter(_._2 == wm).map(_._1.mkString("/")).sorted)
+        snapshot.filter(_._2 > wm - GraceMs).map(_._1.mkString("/")).sorted)
     }
   }
 
@@ -91,8 +89,7 @@ class N5MicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[N5SourceOffset]
     val e = end.asInstanceOf[N5SourceOffset]
-    val endSet = e.atWatermark.toSet
-    val seen = s.atWatermark.toSet
+    val seen = s.recent.toSet
     // checkpoint recovery replays a committed (start, end) range without a
     // preceding latestOffset() call — re-list when the cached snapshot
     // does not cover the end offset (files past `end` are filtered out)
@@ -102,14 +99,22 @@ class N5MicroBatchStream(
       else if (snap0.nonEmpty && snap0.map(_._2).max >= e.watermark) snap0
       else listBlocks()
     val grids = snap.filter { case (g, m) =>
-      val key = g.mkString("/")
-      // within the end snapshot...
-      (m < e.watermark || (m == e.watermark && endSet(key))) &&
-        // ...and not already delivered by the start offset
-        (m > s.watermark || (m == s.watermark && !seen(key)))
+      m <= e.watermark &&
+        (s.watermark == Long.MinValue ||
+          (m > s.watermark - GraceMs && !seen(g.mkString("/"))))
     }.map(_._1)
     if (grids.isEmpty) Array.empty
-    else Array(N5BlocksPartition(root, dataset, grids.toArray))
+    else {
+      // same size-targeted grouping as the batch scan: a catch-up batch
+      // over thousands of blocks must not serialize onto one task
+      val blockBytes = math.max(1L,
+        attrs.blockSize.map(_.toLong).product * attrs.dataType.bytesPerElement)
+      val perPartition = math.min(Int.MaxValue.toLong,
+        math.max(1L, targetBytes / blockBytes)).toInt
+      grids.grouped(perPartition)
+        .map(gs => N5BlocksPartition(root, dataset, gs.toArray): InputPartition)
+        .toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -120,12 +125,20 @@ class N5MicroBatchStream(
 }
 
 object N5MicroBatchStream {
-  /** Watermark offset: newest seen mtime + the block paths at that mtime. */
-  final case class N5SourceOffset(watermark: Long, atWatermark: Seq[String])
+  /** How far visibility may lag a block's (publish-stamped) mtime before
+    * the source could miss it. The writer's stamp→rename gap is
+    * microseconds; 10 s covers pathological scheduler stalls.
+    */
+  val GraceMs: Long = 10000L
+
+  /** Watermark offset: newest seen mtime + block paths within the grace
+    * window behind it (the bounded dedup set for late-visible files).
+    */
+  final case class N5SourceOffset(watermark: Long, recent: Seq[String])
       extends Offset {
     override def json(): String = {
-      val files = atWatermark.map(p => "\"" + p + "\"").mkString("[", ",", "]")
-      s"""{"watermark":$watermark,"atWatermark":$files}"""
+      val files = recent.map(p => "\"" + p + "\"").mkString("[", ",", "]")
+      s"""{"watermark":$watermark,"recent":$files}"""
     }
   }
 

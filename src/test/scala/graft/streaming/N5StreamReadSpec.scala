@@ -73,4 +73,25 @@ class N5StreamReadSpec extends SparkSpec {
       assert(r.getAs[Long]("s") == batch(k), s"block $k content mismatch")
     }
   }
+
+  test("grid filters prune the streaming walk") {
+    val tmp = Files.createTempDirectory("n5streamf").toString
+    val root = s"$tmp/f.n5"
+    writeSlab(root, 0)
+    writeSlab(root, 1)
+    val q = spark.readStream.format("n5")
+      .option("dataset", "vol/s0").load(root)
+      .where(col("gz") === 0 && col("gx") === 0)
+      .select(col("gx"), col("gy"), col("gz"))
+      .writeStream.format("parquet")
+      .outputMode(OutputMode.Append())
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(s"$tmp/out").collect()
+    assert(rows.length == 2, s"expected the 2 gx=0,gz=0 blocks: ${rows.length}")
+    assert(rows.forall(r => r.getAs[Int]("gz") == 0 && r.getAs[Int]("gx") == 0))
+  }
 }
