@@ -110,27 +110,11 @@ object N5 {
     // Which of the box's grid positions exist on disk? Pure driver-side
     // directory walk bounded to the box's grid range (one listStatus per
     // surviving directory) — no Spark job at plan-construction time.
-    val conf = new org.apache.hadoop.conf.Configuration()
     val dsPath = new org.apache.hadoop.fs.Path(root, dataset)
-    val fs = dsPath.getFileSystem(conf)
-    val present = scala.collection.mutable.Set.empty[(Int, Int, Int)]
-    def digits(s: String) = s.nonEmpty && s.forall(_.isDigit)
-    if (fs.exists(dsPath)) fs.listStatus(dsPath).foreach { xs =>
-      if (digits(xs.getPath.getName) && xs.isDirectory) {
-        val gx = xs.getPath.getName.toInt
-        if (gx >= g0(0) && gx <= g1(0)) fs.listStatus(xs.getPath).foreach { ys =>
-          if (digits(ys.getPath.getName) && ys.isDirectory) {
-            val gy = ys.getPath.getName.toInt
-            if (gy >= g0(1) && gy <= g1(1)) fs.listStatus(ys.getPath).foreach { zs =>
-              if (digits(zs.getPath.getName) && zs.isFile) {
-                val gz = zs.getPath.getName.toInt
-                if (gz >= g0(2) && gz <= g1(2)) present += ((gx, gy, gz))
-              }
-            }
-          }
-        }
-      }
-    }
+    val fs = dsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val present = graft.sources.n5.N5GridWalk
+      .list(fs, dsPath, 3, (axis, v) => v >= g0(axis) && v <= g1(axis))
+      .map { case (g, _) => (g(0), g(1), g(2)) }.toSet
     // intersection boxes of the absent blocks with [start, end)
     val missingBoxes: Seq[(Long, Long, Long, Long, Long, Long)] = (for {
       gx <- g0(0) to g1(0); gy <- g0(1) to g1(1); gz <- g0(2) to g1(2)
@@ -220,15 +204,7 @@ object N5 {
           .as[(Long, Long, Long, Long)]
     // safe-cast discipline: integer dtypes fail loudly on out-of-range
     // input instead of silently wrapping in the codec
-    val valueRange: Option[(Long, Long)] = attrs.dataType match {
-      case Dtype.UInt8 => Some((0L, 255L))
-      case Dtype.Int8 => Some((-128L, 127L))
-      case Dtype.UInt16 => Some((0L, 65535L))
-      case Dtype.Int16 => Some((-32768L, 32767L))
-      case Dtype.UInt32 => Some((0L, 4294967295L))
-      case Dtype.Int32 => Some((Int.MinValue.toLong, Int.MaxValue.toLong))
-      case _ => None
-    }
+    val valueRange = attrs.dataType.integerRange
     val dtypeName = attrs.dataType.name
     val assembled = typed
       .groupByKey { case (x, y, z, _) =>

@@ -14,7 +14,21 @@ import scala.jdk.CollectionConverters._
   * "uint8" (`/root/reference/data/test.n5/mri/c0/s0/attributes.json`).
   */
 sealed abstract class Dtype(
-    val name: String, val bytesPerElement: Int) extends Serializable
+    val name: String, val bytesPerElement: Int) extends Serializable {
+  /** Inclusive value bounds for bounded integer dtypes (None for the
+    * 64-bit and float dtypes) — the single source for safe-cast range
+    * checks across ingest and writeBox.
+    */
+  def integerRange: Option[(Long, Long)] = this match {
+    case Dtype.UInt8 => Some((0L, 255L))
+    case Dtype.Int8 => Some((-128L, 127L))
+    case Dtype.UInt16 => Some((0L, 65535L))
+    case Dtype.Int16 => Some((-32768L, 32767L))
+    case Dtype.UInt32 => Some((0L, 4294967295L))
+    case Dtype.Int32 => Some((Int.MinValue.toLong, Int.MaxValue.toLong))
+    case _ => None
+  }
+}
 object Dtype {
   case object UInt8 extends Dtype("uint8", 1)
   case object Int8 extends Dtype("int8", 1)

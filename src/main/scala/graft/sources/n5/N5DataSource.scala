@@ -167,6 +167,25 @@ class N5ScanBuilder(
 object N5Scan {
   /** ~decoded bytes per scan partition (targetPartitionBytes option). */
   val DefaultTargetPartitionBytes: Long = 128L * 1024 * 1024
+
+  /** Group blocks into partitions of ~targetBytes decoded payload.
+    * One-partition-per-block would mean tens of millions of tasks on a
+    * 100 TB volume; grouping keeps task count = volume size / target,
+    * while the walk order preserves grid locality within a task. Shared
+    * by the batch scan and the streaming source's batch planning.
+    */
+  def groupIntoPartitions(
+      root: String, dataset: String, grids: Seq[Array[Int]],
+      attrs: DatasetAttributes, targetBytes: Long,
+      maxBlocksPerPartition: Long = Long.MaxValue): Array[InputPartition] = {
+    val blockBytes = math.max(1L,
+      attrs.blockSize.map(_.toLong).product * attrs.dataType.bytesPerElement)
+    val perPartition = math.min(Int.MaxValue.toLong, math.max(1L,
+      math.min(maxBlocksPerPartition, targetBytes / blockBytes))).toInt
+    grids.grouped(perPartition)
+      .map(gs => N5BlocksPartition(root, dataset, gs.toArray): InputPartition)
+      .toArray
+  }
 }
 
 /** Per-axis evaluation of pushed gx/gy/gz filters — shared by the batch
@@ -256,10 +275,6 @@ class N5Scan(
       java.util.OptionalLong.of(rows)
   }
 
-  /** Keep only grid positions satisfying the pushed gx/gy/gz predicates. */
-  private def keep(grid: Array[Int]): Boolean =
-    grid.indices.forall(a => N5GridFilters.axisOk(filters)(a, grid(a)))
-
   /** Enumerate stored blocks by walking the grid directory tree level by
     * level, applying the pushed per-axis predicates DURING traversal: a
     * pruned gx subtree is never listed at all. One listStatus RPC per
@@ -275,21 +290,15 @@ class N5Scan(
     * target, while the walk order preserves grid locality within a task.
     * `maxBlocksPerPartition=1` restores per-block tasks if desired.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val blockBytes = math.max(1L,
-      attrs.blockSize.map(_.toLong).product * attrs.dataType.bytesPerElement)
-    val perPartition = math.min(Int.MaxValue.toLong, math.max(1L,
-      math.min(maxBlocksPerPartition, targetBytes / blockBytes))).toInt
-    survivors.grouped(perPartition)
-      .map(gs => N5BlocksPartition(root, dataset, gs.toArray): InputPartition)
-      .toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    N5Scan.groupIntoPartitions(root, dataset, survivors, attrs,
+      targetBytes, maxBlocksPerPartition)
 
   private def listSurvivors(): Seq[Array[Int]] = {
     val rootPath = new HPath(root, dataset)
     val fs = rootPath.getFileSystem(new Configuration())
     N5GridWalk.list(fs, rootPath, attrs.ndim, N5GridFilters.axisOk(filters))
-      .map(_._1).filter(keep)
+      .map(_._1)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -103,18 +103,9 @@ class N5MicroBatchStream(
         (s.watermark == Long.MinValue ||
           (m > s.watermark - GraceMs && !seen(g.mkString("/"))))
     }.map(_._1)
-    if (grids.isEmpty) Array.empty
-    else {
-      // same size-targeted grouping as the batch scan: a catch-up batch
-      // over thousands of blocks must not serialize onto one task
-      val blockBytes = math.max(1L,
-        attrs.blockSize.map(_.toLong).product * attrs.dataType.bytesPerElement)
-      val perPartition = math.min(Int.MaxValue.toLong,
-        math.max(1L, targetBytes / blockBytes)).toInt
-      grids.grouped(perPartition)
-        .map(gs => N5BlocksPartition(root, dataset, gs.toArray): InputPartition)
-        .toArray
-    }
+    // same size-targeted grouping as the batch scan: a catch-up batch
+    // over thousands of blocks must not serialize onto one task
+    N5Scan.groupIntoPartitions(root, dataset, grids, attrs, targetBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -113,13 +113,8 @@ object TiffVolume {
       dtype: Dtype = Dtype.UInt8,
       compression: Compression = Compression("gzip")): DatasetAttributes = {
     import spark.implicits._
-    val (loVal, hiVal) = dtype match {
-      case Dtype.UInt8 => (0L, 255L)
-      case Dtype.Int8 => (-128L, 127L)
-      case Dtype.UInt16 => (0L, 65535L)
-      case Dtype.Int16 => (-32768L, 32767L)
-      case _ => (Long.MinValue, Long.MaxValue)
-    }
+    val (loVal, hiVal) =
+      dtype.integerRange.getOrElse((Long.MinValue, Long.MaxValue))
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tif")
       .load(inDir)
