@@ -257,7 +257,9 @@ object LlmPipeline {
       val d = docs(s, dir).filter(col("doc_id") < 100)
         .select(col("doc_id"),
           array_distinct(TF.tokens(lower(trim(col("text"))))).as("s"))
-      val a = d.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      // spread the stream side: the per-pair set algebra parallelizes
+      // instead of inheriting the scan's single local split
+      val a = Tables.spread(s, d).select(col("doc_id").as("doc_a"), col("s").as("sa"))
       val b = d.select(col("doc_id").as("doc_b"), col("s").as("sb"))
       a.join(b, col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
