@@ -13,10 +13,16 @@ final case class GeoBuf(var logSum: Double, var n: Long)
   * shape as Spark's built-in aggregates, so at 100 TB the shuffle carries one
   * (logSum, n) pair per group per partition.
   */
-object GeoMean extends Aggregator[Double, GeoBuf, Double] {
+object GeoMean extends Aggregator[java.lang.Double, GeoBuf, Double] {
   override def zero: GeoBuf = GeoBuf(0.0, 0L)
-  override def reduce(b: GeoBuf, a: Double): GeoBuf = {
-    b.logSum += math.log(a); b.n += 1; b
+  override def reduce(b: GeoBuf, a: java.lang.Double): GeoBuf = {
+    // SQL exp(avg(ln(x))) skips NULL inputs — match it; non-positive
+    // input would silently poison the log-sum (-Inf/NaN), so fail loudly
+    if (a != null) {
+      require(a > 0.0, s"geo_mean requires positive input, got $a")
+      b.logSum += math.log(a); b.n += 1
+    }
+    b
   }
   override def merge(x: GeoBuf, y: GeoBuf): GeoBuf =
     GeoBuf(x.logSum + y.logSum, x.n + y.n)

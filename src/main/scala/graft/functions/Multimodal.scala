@@ -64,7 +64,9 @@ object Multimodal {
         }
         y += 1
       }
-      MediaRow(m.id, m.media_type, TiffIO.encode(tw, th, out, 8))
+      // re-encode at the SOURCE bit depth — an 8-bit re-encode of 16-bit
+      // input would silently wrap pixels mod 256
+      MediaRow(m.id, m.media_type, TiffIO.encode(tw, th, out, s.bits))
     })
   }
 
@@ -91,6 +93,8 @@ object Multimodal {
     */
   def sampleFrames(
       media: Dataset[MediaRow], frameBytes: Int, every: Int): Dataset[FrameSample] = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(every > 0, s"every must be positive, got $every")
     import media.sparkSession.implicits._
     media.flatMap { m =>
       val nFrames = m.bytes.length / frameBytes
@@ -116,6 +120,8 @@ object Multimodal {
         val px = v.map(x =>
           math.max(0, math.min(255, math.floor((x + 1.0) * 127.5).toInt)))
         val side = math.sqrt(px.length).toInt
+        require(side * side == px.length,
+          s"embedding dim ${px.length} is not a perfect square (vec_id=$id)")
         MediaRow(id, "image/tiff", TiffIO.encode(side, side, px, 8))
       })
   }

@@ -39,12 +39,13 @@ case class VectorL2Norm(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
       s"""
          |double $s = 0.0;
          |for (int $i = 0; $i < $c.numElements(); $i++) {
          |  if (!$c.isNullAt($i)) {
-         |    double x = (double) $c.getFloat($i);
-         |    $s += x * x;
+         |    double $x = (double) $c.getFloat($i);
+         |    $s += $x * $x;
          |  }
          |}
          |${ev.value} = Math.sqrt($s);
@@ -89,7 +90,10 @@ case class VectorDotF(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      // null element slots contribute 0 (same convention as VectorL2Norm);
+      // getFloat on a null slot is unspecified by the ArrayData contract
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
     s
@@ -108,7 +112,9 @@ case class VectorDotF(left: Expression, right: Expression)
          |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

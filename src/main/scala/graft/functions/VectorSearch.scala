@@ -37,17 +37,22 @@ object VectorSearch {
     planeSigns(nPlanes, dim)(j)
       .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
-  /** Sign-projection bucket id for an ARRAY<FLOAT> column. */
+  /** Sign-projection bucket id for an ARRAY<FLOAT> column. A vector of the
+    * wrong dimensionality fails loudly (zip_with would null-pad it and
+    * silently hash everything to bucket 0, degenerating LSH to one bucket).
+    */
   def signBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
     val signs = planeSigns(nPlanes, dim)
+    val v = graft.functions.VectorFunctions.toDoubles(vec)
     def planeSum(j: Int): Column =
-      aggregate(
-        zip_with(vec, typedlit(signs(j).toSeq), (x, s) =>
-          x.cast("double") * s),
-        lit(0.0), (acc, x) => acc + x)
-    (0 until nPlanes)
+      graft.functions.VectorFunctions.dot(v, typedlit(signs(j).toSeq))
+    val bucket = (0 until nPlanes)
       .map(j => when(planeSum(j) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce((a, b) => a + b)
+    when(size(vec) === dim, bucket)
+      .otherwise(raise_error(concat(
+        lit(s"signBucket: expected $dim-dim vector, got "),
+        size(vec).cast("string"))))
   }
 
   /** Exact top-k neighbours per probe (excluding self). */

@@ -11,7 +11,7 @@ import javax.imageio.ImageIO
   */
 object TiffIO {
 
-  final case class Slice(width: Int, height: Int, pixels: Array[Int])
+  final case class Slice(width: Int, height: Int, pixels: Array[Int], bits: Int = 8)
 
   /** Encode a row-major (x fastest) pixel array as a grayscale TIFF. */
   def encode(width: Int, height: Int, pixels: Array[Int], bits: Int): Array[Byte] = {
@@ -43,6 +43,6 @@ object TiffIO {
     val h = img.getHeight
     val out = new Array[Int](w * h)
     img.getRaster.getPixels(0, 0, w, h, out)
-    Slice(w, h, out)
+    Slice(w, h, out, img.getColorModel.getPixelSize)
   }
 }
