@@ -63,6 +63,11 @@ object OmeTiffVolume {
       s"$nPages pages not divisible by $nChannels channels")
     val nz0 = nPages / nChannels
     val box = crop.getOrElse(CropBox(0, nChannels, 0, nz0, 0, h0, 0, w0))
+    require(box.cStart >= 0 && box.zStart >= 0
+      && box.yStart >= 0 && box.xStart >= 0,
+      s"crop starts must be non-negative: $box")
+    require(box.cSize > 0 && box.zSize > 0 && box.ySize > 0 && box.xSize > 0,
+      s"crop sizes must be positive: $box")
     require(box.cStart + box.cSize <= nChannels && box.zStart + box.zSize <= nz0
       && box.yStart + box.ySize <= h0 && box.xStart + box.xSize <= w0,
       "crop box exceeds volume bounds")
@@ -89,6 +94,8 @@ object OmeTiffVolume {
 
     // ---- executor phase: open-per-task decode (R13), element emit ----
     val (ys, xs, yn, xn) = (box.yStart, box.xStart, box.ySize, box.xSize)
+    val (loVal, hiVal) =
+      dtype.integerRange.getOrElse((Long.MinValue, Long.MaxValue))
     val decoded = manifest.as[(Int, Int, Int)]
       .mapPartitions { it =>
         // each task opens the file fresh — no shared state across tasks
@@ -101,13 +108,19 @@ object OmeTiffVolume {
           val w = img.getWidth
           val px = new Array[Int](w * img.getHeight)
           img.getRaster.getPixels(0, 0, w, img.getHeight, px)
-          // crop y/x and shift to the cropped origin
+          // crop y/x and shift to the cropped origin; safe-cast discipline
+          // (Dtype.integerRange): reject out-of-range pixels with page
+          // context instead of an opaque ANSI overflow at write time
           val out = new Array[Int](xn * yn)
           var yy = 0
           while (yy < yn) {
             var xx = 0
             while (xx < xn) {
-              out(xx + yy * xn) = px((xs + xx) + (ys + yy) * w)
+              val v = px((xs + xx) + (ys + yy) * w)
+              if (v < loVal || v > hiVal) throw new IllegalArgumentException(
+                s"page $page (c=$c, z=$z): pixel $v outside ${dtype.name} " +
+                  s"range [$loVal, $hiVal]")
+              out(xx + yy * xn) = v
               xx += 1
             }
             yy += 1

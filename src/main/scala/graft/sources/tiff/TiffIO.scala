@@ -13,11 +13,14 @@ object TiffIO {
 
   final case class Slice(width: Int, height: Int, pixels: Array[Int], bits: Int = 8)
 
-  /** Encode a row-major (x fastest) pixel array as a grayscale TIFF. */
-  def encode(width: Int, height: Int, pixels: Array[Int], bits: Int): Array[Byte] = {
+  /** Build the in-memory grayscale image for a row-major (x fastest) pixel
+    * array — shared by encode and multi-page writers (which would
+    * otherwise pay an encode→re-parse round trip per page).
+    */
+  def buildImage(width: Int, height: Int, pixels: Array[Int], bits: Int): BufferedImage = {
     require(pixels.length == width * height,
       s"pixel count ${pixels.length} != $width x $height")
-    val img = bits match {
+    bits match {
       case 8 =>
         val im = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
         val buf = im.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
@@ -30,8 +33,13 @@ object TiffIO {
         im
       case b => throw new IllegalArgumentException(s"unsupported bit depth $b")
     }
+  }
+
+  /** Encode a row-major (x fastest) pixel array as a grayscale TIFF. */
+  def encode(width: Int, height: Int, pixels: Array[Int], bits: Int): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    require(ImageIO.write(img, "tiff", bos), "no TIFF writer available")
+    require(ImageIO.write(buildImage(width, height, pixels, bits), "tiff", bos),
+      "no TIFF writer available")
     bos.toByteArray
   }
 

@@ -20,12 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object TiffVolume {
 
-  /** Export every z-slice of a dataset as `prefix%05d.tif` under outDir. */
+  /** Export every z-slice of a dataset as `prefix%05d.tif` under outDir.
+    * Sparse volumes export densely (zarr fill-value parity): voxels of
+    * absent blocks come out as zeros, and fully-absent z-slabs still
+    * produce (all-zero) slice files — the series never has numbering
+    * gaps. Returns the number of slices written (= the volume depth).
+    */
   def exportSlices(
       spark: SparkSession, root: String, dataset: String,
       outDir: String, prefix: String = "slice_"): Int = {
     val attrs = N5Meta.datasetAttributes(root, dataset)
-    val Array(w, h, _) = attrs.dimensions.map(_.toInt)
+    val Array(w, h, depth) = attrs.dimensions.map(_.toInt)
     val bits = attrs.dataType match {
       case Dtype.UInt8 | Dtype.Int8 => 8
       case Dtype.UInt16 | Dtype.Int16 => 16
@@ -33,17 +38,23 @@ object TiffVolume {
         s"TIFF export supports 8/16-bit integer volumes, got ${d.name}")
     }
     val e = N5.elements(N5.read(spark, root, dataset))
-    val slices = e
+    val grouped = e
       .withColumn("idx", (col("x") + col("y") * w).cast("int"))
       .groupBy(col("z"))
-      .agg(array_sort(collect_list(struct(col("idx"), col("v")))).as("cells"))
-      .select(col("z").cast("int").as("z"),
-        transform(col("cells"), c => c.getField("v").cast("int")).as("px"))
+      .agg(collect_list(struct(col("idx"), col("v").cast("int"))).as("cells"))
+      .select(col("z").cast("int").as("z"), col("cells"))
+    // every z in [0, depth) gets a file; stored voxels scatter into a
+    // zero-initialized page, so partially/fully absent blocks read as 0
+    val slices = spark.range(depth).select(col("id").cast("int").as("z"))
+      .join(grouped, Seq("z"), "left")
     slices.foreachPartition { it: Iterator[Row] =>
       val conf = new Configuration()
       it.foreach { r =>
         val z = r.getInt(0)
-        val px = r.getSeq[Int](1).toArray
+        val px = new Array[Int](w * h)
+        if (!r.isNullAt(1)) r.getSeq[Row](1).foreach { c =>
+          px(c.getInt(0)) = c.getInt(1)
+        }
         val bytes = TiffIO.encode(w, h, px, bits)
         val p = new HPath(outDir, f"$prefix$z%05d.tif")
         val fs = p.getFileSystem(conf)
@@ -52,9 +63,7 @@ object TiffVolume {
         try out.write(bytes) finally out.close()
       }
     }
-    val dir = new HPath(outDir)
-    dir.getFileSystem(new Configuration())
-      .globStatus(new HPath(dir, s"$prefix*.tif")).length
+    depth
   }
 
   /** Export one sub-box [start,end) as a single multi-page TIFF (one page
@@ -85,8 +94,7 @@ object TiffVolume {
       val px = r.getSeq[Int](0).toArray
       require(px.forall(v => v >= 0 && v <= limit),
         s"safe cast violation: voxel outside [0, $limit] for $bits-bit TIFF")
-      javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(TiffIO.encode(w, h, px, bits)))
+      TiffIO.buildImage(w, h, px, bits)
     }
     val p = new HPath(outFile)
     val fs = p.getFileSystem(new Configuration())
@@ -118,10 +126,14 @@ object TiffVolume {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tif")
       .load(inDir)
-      // numeric sort key: last run of digits in the file name; files
-      // without one are rejected rather than silently mis-placed
-      .withColumn("zraw",
-        regexp_extract(col("path"), "(\\d+)\\.tif$", 1).cast("long"))
+      // numeric sort key: digit run right before .tif; files without one
+      // are rejected rather than silently mis-placed (an empty extract
+      // must become null explicitly — ANSI CAST('' AS BIGINT) throws an
+      // opaque error before the curated require below could fire)
+      .withColumn("zraw", {
+        val digits = regexp_extract(col("path"), "(\\d+)\\.tif$", 1)
+        when(length(digits) === 0, lit(null)).otherwise(digits.cast("long"))
+      })
     // z COORDINATE = rank in numeric order with path tiebreak (glob-sort
     // semantics, tif_to_n5.py:21) — 1-based or gappy numbering ingests
     // densely; ranking happens on the tiny driver-side (path, zraw) list
@@ -129,6 +141,7 @@ object TiffVolume {
     // (a global window would funnel all content through one task)
     val order = files.select(col("path"), col("zraw"))
       .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.toString.toLong)))
+    require(order.nonEmpty, s"no .tif files found in $inDir")
     require(order.forall(_._2.isDefined),
       s"$inDir contains .tif files without a numeric suffix: " +
         order.filter(_._2.isEmpty).map(_._1).take(3).mkString(", "))

@@ -59,37 +59,62 @@ object Streams {
 
   /** Custom stateful accumulator via mapGroupsWithState: running event
     * count + latest timestamp per user (the §2.3 "custom state" row).
+    *
+    * Pass `idleTimeout = Some("1 hour")` on long-running queries to evict
+    * state for idle users (emitting their final stat) — per-user state is
+    * otherwise kept forever and grows with user cardinality. The default
+    * is no timeout because pending processing-time timers keep a
+    * Trigger.AvailableNow run scheduling batches instead of terminating —
+    * drain-and-stop runs (and the batch-equivalence tests) need the
+    * timer-free form.
     */
-  def userStats(events: DataFrame): Dataset[UserStat] = {
+  def userStats(
+      events: DataFrame,
+      idleTimeout: Option[String] = None): Dataset[UserStat] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events
       .select(col("user_id").cast("long"), col("ts"))
       .as[(Long, Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserStat, UserStat](timeoutConf) {
         case (uid, rows, state: GroupState[UserStat]) =>
-          val prev = state.getOption.getOrElse(UserStat(uid, 0L, new Timestamp(0)))
-          var n = prev.n
-          var last = prev.lastTs
-          rows.foreach { case (_, t) =>
-            n += 1
-            if (t.after(last)) last = t
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserStat(uid, 0L, new Timestamp(0)))
+            var n = prev.n
+            var last = prev.lastTs
+            rows.foreach { case (_, t) =>
+              n += 1
+              if (t.after(last)) last = t
+            }
+            val next = UserStat(uid, n, last)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
           }
-          val next = UserStat(uid, n, last)
-          state.update(next)
-          next
       }
   }
 
   /** Streaming TIFF-slab ingest (reference `tif_to_n5.py:53-58` semantics):
-    * watch a directory for arriving slice files, decode each micro-batch on
-    * the executors, write complete N5 blocks per batch (blockSize z = slab
+    * slice files arriving in a directory are decoded per micro-batch on
+    * the executors and written as complete N5 blocks (blockSize z = slab
     * depth 1 keeps every batch block-aligned → idempotent commits).
+    *
+    * The default Trigger.AvailableNow drains what is present and
+    * TERMINATES — correct for catch-up/backfill runs; a live acquisition
+    * that keeps producing files needs a processing-time trigger, e.g.
+    * `trigger = Trigger.ProcessingTime("10 seconds")`.
     */
   def tiffSlabIngest(
       spark: SparkSession, inDir: String, dstRoot: String, dstDataset: String,
-      width: Int, height: Int, depth: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+      width: Int, height: Int, depth: Int,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
     val attrs = graft.n5.DatasetAttributes(
       Array(width.toLong, height.toLong, depth.toLong),
@@ -100,7 +125,7 @@ object Streams {
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
       .load(inDir)
     stream.writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // The filename digits are the ABSOLUTE 0-based z coordinate (this
@@ -120,6 +145,13 @@ object Streams {
             require(z >= 0 && z < depth,
               s"slice z=$z out of range [0, $depth) for $path")
             val s = graft.sources.tiff.TiffIO.decode(bytes)
+            // a wrong-sized slice would otherwise scatter with the wrong
+            // stride (silent corruption when wider, opaque AIOOBE when
+            // narrower); uint8 range enforced like the batch ingest
+            require(s.width == width && s.height == height,
+              s"slice $path is ${s.width}x${s.height}, expected ${width}x$height")
+            require(s.pixels.forall(v => v >= 0 && v <= 255),
+              s"slice $path has values outside uint8 range [0, 255]")
             (z.toLong, s.pixels.map(_.toLong))
           })
         graft.n5.Regroup.writeAssembled(
