@@ -34,14 +34,23 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    // a failed query reports -1, never a normal-looking elapsed time
+    // The driver parses the JSON from the LAST ~2000 chars of stdout (sbt
+    // appends a "[success]" line after us), so the line must stay well
+    // under that window: per-query keys are the unique qNN prefix and
+    // values 2-decimal seconds. Full names are qNN_* in SparkEntry.queries
+    // (mapping noted in BASELINE.md). A failed query reports -1, never a
+    // normal-looking elapsed time.
+    def short(k: String): String = k.indexOf('_') match {
+      case -1 => k
+      case i => k.substring(0, i)
+    }
     val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) "-1" else f"$v%.3f")
+      "\"" + short(k) + "\":" + (if (err.isDefined) "-1" else f"$v%.2f")
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       // strip quotes, backslashes and ALL control chars — any of them
       // inside an exception message would break the JSON line
-      "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\p{Cntrl}]", " ") + "\""
+      "\"" + short(k) + "\":\"" + e.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(60) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

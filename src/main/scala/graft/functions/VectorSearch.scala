@@ -81,6 +81,60 @@ object VectorSearch {
     (0 to radius).flatMap(r => combos(0, r))
   }
 
+  /** IVF coarse-cell assignment: cell = argmax over `cents` of
+    * round(cosine(vec, centroid), 4), ties to the LOWEST centroid id.
+    * Pure narrow expression — the centroid table rides into the plan as
+    * literals (the broadcast-codebook pattern), so assignment adds no
+    * shuffle at any corpus size. The 4-decimal rounding is the tie
+    * discipline that lets an external oracle reproduce the argmax.
+    */
+  def ivfCell(vec: Column, cents: Seq[(Int, Seq[Float])]): Column = {
+    val entries = cents.map { case (cid, cv) =>
+      struct(round(NE.vectorCosine(vec, typedlit(cv)), 4).as("s"),
+        lit(-cid).as("n"))
+    }
+    (array_max(array(entries: _*)).getField("n") * -1).cast("int")
+  }
+
+  /** The probe's `nProbe` nearest cells (same rounding/tie rules as
+    * ivfCell), as one row per (probe row, cell).
+    */
+  private def probeCells(
+      probes: DataFrame, cents: Seq[(Int, Seq[Float])], nProbe: Int): DataFrame = {
+    val entries = cents.map { case (cid, cv) =>
+      struct((round(NE.vectorCosine(col("pv"), typedlit(cv)), 4) * -1).as("ns"),
+        lit(cid).as("cid"))
+    }
+    probes
+      .withColumn("cell",
+        explode(slice(array_sort(array(entries: _*)), 1, nProbe)
+          .getField("cid")))
+  }
+
+  /** IVF top-k (inverted-file ANN): vectors are binned by nearest coarse
+    * centroid; a probe scans only its `nProbe` nearest cells. With K
+    * centroids the candidate set shrinks ~nProbe/K vs brute force; at
+    * 100 TB the assigned table is written bucketed by `cell`, making the
+    * probe join a pruned scan. Same output schema as bruteForceTopK.
+    */
+  def ivfTopK(
+      emb: DataFrame, probes: DataFrame, k: Int,
+      cents: Seq[(Int, Seq[Float])], nProbe: Int = 2): DataFrame = {
+    val assigned = emb.withColumn("cell", ivfCell(col("embedding"), cents))
+    val p = broadcast(probeCells(
+      probes.select(col("vec_id").as("pid"), col("embedding").as("pv")),
+      cents, nProbe))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    assigned.join(p, Seq("cell"))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        round(NE.vectorCosine(col("embedding"), col("pv")), 4).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("pid"), col("rnk"), col("vec_id"), col("cosine"))
+  }
+
   /** LSH top-k: candidates limited to the probe's bucket and its
     * Hamming<=probeRadius neighbours (multi-probe). Returns the same
     * schema as bruteForceTopK.

@@ -199,9 +199,17 @@ object N5 {
           .map { case (x, y, z, v) =>
             (x, y, z, java.lang.Double.doubleToRawLongBits(v))
           }
-      else
-        inBox.select(col("x"), col("y"), col("z"), col("v").cast("bigint"))
+      else {
+        // reject non-integral input BEFORE the bigint cast: ANSI cast only
+        // errors on overflow, so 3.7 would otherwise truncate to 3 silently
+        val dt = attrs.dataType.name
+        inBox.select(col("x"), col("y"), col("z"),
+          when(col("v") =!= col("v").cast("bigint"),
+            raise_error(concat(lit("writeBox: non-integral value "),
+              col("v").cast("string"), lit(s" for $dt dataset"))))
+            .otherwise(col("v")).cast("bigint").as("v"))
           .as[(Long, Long, Long, Long)]
+      }
     // safe-cast discipline: integer dtypes fail loudly on out-of-range
     // input instead of silently wrapping in the codec
     val valueRange = attrs.dataType.integerRange
@@ -222,6 +230,7 @@ object N5 {
         // (unique-voxel precondition) needs no read at all
         val idxs = new Array[Int](vol)
         val vals = new Array[Long](vol)
+        val covered = new java.util.BitSet(vol)
         var m = 0
         it.foreach { case (x, y, z, v) =>
           valueRange.foreach { case (lo, hi) =>
@@ -232,11 +241,15 @@ object N5 {
             s"writeBox: more input rows than voxels in block " +
               s"(${grid.mkString(",")}) — duplicate (x,y,z) coordinates")
           idxs(m) = ((x - ox) + (y - oy) * sx + (z - oz) * sx * sy).toInt
+          covered.set(idxs(m))
           vals(m) = v
           m += 1
         }
         val base = new Array[Long](vol)
-        if (m < vol) {
+        // "fully covered, skip the read" requires every DISTINCT voxel hit:
+        // a row count of vol with duplicates would leave uncovered voxels
+        // silently zeroed if we trusted m alone
+        if (covered.cardinality() < vol) {
           // partial cover: start from the stored block (zeros when absent)
           val path = new org.apache.hadoop.fs.Path(
             root, s"$dataset/${grid.mkString("/")}")
@@ -275,36 +288,90 @@ object N5 {
 
   /** Reassemble an element table (x,y,z,v) into the (gx,gy,gz,shape,data)
     * block layout of `target`, ready for `write`. One shuffle keyed by grid
-    * position with in-partition sort — the rechunk Exchange of
-    * `tif_to_n5.py:22` / `n5_to_tif.py:50`.
+    * position — the rechunk Exchange of `tif_to_n5.py:22` /
+    * `n5_to_tif.py:50`.
     *
-    * Scale note: this is the element-level formulation (shuffle volume =
-    * voxel count). The block-fragment regroup (≤8 fragment rows per output
-    * block instead of per-voxel rows, SURVEY §7 "hard parts") drops shuffle
-    * row count by ~blockSize³ and is the planned optimization; the writer
-    * interface is unchanged by it.
+    * Scale formulation: a map-side PATCH COMBINE. Each input partition
+    * packs its voxels into one (grid → idx[], bits[]) patch row per block
+    * it touches, so the shuffle carries ~12 bytes/voxel in a handful of
+    * rows per partition instead of one ~40-byte UnsafeRow per voxel, and
+    * assembly is a primitive scatter instead of a groupBy-sort over boxed
+    * structs. Blocks with any row must be DENSE (every voxel present) —
+    * enforced with a coverage bitset; wholly absent blocks stay absent
+    * (sparse volumes). Float payloads travel as raw Double bits (exact).
     */
   def blocksFromElements(
       elems: DataFrame, target: DatasetAttributes,
       elemSparkType: DataType): DataFrame = {
-    val Array(dx, dy, dz) = target.dimensions.map(_.toString)
-    val Array(bx, by, bz) = target.blockSize.map(_.toString)
-    elems
-      .withColumn("gx", expr(s"CAST(x div $bx AS INT)"))
-      .withColumn("gy", expr(s"CAST(y div $by AS INT)"))
-      .withColumn("gz", expr(s"CAST(z div $bz AS INT)"))
-      // local (edge-trimmed) block shape
-      .withColumn("sx", expr(s"CAST(least($bx, $dx - gx * $bx) AS INT)"))
-      .withColumn("sy", expr(s"CAST(least($by, $dy - gy * $by) AS INT)"))
-      .withColumn("sz", expr(s"CAST(least($bz, $dz - gz * $bz) AS INT)"))
-      .withColumn("idx", expr(
-        s"CAST((x - gx * $bx) + (y - gy * $by) * sx + (z - gz * $bz) * sx * sy AS INT)"))
-      .groupBy(col("gx"), col("gy"), col("gz"), col("sx"), col("sy"), col("sz"))
-      .agg(array_sort(collect_list(struct(col("idx"), col("v")))).as("cells"))
-      .select(col("gx"), col("gy"), col("gz"),
-        array(col("sx"), col("sy"), col("sz")).as("shape"),
-        transform(col("cells"), c =>
-          c.getField("v").cast(elemSparkType)).as("data"))
+    val spark = elems.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val isFloat = elemSparkType == FloatType || elemSparkType == DoubleType
+    val Array(bx, by, bz) = target.blockSize
+    val dims = target.dimensions
+    val typed: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] =
+      if (isFloat)
+        elems.select(col("x").cast("bigint"), col("y").cast("bigint"),
+          col("z").cast("bigint"), col("v").cast("double"))
+          .as[(Long, Long, Long, Double)]
+          .map { case (x, y, z, v) =>
+            (x, y, z, java.lang.Double.doubleToRawLongBits(v))
+          }
+      else
+        elems.select(col("x").cast("bigint"), col("y").cast("bigint"),
+          col("z").cast("bigint"), col("v").cast("bigint"))
+          .as[(Long, Long, Long, Long)]
+    // partition-local combine: one patch row per (partition, touched block)
+    val patches = typed.mapPartitions { it =>
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[(Int, Int, Int), (scala.collection.mutable.ArrayBuilder.ofInt,
+          scala.collection.mutable.ArrayBuilder.ofLong)]
+      it.foreach { case (x, y, z, v) =>
+        require(x >= 0 && x < dims(0) && y >= 0 && y < dims(1)
+          && z >= 0 && z < dims(2),
+          s"element ($x,$y,$z) outside dims ${dims.mkString("x")}")
+        val g = ((x / bx).toInt, (y / by).toInt, (z / bz).toInt)
+        val (is, vs) = acc.getOrElseUpdate(g,
+          (new scala.collection.mutable.ArrayBuilder.ofInt,
+            new scala.collection.mutable.ArrayBuilder.ofLong))
+        val sx = math.min(bx.toLong, dims(0) - g._1.toLong * bx).toInt
+        val sy = math.min(by.toLong, dims(1) - g._2.toLong * by).toInt
+        is += ((x - g._1.toLong * bx) + (y - g._2.toLong * by) * sx
+          + (z - g._3.toLong * bz) * sx * sy).toInt
+        vs += v
+      }
+      acc.iterator.map { case ((gx, gy, gz), (is, vs)) =>
+        (gx, gy, gz, is.result(), vs.result())
+      }
+    }
+    val assembled = patches
+      .groupByKey(p => (p._1, p._2, p._3))
+      .mapGroups { (g, it) =>
+        val grid = Array(g._1, g._2, g._3)
+        val shape = target.blockShape(grid)
+        val vol = shape.product
+        val out = new Array[Long](vol)
+        val covered = new java.util.BitSet(vol)
+        it.foreach { case (_, _, _, is, vs) =>
+          var i = 0
+          while (i < is.length) {
+            out(is(i)) = vs(i); covered.set(is(i)); i += 1
+          }
+        }
+        require(covered.cardinality() == vol,
+          s"block (${grid.mkString(",")}) has ${covered.cardinality()} of " +
+            s"$vol voxels — blocksFromElements needs dense blocks")
+        Regroup.OutBlock(g._1, g._2, g._3, shape, out)
+      }
+    if (isFloat)
+      assembled.map(b => (b.gx, b.gy, b.gz, b.shape,
+        b.data.map(java.lang.Double.longBitsToDouble)))
+        .toDF("gx", "gy", "gz", "shape", "data")
+        .withColumn("data", col("data").cast(s"array<${elemSparkType.catalogString}>"))
+    else
+      assembled.toDF()
+        .select(col("gx"), col("gy"), col("gz"), col("shape"),
+          col("data").cast(s"array<${elemSparkType.catalogString}>").as("data"))
   }
 
   /** DDL-from-template (reference `create_dataset`, `create_n5.py:7-37`):

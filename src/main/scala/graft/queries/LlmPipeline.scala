@@ -394,6 +394,52 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
+    // IVF ANN (inverted-file, the other scale path besides LSH): vectors
+    // binned by nearest of 8 coarse centroids (vec_id < 8 as the
+    // deterministic codebook); probes scan only their 2 nearest cells.
+    // Assignment is a narrow argmax over broadcast-literal centroids (no
+    // shuffle); at 100 TB the assigned table is bucketed by cell so the
+    // probe join is a pruned scan. 4-decimal rounding + lowest-cid ties
+    // make the argmax reproducible in DuckDB → full hash oracle.
+    QueryDef.sql(
+      "q59_ann_ivf",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT e.vec_id, e.v, c.cid,
+        |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim FROM e, c),
+        |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT vec_id, v, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cid ASC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |pcells AS (SELECT pid, cell FROM (
+        |    SELECT vec_id AS pid, cid AS cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cid ASC) AS rn
+        |    FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 5),
+        |cand AS (SELECT pc.pid, a.vec_id,
+        |    round(list_cosine_similarity(a.v, p.pv), 4) AS cosine
+        |  FROM assigned a JOIN pcells pc ON a.cell = pc.cell
+        |  JOIN p ON p.pid = pc.pid AND a.vec_id <> p.pid),
+        |ranked AS (SELECT pid, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY pid
+        |      ORDER BY cosine DESC, vec_id ASC) AS rnk
+        |  FROM cand)
+        |SELECT pid, rnk, vec_id, cosine FROM ranked WHERE rnk <= 3
+        |ORDER BY pid ASC, rnk ASC""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = e.filter(col("vec_id") < 8).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+      graft.functions.VectorSearch
+        .ivfTopK(e, e.filter(col("vec_id") < 5), k = 3, cents, nProbe = 2)
+        .orderBy(col("pid").asc, col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
     // Per-document text statistics: token counts, subword (BPE-ish) counts,
     // character-class ratios, stopword ratio, mean token length, composite
     // quality score. Pure narrow expressions — a single pass at any scale.

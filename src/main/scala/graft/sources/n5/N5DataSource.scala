@@ -503,9 +503,10 @@ class N5WriterFactory(
   * HDFS), so a crashed or speculative task can never leave a torn block
   * behind: readers (including writeBox's read-modify-write) always see
   * either the old complete bytes or the new complete bytes. Blocks are
-  * write-disjoint across tasks, so retries are idempotent. Orphaned temp
-  * files from crashes are invisible to scans (non-digit names) and
-  * overwritten-by-name on retry.
+  * write-disjoint across tasks, so retries are idempotent. Temps are
+  * UUID-unique per attempt; an aborted attempt deletes its in-flight temp
+  * in abort(), and temps orphaned by a hard crash (no abort callback) are
+  * invisible to scans (non-digit names).
   */
 class N5BlockWriter(
     root: String, dataset: String, attrs: DatasetAttributes,
@@ -546,6 +547,7 @@ class N5BlockWriter(
     // published inode on POSIX)
     val tmp = new HPath(path.getParent,
       s".${path.getName}.tmp-${java.util.UUID.randomUUID()}")
+    pending = tmp
     val out = fs.create(tmp, true)
     try { out.write(bytes); out.close() }
     catch { case e: Throwable => out.close(); fs.delete(tmp, false); throw e }
@@ -555,10 +557,17 @@ class N5BlockWriter(
     // inside the source's grace window
     fs.setTimes(tmp, System.currentTimeMillis(), -1)
     fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    pending = null
   }
 
+  // the one temp that can exist between create and publish-rename; with
+  // UUID-unique names a retry never reclaims it by name, so the aborted
+  // attempt must clean up after itself
+  private var pending: HPath = null
+
   override def commit(): WriterCommitMessage = N5CommitMessage
-  override def abort(): Unit = ()
+  override def abort(): Unit =
+    if (pending != null) { fs.delete(pending, false); pending = null }
   override def close(): Unit = ()
 }
 

@@ -64,7 +64,8 @@ class N5MicroBatchStream(
     else {
       val wm = snapshot.map(_._2).max
       N5SourceOffset(wm,
-        snapshot.filter(_._2 > wm - GraceMs).map(_._1.mkString("/")).sorted)
+        snapshot.filter(_._2 > wm - GraceMs)
+          .map { case (g, m) => g.mkString("/") + "@" + m }.sorted)
     }
   }
 
@@ -89,7 +90,13 @@ class N5MicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[N5SourceOffset]
     val e = end.asInstanceOf[N5SourceOffset]
-    val seen = s.recent.toSet
+    // delivered (path, mtime) versions — a path alone must NOT suppress a
+    // REWRITTEN block (newer mtime) or it would be dropped forever while
+    // its mtime stays within grace of the advancing watermark
+    val seen = s.recent.map { entry =>
+      val at = entry.lastIndexOf('@')
+      (entry.substring(0, at), entry.substring(at + 1).toLong)
+    }.toSet
     // checkpoint recovery replays a committed (start, end) range without a
     // preceding latestOffset() call — re-list when the cached snapshot
     // does not cover the end offset (files past `end` are filtered out)
@@ -101,7 +108,7 @@ class N5MicroBatchStream(
     val grids = snap.filter { case (g, m) =>
       m <= e.watermark &&
         (s.watermark == Long.MinValue ||
-          (m > s.watermark - GraceMs && !seen(g.mkString("/"))))
+          (m > s.watermark - GraceMs && !seen((g.mkString("/"), m))))
     }.map(_._1)
     // same size-targeted grouping as the batch scan: a catch-up batch
     // over thousands of blocks must not serialize onto one task
@@ -122,8 +129,10 @@ object N5MicroBatchStream {
     */
   val GraceMs: Long = 10000L
 
-  /** Watermark offset: newest seen mtime + block paths within the grace
-    * window behind it (the bounded dedup set for late-visible files).
+  /** Watermark offset: newest seen mtime + `path@mtime` entries within the
+    * grace window behind it (the bounded dedup set for late-visible files).
+    * Keyed by VERSION, not path: only the exact delivered (path, mtime) is
+    * suppressed, so a rewrite with a newer mtime is re-delivered.
     */
   final case class N5SourceOffset(watermark: Long, recent: Seq[String])
       extends Offset {
@@ -137,7 +146,7 @@ object N5MicroBatchStream {
     def fromJson(json: String): N5SourceOffset = {
       val wm = "\"watermark\":(-?\\d+)".r.findFirstMatchIn(json)
         .map(_.group(1).toLong).getOrElse(Long.MinValue)
-      val files = "\"([0-9/]+)\"".r.findAllMatchIn(json)
+      val files = "\"([0-9/]+@-?\\d+)\"".r.findAllMatchIn(json)
         .map(_.group(1)).toSeq
       N5SourceOffset(wm, files)
     }

@@ -40,6 +40,54 @@ class VectorSearchSpec extends SparkSpec {
     assert(b1.values.toSet.size > 8, "buckets should spread")
   }
 
+  test("ivf search equals brute force restricted to the probed cells") {
+    val e = emb
+    val cents = e.filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val p = e.filter(col("vec_id") < 10)
+    val k = 10
+    val ivf = VectorSearch.ivfTopK(e, p, k, cents, nProbe = 2)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+
+    // ground truth: assignment + probe-cell sets computed independently
+    // on the driver, then brute-force ranking restricted to those cells
+    val rows = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val centsD = cents.map { case (cid, cv) => (cid, cv.map(_.toDouble)) }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cell = rows.map { case (id, v) =>
+      id -> centsD.map { case (cid, cv) => (-cos(v, cv), cid) }.min._2
+    }.toMap
+    val byId = rows.toMap
+    (0L until 10L).foreach { pid =>
+      val pv = byId(pid)
+      val pcells = centsD.map { case (cid, cv) => (-cos(pv, cv), cid) }
+        .sorted.take(2).map(_._2).toSet
+      val expect = rows.filter { case (id, _) =>
+        id != pid && pcells(cell(id)) }
+        .map { case (id, v) => (-cos(v, pv), id) }
+        .sorted.take(k).map(_._2).toSeq
+      assert(ivf.getOrElse(pid, Nil) == expect, s"probe $pid mismatch")
+    }
+    // recall sanity vs full brute force (informational + floor)
+    val brute = VectorSearch.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 10), k)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = brute.keys.toSeq.map { pid =>
+      ivf.getOrElse(pid, Nil).toSet.intersect(brute(pid)).size.toDouble / k
+    }
+    val avg = recalls.sum / recalls.size
+    info(f"ivf avg recall@10 = $avg%.2f (8 cells, nProbe=2)")
+    assert(avg >= 0.25, f"ivf recall $avg%.2f too low")
+  }
+
   test("lsh top-10 recall vs brute force, with bounded candidate sets") {
     val k = 10
     val brute = VectorSearch.bruteForceTopK(emb, probes, k)

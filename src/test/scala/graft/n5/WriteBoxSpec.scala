@@ -64,6 +64,44 @@ class WriteBoxSpec extends SparkSpec {
       || String.valueOf(ex.getCause).contains("outside uint8 range"))
   }
 
+  test("writeBox rejects non-integral values for integer dtypes") {
+    val tmp = Files.createTempDirectory("wbni").toString
+    N5.rechunk(spark, fixtureRoot, fixtureDs, s"$tmp/n.n5", "vol/s0",
+      Array(64, 64, 64))
+    // 3.7 must fail loudly, not truncate to 3 (ANSI cast only catches overflow)
+    val bad = N5.boxGrid(spark, Array(0L, 0L, 0L), Array(4L, 4L, 2L))
+      .select(col("x"), col("y"), col("z"), lit(3.7d).as("v"))
+    val ex = intercept[Exception] {
+      N5.writeBox(spark, s"$tmp/n.n5", "vol/s0",
+        Array(0L, 0L, 0L), Array(4L, 4L, 2L), bad)
+    }
+    val msg = ex.getMessage + String.valueOf(ex.getCause)
+    assert(msg.contains("non-integral"), msg.take(300))
+  }
+
+  test("duplicate rows reaching block volume still read the stored block") {
+    val tmp = Files.createTempDirectory("wbdup").toString
+    val attrs = DatasetAttributes(Array(4L, 2L, 1L), Array(4, 2, 1),
+      Dtype.UInt8, Compression("raw"))
+    val base = N5.boxGrid(spark, Array(0L, 0L, 0L), Array(4L, 2L, 1L))
+      .select(col("x"), col("y"), col("z"), lit(9).as("v"))
+    N5.write(N5.blocksFromElements(base, attrs,
+      org.apache.spark.sql.types.ShortType), s"$tmp/d.n5", "vol/s0", attrs)
+    // 8 input rows = block volume, but only 4 DISTINCT voxels (x<2 twice
+    // each): coverage must be judged by distinct voxels, so the uncovered
+    // half keeps its stored 9s instead of being silently zeroed
+    val half = N5.boxGrid(spark, Array(0L, 0L, 0L), Array(2L, 2L, 1L))
+      .select(col("x"), col("y"), col("z"), lit(5).as("v"))
+    N5.writeBox(spark, s"$tmp/d.n5", "vol/s0",
+      Array(0L, 0L, 0L), Array(4L, 2L, 1L), half.union(half))
+    val vs = N5.elements(N5.read(spark, s"$tmp/d.n5", "vol/s0"))
+      .orderBy(col("z"), col("y"), col("x"))
+      .select(col("x"), col("v")).collect()
+    assert(vs.forall(r =>
+      r.getShort(1) == (if (r.getLong(0) < 2) 5 else 9)),
+      vs.map(r => s"${r.getLong(0)}:${r.getShort(1)}").mkString(","))
+  }
+
   test("writeBox on a float dataset preserves float payloads bit-exactly") {
     val tmp = Files.createTempDirectory("wbf").toString
     val attrs = DatasetAttributes(Array(32L, 32L, 8L), Array(16, 16, 8),

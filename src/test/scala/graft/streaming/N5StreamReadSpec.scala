@@ -74,6 +74,37 @@ class N5StreamReadSpec extends SparkSpec {
     }
   }
 
+  test("a rewritten block (newer mtime) is re-delivered") {
+    val tmp = Files.createTempDirectory("n5streamrw").toString
+    val root = s"$tmp/rw.n5"
+    val ckpt = s"$tmp/ckpt"
+    val out = s"$tmp/out"
+
+    writeSlab(root, 0)
+    runOnce(root, ckpt, out)
+    assert(spark.read.parquet(out).count() == 4)
+
+    // rewrite the SAME slab: paths identical, mtimes newer. The offset's
+    // recent set keys by path@mtime, so the new versions must be admitted
+    // even though every path was just delivered (a path-only dedup set
+    // would suppress them forever — ADVICE r3).
+    Thread.sleep(20)
+    writeSlab(root, 0)
+    runOnce(root, ckpt, out)
+    val all = spark.read.parquet(out).collect()
+    assert(all.length == 8, s"rewritten blocks not re-delivered: ${all.length}")
+    assert(all.forall(_.getAs[Int]("gz") == 0))
+  }
+
+  test("offset JSON round-trips path@mtime entries") {
+    import graft.sources.n5.N5MicroBatchStream.N5SourceOffset
+    val off = N5SourceOffset(1723400000123L, Seq("0/0/0@1723400000123", "1/1/0@1723399999999"))
+    assert(N5SourceOffset.fromJson(off.json()) == off)
+    // legacy/malformed entries without @mtime are ignored, not misparsed
+    val legacy = N5SourceOffset.fromJson("""{"watermark":5,"recent":["0/0/0"]}""")
+    assert(legacy == N5SourceOffset(5L, Nil))
+  }
+
   test("grid filters prune the streaming walk") {
     val tmp = Files.createTempDirectory("n5streamf").toString
     val root = s"$tmp/f.n5"
