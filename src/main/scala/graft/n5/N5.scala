@@ -20,6 +20,51 @@ object N5 {
   def read(spark: SparkSession, root: String, dataset: String): DataFrame =
     spark.read.format("n5").option("dataset", dataset).load(root)
 
+  /** Group block table (SURVEY §1.4): one row per block across every
+    * channel/level dataset of an N5 group — the reference's `c{c}/{s{l}}`
+    * sibling-path layout (`ometif_to_n5.py:111-116`, fixture `mri/c0/s0`)
+    * surfaced as `channel INT, level INT` columns, the Spark analogue of
+    * partition columns. A channel-less pyramid (`group/s0, group/s1, …`)
+    * maps to channel 0.
+    *
+    * channel/level ride as LITERALS on each union branch, so a filter like
+    * `col("level") === 0` constant-folds every non-matching branch to an
+    * empty relation at optimization time — whole datasets are pruned
+    * before any directory walk or I/O, with no custom pushdown code
+    * (pinned in `N5GroupSpec`).
+    */
+  def readGroup(spark: SparkSession, root: String, group: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(root, group)
+    val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    require(fs.exists(base), s"no N5 group at $base")
+    val chRe = "c(\\d+)".r
+    val lvRe = "s(\\d+)".r
+    def dirs(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+    val children = dirs(base)
+    val channels: Seq[(Int, String)] = {
+      val cs = children.collect { case n @ chRe(c) => (c.toInt, s"$group/$n") }
+      if (cs.isEmpty) Seq((0, group)) else cs.sortBy(_._1)
+    }
+    val datasets: Seq[(Int, Int, String)] = channels.flatMap { case (c, path) =>
+      dirs(new org.apache.hadoop.fs.Path(root, path))
+        .collect { case n @ lvRe(l) => (c, l.toInt, s"$path/$n") }
+        .sortBy(_._2)
+    }
+    require(datasets.nonEmpty, s"group $group has no c*/s* datasets")
+    val dtypes = datasets
+      .map { case (_, _, ds) => N5Meta.datasetAttributes(root, ds).dataType }
+      .distinct
+    require(dtypes.size == 1,
+      s"group $group mixes dtypes ${dtypes.map(_.name).mkString(",")} — " +
+        "scan channels/levels separately")
+    datasets.map { case (c, l, ds) =>
+      read(spark, root, ds)
+        .withColumn("channel", lit(c))
+        .withColumn("level", lit(l))
+    }.reduce(_ unionByName _)
+  }
+
   /** Dense (x,y,z) coordinate table for the box [start, end), x-fastest —
     * the single source of the id→coordinate unravel used by box-shaped
     * generators (q87, specs) so the layout can never drift from the

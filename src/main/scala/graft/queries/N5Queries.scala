@@ -159,6 +159,26 @@ object N5Queries {
         .withColumn("dims", lit(attrs.dimensions.mkString("x")))
     },
 
+    // Group scan (SURVEY §1.4 channel/level virtual columns): one block
+    // table across the group's c*/s* datasets; per-(channel,level) block
+    // count + element stats. Fixture has exactly c0/s0 → golden constants
+    // shared with q80/q81. Multi-channel/multi-level trees + literal-fold
+    // pruning are covered by N5GroupSpec.
+    QueryDef.sql(
+      "q88_n5_group_scan",
+      """SELECT CAST(0 AS INTEGER) AS channel, CAST(0 AS INTEGER) AS lvl,
+        |  CAST(4 AS BIGINT) AS n_blocks, CAST(1134972 AS BIGINT) AS n_elems,
+        |  CAST(40784917 AS BIGINT) AS total""".stripMargin) { (s, _) =>
+      N5.readGroup(s, fixtureRoot, "mri")
+        .select(col("channel"), col("level").as("lvl"),
+          size(col("data")).as("n"),
+          aggregate(col("data"), lit(0L), (a, x) => a + x).as("bsum"))
+        .groupBy(col("channel"), col("lvl"))
+        .agg(count(lit(1)).as("n_blocks"), sum(col("n")).cast("long").as("n_elems"),
+          sum(col("bsum")).as("total"))
+        .orderBy(col("channel"), col("lvl"))
+    },
+
     // Bulk-volume throughput: synthesize a 256x256x64 (4.2M voxel) volume,
     // write 64^3 blocks, fragment-rechunk to 96^3, derive one multiscale
     // level — the full volume dataflow at a size where per-block work, the

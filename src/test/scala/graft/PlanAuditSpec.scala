@@ -67,6 +67,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(formatted("q34_topk_sort").contains("TakeOrderedAndProject"))
   }
 
+  test("q59: IVF probe join broadcasts; assignment adds no extra exchange") {
+    val p = formatted("q59_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe-cells side must broadcast — the corpus side may not shuffle for the join")
+    // the only exchanges allowed are the probe broadcast and the window's
+    // per-pid hash partitioning; cell ASSIGNMENT must stay narrow
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"IVF plan has $shuffles hash exchanges:\n$p")
+  }
+
   test("whole-stage codegen spans the Q1 pipeline") {
     // AQE materializes codegen stages lazily; disable it for the probe so
     // the prepared plan shows the WholeStageCodegen spans directly.
