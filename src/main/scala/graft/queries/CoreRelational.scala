@@ -283,14 +283,16 @@ object CoreRelational {
         |ORDER BY p.event_id ASC""".stripMargin) { (s, dir) =>
       val ev = t(s, dir, "events")
         .filter(col("event_type").isin("click", "purchase"))
-      // clicks sort before purchases at equal ts, so "<=" semantics hold
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("is_purchase").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("is_purchase", (col("event_type") === "purchase").cast("int"))
-        .withColumn("click_ts",
-          when(col("event_type") === "click", col("ts")))
-        .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        // clicks sort before purchases at equal ts, so "<=" semantics hold
+        .withColumn("is_purchase", (col("event_type") === "purchase").cast("int"))
+      // skew-safe bucketed carry-forward (graft.operators.AsOf): window
+      // partitions are bounded by (user, day), so one pathological hot
+      // user cannot serialize into a single task; equivalence with the
+      // naive partitionBy(user_id) window is pinned in AsOfSpec
+      graft.operators.AsOf.lastNonNullOver(ev, "user_id", "ts",
+        Seq(col("ts"), col("is_purchase"), col("event_id")),
+        when(col("event_type") === "click", col("ts")),
+        "last_click_ts", bucketSeconds = 86400L)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("last_click_ts"))
         .orderBy(col("event_id").asc)

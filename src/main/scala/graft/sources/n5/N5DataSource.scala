@@ -161,7 +161,9 @@ class N5ScanBuilder(
       targetBytes = options.getOrDefault(
         "targetPartitionBytes", N5Scan.DefaultTargetPartitionBytes.toString).toLong,
       maxBlocksPerPartition = options.getOrDefault(
-        "maxBlocksPerPartition", Long.MaxValue.toString).toLong)
+        "maxBlocksPerPartition", Long.MaxValue.toString).toLong,
+      maxBlocksPerBatch = options.getOrDefault(
+        "maxBlocksPerBatch", "0").toInt)
 }
 
 object N5Scan {
@@ -247,7 +249,8 @@ class N5Scan(
     root: String, dataset: String, attrs: DatasetAttributes,
     filters: Array[Filter], required: StructType,
     targetBytes: Long,
-    maxBlocksPerPartition: Long)
+    maxBlocksPerPartition: Long,
+    maxBlocksPerBatch: Int = 0)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -259,7 +262,8 @@ class N5Scan(
     */
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new N5MicroBatchStream(root, dataset, attrs, required, filters, targetBytes)
+    new N5MicroBatchStream(root, dataset, attrs, required, filters, targetBytes,
+      maxBlocksPerBatch)
 
   /** Decoded size estimate from the surviving block list — lets Catalyst
     * broadcast small (or heavily pruned) block tables in joins.

@@ -36,7 +36,8 @@ import org.apache.spark.sql.types.StructType
   */
 class N5MicroBatchStream(
     root: String, dataset: String, attrs: DatasetAttributes,
-    required: StructType, filters: Array[Filter], targetBytes: Long)
+    required: StructType, filters: Array[Filter], targetBytes: Long,
+    maxBlocksPerBatch: Int = 0)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   import N5MicroBatchStream._
@@ -58,15 +59,26 @@ class N5MicroBatchStream(
 
   override def initialOffset(): Offset = N5SourceOffset(Long.MinValue, Nil)
 
+  /** Offset at watermark `wm`: recent = path@mtime of files within the
+    * grace window AT OR BELOW wm (an intermediate, rate-limited watermark
+    * must not list files it has not admitted yet).
+    */
+  private def offsetAt(wm: Long, files: Seq[(Array[Int], Long)]): N5SourceOffset =
+    if (wm == Long.MinValue) N5SourceOffset(Long.MinValue, Nil)
+    else N5SourceOffset(wm,
+      files.filter(f => f._2 > wm - GraceMs && f._2 <= wm)
+        .map { case (g, m) => g.mkString("/") + "@" + m }.sorted)
+
+  private def parseRecent(recent: Seq[String]): Set[(String, Long)] =
+    recent.map { entry =>
+      val at = entry.lastIndexOf('@')
+      (entry.substring(0, at), entry.substring(at + 1).toLong)
+    }.toSet
+
   private def computeLatest(): Offset = {
     snapshot = listBlocks()
     if (snapshot.isEmpty) N5SourceOffset(Long.MinValue, Nil)
-    else {
-      val wm = snapshot.map(_._2).max
-      N5SourceOffset(wm,
-        snapshot.filter(_._2 > wm - GraceMs)
-          .map { case (g, m) => g.mkString("/") + "@" + m }.sorted)
-    }
+    else offsetAt(snapshot.map(_._2).max, snapshot)
   }
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -76,13 +88,35 @@ class N5MicroBatchStream(
     availableNowTarget.getOrElse(computeLatest())
 
   /** Admission-control variant (SupportsTriggerAvailableNow extends
-    * SupportsAdmissionControl); no rate limiting — each batch drains to
-    * the target/current offset.
+    * SupportsAdmissionControl). With `maxBlocksPerBatch` unset each batch
+    * drains to the target/current offset; with it set, a catch-up over a
+    * large backlog (first run on a 100 TB volume, recovery after downtime)
+    * is split into bounded micro-batches by advancing the watermark only
+    * as far as the cap-th admissible file's mtime — files sharing the cut
+    * mtime are all admitted, so the cap is approximate at mtime
+    * granularity. Under Trigger.AvailableNow the run still drains exactly
+    * to the frozen target, just across several batches.
     */
   override def latestOffset(
       start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val full = latestOffset().asInstanceOf[N5SourceOffset]
+    if (maxBlocksPerBatch <= 0 || full.watermark == Long.MinValue) return full
+    val s = start.asInstanceOf[N5SourceOffset]
+    val seen = parseRecent(s.recent)
+    val admissible = snapshot.filter { case (g, m) =>
+      m <= full.watermark &&
+        (s.watermark == Long.MinValue ||
+          (m > s.watermark - GraceMs && !seen((g.mkString("/"), m))))
+    }
+    if (admissible.size <= maxBlocksPerBatch) full
+    else {
+      val cut = admissible.map(_._2).sorted.apply(maxBlocksPerBatch - 1)
+      // never regress the watermark (a late-visible burst below the start
+      // watermark is delivered in one batch — bounded by the grace window)
+      offsetAt(math.max(cut, s.watermark), snapshot)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     N5SourceOffset.fromJson(json)
@@ -93,10 +127,7 @@ class N5MicroBatchStream(
     // delivered (path, mtime) versions — a path alone must NOT suppress a
     // REWRITTEN block (newer mtime) or it would be dropped forever while
     // its mtime stays within grace of the advancing watermark
-    val seen = s.recent.map { entry =>
-      val at = entry.lastIndexOf('@')
-      (entry.substring(0, at), entry.substring(at + 1).toLong)
-    }.toSet
+    val seen = parseRecent(s.recent)
     // checkpoint recovery replays a committed (start, end) range without a
     // preceding latestOffset() call — re-list when the cached snapshot
     // does not cover the end offset (files past `end` are filtered out)

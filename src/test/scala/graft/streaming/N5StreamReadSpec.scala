@@ -96,6 +96,38 @@ class N5StreamReadSpec extends SparkSpec {
     assert(all.forall(_.getAs[Int]("gz") == 0))
   }
 
+  test("maxBlocksPerBatch splits a catch-up backlog into bounded batches") {
+    val tmp = Files.createTempDirectory("n5streamcap").toString
+    val root = s"$tmp/cap.n5"
+    writeSlab(root, 0)
+    Thread.sleep(20) // distinct mtimes: the cap cuts at mtime granularity
+    writeSlab(root, 1)
+
+    val q = spark.readStream.format("n5")
+      .option("dataset", "vol/s0")
+      .option("maxBlocksPerBatch", "3")
+      .load(root)
+      .select(col("gx"), col("gy"), col("gz"))
+      .writeStream.format("parquet")
+      .outputMode(OutputMode.Append())
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // all 8 blocks exactly once, but across >1 batch: slab 0's four blocks
+    // share a cut mtime (tie-extended past the cap of 3), slab 1 follows
+    val rows = spark.read.parquet(s"$tmp/out")
+      .select(col("gx"), col("gy"), col("gz")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(rows.length == 8 && rows.toSet.size == 8,
+      s"expected 8 distinct blocks, got ${rows.length}")
+    val batches = new java.io.File(s"$tmp/ckpt/offsets").list()
+      .count(_.forall(_.isDigit))
+    assert(batches >= 2, s"backlog drained in $batches batch(es), cap ignored")
+  }
+
   test("offset JSON round-trips path@mtime entries") {
     import graft.sources.n5.N5MicroBatchStream.N5SourceOffset
     val off = N5SourceOffset(1723400000123L, Seq("0/0/0@1723400000123", "1/1/0@1723399999999"))
