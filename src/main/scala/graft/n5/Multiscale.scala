@@ -86,8 +86,7 @@ object Multiscale {
       spark: SparkSession, root: String, group: String, level: Int,
       factors: Array[Int]): DatasetAttributes = {
     val src = N5Meta.datasetAttributes(root, s"$group/s${level - 1}")
-    if (src.blockSize.zip(factors).forall { case (b, f) => b % f == 0 }
-      && src.dataType != Dtype.Float32 && src.dataType != Dtype.Float64)
+    if (src.blockSize.zip(factors).forall { case (b, f) => b % f == 0 })
       downsampleLevelBlockLocal(spark, root, group, level, factors)
     else
       downsampleLevelElements(spark, root, group, level, factors)
@@ -109,11 +108,26 @@ object Multiscale {
     val dst = src.copy(dimensions = dstDims,
       extra = levelExtra(src, factors, level))
     val Array(bx, by, bz) = src.blockSize
+    val isFloat =
+      src.dataType == Dtype.Float32 || src.dataType == Dtype.Float64
     import spark.implicits._
-    val typed = N5.read(spark, root, s"$group/s${level - 1}")
-      .select(col("gx"), col("gy"), col("gz"), col("shape"),
-        col("data").cast("array<bigint>"))
-      .as[(Int, Int, Int, Array[Int], Array[Long])]
+    // float payloads travel as raw Double bits in the Long array (the
+    // typed-pipeline convention shared with Regroup), converted back at
+    // the write boundary
+    val typed: org.apache.spark.sql.Dataset[(Int, Int, Int, Array[Int], Array[Long])] =
+      if (isFloat)
+        N5.read(spark, root, s"$group/s${level - 1}")
+          .select(col("gx"), col("gy"), col("gz"), col("shape"),
+            col("data").cast("array<double>"))
+          .as[(Int, Int, Int, Array[Int], Array[Double])]
+          .map { case (gx, gy, gz, s, d) =>
+            (gx, gy, gz, s, d.map(java.lang.Double.doubleToRawLongBits))
+          }
+      else
+        N5.read(spark, root, s"$group/s${level - 1}")
+          .select(col("gx"), col("gy"), col("gz"), col("shape"),
+            col("data").cast("array<bigint>"))
+          .as[(Int, Int, Int, Array[Int], Array[Long])]
     val frags = typed.map { case (gx, gy, gz, sshape, data) =>
       val Array(sx, sy, sz) = sshape
       // output extent from this block, trimmed to the global floor(D/f)
@@ -131,7 +145,8 @@ object Multiscale {
         while (y < oy) {
           var x = 0
           while (x < ox) {
-            var s = 0L
+            var sl = 0L   // integer dtypes: exact Long sum
+            var sd = 0.0  // float dtypes: double sum of the bit-decoded values
             var dz = 0
             while (dz < fz) {
               var dy = 0
@@ -139,13 +154,20 @@ object Multiscale {
                 var dx = 0
                 val base = (x * fx) + (y * fy + dy) * sx +
                   (z * fz + dz) * sx * sy
-                while (dx < fx) { s += data(base + dx); dx += 1 }
+                while (dx < fx) {
+                  if (isFloat)
+                    sd += java.lang.Double.longBitsToDouble(data(base + dx))
+                  else sl += data(base + dx)
+                  dx += 1
+                }
                 dy += 1
               }
               dz += 1
             }
-            // numpy astype semantics: truncate toward zero
-            out(x + y * ox + z * ox * oy) = (s.toDouble / win).toLong
+            out(x + y * ox + z * ox * oy) =
+              if (isFloat) java.lang.Double.doubleToRawLongBits(sd / win)
+              // numpy astype semantics: truncate toward zero
+              else (sl.toDouble / win).toLong
             x += 1
           }
           y += 1
@@ -156,13 +178,15 @@ object Multiscale {
         (gx % fx) * (bx / fx), (gy % fy) * (by / fy), (gz % fz) * (bz / fz),
         ox, oy, oz, out)
     }.filter(_.data.nonEmpty)
-    Regroup.writeAssembled(Regroup.assemble(frags, dst),
-      root, s"$group/s$level", dst)
+    Regroup.writeAssembledAs(Regroup.assemble(frags, dst),
+      root, s"$group/s$level", dst, isFloat)
     dst
   }
 
-  /** Element-shuffle formulation (general fallback; float dtypes, factors
-    * not dividing the block size).
+  /** Element-shuffle formulation (general fallback for factors that do
+    * not divide the block size). Float means may differ from the
+    * block-local path in the last ulp (groupBy avg adds in partition
+    * order; the block-local loop adds in window order).
     */
   def downsampleLevelElements(
       spark: SparkSession, root: String, group: String, level: Int,

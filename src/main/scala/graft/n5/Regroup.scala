@@ -113,6 +113,25 @@ object Regroup {
     N5.write(blocks, dstRoot, dstDataset, dst)
   }
 
+  /** Like writeAssembled, but decodes float payloads travelling as raw
+    * Double bits in the Long array (the typed-pipeline convention).
+    */
+  def writeAssembledAs(
+      assembled: org.apache.spark.sql.Dataset[OutBlock],
+      dstRoot: String, dstDataset: String, dst: DatasetAttributes,
+      isFloat: Boolean): Unit =
+    if (!isFloat) writeAssembled(assembled, dstRoot, dstDataset, dst)
+    else {
+      import assembled.sparkSession.implicits._
+      val elemT = N5Schema.elementType(dst.dataType)
+      val blocks = assembled
+        .map(b => (b.gx, b.gy, b.gz, b.shape,
+          b.data.map(java.lang.Double.longBitsToDouble)))
+        .toDF("gx", "gy", "gz", "shape", "data")
+        .withColumn("data", col("data").cast(s"array<${elemT.catalogString}>"))
+      N5.write(blocks, dstRoot, dstDataset, dst)
+    }
+
   /** Rechunk src dataset into dstRoot/dstDataset with a new block size.
     * One fragment shuffle; no element explosion.
     */
@@ -186,20 +205,7 @@ object Regroup {
       fr.result()
     }
 
-    val assembled = assemble(frags, dst)
-
-    val blocks =
-      if (isFloat)
-        assembled
-          .map(b => (b.gx, b.gy, b.gz, b.shape,
-            b.data.map(java.lang.Double.longBitsToDouble)))
-          .toDF("gx", "gy", "gz", "shape", "data")
-          .withColumn("data", col("data").cast(s"array<${elemT.catalogString}>"))
-      else
-        assembled.toDF()
-          .select(col("gx"), col("gy"), col("gz"), col("shape"),
-            col("data").cast(s"array<${elemT.catalogString}>").as("data"))
-    N5.write(blocks, dstRoot, dstDataset, dst)
+    writeAssembledAs(assemble(frags, dst), dstRoot, dstDataset, dst, isFloat)
     dst
   }
 }

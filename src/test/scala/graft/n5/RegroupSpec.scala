@@ -48,6 +48,37 @@ class RegroupSpec extends SparkSpec {
     assert(j.filter(col("v") =!= col("v2")).count() == 0L)
   }
 
+  test("float32 block-local coarsen matches the element-shuffle mean") {
+    val root = Files.createTempDirectory("msF").toString
+    val dims = Array(32L, 16L, 8L)
+    val attrs = DatasetAttributes(dims, Array(8, 8, 8), Dtype.Float32,
+      Compression("gzip"))
+    def gen = spark.range(dims.product)
+      .select((col("id") % dims(0)).as("x"),
+        ((col("id") / dims(0)) % dims(1)).cast("long").as("y"),
+        (col("id") / (dims(0) * dims(1))).cast("long").as("z"))
+      .withColumn("v", (sin(col("x") * 0.9) * 10 + col("y") * 0.5
+        + col("z")).cast("float"))
+    for (r <- Seq(s"$root/a.n5", s"$root/b.n5"))
+      N5.write(N5.blocksFromElements(gen, attrs,
+        org.apache.spark.sql.types.FloatType), r, "vol/s0", attrs)
+    // 8 % 2 == 0 -> the dispatcher must take the block-local path for
+    // floats too (r4); both paths' means agree within float ulp slack
+    // (summation order differs)
+    Multiscale.downsampleLevelBlockLocal(spark, s"$root/a.n5", "vol", 1,
+      Array(2, 2, 2))
+    Multiscale.downsampleLevelElements(spark, s"$root/b.n5", "vol", 1,
+      Array(2, 2, 2))
+    val a = N5.elements(N5.read(spark, s"$root/a.n5", "vol/s1"))
+    val b = N5.elements(N5.read(spark, s"$root/b.n5", "vol/s1"))
+      .withColumnRenamed("v", "v2")
+    val j = a.join(b, Seq("x", "y", "z"))
+    assert(a.count() == 16L * 8 * 4)
+    assert(j.count() == a.count())
+    val maxDiff = j.agg(max(abs(col("v") - col("v2")))).collect()(0).getFloat(0)
+    assert(maxDiff <= 1e-4f, s"paths diverge: max |diff| = $maxDiff")
+  }
+
   test("float32 volume round-trips bit-exactly through fragment rechunk") {
     val root = Files.createTempDirectory("rgF").toString
     val dims = Array(10L, 7L, 5L)
