@@ -47,11 +47,17 @@ object Bench {
     val qs = results.map { case (k, v, err) =>
       "\"" + short(k) + "\":" + (if (err.isDefined) "-1" else f"$v%.2f")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    // cap the error map too: a broad regression (bad SF dir, unreadable
+    // table) must not push the line past the tail window exactly when the
+    // -1 convention matters most
+    val failed = results.collect { case (k, _, Some(e)) => (k, e) }
+    val errs = (failed.take(8).map { case (k, e) =>
       // strip quotes, backslashes and ALL control chars — any of them
       // inside an exception message would break the JSON line
       "\"" + short(k) + "\":\"" + e.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(60) + "\""
-    }.mkString("{", ",", "}")
+    } ++ (if (failed.size > 8)
+      Seq("\"more\":\"" + (failed.size - 8) + " further failures\"")
+    else Nil)).mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

@@ -44,6 +44,10 @@ object N5 {
     val children = dirs(base)
     val channels: Seq[(Int, String)] = {
       val cs = children.collect { case n @ chRe(c) => (c.toInt, s"$group/$n") }
+      // a hybrid layout (c* dirs NEXT TO top-level s* datasets) would
+      // silently drop the channel-less datasets — fail loudly instead
+      require(cs.isEmpty || !children.exists(lvRe.matches),
+        s"group $group mixes c* channel dirs with top-level s* datasets")
       if (cs.isEmpty) Seq((0, group)) else cs.sortBy(_._1)
     }
     val datasets: Seq[(Int, Int, String)] = channels.flatMap { case (c, path) =>
@@ -318,17 +322,7 @@ object N5 {
         Regroup.OutBlock(g._1, g._2, g._3, shape, base)
       }
     val elemT = graft.sources.n5.N5Schema.elementType(attrs.dataType)
-    val blocks =
-      if (isFloat)
-        assembled.map(b => (b.gx, b.gy, b.gz, b.shape,
-          b.data.map(java.lang.Double.longBitsToDouble)))
-          .toDF("gx", "gy", "gz", "shape", "data")
-          .withColumn("data", col("data").cast(s"array<${elemT.catalogString}>"))
-      else
-        assembled.toDF()
-          .select(col("gx"), col("gy"), col("gz"), col("shape"),
-            col("data").cast(s"array<${elemT.catalogString}>").as("data"))
-    write(blocks, root, dataset, attrs)
+    write(Regroup.blocksDF(assembled, elemT, isFloat), root, dataset, attrs)
   }
 
   /** Reassemble an element table (x,y,z,v) into the (gx,gy,gz,shape,data)
@@ -366,27 +360,31 @@ object N5 {
         elems.select(col("x").cast("bigint"), col("y").cast("bigint"),
           col("z").cast("bigint"), col("v").cast("bigint"))
           .as[(Long, Long, Long, Long)]
-    // partition-local combine: one patch row per (partition, touched block)
+    // partition-local combine: one patch row per (partition, touched block);
+    // the block-local shape is computed once per block, not per voxel
+    final case class Patch(
+        sx: Int, sy: Int,
+        is: scala.collection.mutable.ArrayBuilder.ofInt,
+        vs: scala.collection.mutable.ArrayBuilder.ofLong)
     val patches = typed.mapPartitions { it =>
       val acc = scala.collection.mutable.LinkedHashMap
-        .empty[(Int, Int, Int), (scala.collection.mutable.ArrayBuilder.ofInt,
-          scala.collection.mutable.ArrayBuilder.ofLong)]
+        .empty[(Int, Int, Int), Patch]
       it.foreach { case (x, y, z, v) =>
         require(x >= 0 && x < dims(0) && y >= 0 && y < dims(1)
           && z >= 0 && z < dims(2),
           s"element ($x,$y,$z) outside dims ${dims.mkString("x")}")
         val g = ((x / bx).toInt, (y / by).toInt, (z / bz).toInt)
-        val (is, vs) = acc.getOrElseUpdate(g,
-          (new scala.collection.mutable.ArrayBuilder.ofInt,
-            new scala.collection.mutable.ArrayBuilder.ofLong))
-        val sx = math.min(bx.toLong, dims(0) - g._1.toLong * bx).toInt
-        val sy = math.min(by.toLong, dims(1) - g._2.toLong * by).toInt
-        is += ((x - g._1.toLong * bx) + (y - g._2.toLong * by) * sx
-          + (z - g._3.toLong * bz) * sx * sy).toInt
-        vs += v
+        val p = acc.getOrElseUpdate(g, Patch(
+          math.min(bx.toLong, dims(0) - g._1.toLong * bx).toInt,
+          math.min(by.toLong, dims(1) - g._2.toLong * by).toInt,
+          new scala.collection.mutable.ArrayBuilder.ofInt,
+          new scala.collection.mutable.ArrayBuilder.ofLong))
+        p.is += ((x - g._1.toLong * bx) + (y - g._2.toLong * by) * p.sx
+          + (z - g._3.toLong * bz) * p.sx * p.sy).toInt
+        p.vs += v
       }
-      acc.iterator.map { case ((gx, gy, gz), (is, vs)) =>
-        (gx, gy, gz, is.result(), vs.result())
+      acc.iterator.map { case ((gx, gy, gz), p) =>
+        (gx, gy, gz, p.is.result(), p.vs.result())
       }
     }
     val assembled = patches
@@ -397,26 +395,25 @@ object N5 {
         val vol = shape.product
         val out = new Array[Long](vol)
         val covered = new java.util.BitSet(vol)
+        var rows = 0L
         it.foreach { case (_, _, _, is, vs) =>
           var i = 0
           while (i < is.length) {
             out(is(i)) = vs(i); covered.set(is(i)); i += 1
           }
+          rows += is.length
         }
         require(covered.cardinality() == vol,
           s"block (${grid.mkString(",")}) has ${covered.cardinality()} of " +
             s"$vol voxels — blocksFromElements needs dense blocks")
+        // a clobbered duplicate would otherwise resolve to shuffle arrival
+        // order — nondeterministic data with no error
+        require(rows == vol,
+          s"block (${grid.mkString(",")}) got $rows rows for $vol voxels — " +
+            "duplicate (x,y,z) coordinates")
         Regroup.OutBlock(g._1, g._2, g._3, shape, out)
       }
-    if (isFloat)
-      assembled.map(b => (b.gx, b.gy, b.gz, b.shape,
-        b.data.map(java.lang.Double.longBitsToDouble)))
-        .toDF("gx", "gy", "gz", "shape", "data")
-        .withColumn("data", col("data").cast(s"array<${elemSparkType.catalogString}>"))
-    else
-      assembled.toDF()
-        .select(col("gx"), col("gy"), col("gz"), col("shape"),
-          col("data").cast(s"array<${elemSparkType.catalogString}>").as("data"))
+    Regroup.blocksDF(assembled, elemSparkType, isFloat)
   }
 
   /** DDL-from-template (reference `create_dataset`, `create_n5.py:7-37`):

@@ -102,16 +102,33 @@ object Regroup {
     assemble(frags, dst)
   }
 
+  /** Assembled blocks as a writer-ready DataFrame: the ONE place the
+    * typed pipeline's Long payloads become the dtype's Spark element type,
+    * decoding float values from their raw Double bits. Every element/
+    * fragment path (rechunk, multiscale, blocksFromElements, writeBox)
+    * ends here, so the bits convention cannot drift between them.
+    */
+  def blocksDF(
+      assembled: org.apache.spark.sql.Dataset[OutBlock],
+      elemT: org.apache.spark.sql.types.DataType,
+      isFloat: Boolean): DataFrame =
+    if (isFloat) {
+      import assembled.sparkSession.implicits._
+      assembled
+        .map(b => (b.gx, b.gy, b.gz, b.shape,
+          b.data.map(java.lang.Double.longBitsToDouble)))
+        .toDF("gx", "gy", "gz", "shape", "data")
+        .withColumn("data", col("data").cast(s"array<${elemT.catalogString}>"))
+    } else
+      assembled.toDF()
+        .select(col("gx"), col("gy"), col("gz"), col("shape"),
+          col("data").cast(s"array<${elemT.catalogString}>").as("data"))
+
   /** Write assembled blocks with the dtype's Spark element type. */
   def writeAssembled(
       assembled: org.apache.spark.sql.Dataset[OutBlock],
-      dstRoot: String, dstDataset: String, dst: DatasetAttributes): Unit = {
-    val elemT = N5Schema.elementType(dst.dataType)
-    val blocks = assembled.toDF()
-      .select(col("gx"), col("gy"), col("gz"), col("shape"),
-        col("data").cast(s"array<${elemT.catalogString}>").as("data"))
-    N5.write(blocks, dstRoot, dstDataset, dst)
-  }
+      dstRoot: String, dstDataset: String, dst: DatasetAttributes): Unit =
+    writeAssembledAs(assembled, dstRoot, dstDataset, dst, isFloat = false)
 
   /** Like writeAssembled, but decodes float payloads travelling as raw
     * Double bits in the Long array (the typed-pipeline convention).
@@ -120,17 +137,8 @@ object Regroup {
       assembled: org.apache.spark.sql.Dataset[OutBlock],
       dstRoot: String, dstDataset: String, dst: DatasetAttributes,
       isFloat: Boolean): Unit =
-    if (!isFloat) writeAssembled(assembled, dstRoot, dstDataset, dst)
-    else {
-      import assembled.sparkSession.implicits._
-      val elemT = N5Schema.elementType(dst.dataType)
-      val blocks = assembled
-        .map(b => (b.gx, b.gy, b.gz, b.shape,
-          b.data.map(java.lang.Double.longBitsToDouble)))
-        .toDF("gx", "gy", "gz", "shape", "data")
-        .withColumn("data", col("data").cast(s"array<${elemT.catalogString}>"))
-      N5.write(blocks, dstRoot, dstDataset, dst)
-    }
+    N5.write(blocksDF(assembled, N5Schema.elementType(dst.dataType), isFloat),
+      dstRoot, dstDataset, dst)
 
   /** Rechunk src dataset into dstRoot/dstDataset with a new block size.
     * One fragment shuffle; no element explosion.

@@ -40,6 +40,10 @@ object AsOf {
       df: DataFrame, key: String, ts: String, order: Seq[Column],
       carrier: Column, out: String, bucketSeconds: Long = 86400L): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    // scratch names would silently clobber-and-drop caller columns
+    val scratch = Seq("__b", "__ord", "__local", "__k2", "__b2", "__carry")
+    val clash = df.columns.toSet.intersect(scratch.toSet)
+    require(clash.isEmpty, s"input already has scratch column(s) $clash")
     val local = df
       .withColumn("__b",
         floor(unix_timestamp(col(ts)) / bucketSeconds).cast("long"))

@@ -69,11 +69,26 @@ class N5MicroBatchStream(
       files.filter(f => f._2 > wm - GraceMs && f._2 <= wm)
         .map { case (g, m) => g.mkString("/") + "@" + m }.sorted)
 
-  private def parseRecent(recent: Seq[String]): Set[(String, Long)] =
-    recent.map { entry =>
+  /** Delivered versions from an offset's recent set. Current entries are
+    * `path@mtime`; LEGACY entries (path only, from a pre-versioned-offset
+    * checkpoint) carry no mtime and are treated as "seen at every mtime up
+    * to the offset watermark" so upgrading a checkpoint cannot re-deliver
+    * grace-window blocks.
+    */
+  private def parseRecent(
+      recent: Seq[String]): (Set[(String, Long)], Set[String]) = {
+    val (versioned, legacy) = recent.partition(_.contains('@'))
+    (versioned.map { entry =>
       val at = entry.lastIndexOf('@')
       (entry.substring(0, at), entry.substring(at + 1).toLong)
-    }.toSet
+    }.toSet, legacy.toSet)
+  }
+
+  /** Is (path, mtime) already delivered per the start offset `s`? */
+  private def alreadySeen(
+      s: N5SourceOffset,
+      seen: (Set[(String, Long)], Set[String]))(path: String, m: Long): Boolean =
+    seen._1((path, m)) || (seen._2(path) && m <= s.watermark)
 
   private def computeLatest(): Offset = {
     snapshot = listBlocks()
@@ -107,7 +122,7 @@ class N5MicroBatchStream(
     val admissible = snapshot.filter { case (g, m) =>
       m <= full.watermark &&
         (s.watermark == Long.MinValue ||
-          (m > s.watermark - GraceMs && !seen((g.mkString("/"), m))))
+          (m > s.watermark - GraceMs && !alreadySeen(s, seen)(g.mkString("/"), m)))
     }
     if (admissible.size <= maxBlocksPerBatch) full
     else {
@@ -139,7 +154,7 @@ class N5MicroBatchStream(
     val grids = snap.filter { case (g, m) =>
       m <= e.watermark &&
         (s.watermark == Long.MinValue ||
-          (m > s.watermark - GraceMs && !seen((g.mkString("/"), m))))
+          (m > s.watermark - GraceMs && !alreadySeen(s, seen)(g.mkString("/"), m)))
     }.map(_._1)
     // same size-targeted grouping as the batch scan: a catch-up batch
     // over thousands of blocks must not serialize onto one task
@@ -177,7 +192,10 @@ object N5MicroBatchStream {
     def fromJson(json: String): N5SourceOffset = {
       val wm = "\"watermark\":(-?\\d+)".r.findFirstMatchIn(json)
         .map(_.group(1).toLong).getOrElse(Long.MinValue)
-      val files = "\"([0-9/]+@-?\\d+)\"".r.findAllMatchIn(json)
+      // path@mtime entries, plus bare-path LEGACY entries from
+      // pre-versioned-offset checkpoints (kept: they still suppress
+      // already-delivered blocks up to the watermark)
+      val files = "\"([0-9/]+(?:@-?\\d+)?)\"".r.findAllMatchIn(json)
         .map(_.group(1)).toSeq
       N5SourceOffset(wm, files)
     }

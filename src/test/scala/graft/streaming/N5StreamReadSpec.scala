@@ -132,9 +132,11 @@ class N5StreamReadSpec extends SparkSpec {
     import graft.sources.n5.N5MicroBatchStream.N5SourceOffset
     val off = N5SourceOffset(1723400000123L, Seq("0/0/0@1723400000123", "1/1/0@1723399999999"))
     assert(N5SourceOffset.fromJson(off.json()) == off)
-    // legacy/malformed entries without @mtime are ignored, not misparsed
+    // legacy path-only entries (pre-versioned-offset checkpoints) are KEPT:
+    // they still suppress already-delivered blocks up to the watermark, so
+    // a checkpoint upgrade cannot re-deliver grace-window blocks
     val legacy = N5SourceOffset.fromJson("""{"watermark":5,"recent":["0/0/0"]}""")
-    assert(legacy == N5SourceOffset(5L, Nil))
+    assert(legacy == N5SourceOffset(5L, Seq("0/0/0")))
   }
 
   test("grid filters prune the streaming walk") {
