@@ -93,12 +93,15 @@ object TrainingPipeline {
         |  CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
         |  round(avg(bin_tokens), 4) AS avg_bin_tokens
         |FROM b GROUP BY source ORDER BY source ASC""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir)
-        .select(col("source"), col("doc_id"),
-          TF.tokenCount(col("text")).as("tok"))
-        .withColumn("cum", sum(col("tok")).over(w))
+      // skew-safe bucketed prefix sum (graft.operators.PrefixSum): a hot
+      // source cannot serialize its running token count into one task;
+      // exact for integer token counts, naive-window equivalence pinned
+      // in PrefixSumSpec
+      graft.operators.PrefixSum.runningSum(
+        docs(s, dir).select(col("source"), col("doc_id"),
+          TF.tokenCount(col("text")).as("tok")),
+        "source", expr("CAST(doc_id div 1024 AS BIGINT)"),
+        Seq(col("doc_id")), col("tok"), "cum")
         .select(col("source"), col("tok"),
           expr("(cum - tok) div 4096").as("bin"))
         .groupBy(col("source"), col("bin"))
