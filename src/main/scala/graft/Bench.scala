@@ -44,8 +44,16 @@ object Bench {
       case -1 => k
       case i => k.substring(0, i)
     }
+    // duplicate-prefix keys would let one query's time silently overwrite
+    // another's -1 failure marker (JSON parsers keep the last entry)
+    require(results.map(r => short(r._1)).distinct.size == results.size,
+      "query-name qNN prefixes must be unique")
+    // Locale.ROOT: a comma-decimal default locale would turn every value
+    // into invalid JSON
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     val qs = results.map { case (k, v, err) =>
-      "\"" + short(k) + "\":" + (if (err.isDefined) "-1" else f"$v%.2f")
+      "\"" + short(k) + "\":" + (if (err.isDefined) "-1" else num("%.2f", v))
     }.mkString("{", ",", "}")
     // cap the error map too: a broad regression (bad SF dir, unreadable
     // table) must not push the line past the tail window exactly when the
@@ -59,7 +67,7 @@ object Bench {
       Seq("\"more\":\"" + (failed.size - 8) + " further failures\"")
     else Nil)).mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,6 +16,15 @@ object N5 {
   @transient private lazy val taskConf =
     new org.apache.hadoop.conf.Configuration()
 
+  /** Reject non-integral numeric input BEFORE an integer cast — ANSI cast
+    * only errors on overflow, so 3.7 would otherwise truncate to 3
+    * silently (the fail-loudly discipline, `n5_to_tif.py:28`).
+    */
+  private def integralOrRaise(v: Column, what: String): Column =
+    when(v =!= v.cast("bigint"),
+      raise_error(concat(lit(s"$what: non-integral value "), v.cast("string"))))
+      .otherwise(v).cast("bigint")
+
   /** Block table of a dataset: one row per stored block. */
   def read(spark: SparkSession, root: String, dataset: String): DataFrame =
     spark.read.format("n5").option("dataset", dataset).load(root)
@@ -50,10 +59,18 @@ object N5 {
         s"group $group mixes c* channel dirs with top-level s* datasets")
       if (cs.isEmpty) Seq((0, group)) else cs.sortBy(_._1)
     }
+    // zero-padded duplicates (c1 vs c01, s1 vs s01) would parse to the
+    // same id and silently double-count blocks under one label
+    require(channels.map(_._1).distinct.size == channels.size,
+      s"group $group has duplicate channel ids: " +
+        channels.map(_._2).mkString(", "))
     val datasets: Seq[(Int, Int, String)] = channels.flatMap { case (c, path) =>
-      dirs(new org.apache.hadoop.fs.Path(root, path))
+      val ls = dirs(new org.apache.hadoop.fs.Path(root, path))
         .collect { case n @ lvRe(l) => (c, l.toInt, s"$path/$n") }
         .sortBy(_._2)
+      require(ls.map(_._2).distinct.size == ls.size,
+        s"$path has duplicate level ids: " + ls.map(_._3).mkString(", "))
+      ls
     }
     require(datasets.nonEmpty, s"group $group has no c*/s* datasets")
     val dtypes = datasets
@@ -248,17 +265,10 @@ object N5 {
           .map { case (x, y, z, v) =>
             (x, y, z, java.lang.Double.doubleToRawLongBits(v))
           }
-      else {
-        // reject non-integral input BEFORE the bigint cast: ANSI cast only
-        // errors on overflow, so 3.7 would otherwise truncate to 3 silently
-        val dt = attrs.dataType.name
+      else
         inBox.select(col("x"), col("y"), col("z"),
-          when(col("v") =!= col("v").cast("bigint"),
-            raise_error(concat(lit("writeBox: non-integral value "),
-              col("v").cast("string"), lit(s" for $dt dataset"))))
-            .otherwise(col("v")).cast("bigint").as("v"))
+          integralOrRaise(col("v"), s"writeBox (${attrs.dataType.name})").as("v"))
           .as[(Long, Long, Long, Long)]
-      }
     // safe-cast discipline: integer dtypes fail loudly on out-of-range
     // input instead of silently wrapping in the codec
     val valueRange = attrs.dataType.integerRange
@@ -358,7 +368,9 @@ object N5 {
           }
       else
         elems.select(col("x").cast("bigint"), col("y").cast("bigint"),
-          col("z").cast("bigint"), col("v").cast("bigint"))
+          col("z").cast("bigint"),
+          integralOrRaise(col("v"),
+            s"blocksFromElements (${elemSparkType.catalogString})").as("v"))
           .as[(Long, Long, Long, Long)]
     // partition-local combine: one patch row per (partition, touched block);
     // the block-local shape is computed once per block, not per voxel

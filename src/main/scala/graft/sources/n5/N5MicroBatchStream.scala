@@ -28,7 +28,10 @@ import org.apache.spark.sql.types.StructType
   *
   * Delivery semantics: exactly-once for append-only volumes (the spec
   * drives two slabs through one checkpoint). A rewritten block (newer
-  * mtime) is re-delivered by design. Checkpoint recovery replays a
+  * mtime) is re-delivered by design — with the caveat that a rewrite
+  * landing in the SAME mtime tick as its delivered version (same
+  * millisecond, or a filesystem with coarser setTimes granularity) is
+  * indistinguishable from it and stays suppressed. Checkpoint recovery replays a
   * committed range by re-listing the directory, so blocks deleted or
   * rewritten between crash and restart can change a replayed batch —
   * at-least-once under concurrent mutation, like the reference's blind
@@ -90,6 +93,18 @@ class N5MicroBatchStream(
       seen: (Set[(String, Long)], Set[String]))(path: String, m: Long): Boolean =
     seen._1((path, m)) || (seen._2(path) && m <= s.watermark)
 
+  /** THE admission predicate — the single definition shared by offset
+    * computation and batch planning. If these ever diverged, the end
+    * offset would describe a different admitted set than the batch
+    * delivers (blocks dropped or duplicated across batches).
+    */
+  private def admitted(
+      s: N5SourceOffset, seen: (Set[(String, Long)], Set[String]),
+      endWatermark: Long)(g: Array[Int], m: Long): Boolean =
+    m <= endWatermark &&
+      (s.watermark == Long.MinValue ||
+        (m > s.watermark - GraceMs && !alreadySeen(s, seen)(g.mkString("/"), m)))
+
   private def computeLatest(): Offset = {
     snapshot = listBlocks()
     if (snapshot.isEmpty) N5SourceOffset(Long.MinValue, Nil)
@@ -119,11 +134,8 @@ class N5MicroBatchStream(
     if (maxBlocksPerBatch <= 0 || full.watermark == Long.MinValue) return full
     val s = start.asInstanceOf[N5SourceOffset]
     val seen = parseRecent(s.recent)
-    val admissible = snapshot.filter { case (g, m) =>
-      m <= full.watermark &&
-        (s.watermark == Long.MinValue ||
-          (m > s.watermark - GraceMs && !alreadySeen(s, seen)(g.mkString("/"), m)))
-    }
+    val admissible =
+      snapshot.filter((admitted(s, seen, full.watermark) _).tupled)
     if (admissible.size <= maxBlocksPerBatch) full
     else {
       val cut = admissible.map(_._2).sorted.apply(maxBlocksPerBatch - 1)
@@ -151,11 +163,7 @@ class N5MicroBatchStream(
       if (e.watermark == Long.MinValue) Nil
       else if (snap0.nonEmpty && snap0.map(_._2).max >= e.watermark) snap0
       else listBlocks()
-    val grids = snap.filter { case (g, m) =>
-      m <= e.watermark &&
-        (s.watermark == Long.MinValue ||
-          (m > s.watermark - GraceMs && !alreadySeen(s, seen)(g.mkString("/"), m)))
-    }.map(_._1)
+    val grids = snap.filter((admitted(s, seen, e.watermark) _).tupled).map(_._1)
     // same size-targeted grouping as the batch scan: a catch-up batch
     // over thousands of blocks must not serialize onto one task
     N5Scan.groupIntoPartitions(root, dataset, grids, attrs, targetBytes)

@@ -83,6 +83,22 @@ class N5GroupSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("readGroup rejects zero-padded duplicate channel ids") {
+    val root = s"${Files.createTempDirectory("n5grpd")}/d.n5"
+    buildTree(root)
+    // c01 parses to the same channel id as c1 — double-counting hazard
+    val Array(dx, dy, _) = attrs0.dimensions
+    val elems = spark.range(attrs0.dimensions.product).select(
+      expr(s"id % $dx").as("x"), expr(s"(id div $dx) % $dy").as("y"),
+      expr(s"id div ${dx * dy}").as("z"), lit(7).as("v"))
+    N5.write(N5.blocksFromElements(elems, attrs0,
+      org.apache.spark.sql.types.ShortType), root, "g/c01/s0", attrs0)
+    val ex = intercept[IllegalArgumentException] {
+      N5.readGroup(spark, root, "g")
+    }
+    assert(ex.getMessage.contains("duplicate channel ids"))
+  }
+
   test("readGroup rejects mixed dtypes loudly") {
     val root = s"${Files.createTempDirectory("n5grpm")}/m.n5"
     buildTree(root)

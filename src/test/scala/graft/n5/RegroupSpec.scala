@@ -79,6 +79,20 @@ class RegroupSpec extends SparkSpec {
     assert(maxDiff <= 1e-4f, s"paths diverge: max |diff| = $maxDiff")
   }
 
+  test("blocksFromElements rejects non-integral values for integer dtypes") {
+    val root = Files.createTempDirectory("rgNI").toString
+    val attrs = DatasetAttributes(Array(2L, 2L, 1L), Array(2, 2, 1),
+      Dtype.UInt8, Compression("raw"))
+    val elems = N5.boxGrid(spark, Array(0L, 0L, 0L), Array(2L, 2L, 1L))
+      .select(col("x"), col("y"), col("z"), lit(2.5d).as("v"))
+    val ex = intercept[Exception] {
+      N5.write(N5.blocksFromElements(elems, attrs,
+        org.apache.spark.sql.types.ShortType), root, "v/s0", attrs)
+    }
+    val msg = ex.getMessage + String.valueOf(ex.getCause)
+    assert(msg.contains("non-integral"), msg.take(300))
+  }
+
   test("float32 volume round-trips bit-exactly through fragment rechunk") {
     val root = Files.createTempDirectory("rgF").toString
     val dims = Array(10L, 7L, 5L)
