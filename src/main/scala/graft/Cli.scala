@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * YAML config flattening.
   *
   * Usage:
-  *   graft.Cli tif2n5 <inDir> <outRoot> <dataset> [blockSize x,y,z] [codec]
+  *   graft.Cli tif2n5 <inDir> <outRoot> <dataset> [blockSize x,y,z] [codec] [dtype]
   *   graft.Cli n52tif <root> <dataset> <outDir> [prefix]
   *   graft.Cli n52tif-box <root> <dataset> <out.tif> <x0,y0,z0> <x1,y1,z1> [bits]
   *   graft.Cli ometif2n5 <in.tif> <outRoot> <dataset> <nChannels> [pageOrder] [blockSize] [codec]
@@ -30,9 +30,19 @@ object Cli {
       builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args.toList)
-    finally spark.stop()
+    val rc =
+      try { run(spark, args.toList); 0 }
+      catch {
+        case e: UsageException => System.err.println(e.getMessage); 2
+      } finally spark.stop()
+    if (rc != 0) sys.exit(rc)
   }
+
+  /** Unknown/malformed command line. run() throws this instead of killing
+    * the JVM — sys.exit from library code would terminate an embedding
+    * process (or test runner) and skip main's `finally spark.stop()`.
+    */
+  final class UsageException(msg: String) extends IllegalArgumentException(msg)
 
   private def ints(s: String): Array[Int] = s.split(",").map(_.trim.toInt)
 
@@ -40,8 +50,10 @@ object Cli {
     case "tif2n5" :: in :: root :: ds :: rest =>
       val bs = rest.headOption.map(ints).getOrElse(Array(512, 512, 512))
       val codec = Compression(rest.drop(1).headOption.getOrElse("gzip"))
+      // dtype arg (reference --dtype, tif_to_n5.py): 16-bit series need it
+      val dt = rest.drop(2).headOption.map(Dtype.fromName).getOrElse(Dtype.UInt8)
       val a = TiffVolume.ingestSlices(spark, in, root, ds, bs,
-        compression = codec)
+        dtype = dt, compression = codec)
       println(s"ingested ${a.dimensions.mkString("x")} as $root/$ds")
     case "n52tif" :: root :: ds :: out :: rest =>
       val n = TiffVolume.exportSlices(spark, root, ds, out,
@@ -80,9 +92,8 @@ object Cli {
       println(s"created $or/$od (${a.dataType.name}, " +
         s"${a.compression.codec}, ${a.dimensions.mkString("x")})")
     case other =>
-      System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println(
-        "commands: tif2n5 n52tif n52tif-box ometif2n5 rechunk multiscale create")
-      sys.exit(2)
+      throw new UsageException(
+        s"unknown command: ${other.mkString(" ")}\n" +
+          "commands: tif2n5 n52tif n52tif-box ometif2n5 rechunk multiscale create")
   }
 }

@@ -89,6 +89,18 @@ object BlockCodec {
       case Dtype.Float64 =>
         var i = 0; while (i < n) { payload.putDouble(doubles(i)); i += 1 }
       case d =>
+        // fail-loudly discipline: the narrowing below would otherwise wrap
+        // out-of-range values silently (the raw block-table write path has
+        // no upstream range check, unlike ingest/writeBox)
+        d.integerRange.foreach { case (lo, hi) =>
+          var j = 0
+          while (j < n) {
+            if (longs(j) < lo || longs(j) > hi)
+              throw new IllegalArgumentException(
+                s"block value ${longs(j)} outside ${d.name} range [$lo, $hi]")
+            j += 1
+          }
+        }
         var i = 0
         d match {
           case Dtype.UInt8 | Dtype.Int8 =>
@@ -124,6 +136,8 @@ object BlockCodec {
     comp.codec match {
       case "raw" => java.util.Arrays.copyOfRange(raw, off, raw.length)
       case "gzip" => drain(new GZIPInputStream(bis))
+      // n5-java "gzip" with useZlib=true: raw zlib deflate, no gzip wrapper
+      case "zlib" => drain(new java.util.zip.InflaterInputStream(bis))
       case "bzip2" => drain(
         new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(bis))
       case "lz4" => drain(new net.jpountz.lz4.LZ4BlockInputStream(bis))
@@ -146,6 +160,10 @@ object BlockCodec {
         fill(new GZIPOutputStream(bos) {
           if (comp.level > 0) `def`.setLevel(comp.level)
         })
+      case "zlib" => fill(new java.util.zip.DeflaterOutputStream(bos,
+        new java.util.zip.Deflater(
+          if (comp.level > 0) comp.level
+          else java.util.zip.Deflater.DEFAULT_COMPRESSION)))
       case "bzip2" => fill(
         new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(
           bos, if (comp.level > 0) comp.level else 9))

@@ -20,7 +20,7 @@ object N5 {
     * only errors on overflow, so 3.7 would otherwise truncate to 3
     * silently (the fail-loudly discipline, `n5_to_tif.py:28`).
     */
-  private def integralOrRaise(v: Column, what: String): Column =
+  private[graft] def integralOrRaise(v: Column, what: String): Column =
     when(v =!= v.cast("bigint"),
       raise_error(concat(lit(s"$what: non-integral value "), v.cast("string"))))
       .otherwise(v).cast("bigint")

@@ -61,7 +61,11 @@ final case class Compression(codec: String, level: Int = -1)
       s"(supported: ${Compression.supported.mkString(", ")}; blosc/xz need native libs)")
 }
 object Compression {
-  val supported: Set[String] = Set("raw", "gzip", "bzip2", "lz4", "zstd")
+  /** "zlib" is n5-java's gzip-with-useZlib=true wire format (raw deflate,
+    * no gzip wrapper); it round-trips through attributes.json as
+    * `{"type":"gzip","useZlib":true}`.
+    */
+  val supported: Set[String] = Set("raw", "gzip", "zlib", "bzip2", "lz4", "zstd")
   def defaultParam(codec: String): Int = codec match {
     case "bzip2" => 9
     case "lz4" => 65536
@@ -137,14 +141,25 @@ object N5Meta {
     val comp =
       if (j.has("compression") && j.get("compression").isObject) {
         val c = j.get("compression")
-        val codec = c.get("type").asText()
+        val declared = c.get("type").asText()
+        // n5-java's gzip with useZlib=true is a raw zlib deflate stream —
+        // decoding it as GZIP would die with "Not in GZIP format"
+        val codec =
+          if (declared == "gzip" && c.has("useZlib") && c.get("useZlib").asBoolean())
+            "zlib"
+          else declared
         val param =
           if (c.has("level")) c.get("level").asInt()
           else if (c.has("blockSize")) c.get("blockSize").asInt()
           else Compression.defaultParam(codec)
         Compression(codec, param)
-      } else Compression("raw")
-    val structural = Set("dimensions", "blockSize", "dataType", "compression")
+      } else if (j.has("compressionType"))
+        // legacy n5 v1.x string attribute — ignoring it would misread the
+        // dataset as raw and decode compressed payloads as voxels
+        Compression(j.get("compressionType").asText())
+      else Compression("raw")
+    val structural =
+      Set("dimensions", "blockSize", "dataType", "compression", "compressionType")
     val extra = j.properties().asScala
       .filterNot(e => structural(e.getKey))
       .map(e => e.getKey -> e.getValue.toString).toMap
@@ -168,6 +183,11 @@ object N5Meta {
       case "gzip" =>
         c.put("useZlib", false)
         c.put("level", a.compression.level) // -1 = zlib default, spec-legal
+      case "zlib" =>
+        // written in n5-java's wire terms: gzip + useZlib=true
+        c.put("type", "gzip")
+        c.put("useZlib", true)
+        c.put("level", a.compression.level)
       case "bzip2" | "lz4" =>
         c.put("blockSize", param)
       case "zstd" =>

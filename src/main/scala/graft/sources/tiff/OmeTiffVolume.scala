@@ -57,8 +57,11 @@ object OmeTiffVolume {
     import spark.implicits._
 
     // ---- metadata phase (driver, eager — ometif_to_n5.py:34-72) ----
-    val bytes = readFile(tiffPath)
-    val (nPages, w0, h0) = pageGeometry(bytes)
+    val (nPages, w0, h0) = {
+      val (reader, close) = openReader(tiffPath)
+      try (reader.getNumImages(true), reader.getWidth(0), reader.getHeight(0))
+      finally close()
+    }
     require(nPages % nChannels == 0,
       s"$nPages pages not divisible by $nChannels channels")
     val nz0 = nPages / nChannels
@@ -72,16 +75,22 @@ object OmeTiffVolume {
       && box.yStart + box.ySize <= h0 && box.xStart + box.xSize <= w0,
       "crop box exceeds volume bounds")
 
+    // pixelResolution rides on EVERY channel dataset's attrs too (the
+    // reference updates each channel_dataset, `ometif_to_n5.py:118`) —
+    // root-only metadata would make N5Meta.pixelResolution(dataset attrs)
+    // fall back to defaults downstream
+    val prJson = pixelResolution.map { case (dims, unit) =>
+      s"""{"unit":"$unit","dimensions":[${dims.mkString(",")}]}"""
+    }
     val attrs = DatasetAttributes(
       Array(box.xSize.toLong, box.ySize.toLong, box.zSize.toLong),
-      blockSize, dtype, compression)
+      blockSize, dtype, compression,
+      extra = prJson.map("pixelResolution" -> _).toMap)
 
     // root metadata (R12, _create_root_output)
     N5Meta.ensureRoot(dstRoot)
-    pixelResolution.foreach { case (dims, unit) =>
-      N5Meta.updateGroupAttributes(dstRoot, "", Map(
-        "pixelResolution" ->
-          s"""{"unit":"$unit","dimensions":[${dims.mkString(",")}]}"""))
+    prJson.foreach { j =>
+      N5Meta.updateGroupAttributes(dstRoot, "", Map("pixelResolution" -> j))
     }
 
     // ---- manifest: one row per (channel, z) page inside the crop ----
@@ -98,16 +107,20 @@ object OmeTiffVolume {
       dtype.integerRange.getOrElse((Long.MinValue, Long.MaxValue))
     val decoded = manifest.as[(Int, Int, Int)]
       .mapPartitions { it =>
-        // each task opens the file fresh — no shared state across tasks
-        val content = readFile(tiffPath)
-        val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(content))
-        val reader = ImageIO.getImageReaders(in).next()
-        reader.setInput(in)
-        it.map { case (c, z, page) =>
-          val img = reader.read(page)
-          val w = img.getWidth
-          val px = new Array[Int](w * img.getHeight)
-          img.getRaster.getPixels(0, 0, w, img.getHeight, px)
+        // each task opens the file fresh (no shared state across tasks)
+        // via a seekable/disk-cached image stream — NOT readAllBytes: a
+        // multi-GB TIFF must not be heap-resident per task, and >2 GB
+        // files exceed the JVM array limit outright
+        val (reader, close) = openReader(tiffPath)
+        val taskPages = try {
+          it.map { case (c, z, page) =>
+            val img = reader.read(page)
+            require(img.getRaster.getNumBands == 1,
+              s"page $page: expected single-band grayscale, got " +
+                s"${img.getRaster.getNumBands} bands")
+            val w = img.getWidth
+            val px = new Array[Int](w * img.getHeight)
+            img.getRaster.getPixels(0, 0, w, img.getHeight, px)
           // crop y/x and shift to the cropped origin; safe-cast discipline
           // (Dtype.integerRange): reject out-of-range pixels with page
           // context instead of an opaque ANSI overflow at write time
@@ -126,7 +139,11 @@ object OmeTiffVolume {
             yy += 1
           }
           (c, z - box.zStart, out)
-        }
+          // materialize the partition's pages before closing the reader:
+          // the iterator is lazy and the stream must outlive every read
+          }.toVector
+        } finally close()
+        taskPages.iterator
       }.toDF("c", "z", "px")
       // one Spark action runs below PER CHANNEL; without caching, the
       // opaque mapPartitions above would re-read and re-decode every
@@ -148,10 +165,28 @@ object OmeTiffVolume {
     } finally decoded.unpersist()
   }
 
-  private def readFile(path: String): Array[Byte] = {
+  /** Open a TIFF reader over the file WITHOUT loading it onto the heap:
+    * local files get a true random-access stream; non-local filesystems
+    * get a disk-cached stream over the Hadoop input (bounded heap either
+    * way, and files past the 2 GB array limit work). Returns the reader
+    * and a close handle.
+    */
+  private def openReader(path: String): (javax.imageio.ImageReader, () => Unit) = {
     val p = new HPath(path)
-    val in = p.getFileSystem(new Configuration()).open(p)
-    try in.readAllBytes() finally in.close()
+    val fs = p.getFileSystem(new Configuration())
+    val ios: javax.imageio.stream.ImageInputStream =
+      if (fs.getUri.getScheme == "file")
+        new javax.imageio.stream.FileImageInputStream(
+          new java.io.File(p.toUri.getPath))
+      else {
+        val in = fs.open(p)
+        new javax.imageio.stream.FileCacheImageInputStream(in, null)
+      }
+    val readers = ImageIO.getImageReaders(ios)
+    require(readers.hasNext, s"no image reader for $path")
+    val reader = readers.next()
+    reader.setInput(ios)
+    (reader, () => { reader.dispose(); ios.close() })
   }
 
   /** (page count, width, height) of a multi-page TIFF. */

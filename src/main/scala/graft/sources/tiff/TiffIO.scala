@@ -47,6 +47,10 @@ object TiffIO {
   def decode(bytes: Array[Byte]): Slice = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "not a decodable image")
+    // a multi-band (RGB) image would need w*h*bands ints — getPixels into
+    // a w*h buffer dies deep in the raster code; fail with a curated error
+    require(img.getRaster.getNumBands == 1,
+      s"expected single-band grayscale TIFF, got ${img.getRaster.getNumBands} bands")
     val w = img.getWidth
     val h = img.getHeight
     val out = new Array[Int](w * h)

@@ -20,11 +20,30 @@ import org.apache.spark.sql.functions._
   */
 object TiffVolume {
 
+  /** Write one encoded slice file (executor-side). */
+  private def writePage(
+      outDir: String, prefix: String, z: Int,
+      w: Int, h: Int, px: Array[Int], bits: Int): Unit = {
+    val bytes = TiffIO.encode(w, h, px, bits)
+    val p = new HPath(outDir, f"$prefix$z%05d.tif")
+    val fs = p.getFileSystem(new Configuration())
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
   /** Export every z-slice of a dataset as `prefix%05d.tif` under outDir.
     * Sparse volumes export densely (zarr fill-value parity): voxels of
     * absent blocks come out as zeros, and fully-absent z-slabs still
     * produce (all-zero) slice files — the series never has numbering
     * gaps. Returns the number of slices written (= the volume depth).
+    *
+    * Scale formulation: one PLANE FRAGMENT row per (block, local z) —
+    * primitive pixel arrays, not per-voxel struct rows — shuffled to a
+    * per-z assembly that pastes fragments into the page and writes it in
+    * the same task. Peak memory per task is one w×h page, the floor any
+    * whole-page TIFF encoder needs. Signed dtypes with negative voxels
+    * fail loudly (the unsigned TIFF sample would silently wrap them).
     */
   def exportSlices(
       spark: SparkSession, root: String, dataset: String,
@@ -37,32 +56,49 @@ object TiffVolume {
       case d => throw new IllegalArgumentException(
         s"TIFF export supports 8/16-bit integer volumes, got ${d.name}")
     }
-    val e = N5.elements(N5.read(spark, root, dataset))
-    val grouped = e
-      .withColumn("idx", (col("x") + col("y") * w).cast("int"))
-      .groupBy(col("z"))
-      .agg(collect_list(struct(col("idx"), col("v").cast("int"))).as("cells"))
-      .select(col("z").cast("int").as("z"), col("cells"))
-    // every z in [0, depth) gets a file; stored voxels scatter into a
-    // zero-initialized page, so partially/fully absent blocks read as 0
-    val slices = spark.range(depth).select(col("id").cast("int").as("z"))
-      .join(grouped, Seq("z"), "left")
-    slices.foreachPartition { it: Iterator[Row] =>
-      val conf = new Configuration()
-      it.foreach { r =>
-        val z = r.getInt(0)
-        val px = new Array[Int](w * h)
-        if (!r.isNullAt(1)) r.getSeq[Row](1).foreach { c =>
-          px(c.getInt(0)) = c.getInt(1)
+    val limit = (1 << bits) - 1
+    import spark.implicits._
+    val typed = N5.read(spark, root, dataset)
+      .select(col("x0"), col("y0"), col("z0"), col("shape"),
+        col("data").cast("array<bigint>"))
+      .as[(Long, Long, Long, Array[Int], Array[Long])]
+    val frags = typed.flatMap { case (x0, y0, z0, shape, data) =>
+      val Array(sx, sy, sz) = shape
+      (0 until sz).iterator.map { lz =>
+        val plane = new Array[Int](sx * sy)
+        val base = lz * sx * sy
+        var i = 0
+        while (i < sx * sy) {
+          val v = data(base + i)
+          require(v >= 0 && v <= limit,
+            s"safe cast violation: voxel $v outside [0, $limit] for $bits-bit TIFF")
+          plane(i) = v.toInt
+          i += 1
         }
-        val bytes = TiffIO.encode(w, h, px, bits)
-        val p = new HPath(outDir, f"$prefix$z%05d.tif")
-        val fs = p.getFileSystem(conf)
-        fs.mkdirs(p.getParent)
-        val out = fs.create(p, true)
-        try out.write(bytes) finally out.close()
+        (z0 + lz, x0.toInt, y0.toInt, sx, sy, plane)
       }
     }
+    val written = frags.groupByKey(_._1)
+      .mapGroups { (z, it) =>
+        val px = new Array[Int](w * h)
+        it.foreach { case (_, fx0, fy0, sx, sy, plane) =>
+          var row = 0
+          while (row < sy) {
+            System.arraycopy(plane, row * sx, px, fx0 + (fy0 + row) * w, sx)
+            row += 1
+          }
+        }
+        writePage(outDir, prefix, z.toInt, w, h, px, bits)
+        z
+      }.collect().toSet
+    // fully-absent z-slabs still produce (all-zero) files
+    val missing = (0L until depth).filterNot(written)
+    if (missing.nonEmpty)
+      spark.createDataset(missing)
+        .repartition(math.max(1, math.min(missing.size,
+          spark.sparkContext.defaultParallelism)))
+        .foreach(z =>
+          writePage(outDir, prefix, z.toInt, w, h, new Array[Int](w * h), bits))
     depth
   }
 
@@ -84,7 +120,9 @@ object TiffVolume {
     val pages = N5.readBox(spark, root, dataset, start, end)
       .select(col("z"),
         ((col("x") - start(0)) + (col("y") - start(1)) * w).cast("int").as("idx"),
-        col("v").cast("int").as("v"))
+        // reject non-integral float voxels (numpy casting='safe' refuses
+        // float->int; ANSI cast would truncate 3.7 -> 3 silently)
+        N5.integralOrRaise(col("v"), "exportBox").cast("int").as("v"))
       .groupBy(col("z"))
       .agg(array_sort(collect_list(struct(col("idx"), col("v")))).as("cells"))
       .orderBy(col("z"))

@@ -58,8 +58,8 @@ class BlockCodecSpec extends AnyFunSuite {
     val rng = new scala.util.Random(42)
     for {
       comp <- Seq(Compression("gzip"), Compression("raw"),
-        Compression("bzip2", 9), Compression("lz4", 65536),
-        Compression("zstd", 3))
+        Compression("zlib"), Compression("bzip2", 9),
+        Compression("lz4", 65536), Compression("zstd", 3))
       shape <- shapes
       dtype <- Seq(Dtype.UInt8, Dtype.UInt16, Dtype.Int32, Dtype.Int64)
     } {
@@ -84,6 +84,51 @@ class BlockCodecSpec extends AnyFunSuite {
       val dec = BlockCodec.decode(enc, dtype, Compression("gzip"))
       assert(dec.doubles.toSeq == vals.toSeq, dtype.toString)
     }
+  }
+
+  test("encode rejects out-of-range values instead of wrapping") {
+    // 300 fits the block table's SMALLINT element schema but not uint8 —
+    // the old mask would write 300 & 0xff = 44 silently
+    val ex = intercept[IllegalArgumentException] {
+      BlockCodec.encode(Array(2, 1, 1), Array(300L, 1L), null,
+        Dtype.UInt8, Compression("raw"))
+    }
+    assert(ex.getMessage.contains("outside uint8 range"))
+    intercept[IllegalArgumentException] {
+      BlockCodec.encode(Array(1, 1, 1), Array(-1L), null,
+        Dtype.UInt16, Compression("raw"))
+    }
+  }
+
+  test("legacy attrs: gzip useZlib=true and v1 compressionType parse correctly") {
+    val tmp = java.nio.file.Files.createTempDirectory("legacyattrs")
+    // n5-java gzip with useZlib=true -> raw zlib deflate wire format
+    java.nio.file.Files.createDirectories(tmp.resolve("a"))
+    java.nio.file.Files.writeString(tmp.resolve("a/attributes.json"),
+      """{"dimensions":[4,4,1],"blockSize":[4,4,1],"dataType":"uint8",
+        |"compression":{"type":"gzip","useZlib":true,"level":-1}}""".stripMargin)
+    val a = N5Meta.datasetAttributes(tmp.toString, "a")
+    assert(a.compression.codec == "zlib")
+    // and the wire format round-trips: zlib-encoded block decodes with it
+    val vals = Array.tabulate(16)(_.toLong)
+    val enc = BlockCodec.encode(Array(4, 4, 1), vals, null, Dtype.UInt8,
+      a.compression)
+    assert(BlockCodec.decode(enc, Dtype.UInt8, a.compression).longs.toSeq
+      == vals.toSeq)
+    // writing it back re-emits the n5-java terms
+    N5Meta.writeDatasetAttributes(tmp.toString, "a2", a)
+    val j = N5Meta.readJson(new org.apache.hadoop.fs.Path(tmp.toString,
+      "a2/attributes.json"))
+    assert(j.get("compression").get("type").asText() == "gzip")
+    assert(j.get("compression").get("useZlib").asBoolean())
+    // legacy n5 v1.x string attribute: must not silently read as raw
+    java.nio.file.Files.createDirectories(tmp.resolve("b"))
+    java.nio.file.Files.writeString(tmp.resolve("b/attributes.json"),
+      """{"dimensions":[4,4,1],"blockSize":[4,4,1],"dataType":"uint8",
+        |"compressionType":"gzip"}""".stripMargin)
+    val b = N5Meta.datasetAttributes(tmp.toString, "b")
+    assert(b.compression.codec == "gzip")
+    assert(!b.extra.contains("compressionType"))
   }
 
   test("fixture block encode round-trip is byte-faithful") {

@@ -55,4 +55,38 @@ class MetaAndExportSpec extends SparkSpec {
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/ok.tif"))
     assert(OmeTiffVolume.pageGeometry(bytes)._1 == 1)
   }
+
+  import org.apache.spark.sql.functions._
+
+  test("exportSlices rejects negative voxels of signed dtypes") {
+    val tmp = Files.createTempDirectory("negex").toString
+    val attrs = DatasetAttributes(Array(4L, 4L, 2L), Array(4, 4, 2),
+      Dtype.Int16, Compression("raw"))
+    val elems = N5.boxGrid(spark, Array(0L, 0L, 0L), Array(4L, 4L, 2L))
+      .select(col("x"), col("y"), col("z"),
+        (col("x") - lit(2)).as("v")) // includes -2, -1
+    N5.write(N5.blocksFromElements(elems, attrs,
+      org.apache.spark.sql.types.IntegerType), s"$tmp/n.n5", "v/s0", attrs)
+    val ex = intercept[Exception] {
+      TiffVolume.exportSlices(spark, s"$tmp/n.n5", "v/s0", s"$tmp/out")
+    }
+    val msg = ex.getMessage + String.valueOf(ex.getCause)
+    assert(msg.contains("safe cast violation"), msg.take(300))
+  }
+
+  test("exportBox rejects non-integral float voxels") {
+    val tmp = Files.createTempDirectory("fracex").toString
+    val attrs = DatasetAttributes(Array(4L, 4L, 1L), Array(4, 4, 1),
+      Dtype.Float32, Compression("raw"))
+    val elems = N5.boxGrid(spark, Array(0L, 0L, 0L), Array(4L, 4L, 1L))
+      .select(col("x"), col("y"), col("z"), lit(3.7f).as("v"))
+    N5.write(N5.blocksFromElements(elems, attrs,
+      org.apache.spark.sql.types.FloatType), s"$tmp/f.n5", "v/s0", attrs)
+    val ex = intercept[Exception] {
+      TiffVolume.exportBox(spark, s"$tmp/f.n5", "v/s0", s"$tmp/f.tif",
+        Array(0L, 0L, 0L), Array(4L, 4L, 1L))
+    }
+    val msg = ex.getMessage + String.valueOf(ex.getCause)
+    assert(msg.contains("non-integral"), msg.take(300))
+  }
 }
