@@ -13,6 +13,7 @@ object Queries {
     CoreRelational.defs ++
       graft.queries.LlmPipeline.defs ++
       graft.queries.TrainingPipeline.defs ++
+      graft.queries.ScaleOps.defs ++
       graft.queries.AggExtras.defs ++
       graft.queries.N5Queries.defs ++
       graft.queries.StreamingQueries.defs ++

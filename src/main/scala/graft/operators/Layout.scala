@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+
+/** Physical-layout helper: bucketed (and optionally bucket-sorted) parquet
+  * tables for exchange-free co-located joins — the "pay the shuffle once
+  * at ingest" discipline. Two fact tables written with the same bucket
+  * count on the join key satisfy the join's clustered-distribution
+  * requirement straight off disk, so every subsequent equi-join on that
+  * key plans WITHOUT a shuffle on either side (`BucketedJoinSpec` pins
+  * exactly that). At 100 TB this converts the recurring fact⨝fact
+  * exchange — the single largest cost in a repeated pipeline — into a
+  * one-time layout decision, the relational analogue of the reference
+  * aligning writes to N5 block boundaries (`tif_to_n5.py:42-50`).
+  */
+object Layout {
+
+  /** @param table    catalog table name (qualify with a database whose
+    *                 LOCATION you control to direct the files)
+    * @param key      bucket/join key column
+    * @param buckets  bucket count — both join sides must use the same
+    * @param sortCols within-bucket sort columns (lets the sort-merge join
+    *                 skip its per-partition sort when files are
+    *                 one-per-bucket)
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val w: DataFrameWriter[Row] = df.write.mode("overwrite")
+      .format("parquet").bucketBy(buckets, key)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+}

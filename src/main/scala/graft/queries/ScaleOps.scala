@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-discipline operators: the techniques a 100 TB deployment reaches
+  * for when the free paths (broadcast, AQE) don't apply, each checked for
+  * EXACT equivalence with its naive formulation via the DuckDB oracle.
+  *
+  *  - q67: salted skew join (`operators/SkewJoin`) — oracle is the PLAIN
+  *    join, pinning that salting is a pure physical rewrite;
+  *  - q68: symmetric int8 embedding quantization — the 4× vector
+  *    compression pass run before sharding a vector corpus;
+  *  - q69: the composed corpus pipeline (quality filter → normalized-hash
+  *    dedup → deterministic split → token accounting) — the end-to-end
+  *    "documents in, training shards out" shape, all stages fused in one
+  *    plan.
+  */
+object ScaleOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Deterministic bucket in [0, 10) — same hash family as
+    * TrainingPipeline (md5 prefix), so q69's split agrees with q56's.
+    */
+  private def hashBucket(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 10
+
+  private val bucketSql =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10"
+
+  /** q54's quality score, DuckDB dialect (kept verbatim for agreement). */
+  private val qualitySql =
+    """(least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
+      |     + least((CASE WHEN len(string_split_regex(trim(text),'\s+')) = 0
+      |        THEN 0.0 ELSE CAST(len(list_filter(
+      |            list_transform(string_split_regex(trim(text),'\s+'), x -> lower(x)),
+      |            x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+      |          AS DOUBLE) / len(string_split_regex(trim(text),'\s+')) END) * 4.0, 1.0)
+      |     + (CASE WHEN length(text) = 0 THEN 0.0
+      |        ELSE CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+      |          / length(text) END)) / 3.0""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Salted skew join: events (probe; user_id is the hot-key axis — one
+    // bot user can hold 10⁸ rows) ⨝ customer dimension spread over 8
+    // salts. The oracle is the UNSALTED join: the salt must be invisible
+    // in the result. SkewJoinSpec pins the physical side (join keys
+    // include the salt; hot-key rows land in `salts` shuffle keys).
+    QueryDef.sql(
+      "q67_join_skew_salted",
+      """SELECT c.c_nationkey, count(*) AS n_events,
+        |  round(sum(e.value), 4) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey ASC""".stripMargin) { (s, dir) =>
+      val probe = Tables.load(s, dir, "events")
+        .select(col("user_id").as("custkey"), col("value"))
+      val build = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      graft.operators.SkewJoin.salted(probe, build, Seq("custkey"), salts = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("c_nationkey").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Symmetric int8 quantization of the embedding corpus: per-vector
+    // scale, codes, and reconstruction MSE. Narrow per-row expressions —
+    // zero shuffles, linear scale-out; the oracle recomputes the
+    // identical double arithmetic. Fixed-point outputs use
+    // floor(x·10^k + 0.5) rather than round(): quantization errors are
+    // low-entropy, so they land on .xx5 decimal boundaries often enough
+    // that Spark's shortest-decimal ROUND and DuckDB's exact-binary
+    // round break ties differently; floor on the exact double is
+    // engine-independent.
+    QueryDef.sql(
+      "q68_embedding_quantize",
+      """WITH m AS (SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        |  FROM embeddings),
+        |sc AS (SELECT vec_id, embedding,
+        |    CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale FROM m),
+        |q AS (SELECT vec_id, embedding, scale,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER)) AS qv
+        |  FROM sc)
+        |SELECT vec_id,
+        |  CAST(floor(scale * 1000000000.0 + 0.5) AS BIGINT) AS scale_e9,
+        |  CAST(list_aggregate(qv, 'min') AS INTEGER) AS q_min,
+        |  CAST(list_aggregate(qv, 'max') AS INTEGER) AS q_max,
+        |  CAST(floor(list_reduce(
+        |      list_transform(generate_series(1, len(qv)),
+        |        i -> (CAST(embedding[i] AS DOUBLE) - qv[i] * scale)
+        |           * (CAST(embedding[i] AS DOUBLE) - qv[i] * scale)),
+        |      (a, b) -> a + b) / len(qv) * 100000000.0 + 0.5) AS BIGINT)
+        |    AS mse_e8
+        |FROM q ORDER BY vec_id ASC LIMIT 200""".stripMargin) { (s, dir) =>
+      val scale = VF.int8Scale(col("embedding"))
+      Tables.load(s, dir, "embeddings")
+        .withColumn("scale", scale)
+        .withColumn("qv", VF.quantizeInt8(col("embedding"), col("scale")))
+        .select(col("vec_id"),
+          floor(col("scale") * 1000000000.0 + 0.5).cast("bigint").as("scale_e9"),
+          array_min(col("qv")).as("q_min"),
+          array_max(col("qv")).as("q_max"),
+          floor(VF.dequantMse(col("embedding"), col("qv"), col("scale"))
+            * 100000000.0 + 0.5).cast("bigint").as("mse_e8"))
+        .orderBy(col("vec_id").asc)
+        .limit(200)
+    },
+
+    // ------------------------------------------------------------------
+    // The composed training-data pipeline, one plan end-to-end:
+    //   quality filter (q54's score) → exact near-dup removal on the
+    //   normalized-text digest (q40's keep-min-doc_id) → deterministic
+    //   80/10/10 split (q56's hash family) → per-split doc/token totals.
+    // Shuffles: one hash exchange on digest (the dedup), one on split
+    // (the final 3-group agg) — shuffle volume IS the data reduction;
+    // filter and scoring are narrow and fused into the scan stage.
+    QueryDef.sql(
+      "q69_corpus_pipeline",
+      s"""WITH ql AS (SELECT doc_id, text, $qualitySql AS q FROM documents),
+         |k AS (SELECT doc_id, text FROM ql WHERE round(q, 4) >= 0.5),
+         |h AS (SELECT doc_id, text,
+         |    sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest
+         |  FROM k),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM h GROUP BY digest),
+         |ded AS (SELECT h.doc_id, h.text FROM h JOIN keep USING (doc_id)),
+         |sp AS (SELECT
+         |    CASE WHEN bk < 8 THEN 'train' WHEN bk = 8 THEN 'val'
+         |      ELSE 'test' END AS split,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
+         |  FROM (SELECT doc_id, text, $bucketSql AS bk FROM ded))
+         |SELECT split, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens
+         |FROM sp GROUP BY split ORDER BY split ASC""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("digest")).orderBy(col("doc_id").asc)
+      val bk = hashBucket(col("doc_id"))
+      docs(s, dir)
+        .filter(TF.qualityScore(col("text")) >= 0.5)
+        .withColumn("digest", sha2(TF.normalizeText(col("text")), 256))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("split",
+          when(bk < 8, "train").when(bk === 8, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).as("tokens"))
+        .orderBy(col("split").asc)
+    }
+  )
+}
