@@ -77,6 +77,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 1, s"IVF plan has $shuffles hash exchanges:\n$p")
   }
 
+  test("q68: quantization is narrow — only the final total-order exchange") {
+    val p = formatted("q68_embedding_quantize")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 0,
+      s"per-row quantization must not hash-shuffle, found $hashShuffles:\n$p")
+  }
+
+  test("q69: corpus pipeline runs in exactly two hash exchanges") {
+    // one for the digest window (dedup), one for the split aggregation;
+    // quality scoring and token counting must stay fused into narrow stages
+    val p = formatted("q69_corpus_pipeline")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 2,
+      s"expected digest + split exchanges only, found $hashShuffles:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "split aggregation lost its map-side combine")
+  }
+
   test("whole-stage codegen spans the Q1 pipeline") {
     // AQE materializes codegen stages lazily; disable it for the probe so
     // the prepared plan shows the WholeStageCodegen spans directly.
