@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.functions._
 
 /** Salted equi-join for skewed probe keys — the standard remedy when one
@@ -43,7 +44,9 @@ object SkewJoin {
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
     require(keys.nonEmpty, "at least one equi-join key required")
-    require(Seq("inner", "left", "left_outer").contains(joinType),
+    // normalize through Spark's own parser so every accepted alias of the
+    // same join ("left", "leftouter", "LEFT OUTER", …) passes the check
+    require(Seq(Inner, LeftOuter).contains(JoinType(joinType)),
       s"join type '$joinType' is not probe-preserving; salted replication " +
         "would duplicate unmatched build rows")
     require(!probe.columns.contains(SaltCol) && !build.columns.contains(SaltCol),
