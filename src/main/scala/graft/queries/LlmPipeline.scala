@@ -583,6 +583,57 @@ object LlmPipeline {
           sum(TF.tokenCount(col("text"))).as("total_tokens"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Dedup CLUSTERS: connected components over the q44 Jaccard candidate
+    // pairs, assigning every doc its cluster's canonical (minimum) doc_id.
+    // This is the transitive-closure step the pair queries (q42-q45) stop
+    // short of — A~B and B~C must dedup as ONE cluster {A,B,C}. The
+    // engine runs iterative min-label propagation with pointer jumping
+    // (operators/ConnectedComponents.scala, O(log n) rounds, lineage
+    // truncated per round); the oracle resolves the same closure with a
+    // recursive CTE. Docs in no pair are their own singleton cluster.
+    QueryDef.sql(
+      "q93_dedup_clusters",
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS s
+        |  FROM documents WHERE doc_id < 100),
+        |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.9),
+        |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |reach(node, lbl) AS (
+        |  SELECT a AS node, a AS lbl FROM und
+        |  UNION
+        |  SELECT u.a AS node, r.lbl FROM und u JOIN reach r ON u.b = r.node),
+        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+        |  (coalesce(c.component, d.doc_id) = d.doc_id) AS is_canonical
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+        |LEFT JOIN comp c ON d.doc_id = c.node
+        |ORDER BY doc_id ASC""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          array_distinct(TF.tokens(lower(trim(col("text"))))).as("s"))
+      val a = Tables.spread(s, d).select(col("doc_id").as("a"), col("s").as("sa"))
+      val b = d.select(col("doc_id").as("b"), col("s").as("sb"))
+      val edges = a.join(b, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+            / size(array_union(col("sa"), col("sb"))), 4).as("j"))
+        .filter(col("j") >= 0.9)
+        .select(col("a"), col("b"))
+      val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
+        .withColumnRenamed("node", "doc_id")
+      docs(s, dir).filter(col("doc_id") < 100).select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("is_canonical", col("component") === col("doc_id"))
+        .orderBy(col("doc_id").asc)
     }
   )
 }
