@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) curve layout: interleave the bits of several integer
+  * dimensions into one sort key so that sorting by it co-locates rows that
+  * are close in EVERY dimension, not just the leading one. Writing a table
+  * z-sorted gives min/max file and row-group statistics that prune on ANY
+  * filtered dimension — a single-column sort prunes only its own column
+  * and leaves a trailing-dimension filter scanning everything.
+  *
+  * This is the relational analogue of the reference's spatial chunking: an
+  * N5 volume is pruned on x, y AND z because blocks are axis-aligned boxes
+  * (`n5_utils.py:6-18`); a z-ordered parquet table gets the same
+  * any-dimension locality for element tables and event/feature logs. At
+  * 100 TB the layout is a one-time `repartitionByRange(zval)` shuffle at
+  * ingest (exactly like the bucketed-join layout in [[Layout]]), after
+  * which every box-shaped predicate reads a curve-contiguous fraction of
+  * the files instead of the whole table.
+  *
+  * The interleave itself is a pure expression tree of shifts/masks —
+  * codegen'd, shuffle-free, and reproducible in DuckDB for the oracle.
+  */
+object ZOrder {
+
+  /** Morton key over `cols`, taking the LOW `bitsPer` bits of each (the
+    * caller maps values into [0, 2^bitsPer) — higher bits are masked off,
+    * which silently merges distant points, so range-check upstream).
+    * Bit i of column j lands at position i·n + j; total bits n·bitsPer
+    * must fit a non-negative LONG.
+    */
+  def zValue(cols: Seq[Column], bitsPer: Int): Column = {
+    val n = cols.size
+    require(n > 0, "at least one dimension required")
+    require(bitsPer > 0 && n * bitsPer <= 63,
+      s"$n dims x $bitsPer bits = ${n * bitsPer} bits; must be in (0, 63]")
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bitsPer
+    } yield shiftleft(
+      shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** The same interleave in DuckDB SQL (bit-disjoint terms summed), for
+    * oracle queries: `zValueSql(Seq("x", "y"), 8)`.
+    */
+  def zValueSql(cols: Seq[String], bitsPer: Int): String = {
+    val n = cols.size
+    require(n > 0 && bitsPer > 0 && n * bitsPer <= 63)
+    (for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bitsPer
+    } yield s"(((CAST($c AS BIGINT) >> $i) & 1) << ${i * n + j})")
+      .mkString(" + ")
+  }
+
+  /** Write `df` z-ordered on `dims` as parquet: one range shuffle on the
+    * Morton key, sorted within partitions, key dropped from the files.
+    * `maxRecordsPerFile` bounds file size so min/max pruning has
+    * granularity to work with. `numFiles > 0` pins the range-partition
+    * count (otherwise spark.sql.shuffle.partitions + AQE decide — fine at
+    * scale, but AQE coalesces a small table to one file, defeating the
+    * layout).
+    */
+  def writeZOrdered(
+      df: DataFrame, dims: Seq[String], bitsPer: Int, path: String,
+      maxRecordsPerFile: Long = 0L, numFiles: Int = 0): Unit = {
+    val key = "__zval"
+    require(!df.columns.contains(key), s"input already has scratch column $key")
+    val keyed = df.withColumn(key, zValue(dims.map(col), bitsPer))
+    (if (numFiles > 0) keyed.repartitionByRange(numFiles, col(key))
+     else keyed.repartitionByRange(col(key)))
+      .sortWithinPartitions(col(key))
+      .drop(key)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+}

@@ -634,6 +634,129 @@ object LlmPipeline {
           coalesce(col("component"), col("doc_id")).as("component"))
         .withColumn("is_canonical", col("component") === col("doc_id"))
         .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Boilerplate n-gram mining (C4-style corpus hygiene): 3-grams that
+    // recur across many DISTINCT documents are template/boilerplate text
+    // to strip before training. Explode → per-gram (distinct-doc count,
+    // occurrence count) in one hash agg pass, hash-partitioned by gram —
+    // the shuffle moves one row per (partition, gram), never all text.
+    // Total order: doc_freq desc, occurrences desc, then the gram itself
+    // (unique per row).
+    QueryDef.sql(
+      "q95_boilerplate_ngrams",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS toks
+        |  FROM documents),
+        |ex AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(0, greatest(len(toks) - 3, 0)),
+        |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS gram
+        |  FROM t)
+        |SELECT gram, count(DISTINCT doc_id) AS doc_freq, count(*) AS occurrences
+        |FROM ex GROUP BY gram HAVING count(DISTINCT doc_id) >= 5
+        |ORDER BY doc_freq DESC, occurrences DESC, gram ASC
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val grams = transform(
+        sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
+        i => concat_ws(" ", try_element_at(col("toks"), i + 1),
+          try_element_at(col("toks"), i + 2), try_element_at(col("toks"), i + 3)))
+      Tables.spread(s, docs(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode(grams).as("gram"))
+        .groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("doc_freq"),
+          count(lit(1)).as("occurrences"))
+        .filter(col("doc_freq") >= 5)
+        .orderBy(col("doc_freq").desc, col("occurrences").desc, col("gram").asc)
+        .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // Within-document repetition filter (Gopher-style quality rule): the
+    // fraction of duplicate 2-grams inside each document. Entirely NARROW
+    // — the shingle array, array_distinct, and the ratio are per-row
+    // expressions fused into the scan; no shuffle at any corpus size
+    // (the final order+limit is a TakeOrdered). Fixed-point
+    // floor(x·10^4 + 0.5) instead of round(): both engines floor the
+    // identical exact double, so ties cannot break differently.
+    QueryDef.sql(
+      "q96_repetition_filter",
+      """WITH s AS (SELECT doc_id,
+        |    list_transform(generate_series(0, greatest(
+        |        len(string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')) - 2, 0)),
+        |      i -> concat_ws(' ',
+        |        string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')[i+1],
+        |        string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')[i+2])) AS gs
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+        |  CAST(floor((1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs))
+        |    * 10000.0 + 0.5) AS BIGINT) AS rep_e4
+        |FROM s
+        |WHERE (1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)) >= 0.10
+        |ORDER BY doc_id ASC""".stripMargin) { (s, dir) =>
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val grams = transform(
+        sequence(lit(0), greatest(size(col("toks")) - 2, lit(0))),
+        i => concat_ws(" ", try_element_at(col("toks"), i + 1),
+          try_element_at(col("toks"), i + 2)))
+      val rep = lit(1.0) -
+        size(array_distinct(col("gs"))).cast("double") / size(col("gs"))
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), grams.as("gs"))
+        .filter(rep >= 0.10)
+        .select(col("doc_id"),
+          size(col("gs")).cast("long").as("n_grams"),
+          size(array_distinct(col("gs"))).cast("long").as("n_distinct"),
+          floor(rep * 10000.0 + 0.5).cast("long").as("rep_e4"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Benchmark-contamination scan: count distinct shared 3-grams between
+    // every corpus document and a small probe set (doc_id < 10 stands in
+    // for an eval benchmark). The probe side's exploded distinct grams are
+    // BROADCAST — at 100 TB the corpus streams through one narrow join +
+    // one hash agg keyed by (corpus doc, probe doc); no corpus-side
+    // all-pairs ever forms.
+    QueryDef.sql(
+      "q97_contamination_scan",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS toks
+        |  FROM documents),
+        |ex AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(0, greatest(len(toks) - 3, 0)),
+        |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS gram
+        |  FROM t),
+        |p AS (SELECT doc_id AS probe_id, gram FROM ex WHERE doc_id < 10),
+        |c AS (SELECT doc_id, gram FROM ex WHERE doc_id >= 10)
+        |SELECT c.doc_id, p.probe_id, count(*) AS n_shared
+        |FROM c JOIN p USING (gram)
+        |GROUP BY c.doc_id, p.probe_id HAVING count(*) >= 2
+        |ORDER BY n_shared DESC, doc_id ASC, probe_id ASC
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val grams = transform(
+        sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
+        i => concat_ws(" ", try_element_at(col("toks"), i + 1),
+          try_element_at(col("toks"), i + 2), try_element_at(col("toks"), i + 3)))
+      val exploded = Tables.spread(s, docs(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode(grams).as("gram"))
+        .distinct()
+      val probes = broadcast(
+        exploded.filter(col("doc_id") < 10)
+          .withColumnRenamed("doc_id", "probe_id"))
+      exploded.filter(col("doc_id") >= 10)
+        .join(probes, Seq("gram"))
+        .groupBy(col("doc_id"), col("probe_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("n_shared").desc, col("doc_id").asc, col("probe_id").asc)
+        .limit(100)
     }
   )
 }

@@ -155,6 +155,38 @@ object ScaleOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(TF.tokenCount(col("text"))).as("tokens"))
         .orderBy(col("split").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Z-order (Morton) layout key: interleave two dimension columns into
+    // one sort key (`operators/ZOrder`). Sorting the table by this key at
+    // ingest gives min/max file statistics that prune box predicates on
+    // EITHER dimension — the relational analogue of the reference's
+    // axis-aligned N5 blocks (`n5_utils.py:6-18`). The query checks the
+    // bit-interleave end-to-end: per curve cell (zval >> 6), row count and
+    // the exact zval span, against the identical shift/mask arithmetic in
+    // DuckDB. Narrow expressions + one hash agg; the layout write itself
+    // is pinned in ZOrderSpec (range-disjoint files, rows preserved).
+    {
+      val dims = Seq("(l_partkey % 256)", "(l_suppkey % 256)")
+      QueryDef.sql(
+        "q94_zorder_cells",
+        s"""WITH z AS (SELECT ${graft.operators.ZOrder.zValueSql(dims, 8)} AS zval
+           |  FROM lineitem)
+           |SELECT zval // 64 AS zcell, count(*) AS n,
+           |  CAST(min(zval) AS BIGINT) AS zmin, CAST(max(zval) AS BIGINT) AS zmax
+           |FROM z GROUP BY zcell
+           |ORDER BY zcell ASC LIMIT 200""".stripMargin) { (s, dir) =>
+        val zval = graft.operators.ZOrder.zValue(
+          Seq(col("l_partkey") % 256, col("l_suppkey") % 256), bitsPer = 8)
+        Tables.load(s, dir, "lineitem")
+          .select(zval.as("zval"))
+          .groupBy((col("zval") / 64).cast("long").as("zcell"))
+          .agg(count(lit(1)).as("n"),
+            min(col("zval")).as("zmin"), max(col("zval")).as("zmax"))
+          .orderBy(col("zcell").asc)
+          .limit(200)
+      }
     }
   )
 }
