@@ -126,7 +126,9 @@ object BlockCodec {
 
   /** Wire formats match n5-java: gzip = GZIP stream, bzip2 = standard
     * bzip2 stream (commons-compress), lz4 = lz4-java LZ4BlockOutputStream
-    * framing, zstd = zstd frame (n5-zstandard extension).
+    * framing, zstd = zstd frame (n5-zstandard extension), xz = .xz
+    * container with LZMA2 at the given preset (org.tukaani.xz, the same
+    * library n5-java's XzCompression uses).
     */
   private def decompress(
       raw: Array[Byte], off: Int, comp: Compression, expected: Int): Array[Byte] = {
@@ -142,6 +144,7 @@ object BlockCodec {
         new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(bis))
       case "lz4" => drain(new net.jpountz.lz4.LZ4BlockInputStream(bis))
       case "zstd" => drain(new com.github.luben.zstd.ZstdInputStream(bis))
+      case "xz" => drain(new org.tukaani.xz.XZInputStream(bis))
       case other => throw new IllegalArgumentException(
         s"unsupported compression for read: $other")
     }
@@ -171,6 +174,9 @@ object BlockCodec {
         bos, if (comp.level > 0) comp.level else 65536))
       case "zstd" => fill(new com.github.luben.zstd.ZstdOutputStream(
         bos, if (comp.level > 0) comp.level else 3))
+      case "xz" => fill(new org.tukaani.xz.XZOutputStream(bos,
+        new org.tukaani.xz.LZMA2Options(
+          if (comp.level >= 0) comp.level else 6)))
       case other => throw new IllegalArgumentException(
         s"unsupported compression for write: $other")
     }

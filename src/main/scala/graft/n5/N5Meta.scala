@@ -51,25 +51,27 @@ object Dtype {
 
 /** Compression codec id + codec-specific parameter (`level`):
   * gzip → deflate level (-1 = default), bzip2 → block size 1-9,
-  * lz4 → block size in bytes, zstd → level. blosc is JNI-only on the
-  * JVM → declared unsupported (SURVEY §4); xz not bundled.
+  * lz4 → block size in bytes, zstd → level, xz → LZMA2 preset 0-9.
+  * blosc is JNI-only on the JVM → declared unsupported (SURVEY §4).
   */
 final case class Compression(codec: String, level: Int = -1)
     extends Serializable {
   require(Compression.supported(codec),
     s"unsupported N5 compression: $codec " +
-      s"(supported: ${Compression.supported.mkString(", ")}; blosc/xz need native libs)")
+      s"(supported: ${Compression.supported.mkString(", ")}; blosc needs native libs)")
 }
 object Compression {
   /** "zlib" is n5-java's gzip-with-useZlib=true wire format (raw deflate,
     * no gzip wrapper); it round-trips through attributes.json as
     * `{"type":"gzip","useZlib":true}`.
     */
-  val supported: Set[String] = Set("raw", "gzip", "zlib", "bzip2", "lz4", "zstd")
+  val supported: Set[String] =
+    Set("raw", "gzip", "zlib", "bzip2", "lz4", "zstd", "xz")
   def defaultParam(codec: String): Int = codec match {
     case "bzip2" => 9
     case "lz4" => 65536
     case "zstd" => 3
+    case "xz" => 6 // n5-java XzCompression default preset
     case _ => -1
   }
 }
@@ -151,6 +153,7 @@ object N5Meta {
         val param =
           if (c.has("level")) c.get("level").asInt()
           else if (c.has("blockSize")) c.get("blockSize").asInt()
+          else if (c.has("preset")) c.get("preset").asInt() // n5-java xz
           else Compression.defaultParam(codec)
         Compression(codec, param)
       } else if (j.has("compressionType"))
@@ -192,6 +195,9 @@ object N5Meta {
         c.put("blockSize", param)
       case "zstd" =>
         c.put("level", param)
+      case "xz" =>
+        // n5-java XzCompression serializes its parameter as "preset"
+        c.put("preset", param)
       case _ => ()
     }
     a.extra.foreach { case (k, v) => o.set[ObjectNode](k, mapper.readTree(v)) }

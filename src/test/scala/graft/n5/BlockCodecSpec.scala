@@ -59,7 +59,8 @@ class BlockCodecSpec extends AnyFunSuite {
     for {
       comp <- Seq(Compression("gzip"), Compression("raw"),
         Compression("zlib"), Compression("bzip2", 9),
-        Compression("lz4", 65536), Compression("zstd", 3))
+        Compression("lz4", 65536), Compression("zstd", 3),
+        Compression("xz", 6))
       shape <- shapes
       dtype <- Seq(Dtype.UInt8, Dtype.UInt16, Dtype.Int32, Dtype.Int64)
     } {

@@ -54,8 +54,8 @@ class DtypeRoundTripSpec extends SparkSpec {
     roundTrip(Dtype.UInt16, identity)
   }
 
-  test("bzip2/lz4/zstd datasets round-trip through the connector") {
-    for (codec <- Seq("bzip2", "lz4", "zstd")) {
+  test("bzip2/lz4/zstd/xz datasets round-trip through the connector") {
+    for (codec <- Seq("bzip2", "lz4", "zstd", "xz")) {
       val root = Files.createTempDirectory(s"cc_$codec").toString
       val dims = Array(9L, 6L, 4L)
       val attrs = DatasetAttributes(dims, Array(4, 4, 4), Dtype.UInt8,
