@@ -4,13 +4,14 @@ import graft.{QueryDef, Tables}
 import graft.functions.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column checks, all three oracle-checked. q90/q91 exercise
-  * the REAL image path end-to-end (embedding → TIFF bytes on executors →
+/** Multimodal-column checks, all oracle-checked. q90/q91 exercise the
+  * REAL image path end-to-end (embedding → TIFF bytes on executors →
   * decode [→ resize → re-encode → decode] → intensity features); the TIFF
   * round trip is the identity on pixels, so DuckDB recomputes the features
-  * directly from the quantized embedding. q92 exercises the stubbed
-  * audio/video plumbing, whose byte-level semantics DuckDB also
-  * reproduces exactly.
+  * directly from the quantized embedding. q98 is the analogous REAL audio
+  * path (embedding → RIFF/WAVE PCM16 bytes → container parse → RMS/peak).
+  * q92 exercises the stubbed raw-PCM/video plumbing, whose byte-level
+  * semantics DuckDB also reproduces exactly.
   */
 object MultimodalQueries {
 
@@ -108,6 +109,36 @@ object MultimodalQueries {
         .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
       audio.join(frames, Seq("id"), "left")
         .na.fill(0L, Seq("n_frames"))
+        .orderBy(col("id").asc)
+        .limit(200)
+    },
+
+    // ------------------------------------------------------------------
+    // REAL audio path: embedding → actual RIFF/WAVE PCM16 bytes on
+    // executors → container parse (header validation, chunk walk) →
+    // RMS/peak features. The WAV round trip is the identity on the
+    // quantized samples, so DuckDB recomputes the features directly from
+    // sample = clamp(floor(v·32767), ±int16). Narrow end to end: the only
+    // exchange is the final orderBy's TakeOrdered.
+    QueryDef.sql(
+      "q98_multimodal_wav_features",
+      """WITH s AS (SELECT vec_id,
+        |    list_transform(embedding, v ->
+        |      greatest(-32768, least(32767,
+        |        CAST(floor(CAST(v AS DOUBLE) * 32767.0) AS BIGINT)))) AS smp
+        |  FROM embeddings)
+        |SELECT vec_id AS id, CAST(16000 AS INTEGER) AS sample_rate,
+        |  CAST(len(smp) AS INTEGER) AS n_samples,
+        |  round(sqrt(list_reduce(list_transform(smp, v -> CAST(v AS DOUBLE) * v),
+        |    (a, b) -> a + b) / len(smp)), 4) AS rms,
+        |  CAST(list_reduce(list_transform(smp, v -> abs(v)),
+        |    (a, b) -> greatest(a, b)) AS INTEGER) AS peak
+        |FROM s ORDER BY id ASC LIMIT 200""".stripMargin) { (s, dir) =>
+      val media = Multimodal.embeddingsAsWav(
+        Tables.spread(s, Tables.load(s, dir, "embeddings")))
+      Multimodal.wavFeatures(media).toDF()
+        .select(col("id"), col("sample_rate"), col("n_samples"),
+          round(col("rms"), 4).as("rms"), col("peak"))
         .orderBy(col("id").asc)
         .limit(200)
     }

@@ -52,6 +52,55 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.id == 5L))
   }
 
+  test("WAV PCM16 encode/decode round-trips samples and sample rate") {
+    val smp = Array[Short](0, 1, -1, 32767, -32768, 12345)
+    val (rate, back) = Multimodal.decodeWav(Multimodal.encodeWav(smp, 44100))
+    assert(rate == 44100)
+    assert(back.toSeq == smp.toSeq)
+  }
+
+  test("decodeWav skips unknown RIFF chunks (odd sizes padded)") {
+    val wav = Multimodal.encodeWav(Array[Short](7, -7), 8000)
+    // splice a 3-byte LIST chunk (odd size -> 1 pad byte) before fmt
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = wav.take(12) ++ extra ++ wav.drop(12)
+    // RIFF size field is ignored by the parser; only magic must hold
+    val (rate, back) = Multimodal.decodeWav(spliced)
+    assert(rate == 8000 && back.toSeq == Seq[Short](7, -7))
+  }
+
+  test("decodeWav fails loudly on malformed or unsupported headers") {
+    val good = Multimodal.encodeWav(Array[Short](1, 2, 3), 16000)
+    def boom(bytes: Array[Byte], msg: String): Unit = {
+      val e = intercept[IllegalArgumentException](Multimodal.decodeWav(bytes))
+      assert(e.getMessage.contains(msg), e.getMessage)
+    }
+    boom(Array[Byte](1, 2, 3), "only 3 bytes")
+    boom("JUNK".getBytes ++ good.drop(4), "missing RIFF magic")
+    boom(good.take(8) ++ "AVI ".getBytes ++ good.drop(12), "missing WAVE")
+    boom(good.take(44), "declares") // data chunk truncated
+    val stereo = good.clone(); stereo(22) = 2 // channel count field
+    boom(stereo, "channel count 2")
+    val alaw = good.clone(); alaw(20) = 6 // audio format field
+    boom(alaw, "unsupported audio format 6")
+    val wide = good.clone(); wide(34) = 24 // bits per sample field
+    boom(wide, "bit depth 24")
+  }
+
+  test("embeddingsAsWav quantization matches the oracle formula") {
+    import spark.implicits._
+    val df = Seq((3L, Array(-1.0f, 0.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val m = Multimodal.embeddingsAsWav(df).collect()(0)
+    assert(m.media_type == "audio/wav")
+    val (rate, smp) = Multimodal.decodeWav(m.bytes)
+    assert(rate == 16000)
+    assert(smp.toSeq == Seq[Short](-32767, 0, 32767, 16383))
+    val f = Multimodal.wavFeatures(
+      spark.createDataset(Seq(m))).collect()(0)
+    assert(f.n_samples == 4 && f.peak == 32767)
+  }
+
   test("embeddingsAsImages quantization matches the oracle formula") {
     import spark.implicits._
     val df = Seq((1L, Array(-1.0f, 0.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
