@@ -774,6 +774,46 @@ object LlmPipeline {
         .filter(col("n_shared") >= 2)
         .orderBy(col("n_shared").desc, col("doc_id").asc, col("probe_id").asc)
         .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental dedup against historical state: a real crawl pipeline
+    // dedups each NEW slice against the digest store of everything
+    // already ingested, not only against itself. The store is PERSISTED
+    // BUCKETED by digest — the distribution shuffle is paid once at
+    // ingest — and the incoming slice is written through the same layout,
+    // so the anti-join plans with NO exchange on either side
+    // (BucketedJoinSpec pins the zero-shuffle property). At 100 TB the
+    // store is append-only and the per-slice cost is one bucketed write
+    // of the slice + a co-located anti-join; the corpus is never
+    // re-shuffled. Split rule here: even doc_ids = history, odd = new.
+    QueryDef.sql(
+      "q99_dedup_incremental",
+      """WITH d AS (SELECT doc_id,
+        |    sha256(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS digest
+        |  FROM documents)
+        |SELECT n.doc_id, n.digest
+        |FROM d n
+        |WHERE n.doc_id % 2 = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM d h WHERE h.doc_id % 2 = 0 AND h.digest = n.digest)
+        |ORDER BY n.doc_id ASC""".stripMargin) { (s, dir) =>
+      import graft.operators.Layout
+      val d = Tables.spread(s, docs(s, dir))
+        .withColumn("digest", sha2(TF.normalizeText(col("text")), 256))
+      val db = "graft_dedup_store"
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_store_db"
+      s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+      Layout.writeBucketed(
+        d.filter(col("doc_id") % 2 === 0).select(col("digest")).distinct(),
+        s"$db.history_digests", "digest", 16, Seq("digest"))
+      Layout.writeBucketed(
+        d.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("digest")),
+        s"$db.incoming_docs", "digest", 16, Seq("digest"))
+      s.table(s"$db.incoming_docs")
+        .join(s.table(s"$db.history_digests"), Seq("digest"), "left_anti")
+        .select(col("doc_id"), col("digest"))
+        .orderBy(col("doc_id").asc)
     }
   )
 }

@@ -52,4 +52,39 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("bucketed digest-store anti-join (q99 shape) plans with no exchange") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha"), (1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (4L, "delta"), (5L, "delta"), (6L, "eps"), (7L, "zeta"))
+      .toDF("doc_id", "text")
+      .withColumn("digest", sha2(col("text"), 256))
+    val loc = java.nio.file.Files.createTempDirectory("bucketspec2").toString
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Layout.writeBucketed(
+        docs.filter(col("doc_id") % 2 === 0).select(col("digest")).distinct(),
+        s"$db.hist", "digest", 4, Seq("digest"))
+      Layout.writeBucketed(
+        docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("digest")),
+        s"$db.incoming", "digest", 4, Seq("digest"))
+      val fresh = spark.table(s"$db.incoming")
+        .join(spark.table(s"$db.hist"), Seq("digest"), "left_anti")
+      val exchanges = fresh.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed anti-join still shuffles: ${exchanges.mkString("; ")}")
+      // doc 1 duplicates history's "alpha", doc 5 duplicates "delta"
+      assert(fresh.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(3L, 7L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
 }
