@@ -96,6 +96,118 @@ object VectorSearch {
     (array_max(array(entries: _*)).getField("n") * -1).cast("int")
   }
 
+  /** ivfCell over a TRAINED codebook: centroids are quantized per-
+    * dimension means (doubles), so the cosine is the generic double-array
+    * fold rather than the float-native expression. `vecD` must already be
+    * ARRAY<DOUBLE>.
+    */
+  def ivfCellD(vecD: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val entries = cents.map { case (cid, cv) =>
+      struct(round(graft.functions.VectorFunctions.cosine(
+        vecD, typedlit(cv)), 4).as("s"),
+        lit(-cid).as("n"))
+    }
+    (array_max(array(entries: _*)).getField("n") * -1).cast("int")
+  }
+
+  /** Seeded deterministic k-means codebook (Lloyd, FIXED iteration count)
+    * over a hash-sampled subset of the corpus — the trained replacement
+    * for the fixed first-k "codebook" demo. Every step is reproducible by
+    * an external engine from the same definition:
+    *
+    *   - sample: md5 bucket(vec_id) < sampleBuckets of 10 (the q55 hash
+    *     family — rand()-free, stable as the corpus grows)
+    *   - init: the k sample vectors in (bucket, vec_id) order
+    *   - assign: argmax of round(cosine, 4), ties to the lowest cid
+    *   - update: per-dimension mean, QUANTIZED to 1e-6 — floor(m·1e6+0.5)
+    *     /1e6 — so cross-engine (and cross-run partition-order) float-sum
+    *     noise of ~1ulp cannot leak into the next round's assignments
+    *   - empty cell: carries its previous centroid
+    *
+    * Scale: the sample is bounded (tune sampleBuckets), each round is one
+    * narrow assignment + one (cell, dim)-keyed agg over the sample with
+    * map-side combine; only the k×dim codebook ever reaches the driver.
+    */
+  def trainIvfCodebook(
+      emb: DataFrame, k: Int, iters: Int,
+      sampleBuckets: Int = 3): Seq[(Int, Seq[Double])] = {
+    require(k > 0 && iters >= 0, s"bad k=$k / iters=$iters")
+    val bk = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10
+    val sample = emb
+      .filter(bk < sampleBuckets)
+      .select(col("vec_id"), bk.as("bk"),
+        graft.functions.VectorFunctions.toDoubles(col("embedding")).as("v"))
+      .cache()
+    var cents: Seq[(Int, Seq[Double])] =
+      sample.orderBy(col("bk").asc, col("vec_id").asc).limit(k)
+        .select(col("v")).collect().toSeq
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+    require(cents.size == k, s"sample has only ${cents.size} vectors, need $k")
+    for (_ <- 0 until iters) {
+      val byCell = sample
+        .withColumn("cell", ivfCellD(col("v"), cents))
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            (cid, rows.sortBy(_.getInt(1))
+              .map(r => math.floor(r.getDouble(2) * 1e6 + 0.5) / 1e6).toSeq)
+          case None => (cid, old)
+        }
+      }
+    }
+    sample.unpersist()
+    cents
+  }
+
+  /** probeCells over a trained (double) codebook. */
+  private def probeCellsD(
+      probes: DataFrame, cents: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
+    val pv = graft.functions.VectorFunctions.toDoubles(col("pv"))
+    val entries = cents.map { case (cid, cv) =>
+      struct((round(graft.functions.VectorFunctions.cosine(
+        pv, typedlit(cv)), 4) * -1).as("ns"),
+        lit(cid).as("cid"))
+    }
+    probes
+      .withColumn("cell",
+        explode(slice(array_sort(array(entries: _*)), 1, nProbe)
+          .getField("cid")))
+  }
+
+  /** IVF search against a PERSISTED index table (vec_id, embedding, cell)
+    * — the scan side of the trained-IVF story. The probe cells are
+    * collected (≤ probes×nProbe ints) and pushed as a literal IN filter
+    * on the bucket column, so a cell-bucketed index table is read with
+    * BUCKET PRUNING: only the probed cells' files are touched, the rest
+    * of the corpus is never opened (PlanAuditSpec pins the selected-
+    * bucket count). Output schema matches bruteForceTopK.
+    */
+  def ivfTopKIndexed(
+      index: DataFrame, probes: DataFrame, k: Int,
+      cents: Seq[(Int, Seq[Double])], nProbe: Int = 2): DataFrame = {
+    val pc = probeCellsD(
+      probes.select(col("vec_id").as("pid"), col("embedding").as("pv")),
+      cents, nProbe)
+    val cells = pc.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    index.filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(pc), Seq("cell"))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        round(NE.vectorCosine(col("embedding"), col("pv")), 4).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("pid"), col("rnk"), col("vec_id"), col("cosine"))
+  }
+
   /** The probe's `nProbe` nearest cells (same rounding/tie rules as
     * ivfCell), as one row per (probe row, cell).
     */

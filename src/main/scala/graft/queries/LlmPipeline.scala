@@ -62,6 +62,51 @@ object LlmPipeline {
          |  THEN ${1 << j} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
 
+  /** (Re)create a scratch database at a fixed tmp location. The location
+    * is deleted first: a fresh session's in-memory catalog has no memory
+    * of the previous run's tables, and saveAsTable refuses to CREATE a
+    * managed table over a non-empty leftover directory.
+    */
+  private def freshDb(s: SparkSession, db: String, loc: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(loc)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    if (fs.exists(hp)) fs.delete(hp, true)
+    s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+  }
+
+  /** DuckDB CTE chain reproducing VectorSearch.trainIvfCodebook exactly:
+    * md5-bucket sample, (bucket, vec_id)-ordered init, then `iters`
+    * rounds of argmax(round(cosine,4), ties→lowest cid) assignment and
+    * 1e-6-quantized per-dimension means (empty cells carry forward).
+    * Yields CTEs `samp` and `cent0..cent{iters}`.
+    */
+  private def kmeansCtes(k: Int, iters: Int, sampleBuckets: Int): String = {
+    val bk = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10"
+    val init =
+      s"""samp AS (SELECT vec_id, $bk AS bk,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE $bk < $sampleBuckets),
+         |cent0 AS (SELECT cid, cv FROM (
+         |    SELECT row_number() OVER (ORDER BY bk ASC, vec_id ASC) - 1 AS cid,
+         |      v AS cv FROM samp) WHERE cid < $k)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""a$t AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT s.vec_id, s.v, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY round(list_cosine_similarity(s.v, c.cv), 4) DESC,
+         |          c.cid ASC) AS rn
+         |    FROM samp s CROSS JOIN cent${t - 1} c) WHERE rn = 1),
+         |m$t AS (SELECT cell, list(mq ORDER BY i) AS cv FROM (
+         |    SELECT cell, i, floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 AS mq
+         |    FROM a$t CROSS JOIN generate_series(1, 64) s(i)
+         |    GROUP BY cell, i) GROUP BY cell),
+         |cent$t AS (SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+         |  FROM cent${t - 1} p LEFT JOIN m$t m ON m.cell = p.cid)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -801,9 +846,8 @@ object LlmPipeline {
       val d = Tables.spread(s, docs(s, dir))
         .withColumn("digest", sha2(TF.normalizeText(col("text")), 256))
       val db = "graft_dedup_store"
-      val loc = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_store_db"
-      s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
-      s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+      freshDb(s, db,
+        s"${System.getProperty("java.io.tmpdir")}/graft_dedup_store_db")
       Layout.writeBucketed(
         d.filter(col("doc_id") % 2 === 0).select(col("digest")).distinct(),
         s"$db.history_digests", "digest", 16, Seq("digest"))
@@ -814,6 +858,62 @@ object LlmPipeline {
         .join(s.table(s"$db.history_digests"), Seq("digest"), "left_anti")
         .select(col("doc_id"), col("digest"))
         .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // TRAINED IVF index (upgrades the q59 plan-shape demo to a real
+    // index): seeded deterministic k-means over the md5-sampled subset
+    // (3 Lloyd rounds, 1e-6-quantized means — VectorSearch
+    // .trainIvfCodebook), the full corpus assigned and PERSISTED BUCKETED
+    // BY CELL, probes pushed as a literal cell IN-filter so the index
+    // scan reads only the probed cells' buckets (bucket pruning pinned in
+    // PlanAuditSpec). The oracle replays the identical training
+    // iterations as chained CTEs. At 100 TB: training touches only the
+    // sample, the index write is the once-paid layout shuffle, and each
+    // query reads nProbe/k of the corpus.
+    QueryDef.sql(
+      "q100_ann_ivf_trained",
+      s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleBuckets = 3)},
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |pcells AS (SELECT pid, cell FROM (
+         |    SELECT vec_id AS pid, cid AS cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+         |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 5),
+         |cand AS (SELECT pc.pid, a.vec_id,
+         |    round(list_cosine_similarity(a.v, p.pv), 4) AS cosine
+         |  FROM assigned a JOIN pcells pc ON a.cell = pc.cell
+         |  JOIN p ON p.pid = pc.pid AND a.vec_id <> p.pid),
+         |ranked AS (SELECT pid, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY pid
+         |      ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |  FROM cand)
+         |SELECT pid, rnk, vec_id, cosine FROM ranked WHERE rnk <= 3
+         |ORDER BY pid ASC, rnk ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      import graft.operators.Layout
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = VS.trainIvfCodebook(e, k = 8, iters = 3, sampleBuckets = 3)
+      val db = "graft_ivf_index"
+      freshDb(s, db,
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_db")
+      Layout.writeBucketed(
+        e.withColumn("cell", VS.ivfCellD(VF.toDoubles(col("embedding")), cents)),
+        s"$db.vectors", "cell", 8)
+      VS.ivfTopKIndexed(s.table(s"$db.vectors"),
+          e.filter(col("vec_id") < 5), k = 3, cents, nProbe = 2)
+        .orderBy(col("pid").asc, col("rnk").asc)
     }
   )
 }

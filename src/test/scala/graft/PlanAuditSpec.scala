@@ -99,6 +99,43 @@ class PlanAuditSpec extends SparkSpec {
       s"IVF plan has ${shuffles.size} hash exchanges: ${shuffles.mkString("; ")}")
   }
 
+  test("q95: boilerplate gram agg keeps its map-side combine") {
+    assert(formatted("q95_boilerplate_ngrams").contains("partial_count"),
+      "gram doc-frequency agg lost map-side partial aggregation")
+  }
+
+  test("q96: gram chain evaluates once; agg in exactly two hash exchanges") {
+    val p = formatted("q96_repetition_filter")
+    // the r5 regression: CollapseProject/filter-pushdown inlined the gram
+    // array into every consumer, re-running tokenization ~6x per row. The
+    // explode+agg shape evaluates the tokenize chain in exactly ONE
+    // Project node.
+    assert("regexp_replace".r.findAllIn(p).size == 1,
+      "tokenize chain duplicated across plan nodes again")
+    val shuffles = hashExchanges("q96_repetition_filter")
+    assert(shuffles.size == 2,
+      s"expected (doc_id,gram) + doc_id agg exchanges only, found " +
+        s"${shuffles.size}: ${shuffles.mkString("; ")}")
+    assert(p.contains("partial_count"), "per-doc counts lost map-side combine")
+  }
+
+  test("q97: contamination probe side broadcasts") {
+    assert(formatted("q97_contamination_scan").contains("BroadcastHashJoin"),
+      "probe grams must broadcast — the corpus side may not shuffle for the join")
+  }
+
+  test("q100: trained-IVF index scan is bucket-pruned to the probed cells") {
+    // building the query trains the codebook and writes the cell-bucketed
+    // index table as a side effect (bounded: sf0.001, 500 vectors)
+    val p = formatted("q100_ann_ivf_trained")
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(p)
+      .getOrElse(fail(s"index scan is not bucketed:\n$p"))
+    assert(sel.group(1).toInt < sel.group(2).toInt,
+      s"probe cells selected ${sel.group(1)} of ${sel.group(2)} buckets — no pruning")
+    assert(p.contains("BroadcastHashJoin"), "probe-cells side must broadcast")
+  }
+
   test("q68: quantization is narrow — only the final total-order exchange") {
     val shuffles = hashExchanges("q68_embedding_quantize")
     assert(shuffles.isEmpty,

@@ -88,6 +88,39 @@ class VectorSearchSpec extends SparkSpec {
     assert(avg >= 0.25, f"ivf recall $avg%.2f too low")
   }
 
+  test("trained IVF codebook recall beats-or-ties the fixed-first-8 demo") {
+    import graft.functions.{VectorFunctions => VF}
+    val k = 10
+    def recall(res: Map[Long, Set[Long]], brute: Map[Long, Set[Long]]): Double = {
+      val rs = brute.keys.toSeq.map { pid =>
+        res.getOrElse(pid, Set.empty).intersect(brute(pid)).size.toDouble / k
+      }
+      rs.sum / rs.size
+    }
+    def byPid(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    // probes disjoint from the fixed codebook: a probe that IS a centroid
+    // trivially lands in its own cell with its neighbours, which flatters
+    // the fixed codebook and makes the comparison meaningless
+    val p = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+    val brute = byPid(VectorSearch.bruteForceTopK(emb, p, k))
+    val fixedCents = emb.filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val fixed = recall(
+      byPid(VectorSearch.ivfTopK(emb, p, k, fixedCents, nProbe = 2)), brute)
+    val cents = VectorSearch.trainIvfCodebook(emb, k = 8, iters = 3)
+    val index = emb.withColumn("cell",
+      VectorSearch.ivfCellD(VF.toDoubles(col("embedding")), cents))
+    val trained = recall(
+      byPid(VectorSearch.ivfTopKIndexed(index, p, k, cents, nProbe = 2)),
+      brute)
+    info(f"ivf recall@10: trained=$trained%.3f fixed=$fixed%.3f")
+    assert(trained >= fixed,
+      f"trained codebook recall $trained%.3f below fixed-codebook $fixed%.3f")
+    assert(trained >= 0.3, f"trained recall $trained%.3f too low")
+  }
+
   test("lsh top-10 recall vs brute force, with bounded candidate sets") {
     val k = 10
     val brute = VectorSearch.bruteForceTopK(emb, probes, k)

@@ -69,4 +69,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](run(path, maxIter = 1))
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("result plan size is constant in the iteration count (lineage cut)") {
+    import spark.implicits._
+    // a 64-node path needs several pointer-jumping rounds; without the
+    // per-round checkpoint the final plan would double per round and this
+    // count would explode into the hundreds
+    def planNodes(edges: Seq[(Long, Long)]): Int =
+      ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+        .queryExecution.analyzed.collect { case n => n }.size
+    val short = planNodes(Seq((0L, 1L), (2L, 3L)))
+    val long = planNodes((0L until 63L).map(i => (i, i + 1)))
+    assert(long == short,
+      s"plan grew with iterations: $short nodes vs $long — lineage not truncated")
+    assert(short <= 6, s"expected a checkpoint-rooted plan, got $short nodes")
+  }
 }
