@@ -187,6 +187,34 @@ object ScaleOps {
           .orderBy(col("zcell").asc)
           .limit(200)
       }
+    },
+
+    // ------------------------------------------------------------------
+    // Binned range join (`operators/RangeJoin`): events falling inside
+    // 2-hour promo windows, planned as an EQUI-join on 1-hour time bins
+    // plus a residual predicate — never a broadcast-nested-loop theta
+    // join. The oracle is the PLAIN inequality join, pinning that binning
+    // is a pure physical rewrite (exactly like q67's salting). Window
+    // set: every 311th event opens [ts, ts+2h).
+    QueryDef.sql(
+      "q101_range_join_binned",
+      """WITH w AS (SELECT event_id AS win_id, ts AS ws,
+        |    ts + INTERVAL 2 HOUR AS we
+        |  FROM events WHERE event_id % 311 = 0)
+        |SELECT w.win_id, count(*) AS n, round(sum(e.value), 4) AS sv
+        |FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+        |GROUP BY w.win_id
+        |ORDER BY win_id ASC""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val w = e.filter(col("event_id") % 311 === 0)
+        .select(col("event_id").as("win_id"), col("ts").as("ws"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("we"))
+      graft.operators.RangeJoin.pointInInterval(
+          e.select(col("ts"), col("value")), "ts",
+          w, "ws", "we", binMicros = 3600L * 1000000L)
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+        .orderBy(col("win_id").asc)
     }
   )
 }
