@@ -27,7 +27,14 @@ object Layout {
       df: DataFrame, table: String, key: String, buckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val w: DataFrameWriter[Row] = df.write.mode("overwrite")
+    // co-partition the write with the bucket function: without this every
+    // task holds rows of every bucket and emits one file PER (task,
+    // bucket) — shufflePartitions × buckets small files per table, the
+    // classic bucketed-write file explosion. repartition by the key uses
+    // the same murmur3-pmod family as the bucket spec, so each task holds
+    // exactly one bucket and writes exactly one file.
+    val w: DataFrameWriter[Row] = df.repartition(buckets, df.col(key))
+      .write.mode("overwrite")
       .format("parquet").bucketBy(buckets, key)
     val sorted =
       if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
