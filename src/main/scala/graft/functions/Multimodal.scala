@@ -9,16 +9,16 @@ import org.apache.spark.sql.functions._
   * feature-extraction / resize / frame-sampling as executor-side
   * mapPartitions transforms over typed Datasets.
   *
-  * The IMAGE path is fully real (JDK ImageIO TIFF codec — encode, decode,
-  * features, resize all execute and are oracle/test-verified). The AUDIO
-  * path is real for WAV: a RIFF/WAVE PCM16 container codec below
-  * (encodeWav/decodeWav) parses actual wire-format bytes, header
-  * validation included. `audioFeatures` (raw-PCM byte interpretation,
-  * q92) and the video frame sampler remain DETERMINISTIC STUBS (no
-  * general audio/video codec libraries in this container): their
-  * Spark-side plumbing — schema, batch shape, partitioning, feature
-  * signature — is real and tested; swapping the stub body for a real
-  * codec changes nothing else.
+  * All three modalities have a REAL container path: IMAGE via the JDK
+  * ImageIO TIFF codec (encode, decode, features, resize), AUDIO via the
+  * RIFF/WAVE PCM16 codec below (encodeWav/decodeWav — actual wire-format
+  * bytes, header validation included), VIDEO via the YUV4MPEG2 (y4m)
+  * uncompressed-frame codec below (encodeY4m/decodeY4m — tagged plain-
+  * text stream header, FRAME-delimited planes). `audioFeatures` (raw-PCM
+  * byte interpretation) and `sampleFrames` (fixed-byte-window
+  * fingerprints) remain as DETERMINISTIC STUBS for the q92 oracle — they
+  * model opaque-codec payloads the container has no decoder for; their
+  * Spark-side plumbing is identical to the real paths.
   *
   * Scale notes: all transforms are narrow (no shuffle); media bytes never
   * move except scan → task. Partition sizing is governed by
@@ -240,5 +240,106 @@ object Multimodal {
       WavFeatures(m.id, rate, smp.length,
         if (smp.isEmpty) 0.0 else math.sqrt(acc / smp.length), peak)
     })
+  }
+
+  // ------------------------------------------------------------------
+  // Y4M (YUV4MPEG2, Cmono) — REAL uncompressed-video container codec.
+
+  final case class VideoFrame(
+      id: Long, frame_idx: Int, width: Int, height: Int, mean_luma: Double)
+
+  /** Encode grayscale frames (luma 0-255, row-major, all width×height) as
+    * a YUV4MPEG2 stream with monochrome chroma sampling (`Cmono`: each
+    * FRAME carries the Y plane only).
+    */
+  def encodeY4m(
+      width: Int, height: Int, fps: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0, s"bad geometry $width x $height @$fps")
+    frames.foreach(f => require(f.length == width * height,
+      s"frame has ${f.length} pixels, want ${width * height}"))
+    val bos = new java.io.ByteArrayOutputStream(
+      64 + frames.size * (6 + width * height))
+    bos.write(s"YUV4MPEG2 W$width H$height F$fps:1 Ip A1:1 Cmono\n"
+      .getBytes("US-ASCII"))
+    frames.foreach { f =>
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      f.foreach(v => bos.write(v & 0xff))
+    }
+    bos.toByteArray
+  }
+
+  /** Decode a YUV4MPEG2 stream: parse the tagged stream header (W/H
+    * required, unknown tags skipped per spec), require Cmono (no chroma
+    * decimation logic smuggled in), then split FRAME-delimited luma
+    * planes. Fails loudly on malformed input.
+    */
+  def decodeY4m(bytes: Array[Byte]): (Int, Int, Seq[Array[Int]]) = {
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"malformed y4m: $msg")
+    val nl = bytes.indexOf('\n'.toByte)
+    if (nl < 0) fail("no stream-header newline")
+    val header = new String(bytes, 0, nl, "US-ASCII")
+    val parts = header.split(' ')
+    if (parts.head != "YUV4MPEG2") fail(s"bad magic '${parts.head}'")
+    def tag(c: Char): Option[String] =
+      parts.tail.find(p => p.nonEmpty && p.head == c).map(_.tail)
+    val w = tag('W').map(_.toInt).getOrElse(fail("missing W tag"))
+    val h = tag('H').map(_.toInt).getOrElse(fail("missing H tag"))
+    if (w <= 0 || h <= 0) fail(s"bad dimensions $w x $h")
+    val chroma = tag('C').getOrElse("420")
+    if (chroma != "mono") fail(s"unsupported chroma mode C$chroma (want Cmono)")
+    val frameBytes = w * h
+    val frames = Seq.newBuilder[Array[Int]]
+    var pos = nl + 1
+    while (pos < bytes.length) {
+      // frame header is "FRAME" + optional parameters + '\n'
+      val fnl = bytes.indexOf('\n'.toByte, pos)
+      if (fnl < 0) fail("truncated frame header")
+      val fh = new String(bytes, pos, fnl - pos, "US-ASCII")
+      if (fh != "FRAME" && !fh.startsWith("FRAME ")) fail(s"bad frame marker '$fh'")
+      if (fnl + 1 + frameBytes > bytes.length)
+        fail(s"truncated frame payload at offset ${fnl + 1}")
+      val f = new Array[Int](frameBytes)
+      var i = 0
+      while (i < frameBytes) { f(i) = bytes(fnl + 1 + i) & 0xff; i += 1 }
+      frames += f
+      pos = fnl + 1 + frameBytes
+    }
+    (w, h, frames.result())
+  }
+
+  /** Render each embedding as a short real y4m clip: dim 64 → four 4×4
+    * Cmono frames, pixel = the q90 quantization clamp(floor((v+1)·127.5)).
+    */
+  def embeddingsAsVideo(embeddings: DataFrame, fps: Int = 25): Dataset[MediaRow] = {
+    import embeddings.sparkSession.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        require(v.length == 64, s"need 64 dims for 4 4x4 frames, got ${v.length}")
+        val px = v.map(x =>
+          math.max(0, math.min(255, math.floor((x + 1.0) * 127.5).toInt)))
+        val frames = px.grouped(16).toSeq
+        MediaRow(id, "video/y4m", encodeY4m(4, 4, fps, frames))
+      })
+  }
+
+  /** REAL video decode: parse the y4m container and emit every `every`-th
+    * frame's geometry + mean luma. Narrow; one output row per sampled
+    * frame.
+    */
+  def videoFrameFeatures(
+      media: Dataset[MediaRow], every: Int): Dataset[VideoFrame] = {
+    require(every > 0, s"every must be positive, got $every")
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val (w, h, frames) = decodeY4m(m.bytes)
+      (0 until frames.size by every).map { i =>
+        val f = frames(i)
+        var sum = 0L; var j = 0
+        while (j < f.length) { sum += f(j); j += 1 }
+        VideoFrame(m.id, i, w, h, sum.toDouble / f.length)
+      }
+    }
   }
 }

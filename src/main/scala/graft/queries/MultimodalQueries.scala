@@ -141,6 +141,36 @@ object MultimodalQueries {
           round(col("rms"), 4).as("rms"), col("peak"))
         .orderBy(col("id").asc)
         .limit(200)
+    },
+
+    // ------------------------------------------------------------------
+    // REAL video path: embedding → four 4×4 Cmono frames in an actual
+    // YUV4MPEG2 container on executors → stream-header parse + FRAME
+    // split → every-2nd-frame mean luma. The y4m round trip is the
+    // identity on the quantized pixels, so DuckDB recomputes each sampled
+    // frame's mean from the same 16-value slice of the q90 quantization.
+    QueryDef.sql(
+      "q102_multimodal_video_frames",
+      """WITH px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |  FROM embeddings),
+        |f AS (SELECT vec_id, unnest([0, 2]) AS frame_idx FROM px)
+        |SELECT px.vec_id AS id, f.frame_idx,
+        |  CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+        |  round(CAST(list_reduce(list_transform(generate_series(1, 16),
+        |      i -> p[16 * frame_idx + i]), (a, b) -> a + b) AS DOUBLE) / 16,
+        |    4) AS mean_luma
+        |FROM px JOIN f ON px.vec_id = f.vec_id
+        |ORDER BY id ASC, frame_idx ASC LIMIT 400""".stripMargin) { (s, dir) =>
+      val media = Multimodal.embeddingsAsVideo(
+        Tables.spread(s, Tables.load(s, dir, "embeddings")))
+      Multimodal.videoFrameFeatures(media, every = 2).toDF()
+        .select(col("id"), col("frame_idx"), col("width"), col("height"),
+          round(col("mean_luma"), 4).as("mean_luma"))
+        .orderBy(col("id").asc, col("frame_idx").asc)
+        .limit(400)
     }
   )
 }
