@@ -100,6 +100,31 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, expected)
   }
 
+  test("transformWithState user stats equal batch groupBy (RocksDB store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = Streams.userStatsTws(streamEvents())
+        .writeStream.format("memory").queryName("ustats_tws")
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table("ustats_tws")
+        .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+      val expected = batchEvents()
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      assertSameRows(got, expected)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("writeStream.format(n5): native streaming sink commits block rows") {
     val tmp = Files.createTempDirectory("n5sink").toString
     // stream the fixture's 4 block rows (as parquet files) into a new N5
