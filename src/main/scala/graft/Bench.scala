@@ -37,6 +37,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
       .map { case (name, fn) =>
+      // GC barrier: without it a heap-heavy neighbor's garbage is
+      // collected DURING the next query's timed run, charging the pause
+      // to the wrong query (observed 2-5x swings on sub-second queries)
+      System.gc()
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err = try { run(fn); None } catch {
