@@ -106,6 +106,32 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((1L, 100L)), s"key scoping failed: $got")
   }
 
+  test("seeded random points/intervals equal the theta join at random bin widths") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260812L)
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    def t(us: Long) = java.sql.Timestamp.from(base.plusNanos(us * 1000))
+    (1 to 5).foreach { round =>
+      val span = 100L * HOUR
+      val p = (1 to 200).map(i => (i.toLong, t(rng.nextLong().abs % span)))
+        .toDF("pid", "ts")
+      val i = (1 to 40).map { j =>
+        val a = rng.nextLong().abs % span
+        // mix of zero-length, sub-bin, and multi-bin intervals
+        val len = rng.nextInt(3) match {
+          case 0 => 0L
+          case 1 => rng.nextLong().abs % HOUR
+          case _ => rng.nextLong().abs % (10 * HOUR)
+        }
+        (j.toLong, t(a), t(a + len))
+      }.toDF("win_id", "ws", "we")
+      val bin = Seq(HOUR / 7, HOUR, 3 * HOUR + 1)(round % 3)
+      val binned = RangeJoin.pointInInterval(p, "ts", i, "ws", "we", bin)
+      val theta = p.join(i, col("ts") >= col("ws") && col("ts") < col("we"))
+      assert(canon(binned) == canon(theta), s"round $round bin $bin")
+    }
+  }
+
   test("colliding non-key columns fail loudly") {
     val e = intercept[IllegalArgumentException](
       RangeJoin.pointInInterval(
