@@ -216,4 +216,46 @@ object Multiscale {
     N5.write(blocks, root, s"$group/s$level", dst)
     dst
   }
+
+  /** Windowed MODE downsample for LABEL volumes (segmentation ids):
+    * averaging labels invents ids that exist nowhere in the data, so
+    * label pyramids take the most frequent value per window instead —
+    * ties broken to the LOWEST label for determinism. Integer dtypes
+    * only (fails loudly on float volumes — mode of continuous data is
+    * meaningless).
+    *
+    * Plan: per-window label counts with map-side combine (the shuffle
+    * carries one row per (window, distinct label) — bounded by window
+    * volume, typically ≤8 rows), then a window-top-1. Scales like any
+    * keyed agg; no all-label state anywhere.
+    */
+  def downsampleLevelMode(
+      spark: SparkSession, root: String, group: String, level: Int,
+      factors: Array[Int]): DatasetAttributes = {
+    val src = N5Meta.datasetAttributes(root, s"$group/s${level - 1}")
+    require(src.dataType != Dtype.Float32 && src.dataType != Dtype.Float64,
+      s"mode downsample is for label volumes; got ${src.dataType.name}")
+    val Array(fx, fy, fz) = factors
+    val dstDims = src.dimensions.zip(factors).map { case (d, f) => d / f }
+    val dst = src.copy(dimensions = dstDims,
+      extra = levelExtra(src, factors, level))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("x"), col("y"), col("z"))
+      .orderBy(col("c").desc, col("v").asc)
+    val e = N5.elements(N5.read(spark, root, s"$group/s${level - 1}"))
+      .filter(col("x") < dstDims(0) * fx
+        && col("y") < dstDims(1) * fy
+        && col("z") < dstDims(2) * fz)
+      .select(expr(s"x div $fx").as("x"), expr(s"y div $fy").as("y"),
+        expr(s"z div $fz").as("z"), col("v"))
+      .groupBy(col("x"), col("y"), col("z"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("x"), col("y"), col("z"), col("v"))
+    val blocks = N5.blocksFromElements(e, dst,
+      N5Schema.elementType(dst.dataType))
+    N5.write(blocks, root, s"$group/s$level", dst)
+    dst
+  }
 }

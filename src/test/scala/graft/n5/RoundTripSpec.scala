@@ -147,6 +147,49 @@ class RoundTripSpec extends SparkSpec {
     }
   }
 
+  test("mode downsample picks the most frequent label, ties to lowest") {
+    import org.apache.spark.sql.functions.{col => c}
+    val tmp = Files.createTempDirectory("n5mode").toString
+    val dims = Array(8L, 6L, 4L)
+    val attrs = DatasetAttributes(dims, Array(4, 4, 4), Dtype.UInt8,
+      Compression("gzip"))
+    // label(x,y,z) = deterministic small-id pattern with in-window repeats
+    def label(x: Long, y: Long, z: Long): Long = (x / 2 + y + z) % 5
+    val elems = spark.range(dims.product)
+      .select((c("id") % dims(0)).as("x"),
+        ((c("id") / dims(0)) % dims(1)).cast("long").as("y"),
+        (c("id") / (dims(0) * dims(1))).cast("long").as("z"))
+      .select(c("x"), c("y"), c("z"),
+        ((c("x") / 2).cast("long") + c("y") + c("z")).mod(5).as("v"))
+    N5.write(N5.blocksFromElements(elems, attrs,
+      org.apache.spark.sql.types.ShortType), tmp, "lbl/s0", attrs)
+
+    val dst = Multiscale.downsampleLevelMode(spark, tmp, "lbl", 1, Array(2, 2, 2))
+    assert(dst.dimensions.toSeq == Seq(4L, 3L, 2L))
+
+    // independent expectation: loop-counted mode with lowest-label ties
+    val asMap = N5.elements(N5.read(spark, tmp, "lbl/s1")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getAs[Number](3).longValue())).toMap
+    for (z <- 0L until 2L; y <- 0L until 3L; x <- 0L until 4L) {
+      val counts = (for {
+        dz <- 0 until 2; dy <- 0 until 2; dx <- 0 until 2
+      } yield label(2 * x + dx, 2 * y + dy, 2 * z + dz))
+        .groupBy(identity).view.mapValues(_.size)
+      val mode = counts.toSeq.minBy { case (v, n) => (-n, v) }._1
+      assert(asMap((x, y, z)) == mode, s"window ($x,$y,$z): $counts")
+    }
+
+    // float volumes are rejected
+    val fAttrs = attrs.copy(dataType = Dtype.Float32)
+    N5.write(N5.blocksFromElements(
+      elems.select(c("x"), c("y"), c("z"), c("v").cast("double").as("v")),
+      fAttrs, org.apache.spark.sql.types.DoubleType), tmp, "flt/s0", fAttrs)
+    val e = intercept[IllegalArgumentException](
+      Multiscale.downsampleLevelMode(spark, tmp, "flt", 1, Array(2, 2, 2)))
+    assert(e.getMessage.contains("label volumes"))
+  }
+
   test("pyramid metadata matches the reference checkpoint format") {
     val tmp = Files.createTempDirectory("n5meta").toString
     N5.rechunk(spark, fixtureRoot, fixtureDs, tmp, "vol/s0", Array(128, 128, 128))
