@@ -55,7 +55,10 @@ object Multiscale {
       factors: Array[Int] = Array(2, 2, 2),
       maxLevels: Int = 8,
       thumbnailSize: Long = 64L,
-      axes: Seq[String] = Seq("x", "y", "z")): Seq[DatasetAttributes] = {
+      axes: Seq[String] = Seq("x", "y", "z"),
+      method: String = "mean"): Seq[DatasetAttributes] = {
+    require(method == "mean" || method == "mode",
+      s"unsupported downsampling method '$method' (mean, mode)")
     val s0 = N5Meta.datasetAttributes(root, s"$group/s0")
     var prev = s0
     var level = 1
@@ -64,7 +67,9 @@ object Multiscale {
     while (level <= maxLevels && prev.dimensions.zip(factors)
         .forall { case (d, f) => d / f >= 1 } &&
         prev.dimensions.max > thumbnailSize) {
-      val attrs = downsampleLevel(spark, root, group, level, factors)
+      val attrs =
+        if (method == "mode") downsampleLevelMode(spark, root, group, level, factors)
+        else downsampleLevel(spark, root, group, level, factors)
       out :+= attrs
       scales :+= levelFactors(factors, level)
       prev = attrs
