@@ -125,6 +125,86 @@ case class VectorDotF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** PQ encoder as a native expression: ARRAY<FLOAT> embedding → ARRAY<INT>
+  * of per-subspace nearest-center codes. The declarative formulation
+  * (16 struct/array_min entries × 8 subspaces of interpreted zip_with +
+  * aggregate folds) pays Catalyst dispatch per CENTER per row; here the
+  * whole 1024-FLOP kernel is one primitive loop per row. Ties and
+  * rounding match the declarative/oracle definition exactly: candidate
+  * distances are rounded to 4 decimals with BigDecimal HALF_UP (the same
+  * arithmetic `round(col, 4)` performs on doubles), argmin ties to the
+  * lowest center id.
+  *
+  * Codegen: the generated code calls into [[PqEncodeVector.encode]]
+  * (referenced object) — the kernel dominates, so inlining Java for it
+  * buys nothing; this keeps the expression inside whole-stage codegen
+  * without a hand-assembled string.
+  */
+case class PqEncodeVector(
+    child: Expression, codebook: Array[Array[Array[Double]]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires ARRAY<FLOAT>, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqEncodeVector.encode(input.asInstanceOf[ArrayData], codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook,
+      "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.PqEncodeVector.encode($c, $cb);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeVector =
+    copy(child = newChild)
+}
+
+object PqEncodeVector {
+  /** Shared eval/codegen kernel. Input length must be subspaces × width. */
+  def encode(
+      arr: ArrayData, codebook: Array[Array[Array[Double]]]): ArrayData = {
+    val subspaces = codebook.length
+    val w = codebook(0)(0).length
+    require(arr.numElements() == subspaces * w,
+      s"pq_encode: expected ${subspaces * w}-dim vector, got ${arr.numElements()}")
+    val out = new Array[Int](subspaces)
+    var b = 0
+    while (b < subspaces) {
+      val centers = codebook(b)
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < centers.length) {
+        val c = centers(j)
+        var d = 0.0
+        var i = 0
+        while (i < w) {
+          val x = arr.getFloat(b * w + i).toDouble - c(i)
+          d += x * x
+          i += 1
+        }
+        // 4-decimal HALF_UP, identical to round(col, 4) on doubles
+        val dr = java.math.BigDecimal.valueOf(d)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (dr < bestD) { bestD = dr; best = j }
+        j += 1
+      }
+      out(b) = best
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object NativeExpressions {
   /** Column API for the native L2-norm expression. */
   def vectorL2Norm(v: Column): Column =
@@ -138,4 +218,9 @@ object NativeExpressions {
   /** Cosine similarity of two ARRAY<FLOAT> columns — fully codegen'd. */
   def vectorCosine(a: Column, b: Column): Column =
     vectorDot(a, b) / (vectorL2Norm(a) * vectorL2Norm(b))
+
+  /** PQ codes of an ARRAY<FLOAT> column against a literal codebook. */
+  def pqEncode(v: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    GraftSqlBridge.column(PqEncodeVector(GraftSqlBridge.expression(v),
+      codebook.map(_.map(_.toArray).toArray).toArray))
 }

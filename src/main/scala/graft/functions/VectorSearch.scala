@@ -208,6 +208,108 @@ object VectorSearch {
       .select(col("pid"), col("rnk"), col("vec_id"), col("cosine"))
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) + asymmetric-distance (ADC) search: the
+  // compression side of a 100 TB vector index. Vectors are split into
+  // `subspaces` contiguous slices; each slice is snapped to one of k
+  // per-subspace centers, so a 64-dim float vector becomes `subspaces`
+  // small codes (here 8 bytes — 32× smaller). Search never decodes:
+  // the probe's distance to a corpus vector is the sum of per-subspace
+  // distances to the CODED centers (ADC), computed from the probe and
+  // the codebook alone. Everything is deterministic and reproducible by
+  // an external engine: centers are sample vectors chosen by the q55
+  // md5-bucket order, assignments argmin round(L2², 4) with lowest-id
+  // ties, ADC sums of 4-decimal-rounded terms.
+
+  /** codebook(b)(j) = 8-dim center j of subspace b — slices of the first
+    * k sample vectors in (md5 bucket, vec_id) order.
+    */
+  def pqCodebook(
+      emb: DataFrame, subspaces: Int, k: Int,
+      sampleBuckets: Int = 3): Seq[Seq[Seq[Double]]] = {
+    require(subspaces > 0 && k > 0, s"bad subspaces=$subspaces / k=$k")
+    val bk = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10
+    val rows = emb.filter(bk < sampleBuckets)
+      .select(col("vec_id"), bk.as("bk"),
+        graft.functions.VectorFunctions.toDoubles(col("embedding")).as("v"))
+      .orderBy(col("bk").asc, col("vec_id").asc).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    require(rows.length == k, s"sample has only ${rows.length} vectors, need $k")
+    val dim = rows.head.length
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+    val w = dim / subspaces
+    (0 until subspaces).map(b => rows.toSeq.map(_.slice(b * w, (b + 1) * w)))
+  }
+
+  /** Squared L2 between an array-column slice and a literal center —
+    * sequential left fold, bit-identical to DuckDB's list_reduce.
+    */
+  private def l2sq(sliceCol: Column, center: Seq[Double]): Column =
+    aggregate(zip_with(sliceCol, typedlit(center), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ-encode an ARRAY<DOUBLE> column: array of `subspaces` codes,
+    * code b = argmin_j round(L2²(v_b, c_bj), 4), ties to the lowest j.
+    * Pure narrow expression over broadcast-literal centers.
+    */
+  def pqEncode(vecD: Column, codebook: Seq[Seq[Seq[Double]]]): Column = {
+    val w = codebook.head.head.length
+    val codes = codebook.zipWithIndex.map { case (centers, b) =>
+      val entries = centers.zipWithIndex.map { case (c, j) =>
+        struct(round(l2sq(slice(vecD, b * w + 1, w), c), 4).as("d"),
+          lit(j).as("j"))
+      }
+      array_min(array(entries: _*)).getField("j")
+    }
+    array(codes: _*)
+  }
+
+  /** ADC top-k: corpus vectors are matched by their CODES only — the
+    * probe computes its distance to each coded center (8-dim arithmetic
+    * per subspace, from literals), never to the raw corpus vector. At
+    * 100 TB the scan side carries `subspaces` small ints per vector
+    * instead of the embedding; with the codes table bucketed or paired
+    * with an IVF cell column the same plan composes with bucket pruning.
+    * Output: (pid, rnk, vec_id, adc_dist) — approximate ranking,
+    * quality asserted against brute force in VectorSearchSpec.
+    */
+  def pqAdcTopK(
+      emb: DataFrame, probes: DataFrame, k: Int,
+      codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val w = codebook.head.head.length
+    // native one-loop-per-row encoder: the declarative formulation pays
+    // interpreted-fold dispatch per CENTER per row (~128x) — q103 went
+    // 4.6s -> sub-second at sf0.1 on the native kernel. pqEncode (the
+    // declarative Column) remains the semantics reference; equality is
+    // pinned in VectorSearchSpec.
+    val coded = emb.select(col("vec_id"),
+      NE.pqEncode(col("embedding"), codebook).as("codes"))
+    // ADC lookup tables MATERIALIZED on the probe side BEFORE the join —
+    // referenced from the join output they would be recomputed per
+    // (probe, corpus) pair, turning the 5-row table build into 1.3M
+    // interpreted folds; as probe-row columns they are built once each
+    // and ride inside the broadcast relation
+    val p = broadcast(probes
+      .select(col("vec_id").as("pid"),
+        graft.functions.VectorFunctions.toDoubles(col("embedding")).as("pv"))
+      .select(col("pid") +: codebook.indices.map { b =>
+        array(codebook(b).map(c =>
+          round(l2sq(slice(col("pv"), b * w + 1, w), c), 4)): _*).as(s"__tbl$b")
+      }: _*))
+    // per joined row the distance is `subspaces` array lookups + adds
+    val dist = codebook.indices.map { b =>
+      element_at(col(s"__tbl$b"), element_at(col("codes"), b + 1) + 1)
+    }.reduce(_ + _)
+    val wnd = Window.partitionBy(col("pid"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    coded.join(p, col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"), round(dist, 4).as("adc_dist"))
+      .withColumn("rnk", row_number().over(wnd))
+      .filter(col("rnk") <= k)
+      .select(col("pid"), col("rnk"), col("vec_id"), col("adc_dist"))
+  }
+
   /** The probe's `nProbe` nearest cells (same rounding/tie rules as
     * ivfCell), as one row per (probe row, cell).
     */

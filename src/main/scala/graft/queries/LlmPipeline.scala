@@ -914,6 +914,65 @@ object LlmPipeline {
       VS.ivfTopKIndexed(s.table(s"$db.vectors"),
           e.filter(col("vec_id") < 5), k = 3, cents, nProbe = 2)
         .orderBy(col("pid").asc, col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Product quantization + ADC scan (the compression half of a 100 TB
+    // vector index, companion to q100's IVF): 64-dim floats → 8
+    // subspace codes against a seeded 16-center codebook (32× smaller),
+    // searched WITHOUT decoding — the probe's distance to a corpus
+    // vector is the sum of its 4-decimal-rounded distances to the coded
+    // centers, computed from literals. The scan side carries 8 small
+    // ints per vector; ranking quality vs brute force is asserted in
+    // VectorSearchSpec. DuckDB replays the same center choice (md5
+    // order), assignments (argmin round(L2²,4), lowest-id ties) and ADC
+    // sums.
+    QueryDef.sql(
+      "q103_ann_pq_adc",
+      s"""WITH samp AS (SELECT vec_id,
+         |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bk,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 3),
+         |cent AS (SELECT cid, cv FROM (
+         |    SELECT row_number() OVER (ORDER BY bk ASC, vec_id ASC) - 1 AS cid,
+         |      v AS cv FROM samp) WHERE cid < 16),
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sc AS (SELECT e.vec_id, b.b, c.cid,
+         |    round(list_reduce(list_transform(generate_series(1, 8),
+         |      i -> (e.v[8 * b.b + i] - c.cv[8 * b.b + i])
+         |         * (e.v[8 * b.b + i] - c.cv[8 * b.b + i])),
+         |      (x, y) -> x + y), 4) AS d
+         |  FROM e CROSS JOIN generate_series(0, 7) b(b) CROSS JOIN cent c),
+         |codes AS (SELECT vec_id, b, cid AS code FROM (
+         |    SELECT vec_id, b, cid,
+         |      row_number() OVER (PARTITION BY vec_id, b
+         |        ORDER BY d ASC, cid ASC) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 5),
+         |terms AS (SELECT p.pid, codes.vec_id,
+         |    round(list_reduce(list_transform(generate_series(1, 8),
+         |      i -> (p.pv[8 * codes.b + i] - c.cv[8 * codes.b + i])
+         |         * (p.pv[8 * codes.b + i] - c.cv[8 * codes.b + i])),
+         |      (x, y) -> x + y), 4) AS t
+         |  FROM codes JOIN cent c ON c.cid = codes.code
+         |  CROSS JOIN p
+         |  WHERE codes.vec_id <> p.pid),
+         |adc AS (SELECT pid, vec_id, round(SUM(t), 4) AS adc_dist
+         |  FROM terms GROUP BY pid, vec_id),
+         |ranked AS (SELECT pid, vec_id, adc_dist,
+         |    row_number() OVER (PARTITION BY pid
+         |      ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+         |  FROM adc)
+         |SELECT pid, rnk, vec_id, adc_dist FROM ranked WHERE rnk <= 10
+         |ORDER BY pid ASC, rnk ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cb = VS.pqCodebook(e, subspaces = 8, k = 16)
+      VS.pqAdcTopK(e, e.filter(col("vec_id") < 5), k = 10, cb)
+        .orderBy(col("pid").asc, col("rnk").asc)
     }
   )
 }

@@ -121,6 +121,45 @@ class VectorSearchSpec extends SparkSpec {
     assert(trained >= 0.3, f"trained recall $trained%.3f too low")
   }
 
+  test("pq codes are in range and ADC ranking recalls brute-force neighbours") {
+    import graft.functions.{VectorFunctions => VF}
+    val k = 10
+    val cb = VectorSearch.pqCodebook(emb, subspaces = 8, k = 16)
+    assert(cb.size == 8 && cb.forall(_.size == 16)
+      && cb.forall(_.forall(_.size == 8)))
+    val coded = emb.select(col("vec_id"),
+      VectorSearch.pqEncode(VF.toDoubles(col("embedding")), cb).as("codes"))
+    val codes = coded.select(explode(col("codes"))).collect().map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c < 16), "code out of range")
+    assert(codes.distinct.length > 4, "codebook degenerate: codes barely used")
+    // the native one-loop kernel must agree with the declarative
+    // expression tree code-for-code (same rounding, same tie rule)
+    val native = emb.select(col("vec_id"),
+      graft.functions.NativeExpressions.pqEncode(col("embedding"), cb).as("codes"))
+    val declArr = coded.orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val natArr = native.orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(declArr.toSeq == natArr.toSeq,
+      "native pq_encode diverges from the declarative definition")
+    // ranking quality: ADC top-10 must recall a reasonable share of the
+    // exact cosine top-10 (PQ approximates L2; embeddings are not
+    // normalized identically, so the floor is deliberately modest)
+    val p = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+    val brute = VectorSearch.bruteForceTopK(emb, p, k)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val adc = VectorSearch.pqAdcTopK(emb, p, k, cb)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = brute.keys.toSeq.map { pid =>
+      adc.getOrElse(pid, Set.empty).intersect(brute(pid)).size.toDouble / k
+    }
+    val avg = recalls.sum / recalls.size
+    info(f"pq-adc avg recall@10 = $avg%.2f (8 subspaces, 16 centers)")
+    assert(avg >= 0.15, f"pq recall $avg%.2f too low")
+  }
+
   test("lsh top-10 recall vs brute force, with bounded candidate sets") {
     val k = 10
     val brute = VectorSearch.bruteForceTopK(emb, probes, k)
