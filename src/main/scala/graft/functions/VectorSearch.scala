@@ -310,6 +310,42 @@ object VectorSearch {
       .select(col("pid"), col("rnk"), col("vec_id"), col("adc_dist"))
   }
 
+  /** IVF-PQ search — the composed 100 TB index: the corpus is stored as
+    * (cell, codes) only, bucketed by trained coarse cell; a probe reads
+    * its nProbe cells' buckets (pruned scan), then ranks candidates by
+    * ADC distance against its materialized lookup tables. Neither the
+    * scan nor the ranking ever touches a raw corpus vector.
+    */
+  def ivfPqTopK(
+      index: DataFrame, probes: DataFrame, k: Int,
+      cents: Seq[(Int, Seq[Double])], codebook: Seq[Seq[Seq[Double]]],
+      nProbe: Int = 2): DataFrame = {
+    val w = codebook.head.head.length
+    val pc = probeCellsD(
+      probes.select(col("vec_id").as("pid"),
+        graft.functions.VectorFunctions.toDoubles(col("embedding")).as("pv")),
+      cents, nProbe)
+    val p = broadcast(pc.select(
+      Seq(col("pid"), col("cell")) ++ codebook.indices.map { b =>
+        array(codebook(b).map(c =>
+          round(l2sq(slice(col("pv"), b * w + 1, w), c), 4)): _*).as(s"__tbl$b")
+      }: _*))
+    val cells = pc.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val dist = codebook.indices.map { b =>
+      element_at(col(s"__tbl$b"), element_at(col("codes"), b + 1) + 1)
+    }.reduce(_ + _)
+    val wnd = Window.partitionBy(col("pid"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    index.filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+      .join(p, Seq("cell"))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"), round(dist, 4).as("adc_dist"))
+      .withColumn("rnk", row_number().over(wnd))
+      .filter(col("rnk") <= k)
+      .select(col("pid"), col("rnk"), col("vec_id"), col("adc_dist"))
+  }
+
   /** The probe's `nProbe` nearest cells (same rounding/tie rules as
     * ivfCell), as one row per (probe row, cell).
     */

@@ -973,6 +973,84 @@ object LlmPipeline {
       val cb = VS.pqCodebook(e, subspaces = 8, k = 16)
       VS.pqAdcTopK(e, e.filter(col("vec_id") < 5), k = 10, cb)
         .orderBy(col("pid").asc, col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // IVF-PQ: the composed index every 100 TB vector deployment actually
+    // runs — q100's trained coarse cells pick WHERE to look (bucket-
+    // pruned scan of nProbe cells), q103's PQ codes decide the RANKING
+    // (ADC against probe-side tables). The stored index is (cell, codes):
+    // ~9 small ints per vector, no raw embeddings at query time. The
+    // oracle composes both training chains off one shared sample CTE.
+    QueryDef.sql(
+      "q104_ann_ivfpq",
+      s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleBuckets = 3)},
+         |pqc AS (SELECT cid, cv FROM (
+         |    SELECT row_number() OVER (ORDER BY bk ASC, vec_id ASC) - 1 AS cid,
+         |      v AS cv FROM samp) WHERE cid < 16),
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |sc AS (SELECT e.vec_id, b.b, c.cid,
+         |    round(list_reduce(list_transform(generate_series(1, 8),
+         |      i -> (e.v[8 * b.b + i] - c.cv[8 * b.b + i])
+         |         * (e.v[8 * b.b + i] - c.cv[8 * b.b + i])),
+         |      (x, y) -> x + y), 4) AS d
+         |  FROM e CROSS JOIN generate_series(0, 7) b(b) CROSS JOIN pqc c),
+         |codes AS (SELECT vec_id, b, cid AS code FROM (
+         |    SELECT vec_id, b, cid,
+         |      row_number() OVER (PARTITION BY vec_id, b
+         |        ORDER BY d ASC, cid ASC) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |pcells AS (SELECT pid, cell FROM (
+         |    SELECT vec_id AS pid, cid AS cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+         |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 5),
+         |cand AS (SELECT pc.pid, a.vec_id
+         |  FROM assigned a JOIN pcells pc ON a.cell = pc.cell
+         |  WHERE a.vec_id <> pc.pid),
+         |terms AS (SELECT cand.pid, cand.vec_id,
+         |    round(list_reduce(list_transform(generate_series(1, 8),
+         |      i -> (p.pv[8 * codes.b + i] - c.cv[8 * codes.b + i])
+         |         * (p.pv[8 * codes.b + i] - c.cv[8 * codes.b + i])),
+         |      (x, y) -> x + y), 4) AS t
+         |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+         |  JOIN pqc c ON c.cid = codes.code
+         |  JOIN p ON p.pid = cand.pid),
+         |adc AS (SELECT pid, vec_id, round(SUM(t), 4) AS adc_dist
+         |  FROM terms GROUP BY pid, vec_id),
+         |ranked AS (SELECT pid, vec_id, adc_dist,
+         |    row_number() OVER (PARTITION BY pid
+         |      ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+         |  FROM adc)
+         |SELECT pid, rnk, vec_id, adc_dist FROM ranked WHERE rnk <= 5
+         |ORDER BY pid ASC, rnk ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{NativeExpressions => GNE, VectorSearch => VS}
+      import graft.operators.Layout
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = VS.trainIvfCodebook(e, k = 8, iters = 3, sampleBuckets = 3)
+      val cb = VS.pqCodebook(e, subspaces = 8, k = 16)
+      val db = "graft_ivfpq_index"
+      freshDb(s, db,
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_db")
+      Layout.writeBucketed(
+        e.select(col("vec_id"),
+          VS.ivfCellD(VF.toDoubles(col("embedding")), cents).as("cell"),
+          GNE.pqEncode(col("embedding"), cb).as("codes")),
+        s"$db.codes", "cell", 8)
+      VS.ivfPqTopK(s.table(s"$db.codes"),
+          e.filter(col("vec_id") < 5), k = 5, cents, cb, nProbe = 2)
+        .orderBy(col("pid").asc, col("rnk").asc)
     }
   )
 }

@@ -136,6 +136,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "probe-cells side must broadcast")
   }
 
+  test("q104: IVF-PQ scan is bucket-pruned and carries codes, not vectors") {
+    val p = formatted("q104_ann_ivfpq")
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(p)
+      .getOrElse(fail(s"index scan is not bucketed:\n$p"))
+    assert(sel.group(1).toInt < sel.group(2).toInt,
+      s"probe cells selected ${sel.group(1)} of ${sel.group(2)} buckets — no pruning")
+    // the stored index exposes only (vec_id, cell, codes) — the scan must
+    // not read a raw embedding column
+    val readSchema = p.linesIterator
+      .filter(_.contains("ReadSchema:"))
+      .find(_.contains("codes"))
+      .getOrElse(fail("no codes-table scan in the plan"))
+    assert(!readSchema.contains("embedding"),
+      s"IVF-PQ scan reads raw vectors: $readSchema")
+  }
+
   test("q68: quantization is narrow — only the final total-order exchange") {
     val shuffles = hashExchanges("q68_embedding_quantize")
     assert(shuffles.isEmpty,
