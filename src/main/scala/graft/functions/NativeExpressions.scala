@@ -205,6 +205,93 @@ object PqEncodeVector {
   }
 }
 
+/** Per-document MinHash signatures as a native expression: token array →
+  * ARRAY<LONG> of `as.length` signature mins. Replicates the declared
+  * q42 arithmetic exactly — word-3-shingles with concat_ws null-skipping
+  * at the tail (`sequence(0, greatest(len-3, 0))` semantics), base hash =
+  * the 60-bit integer at md5-hex chars 18..32 mod p, signature j =
+  * min((a_j·h + b_j) mod p) — so the DuckDB oracle is unchanged. The
+  * signature is a PER-ROW quantity; computing it row-locally removes the
+  * (doc, shingle) explode and the groupBy(doc) exchange entirely — the
+  * first shuffle in the dedup pipeline becomes the band-bucket join,
+  * which is the one that carries information.
+  */
+case class MinhashSignatures(
+    child: Expression, as: Array[Long], bs: Array[Long], p: Long)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashSignatures.sigs(input.asInstanceOf[ArrayData], as, bs, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", as, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.MinhashSignatures.sigs($c, $aRef, $bRef, ${p}L);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignatures =
+    copy(child = newChild)
+}
+
+object MinhashSignatures {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Shared eval/codegen kernel. */
+  def sigs(toks: ArrayData, as: Array[Long], bs: Array[Long], p: Long): ArrayData = {
+    val n = toks.numElements()
+    val out = Array.fill(as.length)(Long.MaxValue)
+    val md = digest.get()
+    val sb = new java.lang.StringBuilder(48)
+    // shingle i covers tokens i..i+2; the declared range is
+    // 0..max(n-3, 0) inclusive, with missing tail tokens skipped the way
+    // concat_ws skips nulls
+    var i = 0
+    val last = math.max(n - 3, 0)
+    while (i <= last) {
+      sb.setLength(0)
+      var k = i
+      val end = math.min(i + 3, n)
+      while (k < end) {
+        if (k > i) sb.append(' ')
+        sb.append(toks.getUTF8String(k).toString)
+        k += 1
+      }
+      md.reset()
+      val d = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the 60-bit integer at md5-hex chars 18..32: low nibble of byte 8,
+      // then bytes 9..15
+      var v = (d(8) & 0x0fL)
+      var bi = 9
+      while (bi < 16) { v = (v << 8) | (d(bi) & 0xffL); bi += 1 }
+      val h = v % p
+      var j = 0
+      while (j < as.length) {
+        val s = (as(j) * h + bs(j)) % p
+        if (s < out(j)) out(j) = s
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object NativeExpressions {
   /** Column API for the native L2-norm expression. */
   def vectorL2Norm(v: Column): Column =
@@ -223,4 +310,10 @@ object NativeExpressions {
   def pqEncode(v: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
     GraftSqlBridge.column(PqEncodeVector(GraftSqlBridge.expression(v),
       codebook.map(_.map(_.toArray).toArray).toArray))
+
+  /** MinHash signature array of a token-array column. */
+  def minhashSigs(
+      toks: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    GraftSqlBridge.column(MinhashSignatures(GraftSqlBridge.expression(toks),
+      as.toArray, bs.toArray, p))
 }

@@ -190,30 +190,22 @@ object LlmPipeline {
            |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
            |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
       }) { (s, dir) =>
-      // Explode to one row per (doc, shingle), md5 ONCE, then 16 affine
-      // permutations as codegen'd integer columns; groupBy(doc_id).min —
-      // partial (map-side) min aggregation means the shuffle carries 16
-      // longs per doc per partition. This is the formulation that holds at
-      // 100 TB; per-row interpreted lambda loops do not.
+      // The signature is a PER-DOCUMENT quantity, so it is computed
+      // row-locally by the native MinhashSignatures kernel (one tight
+      // md5+affine-min loop per doc, no interpreted lambda dispatch) —
+      // no (doc, shingle) explode, no groupBy(doc) exchange. The first
+      // shuffle in the pipeline is the band-bucket join below, the one
+      // that actually moves information. r5's explode + map-side-min
+      // formulation remains valid but pays a full extra exchange for
+      // state the row already owns.
       val toks = TF.tokens(TF.normalizeText(col("text")))
-      // element_at lookups instead of slice() copies: ~3x cheaper shingle
-      // construction in the interpreted higher-order path
-      val shingles = transform(
-        sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
-        i => concat_ws(" ", try_element_at(col("toks"), i + 1),
-          try_element_at(col("toks"), i + 2), try_element_at(col("toks"), i + 3)))
-      val exploded = Tables.spread(s, docs(s, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), explode(shingles).as("sh"))
-        .select(col("doc_id"),
-          (conv(substring(md5(col("sh")), 18, 15), 16, 10).cast("long")
-            % MinhashParams.p).as("h"))
-      val sigCols = (0 until 16).map(j =>
-        min((col("h") * MinhashParams.a(j) + MinhashParams.b(j))
-          % MinhashParams.p).as(s"s$j"))
-      val sigs = exploded
-        .groupBy(col("doc_id"))
-        .agg(sigCols.head, sigCols.tail: _*)
+      val sigArr = NE.minhashSigs(toks,
+        (0 until 16).map(MinhashParams.a), (0 until 16).map(MinhashParams.b),
+        MinhashParams.p)
+      val sigs = Tables.spread(s, docs(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), sigArr.as("sig"))
+        .select(col("doc_id") +: (0 until 16).map(j =>
+          element_at(col("sig"), j + 1).as(s"s$j")): _*)
       val bands = (0 until 4).map(b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|",

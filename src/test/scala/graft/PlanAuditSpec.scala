@@ -79,9 +79,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
-  test("q42: minhash signatures use map-side partial min") {
-    assert(formatted("q42_dedup_minhash_lsh").contains("partial_min"),
-      "signature mins must combine map-side so the shuffle carries 16 longs per doc per partition")
+  test("q42: minhash signatures are row-local; first exchange is the band join") {
+    val p = formatted("q42_dedup_minhash_lsh")
+    assert(p.contains("minhash_sigs"),
+      "signatures must come from the native row-local kernel")
+    // exactly TWO hash exchanges: the band-bucket groupBy and the final
+    // candidate-pair distinct. A third would mean the per-doc signature
+    // agg crept back in.
+    val shuffles = hashExchanges("q42_dedup_minhash_lsh")
+    assert(shuffles.size == 2,
+      s"expected band-bucket + pair-distinct exchanges only, found " +
+        s"${shuffles.size}: ${shuffles.mkString("; ")}")
   }
 
   test("q34: global top-k avoids a full sort") {
