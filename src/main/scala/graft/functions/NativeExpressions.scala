@@ -292,6 +292,63 @@ object MinhashSignatures {
   }
 }
 
+/** Word n-grams of a token array as a native expression — the kernel under
+  * the corpus-hygiene passes (q95-q97). Matches the declared semantics
+  * exactly: documents shorter than n yield an EMPTY array; otherwise
+  * len-n+1 space-joined grams. The declarative form (transform + sequence
+  * + per-gram concat_ws over element_at lookups) is interpreted
+  * per-element; this is one loop per row.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"n must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordNgrams.grams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.WordNgrams.grams($c, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  /** Shared eval/codegen kernel. */
+  def grams(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val words = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+    var i = 0
+    while (i < len) { words(i) = toks.getUTF8String(i); i += 1 }
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[Any](len - n + 1)
+    i = 0
+    while (i <= len - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = words(i + k); k += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String
+        .concatWs(space, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object NativeExpressions {
   /** Column API for the native L2-norm expression. */
   def vectorL2Norm(v: Column): Column =
@@ -316,4 +373,8 @@ object NativeExpressions {
       toks: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
     GraftSqlBridge.column(MinhashSignatures(GraftSqlBridge.expression(toks),
       as.toArray, bs.toArray, p))
+
+  /** Word n-grams of a token-array column (empty when shorter than n). */
+  def wordNgrams(toks: Column, n: Int): Column =
+    GraftSqlBridge.column(WordNgrams(GraftSqlBridge.expression(toks), n))
 }

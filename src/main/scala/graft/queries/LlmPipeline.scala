@@ -698,14 +698,8 @@ object LlmPipeline {
         |ORDER BY doc_freq DESC, occurrences DESC, gram ASC
         |LIMIT 100""".stripMargin) { (s, dir) =>
       val toks = TF.tokens(TF.normalizeText(col("text")))
-      val grams = when(size(col("toks")) >= 3, transform(
-        sequence(lit(0), size(col("toks")) - 3),
-        i => concat_ws(" ", try_element_at(col("toks"), i + 1),
-          try_element_at(col("toks"), i + 2), try_element_at(col("toks"), i + 3))))
-        .otherwise(lit(Array.empty[String]))
       Tables.spread(s, docs(s, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), explode(grams).as("gram"))
+        .select(col("doc_id"), explode(NE.wordNgrams(toks, 3)).as("gram"))
         .groupBy(col("gram"))
         .agg(countDistinct(col("doc_id")).as("doc_freq"),
           count(lit(1)).as("occurrences"))
@@ -748,15 +742,9 @@ object LlmPipeline {
         |WHERE (1.0 - CAST(n_distinct AS DOUBLE) / n_grams) >= 0.10
         |ORDER BY doc_id ASC""".stripMargin) { (s, dir) =>
       val toks = TF.tokens(TF.normalizeText(col("text")))
-      val grams = when(size(col("toks")) >= 2, transform(
-        sequence(lit(0), size(col("toks")) - 2),
-        i => concat_ws(" ", try_element_at(col("toks"), i + 1),
-          try_element_at(col("toks"), i + 2))))
-        .otherwise(lit(Array.empty[String]))
       val rep = lit(1.0) - col("n_distinct").cast("double") / col("n_grams")
       Tables.spread(s, docs(s, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), explode(grams).as("gram"))
+        .select(col("doc_id"), explode(NE.wordNgrams(toks, 2)).as("gram"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           countDistinct(col("gram")).as("n_distinct"))
@@ -792,14 +780,8 @@ object LlmPipeline {
         |ORDER BY n_shared DESC, doc_id ASC, probe_id ASC
         |LIMIT 100""".stripMargin) { (s, dir) =>
       val toks = TF.tokens(TF.normalizeText(col("text")))
-      val grams = when(size(col("toks")) >= 3, transform(
-        sequence(lit(0), size(col("toks")) - 3),
-        i => concat_ws(" ", try_element_at(col("toks"), i + 1),
-          try_element_at(col("toks"), i + 2), try_element_at(col("toks"), i + 3))))
-        .otherwise(lit(Array.empty[String]))
       val exploded = Tables.spread(s, docs(s, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), explode(grams).as("gram"))
+        .select(col("doc_id"), explode(NE.wordNgrams(toks, 3)).as("gram"))
         .distinct()
       val probes = broadcast(
         exploded.filter(col("doc_id") < 10)
