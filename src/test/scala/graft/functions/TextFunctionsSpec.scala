@@ -29,6 +29,56 @@ class TextFunctionsSpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  test("native word_ngrams matches the declared gram semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    def grams(toks: Seq[String], n: Int): Seq[String] =
+      Seq(Tuple1(toks)).toDF("t")
+        .select(explode(NativeExpressions.wordNgrams(col("t"), n)))
+        .collect().map(_.getString(0)).toSeq
+    assert(grams(Seq("a", "b", "c", "d"), 3) == Seq("a b c", "b c d"))
+    assert(grams(Seq("a", "b", "c"), 3) == Seq("a b c"))
+    assert(grams(Seq("a", "b"), 3).isEmpty, "short docs yield no grams")
+    assert(grams(Seq.empty, 2).isEmpty)
+    assert(grams(Seq("x"), 1) == Seq("x"))
+  }
+
+  test("native minhash_sigs equals the declarative explode+min formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // arbitrary token rows incl. the degenerate short-doc shingle shapes
+    val rows = Seq(
+      Seq("the", "quick", "brown", "fox", "jumps"),
+      Seq("one", "two"), Seq("solo"), Seq.empty[String],
+      Seq("a", "a", "a", "a"))
+    val as = Seq(1299709L, 15485863L, 32452843L)
+    val bs = Seq(104729L, 224737L, 350377L)
+    val p = 2147483647L
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "toks")
+    val native = df.select(col("id"),
+      NativeExpressions.minhashSigs(col("toks"), as, bs, p).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // declarative reference: shingles via sequence/greatest + concat_ws
+    // null skipping, h from md5-hex chars 18..32 mod p, per-sig min
+    val shingles = transform(
+      sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
+      i => concat_ws(" ", try_element_at(col("toks"), i + 1),
+        try_element_at(col("toks"), i + 2), try_element_at(col("toks"), i + 3)))
+    val h = conv(substring(md5(col("sh")), 18, 15), 16, 10).cast("long") % p
+    val decl = df.select(col("id"), explode(shingles).as("sh"))
+      .select(col("id"), h.as("h"))
+      .groupBy(col("id"))
+      .agg(array(as.zip(bs).map { case (a, b) =>
+        min((col("h") * a + b) % p) }: _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    decl.foreach { case (id, sig) =>
+      assert(native(id) == sig, s"row $id: native ${native(id)} vs decl $sig")
+    }
+    // the empty-token row has one empty-string shingle in BOTH forms
+    assert(native(3L).forall(_ != Long.MaxValue))
+  }
+
   test("normalizeText collapses case and whitespace") {
     val r = docs.select(TF.normalizeText(col("text")).as("n"))
       .collect().map(_.getString(0))
