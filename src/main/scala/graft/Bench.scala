@@ -33,7 +33,11 @@ object Bench {
     // extra is JIT/GC noise. (VERDICT r5 what's-wrong #2.)
     // optional comma-separated qNN-prefix filter for local iteration; the
     // driver never sets it, so round benches always time the full set
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // drop empty segments: a trailing comma would otherwise contribute ""
+    // whose startsWith matches everything, silently disabling the filter
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
       .map { case (name, fn) =>

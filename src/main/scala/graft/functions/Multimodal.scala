@@ -191,14 +191,20 @@ object Multimodal {
           if (fmt != 1) fail(s"unsupported audio format $fmt (want PCM=1)")
           if (channels != 1) fail(s"unsupported channel count $channels")
           if (bits != 16) fail(s"unsupported bit depth $bits")
-          buf.position(buf.position() + size - 16)
+          // skip any fmt extension + RIFF pad byte for odd sizes; clamp —
+          // a final chunk may legally omit the pad at EOF
+          buf.position(math.min(
+            buf.position() + (size - 16) + (size & 1), buf.limit()))
         case "data" =>
           if (sampleRate < 0) fail("data chunk before fmt chunk")
           data = new Array[Short](size / 2)
           var i = 0
           while (i < data.length) { data(i) = buf.getShort(); i += 1 }
         case _ =>
-          buf.position(buf.position() + size + (size & 1)) // pad byte
+          // pad byte for odd sizes, clamped: encoders commonly omit the
+          // pad when the odd chunk is the last thing in the file
+          buf.position(math.min(
+            buf.position() + size + (size & 1), buf.limit()))
       }
     }
     if (data == null) fail("no data chunk")

@@ -128,22 +128,33 @@ object VectorSearch {
     * narrow assignment + one (cell, dim)-keyed agg over the sample with
     * map-side combine; only the k×dim codebook ever reaches the driver.
     */
+  /** The shared md5-bucket sample (q55 hash family) as (vec_id, bk, v
+    * ARRAY<DOUBLE>) — single Scala-side definition of the seeding scheme
+    * the k-means and PQ codebooks (and their DuckDB oracle CTEs) share.
+    */
+  private def bucketSample(emb: DataFrame, sampleBuckets: Int): DataFrame = {
+    val bk = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10
+    emb.filter(bk < sampleBuckets)
+      .select(col("vec_id"), bk.as("bk"),
+        graft.functions.VectorFunctions.toDoubles(col("embedding")).as("v"))
+  }
+
+  /** The first k sample vectors in (bucket, vec_id) order. */
+  private def initCenters(sample: DataFrame, k: Int): Seq[(Int, Seq[Double])] = {
+    val cents = sample.orderBy(col("bk").asc, col("vec_id").asc).limit(k)
+      .select(col("v")).collect().toSeq
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+    require(cents.size == k, s"sample has only ${cents.size} vectors, need $k")
+    cents
+  }
+
   def trainIvfCodebook(
       emb: DataFrame, k: Int, iters: Int,
       sampleBuckets: Int = 3): Seq[(Int, Seq[Double])] = {
     require(k > 0 && iters >= 0, s"bad k=$k / iters=$iters")
-    val bk = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 10
-    val sample = emb
-      .filter(bk < sampleBuckets)
-      .select(col("vec_id"), bk.as("bk"),
-        graft.functions.VectorFunctions.toDoubles(col("embedding")).as("v"))
-      .cache()
-    var cents: Seq[(Int, Seq[Double])] =
-      sample.orderBy(col("bk").asc, col("vec_id").asc).limit(k)
-        .select(col("v")).collect().toSeq
-        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
-    require(cents.size == k, s"sample has only ${cents.size} vectors, need $k")
+    val sample = bucketSample(emb, sampleBuckets).cache()
+    var cents = initCenters(sample, k)
     for (_ <- 0 until iters) {
       val byCell = sample
         .withColumn("cell", ivfCellD(col("v"), cents))
@@ -191,9 +202,11 @@ object VectorSearch {
   def ivfTopKIndexed(
       index: DataFrame, probes: DataFrame, k: Int,
       cents: Seq[(Int, Seq[Double])], nProbe: Int = 2): DataFrame = {
+    // cache: pc feeds both the collected bucket-prune cell list and the
+    // broadcast join — uncached, the probe-side scoring would run twice
     val pc = probeCellsD(
       probes.select(col("vec_id").as("pid"), col("embedding").as("pv")),
-      cents, nProbe)
+      cents, nProbe).cache()
     val cells = pc.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val w = Window.partitionBy(col("pid"))
@@ -228,18 +241,11 @@ object VectorSearch {
       emb: DataFrame, subspaces: Int, k: Int,
       sampleBuckets: Int = 3): Seq[Seq[Seq[Double]]] = {
     require(subspaces > 0 && k > 0, s"bad subspaces=$subspaces / k=$k")
-    val bk = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 10
-    val rows = emb.filter(bk < sampleBuckets)
-      .select(col("vec_id"), bk.as("bk"),
-        graft.functions.VectorFunctions.toDoubles(col("embedding")).as("v"))
-      .orderBy(col("bk").asc, col("vec_id").asc).limit(k)
-      .select(col("v")).collect().map(_.getSeq[Double](0))
-    require(rows.length == k, s"sample has only ${rows.length} vectors, need $k")
+    val rows = initCenters(bucketSample(emb, sampleBuckets), k).map(_._2)
     val dim = rows.head.length
     require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
     val w = dim / subspaces
-    (0 until subspaces).map(b => rows.toSeq.map(_.slice(b * w, (b + 1) * w)))
+    (0 until subspaces).map(b => rows.map(_.slice(b * w, (b + 1) * w)))
   }
 
   /** Squared L2 between an array-column slice and a literal center —
@@ -321,10 +327,12 @@ object VectorSearch {
       cents: Seq[(Int, Seq[Double])], codebook: Seq[Seq[Seq[Double]]],
       nProbe: Int = 2): DataFrame = {
     val w = codebook.head.head.length
+    // cache: same double-evaluation shape as ivfTopKIndexed (cell list +
+    // broadcast), plus the ADC tables below make pc strictly costlier here
     val pc = probeCellsD(
       probes.select(col("vec_id").as("pid"),
         graft.functions.VectorFunctions.toDoubles(col("embedding")).as("pv")),
-      cents, nProbe)
+      cents, nProbe).cache()
     val p = broadcast(pc.select(
       Seq(col("pid"), col("cell")) ++ codebook.indices.map { b =>
         array(codebook(b).map(c =>

@@ -193,34 +193,47 @@ object Multiscale {
     * block-local path in the last ulp (groupBy avg adds in partition
     * order; the block-local loop adds in window order).
     */
-  def downsampleLevelElements(
+  /** Shared element-shuffle scaffolding: read s{level-1}, trim partial
+    * high-edge windows, rebin coordinates by the factors, apply the
+    * per-window `reduce` (must yield columns x, y, z, v), write s{level}.
+    */
+  private def downsampleElementsWith(
       spark: SparkSession, root: String, group: String, level: Int,
-      factors: Array[Int]): DatasetAttributes = {
+      factors: Array[Int])(
+      reduce: (DatasetAttributes, org.apache.spark.sql.DataFrame)
+        => org.apache.spark.sql.DataFrame): DatasetAttributes = {
     val src = N5Meta.datasetAttributes(root, s"$group/s${level - 1}")
     val Array(fx, fy, fz) = factors
     val dstDims = src.dimensions.zip(factors).map { case (d, f) => d / f }
     val dst = src.copy(dimensions = dstDims,
       extra = levelExtra(src, factors, level))
-    val isFloat =
-      src.dataType == Dtype.Float32 || src.dataType == Dtype.Float64
-    val e = N5.elements(N5.read(spark, root, s"$group/s${level - 1}"))
+    val rebinned = N5.elements(N5.read(spark, root, s"$group/s${level - 1}"))
       // trim: drop elements in partial windows at the high edge
       .filter(col("x") < dstDims(0) * fx
         && col("y") < dstDims(1) * fy
         && col("z") < dstDims(2) * fz)
       .select(expr(s"x div $fx").as("x"), expr(s"y div $fy").as("y"),
         expr(s"z div $fz").as("z"), col("v"))
-      .groupBy(col("x"), col("y"), col("z"))
-      .agg(avg(col("v")).as("m"))
-      .select(col("x"), col("y"), col("z"),
-        (if (isFloat) col("m")
-         // numpy astype: truncate toward zero
-         else expr("CAST(m AS BIGINT)")).as("v"))
+    val e = reduce(src, rebinned)
     val blocks = N5.blocksFromElements(e, dst,
       N5Schema.elementType(dst.dataType))
     N5.write(blocks, root, s"$group/s$level", dst)
     dst
   }
+
+  def downsampleLevelElements(
+      spark: SparkSession, root: String, group: String, level: Int,
+      factors: Array[Int]): DatasetAttributes =
+    downsampleElementsWith(spark, root, group, level, factors) { (src, e) =>
+      val isFloat =
+        src.dataType == Dtype.Float32 || src.dataType == Dtype.Float64
+      e.groupBy(col("x"), col("y"), col("z"))
+        .agg(avg(col("v")).as("m"))
+        .select(col("x"), col("y"), col("z"),
+          (if (isFloat) col("m")
+           // numpy astype: truncate toward zero
+           else expr("CAST(m AS BIGINT)")).as("v"))
+    }
 
   /** Windowed MODE downsample for LABEL volumes (segmentation ids):
     * averaging labels invents ids that exist nowhere in the data, so
@@ -237,30 +250,18 @@ object Multiscale {
   def downsampleLevelMode(
       spark: SparkSession, root: String, group: String, level: Int,
       factors: Array[Int]): DatasetAttributes = {
-    val src = N5Meta.datasetAttributes(root, s"$group/s${level - 1}")
-    require(src.dataType != Dtype.Float32 && src.dataType != Dtype.Float64,
-      s"mode downsample is for label volumes; got ${src.dataType.name}")
-    val Array(fx, fy, fz) = factors
-    val dstDims = src.dimensions.zip(factors).map { case (d, f) => d / f }
-    val dst = src.copy(dimensions = dstDims,
-      extra = levelExtra(src, factors, level))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("x"), col("y"), col("z"))
-      .orderBy(col("c").desc, col("v").asc)
-    val e = N5.elements(N5.read(spark, root, s"$group/s${level - 1}"))
-      .filter(col("x") < dstDims(0) * fx
-        && col("y") < dstDims(1) * fy
-        && col("z") < dstDims(2) * fz)
-      .select(expr(s"x div $fx").as("x"), expr(s"y div $fy").as("y"),
-        expr(s"z div $fz").as("z"), col("v"))
-      .groupBy(col("x"), col("y"), col("z"), col("v"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("x"), col("y"), col("z"), col("v"))
-    val blocks = N5.blocksFromElements(e, dst,
-      N5Schema.elementType(dst.dataType))
-    N5.write(blocks, root, s"$group/s$level", dst)
-    dst
+    val pre = N5Meta.datasetAttributes(root, s"$group/s${level - 1}")
+    require(pre.dataType != Dtype.Float32 && pre.dataType != Dtype.Float64,
+      s"mode downsample is for label volumes; got ${pre.dataType.name}")
+    downsampleElementsWith(spark, root, group, level, factors) { (_, e) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("x"), col("y"), col("z"))
+        .orderBy(col("c").desc, col("v").asc)
+      e.groupBy(col("x"), col("y"), col("z"), col("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("x"), col("y"), col("z"), col("v"))
+    }
   }
 }

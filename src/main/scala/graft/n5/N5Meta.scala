@@ -178,10 +178,14 @@ object N5Meta {
     val c = o.putObject("compression")
     c.put("type", a.compression.codec)
     // persist a SPEC-VALID parameter: n5-java rejects blockSize <= 0, so
-    // internal default markers are replaced by the codec default
-    val param =
-      if (a.compression.level > 0) a.compression.level
-      else Compression.defaultParam(a.compression.codec)
+    // internal default markers are replaced by the codec default. xz is
+    // the one codec where 0 is a VALID parameter (LZMA2 preset 0) — only
+    // negative means "default" there, matching BlockCodec's `>= 0` read
+    val param = a.compression.codec match {
+      case "xz" if a.compression.level >= 0 => a.compression.level
+      case _ if a.compression.level > 0 => a.compression.level
+      case _ => Compression.defaultParam(a.compression.codec)
+    }
     a.compression.codec match {
       case "gzip" =>
         c.put("useZlib", false)

@@ -32,12 +32,19 @@ object RangeJoin {
 
   private val BinCol = "__bin"
 
-  /** Exact floor(us / binMicros) for non-negative longs: subtracting the
-    * pmod first makes the numerator an exact multiple, so the double
-    * division is exact and boundary micros cannot round across bins.
+  /** Exact floor(us / binMicros) for any long timestamp: subtracting the
+    * (always non-negative) pmod makes the numerator an exact multiple, so
+    * the INTEGRAL division is floor for either sign. Long arithmetic
+    * end-to-end — a double division would only be exact below 2^53 and
+    * could round boundary micros across bins for extreme epochs.
     */
-  private def binOf(us: Column, binMicros: Long): Column =
-    ((us - pmod(us, lit(binMicros))) / lit(binMicros)).cast("long")
+  private def binOf(us: Column, binMicros: Long): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    GraftSqlBridge.column(IntegralDivide(
+      GraftSqlBridge.expression(us - pmod(us, lit(binMicros))),
+      Literal(binMicros)))
+  }
 
   /** Join `points` to every interval of `intervals` whose half-open
     * [startCol, endCol) span contains the point's `tsCol`, optionally

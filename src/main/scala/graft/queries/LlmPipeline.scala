@@ -81,15 +81,26 @@ object LlmPipeline {
     * 1e-6-quantized per-dimension means (empty cells carry forward).
     * Yields CTEs `samp` and `cent0..cent{iters}`.
     */
-  private def kmeansCtes(k: Int, iters: Int, sampleBuckets: Int): String = {
+  /** The shared seeded-sample CTE: md5-bucketed embeddings as doubles.
+    * Single definition — the k-means chain (q100/q104), the PQ centers
+    * (q103/q104) and the Scala-side samplers all derive from this one
+    * hash family.
+    */
+  private def sampCte(sampleBuckets: Int): String = {
     val bk = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10"
-    val init =
-      s"""samp AS (SELECT vec_id, $bk AS bk,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings WHERE $bk < $sampleBuckets),
-         |cent0 AS (SELECT cid, cv FROM (
-         |    SELECT row_number() OVER (ORDER BY bk ASC, vec_id ASC) - 1 AS cid,
-         |      v AS cv FROM samp) WHERE cid < $k)""".stripMargin
+    s"""samp AS (SELECT vec_id, $bk AS bk,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE $bk < $sampleBuckets)""".stripMargin
+  }
+
+  /** `name` = the first k sample vectors in (bucket, vec_id) order. */
+  private def centInitCte(k: Int, name: String): String =
+    s"""$name AS (SELECT cid, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY bk ASC, vec_id ASC) - 1 AS cid,
+       |      v AS cv FROM samp) WHERE cid < $k)""".stripMargin
+
+  private def kmeansCtes(k: Int, iters: Int, sampleBuckets: Int): String = {
+    val init = s"${sampCte(sampleBuckets)},\n${centInitCte(k, "cent0")}"
     val rounds = (1 to iters).map { t =>
       s"""a$t AS (SELECT vec_id, v, cid AS cell FROM (
          |    SELECT s.vec_id, s.v, c.cid,
@@ -903,14 +914,8 @@ object LlmPipeline {
     // sums.
     QueryDef.sql(
       "q103_ann_pq_adc",
-      s"""WITH samp AS (SELECT vec_id,
-         |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bk,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings
-         |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 3),
-         |cent AS (SELECT cid, cv FROM (
-         |    SELECT row_number() OVER (ORDER BY bk ASC, vec_id ASC) - 1 AS cid,
-         |      v AS cv FROM samp) WHERE cid < 16),
+      s"""WITH ${sampCte(3)},
+         |${centInitCte(16, "cent")},
          |e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
@@ -959,9 +964,7 @@ object LlmPipeline {
     QueryDef.sql(
       "q104_ann_ivfpq",
       s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleBuckets = 3)},
-         |pqc AS (SELECT cid, cv FROM (
-         |    SELECT row_number() OVER (ORDER BY bk ASC, vec_id ASC) - 1 AS cid,
-         |      v AS cv FROM samp) WHERE cid < 16),
+         |${centInitCte(16, "pqc")},
          |e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),

@@ -37,6 +37,17 @@ class MetaAndExportSpec extends SparkSpec {
     assert(unit == "pixel")
   }
 
+  test("xz preset 0 (valid LZMA2 preset) survives the attributes round trip") {
+    val root = java.nio.file.Files.createTempDirectory("xz0").toString
+    val a = DatasetAttributes(Array(4L, 4L, 4L), Array(4, 4, 4), Dtype.UInt8,
+      Compression("xz", 0))
+    N5Meta.writeDatasetAttributes(root, "v/s0", a)
+    val back = N5Meta.datasetAttributes(root, "v/s0")
+    assert(back.compression.codec == "xz")
+    assert(back.compression.level == 0,
+      s"preset 0 was rewritten to ${back.compression.level}")
+  }
+
   test("exportBox writes a multi-page TIFF of exactly the box (R6)") {
     val tmp = Files.createTempDirectory("box").toString
     val out = s"$tmp/box.tif"
