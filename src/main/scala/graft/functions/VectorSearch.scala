@@ -248,6 +248,54 @@ object VectorSearch {
     (0 until subspaces).map(b => rows.map(_.slice(b * w, (b + 1) * w)))
   }
 
+  /** TRAINED PQ codebook: per-subspace Lloyd iterations under the same
+    * determinism discipline as trainIvfCodebook — pqCodebook's sampled
+    * slices as init, assignment = argmin round(L2², 4) with lowest-id
+    * ties, per-dimension means quantized to 1e-6, empty cells carried.
+    * All `subspaces` codebooks update in ONE pass per round: a narrow
+    * assignment projection, then a (subspace, cell, dim)-keyed agg over
+    * the sample with map-side combine; only k×dim doubles per subspace
+    * reach the driver.
+    */
+  def trainPqCodebook(
+      emb: DataFrame, subspaces: Int, k: Int, iters: Int,
+      sampleBuckets: Int = 3): Seq[Seq[Seq[Double]]] = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    var cb = pqCodebook(emb, subspaces, k, sampleBuckets)
+    val w = cb.head.head.length
+    val sample = bucketSample(emb, sampleBuckets).cache()
+    for (_ <- 0 until iters) {
+      val cbNow = cb
+      val sliced = sample.select(col("v") +: cbNow.indices.map(b =>
+        slice(col("v"), b * w + 1, w).as(s"__s$b")): _*)
+      val cells = array(cbNow.indices.map { b =>
+        val entries = cbNow(b).zipWithIndex.map { case (c, j) =>
+          struct(round(l2sq(col(s"__s$b"), c), 4).as("d"), lit(j).as("j"))
+        }
+        array_min(array(entries: _*)).getField("j")
+      }: _*)
+      val bOf = (col("pos") / w).cast("int") // pos < dim, division exact
+      val byKey = sliced.select(col("v"), cells.as("cells"))
+        .select(posexplode(col("v")).as(Seq("pos", "x")), col("cells"))
+        .select(bOf.as("b"), element_at(col("cells"), bOf + 1).as("cell"),
+          pmod(col("pos"), lit(w)).as("i"), col("x"))
+        .groupBy(col("b"), col("cell"), col("i")).agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      cb = cb.zipWithIndex.map { case (centers, b) =>
+        centers.zipWithIndex.map { case (old, j) =>
+          byKey.get((b, j)) match {
+            case Some(rows) => rows.sortBy(_.getInt(2))
+              .map(r => math.floor(r.getDouble(3) * 1e6 + 0.5) / 1e6).toSeq
+            case None => old
+          }
+        }
+      }
+    }
+    sample.unpersist()
+    cb
+  }
+
   /** Squared L2 between an array-column slice and a literal center —
     * sequential left fold, bit-identical to DuckDB's list_reduce.
     */

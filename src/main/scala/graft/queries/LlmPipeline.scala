@@ -118,6 +118,37 @@ object LlmPipeline {
     (init +: rounds).mkString(",\n")
   }
 
+  /** DuckDB CTE chain reproducing VectorSearch.trainPqCodebook: per-
+    * subspace Lloyd rounds over the shared `samp`, initialized from the
+    * first k sample vectors' slices. Yields `pcent0..pcent{iters}` with
+    * one row per (subspace b, center cid) carrying the 8-dim `cv8`.
+    */
+  private def pqTrainCtes(k: Int, iters: Int): String = {
+    val init =
+      s"""${centInitCte(k, "pqinit")},
+         |pcent0 AS (SELECT bb.b, cid, list_transform(generate_series(1, 8),
+         |    i -> cv[8 * bb.b + i]) AS cv8
+         |  FROM pqinit CROSS JOIN generate_series(0, 7) bb(b))""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""pa$t AS (SELECT vec_id, v, b, cid AS cell FROM (
+         |    SELECT s.vec_id, s.v, c.b, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id, c.b
+         |        ORDER BY round(list_reduce(list_transform(generate_series(1, 8),
+         |          i -> (s.v[8 * c.b + i] - c.cv8[i])
+         |             * (s.v[8 * c.b + i] - c.cv8[i])),
+         |          (x, y) -> x + y), 4) ASC, c.cid ASC) AS rn
+         |    FROM samp s CROSS JOIN pcent${t - 1} c) WHERE rn = 1),
+         |pm$t AS (SELECT b, cell, list(mq ORDER BY i) AS cv8 FROM (
+         |    SELECT a.b, a.cell, i.i,
+         |      floor(avg(a.v[8 * a.b + i.i]) * 1000000.0 + 0.5) / 1000000.0 AS mq
+         |    FROM pa$t a CROSS JOIN generate_series(1, 8) i(i)
+         |    GROUP BY a.b, a.cell, i.i) GROUP BY b, cell),
+         |pcent$t AS (SELECT p.b, p.cid, coalesce(m.cv8, p.cv8) AS cv8
+         |  FROM pcent${t - 1} p LEFT JOIN pm$t m ON m.b = p.b AND m.cell = p.cid)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -904,27 +935,28 @@ object LlmPipeline {
     // ------------------------------------------------------------------
     // Product quantization + ADC scan (the compression half of a 100 TB
     // vector index, companion to q100's IVF): 64-dim floats → 8
-    // subspace codes against a seeded 16-center codebook (32× smaller),
-    // searched WITHOUT decoding — the probe's distance to a corpus
-    // vector is the sum of its 4-decimal-rounded distances to the coded
-    // centers, computed from literals. The scan side carries 8 small
-    // ints per vector; ranking quality vs brute force is asserted in
-    // VectorSearchSpec. DuckDB replays the same center choice (md5
-    // order), assignments (argmin round(L2²,4), lowest-id ties) and ADC
-    // sums.
+    // subspace codes against a TRAINED 16-center codebook — two per-
+    // subspace Lloyd rounds under the same determinism discipline as
+    // q100's coarse training (sampled-slice init, argmin round(L2²,4)
+    // with lowest-id ties, 1e-6-quantized means) — 32× smaller, searched
+    // WITHOUT decoding: the probe's distance to a corpus vector is the
+    // sum of its 4-decimal-rounded distances to the coded centers. The
+    // scan side carries 8 small ints per vector; trained-vs-sampled
+    // ranking quality is asserted in VectorSearchSpec. DuckDB replays
+    // training, assignment, and ADC sums CTE-for-CTE.
     QueryDef.sql(
       "q103_ann_pq_adc",
       s"""WITH ${sampCte(3)},
-         |${centInitCte(16, "cent")},
+         |${pqTrainCtes(k = 16, iters = 2)},
          |e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |sc AS (SELECT e.vec_id, b.b, c.cid,
+         |sc AS (SELECT e.vec_id, c.b, c.cid,
          |    round(list_reduce(list_transform(generate_series(1, 8),
-         |      i -> (e.v[8 * b.b + i] - c.cv[8 * b.b + i])
-         |         * (e.v[8 * b.b + i] - c.cv[8 * b.b + i])),
+         |      i -> (e.v[8 * c.b + i] - c.cv8[i])
+         |         * (e.v[8 * c.b + i] - c.cv8[i])),
          |      (x, y) -> x + y), 4) AS d
-         |  FROM e CROSS JOIN generate_series(0, 7) b(b) CROSS JOIN cent c),
+         |  FROM e CROSS JOIN pcent2 c),
          |codes AS (SELECT vec_id, b, cid AS code FROM (
          |    SELECT vec_id, b, cid,
          |      row_number() OVER (PARTITION BY vec_id, b
@@ -933,10 +965,10 @@ object LlmPipeline {
          |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 5),
          |terms AS (SELECT p.pid, codes.vec_id,
          |    round(list_reduce(list_transform(generate_series(1, 8),
-         |      i -> (p.pv[8 * codes.b + i] - c.cv[8 * codes.b + i])
-         |         * (p.pv[8 * codes.b + i] - c.cv[8 * codes.b + i])),
+         |      i -> (p.pv[8 * codes.b + i] - c.cv8[i])
+         |         * (p.pv[8 * codes.b + i] - c.cv8[i])),
          |      (x, y) -> x + y), 4) AS t
-         |  FROM codes JOIN cent c ON c.cid = codes.code
+         |  FROM codes JOIN pcent2 c ON c.b = codes.b AND c.cid = codes.code
          |  CROSS JOIN p
          |  WHERE codes.vec_id <> p.pid),
          |adc AS (SELECT pid, vec_id, round(SUM(t), 4) AS adc_dist
@@ -949,7 +981,7 @@ object LlmPipeline {
          |ORDER BY pid ASC, rnk ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val cb = VS.pqCodebook(e, subspaces = 8, k = 16)
+      val cb = VS.trainPqCodebook(e, subspaces = 8, k = 16, iters = 2)
       VS.pqAdcTopK(e, e.filter(col("vec_id") < 5), k = 10, cb)
         .orderBy(col("pid").asc, col("rnk").asc)
     },
@@ -964,7 +996,7 @@ object LlmPipeline {
     QueryDef.sql(
       "q104_ann_ivfpq",
       s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleBuckets = 3)},
-         |${centInitCte(16, "pqc")},
+         |${pqTrainCtes(k = 16, iters = 2)},
          |e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
@@ -976,12 +1008,12 @@ object LlmPipeline {
          |      row_number() OVER (PARTITION BY vec_id
          |        ORDER BY sim DESC, cid ASC) AS rn
          |    FROM scored) WHERE rn = 1),
-         |sc AS (SELECT e.vec_id, b.b, c.cid,
+         |sc AS (SELECT e.vec_id, c.b, c.cid,
          |    round(list_reduce(list_transform(generate_series(1, 8),
-         |      i -> (e.v[8 * b.b + i] - c.cv[8 * b.b + i])
-         |         * (e.v[8 * b.b + i] - c.cv[8 * b.b + i])),
+         |      i -> (e.v[8 * c.b + i] - c.cv8[i])
+         |         * (e.v[8 * c.b + i] - c.cv8[i])),
          |      (x, y) -> x + y), 4) AS d
-         |  FROM e CROSS JOIN generate_series(0, 7) b(b) CROSS JOIN pqc c),
+         |  FROM e CROSS JOIN pcent2 c),
          |codes AS (SELECT vec_id, b, cid AS code FROM (
          |    SELECT vec_id, b, cid,
          |      row_number() OVER (PARTITION BY vec_id, b
@@ -998,11 +1030,11 @@ object LlmPipeline {
          |  WHERE a.vec_id <> pc.pid),
          |terms AS (SELECT cand.pid, cand.vec_id,
          |    round(list_reduce(list_transform(generate_series(1, 8),
-         |      i -> (p.pv[8 * codes.b + i] - c.cv[8 * codes.b + i])
-         |         * (p.pv[8 * codes.b + i] - c.cv[8 * codes.b + i])),
+         |      i -> (p.pv[8 * codes.b + i] - c.cv8[i])
+         |         * (p.pv[8 * codes.b + i] - c.cv8[i])),
          |      (x, y) -> x + y), 4) AS t
          |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
-         |  JOIN pqc c ON c.cid = codes.code
+         |  JOIN pcent2 c ON c.b = codes.b AND c.cid = codes.code
          |  JOIN p ON p.pid = cand.pid),
          |adc AS (SELECT pid, vec_id, round(SUM(t), 4) AS adc_dist
          |  FROM terms GROUP BY pid, vec_id),
@@ -1016,7 +1048,7 @@ object LlmPipeline {
       import graft.operators.Layout
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val cents = VS.trainIvfCodebook(e, k = 8, iters = 3, sampleBuckets = 3)
-      val cb = VS.pqCodebook(e, subspaces = 8, k = 16)
+      val cb = VS.trainPqCodebook(e, subspaces = 8, k = 16, iters = 2)
       val db = "graft_ivfpq_index"
       freshDb(s, db,
         s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_db")

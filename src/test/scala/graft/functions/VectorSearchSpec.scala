@@ -144,20 +144,28 @@ class VectorSearchSpec extends SparkSpec {
       "native pq_encode diverges from the declarative definition")
     // ranking quality: ADC top-10 must recall a reasonable share of the
     // exact cosine top-10 (PQ approximates L2; embeddings are not
-    // normalized identically, so the floor is deliberately modest)
+    // normalized identically, so the floor is deliberately modest), and
+    // the trained codebook must not rank worse than its sampled init
     val p = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
     val brute = VectorSearch.bruteForceTopK(emb, p, k)
       .collect().groupBy(_.getLong(0))
       .view.mapValues(_.map(_.getLong(2)).toSet).toMap
-    val adc = VectorSearch.pqAdcTopK(emb, p, k, cb)
-      .collect().groupBy(_.getLong(0))
-      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
-    val recalls = brute.keys.toSeq.map { pid =>
-      adc.getOrElse(pid, Set.empty).intersect(brute(pid)).size.toDouble / k
+    def recallOf(codebook: Seq[Seq[Seq[Double]]]): Double = {
+      val adc = VectorSearch.pqAdcTopK(emb, p, k, codebook)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      val rs = brute.keys.toSeq.map { pid =>
+        adc.getOrElse(pid, Set.empty).intersect(brute(pid)).size.toDouble / k
+      }
+      rs.sum / rs.size
     }
-    val avg = recalls.sum / recalls.size
-    info(f"pq-adc avg recall@10 = $avg%.2f (8 subspaces, 16 centers)")
-    assert(avg >= 0.15, f"pq recall $avg%.2f too low")
+    val sampled = recallOf(cb)
+    val trained = recallOf(
+      VectorSearch.trainPqCodebook(emb, subspaces = 8, k = 16, iters = 2))
+    info(f"pq-adc recall@10: trained=$trained%.2f sampled=$sampled%.2f")
+    assert(trained >= sampled,
+      f"trained PQ recall $trained%.2f below sampled init $sampled%.2f")
+    assert(trained >= 0.15, f"pq recall $trained%.2f too low")
   }
 
   test("lsh top-10 recall vs brute force, with bounded candidate sets") {
