@@ -197,6 +197,10 @@ object Multimodal {
             buf.position() + (size - 16) + (size & 1), buf.limit()))
         case "data" =>
           if (sampleRate < 0) fail("data chunk before fmt chunk")
+          // block-align 2 (mono PCM16) makes an odd data size malformed;
+          // silently dropping the trailing byte would break the parser's
+          // fail-loudly contract
+          if ((size & 1) != 0) fail(s"odd data chunk size $size for PCM16")
           data = new Array[Short](size / 2)
           var i = 0
           while (i < data.length) { data(i) = buf.getShort(); i += 1 }

@@ -202,13 +202,18 @@ object VectorSearch {
   def ivfTopKIndexed(
       index: DataFrame, probes: DataFrame, k: Int,
       cents: Seq[(Int, Seq[Double])], nProbe: Int = 2): DataFrame = {
-    // cache: pc feeds both the collected bucket-prune cell list and the
-    // broadcast join — uncached, the probe-side scoring would run twice
-    val pc = probeCellsD(
+    // the probe relation is bounded (probes × nProbe rows) by contract and
+    // the cell list must be collected eagerly anyway, so the scored probes
+    // are collected ONCE and re-enter the plan as a local relation feeding
+    // the broadcast join — no cache() (a cached probe relation would stay
+    // pinned for the session's lifetime; r6 ADVICE), no double evaluation
+    val pcPlan = probeCellsD(
       probes.select(col("vec_id").as("pid"), col("embedding").as("pv")),
-      cents, nProbe).cache()
-    val cells = pc.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
+      cents, nProbe)
+    val rows = pcPlan.collect()
+    val pc = probes.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), pcPlan.schema)
+    val cells = rows.map(_.getAs[Int]("cell")).distinct.sorted
     val w = Window.partitionBy(col("pid"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     index.filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
@@ -375,19 +380,23 @@ object VectorSearch {
       cents: Seq[(Int, Seq[Double])], codebook: Seq[Seq[Seq[Double]]],
       nProbe: Int = 2): DataFrame = {
     val w = codebook.head.head.length
-    // cache: same double-evaluation shape as ivfTopKIndexed (cell list +
-    // broadcast), plus the ADC tables below make pc strictly costlier here
-    val pc = probeCellsD(
+    // same collect-once shape as ivfTopKIndexed (the ADC tables would make
+    // a second evaluation strictly costlier here); the per-probe lookup
+    // tables are still a projection over the local relation, so they are
+    // built once per probe row when the broadcast relation materializes
+    val pcPlan = probeCellsD(
       probes.select(col("vec_id").as("pid"),
         graft.functions.VectorFunctions.toDoubles(col("embedding")).as("pv")),
-      cents, nProbe).cache()
+      cents, nProbe)
+    val rows = pcPlan.collect()
+    val pc = probes.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), pcPlan.schema)
     val p = broadcast(pc.select(
       Seq(col("pid"), col("cell")) ++ codebook.indices.map { b =>
         array(codebook(b).map(c =>
           round(l2sq(slice(col("pv"), b * w + 1, w), c), 4)): _*).as(s"__tbl$b")
       }: _*))
-    val cells = pc.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val cells = rows.map(_.getAs[Int]("cell")).distinct.sorted
     val dist = codebook.indices.map { b =>
       element_at(col(s"__tbl$b"), element_at(col("codes"), b + 1) + 1)
     }.reduce(_ + _)

@@ -724,8 +724,9 @@ object LlmPipeline {
     // Total order: doc_freq desc, occurrences desc, then the gram itself
     // (unique per row). Documents shorter than the gram size contribute
     // nothing: DuckDB's generate_series(0, len-3) is empty when len < 3,
-    // and the Spark side guards with when(size >= 3, ...) — without the
-    // guard a 2-token doc would emit its 2-gram as a fake "3-gram".
+    // and the native word_ngrams kernel yields an EMPTY array for docs
+    // shorter than n — without that a 2-token doc would emit its 2-gram
+    // as a fake "3-gram".
     QueryDef.sql(
       "q95_boilerplate_ngrams",
       """WITH t AS (SELECT doc_id,
@@ -963,7 +964,7 @@ object LlmPipeline {
          |        ORDER BY d ASC, cid ASC) AS rn
          |    FROM sc) WHERE rn = 1),
          |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 5),
-         |terms AS (SELECT p.pid, codes.vec_id,
+         |terms AS (SELECT p.pid, codes.vec_id, codes.b,
          |    round(list_reduce(list_transform(generate_series(1, 8),
          |      i -> (p.pv[8 * codes.b + i] - c.cv8[i])
          |         * (p.pv[8 * codes.b + i] - c.cv8[i])),
@@ -971,7 +972,8 @@ object LlmPipeline {
          |  FROM codes JOIN pcent2 c ON c.b = codes.b AND c.cid = codes.code
          |  CROSS JOIN p
          |  WHERE codes.vec_id <> p.pid),
-         |adc AS (SELECT pid, vec_id, round(SUM(t), 4) AS adc_dist
+         |adc AS (SELECT pid, vec_id,
+         |    round(list_reduce(list(t ORDER BY b), (x, y) -> x + y), 4) AS adc_dist
          |  FROM terms GROUP BY pid, vec_id),
          |ranked AS (SELECT pid, vec_id, adc_dist,
          |    row_number() OVER (PARTITION BY pid
@@ -1028,7 +1030,7 @@ object LlmPipeline {
          |cand AS (SELECT pc.pid, a.vec_id
          |  FROM assigned a JOIN pcells pc ON a.cell = pc.cell
          |  WHERE a.vec_id <> pc.pid),
-         |terms AS (SELECT cand.pid, cand.vec_id,
+         |terms AS (SELECT cand.pid, cand.vec_id, codes.b,
          |    round(list_reduce(list_transform(generate_series(1, 8),
          |      i -> (p.pv[8 * codes.b + i] - c.cv8[i])
          |         * (p.pv[8 * codes.b + i] - c.cv8[i])),
@@ -1036,7 +1038,8 @@ object LlmPipeline {
          |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
          |  JOIN pcent2 c ON c.b = codes.b AND c.cid = codes.code
          |  JOIN p ON p.pid = cand.pid),
-         |adc AS (SELECT pid, vec_id, round(SUM(t), 4) AS adc_dist
+         |adc AS (SELECT pid, vec_id,
+         |    round(list_reduce(list(t ORDER BY b), (x, y) -> x + y), 4) AS adc_dist
          |  FROM terms GROUP BY pid, vec_id),
          |ranked AS (SELECT pid, vec_id, adc_dist,
          |    row_number() OVER (PARTITION BY pid
