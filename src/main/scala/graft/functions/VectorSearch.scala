@@ -411,6 +411,36 @@ object VectorSearch {
       .select(col("pid"), col("rnk"), col("vec_id"), col("adc_dist"))
   }
 
+  /** IVF-PQ with an exact-rerank tail — the standard fix for ADC's coarse
+    * ranking (r6 measured recall@10 ≈ 0.24 on ADC alone): keep the pruned
+    * vector-free ADC stage, but treat its output as a CANDIDATE set of
+    * `c` per probe, join back the raw vectors for those candidates only,
+    * and rerank by exact cosine. Cost at 100 TB: the ADC stage is
+    * unchanged; the rerank reads c×probes raw vectors through ONE
+    * broadcast hash join (the candidate list broadcasts, the vectors
+    * table never shuffles), so recall recovers to near-brute-force for a
+    * bounded add-on cost (VectorSearchSpec pins recall@10 >= 0.8).
+    */
+  def ivfPqTopKRerank(
+      index: DataFrame, vectors: DataFrame, probes: DataFrame,
+      k: Int, c: Int,
+      cents: Seq[(Int, Seq[Double])], codebook: Seq[Seq[Seq[Double]]],
+      nProbe: Int = 2): DataFrame = {
+    val cand = ivfPqTopK(index, probes, c, cents, codebook, nProbe)
+      .select(col("pid"), col("vec_id"))
+    val p = broadcast(probes
+      .select(col("vec_id").as("pid"), col("embedding").as("pv")))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    vectors.join(broadcast(cand), Seq("vec_id"))
+      .join(p, Seq("pid"))
+      .select(col("pid"), col("vec_id"),
+        round(NE.vectorCosine(col("embedding"), col("pv")), 4).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("pid"), col("rnk"), col("vec_id"), col("cosine"))
+  }
+
   /** The probe's `nProbe` nearest cells (same rounding/tie rules as
     * ivfCell), as one row per (probe row, cell).
     */

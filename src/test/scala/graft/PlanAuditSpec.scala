@@ -161,6 +161,64 @@ class PlanAuditSpec extends SparkSpec {
       s"IVF-PQ scan reads raw vectors: $readSchema")
   }
 
+  test("q105/q106: probe-only plans have zero training stages, pruned scans") {
+    // build (or recover) the catalog FIRST so constructing the probe
+    // queries below does no training work at all
+    graft.functions.AnnIndex.ensure(spark, sf)
+    for (name <- Seq("q105_ann_ivf_probe", "q106_ann_ivfpq_probe")) {
+      val p = formatted(name)
+      // training would appear as HashAggregate stages (k-means / PQ means
+      // are keyed aggregations); the probe plan is scan + broadcast join
+      // + window only
+      assert(!p.contains("HashAggregate"),
+        s"$name probe plan contains an aggregation — training leaked in:\n$p")
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(p)
+        .getOrElse(fail(s"$name index scan is not bucketed:\n$p"))
+      assert(sel.group(1).toInt < sel.group(2).toInt,
+        s"$name selected ${sel.group(1)} of ${sel.group(2)} buckets — no pruning")
+    }
+    // the probe-side scan of the codes index must stay vector-free
+    val readSchema = formatted("q106_ann_ivfpq_probe").linesIterator
+      .filter(_.contains("ReadSchema:"))
+      .find(_.contains("codes"))
+      .getOrElse(fail("no codes-table scan in the q106 plan"))
+    assert(!readSchema.contains("embedding"),
+      s"probe-only IVF-PQ scan reads raw vectors: $readSchema")
+  }
+
+  test("q106: probe-only execution schedules only probe-sized jobs") {
+    graft.functions.AnnIndex.ensure(spark, sf)
+    // job-level pin of the lifecycle split: with the catalog built, the
+    // whole query (plan construction + execution) may schedule only the
+    // codebook loads (2), the probe-cell collect (1), and the pruned
+    // probe scan itself (broadcast + result, AQE may split into a few) —
+    // a training chain would add one job per Lloyd round plus index
+    // writes (~12+ at these hyper-parameters)
+    spark.sparkContext.setJobGroup("q106-probe-audit", "probe-only audit")
+    try Queries.byName("q106_ann_ivfpq_probe").build(spark, sf).collect()
+    finally spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("q106-probe-audit").length
+    // measured: 11 (two codebook loads, probe-cell collect, and AQE
+    // materializing each query stage as its own job); the training chain
+    // alone adds ~19 more (one per Lloyd round + index/codebook writes)
+    assert(jobs <= 12,
+      s"probe-only path scheduled $jobs jobs — training is leaking into the probe")
+  }
+
+  test("q107: rerank fetches candidates via broadcast; vectors never shuffle") {
+    graft.functions.AnnIndex.ensure(spark, sf)
+    val p = formatted("q107_ann_ivfpq_rerank")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate list must broadcast against the vectors table")
+    // the raw-vector side may not hash-shuffle for the rerank join — the
+    // only hash exchange allowed is the per-pid window partitioning
+    val shuffles = hashExchanges("q107_ann_ivfpq_rerank")
+    assert(shuffles.size <= 2,
+      s"rerank plan has ${shuffles.size} hash exchanges: ${shuffles.mkString("; ")}")
+  }
+
   test("q68: quantization is narrow — only the final total-order exchange") {
     val shuffles = hashExchanges("q68_embedding_quantize")
     assert(shuffles.isEmpty,
