@@ -76,17 +76,26 @@ object ConnectedComponents {
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      // 1) neighbor min: smallest label over Γ(node) ∪ {node}
-      val nbrMin = und
+      // 1) neighbor min + previous-label carry in ONE keyed aggregation:
+      // the labels set contributes its own (lbl, prev=lbl) row and each
+      // undirected edge contributes the neighbor's label with a null
+      // prev, so min(lbl) is the minimum over Γ(node) ∪ {node} and
+      // max(prev) recovers the node's previous label (exactly one
+      // non-null per group). The r6 shape computed the same thing as a
+      // groupBy FOLLOWED BY a left join back to labels — two shuffles
+      // where this needs one; at test scale the loop is pure per-round
+      // scheduling overhead, so the extra exchange was ~30% of q93.
+      // (Convergence is still read off the same materialized result —
+      // the r5 double-action fix is preserved.)
+      val nbr = und
         .join(labels.select(col("node").as("b"), col("lbl")), "b")
-        .groupBy(col("a").as("node")).agg(min(col("lbl")).as("nl"))
-      // carry the previous label through the round so convergence can be
-      // read off the SAME materialized result — the r5 formulation
-      // re-joined `next` against `labels` in a separate action, running
-      // each round's work roughly twice (VERDICT r5 what's-wrong #3)
-      val afterNbr = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .select(col("a").as("node"), col("lbl"),
+          lit(null).cast("long").as("prev"))
+      val afterNbr = labels
+        .select(col("node"), col("lbl"), col("lbl").as("prev"))
+        .union(nbr)
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"), max(col("prev")).as("prev"))
       // 2) pointer jump: labels are themselves node ids, so resolve one
       // level of indirection — lbl := lbl(lbl)
       val stepped = snap(afterNbr
