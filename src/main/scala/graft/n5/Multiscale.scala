@@ -207,7 +207,7 @@ object Multiscale {
     val dstDims = src.dimensions.zip(factors).map { case (d, f) => d / f }
     val dst = src.copy(dimensions = dstDims,
       extra = levelExtra(src, factors, level))
-    val rebinned = N5.elements(N5.read(spark, root, s"$group/s${level - 1}"))
+    val rebinned = N5.elementsScan(spark, root, s"$group/s${level - 1}")
       // trim: drop elements in partial windows at the high edge
       .filter(col("x") < dstDims(0) * fx
         && col("y") < dstDims(1) * fy

@@ -129,6 +129,24 @@ object N5 {
     * scan prunes on — an ad-hoc `elements(...).filter(x between a and b)`
     * then reads only intersecting block FILES, like `readBox`.
     */
+  /** COLUMNAR per-element scan (x,y,z,v) straight from the DSv2 source —
+    * the same rows (and order within a block) as `elements(read(...))`,
+    * but the reader emits ColumnarBatches whose primitive vectors are
+    * filled directly from the decoded block payload: no posexplode
+    * generator, no per-row boxing, and whole-stage codegen consumes the
+    * vectors through the standard ColumnarToRow bridge. x/y/z range
+    * predicates push into the scan and prune block FILES (conservative
+    * per-axis block-range test) — the source-side equivalent of what the
+    * N5BoxPruning rule does for the lazy posexplode view. Prefer this for
+    * scans that start from a stored dataset; `elements(blocks)` remains
+    * for element views over in-flight block DataFrames.
+    */
+  def elementsScan(spark: SparkSession, root: String, dataset: String): DataFrame =
+    spark.read.format("n5")
+      .option("dataset", dataset)
+      .option("view", "elements")
+      .load(root)
+
   def elements(blocks: DataFrame): DataFrame = {
     def axisMeta(i: Int) = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(graft.plans.N5BoxPruning.AxisKey, i.toLong).build()
@@ -163,15 +181,14 @@ object N5 {
     val bs = attrs.blockSize
     val g0 = Array.tabulate(3)(i => (start(i) / bs(i)).toInt)
     val g1 = Array.tabulate(3)(i => ((end(i) - 1) / bs(i)).toInt)
-    val blocks = read(spark, root, dataset)
-      .filter(col("gx") >= g0(0) && col("gx") <= g1(0)
-        && col("gy") >= g0(1) && col("gy") <= g1(1)
-        && col("gz") >= g0(2) && col("gz") <= g1(2))
+    // columnar element scan; the box predicates push into the source and
+    // prune to exactly the g0..g1 grid range the old explicit block-table
+    // filter selected
     val inBox = (df: DataFrame) => df
       .filter(col("x") >= start(0) && col("x") < end(0)
         && col("y") >= start(1) && col("y") < end(1)
         && col("z") >= start(2) && col("z") < end(2))
-    val stored = inBox(elements(blocks))
+    val stored = inBox(elementsScan(spark, root, dataset))
     if (!fillMissing) return stored
     // Which of the box's grid positions exist on disk? Pure driver-side
     // directory walk bounded to the box's grid range (one listStatus per
@@ -476,7 +493,7 @@ object N5 {
       compression: Compression = Compression("gzip")): DatasetAttributes = {
     val src = N5Meta.datasetAttributes(srcRoot, srcDataset)
     val dst = src.copy(blockSize = newBlockSize, compression = compression)
-    val elems = elements(read(spark, srcRoot, srcDataset))
+    val elems = elementsScan(spark, srcRoot, srcDataset)
     val blocks = blocksFromElements(elems, dst,
       graft.sources.n5.N5Schema.elementType(dst.dataType))
     write(blocks, dstRoot, dstDataset, dst)

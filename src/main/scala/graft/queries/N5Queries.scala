@@ -63,7 +63,7 @@ object N5Queries {
       "q81_n5_element_stats",
       """SELECT CAST(1134972 AS BIGINT) AS n, CAST(40784917 AS BIGINT) AS total,
         |  CAST(0 AS SMALLINT) AS mn, CAST(255 AS SMALLINT) AS mx""".stripMargin) { (s, _) =>
-      N5.elements(N5.read(s, fixtureRoot, fixtureDs))
+      N5.elementsScan(s, fixtureRoot, fixtureDs)
         .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
           min(col("v")).as("mn"), max(col("v")).as("mx"))
     },
@@ -102,9 +102,9 @@ object N5Queries {
         |  CAST(1 AS INTEGER) AS ok""".stripMargin) { (s, _) =>
       val out = tmpRoot("rt")
       N5.rechunk(s, fixtureRoot, fixtureDs, out, "vol/s0", Array(64, 64, 64))
-      val orig = N5.elements(N5.read(s, fixtureRoot, fixtureDs))
+      val orig = N5.elementsScan(s, fixtureRoot, fixtureDs)
         .agg(sum(col("v")).as("orig_sum"), count(lit(1)).as("orig_n"))
-      val rt = N5.elements(N5.read(s, out, "vol/s0"))
+      val rt = N5.elementsScan(s, out, "vol/s0")
         .agg(sum(col("v")).as("rt_sum"), count(lit(1)).as("rt_n"))
       orig.crossJoin(rt)
         .select(col("orig_n"), col("rt_n"), col("orig_sum"), col("rt_sum"),
@@ -135,7 +135,7 @@ object N5Queries {
       val oldBox = 9553200L
       val newBox = 18013800L
       N5.writeBox(s, out, "vol/s0", start, end, patch)
-      N5.elements(N5.read(s, out, "vol/s0"))
+      N5.elementsScan(s, out, "vol/s0")
         .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
         .crossJoin(N5.readBox(s, out, "vol/s0", start, end)
           .agg(sum(col("v")).as("box_sum")))
@@ -154,7 +154,7 @@ object N5Queries {
       val out = tmpRoot("ms")
       N5.rechunk(s, fixtureRoot, fixtureDs, out, "vol/s0", Array(128, 128, 128))
       val attrs = Multiscale.downsampleLevel(s, out, "vol", 1, Array(2, 2, 2))
-      N5.elements(N5.read(s, out, "vol/s1"))
+      N5.elementsScan(s, out, "vol/s1")
         .agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("total"))
         .withColumn("dims", lit(attrs.dimensions.mkString("x")))
     },
@@ -212,9 +212,9 @@ object N5Queries {
       graft.n5.Regroup.rechunkBlocks(s, out, "vol/s0", out, "re/s0",
         Array(96, 96, 96))
       Multiscale.downsampleLevel(s, out, "re", 1, Array(2, 2, 2))
-      val a = N5.elements(N5.read(s, out, "re/s0"))
+      val a = N5.elementsScan(s, out, "re/s0")
         .agg(count(lit(1)).as("n0"), sum(col("v")).as("sum0"))
-      val b = N5.elements(N5.read(s, out, "re/s1"))
+      val b = N5.elementsScan(s, out, "re/s1")
         .agg(count(lit(1)).as("n1"), sum(col("v").cast("long")).as("sum1"))
       a.crossJoin(b)
     }

@@ -49,9 +49,11 @@ class N5DataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = options.get("path")
     val dataset = options.getOrDefault("dataset", "")
+    val elementsView = options.getOrDefault("view", "blocks") == "elements"
     if (root != null && options.containsKey("dataset")) {
       val attrs = N5Meta.datasetAttributes(root, dataset)
-      N5Schema.blockSchema(attrs.dataType)
+      if (elementsView) N5Schema.elementSchema(attrs.dataType)
+      else N5Schema.blockSchema(attrs.dataType)
     } else {
       // write-only usage where attrs come from options
       N5Schema.blockSchema(
@@ -90,6 +92,16 @@ object N5Schema {
     StructField("z0", LongType, nullable = false),
     StructField("shape", ArrayType(IntegerType, containsNull = false), nullable = false),
     StructField("data", ArrayType(elementType(d), containsNull = false), nullable = false)))
+
+  /** Schema of the columnar per-element view (`option("view","elements")`):
+    * one row per voxel, emitted as ColumnarBatches directly from the
+    * decoded block payload — no posexplode generator, no per-row boxing.
+    */
+  def elementSchema(d: Dtype): StructType = StructType(Seq(
+    StructField("x", LongType, nullable = false),
+    StructField("y", LongType, nullable = false),
+    StructField("z", LongType, nullable = false),
+    StructField("v", elementType(d), nullable = false)))
 }
 
 class N5Table(options: CaseInsensitiveStringMap, tableSchema: StructType)
@@ -132,11 +144,18 @@ class N5ScanBuilder(
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
+  private val elementsView = options.getOrDefault("view", "blocks") == "elements"
+  if (elementsView) require(attrs.ndim == 3,
+    s"view=elements requires a 3-D dataset, got ${attrs.ndim}-D")
+
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = N5Schema.blockSchema(attrs.dataType)
+  private var required: StructType =
+    if (elementsView) N5Schema.elementSchema(attrs.dataType)
+    else N5Schema.blockSchema(attrs.dataType)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, _) = filters.partition(isGridFilter)
+    val (supported, _) = filters.partition(
+      if (elementsView) isElementFilter else isGridFilter)
     pushed = supported
     // we only PRUNE with them; Spark re-evaluates everything for safety
     filters
@@ -153,6 +172,20 @@ class N5ScanBuilder(
     case _ => false
   }
 
+  /** Coordinate predicates on the element view prune block FILES the same
+    * way grid predicates prune the block view (conservative per-axis
+    * block-range test; row-level trim is re-applied by Spark).
+    */
+  private def isElementFilter(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => Set("x", "y", "z")(a)
+    case GreaterThan(a, _) => Set("x", "y", "z")(a)
+    case GreaterThanOrEqual(a, _) => Set("x", "y", "z")(a)
+    case LessThan(a, _) => Set("x", "y", "z")(a)
+    case LessThanOrEqual(a, _) => Set("x", "y", "z")(a)
+    case In(a, _) => Set("x", "y", "z")(a)
+    case _ => false
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -163,7 +196,10 @@ class N5ScanBuilder(
       maxBlocksPerPartition = options.getOrDefault(
         "maxBlocksPerPartition", Long.MaxValue.toString).toLong,
       maxBlocksPerBatch = options.getOrDefault(
-        "maxBlocksPerBatch", "0").toInt)
+        "maxBlocksPerBatch", "0").toInt,
+      elementsView = elementsView,
+      elementBatchRows = options.getOrDefault(
+        "elementBatchRows", "16384").toInt)
 }
 
 object N5Scan {
@@ -215,6 +251,40 @@ object N5GridFilters {
       case In(a, xs) if a == axes(axis) => xs.map(asInt).contains(v)
       case _ => true
     }
+
+  private val elemAxes = Array("x", "y", "z")
+
+  def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case o => o.toString.toLong
+  }
+
+  /** Conservative block-level test of pushed ELEMENT-coordinate filters:
+    * keep grid position g on `axis` when the block's untrimmed coordinate
+    * range [g·bs, (g+1)·bs) can satisfy every filter. May keep an edge
+    * block a trimmed shape would exclude — Spark re-applies the row-level
+    * predicate, so pruning only has to be sound, not exact.
+    */
+  def elementAxisOk(
+      filters: Array[Filter], blockSize: Array[Int])(axis: Int, g: Int): Boolean = {
+    val bs = blockSize(axis).toLong
+    val lo = g * bs
+    val hi = (g + 1) * bs - 1
+    filters.forall {
+      case EqualTo(a, x) if a == elemAxes(axis) =>
+        val v = asLong(x); v >= lo && v <= hi
+      case GreaterThan(a, x) if a == elemAxes(axis) => hi > asLong(x)
+      case GreaterThanOrEqual(a, x) if a == elemAxes(axis) => hi >= asLong(x)
+      case LessThan(a, x) if a == elemAxes(axis) => lo < asLong(x)
+      case LessThanOrEqual(a, x) if a == elemAxes(axis) => lo <= asLong(x)
+      case In(a, xs) if a == elemAxes(axis) =>
+        xs.exists(x => { val v = asLong(x); v >= lo && v <= hi })
+      case _ => true
+    }
+  }
 }
 
 /** The grid-directory walk shared by the batch scan and the streaming
@@ -250,7 +320,9 @@ class N5Scan(
     filters: Array[Filter], required: StructType,
     targetBytes: Long,
     maxBlocksPerPartition: Long,
-    maxBlocksPerBatch: Int = 0)
+    maxBlocksPerBatch: Int = 0,
+    elementsView: Boolean = false,
+    elementBatchRows: Int = 16384)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -269,10 +341,13 @@ class N5Scan(
     * broadcast small (or heavily pruned) block tables in joins.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = survivors.length.toLong
-    private val bytes = survivors.map(g =>
-      attrs.blockShape(g).map(_.toLong).product *
-        attrs.dataType.bytesPerElement + 64L).sum
+    private val voxels = survivors.map(g =>
+      attrs.blockShape(g).map(_.toLong).product).sum
+    // element view: one row per voxel; block view: one row per block
+    private val rows = if (elementsView) voxels else survivors.length.toLong
+    private val bytes =
+      if (elementsView) voxels * (24L + attrs.dataType.bytesPerElement)
+      else voxels * attrs.dataType.bytesPerElement + survivors.length * 64L
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
@@ -301,12 +376,15 @@ class N5Scan(
   private def listSurvivors(): Seq[Array[Int]] = {
     val rootPath = new HPath(root, dataset)
     val fs = rootPath.getFileSystem(new Configuration())
-    N5GridWalk.list(fs, rootPath, attrs.ndim, N5GridFilters.axisOk(filters))
-      .map(_._1)
+    val axisOk: (Int, Int) => Boolean =
+      if (elementsView) N5GridFilters.elementAxisOk(filters, attrs.blockSize)
+      else N5GridFilters.axisOk(filters)
+    N5GridWalk.list(fs, rootPath, attrs.ndim, axisOk).map(_._1)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new N5ReaderFactory(attrs, required)
+    if (elementsView) new N5ElementsReaderFactory(attrs, required, elementBatchRows)
+    else new N5ReaderFactory(attrs, required)
 }
 
 final case class N5BlocksPartition(
@@ -396,6 +474,128 @@ class N5BlockReader(
 
   override def get(): InternalRow = row
   override def close(): Unit = ()
+}
+
+/** Columnar reader factory for the per-element view (r6 VERDICT #3): the
+  * batch scan hands whole-stage codegen primitive column vectors filled
+  * straight from the decoded block payload, replacing the block-row →
+  * posexplode → per-row unravel pipeline for element consumers.
+  */
+class N5ElementsReaderFactory(
+    attrs: DatasetAttributes, required: StructType, batchRows: Int)
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new N5ElementsReader(p.asInstanceOf[N5BlocksPartition], attrs, required,
+      batchRows)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    throw new UnsupportedOperationException(
+      "n5 elements view is columnar-only (supportColumnarReads is true)")
+}
+
+/** Emits ColumnarBatches of (x,y,z,v) voxel rows. Coordinates are integer
+  * unravel of the flat index (x-fastest within the trimmed block shape,
+  * same order as N5.elements); the value vector is filled from the decoded
+  * payload with primitive puts — no boxing anywhere. A block larger than
+  * `batchRows` spans several batches (vectors are reused across batches);
+  * payload decode is skipped entirely when `v` was pruned away (metadata
+  * and count-only queries read no bytes).
+  */
+class N5ElementsReader(
+    part: N5BlocksPartition, attrs: DatasetAttributes, required: StructType,
+    batchRows: Int)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val fs: FileSystem =
+    new HPath(part.root).getFileSystem(new Configuration())
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(batchRows, required)
+  private val batch =
+    new ColumnarBatch(vectors.map(v => v: ColumnVector).toArray)
+  private val needV = required.fieldNames.contains("v")
+
+  // current-block state
+  private var bi = -1
+  private var dec: DecodedBlock = null
+  private var n = 0
+  private var off = 0
+  private var x0 = 0L; private var y0 = 0L; private var z0 = 0L
+  private var sx = 1; private var sy = 1
+
+  private def openNextBlock(): Boolean = {
+    bi += 1
+    if (bi >= part.grids.length) return false
+    val g = part.grids(bi)
+    val shape = attrs.blockShape(g)
+    sx = shape(0)
+    sy = shape(1)
+    n = shape.product
+    x0 = g(0).toLong * attrs.blockSize(0)
+    y0 = g(1).toLong * attrs.blockSize(1)
+    z0 = g(2).toLong * attrs.blockSize(2)
+    if (needV) {
+      val in = fs.open(
+        new HPath(part.root, s"${part.dataset}/${g.mkString("/")}"))
+      val raw = try in.readAllBytes() finally in.close()
+      dec = BlockCodec.decode(raw, attrs.dataType, attrs.compression)
+    }
+    off = 0
+    true
+  }
+
+  override def next(): Boolean = {
+    while (off >= n) if (!openNextBlock()) return false
+    val m = math.min(batchRows, n - off)
+    var c = 0
+    while (c < vectors.length) {
+      val v = vectors(c)
+      v.reset()
+      required.fields(c).name match {
+        case "x" =>
+          var i = 0
+          while (i < m) { v.putLong(i, x0 + (off + i) % sx); i += 1 }
+        case "y" =>
+          var i = 0
+          while (i < m) { v.putLong(i, y0 + ((off + i) / sx) % sy); i += 1 }
+        case "z" =>
+          var i = 0
+          while (i < m) { v.putLong(i, z0 + (off + i) / (sx * sy)); i += 1 }
+        case "v" => attrs.dataType match {
+          case Dtype.UInt8 | Dtype.Int16 =>
+            var i = 0
+            while (i < m) { v.putShort(i, dec.longs(off + i).toShort); i += 1 }
+          case Dtype.Int8 =>
+            var i = 0
+            while (i < m) { v.putByte(i, dec.longs(off + i).toByte); i += 1 }
+          case Dtype.UInt16 | Dtype.Int32 =>
+            var i = 0
+            while (i < m) { v.putInt(i, dec.longs(off + i).toInt); i += 1 }
+          case Dtype.UInt32 | Dtype.UInt64 | Dtype.Int64 =>
+            var i = 0
+            while (i < m) { v.putLong(i, dec.longs(off + i)); i += 1 }
+          case Dtype.Float32 =>
+            var i = 0
+            while (i < m) { v.putFloat(i, dec.doubles(off + i).toFloat); i += 1 }
+          case Dtype.Float64 =>
+            var i = 0
+            while (i < m) { v.putDouble(i, dec.doubles(off + i)); i += 1 }
+        }
+        case other =>
+          throw new IllegalArgumentException(s"unknown element column $other")
+      }
+      c += 1
+    }
+    off += m
+    batch.setNumRows(m)
+    true
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = batch.close()
 }
 
 // --------------------------------------------------------------- write path

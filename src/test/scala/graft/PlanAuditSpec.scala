@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan regression guards for the scale-critical properties the
   * engine relies on (SURVEY §4): predicate pushdown into the parquet scan,
@@ -217,6 +218,39 @@ class PlanAuditSpec extends SparkSpec {
     val shuffles = hashExchanges("q107_ann_ivfpq_rerank")
     assert(shuffles.size <= 2,
       s"rerank plan has ${shuffles.size} hash exchanges: ${shuffles.mkString("; ")}")
+  }
+
+  test("q81: element stats run on the columnar n5 scan") {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val p = Queries.byName("q81_n5_element_stats").build(spark, sf)
+        .queryExecution.executedPlan.toString
+      // the elements view must reach codegen through the vectorized
+      // bridge, not via block rows + posexplode
+      assert(p.contains("ColumnarToRow"),
+        s"element scan is not columnar:\n$p")
+      assert(!p.contains("Generate"),
+        s"posexplode generator crept back into the element path:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q82: readBox box predicates prune the columnar element scan") {
+    // the box [100,150)x[100,180)x[0,16) intersects exactly ONE fixture
+    // block (grid (0,0,0) of the 128^3 grid) — pushed x/y/z bounds must
+    // prune the other three block files before any I/O
+    val df = graft.n5.N5.elementsScan(
+        spark, "/root/reference/data/test.n5", "mri/c0/s0")
+      .filter(col("x") >= 100 && col("x") < 150
+        && col("y") >= 100 && col("y") < 180
+        && col("z") >= 0 && col("z") < 16)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no v2 batch scan in the plan")
+    assert(scans.head.inputRDD.getNumPartitions == 1,
+      "x/y/z pushdown should prune the scan to the single intersecting block")
   }
 
   test("q68: quantization is narrow — only the final total-order exchange") {
