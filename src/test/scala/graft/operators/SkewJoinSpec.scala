@@ -58,6 +58,62 @@ class SkewJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE skew split declines the agg-after-join shape; salting still fixes it") {
+    // The division of labor between AQE's runtime skew split and the
+    // salted rewrite, pinned (r6 VERDICT #5): AQE splits a skewed
+    // SMJ partition ONLY when nothing downstream depends on the join's
+    // hash partitioning. The moment the join output feeds an aggregation
+    // (or window) keyed on the join key — the common dedup/enrich-then-
+    // count shape — splitting would break the required distribution, AQE
+    // declines, and the hot key funnels into one reducer again. Salting
+    // is chosen DELIBERATELY for exactly that shape; it spreads the hot
+    // key at the logical level, which AQE cannot undo.
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val p = (1 to 40000).map(i =>
+      (if (i % 10 < 8) 7L else rng.nextInt(30).toLong, i.toLong))
+      .toDF("k", "row_id")
+    val b = (0 until 30).map(k => (k.toLong, s"dim_$k")).toDF("k", "attr")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // A) bare skewed join: AQE CAN split here — proves the thresholds
+      // above make the skew detectable in this environment
+      // collect() (not .write) so the inspected QueryExecution is the one
+      // that ran — AQE's skew decision only exists in the executed plan
+      val bare = p.join(b, Seq("k"), "inner")
+      bare.collect()
+      assert(bare.queryExecution.executedPlan.toString.contains("skew=true"),
+        "bare skewed SMJ was not split — skew thresholds not in effect")
+      // B) the same join feeding a count per key: the agg reuses the
+      // join's hash partitioning, so AQE must NOT split (splitting would
+      // duplicate key groups) — the hot key is back on one reducer
+      val agg = p.join(b, Seq("k"), "inner").groupBy("k").count()
+      agg.collect()
+      assert(!agg.queryExecution.executedPlan.toString.contains("skew=true"),
+        "AQE split under a keyed agg — the premise for salting changed, " +
+          "re-evaluate SkewJoin.salted's scope")
+      // C) salted join under the same confs: AQE leaves the salt in the
+      // join keys (it cannot un-salt a logical rewrite), the hot key is
+      // spread over `salts` shuffle keys, and the result is exact
+      val salted = SkewJoin.salted(p, b, Seq("k"), 8)
+      val expect = canon(p.join(b, Seq("k"), "inner"))
+      assert(canon(salted) == expect)
+      val join = salted.queryExecution.executedPlan.toString.split('\n')
+        .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      assert(join.exists(_.contains("__salt")),
+        s"salt missing from join keys under AQE: ${join.mkString("; ")}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("guards: bad salts, non-probe-preserving type, scratch clash") {
     intercept[IllegalArgumentException](
       SkewJoin.salted(probe, build, Seq("k"), 0))
