@@ -154,6 +154,37 @@ object Streams {
     * that keeps producing files needs a processing-time trigger, e.g.
     * `trigger = Trigger.ProcessingTime("10 seconds")`.
     */
+  /** Streaming ANN serving over the persisted AnnIndex catalog — the way
+    * a serving pipeline actually exercises the index: probe vectors
+    * arrive as a stream, each micro-batch runs the PROBE-ONLY IVF-PQ +
+    * exact-rerank plan (bucket-pruned codes scan, ADC ranking, raw-vector
+    * rerank for the top-c) against the STATIC index tables, and the
+    * results go to `sink`. foreachBatch is the right vehicle because the
+    * probe path collects each micro-batch's probe cells to drive the
+    * literal-IN bucket pruning — a static-stream join could not prune.
+    * Per-probe results are independent, so the union of micro-batch
+    * outputs is exactly the batch answer (pinned in StreamingSpec). The
+    * codebooks load ONCE at query start (k rows), never per batch.
+    */
+  def annServe(
+      spark: SparkSession, probes: DataFrame, db: String,
+      k: Int, c: Int, nProbe: Int,
+      trigger: Trigger = Trigger.AvailableNow())(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.{AnnIndex, VectorSearch}
+    val cents = AnnIndex.ivfCodebook(spark, db)
+    val cb = AnnIndex.pqCodebook(spark, db)
+    probes.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) sink(VectorSearch.ivfPqTopKRerank(
+          spark.table(s"$db.codes"), spark.table(s"$db.vectors"),
+          batch, k, c, cents, cb, nProbe), id)
+      }
+      .start()
+  }
+
   def tiffSlabIngest(
       spark: SparkSession, inDir: String, dstRoot: String, dstDataset: String,
       width: Int, height: Int, depth: Int,

@@ -125,6 +125,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN probes against the persisted index equal the batch run") {
+    import graft.functions.{AnnIndex, VectorSearch}
+    // build (or recover) the index catalog once; the streaming query runs
+    // ONLY the probe plan per micro-batch
+    val db = AnnIndex.ensure(spark, sfDir)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+    // two probe files → two micro-batches under maxFilesPerTrigger=1
+    val d = Files.createTempDirectory("annprobes").toString
+    probes.filter(col("vec_id") < 25).coalesce(1).write.mode("append").parquet(d)
+    probes.filter(col("vec_id") >= 25).coalesce(1).write.mode("append").parquet(d)
+    val stream = spark.readStream.schema(probes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.annServe(spark, stream, db, k = 5, c = 50, nProbe = 4) {
+      (out, id) =>
+        got.synchronized {
+          got ++= out.collect().map(_.mkString("|"))
+          batches += id
+        }
+    }
+    q.awaitTermination()
+    assert(batches.size == 2, s"expected two probe micro-batches, got $batches")
+    val batch = VectorSearch.ivfPqTopKRerank(
+        spark.table(s"$db.codes"), spark.table(s"$db.vectors"),
+        probes, k = 5, c = 50,
+        AnnIndex.ivfCodebook(spark, db), AnnIndex.pqCodebook(spark, db),
+        nProbe = 4)
+      .collect().map(_.mkString("|"))
+    assert(got.toSet == batch.toSet,
+      s"stream vs batch ANN mismatch: stream=${got.size} batch=${batch.length}")
+    assert(got.size == batch.length)
+  }
+
   test("writeStream.format(n5): native streaming sink commits block rows") {
     val tmp = Files.createTempDirectory("n5sink").toString
     // stream the fixture's 4 block rows (as parquet files) into a new N5
