@@ -119,6 +119,8 @@ object AnnIndex {
       s: SparkSession, dir: String, db: String, loc: String,
       fs: org.apache.hadoop.fs.FileSystem,
       marker: org.apache.hadoop.fs.Path, want: String): Unit = {
+    ivfMemo.remove(db)
+    pqMemo.remove(db)
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val cents = VectorSearch.trainIvfCodebook(e, CoarseK, CoarseIters, SampleBuckets)
@@ -161,20 +163,32 @@ object AnnIndex {
     finally out.close()
   }
 
-  /** Load the persisted coarse codebook (k rows to the driver). */
-  def ivfCodebook(s: SparkSession, db: String): Seq[(Int, Seq[Double])] =
-    s.table(s"$db.ivf_codebook").orderBy(col("cid").asc).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+  // Driver-side codebook memo: a serving process loads each codebook ONCE
+  // per index, not once per probe query — the entries are k×dim doubles
+  // (a few KB), keyed by catalog db, and dropped whenever that db is
+  // rebuilt (`build` invalidates). This removes two small collect jobs
+  // from every probe-only query and micro-batch.
+  private val ivfMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
+  private val pqMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
 
-  /** Load the persisted PQ codebook (subspaces×k rows to the driver). */
-  def pqCodebook(s: SparkSession, db: String): Seq[Seq[Seq[Double]]] = {
-    val rows = s.table(s"$db.pq_codebook").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-    (0 until PqSubspaces).map { b =>
-      val centers = rows.filter(_._1 == b).sortBy(_._2)
-      require(centers.length == PqK,
-        s"pq_codebook subspace $b has ${centers.length} centers, want $PqK")
-      centers.map(_._3).toSeq
-    }
-  }
+  /** Load the persisted coarse codebook (k rows to the driver, memoized). */
+  def ivfCodebook(s: SparkSession, db: String): Seq[(Int, Seq[Double])] =
+    ivfMemo.getOrElseUpdate(db,
+      s.table(s"$db.ivf_codebook").orderBy(col("cid").asc).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq)
+
+  /** Load the persisted PQ codebook (subspaces×k rows, memoized). */
+  def pqCodebook(s: SparkSession, db: String): Seq[Seq[Seq[Double]]] =
+    pqMemo.getOrElseUpdate(db, {
+      val rows = s.table(s"$db.pq_codebook").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      (0 until PqSubspaces).map { b =>
+        val centers = rows.filter(_._1 == b).sortBy(_._2)
+        require(centers.length == PqK,
+          s"pq_codebook subspace $b has ${centers.length} centers, want $PqK")
+        centers.map(_._3).toSeq
+      }
+    })
 }
