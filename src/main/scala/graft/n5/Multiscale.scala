@@ -116,24 +116,14 @@ object Multiscale {
     val isFloat =
       src.dataType == Dtype.Float32 || src.dataType == Dtype.Float64
     import spark.implicits._
-    // float payloads travel as raw Double bits in the Long array (the
-    // typed-pipeline convention shared with Regroup), converted back at
-    // the write boundary
-    val typed: org.apache.spark.sql.Dataset[(Int, Int, Int, Array[Int], Array[Long])] =
-      if (isFloat)
-        N5.read(spark, root, s"$group/s${level - 1}")
-          .select(col("gx"), col("gy"), col("gz"), col("shape"),
-            col("data").cast("array<double>"))
-          .as[(Int, Int, Int, Array[Int], Array[Double])]
-          .map { case (gx, gy, gz, s, d) =>
-            (gx, gy, gz, s, d.map(java.lang.Double.doubleToRawLongBits))
-          }
-      else
-        N5.read(spark, root, s"$group/s${level - 1}")
-          .select(col("gx"), col("gy"), col("gz"), col("shape"),
-            col("data").cast("array<bigint>"))
-          .as[(Int, Int, Int, Array[Int], Array[Long])]
-    val frags = typed.map { case (gx, gy, gz, sshape, data) =>
+    // native-typed read; float payloads travel as raw Double bits in the
+    // Long array (the typed-pipeline convention shared with Regroup),
+    // converted back at the write boundary
+    val typed = Regroup.typedLongBlocks(
+      N5.read(spark, root, s"$group/s${level - 1}"), src.dataType,
+      Seq("gx", "gy", "gz"))
+    val frags = typed.map { case (gxL, gyL, gzL, sshape, data) =>
+      val (gx, gy, gz) = (gxL.toInt, gyL.toInt, gzL.toInt)
       val Array(sx, sy, sz) = sshape
       // output extent from this block, trimmed to the global floor(D/f)
       def ext(g: Int, b: Int, s: Int, f: Int, dOut: Long): Int = {
