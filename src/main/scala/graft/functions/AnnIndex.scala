@@ -119,8 +119,6 @@ object AnnIndex {
       s: SparkSession, dir: String, db: String, loc: String,
       fs: org.apache.hadoop.fs.FileSystem,
       marker: org.apache.hadoop.fs.Path, want: String): Unit = {
-    ivfMemo.remove(db)
-    pqMemo.remove(db)
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val cents = VectorSearch.trainIvfCodebook(e, CoarseK, CoarseIters, SampleBuckets)
@@ -157,10 +155,16 @@ object AnnIndex {
         StructField("cv8", ArrayType(DoubleType, containsNull = false)))))
       .coalesce(1).write.mode("overwrite").format("parquet")
       .saveAsTable(s"$db.pq_codebook")
-    // marker LAST: its presence certifies every table above is complete
+    // marker LAST: its presence certifies every table above is complete.
+    // Memo invalidation also LAST (and the loaders below share ensure's
+    // lock): dropping the memo at build START would let a concurrent
+    // probe re-cache the pre-rebuild codebooks mid-build and serve them
+    // against the post-rebuild index
     val out = fs.create(marker, true)
     try out.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    ivfMemo.remove(db)
+    pqMemo.remove(db)
   }
 
   // Driver-side codebook memo: a serving process loads each codebook ONCE
@@ -173,22 +177,29 @@ object AnnIndex {
   private val pqMemo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
 
-  /** Load the persisted coarse codebook (k rows to the driver, memoized). */
+  /** Load the persisted coarse codebook (k rows to the driver, memoized).
+    * Synchronized on the same lock as ensure/build, so a loader can never
+    * observe (and cache) a catalog mid-rebuild.
+    */
   def ivfCodebook(s: SparkSession, db: String): Seq[(Int, Seq[Double])] =
-    ivfMemo.getOrElseUpdate(db,
-      s.table(s"$db.ivf_codebook").orderBy(col("cid").asc).collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq)
+    synchronized {
+      ivfMemo.getOrElseUpdate(db,
+        s.table(s"$db.ivf_codebook").orderBy(col("cid").asc).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq)
+    }
 
   /** Load the persisted PQ codebook (subspaces×k rows, memoized). */
   def pqCodebook(s: SparkSession, db: String): Seq[Seq[Seq[Double]]] =
-    pqMemo.getOrElseUpdate(db, {
-      val rows = s.table(s"$db.pq_codebook").collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-      (0 until PqSubspaces).map { b =>
-        val centers = rows.filter(_._1 == b).sortBy(_._2)
-        require(centers.length == PqK,
-          s"pq_codebook subspace $b has ${centers.length} centers, want $PqK")
-        centers.map(_._3).toSeq
-      }
-    })
+    synchronized {
+      pqMemo.getOrElseUpdate(db, {
+        val rows = s.table(s"$db.pq_codebook").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        (0 until PqSubspaces).map { b =>
+          val centers = rows.filter(_._1 == b).sortBy(_._2)
+          require(centers.length == PqK,
+            s"pq_codebook subspace $b has ${centers.length} centers, want $PqK")
+          centers.map(_._3).toSeq
+        }
+      })
+    }
 }

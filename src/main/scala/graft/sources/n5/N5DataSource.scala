@@ -240,15 +240,18 @@ object N5GridFilters {
     case o => o.toString.toInt
   }
 
-  /** True when grid value v on `axis` satisfies every pushed filter. */
+  /** True when grid value v on `axis` satisfies every pushed filter
+    * (null comparison values: keep — same policy as elementAxisOk).
+    */
   def axisOk(filters: Array[Filter])(axis: Int, v: Int): Boolean =
     filters.forall {
-      case EqualTo(a, x) if a == axes(axis) => v == asInt(x)
-      case GreaterThan(a, x) if a == axes(axis) => v > asInt(x)
-      case GreaterThanOrEqual(a, x) if a == axes(axis) => v >= asInt(x)
-      case LessThan(a, x) if a == axes(axis) => v < asInt(x)
-      case LessThanOrEqual(a, x) if a == axes(axis) => v <= asInt(x)
-      case In(a, xs) if a == axes(axis) => xs.map(asInt).contains(v)
+      case EqualTo(a, x) if a == axes(axis) && x != null => v == asInt(x)
+      case GreaterThan(a, x) if a == axes(axis) && x != null => v > asInt(x)
+      case GreaterThanOrEqual(a, x) if a == axes(axis) && x != null => v >= asInt(x)
+      case LessThan(a, x) if a == axes(axis) && x != null => v < asInt(x)
+      case LessThanOrEqual(a, x) if a == axes(axis) && x != null => v <= asInt(x)
+      case In(a, xs) if a == axes(axis) && xs.forall(_ != null) =>
+        xs.map(asInt).contains(v)
       case _ => true
     }
 
@@ -273,14 +276,17 @@ object N5GridFilters {
     val bs = blockSize(axis).toLong
     val lo = g * bs
     val hi = (g + 1) * bs - 1
+    // null comparison values (e.g. isin(5, null) arrives as In with a null
+    // member) cannot be pruned on — treat the affected filter as
+    // non-restrictive (keep the block; Spark re-evaluates row-level)
     filters.forall {
-      case EqualTo(a, x) if a == elemAxes(axis) =>
+      case EqualTo(a, x) if a == elemAxes(axis) && x != null =>
         val v = asLong(x); v >= lo && v <= hi
-      case GreaterThan(a, x) if a == elemAxes(axis) => hi > asLong(x)
-      case GreaterThanOrEqual(a, x) if a == elemAxes(axis) => hi >= asLong(x)
-      case LessThan(a, x) if a == elemAxes(axis) => lo < asLong(x)
-      case LessThanOrEqual(a, x) if a == elemAxes(axis) => lo <= asLong(x)
-      case In(a, xs) if a == elemAxes(axis) =>
+      case GreaterThan(a, x) if a == elemAxes(axis) && x != null => hi > asLong(x)
+      case GreaterThanOrEqual(a, x) if a == elemAxes(axis) && x != null => hi >= asLong(x)
+      case LessThan(a, x) if a == elemAxes(axis) && x != null => lo < asLong(x)
+      case LessThanOrEqual(a, x) if a == elemAxes(axis) && x != null => lo <= asLong(x)
+      case In(a, xs) if a == elemAxes(axis) && xs.forall(_ != null) =>
         xs.exists(x => { val v = asLong(x); v >= lo && v <= hi })
       case _ => true
     }
@@ -330,12 +336,20 @@ class N5Scan(
 
   /** Streaming read: new block files become rows as they appear (see
     * N5MicroBatchStream for the offset design). Pushed grid filters prune
-    * the streaming walk exactly like the batch scan's.
+    * the streaming walk exactly like the batch scan's. The elements view
+    * is batch-only — the streaming reader factory emits block rows, so
+    * accepting the option here would crash on the executor at the first
+    * micro-batch (and silently ignore pushed x/y/z filters); fail loudly
+    * at plan time instead.
     */
   override def toMicroBatchStream(
-      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (elementsView) throw new UnsupportedOperationException(
+      "n5 view=elements is batch-only; stream the block view and apply " +
+        "N5.elements to the result")
     new N5MicroBatchStream(root, dataset, attrs, required, filters, targetBytes,
       maxBlocksPerBatch)
+  }
 
   /** Decoded size estimate from the surviving block list — lets Catalyst
     * broadcast small (or heavily pruned) block tables in joins.

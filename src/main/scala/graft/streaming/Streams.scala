@@ -178,9 +178,20 @@ object Streams {
       .trigger(trigger)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) sink(VectorSearch.ivfPqTopKRerank(
-          spark.table(s"$db.codes"), spark.table(s"$db.vectors"),
-          batch, k, c, cents, cb, nProbe), id)
+        // collect the micro-batch's probes ONCE (bounded per batch by
+        // contract; the probe path must collect them anyway for bucket
+        // pruning) — handing `batch` straight down would re-read the
+        // streaming source three times per trigger (emptiness check,
+        // probe-cells collect, rerank broadcast)
+        val sel = batch.select(col("vec_id"), col("embedding"))
+        val rows = sel.collect()
+        if (rows.nonEmpty) {
+          val local = spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), sel.schema)
+          sink(VectorSearch.ivfPqTopKRerank(
+            spark.table(s"$db.codes"), spark.table(s"$db.vectors"),
+            local, k, c, cents, cb, nProbe), id)
+        }
       }
       .start()
   }

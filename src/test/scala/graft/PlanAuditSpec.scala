@@ -203,8 +203,10 @@ class PlanAuditSpec extends SparkSpec {
       .getJobIdsForGroup("q106-probe-audit").length
     // measured: 11 (two codebook loads, probe-cell collect, and AQE
     // materializing each query stage as its own job); the training chain
-    // alone adds ~19 more (one per Lloyd round + index/codebook writes)
-    assert(jobs <= 12,
+    // alone adds ~19 more (one per Lloyd round + index/codebook writes).
+    // The bound leaves headroom for AQE plan-shape drift (an extra stage
+    // job) while still cleanly excluding any training leak.
+    assert(jobs <= 15,
       s"probe-only path scheduled $jobs jobs — training is leaking into the probe")
   }
 
@@ -236,20 +238,27 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
-  test("q82: readBox box predicates prune the columnar element scan") {
-    // the box [100,150)x[100,180)x[0,16) intersects exactly ONE fixture
-    // block (grid (0,0,0) of the 128^3 grid) — pushed x/y/z bounds must
-    // prune the other three block files before any I/O
-    val df = graft.n5.N5.elementsScan(
-        spark, "/root/reference/data/test.n5", "mri/c0/s0")
-      .filter(col("x") >= 100 && col("x") < 150
-        && col("y") >= 100 && col("y") < 180
-        && col("z") >= 0 && col("z") < 16)
-    val scans = df.queryExecution.executedPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+  test("box predicates prune the columnar element scan to one block file") {
+    // fixture grid is 2x2x1 (128^3 blocks over 186x226x27): the q86-shaped
+    // box x<100 && y>=130 && z<16 intersects exactly block (0,1,0).
+    // maxBlocksPerPartition=1 makes partitions == surviving block FILES,
+    // so the count is a direct pruning observation (grouping would
+    // otherwise pack all four 2 MiB blocks into one 128 MiB partition and
+    // the assertion would hold even with pruning broken)
+    def partsFor(filtered: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Int = {
+      val df = filtered(spark.read.format("n5")
+        .option("dataset", "mri/c0/s0")
+        .option("view", "elements")
+        .option("maxBlocksPerPartition", "1")
+        .load("/root/reference/data/test.n5"))
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.nonEmpty, "no v2 batch scan in the plan")
+      scans.head.inputRDD.getNumPartitions
     }
-    assert(scans.nonEmpty, "no v2 batch scan in the plan")
-    assert(scans.head.inputRDD.getNumPartitions == 1,
+    assert(partsFor(identity) == 4, "fixture should expose 4 block files")
+    assert(partsFor(_.filter(col("x") < 100 && col("y") >= 130 && col("z") < 16)) == 1,
       "x/y/z pushdown should prune the scan to the single intersecting block")
   }
 
