@@ -375,28 +375,36 @@ object VectorSearch {
     * ADC distance against its materialized lookup tables. Neither the
     * scan nor the ranking ever touches a raw corpus vector.
     */
-  def ivfPqTopK(
-      index: DataFrame, probes: DataFrame, k: Int,
-      cents: Seq[(Int, Seq[Double])], codebook: Seq[Seq[Seq[Double]]],
-      nProbe: Int = 2): DataFrame = {
-    val w = codebook.head.head.length
-    // same collect-once shape as ivfTopKIndexed (the ADC tables would make
-    // a second evaluation strictly costlier here); the per-probe lookup
-    // tables are still a projection over the local relation, so they are
-    // built once per probe row when the broadcast relation materializes
+  /** Collect-once probe-cell relation shared by the IVF-PQ entry points:
+    * scored probe rows come back to the driver (bounded: probes×nProbe)
+    * and re-enter the plan as a local relation, feeding both the literal
+    * bucket-prune cell list and the broadcast join.
+    */
+  private def collectedProbeCells(
+      probes: DataFrame, cents: Seq[(Int, Seq[Double])], nProbe: Int)
+      : (DataFrame, Array[Int]) = {
     val pcPlan = probeCellsD(
       probes.select(col("vec_id").as("pid"),
         graft.functions.VectorFunctions.toDoubles(col("embedding")).as("pv")),
       cents, nProbe)
     val rows = pcPlan.collect()
-    val pc = probes.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), pcPlan.schema)
+    (probes.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), pcPlan.schema),
+      rows.map(_.getAs[Int]("cell")).distinct.sorted)
+  }
+
+  /** ADC ranking stage over a pre-collected probe relation. */
+  private def adcTopK(
+      index: DataFrame, pc: DataFrame, cells: Array[Int], k: Int,
+      codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val w = codebook.head.head.length
+    // the per-probe ADC lookup tables are a projection over the local
+    // relation — built once per probe row when the broadcast materializes
     val p = broadcast(pc.select(
       Seq(col("pid"), col("cell")) ++ codebook.indices.map { b =>
         array(codebook(b).map(c =>
           round(l2sq(slice(col("pv"), b * w + 1, w), c), 4)): _*).as(s"__tbl$b")
       }: _*))
-    val cells = rows.map(_.getAs[Int]("cell")).distinct.sorted
     val dist = codebook.indices.map { b =>
       element_at(col(s"__tbl$b"), element_at(col("codes"), b + 1) + 1)
     }.reduce(_ + _)
@@ -409,6 +417,14 @@ object VectorSearch {
       .withColumn("rnk", row_number().over(wnd))
       .filter(col("rnk") <= k)
       .select(col("pid"), col("rnk"), col("vec_id"), col("adc_dist"))
+  }
+
+  def ivfPqTopK(
+      index: DataFrame, probes: DataFrame, k: Int,
+      cents: Seq[(Int, Seq[Double])], codebook: Seq[Seq[Seq[Double]]],
+      nProbe: Int = 2): DataFrame = {
+    val (pc, cells) = collectedProbeCells(probes, cents, nProbe)
+    adcTopK(index, pc, cells, k, codebook)
   }
 
   /** IVF-PQ with an exact-rerank tail — the standard fix for ADC's coarse
@@ -426,13 +442,22 @@ object VectorSearch {
       k: Int, c: Int,
       cents: Seq[(Int, Seq[Double])], codebook: Seq[Seq[Seq[Double]]],
       nProbe: Int = 2): DataFrame = {
-    val cand = ivfPqTopK(index, probes, c, cents, codebook, nProbe)
+    val (pc, cells) = collectedProbeCells(probes, cents, nProbe)
+    val cand = adcTopK(index, pc, cells, c, codebook)
       .select(col("pid"), col("vec_id"))
     val p = broadcast(probes
       .select(col("vec_id").as("pid"), col("embedding").as("pv")))
     val w = Window.partitionBy(col("pid"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    vectors.join(broadcast(cand), Seq("vec_id"))
+    // candidates live in the probed cells BY CONSTRUCTION, so when the
+    // vectors table carries the cell column the rerank fetch is the same
+    // bucket-pruned scan as the ADC stage — a full-table scan to fetch
+    // c×probes rows would be the one scale regression in this plan
+    val vscan =
+      if (vectors.columns.contains("cell"))
+        vectors.filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+      else vectors
+    vscan.join(broadcast(cand), Seq("vec_id"))
       .join(p, Seq("pid"))
       .select(col("pid"), col("vec_id"),
         round(NE.vectorCosine(col("embedding"), col("pv")), 4).as("cosine"))

@@ -220,6 +220,15 @@ class PlanAuditSpec extends SparkSpec {
     val shuffles = hashExchanges("q107_ann_ivfpq_rerank")
     assert(shuffles.size <= 2,
       s"rerank plan has ${shuffles.size} hash exchanges: ${shuffles.mkString("; ")}")
+    // BOTH index scans prune: the vector-free codes scan (ADC stage) AND
+    // the raw-vector fetch for the rerank — candidates live in the probed
+    // cells by construction, so a full vectors scan would be a scale bug
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(p).toSeq
+    assert(sel.size >= 2,
+      s"expected two bucket-pruned scans (codes + vectors), found ${sel.size}")
+    sel.foreach(m => assert(m.group(1).toInt < m.group(2).toInt,
+      s"scan selected ${m.group(1)} of ${m.group(2)} buckets — no pruning"))
   }
 
   test("q81: element stats run on the columnar n5 scan") {
