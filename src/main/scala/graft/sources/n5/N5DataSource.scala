@@ -198,8 +198,12 @@ class N5ScanBuilder(
       maxBlocksPerBatch = options.getOrDefault(
         "maxBlocksPerBatch", "0").toInt,
       elementsView = elementsView,
-      elementBatchRows = options.getOrDefault(
-        "elementBatchRows", "16384").toInt)
+      elementBatchRows = {
+        val n = options.getOrDefault("elementBatchRows", "16384").toInt
+        // 0 would make the reader emit empty batches forever
+        require(n > 0, s"elementBatchRows must be positive, got $n")
+        n
+      })
 }
 
 object N5Scan {
