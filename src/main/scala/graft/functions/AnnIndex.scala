@@ -119,12 +119,31 @@ object AnnIndex {
       s: SparkSession, dir: String, db: String, loc: String,
       fs: org.apache.hadoop.fs.FileSystem,
       marker: org.apache.hadoop.fs.Path, want: String): Unit = {
-    val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
+    buildIndex(s,
+      Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      db, loc)
+    // marker LAST: its presence certifies every table above is complete
+    val out = fs.create(marker, true)
+    try out.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Train and persist a full index catalog for an ARBITRARY embedding
+    * relation (columns vec_id LONG, embedding ARRAY<FLOAT>) at an
+    * explicit database/location — the library entry point for corpora
+    * that are not a driver testdata dir. Lifecycle (markers,
+    * fingerprints, recovery) stays with `ensure`; callers of this raw
+    * builder manage their own.
+    */
+  def buildIndex(
+      s: SparkSession, emb: org.apache.spark.sql.DataFrame,
+      db: String, loc: String): Unit = synchronized {
+    val e = emb.select(col("vec_id"), col("embedding"))
     val cents = VectorSearch.trainIvfCodebook(e, CoarseK, CoarseIters, SampleBuckets)
     val cb = VectorSearch.trainPqCodebook(e, PqSubspaces, PqK, PqIters, SampleBuckets)
     s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     val hp = new org.apache.hadoop.fs.Path(loc)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(hp)) fs.delete(hp, true)
     s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
     val cell = VectorSearch.ivfCellD(VectorFunctions.toDoubles(col("embedding")), cents)
@@ -155,14 +174,10 @@ object AnnIndex {
         StructField("cv8", ArrayType(DoubleType, containsNull = false)))))
       .coalesce(1).write.mode("overwrite").format("parquet")
       .saveAsTable(s"$db.pq_codebook")
-    // marker LAST: its presence certifies every table above is complete.
-    // Memo invalidation also LAST (and the loaders below share ensure's
-    // lock): dropping the memo at build START would let a concurrent
-    // probe re-cache the pre-rebuild codebooks mid-build and serve them
+    // memo invalidation LAST (and the loaders below share this lock):
+    // dropping the memo at build START would let a concurrent probe
+    // re-cache the pre-rebuild codebooks mid-build and serve them
     // against the post-rebuild index
-    val out = fs.create(marker, true)
-    try out.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
     ivfMemo.remove(db)
     pqMemo.remove(db)
   }

@@ -19,7 +19,7 @@ class ContractSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet.diff(q)
     assert(missing.isEmpty, s"oracles without queries: $missing")
-    assert(SparkEntry.oracleSql.size >= 94)
+    assert(SparkEntry.oracleSql.size >= 97)
   }
 
   test("every declared query is oracle-checked (no rows-only entries)") {
