@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.n5.{Multiscale, N5, N5Meta}
+import graft.n5.{Multiscale, N5}
 import org.apache.spark.sql.functions._
 
 /** N5 array-engine checks over the reference's golden fixture

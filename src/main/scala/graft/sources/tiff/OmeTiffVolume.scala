@@ -4,8 +4,7 @@ import java.io.ByteArrayInputStream
 import javax.imageio.ImageIO
 import javax.imageio.stream.MemoryCacheImageInputStream
 
-import graft.n5.{Compression, DatasetAttributes, Dtype, N5, N5Meta}
-import graft.sources.n5.N5Schema
+import graft.n5.{Compression, DatasetAttributes, Dtype, N5Meta}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession

@@ -1,10 +1,9 @@
 package graft.sources.tiff
 
 import graft.n5.{Compression, DatasetAttributes, Dtype, N5, N5Meta}
-import graft.sources.n5.N5Schema
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** N5 volume <-> 2-D TIFF slice series, the reference's ingest/export pair
