@@ -2,9 +2,21 @@ package graft.functions
 
 import graft.Tables
 import graft.operators.Layout
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** One probe-time-consistent view of a catalog: both index tables and both
+  * codebooks resolved under the build lock, so a concurrent rebuild can
+  * never pair a new codebook with an old index (or vice versa) inside one
+  * query. The DataFrames are analyzed eagerly at snapshot time, pinning
+  * the generation directory they read even if a rebuild swaps the catalog
+  * tables before the query executes (the previous generation's files stay
+  * on disk until the NEXT build).
+  */
+final case class AnnSnapshot(
+    vectors: DataFrame, codes: DataFrame,
+    ivf: Seq[(Int, Seq[Double])], pq: Seq[Seq[Seq[Double]]])
 
 /** Persisted ANN index catalog — the build-once/probe-many lifecycle split.
   *
@@ -25,15 +37,35 @@ import org.apache.spark.sql.types._
   * derive once, read many).
   *
   * Lifecycle: `ensure` is idempotent at three levels — (1) already
-  * registered in this session's catalog: no work; (2) a marker file with a
-  * matching dataset fingerprint exists on disk: re-register the tables
-  * over the existing files (external tables with the same bucket spec —
-  * bucket ids are recovered from the file names, so pruning still works);
-  * (3) otherwise: train, write, and stamp the marker LAST so a half-built
-  * catalog is never recovered. The catalog location is keyed by a hash of
-  * the dataset dir, so sf0.001/sf0.01/sf0.1 runs never share an index,
-  * and the fingerprint (embeddings file length + mtime) forces a rebuild
-  * if the underlying data changes.
+  * registered in this session's catalog AND the memoized fingerprint still
+  * matches the dataset: no work (an embeddings file overwritten mid-session
+  * therefore forces the rebuild path instead of serving a stale index);
+  * (2) a marker file with a matching dataset fingerprint exists on disk:
+  * re-register the tables over the existing files (external tables with
+  * the same bucket spec — bucket ids are recovered from the file names, so
+  * pruning still works); (3) otherwise: train and write a NEW GENERATION
+  * directory, swap the serving tables onto it, and stamp the marker LAST
+  * so a half-built catalog is never recovered.
+  *
+  * Generations: each build lands in `<loc>/g<N>` and the serving database
+  * holds EXTERNAL tables pointed at the current generation. The previous
+  * generation's files are kept until the build after next, so a probe plan
+  * that resolved its locations before a rebuild keeps reading a complete,
+  * self-consistent index mid-rebuild. Probes that need cross-table
+  * atomicity take a [[snapshot]] (resolved under the build lock).
+  *
+  * Maintenance: [[append]] is the incremental path — delta vectors are
+  * assigned against the FROZEN persisted codebooks and appended into the
+  * existing cell buckets; no retraining, no rewrite of existing files
+  * (mirrors the incremental-dedup-vs-history shape of q99).
+  *
+  * Scope: the catalog root defaults to `java.io.tmpdir` and can be moved
+  * with the `graft.ann.catalog.root` system property (set it to shared
+  * storage for a real deployment). The build/probe lock is JVM-local —
+  * concurrent builds of the SAME catalog from separate driver processes
+  * are not coordinated (last marker wins); the marker-last discipline
+  * keeps any single reader consistent, but multi-driver deployments
+  * should serialize maintenance externally.
   */
 object AnnIndex {
 
@@ -48,6 +80,8 @@ object AnnIndex {
   val PqK = 16
   val PqIters = 2
 
+  private val tableNames = Seq("vectors", "codes", "ivf_codebook", "pq_codebook")
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -56,88 +90,219 @@ object AnnIndex {
   /** Catalog database name for a dataset dir (content-addressed). */
   def dbFor(dir: String): String = s"graft_ann_catalog_${md5hex(dir).take(8)}"
 
-  private def locFor(db: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/${db}_db"
+  private def locFor(db: String): String = {
+    val root = System.getProperty("graft.ann.catalog.root",
+      System.getProperty("java.io.tmpdir"))
+    s"$root/${db}_db"
+  }
+
+  private def genLoc(loc: String, gen: Int): String = s"$loc/g$gen"
 
   /** Rebuild trigger: length + mtime of the source embeddings file. */
   private def fingerprint(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    s"graft-ann-v1 ${st.getLen} ${st.getModificationTime}"
+    s"graft-ann-v2 ${st.getLen} ${st.getModificationTime}"
+  }
+
+  /** Fingerprint the session fast path checks — what `ensure` last built,
+    * recovered, or appended for this db IN THIS JVM.
+    */
+  private val fpMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def markerPath(loc: String) =
+    new org.apache.hadoop.fs.Path(loc, "_GRAFT_INDEX_READY")
+
+  /** Marker text is `g<gen>\n<fingerprint>`; absence or an unparsable
+    * (pre-generation) marker reads as None → rebuild.
+    */
+  private def readMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): Option[(Int, String)] = {
+    if (!fs.exists(marker)) return None
+    val in = fs.open(marker)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.split("\n", 2) match {
+      case Array(g, fp) if g.matches("g\\d+") => Some((g.drop(1).toInt, fp))
+      case _ => None
+    }
+  }
+
+  private def writeMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, gen: Int, fp: String): Unit = {
+    val out = fs.create(marker, true)
+    try out.write(s"g$gen\n$fp".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Idempotent build-or-recover; returns the catalog database name. */
   def ensure(s: SparkSession, dir: String): String = synchronized {
     val db = dbFor(dir)
-    if (s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.vectors"))
+    val want = fingerprint(s, dir)
+    // session fast path: registered AND the dataset is unchanged since the
+    // registration (the memoized fingerprint is what this JVM last
+    // built/recovered — a mid-session overwrite of the embeddings file
+    // falls through to the rebuild branch instead of serving stale data)
+    if (s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.vectors")
+        && fpMemo.get(db).contains(want))
       return db
     val loc = locFor(db)
     val hp = new org.apache.hadoop.fs.Path(loc)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(hp, "_GRAFT_INDEX_READY")
-    val want = fingerprint(s, dir)
-    val recoverable = fs.exists(marker) && {
-      val in = fs.open(marker)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      txt == want
+    val marker = markerPath(loc)
+    readMarker(fs, marker) match {
+      case Some((gen, fp)) if fp == want =>
+        register(s, db, loc, gen)
+      case prior =>
+        val gen = prior.map(_._1 + 1).getOrElse(0)
+        // pre-generation layouts (or unparsable markers) rebuild at g0;
+        // drop their flat table dirs so they don't leak under the root
+        if (prior.isEmpty)
+          tableNames.foreach(t =>
+            fs.delete(new org.apache.hadoop.fs.Path(hp, t), true))
+        buildIndex(s, scratchDb(db, gen),
+          Tables.load(s, dir, "embeddings")
+            .select(col("vec_id"), col("embedding")),
+          genLoc(loc, gen))
+        register(s, db, loc, gen)
+        // marker LAST: its presence certifies every table above is complete
+        writeMarker(fs, marker, gen, want)
+        dropOldGenerations(s, db, loc, fs, keepFrom = gen - 1)
     }
-    if (recoverable) register(s, db, loc)
-    else build(s, dir, db, loc, fs, marker, want)
+    fpMemo(db) = want
     db
   }
 
-  /** Re-register the persisted tables in a fresh session's in-memory
-    * catalog. External tables with an explicit bucket spec over the files
-    * the build wrote: Spark recovers each file's bucket id from its name,
-    * so the probe-side bucket pruning survives the session boundary.
+  /** Incremental maintenance — the alternative to a full rebuild when the
+    * corpus GROWS: assign the delta vectors to coarse cells against the
+    * FROZEN persisted codebooks (the same narrow argmax a probe runs),
+    * encode their PQ codes with the frozen PQ codebook, and append both
+    * into the existing cell-bucketed tables. No training jobs, no rewrite
+    * of existing files; the appended files carry the same bucket-id
+    * naming, so probe-side bucket pruning is unchanged. At 100 TB this
+    * turns per-ingest-batch index maintenance from a full retrain+rewrite
+    * into two bounded bucketed appends — the q99
+    * incremental-dedup-vs-history economics applied to the index.
     */
-  private def register(s: SparkSession, db: String, loc: String): Unit = {
-    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-    s.sql(
-      s"""CREATE TABLE IF NOT EXISTS $db.vectors
-         |  (vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT)
-         |USING parquet CLUSTERED BY (cell) INTO $CoarseK BUCKETS
-         |LOCATION '$loc/vectors'""".stripMargin)
-    s.sql(
-      s"""CREATE TABLE IF NOT EXISTS $db.codes
-         |  (vec_id BIGINT, cell INT, codes ARRAY<INT>)
-         |USING parquet CLUSTERED BY (cell) INTO $CoarseK BUCKETS
-         |LOCATION '$loc/codes'""".stripMargin)
-    s.sql(
-      s"""CREATE TABLE IF NOT EXISTS $db.ivf_codebook
-         |  (cid INT, cv ARRAY<DOUBLE>)
-         |USING parquet LOCATION '$loc/ivf_codebook'""".stripMargin)
-    s.sql(
-      s"""CREATE TABLE IF NOT EXISTS $db.pq_codebook
-         |  (b INT, cid INT, cv8 ARRAY<DOUBLE>)
-         |USING parquet LOCATION '$loc/pq_codebook'""".stripMargin)
+  def append(s: SparkSession, db: String, deltaEmb: DataFrame): Unit =
+    synchronized {
+      val cents = ivfCodebook(s, db)
+      val cb = pqCodebook(s, db)
+      val e = deltaEmb.select(col("vec_id"), col("embedding"))
+      val cell = VectorSearch.ivfCellD(
+        VectorFunctions.toDoubles(col("embedding")), cents)
+      Layout.appendBucketed(
+        e.select(col("vec_id"), col("embedding"), cell.as("cell")),
+        s"$db.vectors", "cell", CoarseK)
+      Layout.appendBucketed(
+        e.select(col("vec_id"), cell.as("cell"),
+          NativeExpressions.pqEncode(col("embedding"), cb).as("codes")),
+        s"$db.codes", "cell", CoarseK)
+    }
+
+  /** [[append]] for an `ensure`-managed dataset catalog: appends the delta
+    * and restamps the marker with the dataset's CURRENT fingerprint, so a
+    * later `ensure` (this session or a fresh one) recovers the appended
+    * index instead of retraining from scratch. Call it after the delta
+    * rows have landed in the dataset's embeddings store.
+    */
+  def appendToDataset(s: SparkSession, dir: String, deltaEmb: DataFrame): String =
+    synchronized {
+      val db = dbFor(dir)
+      val loc = locFor(db)
+      val hp = new org.apache.hadoop.fs.Path(loc)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = markerPath(loc)
+      val (gen, _) = readMarker(fs, marker).getOrElse(throw new IllegalStateException(
+        s"no persisted ANN catalog for $dir at $loc — build with ensure() before appending"))
+      if (!(s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.vectors")))
+        register(s, db, loc, gen)
+      append(s, db, deltaEmb)
+      val now = fingerprint(s, dir)
+      writeMarker(fs, marker, gen, now)
+      fpMemo(db) = now
+      db
+    }
+
+  /** Probe-time-consistent resolution of the full catalog (see
+    * [[AnnSnapshot]]) — use this instead of raw `s.table` calls when a
+    * rebuild may run concurrently with serving.
+    */
+  def snapshot(s: SparkSession, db: String): AnnSnapshot = synchronized {
+    AnnSnapshot(s.table(s"$db.vectors"), s.table(s"$db.codes"),
+      ivfCodebook(s, db), pqCodebook(s, db))
   }
 
-  private def build(
-      s: SparkSession, dir: String, db: String, loc: String,
-      fs: org.apache.hadoop.fs.FileSystem,
-      marker: org.apache.hadoop.fs.Path, want: String): Unit = {
-    buildIndex(s,
-      Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-      db, loc)
-    // marker LAST: its presence certifies every table above is complete
-    val out = fs.create(marker, true)
-    try out.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+  private def scratchDb(db: String, gen: Int): String = s"${db}_g$gen"
+
+  /** Drop generation directories (and their scratch databases) older than
+    * `keepFrom` — the generation before the current one is deliberately
+    * kept so probe plans resolved before the swap finish consistently.
+    */
+  private def dropOldGenerations(
+      s: SparkSession, db: String, loc: String,
+      fs: org.apache.hadoop.fs.FileSystem, keepFrom: Int): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(loc)
+    if (!fs.exists(hp)) return
+    fs.listStatus(hp).foreach { st =>
+      val n = st.getPath.getName
+      if (n.matches("g\\d+") && n.drop(1).toInt < keepFrom) {
+        s.sql(s"DROP DATABASE IF EXISTS ${scratchDb(db, n.drop(1).toInt)} CASCADE")
+        fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** (Re-)point the serving database's EXTERNAL tables at generation
+    * `gen`'s files — used both to recover a persisted catalog in a fresh
+    * session and to swap the serving tables after a rebuild. External
+    * tables with an explicit bucket spec: Spark recovers each file's
+    * bucket id from its name, so probe-side bucket pruning survives the
+    * session boundary and the swap. Dropping the previous external tables
+    * deletes no data.
+    */
+  private def register(s: SparkSession, db: String, loc: String, gen: Int): Unit = {
+    val g = genLoc(loc, gen)
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    tableNames.foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    s.sql(
+      s"""CREATE TABLE $db.vectors
+         |  (vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT)
+         |USING parquet CLUSTERED BY (cell) INTO $CoarseK BUCKETS
+         |LOCATION '$g/vectors'""".stripMargin)
+    s.sql(
+      s"""CREATE TABLE $db.codes
+         |  (vec_id BIGINT, cell INT, codes ARRAY<INT>)
+         |USING parquet CLUSTERED BY (cell) INTO $CoarseK BUCKETS
+         |LOCATION '$g/codes'""".stripMargin)
+    s.sql(
+      s"""CREATE TABLE $db.ivf_codebook
+         |  (cid INT, cv ARRAY<DOUBLE>)
+         |USING parquet LOCATION '$g/ivf_codebook'""".stripMargin)
+    s.sql(
+      s"""CREATE TABLE $db.pq_codebook
+         |  (b INT, cid INT, cv8 ARRAY<DOUBLE>)
+         |USING parquet LOCATION '$g/pq_codebook'""".stripMargin)
+    // memo invalidation AFTER the swap and under the same lock: a probe
+    // loading codebooks can never observe a mid-swap catalog
+    ivfMemo.remove(db)
+    pqMemo.remove(db)
   }
 
   /** Train and persist a full index catalog for an ARBITRARY embedding
     * relation (columns vec_id LONG, embedding ARRAY<FLOAT>) at an
     * explicit database/location — the library entry point for corpora
-    * that are not a driver testdata dir. Lifecycle (markers,
-    * fingerprints, recovery) stays with `ensure`; callers of this raw
-    * builder manage their own.
+    * that are not a driver testdata dir. Destructive: drops whatever is
+    * at `db`/`loc`. Lifecycle (markers, fingerprints, generations,
+    * recovery) stays with `ensure`; callers of this raw builder manage
+    * their own.
     */
   def buildIndex(
-      s: SparkSession, emb: org.apache.spark.sql.DataFrame,
-      db: String, loc: String): Unit = synchronized {
+      s: SparkSession, db: String, emb: org.apache.spark.sql.DataFrame,
+      loc: String): Unit = synchronized {
     val e = emb.select(col("vec_id"), col("embedding"))
     val cents = VectorSearch.trainIvfCodebook(e, CoarseK, CoarseIters, SampleBuckets)
     val cb = VectorSearch.trainPqCodebook(e, PqSubspaces, PqK, PqIters, SampleBuckets)
@@ -185,8 +350,9 @@ object AnnIndex {
   // Driver-side codebook memo: a serving process loads each codebook ONCE
   // per index, not once per probe query — the entries are k×dim doubles
   // (a few KB), keyed by catalog db, and dropped whenever that db is
-  // rebuilt (`build` invalidates). This removes two small collect jobs
-  // from every probe-only query and micro-batch.
+  // rebuilt or re-pointed (`buildIndex`/`register` invalidate). This
+  // removes two small collect jobs from every probe-only query and
+  // micro-batch.
   private val ivfMemo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
   private val pqMemo =

@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object VectorSearch {
 
+  /** Hard ceiling on the probe-side rows the indexed entry points pull to
+    * the driver (probes × nProbe). The probe relation is bounded by
+    * contract — a serving query carries a handful of query vectors — but
+    * an unbounded relation handed in by mistake must fail loudly with
+    * this message, not OOM the driver. `take(limit + 1)` collects
+    * incrementally, so the failure never materializes the full relation.
+    */
+  val MaxCollectedProbeRows = 100000
+
+  private def collectBounded(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val rows = df.take(MaxCollectedProbeRows + 1)
+    require(rows.length <= MaxCollectedProbeRows,
+      s"probe relation exceeds $MaxCollectedProbeRows rows (probes × nProbe) — " +
+        "indexed ANN entry points collect the probe side to the driver; " +
+        "batch large probe sets or raise MaxCollectedProbeRows deliberately")
+    rows
+  }
+
   /** Deterministic ±1 hyperplane matrix: sign(j, i) = +1 iff the top bit
     * of md5("j i") is 0. Pure function of (nPlanes, dim) — any process
     * (Spark driver, DuckDB oracle generator) recomputes identical planes.
@@ -210,7 +228,7 @@ object VectorSearch {
     val pcPlan = probeCellsD(
       probes.select(col("vec_id").as("pid"), col("embedding").as("pv")),
       cents, nProbe)
-    val rows = pcPlan.collect()
+    val rows = collectBounded(pcPlan)
     val pc = probes.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), pcPlan.schema)
     val cells = rows.map(_.getAs[Int]("cell")).distinct.sorted
@@ -387,7 +405,7 @@ object VectorSearch {
       probes.select(col("vec_id").as("pid"),
         graft.functions.VectorFunctions.toDoubles(col("embedding")).as("pv")),
       cents, nProbe)
-    val rows = pcPlan.collect()
+    val rows = collectBounded(pcPlan)
     (probes.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), pcPlan.schema),
       rows.map(_.getAs[Int]("cell")).distinct.sorted)

@@ -40,4 +40,25 @@ object Layout {
       if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     sorted.saveAsTable(table)
   }
+
+  /** Append into an EXISTING bucketed table under the same bucket spec —
+    * the incremental-maintenance counterpart of [[writeBucketed]]. Spark
+    * validates the declared (buckets, key) against the catalog table, and
+    * the same repartition-by-key discipline keeps the append to one new
+    * file per touched bucket. Existing files are never rewritten, so an
+    * append-only 100 TB table pays only for its delta; bucket pruning and
+    * exchange-free joins keep working because every file (old and new)
+    * carries its bucket id in its name.
+    */
+  def appendBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val w: DataFrameWriter[Row] = df.repartition(buckets, df.col(key))
+      .write.mode("append")
+      .format("parquet").bucketBy(buckets, key)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
 }

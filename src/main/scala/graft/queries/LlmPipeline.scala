@@ -86,11 +86,11 @@ object LlmPipeline {
     * (q103/q104) and the Scala-side samplers all derive from this one
     * hash family.
     */
-  private def sampCte(sampleBuckets: Int): String = {
+  private def sampCte(sampleBuckets: Int, srcWhere: String = ""): String = {
     val bk = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10"
     s"""samp AS (SELECT vec_id, $bk AS bk,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE $bk < $sampleBuckets)""".stripMargin
+       |  FROM embeddings WHERE $bk < $sampleBuckets$srcWhere)""".stripMargin
   }
 
   /** `name` = the first k sample vectors in (bucket, vec_id) order. */
@@ -99,8 +99,14 @@ object LlmPipeline {
        |    SELECT row_number() OVER (ORDER BY bk ASC, vec_id ASC) - 1 AS cid,
        |      v AS cv FROM samp) WHERE cid < $k)""".stripMargin
 
-  private def kmeansCtes(k: Int, iters: Int, sampleBuckets: Int): String = {
-    val init = s"${sampCte(sampleBuckets)},\n${centInitCte(k, "cent0")}"
+  /** @param srcWhere extra ` AND …` predicate restricting the training
+    *                  sample's source rows — the frozen-codebook
+    *                  incremental story (q108) trains on the BASE slice
+    *                  only, then assigns the full corpus with it.
+    */
+  private def kmeansCtes(
+      k: Int, iters: Int, sampleBuckets: Int, srcWhere: String = ""): String = {
+    val init = s"${sampCte(sampleBuckets, srcWhere)},\n${centInitCte(k, "cent0")}"
     val rounds = (1 to iters).map { t =>
       s"""a$t AS (SELECT vec_id, v, cid AS cell FROM (
          |    SELECT s.vec_id, s.v, c.cid,
@@ -1110,10 +1116,10 @@ object LlmPipeline {
          |SELECT pid, rnk, vec_id, cosine FROM ranked WHERE rnk <= 3
          |ORDER BY pid ASC, rnk ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{AnnIndex, VectorSearch => VS}
-      val db = AnnIndex.ensure(s, dir)
-      VS.ivfTopKIndexed(s.table(s"$db.vectors"),
+      val snap = AnnIndex.snapshot(s, AnnIndex.ensure(s, dir))
+      VS.ivfTopKIndexed(snap.vectors,
           emb(s, dir).filter(col("vec_id") >= 5 && col("vec_id") < 10),
-          k = 3, AnnIndex.ivfCodebook(s, db), nProbe = 2)
+          k = 3, snap.ivf, nProbe = 2)
         .orderBy(col("pid").asc, col("rnk").asc)
     },
 
@@ -1178,10 +1184,10 @@ object LlmPipeline {
          |SELECT pid, rnk, vec_id, adc_dist FROM ranked WHERE rnk <= 5
          |ORDER BY pid ASC, rnk ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{AnnIndex, VectorSearch => VS}
-      val db = AnnIndex.ensure(s, dir)
-      VS.ivfPqTopK(s.table(s"$db.codes"),
+      val snap = AnnIndex.snapshot(s, AnnIndex.ensure(s, dir))
+      VS.ivfPqTopK(snap.codes,
           emb(s, dir).filter(col("vec_id") >= 5 && col("vec_id") < 10),
-          k = 5, AnnIndex.ivfCodebook(s, db), AnnIndex.pqCodebook(s, db),
+          k = 5, snap.ivf, snap.pq,
           nProbe = 2)
         .orderBy(col("pid").asc, col("rnk").asc)
     },
@@ -1259,11 +1265,92 @@ object LlmPipeline {
          |SELECT pid, rnk, vec_id, cosine FROM rranked WHERE rnk <= 10
          |ORDER BY pid ASC, rnk ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{AnnIndex, VectorSearch => VS}
-      val db = AnnIndex.ensure(s, dir)
-      VS.ivfPqTopKRerank(s.table(s"$db.codes"), s.table(s"$db.vectors"),
+      val snap = AnnIndex.snapshot(s, AnnIndex.ensure(s, dir))
+      VS.ivfPqTopKRerank(snap.codes, snap.vectors,
           emb(s, dir).filter(col("vec_id") < 5),
-          k = 10, c = 200, AnnIndex.ivfCodebook(s, db),
-          AnnIndex.pqCodebook(s, db), nProbe = 6)
+          k = 10, c = 200, snap.ivf,
+          snap.pq, nProbe = 6)
+        .orderBy(col("pid").asc, col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // INCREMENTAL INDEX MAINTENANCE (r7 VERDICT #1) — the append path
+    // that closes the one real lifecycle hole: a growing corpus must not
+    // pay a full retrain+rewrite per ingest batch. The base slice
+    // (vec_id % 10 < 8) trains and builds the index; the delta slice is
+    // then APPENDED: assigned to coarse cells against the FROZEN
+    // persisted codebooks (the same narrow argmax a probe runs), PQ-
+    // encoded with the frozen PQ codebook, and written into the existing
+    // cell buckets — no training jobs, no rewrite of existing files
+    // (AnnIndexSpec pins both; PlanAuditSpec pins that the appended
+    // table still bucket-prunes). The delta vectors then probe the
+    // appended index. The oracle replays base-only training CTE-for-CTE
+    // and assigns the FULL corpus with the frozen cent3/pcent2 — exactly
+    // what build+append persist.
+    QueryDef.sql(
+      "q108_ann_index_append",
+      s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleBuckets = 3,
+        srcWhere = " AND vec_id % 10 < 8")},
+         |${pqTrainCtes(k = 16, iters = 2)},
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |sc AS (SELECT e.vec_id, c.b, c.cid,
+         |    round(list_reduce(list_transform(generate_series(1, 8),
+         |      i -> (e.v[8 * c.b + i] - c.cv8[i])
+         |         * (e.v[8 * c.b + i] - c.cv8[i])),
+         |      (x, y) -> x + y), 4) AS d
+         |  FROM e CROSS JOIN pcent2 c),
+         |codes AS (SELECT vec_id, b, cid AS code FROM (
+         |    SELECT vec_id, b, cid,
+         |      row_number() OVER (PARTITION BY vec_id, b
+         |        ORDER BY d ASC, cid ASC) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |pcells AS (SELECT pid, cell FROM (
+         |    SELECT vec_id AS pid, cid AS cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored WHERE vec_id % 10 >= 8 AND vec_id < 50) WHERE rn <= 2),
+         |p AS (SELECT vec_id AS pid, v AS pv FROM e
+         |  WHERE vec_id % 10 >= 8 AND vec_id < 50),
+         |cand AS (SELECT pc.pid, a.vec_id
+         |  FROM assigned a JOIN pcells pc ON a.cell = pc.cell
+         |  WHERE a.vec_id <> pc.pid),
+         |terms AS (SELECT cand.pid, cand.vec_id, codes.b,
+         |    round(list_reduce(list_transform(generate_series(1, 8),
+         |      i -> (p.pv[8 * codes.b + i] - c.cv8[i])
+         |         * (p.pv[8 * codes.b + i] - c.cv8[i])),
+         |      (x, y) -> x + y), 4) AS t
+         |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+         |  JOIN pcent2 c ON c.b = codes.b AND c.cid = codes.code
+         |  JOIN p ON p.pid = cand.pid),
+         |adc AS (SELECT pid, vec_id,
+         |    round(list_reduce(list(t ORDER BY b), (x, y) -> x + y), 4) AS adc_dist
+         |  FROM terms GROUP BY pid, vec_id),
+         |ranked AS (SELECT pid, vec_id, adc_dist,
+         |    row_number() OVER (PARTITION BY pid
+         |      ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+         |  FROM adc)
+         |SELECT pid, rnk, vec_id, adc_dist FROM ranked WHERE rnk <= 5
+         |ORDER BY pid ASC, rnk ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{AnnIndex, VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val db = "graft_ann_incr"
+      AnnIndex.buildIndex(s, db, e.filter(col("vec_id") % 10 < 8),
+        s"${System.getProperty("java.io.tmpdir")}/graft_ann_incr_db")
+      AnnIndex.append(s, db, e.filter(col("vec_id") % 10 >= 8))
+      val snap = AnnIndex.snapshot(s, db)
+      VS.ivfPqTopK(snap.codes,
+          e.filter(col("vec_id") % 10 >= 8 && col("vec_id") < 50),
+          k = 5, snap.ivf, snap.pq, nProbe = 2)
         .orderBy(col("pid").asc, col("rnk").asc)
     }
   )

@@ -172,8 +172,10 @@ object Streams {
       trigger: Trigger = Trigger.AvailableNow())(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.{AnnIndex, VectorSearch}
-    val cents = AnnIndex.ivfCodebook(spark, db)
-    val cb = AnnIndex.pqCodebook(spark, db)
+    // one atomic snapshot for the query's lifetime: index tables and
+    // codebooks resolved under the build lock, so a rebuild mid-stream
+    // can never serve a mixed-generation (new codebook / old index) batch
+    val snap = AnnIndex.snapshot(spark, db)
     probes.writeStream
       .trigger(trigger)
       .outputMode(OutputMode.Append())
@@ -189,8 +191,8 @@ object Streams {
           val local = spark.createDataFrame(
             java.util.Arrays.asList(rows: _*), sel.schema)
           sink(VectorSearch.ivfPqTopKRerank(
-            spark.table(s"$db.codes"), spark.table(s"$db.vectors"),
-            local, k, c, cents, cb, nProbe), id)
+            snap.codes, snap.vectors,
+            local, k, c, snap.ivf, snap.pq, nProbe), id)
         }
       }
       .start()

@@ -115,4 +115,154 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.ivfCodebook(spark, db) eq AnnIndex.ivfCodebook(spark, db))
     assert(AnnIndex.pqCodebook(spark, db) eq AnnIndex.pqCodebook(spark, db))
   }
+
+  private def tmp = System.getProperty("java.io.tmpdir")
+
+  /** Write `df` as a single parquet FILE at `dest` (the dataset-dir
+    * layout the fingerprint reads).
+    */
+  private def writeSingleParquet(
+      df: org.apache.spark.sql.DataFrame, dest: java.nio.file.Path): Unit = {
+    val scratch = Files.createTempDirectory("annidx-w").toString
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = Files.list(Paths.get(scratch)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(part, dest, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+
+  test("append assigns against frozen codebooks: no retrain, no rewrite, " +
+      "probe-equivalent to bulk assignment") {
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val base = all.filter(col("vec_id") % 10 < 8)
+    val delta = all.filter(col("vec_id") % 10 >= 8)
+    val db = "graft_ann_append_spec"
+    AnnIndex.buildIndex(spark, db, base, s"$tmp/${db}_db")
+    val baseCount = spark.table(s"$db.vectors").count()
+    val cents = AnnIndex.ivfCodebook(spark, db)
+    val cb = AnnIndex.pqCodebook(spark, db)
+    def files(t: String): Set[String] =
+      Files.list(Paths.get(s"$tmp/${db}_db/$t")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    val vBefore = files("vectors")
+    val cBefore = files("codes")
+    spark.sparkContext.setJobGroup("ann-append-audit", "append audit")
+    try AnnIndex.append(spark, db, delta)
+    finally spark.sparkContext.clearJobGroup()
+    // append ≠ rebuild, three ways: (1) the memoized codebooks were never
+    // invalidated — training or re-registration would have dropped them
+    assert(AnnIndex.ivfCodebook(spark, db) eq cents,
+      "append must not retrain or reload the coarse codebook")
+    assert(AnnIndex.pqCodebook(spark, db) eq cb,
+      "append must not retrain or reload the PQ codebook")
+    // (2) append-only on disk: every pre-append file survives untouched
+    assert(vBefore.subsetOf(files("vectors")) && cBefore.subsetOf(files("codes")),
+      "append rewrote existing index files")
+    // (3) a bounded job count: two bucketed appends, nothing
+    // training-shaped (a retrain alone schedules ~19 jobs)
+    val jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("ann-append-audit").length
+    assert(jobs <= 8, s"append scheduled $jobs jobs — rebuild-sized work leaked in")
+    assert(spark.table(s"$db.vectors").count() == all.count())
+    assert(spark.table(s"$db.codes").count() == all.count())
+    // probe-after-append == probe over a bulk-built table that assigns
+    // base+delta with the SAME frozen codebooks in one pass
+    val probes = all.filter(col("vec_id") % 10 >= 8 && col("vec_id") < 50)
+    val appended = canon(VectorSearch.ivfPqTopK(
+      spark.table(s"$db.codes"), probes, 5, cents, cb, nProbe = 2))
+    val db2 = "graft_ann_bulk_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS $db2 CASCADE")
+    val loc2 = Paths.get(s"$tmp/${db2}_db")
+    if (Files.exists(loc2)) {
+      Files.walk(loc2).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    spark.sql(s"CREATE DATABASE $db2 LOCATION '$tmp/${db2}_db'")
+    val cell = VectorSearch.ivfCellD(VectorFunctions.toDoubles(col("embedding")), cents)
+    graft.operators.Layout.writeBucketed(
+      all.select(col("vec_id"), cell.as("cell"),
+        NativeExpressions.pqEncode(col("embedding"), cb).as("codes")),
+      s"$db2.codes", "cell", AnnIndex.CoarseK)
+    val bulk = canon(VectorSearch.ivfPqTopK(
+      spark.table(s"$db2.codes"), probes, 5, cents, cb, nProbe = 2))
+    assert(appended == bulk,
+      "probing the appended index disagrees with bulk frozen-codebook assignment")
+    assert(baseCount < all.count(), "delta slice must be non-empty")
+  }
+
+  test("appendToDataset restamps the marker so ensure recovers the appended " +
+      "index instead of retraining") {
+    import org.apache.spark.sql.functions.col
+    val full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val d = Files.createTempDirectory("annidx-append-ds")
+    // ingest epoch 1: base slice only
+    writeSingleParquet(full.filter(col("vec_id") % 10 < 8),
+      d.resolve("embeddings.parquet"))
+    val db = AnnIndex.ensure(spark, d.toString)
+    val baseCount = spark.table(s"$db.vectors").count()
+    // ingest epoch 2: the full dataset lands (base + delta), then the
+    // index is maintained incrementally instead of re-ensured
+    writeSingleParquet(full, d.resolve("embeddings.parquet"))
+    AnnIndex.appendToDataset(spark, d.toString,
+      full.filter(col("vec_id") % 10 >= 8))
+    assert(spark.table(s"$db.vectors").count() == full.count())
+    // ensure now sees the appended catalog as CURRENT: no rebuild (the
+    // marker is untouched), same tables
+    val stamp = Files.getLastModifiedTime(markerOf(db))
+    assert(AnnIndex.ensure(spark, d.toString) == db)
+    assert(Files.getLastModifiedTime(markerOf(db)) == stamp,
+      "ensure after appendToDataset must recover, not rebuild")
+    assert(spark.table(s"$db.vectors").count() == full.count())
+    assert(baseCount < full.count())
+  }
+
+  test("snapshots are generation-consistent under a concurrent rebuild") {
+    import org.apache.spark.sql.functions.col
+    val v1 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val d = Files.createTempDirectory("annidx-gen")
+    writeSingleParquet(v1, d.resolve("embeddings.parquet"))
+    val db = AnnIndex.ensure(spark, d.toString)
+    val probes = v1.filter(col("vec_id") < 3)
+    def run(sn: AnnSnapshot): Seq[(Long, Int, Long, Double)] =
+      canon(VectorSearch.ivfTopKIndexed(sn.vectors, probes, 3, sn.ivf, nProbe = 2))
+    val snapA = AnnIndex.snapshot(spark, db)
+    val resA = run(snapA)
+    // the dataset shrinks to a strict subset → new fingerprint; an
+    // independent catalog over the same new content gives the expected
+    // post-rebuild answer (training is content-deterministic)
+    val v2 = v1.filter(col("vec_id") < 250)
+    writeSingleParquet(v2, d.resolve("embeddings.parquet"))
+    val d2 = Files.createTempDirectory("annidx-gen-ref")
+    Files.copy(d.resolve("embeddings.parquet"), d2.resolve("embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val resB = run(AnnIndex.snapshot(spark, AnnIndex.ensure(spark, d2.toString)))
+    // mid-session overwrite + concurrent rebuild: every probe snapshot
+    // taken while the rebuild runs must be ENTIRELY old-generation or
+    // ENTIRELY new-generation — a mixed pairing (new codebook over the
+    // old index, or vice versa) would match neither expected result
+    val t = new Thread(() => { AnnIndex.ensure(spark, d.toString); () })
+    t.start()
+    var looped = 0
+    while (t.isAlive && looped < 50) {
+      val r = run(AnnIndex.snapshot(spark, db))
+      assert(r == resA || r == resB,
+        s"mixed-generation probe result during rebuild (iteration $looped)")
+      looped += 1
+    }
+    t.join()
+    // the PRE-rebuild snapshot still reads its own (retained) generation
+    assert(run(snapA) == resA,
+      "an outstanding snapshot must keep serving its generation after a rebuild")
+    // a fresh snapshot serves the new generation
+    assert(run(AnnIndex.snapshot(spark, db)) == resB,
+      "post-rebuild snapshot must serve the new generation")
+  }
 }
