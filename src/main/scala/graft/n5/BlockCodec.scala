@@ -15,6 +15,10 @@ final case class DecodedBlock(
     doubles: Array[Double] // null for integer dtypes
 ) {
   def numElements: Int = shape.product
+  /** Elements actually decoded — equals [[numElements]] for default-mode
+    * blocks; a varlength (mode-1) block carries its own count.
+    */
+  def elementCount: Int = if (longs != null) longs.length else doubles.length
   def isFloat: Boolean = doubles != null
 }
 
@@ -33,15 +37,21 @@ final case class DecodedBlock(
   */
 object BlockCodec {
 
-  /** Decode a raw block file. */
+  /** Decode a raw block file. Mode 0 (default) carries shape.product
+    * elements; mode 1 (varlength — real Janelia label volumes carry it)
+    * declares its own element count in an extra uint32 after the dims
+    * (n5-java DefaultBlockReader's layout), decoded through the same
+    * codec pipeline. Mode 2 (object) stays unsupported.
+    */
   def decode(raw: Array[Byte], dtype: Dtype, comp: Compression): DecodedBlock = {
     val hdr = ByteBuffer.wrap(raw).order(ByteOrder.BIG_ENDIAN)
     val mode = hdr.getShort() & 0xffff
-    require(mode == 0, s"unsupported N5 block mode: $mode (varlength not implemented)")
+    require(mode == 0 || mode == 1,
+      s"unsupported N5 block mode: $mode (only default (0) and varlength (1) are supported)")
     val ndim = hdr.getShort() & 0xffff
     val shape = Array.fill(ndim)(hdr.getInt())
-    val headerLen = 4 + 4 * ndim
-    val n = shape.product
+    val n = if (mode == 1) hdr.getInt() else shape.product
+    val headerLen = 4 + 4 * ndim + (if (mode == 1) 4 else 0)
     val payload = decompress(raw, headerLen, comp, n * dtype.bytesPerElement)
     val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
     dtype match {

@@ -335,7 +335,7 @@ object N5 {
             val raw = try in.readAllBytes() finally in.close()
             val dec = BlockCodec.decode(raw, attrs.dataType, attrs.compression)
             var i = 0
-            val n = math.min(base.length, dec.numElements)
+            val n = math.min(base.length, dec.elementCount)
             if (dec.isFloat)
               while (i < n) {
                 base(i) = java.lang.Double.doubleToRawLongBits(dec.doubles(i)); i += 1

@@ -560,6 +560,15 @@ class N5ElementsReader(
         new HPath(part.root, s"${part.dataset}/${g.mkString("/")}"))
       val raw = try in.readAllBytes() finally in.close()
       dec = BlockCodec.decode(raw, attrs.dataType, attrs.compression)
+      // the coordinate unravel trusts the attrs-derived trimmed shape; a
+      // block file whose stored header disagrees (corrupt write, foreign
+      // tool) would otherwise be silently misread as the wrong voxels
+      require(java.util.Arrays.equals(dec.shape, shape),
+        s"block ${g.mkString("/")}: stored shape ${dec.shape.mkString("x")} " +
+          s"!= attrs-derived ${shape.mkString("x")}")
+      require(dec.elementCount >= n,
+        s"block ${g.mkString("/")}: decoded ${dec.elementCount} elements, " +
+          s"expected $n — truncated or varlength-short block")
     }
     off = 0
     true

@@ -143,6 +143,57 @@ class BlockCodecSpec extends AnyFunSuite {
     assert(dec2.longs.toSeq == dec.longs.toSeq)
   }
 
+  /** Hand-build a mode-1 (varlength) block: big-endian uint16 mode=1,
+    * uint16 ndim, ndim×uint32 dims, uint32 numElements, payload.
+    */
+  private def mode1Block(
+      shape: Array[Int], count: Int, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(4 + 4 * shape.length + 4 + payload.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putShort(1.toShort).putShort(shape.length.toShort)
+    shape.foreach(bb.putInt)
+    bb.putInt(count)
+    bb.put(payload)
+    bb.array()
+  }
+
+  test("varlength (mode 1) blocks decode with their own element count") {
+    val shape = Array(4, 3, 1)
+    val vals = Array.tabulate(12)(i => (i * 7 % 256).toLong)
+    // full-count varlength block (the common real case: label volumes
+    // written mode-1 but carrying shape.product elements), raw codec
+    val full = BlockCodec.decode(
+      mode1Block(shape, 12, vals.map(_.toByte)), Dtype.UInt8, Compression("raw"))
+    assert(full.shape.toSeq == shape.toSeq)
+    assert(full.elementCount == 12 && full.numElements == 12)
+    assert(full.longs.toSeq == vals.toSeq)
+    // short varlength block: decodes exactly `count` elements — the
+    // element view layers its own fail-loud check on top
+    val short = BlockCodec.decode(
+      mode1Block(shape, 5, vals.take(5).map(_.toByte)),
+      Dtype.UInt8, Compression("raw"))
+    assert(short.elementCount == 5 && short.numElements == 12)
+    assert(short.longs.toSeq == vals.take(5).toSeq)
+    // the payload rides the same codec pipeline: gzip'd mode-1, uint16
+    val u16 = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    vals.foreach(v => u16.putShort(v.toShort))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(u16.array()); gz.close()
+    val dec16 = BlockCodec.decode(
+      mode1Block(shape, 12, bos.toByteArray), Dtype.UInt16, Compression("gzip"))
+    assert(dec16.longs.toSeq == vals.toSeq)
+    // mode 2 (object) stays a loud rejection
+    val m2 = mode1Block(shape, 12, vals.map(_.toByte))
+    m2(1) = 2.toByte
+    val ex = intercept[IllegalArgumentException] {
+      BlockCodec.decode(m2, Dtype.UInt8, Compression("raw"))
+    }
+    assert(ex.getMessage.contains("unsupported N5 block mode: 2"))
+  }
+
   test("gzip honors the requested deflate level") {
     // highly compressible payload: level 1 must produce more bytes than
     // level 9, and both must decode back to the original

@@ -43,4 +43,58 @@ class ElementScanSpec extends SparkSpec {
       assert(columnar == lazyView, s"${dtype.name} columnar/lazy divergence")
     }
   }
+
+  /** Rewrite block file `g` of a volume as a varlength (mode-1) block
+    * carrying `count` of its decoded elements.
+    */
+  private def rewriteAsMode1(
+      root: String, ds: String, g: String, count: Int): Unit = {
+    import graft.n5.{BlockCodec, N5Meta}
+    val p = java.nio.file.Paths.get(root, ds, g)
+    val attrs = N5Meta.datasetAttributes(root, ds)
+    val dec = BlockCodec.decode(java.nio.file.Files.readAllBytes(p),
+      attrs.dataType, attrs.compression)
+    // re-encode `count` elements through the normal (mode-0) encoder,
+    // then splice the mode-1 header fields into its place
+    val shape = dec.shape
+    val payload = BlockCodec.encode(Array(count, 1, 1),
+      dec.longs.take(count), null, attrs.dataType, attrs.compression)
+      .drop(4 + 4 * 3) // strip the mode-0 header of the payload carrier
+    val bb = java.nio.ByteBuffer
+      .allocate(4 + 4 * shape.length + 4 + payload.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putShort(1.toShort).putShort(shape.length.toShort)
+    shape.foreach(bb.putInt)
+    bb.putInt(count)
+    bb.put(payload)
+    java.nio.file.Files.write(p, bb.array())
+    // the volume was written through Hadoop's ChecksumFileSystem; drop the
+    // stale .crc sidecar so the out-of-band rewrite is readable
+    java.nio.file.Files.deleteIfExists(
+      p.getParent.resolve(s".${p.getFileName}.crc"))
+  }
+
+  test("a full-count varlength (mode-1) block scans like a default block") {
+    val (root, ds) = volume(Dtype.UInt16)
+    val before = N5.elementsScan(spark, root, ds)
+      .agg(sum("v"), count("*")).collect()(0)
+    val attrs = graft.n5.N5Meta.datasetAttributes(root, ds)
+    rewriteAsMode1(root, ds, "0/0/0",
+      attrs.blockShape(Array(0, 0, 0)).product)
+    val after = N5.elementsScan(spark, root, ds)
+      .agg(sum("v"), count("*")).collect()(0)
+    assert(after == before, "mode-1 rewrite changed the scanned elements")
+  }
+
+  test("a short varlength block fails the element scan loudly") {
+    val (root, ds) = volume(Dtype.UInt16)
+    rewriteAsMode1(root, ds, "0/0/0", 7) // 7 of the block's 60 elements
+    val ex = intercept[Exception] {
+      N5.elementsScan(spark, root, ds).agg(sum("v")).collect()
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("varlength-short")),
+      s"expected the fail-loud short-block diagnostic, got: $chain")
+  }
 }
