@@ -57,8 +57,8 @@ object Multiscale {
       thumbnailSize: Long = 64L,
       axes: Seq[String] = Seq("x", "y", "z"),
       method: String = "mean"): Seq[DatasetAttributes] = {
-    require(method == "mean" || method == "mode",
-      s"unsupported downsampling method '$method' (mean, mode)")
+    require(Set("mean", "mode", "min", "max")(method),
+      s"unsupported downsampling method '$method' (mean, mode, min, max)")
     val s0 = N5Meta.datasetAttributes(root, s"$group/s0")
     var prev = s0
     var level = 1
@@ -69,7 +69,7 @@ object Multiscale {
         prev.dimensions.max > thumbnailSize) {
       val attrs =
         if (method == "mode") downsampleLevelMode(spark, root, group, level, factors)
-        else downsampleLevel(spark, root, group, level, factors)
+        else downsampleLevel(spark, root, group, level, factors, method)
       out :+= attrs
       scales :+= levelFactors(factors, level)
       prev = attrs
@@ -89,12 +89,12 @@ object Multiscale {
     */
   def downsampleLevel(
       spark: SparkSession, root: String, group: String, level: Int,
-      factors: Array[Int]): DatasetAttributes = {
+      factors: Array[Int], method: String = "mean"): DatasetAttributes = {
     val src = N5Meta.datasetAttributes(root, s"$group/s${level - 1}")
     if (src.blockSize.zip(factors).forall { case (b, f) => b % f == 0 })
-      downsampleLevelBlockLocal(spark, root, group, level, factors)
+      downsampleLevelBlockLocal(spark, root, group, level, factors, method)
     else
-      downsampleLevelElements(spark, root, group, level, factors)
+      downsampleLevelElements(spark, root, group, level, factors, method)
   }
 
   /** Block-local coarsen: every source block is f-aligned (blockSize
@@ -106,7 +106,14 @@ object Multiscale {
     */
   def downsampleLevelBlockLocal(
       spark: SparkSession, root: String, group: String, level: Int,
-      factors: Array[Int]): DatasetAttributes = {
+      factors: Array[Int], method: String = "mean"): DatasetAttributes = {
+    require(Set("mean", "min", "max")(method),
+      s"block-local downsample supports mean/min/max, got '$method'")
+    // min/max reducers (intensity-volume parity with the reference's
+    // pluggable xarray_multiscale reducer, n5_multiscale.py:65) share the
+    // mean kernel: only the accumulator init/step/finish differ
+    val isMean = method == "mean"
+    val isMin = method == "min"
     val src = N5Meta.datasetAttributes(root, s"$group/s${level - 1}")
     val Array(fx, fy, fz) = factors
     val dstDims = src.dimensions.zip(factors).map { case (d, f) => d / f }
@@ -140,8 +147,12 @@ object Multiscale {
         while (y < oy) {
           var x = 0
           while (x < ox) {
-            var sl = 0L   // integer dtypes: exact Long sum
-            var sd = 0.0  // float dtypes: double sum of the bit-decoded values
+            // integer dtypes: exact Long sum (mean) or running extreme;
+            // float dtypes: double accumulator over the bit-decoded values
+            var sl = if (isMean) 0L
+              else if (isMin) Long.MaxValue else Long.MinValue
+            var sd = if (isMean) 0.0
+              else if (isMin) Double.PositiveInfinity else Double.NegativeInfinity
             var dz = 0
             while (dz < fz) {
               var dy = 0
@@ -150,9 +161,15 @@ object Multiscale {
                 val base = (x * fx) + (y * fy + dy) * sx +
                   (z * fz + dz) * sx * sy
                 while (dx < fx) {
-                  if (isFloat)
-                    sd += java.lang.Double.longBitsToDouble(data(base + dx))
-                  else sl += data(base + dx)
+                  if (isFloat) {
+                    val v = java.lang.Double.longBitsToDouble(data(base + dx))
+                    sd = if (isMean) sd + v
+                      else if (isMin) math.min(sd, v) else math.max(sd, v)
+                  } else {
+                    val v = data(base + dx)
+                    sl = if (isMean) sl + v
+                      else if (isMin) math.min(sl, v) else math.max(sl, v)
+                  }
                   dx += 1
                 }
                 dy += 1
@@ -160,9 +177,11 @@ object Multiscale {
               dz += 1
             }
             out(x + y * ox + z * ox * oy) =
-              if (isFloat) java.lang.Double.doubleToRawLongBits(sd / win)
+              if (isFloat) java.lang.Double.doubleToRawLongBits(
+                if (isMean) sd / win else sd)
               // numpy astype semantics: truncate toward zero
-              else (sl.toDouble / win).toLong
+              else if (isMean) (sl.toDouble / win).toLong
+              else sl
             x += 1
           }
           y += 1
@@ -213,16 +232,26 @@ object Multiscale {
 
   def downsampleLevelElements(
       spark: SparkSession, root: String, group: String, level: Int,
-      factors: Array[Int]): DatasetAttributes =
+      factors: Array[Int], method: String = "mean"): DatasetAttributes =
     downsampleElementsWith(spark, root, group, level, factors) { (src, e) =>
-      val isFloat =
-        src.dataType == Dtype.Float32 || src.dataType == Dtype.Float64
-      e.groupBy(col("x"), col("y"), col("z"))
-        .agg(avg(col("v")).as("m"))
-        .select(col("x"), col("y"), col("z"),
-          (if (isFloat) col("m")
-           // numpy astype: truncate toward zero
-           else expr("CAST(m AS BIGINT)")).as("v"))
+      method match {
+        case "mean" =>
+          val isFloat =
+            src.dataType == Dtype.Float32 || src.dataType == Dtype.Float64
+          e.groupBy(col("x"), col("y"), col("z"))
+            .agg(avg(col("v")).as("m"))
+            .select(col("x"), col("y"), col("z"),
+              (if (isFloat) col("m")
+               // numpy astype: truncate toward zero
+               else expr("CAST(m AS BIGINT)")).as("v"))
+        case "min" | "max" =>
+          // extremes keep the element type — no cast; map-side combine
+          // applies like any keyed agg
+          val agg = if (method == "min") min(col("v")) else max(col("v"))
+          e.groupBy(col("x"), col("y"), col("z")).agg(agg.as("v"))
+        case m => throw new IllegalArgumentException(
+          s"unsupported element downsample method '$m' (mean, min, max)")
+      }
     }
 
   /** Windowed MODE downsample for LABEL volumes (segmentation ids):

@@ -43,18 +43,36 @@ object TiffIO {
     bos.toByteArray
   }
 
-  /** Decode a grayscale TIFF into (width, height, row-major pixels). */
-  def decode(bytes: Array[Byte]): Slice = {
+  /** Decode a TIFF of ANY band count into one grayscale slice per band
+    * (RGB → 3) — the multi-channel breadth tifffile gives the reference
+    * transparently (`tif_to_n5.py:21`). ImageIO's TIFF plugin reads both
+    * striped and tiled layouts; classic-TIFF only (BigTIFF's 0x2B magic
+    * is not a supported SPI, so it fails the decodability check below).
+    */
+  def decodeBands(bytes: Array[Byte]): Seq[Slice] = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    require(img != null, "not a decodable image")
-    // a multi-band (RGB) image would need w*h*bands ints — getPixels into
-    // a w*h buffer dies deep in the raster code; fail with a curated error
-    require(img.getRaster.getNumBands == 1,
-      s"expected single-band grayscale TIFF, got ${img.getRaster.getNumBands} bands")
+    require(img != null,
+      "not a decodable image (note: BigTIFF is not supported — rewrite as classic TIFF)")
     val w = img.getWidth
     val h = img.getHeight
-    val out = new Array[Int](w * h)
-    img.getRaster.getPixels(0, 0, w, h, out)
-    Slice(w, h, out, img.getColorModel.getPixelSize)
+    val raster = img.getRaster
+    // per-band sample depth, not getPixelSize (which is 24 for RGB)
+    val bits = img.getColorModel.getComponentSize(0)
+    (0 until raster.getNumBands).map { b =>
+      val out = new Array[Int](w * h)
+      raster.getSamples(0, 0, w, h, b, out)
+      Slice(w, h, out, bits)
+    }
+  }
+
+  /** Decode a grayscale TIFF into (width, height, row-major pixels). */
+  def decode(bytes: Array[Byte]): Slice = {
+    val bands = decodeBands(bytes)
+    // a multi-band (RGB) series must go through the per-channel ingest —
+    // collapsing it to one band here would silently drop channels
+    require(bands.size == 1,
+      s"expected single-band grayscale TIFF, got ${bands.size} bands — " +
+        "use decodeBands / TiffVolume.ingestSlicesPerChannel for RGB/multi-channel")
+    bands.head
   }
 }

@@ -148,6 +148,39 @@ object TiffVolume {
     out.close()
   }
 
+  /** The ranked (z, content) slice relation shared by the ingest paths:
+    * z COORDINATE = rank in numeric order with path tiebreak (glob-sort
+    * semantics, `tif_to_n5.py:21`) — 1-based or gappy numbering ingests
+    * densely; ranking happens on the tiny driver-side (path, zraw) list
+    * so the per-file decode parallelism of the binaryFile scan survives
+    * (a global window would funnel all content through one task).
+    */
+  private def rankedSlices(
+      spark: SparkSession, inDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tif")
+      .load(inDir)
+      // numeric sort key: digit run right before .tif; files without one
+      // are rejected rather than silently mis-placed (an empty extract
+      // must become null explicitly — ANSI CAST('' AS BIGINT) throws an
+      // opaque error before the curated require below could fire)
+      .withColumn("zraw", {
+        val digits = regexp_extract(col("path"), "(\\d+)\\.tif$", 1)
+        when(length(digits) === 0, lit(null)).otherwise(digits.cast("long"))
+      })
+    val order = files.select(col("path"), col("zraw"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.toString.toLong)))
+    require(order.nonEmpty, s"no .tif files found in $inDir")
+    require(order.forall(_._2.isDefined),
+      s"$inDir contains .tif files without a numeric suffix: " +
+        order.filter(_._2.isEmpty).map(_._1).take(3).mkString(", "))
+    val rankByPath = order.sortBy { case (p, z) => (z.get, p) }
+      .zipWithIndex.map { case ((p, _), i) => (p, i.toLong) }.toSeq
+    files.join(broadcast(rankByPath.toDF("path", "z")), Seq("path"))
+      .select(col("z"), col("content"))
+  }
+
   /** Ingest a directory of grayscale TIFF slices (z order = numeric order
     * of the last integer in each file name) into an N5 dataset.
     */
@@ -160,33 +193,7 @@ object TiffVolume {
     import spark.implicits._
     val (loVal, hiVal) =
       dtype.integerRange.getOrElse((Long.MinValue, Long.MaxValue))
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tif")
-      .load(inDir)
-      // numeric sort key: digit run right before .tif; files without one
-      // are rejected rather than silently mis-placed (an empty extract
-      // must become null explicitly — ANSI CAST('' AS BIGINT) throws an
-      // opaque error before the curated require below could fire)
-      .withColumn("zraw", {
-        val digits = regexp_extract(col("path"), "(\\d+)\\.tif$", 1)
-        when(length(digits) === 0, lit(null)).otherwise(digits.cast("long"))
-      })
-    // z COORDINATE = rank in numeric order with path tiebreak (glob-sort
-    // semantics, tif_to_n5.py:21) — 1-based or gappy numbering ingests
-    // densely; ranking happens on the tiny driver-side (path, zraw) list
-    // so the per-file decode parallelism of the binaryFile scan survives
-    // (a global window would funnel all content through one task)
-    val order = files.select(col("path"), col("zraw"))
-      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.toString.toLong)))
-    require(order.nonEmpty, s"no .tif files found in $inDir")
-    require(order.forall(_._2.isDefined),
-      s"$inDir contains .tif files without a numeric suffix: " +
-        order.filter(_._2.isEmpty).map(_._1).take(3).mkString(", "))
-    val rankByPath = order.sortBy { case (p, z) => (z.get, p) }
-      .zipWithIndex.map { case ((p, _), i) => (p, i.toLong) }.toSeq
-    val ranked = files.join(
-      broadcast(rankByPath.toDF("path", "z")), Seq("path"))
-    val decoded = ranked.select(col("z"), col("content")).as[(Long, Array[Byte])]
+    val decoded = rankedSlices(spark, inDir).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (z, bytes) =>
         val s = TiffIO.decode(bytes)
         (z, s.width, s.height, s.pixels)
@@ -215,6 +222,58 @@ object TiffVolume {
         graft.n5.Regroup.slicesToBlocks(slices, attrs),
         dstRoot, dstDataset, attrs)
       attrs
+    } finally decoded.unpersist()
+  }
+
+  /** Ingest an RGB / multi-band TIFF slice series into PER-CHANNEL N5
+    * datasets `c{b}/<dstDataset>` — the reference's channel-as-sibling-
+    * group layout (`ometif_to_n5.py:111-116`) applied to plain multi-band
+    * TIFFs (tifffile reads these transparently at `tif_to_n5.py:21`;
+    * grayscale-only ingest was the first wall a user with RGB microscopy
+    * slices hit). Returns (channel count, per-channel attrs).
+    */
+  def ingestSlicesPerChannel(
+      spark: SparkSession, inDir: String,
+      dstRoot: String, dstDataset: String,
+      blockSize: Array[Int],
+      dtype: Dtype = Dtype.UInt8,
+      compression: Compression = Compression("gzip")): (Int, DatasetAttributes) = {
+    import spark.implicits._
+    val (loVal, hiVal) =
+      dtype.integerRange.getOrElse((Long.MinValue, Long.MaxValue))
+    val decoded = rankedSlices(spark, inDir).as[(Long, Array[Byte])]
+      .flatMap { case (z, bytes) =>
+        TiffIO.decodeBands(bytes).zipWithIndex.map { case (s, b) =>
+          (z, b, s.width, s.height, s.pixels)
+        }
+      }.toDF("z", "band", "w", "h", "px")
+      // one decode per file feeds every channel's write (plus the
+      // geometry checks) — cache instead of re-decoding per channel
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val Row(w: Int, h: Int, bands: Int, nz: Long, rows: Long) = decoded
+        .agg(max(col("w")), max(col("h")), max(col("band")).cast("int") + 1,
+          countDistinct(col("z")), count(lit(1))).collect()(0)
+      val bad = decoded.filter(col("w") =!= w || col("h") =!= h).count()
+      require(bad == 0, s"$bad bands differ from the ${w}x$h plane size")
+      require(rows == nz * bands,
+        s"ragged band counts: $rows (z, band) planes from $nz slices × $bands bands")
+      val attrs = DatasetAttributes(
+        Array(w.toLong, h.toLong, nz), blockSize, dtype, compression)
+      for (b <- 0 until bands) {
+        val slices = decoded.filter(col("band") === b)
+          .select(col("z"), col("px").cast("array<bigint>"))
+          .as[(Long, Array[Long])]
+          .map { case (z, px) =>
+            require(px.forall(v => v >= loVal && v <= hiVal),
+              s"slice $z has values outside ${dtype.name} range [$loVal, $hiVal]")
+            (z, px)
+          }
+        graft.n5.Regroup.writeAssembled(
+          graft.n5.Regroup.slicesToBlocks(slices, attrs),
+          dstRoot, s"c$b/$dstDataset", attrs)
+      }
+      (bands, attrs)
     } finally decoded.unpersist()
   }
 }

@@ -96,6 +96,48 @@ class RoundTripSpec extends SparkSpec {
       ex2.getCause != null && ex2.getCause.getMessage.contains("range"))
   }
 
+  test("min/max downsample equals independent loops on both code paths") {
+    import spark.implicits._
+    val dims = Array(12L, 10L, 6L)
+    def v(x: Long, y: Long, z: Long): Long = (3 * x + 5 * y + 7 * z) % 97
+    val elems = spark.range(dims.product)
+      .select((col("id") % dims(0)).as("x"),
+        ((col("id") / dims(0)) % dims(1)).cast("long").as("y"),
+        (col("id") / (dims(0) * dims(1))).cast("long").as("z"))
+      .select(col("x"), col("y"), col("z"),
+        ((col("x") * 3 + col("y") * 5 + col("z") * 7) % 97)
+          .cast("int").as("v"))
+    // independent expectation: plain loops over the 2x2x2 windows
+    val (ox, oy, oz) = (6, 5, 3)
+    def extreme(isMin: Boolean): Map[(Int, Int, Int), Long] =
+      (for (z <- 0 until oz; y <- 0 until oy; x <- 0 until ox) yield {
+        val vals = for (dz <- 0 until 2; dy <- 0 until 2; dx <- 0 until 2)
+          yield v(2 * x + dx, 2 * y + dy, 2 * z + dz)
+        ((x, y, z), if (isMin) vals.min else vals.max)
+      }).toMap
+    // block-local path (4,4,2 divisible by 2) and element path (5,3,3 not)
+    for ((bs, label) <- Seq(Array(4, 4, 2) -> "block-local",
+        Array(5, 3, 3) -> "element")) {
+      val root = Files.createTempDirectory("n5minmax").toString + "/t.n5"
+      val attrs = DatasetAttributes(dims, bs, Dtype.UInt16, Compression("gzip"))
+      N5.write(N5.blocksFromElements(elems, attrs,
+        graft.sources.n5.N5Schema.elementType(attrs.dataType)), root, "vol/s0", attrs)
+      for (method <- Seq("min", "max")) {
+        Multiscale.downsampleLevel(spark, root, "vol", 1, Array(2, 2, 2), method)
+        val got = N5.elements(N5.read(spark, root, "vol/s1"))
+          .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt,
+            r.getLong(2).toInt), r.getAs[Number](3).longValue())).toMap
+        val want = extreme(method == "min")
+        assert(got.size == want.size, s"$label/$method cardinality")
+        assert(got == want, s"$label/$method diverges from the loop expectation")
+        // clean between methods: both write vol/s1
+        val s1 = java.nio.file.Paths.get(root, "vol", "s1")
+        Files.walk(s1).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+    }
+  }
+
   test("multiscale s1 equals an independently computed windowed mean") {
     val tmp = Files.createTempDirectory("n5ms").toString
     // materialize the fixture as group vol/s0 (same chunking)
