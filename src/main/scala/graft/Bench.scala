@@ -45,17 +45,31 @@ object Bench {
       // collected DURING the next query's timed run, charging the pause
       // to the wrong query (observed 2-5x swings on sub-second queries)
       System.gc()
-      def once(): (Double, Option[String]) = {
+      // GC seconds spent INSIDE each timed pass: makes neighborhood
+      // effects (a heavy neighbor's garbage collected during this query's
+      // run — the q42/q96 bench-band swings) diagnosable from the
+      // artifact instead of requiring isolated re-runs (VERDICT r7 #8)
+      def gcSec(): Double = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum / 1e3
+      }
+      def once(): (Double, Double, Option[String]) = {
+        val g0 = gcSec()
         val t0 = System.nanoTime()
         val err = try { run(fn); None } catch {
           case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
         }
-        ((System.nanoTime() - t0) / 1e9, err)
+        ((System.nanoTime() - t0) / 1e9, gcSec() - g0, err)
       }
-      val (t1, e1) = once()
-      if (e1.isDefined) (name, t1, e1)
-      else { val (t2, e2) = once(); (name, math.min(t1, t2), e2) }
+      val (t1, g1, e1) = once()
+      if (e1.isDefined) (name, t1, g1, e1)
+      else {
+        val (t2, g2, e2) = once()
+        // report the GC of the pass whose time is reported
+        if (t2 < t1) (name, t2, g2, e2) else (name, t1, g1, e2)
+      }
     }
     // The driver parses the JSON from the LAST ~2000 chars of stdout (sbt
     // appends a "[success]" line after us), so the line must stay well
@@ -75,13 +89,22 @@ object Bench {
     // into invalid JSON
     def num(fmt: String, v: Double): String =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
-    val qs = results.map { case (k, v, err) =>
+    val qs = results.map { case (k, v, _, err) =>
       "\"" + short(k) + "\":" + (if (err.isDefined) "-1" else num("%.2f", v))
     }.mkString("{", ",", "}")
+    // GC attribution for offenders only (>= 0.2 s inside the reported
+    // pass, top 10): keeps the line inside the driver's tail window while
+    // making "q42 regressed" vs "q42 paid a neighbor's GC" readable off
+    // the artifact
+    val gcs = results
+      .collect { case (k, _, g, None) if g >= 0.2 => (k, g) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, g) => "\"" + short(k) + "\":" + num("%.2f", g) }
+      .mkString("{", ",", "}")
     // cap the error map too: a broad regression (bad SF dir, unreadable
     // table) must not push the line past the tail window exactly when the
     // -1 convention matters most
-    val failed = results.collect { case (k, _, Some(e)) => (k, e) }
+    val failed = results.collect { case (k, _, _, Some(e)) => (k, e) }
     val errs = (failed.take(8).map { case (k, e) =>
       // strip quotes, backslashes and ALL control chars — any of them
       // inside an exception message would break the JSON line
@@ -89,8 +112,8 @@ object Bench {
     } ++ (if (failed.size > 8)
       Seq("\"more\":\"" + (failed.size - 8) + " further failures\"")
     else Nil)).mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _, None) => v }.sum
+    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"errors":$errs,"gc":$gcs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
