@@ -227,6 +227,57 @@ object AnnIndex {
       db
     }
 
+  /** Compaction — the operational tail of the append path: every
+    * [[append]] batch adds one file per touched bucket, so a long-lived
+    * index accumulates small files per bucket (the classic LSM-ish
+    * maintenance debt). `compact` rewrites both index tables into a NEW
+    * generation with exactly one file per bucket — no retraining, same
+    * fingerprint, and the generation swap keeps concurrent probes
+    * consistent exactly like a rebuild does. Cost: one bucketed shuffle
+    * of each index table (the codes table is ~32× smaller than the
+    * corpus), paid only when maintenance decides to — probes never
+    * stop working in between, they just read more files.
+    */
+  def compact(s: SparkSession, dir: String): String = synchronized {
+    val db = dbFor(dir)
+    val loc = locFor(db)
+    val hp = new org.apache.hadoop.fs.Path(loc)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = markerPath(loc)
+    val (gen, fp) = readMarker(fs, marker).getOrElse(throw new IllegalStateException(
+      s"no persisted ANN catalog for $dir at $loc — build with ensure() before compacting"))
+    if (!(s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.vectors")))
+      register(s, db, loc, gen)
+    val gen2 = gen + 1
+    val scratch = scratchDb(db, gen2)
+    val g2 = genLoc(loc, gen2)
+    s.sql(s"DROP DATABASE IF EXISTS $scratch CASCADE")
+    val g2p = new org.apache.hadoop.fs.Path(g2)
+    if (fs.exists(g2p)) fs.delete(g2p, true)
+    s.sql(s"CREATE DATABASE $scratch LOCATION '$g2'")
+    // bucket-preserving rewrite. The current generation is read as RAW
+    // parquet paths, not through the catalog tables: a source carrying
+    // the same bucket spec as the write satisfies the repartition's
+    // partitioning, so the optimizer ELIDES the exchange and the "rewrite"
+    // degenerates to one output file per input file — exactly the small-
+    // file state compaction exists to fix. The raw scan has no bucket
+    // metadata, so the one-partition-per-bucket shuffle survives.
+    val g1 = genLoc(loc, gen)
+    Layout.writeBucketed(s.read.parquet(s"$g1/vectors"), s"$scratch.vectors",
+      "cell", CoarseK)
+    Layout.writeBucketed(s.read.parquet(s"$g1/codes"), s"$scratch.codes",
+      "cell", CoarseK)
+    s.read.parquet(s"$g1/ivf_codebook").coalesce(1).write
+      .format("parquet").saveAsTable(s"$scratch.ivf_codebook")
+    s.read.parquet(s"$g1/pq_codebook").coalesce(1).write
+      .format("parquet").saveAsTable(s"$scratch.pq_codebook")
+    register(s, db, loc, gen2)
+    // same data, new layout: the fingerprint is unchanged by design
+    writeMarker(fs, marker, gen2, fp)
+    dropOldGenerations(s, db, loc, fs, keepFrom = gen2 - 1)
+    db
+  }
+
   /** Probe-time-consistent resolution of the full catalog (see
     * [[AnnSnapshot]]) — use this instead of raw `s.table` calls when a
     * rebuild may run concurrently with serving.

@@ -198,6 +198,34 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental index maintenance — the ingest-side
+    * counterpart of [[annServe]]: micro-batches of newly arrived
+    * embeddings (vec_id, embedding) are APPENDED to the persisted
+    * catalog against its FROZEN codebooks (`AnnIndex.append` per batch:
+    * narrow cell assignment + PQ encode + two bucketed appends; no
+    * training jobs ever). Combined with `AnnIndex.compact` on whatever
+    * maintenance cadence suits, this is the full 100 TB index lifecycle:
+    * train once, probe always, absorb deltas as they land. The batch is
+    * persisted for the duration of the two appends so the source is read
+    * once per trigger, not once per table.
+    */
+  def annIngest(
+      spark: SparkSession, deltas: DataFrame, db: String,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.AnnIndex
+    deltas.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.select(col("vec_id"), col("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (b.limit(1).count() > 0) AnnIndex.append(spark, db, b)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   def tiffSlabIngest(
       spark: SparkSession, inDir: String, dstRoot: String, dstDataset: String,
       width: Int, height: Int, depth: Int,

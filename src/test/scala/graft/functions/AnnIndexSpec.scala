@@ -223,6 +223,64 @@ class AnnIndexSpec extends SparkSpec {
     assert(baseCount < full.count())
   }
 
+  test("compact folds append deltas to one file per bucket, probe-equivalent") {
+    import org.apache.spark.sql.functions.col
+    val full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val d = Files.createTempDirectory("annidx-compact")
+    writeSingleParquet(full.filter(col("vec_id") % 10 < 6),
+      d.resolve("embeddings.parquet"))
+    val db = AnnIndex.ensure(spark, d.toString)
+    // two append batches → extra files per touched bucket
+    AnnIndex.append(spark, db, full.filter(col("vec_id") % 10 === 6))
+    AnnIndex.append(spark, db, full.filter(col("vec_id") % 10 >= 7))
+    def markerParts: Array[String] =
+      Files.readString(markerOf(db)).split("\n", 2)
+    def genDir(g: String): java.nio.file.Path =
+      Paths.get(s"$tmp/${db}_db/$g")
+    def parquetFiles(g: String, t: String): Int =
+      Files.list(genDir(g).resolve(t)).toArray
+        .map(_.toString).count(_.endsWith(".parquet"))
+    val Array(g0, fp0) = markerParts
+    assert(parquetFiles(g0, "codes") > AnnIndex.CoarseK,
+      "appends should have left more than one file per bucket")
+    val cents = AnnIndex.ivfCodebook(spark, db)
+    val cb = AnnIndex.pqCodebook(spark, db)
+    val probes = full.filter(col("vec_id") < 3)
+    val before = canon(VectorSearch.ivfPqTopK(
+      spark.table(s"$db.codes"), probes, 5, cents, cb, nProbe = 2))
+    val rows = spark.table(s"$db.vectors").count()
+    AnnIndex.compact(spark, d.toString)
+    val Array(g1, fp1) = markerParts
+    assert(g1 != g0, "compact must land in a new generation")
+    assert(fp1 == fp0, "compact must not change the dataset fingerprint")
+    assert(parquetFiles(g1, "codes") <= AnnIndex.CoarseK,
+      "compacted codes table should have at most one file per bucket")
+    assert(parquetFiles(g1, "vectors") <= AnnIndex.CoarseK)
+    assert(spark.table(s"$db.vectors").count() == rows)
+    val after = canon(VectorSearch.ivfPqTopK(
+      spark.table(s"$db.codes"), probes, 5,
+      AnnIndex.ivfCodebook(spark, db), AnnIndex.pqCodebook(spark, db),
+      nProbe = 2))
+    assert(after == before, "compaction changed probe results")
+    // pruning survives the rewrite: the real probe plan over the
+    // compacted table still selects a strict subset of buckets
+    val plan = VectorSearch.ivfPqTopK(
+        spark.table(s"$db.codes"), probes, 5,
+        AnnIndex.ivfCodebook(spark, db), AnnIndex.pqCodebook(spark, db),
+        nProbe = 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+      .getOrElse(fail(s"compacted table lost its bucket spec:\n$plan"))
+    assert(sel.group(1).toInt < sel.group(2).toInt)
+    // and a later ensure recovers the compacted generation, no rebuild
+    val stamp = Files.getLastModifiedTime(markerOf(db))
+    assert(AnnIndex.ensure(spark, d.toString) == db)
+    assert(Files.getLastModifiedTime(markerOf(db)) == stamp)
+  }
+
   test("snapshots are generation-consistent under a concurrent rebuild") {
     import org.apache.spark.sql.functions.col
     val v1 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

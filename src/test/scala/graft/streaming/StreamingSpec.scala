@@ -161,6 +161,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == batch.length)
   }
 
+  test("streaming delta ingest appends to the index; equals one-shot append") {
+    import graft.functions.{AnnIndex, VectorSearch}
+    val tmp = System.getProperty("java.io.tmpdir")
+    val full = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = full.filter(col("vec_id") % 10 < 8)
+    val delta = full.filter(col("vec_id") % 10 >= 8)
+    // streamed catalog: base build, then deltas arrive as two micro-batches
+    val db = "graft_ann_stream"
+    AnnIndex.buildIndex(spark, db, base, s"$tmp/${db}_db")
+    val d = Files.createTempDirectory("anndeltas").toString
+    delta.filter(col("vec_id") < 250).coalesce(1).write.mode("append").parquet(d)
+    delta.filter(col("vec_id") >= 250).coalesce(1).write.mode("append").parquet(d)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val q = Streams.annIngest(spark, stream, db)
+    q.awaitTermination()
+    assert(spark.table(s"$db.vectors").count() == full.count())
+    assert(spark.table(s"$db.codes").count() == full.count())
+    // reference catalog: same base build (identical deterministic
+    // training), whole delta appended in one call
+    val ref = "graft_ann_stream_ref"
+    AnnIndex.buildIndex(spark, ref, base, s"$tmp/${ref}_db")
+    AnnIndex.append(spark, ref, delta)
+    val probes = full.filter(col("vec_id") % 10 >= 8 && col("vec_id") < 50)
+    def topk(cat: String): Seq[String] =
+      VectorSearch.ivfPqTopK(spark.table(s"$cat.codes"), probes, 5,
+          AnnIndex.ivfCodebook(spark, cat), AnnIndex.pqCodebook(spark, cat),
+          nProbe = 2)
+        .collect().map(_.mkString("|")).toSeq.sorted
+    assert(topk(db) == topk(ref),
+      "streamed micro-batch appends diverge from a one-shot append")
+  }
+
   test("writeStream.format(n5): native streaming sink commits block rows") {
     val tmp = Files.createTempDirectory("n5sink").toString
     // stream the fixture's 4 block rows (as parquet files) into a new N5
