@@ -141,18 +141,34 @@ object AnnIndex {
   /** Idempotent build-or-recover; returns the catalog database name. */
   def ensure(s: SparkSession, dir: String): String = synchronized {
     val db = dbFor(dir)
-    val want = fingerprint(s, dir)
-    // session fast path: registered AND the dataset is unchanged since the
-    // registration (the memoized fingerprint is what this JVM last
-    // built/recovered — a mid-session overwrite of the embeddings file
-    // falls through to the rebuild branch instead of serving stale data)
-    if (s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.vectors")
-        && fpMemo.get(db).contains(want))
-      return db
+    val registered =
+      s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.vectors")
     val loc = locFor(db)
     val hp = new org.apache.hadoop.fs.Path(loc)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = markerPath(loc)
+    // a built catalog is self-contained: if the SOURCE dataset is gone
+    // (archived after indexing — nothing left to compare or rebuild
+    // from), keep serving the persisted index instead of dying in the
+    // fingerprint stat
+    val want =
+      try fingerprint(s, dir)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          if (registered) return db
+          readMarker(fs, marker) match {
+            case Some((gen, _)) => register(s, db, loc, gen); return db
+            case None => throw new IllegalStateException(
+              s"$dir/embeddings.parquet does not exist and no persisted " +
+                s"ANN catalog is recoverable at $loc")
+          }
+      }
+    // session fast path: registered AND the dataset is unchanged since the
+    // registration (the memoized fingerprint is what this JVM last
+    // built/recovered — a mid-session overwrite of the embeddings file
+    // falls through to the rebuild branch instead of serving stale data)
+    if (registered && fpMemo.get(db).contains(want))
+      return db
     readMarker(fs, marker) match {
       case Some((gen, fp)) if fp == want =>
         register(s, db, loc, gen)
@@ -186,6 +202,17 @@ object AnnIndex {
     * turns per-ingest-batch index maintenance from a full retrain+rewrite
     * into two bounded bucketed appends — the q99
     * incremental-dedup-vs-history economics applied to the index.
+    *
+    * Visibility: the tables are append-only, and a non-partitioned
+    * catalog table's file listing is taken when the reading plan is
+    * RESOLVED — a probe resolved before the append simply does not see
+    * the delta yet (plans are never torn within a table), one resolved
+    * after sees all of it. A rerank probe resolving mid-append may see
+    * delta codes before delta vectors — benign (the delta candidate is
+    * dropped from that probe's rerank). Long-lived readers should
+    * re-resolve (fresh [[snapshot]]) per unit of work — see annServe's
+    * per-micro-batch snapshot. Rebuilds and compactions, by contrast,
+    * are fully snapshot-isolated via the generation swap.
     */
   def append(s: SparkSession, db: String, deltaEmb: DataFrame): Unit =
     synchronized {
@@ -220,8 +247,14 @@ object AnnIndex {
         s"no persisted ANN catalog for $dir at $loc — build with ensure() before appending"))
       if (!(s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.vectors")))
         register(s, db, loc, gen)
-      append(s, db, deltaEmb)
+      // fingerprint captured BEFORE the append runs: if another ingest
+      // lands in the dataset while the (arbitrarily long) append writes,
+      // the marker must NOT certify that later data as indexed — a
+      // pre-append stamp leaves the mismatch in place, so the next
+      // ensure() conservatively rebuilds instead of silently serving an
+      // index that is missing the mid-append arrivals
       val now = fingerprint(s, dir)
+      append(s, db, deltaEmb)
       writeMarker(fs, marker, gen, now)
       fpMemo(db) = now
       db

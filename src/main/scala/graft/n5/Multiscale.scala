@@ -245,10 +245,22 @@ object Multiscale {
                // numpy astype: truncate toward zero
                else expr("CAST(m AS BIGINT)")).as("v"))
         case "min" | "max" =>
-          // extremes keep the element type — no cast; map-side combine
-          // applies like any keyed agg
-          val agg = if (method == "min") min(col("v")) else max(col("v"))
-          e.groupBy(col("x"), col("y"), col("z")).agg(agg.as("v"))
+          // extremes keep the element type; map-side combine applies
+          // like any keyed agg. Float windows containing NaN must yield
+          // NaN (numpy reducer semantics, matching the block-local
+          // kernel's math.min/max propagation) — Spark's min/max instead
+          // order NaN above every value, so NaN windows are detected
+          // explicitly
+          val isFloat =
+            src.dataType == Dtype.Float32 || src.dataType == Dtype.Float64
+          val extreme = if (method == "min") min(col("v")) else max(col("v"))
+          val vOut =
+            if (isFloat)
+              when(max(when(isnan(col("v")), 1).otherwise(0)) === 1,
+                lit(Double.NaN).cast(N5Schema.elementType(src.dataType)))
+                .otherwise(extreme)
+            else extreme
+          e.groupBy(col("x"), col("y"), col("z")).agg(vOut.as("v"))
         case m => throw new IllegalArgumentException(
           s"unsupported element downsample method '$m' (mean, min, max)")
       }

@@ -25,21 +25,8 @@ object Layout {
     */
   def writeBucketed(
       df: DataFrame, table: String, key: String, buckets: Int,
-      sortCols: Seq[String] = Nil): Unit = {
-    require(buckets > 0, s"buckets must be positive, got $buckets")
-    // co-partition the write with the bucket function: without this every
-    // task holds rows of every bucket and emits one file PER (task,
-    // bucket) — shufflePartitions × buckets small files per table, the
-    // classic bucketed-write file explosion. repartition by the key uses
-    // the same murmur3-pmod family as the bucket spec, so each task holds
-    // exactly one bucket and writes exactly one file.
-    val w: DataFrameWriter[Row] = df.repartition(buckets, df.col(key))
-      .write.mode("overwrite")
-      .format("parquet").bucketBy(buckets, key)
-    val sorted =
-      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
-    sorted.saveAsTable(table)
-  }
+      sortCols: Seq[String] = Nil): Unit =
+    bucketedSave(df, table, key, buckets, sortCols, "overwrite")
 
   /** Append into an EXISTING bucketed table under the same bucket spec —
     * the incremental-maintenance counterpart of [[writeBucketed]]. Spark
@@ -52,10 +39,24 @@ object Layout {
     */
   def appendBucketed(
       df: DataFrame, table: String, key: String, buckets: Int,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil): Unit =
+    bucketedSave(df, table, key, buckets, sortCols, "append")
+
+  private def bucketedSave(
+      df: DataFrame, table: String, key: String, buckets: Int,
+      sortCols: Seq[String], mode: String): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // co-partition the write with the bucket function: without this every
+    // task holds rows of every bucket and emits one file PER (task,
+    // bucket) — shufflePartitions × buckets small files per table, the
+    // classic bucketed-write file explosion. repartition by the key uses
+    // the same murmur3-pmod family as the bucket spec, so each task holds
+    // exactly one bucket and writes exactly one file. Caveat (see
+    // AnnIndex.compact): if `df` itself scans a table carrying this same
+    // bucket spec, the optimizer elides this repartition — feed a raw
+    // path scan when the one-file-per-bucket guarantee matters.
     val w: DataFrameWriter[Row] = df.repartition(buckets, df.col(key))
-      .write.mode("append")
+      .write.mode(mode)
       .format("parquet").bucketBy(buckets, key)
     val sorted =
       if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w

@@ -465,6 +465,12 @@ class N5BlockReader(
     */
   private def toSparkArray(dec: DecodedBlock): org.apache.spark.sql.catalyst.expressions.UnsafeArrayData = {
     import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    // every blocks-view consumer (Multiscale, Regroup, export) assumes
+    // data.length == shape.product, so a short varlength (mode-1) block
+    // must fail here with a diagnostic, not as an index error mid-copy
+    require(dec.elementCount >= dec.numElements,
+      s"block decodes ${dec.elementCount} elements, expected " +
+        s"${dec.numElements} — truncated or varlength-short block")
     val n = dec.numElements
     attrs.dataType match {
       case Dtype.UInt8 | Dtype.Int16 =>

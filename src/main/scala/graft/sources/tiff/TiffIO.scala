@@ -49,30 +49,38 @@ object TiffIO {
     * striped and tiled layouts; classic-TIFF only (BigTIFF's 0x2B magic
     * is not a supported SPI, so it fails the decodability check below).
     */
-  def decodeBands(bytes: Array[Byte]): Seq[Slice] = {
+  private def readImage(bytes: Array[Byte]): BufferedImage = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null,
       "not a decodable image (note: BigTIFF is not supported — rewrite as classic TIFF)")
+    img
+  }
+
+  private def band(img: BufferedImage, b: Int): Slice = {
     val w = img.getWidth
     val h = img.getHeight
-    val raster = img.getRaster
+    val out = new Array[Int](w * h)
+    img.getRaster.getSamples(0, 0, w, h, b, out)
     // per-band sample depth, not getPixelSize (which is 24 for RGB)
-    val bits = img.getColorModel.getComponentSize(0)
-    (0 until raster.getNumBands).map { b =>
-      val out = new Array[Int](w * h)
-      raster.getSamples(0, 0, w, h, b, out)
-      Slice(w, h, out, bits)
-    }
+    Slice(w, h, out, img.getColorModel.getComponentSize(0))
+  }
+
+  def decodeBands(bytes: Array[Byte]): Seq[Slice] = {
+    val img = readImage(bytes)
+    (0 until img.getRaster.getNumBands).map(band(img, _))
   }
 
   /** Decode a grayscale TIFF into (width, height, row-major pixels). */
   def decode(bytes: Array[Byte]): Slice = {
-    val bands = decodeBands(bytes)
-    // a multi-band (RGB) series must go through the per-channel ingest —
+    val img = readImage(bytes)
+    // reject multi-band BEFORE extracting any pixel buffers: a 4k RGB
+    // slice would otherwise allocate three w*h arrays just to throw; a
+    // multi-band series must go through the per-channel ingest anyway —
     // collapsing it to one band here would silently drop channels
-    require(bands.size == 1,
-      s"expected single-band grayscale TIFF, got ${bands.size} bands — " +
+    val bands = img.getRaster.getNumBands
+    require(bands == 1,
+      s"expected single-band grayscale TIFF, got $bands bands — " +
         "use decodeBands / TiffVolume.ingestSlicesPerChannel for RGB/multi-channel")
-    bands.head
+    band(img, 0)
   }
 }

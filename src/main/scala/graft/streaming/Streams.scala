@@ -172,10 +172,6 @@ object Streams {
       trigger: Trigger = Trigger.AvailableNow())(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.{AnnIndex, VectorSearch}
-    // one atomic snapshot for the query's lifetime: index tables and
-    // codebooks resolved under the build lock, so a rebuild mid-stream
-    // can never serve a mixed-generation (new codebook / old index) batch
-    val snap = AnnIndex.snapshot(spark, db)
     probes.writeStream
       .trigger(trigger)
       .outputMode(OutputMode.Append())
@@ -190,6 +186,15 @@ object Streams {
         if (rows.nonEmpty) {
           val local = spark.createDataFrame(
             java.util.Arrays.asList(rows: _*), sel.schema)
+          // one atomic snapshot PER MICRO-BATCH: tables + codebooks
+          // resolved together under the build lock, so no batch can pair
+          // a new codebook with an old index; and because a long-lived
+          // stream outlives index maintenance, re-resolving each batch
+          // (cheap: codebooks are memoized, tables are k-file listings)
+          // picks up appends and survives rebuilds/compactions — a
+          // stream-lifetime snapshot would pin a generation that two
+          // maintenance cycles later no longer exists on disk
+          val snap = AnnIndex.snapshot(spark, db)
           sink(VectorSearch.ivfPqTopKRerank(
             snap.codes, snap.vectors,
             local, k, c, snap.ivf, snap.pq, nProbe), id)
@@ -220,7 +225,7 @@ object Streams {
         val b = batch.select(col("vec_id"), col("embedding"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          if (b.limit(1).count() > 0) AnnIndex.append(spark, db, b)
+          if (!b.isEmpty) AnnIndex.append(spark, db, b)
         } finally { b.unpersist(); () }
       }
       .start()

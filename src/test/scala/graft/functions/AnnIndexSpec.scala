@@ -281,6 +281,28 @@ class AnnIndexSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(markerOf(db)) == stamp)
   }
 
+  test("a built catalog keeps serving after the source dataset is archived") {
+    import org.apache.spark.sql.functions.col
+    val full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val d = Files.createTempDirectory("annidx-archived")
+    writeSingleParquet(full, d.resolve("embeddings.parquet"))
+    val db = AnnIndex.ensure(spark, d.toString)
+    val rows = spark.table(s"$db.vectors").count()
+    // the dataset is archived after indexing — the catalog is
+    // self-contained, so ensure must keep serving it, not die statting
+    // the missing source
+    Files.delete(d.resolve("embeddings.parquet"))
+    assert(AnnIndex.ensure(spark, d.toString) == db)
+    assert(spark.table(s"$db.vectors").count() == rows)
+    // a dataset that never existed still fails with a curated message
+    val ghost = Files.createTempDirectory("annidx-ghost")
+    val ex = intercept[IllegalStateException] {
+      AnnIndex.ensure(spark, s"$ghost/nope")
+    }
+    assert(ex.getMessage.contains("no persisted ANN catalog"))
+  }
+
   test("snapshots are generation-consistent under a concurrent rebuild") {
     import org.apache.spark.sql.functions.col
     val v1 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

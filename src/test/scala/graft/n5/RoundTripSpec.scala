@@ -138,6 +138,38 @@ class RoundTripSpec extends SparkSpec {
     }
   }
 
+  test("float min/max downsample propagates NaN identically on both paths") {
+    import spark.implicits._
+    val dims = Array(4L, 4L, 2L)
+    // one NaN voxel at (0,0,0): window (0,0,0) must yield NaN from BOTH
+    // kernels (numpy reducer semantics); every other window is NaN-free
+    val elems = spark.range(dims.product)
+      .select((col("id") % 4).as("x"), ((col("id") / 4) % 4).as("y"),
+        (col("id") / 16).as("z"))
+      .select(col("x"), col("y"), col("z"),
+        when(col("x") === 0 && col("y") === 0 && col("z") === 0,
+          lit(Float.NaN))
+          .otherwise((col("x") + col("y") * 2 + col("z") * 3).cast("float"))
+          .as("v"))
+    for ((bs, label) <- Seq(Array(2, 2, 2) -> "block-local",
+        Array(3, 3, 1) -> "element"); method <- Seq("min", "max")) {
+      val root = Files.createTempDirectory("n5nan").toString + "/t.n5"
+      val attrs = DatasetAttributes(dims, bs, Dtype.Float32, Compression("gzip"))
+      N5.write(N5.blocksFromElements(elems, attrs,
+        graft.sources.n5.N5Schema.elementType(attrs.dataType)),
+        root, "vol/s0", attrs)
+      Multiscale.downsampleLevel(spark, root, "vol", 1, Array(2, 2, 2), method)
+      val got = N5.elements(N5.read(spark, root, "vol/s1"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+          r.getFloat(3))).toMap
+      assert(got.size == 4, s"$label/$method cardinality")
+      assert(got((0L, 0L, 0L)).isNaN,
+        s"$label/$method: NaN window must yield NaN")
+      assert(got.filterNot(_._1 == (0L, 0L, 0L)).values.forall(!_.isNaN),
+        s"$label/$method: NaN leaked into clean windows")
+    }
+  }
+
   test("multiscale s1 equals an independently computed windowed mean") {
     val tmp = Files.createTempDirectory("n5ms").toString
     // materialize the fixture as group vol/s0 (same chunking)

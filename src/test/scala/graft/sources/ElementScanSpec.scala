@@ -86,6 +86,18 @@ class ElementScanSpec extends SparkSpec {
     assert(after == before, "mode-1 rewrite changed the scanned elements")
   }
 
+  test("a short varlength block fails the BLOCKS view loudly too") {
+    val (root, ds) = volume(Dtype.UInt16)
+    rewriteAsMode1(root, ds, "0/0/0", 7)
+    val ex = intercept[Exception] {
+      N5.read(spark, root, ds).select(col("data")).collect()
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("varlength-short")),
+      s"expected the fail-loud short-block diagnostic, got: $chain")
+  }
+
   test("a short varlength block fails the element scan loudly") {
     val (root, ds) = volume(Dtype.UInt16)
     rewriteAsMode1(root, ds, "0/0/0", 7) // 7 of the block's 60 elements
