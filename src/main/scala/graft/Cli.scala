@@ -12,11 +12,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   graft.Cli tif2n5 <inDir> <outRoot> <dataset> [blockSize x,y,z] [codec] [dtype]
+  *   graft.Cli rgb2n5 <inDir> <outRoot> <dataset> [blockSize x,y,z] [codec] [dtype]
   *   graft.Cli n52tif <root> <dataset> <outDir> [prefix]
   *   graft.Cli n52tif-box <root> <dataset> <out.tif> <x0,y0,z0> <x1,y1,z1> [bits]
   *   graft.Cli ometif2n5 <in.tif> <outRoot> <dataset> <nChannels> [pageOrder] [blockSize] [codec]
   *   graft.Cli rechunk <srcRoot> <srcDs> <dstRoot> <dstDs> <bx,by,bz>
-  *   graft.Cli multiscale <root> <group> [fx,fy,fz] [maxLevels] [mean|mode]
+  *   graft.Cli multiscale <root> <group> [fx,fy,fz] [maxLevels] [mean|mode|min|max]
   *   graft.Cli create <templateRoot> <templateDs> <outRoot> <outDs> [codec] [dtype]
   */
 object Cli {
@@ -55,6 +56,15 @@ object Cli {
       val a = TiffVolume.ingestSlices(spark, in, root, ds, bs,
         dtype = dt, compression = codec)
       println(s"ingested ${a.dimensions.mkString("x")} as $root/$ds")
+    // RGB / multi-band slice series → one volume per channel at c{b}/<ds>
+    case "rgb2n5" :: in :: root :: ds :: rest =>
+      val bs = rest.headOption.map(ints).getOrElse(Array(512, 512, 512))
+      val codec = Compression(rest.drop(1).headOption.getOrElse("gzip"))
+      val dt = rest.drop(2).headOption.map(Dtype.fromName).getOrElse(Dtype.UInt8)
+      val (nc, a) = TiffVolume.ingestSlicesPerChannel(spark, in, root, ds, bs,
+        dtype = dt, compression = codec)
+      println(s"ingested $nc channels (${a.dimensions.mkString("x")}) " +
+        s"under $root/c*/$ds")
     case "n52tif" :: root :: ds :: out :: rest =>
       val n = TiffVolume.exportSlices(spark, root, ds, out,
         rest.headOption.getOrElse("slice_"))
@@ -97,6 +107,6 @@ object Cli {
     case other =>
       throw new UsageException(
         s"unknown command: ${other.mkString(" ")}\n" +
-          "commands: tif2n5 n52tif n52tif-box ometif2n5 rechunk multiscale create")
+          "commands: tif2n5 rgb2n5 n52tif n52tif-box ometif2n5 rechunk multiscale create")
   }
 }

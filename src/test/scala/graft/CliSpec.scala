@@ -52,6 +52,41 @@ class CliSpec extends SparkSpec {
       "stale blocks survived create(overwrite)")
   }
 
+  test("rgb2n5 dispatch splits an RGB series into per-channel volumes") {
+    val tmp = Files.createTempDirectory("clirgb").toString
+    val im = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      im.setRGB(x, y, ((x * 3) << 16) | ((y * 5) << 8) | (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "tiff", bos)
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    Files.write(java.nio.file.Paths.get(s"$tmp/in/slice_00000.tif"),
+      bos.toByteArray)
+    Cli.run(spark, List("rgb2n5", s"$tmp/in", s"$tmp/rgb.n5", "vol/s0",
+      "4,4,1"))
+    for (b <- 0 until 3) {
+      val a = N5Meta.datasetAttributes(s"$tmp/rgb.n5", s"c$b/vol/s0")
+      assert(a.dimensions.toSeq == Seq(8L, 6L, 1L), s"channel $b dims")
+    }
+    // green channel value at (2,3) is y*5 = 15
+    val g = N5.elements(N5.read(spark, s"$tmp/rgb.n5", "c1/vol/s0"))
+      .filter(col("x") === 2 && col("y") === 3)
+      .collect()(0).getAs[Number]("v").longValue()
+    assert(g == 15L)
+  }
+
+  test("multiscale dispatch accepts the min reducer") {
+    val tmp = Files.createTempDirectory("climin").toString
+    Cli.run(spark, List("n52tif", fixtureRoot, fixtureDs, s"$tmp/tif"))
+    Cli.run(spark, List("tif2n5", s"$tmp/tif", s"$tmp/m.n5", "vol/s0",
+      "64,64,64", "gzip"))
+    Cli.run(spark, List("multiscale", s"$tmp/m.n5", "vol", "2,2,2", "1", "min"))
+    val s1 = N5.elements(N5.read(spark, s"$tmp/m.n5", "vol/s1"))
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    assert(s1 == 93L * 113 * 13)
+  }
+
   test("ometif2n5 dispatch ingests a 2-channel multi-page tiff") {
     import javax.imageio.ImageIO
     import javax.imageio.stream.FileImageOutputStream
