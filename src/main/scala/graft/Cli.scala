@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.Cli n52tif-box <root> <dataset> <out.tif> <x0,y0,z0> <x1,y1,z1> [bits]
   *   graft.Cli ometif2n5 <in.tif> <outRoot> <dataset> <nChannels> [pageOrder] [blockSize] [codec]
   *   graft.Cli rechunk <srcRoot> <srcDs> <dstRoot> <dstDs> <bx,by,bz>
-  *   graft.Cli multiscale <root> <group> [fx,fy,fz] [maxLevels] [mean|mode|min|max]
+  *   graft.Cli multiscale <root> <group> [fx,fy,fz] [maxLevels] [mean|mode|min|max] [fillValue]
   *   graft.Cli create <templateRoot> <templateDs> <outRoot> <outDs> [codec] [dtype]
   */
 object Cli {
@@ -75,10 +75,12 @@ object Cli {
     case "multiscale" :: root :: group :: rest =>
       val f = rest.headOption.map(ints).getOrElse(Array(2, 2, 2))
       val n = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
-      // "mode" for label volumes (most-frequent id; mean invents labels)
+      // "mode" for label volumes (most-frequent id; mean invents labels);
+      // fillValue switches to zarr fill semantics over sparse volumes
       val method = rest.drop(2).headOption.getOrElse("mean")
+      val fill = rest.drop(3).headOption.map(_.toDouble)
       val levels = Multiscale.buildPyramid(spark, root, group, f, n,
-        method = method)
+        method = method, fill = fill)
       println(s"built ${levels.length} levels under $root/$group ($method)")
     // single-box export (reference n5_to_tif block dispatch,
     // `n5_to_tif.py:81-86`): start/end are x,y,z CSV, end exclusive

@@ -19,12 +19,13 @@ import org.apache.spark.sql.functions._
   * Each level is committed before the next starts: fault isolation per
   * level, unlike the reference's single giant task graph.
   *
-  * Sparse inputs (missing block files): missing source blocks yield
-  * missing output blocks, and a window straddling a stored/missing
-  * boundary averages only the stored voxels — this diverges from zarr
-  * fill-value semantics (which would average in zeros). Densify first
-  * (`N5.readBox` fill + `N5.writeBox`) when reference-exact output over
-  * sparse volumes matters.
+  * Sparse inputs (missing block files): the default reducers yield
+  * missing output blocks for missing input, and a window straddling a
+  * stored/missing boundary averages only the stored voxels — diverging
+  * from zarr fill-value semantics (which average in zeros). For
+  * reference-exact sparse output use `buildPyramid(..., fill = Some(0))`
+  * / [[downsampleLevelFilled]]: fill-aware means over the dense OUTPUT
+  * grid, with nothing input-sized ever densified.
   */
 object Multiscale {
 
@@ -56,9 +57,12 @@ object Multiscale {
       maxLevels: Int = 8,
       thumbnailSize: Long = 64L,
       axes: Seq[String] = Seq("x", "y", "z"),
-      method: String = "mean"): Seq[DatasetAttributes] = {
+      method: String = "mean",
+      fill: Option[Double] = None): Seq[DatasetAttributes] = {
     require(Set("mean", "mode", "min", "max")(method),
       s"unsupported downsampling method '$method' (mean, mode, min, max)")
+    require(fill.isEmpty || method == "mean",
+      s"fill-value semantics are implemented for the mean reducer, got '$method'")
     val s0 = N5Meta.datasetAttributes(root, s"$group/s0")
     var prev = s0
     var level = 1
@@ -68,7 +72,10 @@ object Multiscale {
         .forall { case (d, f) => d / f >= 1 } &&
         prev.dimensions.max > thumbnailSize) {
       val attrs =
-        if (method == "mode") downsampleLevelMode(spark, root, group, level, factors)
+        if (fill.isDefined)
+          downsampleLevelFilled(spark, root, group, level, factors, fill.get)
+        else if (method == "mode")
+          downsampleLevelMode(spark, root, group, level, factors)
         else downsampleLevel(spark, root, group, level, factors, method)
       out :+= attrs
       scales :+= levelFactors(factors, level)
@@ -264,6 +271,39 @@ object Multiscale {
         case m => throw new IllegalArgumentException(
           s"unsupported element downsample method '$m' (mean, min, max)")
       }
+    }
+
+  /** Windowed-mean downsample with zarr FILL-VALUE semantics over SPARSE
+    * volumes: voxels of absent blocks count as `fill` (zarr's default 0),
+    * exactly as if the volume had been densified first — but WITHOUT
+    * densifying anything input-sized. After the trim every window holds
+    * exactly fx·fy·fz voxels, so the fill-aware mean is
+    * (storedSum + fill·(win − storedCount)) / win, and windows with no
+    * stored voxels at all come from the dense OUTPUT grid (1/(fx·fy·fz)
+    * of the input — the only density ever materialized). Closes the
+    * sparse-input divergence documented on this object: `buildPyramid`
+    * with `fill = Some(v)` now matches the reference's densified pyramid
+    * on sparse volumes.
+    */
+  def downsampleLevelFilled(
+      spark: SparkSession, root: String, group: String, level: Int,
+      factors: Array[Int], fill: Double = 0.0): DatasetAttributes =
+    downsampleElementsWith(spark, root, group, level, factors) { (src, e) =>
+      val isFloat =
+        src.dataType == Dtype.Float32 || src.dataType == Dtype.Float64
+      val win = factors.map(_.toLong).product
+      val dstDims = src.dimensions.zip(factors).map { case (d, f) => d / f }
+      val stored = e.groupBy(col("x"), col("y"), col("z"))
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("c"))
+      N5.boxGrid(spark, Array(0L, 0L, 0L), dstDims)
+        .join(stored, Seq("x", "y", "z"), "left")
+        .select(col("x"), col("y"), col("z"),
+          {
+            val m = (coalesce(col("s"), lit(0.0))
+              + lit(fill) * (lit(win) - coalesce(col("c"), lit(0L)))) / win
+            // numpy astype: truncate toward zero for integer dtypes
+            (if (isFloat) m else m.cast("bigint")).as("v")
+          })
     }
 
   /** Windowed MODE downsample for LABEL volumes (segmentation ids):

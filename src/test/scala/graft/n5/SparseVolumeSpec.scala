@@ -60,4 +60,32 @@ class SparseVolumeSpec extends SparkSpec {
     assert(box.count() == 32L * 32 * 16)
     assert(box.filter(col("v") === 0).count() == 0)
   }
+
+  test("fill-aware downsample equals the densified windowed mean") {
+    // independent expectation: densify via readBox (zero fill), then a
+    // plain-loop 2x2x2 trimmed windowed mean — the reference's
+    // densify-first pyramid on a sparse volume
+    val dense = new Array[Int](64 * 64 * 16)
+    N5.readBox(spark, root, "vol/s0", Array(0L, 0L, 0L), Array(64L, 64L, 16L))
+      .collect().foreach { r =>
+        val (x, y, z) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt)
+        dense(x + y * 64 + z * 64 * 64) = r.getAs[Number]("v").intValue()
+      }
+    val expected = (for (z <- 0 until 8; y <- 0 until 32; x <- 0 until 32) yield {
+      var s = 0L
+      for (dz <- 0 until 2; dy <- 0 until 2; dx <- 0 until 2)
+        s += dense((2 * x + dx) + (2 * y + dy) * 64 + (2 * z + dz) * 64 * 64)
+      ((x.toLong, y.toLong, z.toLong), (s.toDouble / 8.0).toLong)
+    }).toMap
+    Multiscale.downsampleLevelFilled(spark, root, "vol", 1, Array(2, 2, 2))
+    val got = N5.elements(N5.read(spark, root, "vol/s1"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getAs[Number](3).longValue())).toMap
+    assert(got.size == 32 * 32 * 8, "fill-aware output must be DENSE")
+    assert(got == expected, "fill-aware mean diverges from densified loops")
+    // windows fully inside a missing block are exactly fill (0); windows
+    // fully inside a stored block are never 0 (source values >= 1)
+    assert(got((20L, 5L, 0L)) == 0L, "all-missing window must be fill")
+    assert(got((5L, 5L, 0L)) > 0L)
+  }
 }
