@@ -161,6 +161,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == batch.length)
   }
 
+  test("annServe picks up an index append on the next micro-batch") {
+    import graft.functions.AnnIndex
+    val tmp = System.getProperty("java.io.tmpdir")
+    val full = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val db = "graft_ann_serve_maint"
+    AnnIndex.buildIndex(spark, db, full.filter(col("vec_id") < 400),
+      s"$tmp/${db}_db")
+    val probes = full.filter(col("vec_id") < 3)
+    // the delta is an exact COPY of the probe vectors under fresh ids
+    // (vec_id + 10000): cosine 1.0 against its probe, so once visible it
+    // MUST occupy rank 1 — presence/absence per batch is deterministic
+    val delta = probes.select((col("vec_id") + 10000).as("vec_id"),
+      col("embedding"))
+    // two identical probe files → two micro-batches of the same probes
+    val d = Files.createTempDirectory("annprobes-maint").toString
+    probes.coalesce(1).write.mode("append").parquet(d)
+    probes.coalesce(1).write.mode("append").parquet(d)
+    val stream = spark.readStream.schema(probes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    // batch ids arrive in order and foreachBatch callbacks run
+    // sequentially: appending inside batch 0's sink makes "maintenance
+    // between micro-batches" deterministic
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val q = Streams.annServe(spark, stream, db, k = 3, c = 50, nProbe = 4) {
+      (out, id) =>
+        perBatch.synchronized {
+          perBatch(id) = out.collect().map(_.getLong(2)).toSet
+        }
+        if (id == 0) AnnIndex.append(spark, db, delta)
+    }
+    q.awaitTermination()
+    assert(perBatch.keySet == Set(0L, 1L), s"expected two batches: $perBatch")
+    assert(!perBatch(0L).exists(_ >= 10000),
+      "delta ids visible before the append happened")
+    assert(probes.collect().map(_.getLong(0) + 10000)
+      .forall(perBatch(1L).contains),
+      s"append not visible to the next micro-batch: ${perBatch(1L)}")
+  }
+
   test("streaming delta ingest appends to the index; equals one-shot append") {
     import graft.functions.{AnnIndex, VectorSearch}
     val tmp = System.getProperty("java.io.tmpdir")
