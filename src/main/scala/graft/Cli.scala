@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.Cli n52tif-box <root> <dataset> <out.tif> <x0,y0,z0> <x1,y1,z1> [bits]
   *   graft.Cli ometif2n5 <in.tif> <outRoot> <dataset> <nChannels> [pageOrder] [blockSize] [codec]
   *   graft.Cli rechunk <srcRoot> <srcDs> <dstRoot> <dstDs> <bx,by,bz>
-  *   graft.Cli multiscale <root> <group> [fx,fy,fz] [maxLevels] [mean|mode|min|max] [fillValue]
+  *   graft.Cli multiscale <root> <group> [fx,fy,fz] [maxLevels] [mean|mode|min|max] [fillValue — mean only]
   *   graft.Cli create <templateRoot> <templateDs> <outRoot> <outDs> [codec] [dtype]
   */
 object Cli {
@@ -79,6 +79,9 @@ object Cli {
       // fillValue switches to zarr fill semantics over sparse volumes
       val method = rest.drop(2).headOption.getOrElse("mean")
       val fill = rest.drop(3).headOption.map(_.toDouble)
+      if (fill.isDefined && method != "mean")
+        throw new UsageException(
+          s"fillValue is implemented for the mean reducer only, got '$method'")
       val levels = Multiscale.buildPyramid(spark, root, group, f, n,
         method = method, fill = fill)
       println(s"built ${levels.length} levels under $root/$group ($method)")

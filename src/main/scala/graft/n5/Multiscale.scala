@@ -72,7 +72,11 @@ object Multiscale {
         .forall { case (d, f) => d / f >= 1 } &&
         prev.dimensions.max > thumbnailSize) {
       val attrs =
-        if (fill.isDefined)
+        // fill semantics only matter where the INPUT can be sparse —
+        // level 1. downsampleLevelFilled's output is dense by
+        // construction (SparseVolumeSpec pins it), so later levels take
+        // the plain path and regain the shuffle-free block-local kernel
+        if (fill.isDefined && level == 1)
           downsampleLevelFilled(spark, root, group, level, factors, fill.get)
         else if (method == "mode")
           downsampleLevelMode(spark, root, group, level, factors)
@@ -211,12 +215,14 @@ object Multiscale {
     */
   /** Shared element-shuffle scaffolding: read s{level-1}, trim partial
     * high-edge windows, rebin coordinates by the factors, apply the
-    * per-window `reduce` (must yield columns x, y, z, v), write s{level}.
+    * per-window `reduce` (given the source attrs and the OUTPUT dims the
+    * trim used — single derivation, so reducers cannot drift from the
+    * trim; must yield columns x, y, z, v), write s{level}.
     */
   private def downsampleElementsWith(
       spark: SparkSession, root: String, group: String, level: Int,
       factors: Array[Int])(
-      reduce: (DatasetAttributes, org.apache.spark.sql.DataFrame)
+      reduce: (DatasetAttributes, Array[Long], org.apache.spark.sql.DataFrame)
         => org.apache.spark.sql.DataFrame): DatasetAttributes = {
     val src = N5Meta.datasetAttributes(root, s"$group/s${level - 1}")
     val Array(fx, fy, fz) = factors
@@ -230,7 +236,7 @@ object Multiscale {
         && col("z") < dstDims(2) * fz)
       .select(expr(s"x div $fx").as("x"), expr(s"y div $fy").as("y"),
         expr(s"z div $fz").as("z"), col("v"))
-    val e = reduce(src, rebinned)
+    val e = reduce(src, dstDims, rebinned)
     val blocks = N5.blocksFromElements(e, dst,
       N5Schema.elementType(dst.dataType))
     N5.write(blocks, root, s"$group/s$level", dst)
@@ -240,7 +246,7 @@ object Multiscale {
   def downsampleLevelElements(
       spark: SparkSession, root: String, group: String, level: Int,
       factors: Array[Int], method: String = "mean"): DatasetAttributes =
-    downsampleElementsWith(spark, root, group, level, factors) { (src, e) =>
+    downsampleElementsWith(spark, root, group, level, factors) { (src, _, e) =>
       method match {
         case "mean" =>
           val isFloat =
@@ -288,11 +294,10 @@ object Multiscale {
   def downsampleLevelFilled(
       spark: SparkSession, root: String, group: String, level: Int,
       factors: Array[Int], fill: Double = 0.0): DatasetAttributes =
-    downsampleElementsWith(spark, root, group, level, factors) { (src, e) =>
+    downsampleElementsWith(spark, root, group, level, factors) { (src, dstDims, e) =>
       val isFloat =
         src.dataType == Dtype.Float32 || src.dataType == Dtype.Float64
       val win = factors.map(_.toLong).product
-      val dstDims = src.dimensions.zip(factors).map { case (d, f) => d / f }
       val stored = e.groupBy(col("x"), col("y"), col("z"))
         .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("c"))
       N5.boxGrid(spark, Array(0L, 0L, 0L), dstDims)
@@ -324,7 +329,7 @@ object Multiscale {
     val pre = N5Meta.datasetAttributes(root, s"$group/s${level - 1}")
     require(pre.dataType != Dtype.Float32 && pre.dataType != Dtype.Float64,
       s"mode downsample is for label volumes; got ${pre.dataType.name}")
-    downsampleElementsWith(spark, root, group, level, factors) { (_, e) =>
+    downsampleElementsWith(spark, root, group, level, factors) { (_, _, e) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("x"), col("y"), col("z"))
         .orderBy(col("c").desc, col("v").asc)

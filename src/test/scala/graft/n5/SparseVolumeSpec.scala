@@ -88,4 +88,25 @@ class SparseVolumeSpec extends SparkSpec {
     assert(got((20L, 5L, 0L)) == 0L, "all-missing window must be fill")
     assert(got((5L, 5L, 0L)) > 0L)
   }
+
+  test("buildPyramid with fill: level 1 fill-aware, later levels plain mean") {
+    Multiscale.buildPyramid(spark, root, "vol", Array(2, 2, 2),
+      maxLevels = 2, thumbnailSize = 8, fill = Some(0.0))
+    val s1 = N5.elements(N5.read(spark, root, "vol/s1"))
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt,
+        r.getLong(2).toInt), r.getAs[Number](3).longValue())).toMap
+    assert(s1.size == 32 * 32 * 8, "s1 must be dense (fill-aware)")
+    val s2 = N5.elements(N5.read(spark, root, "vol/s2"))
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt,
+        r.getLong(2).toInt), r.getAs[Number](3).longValue())).toMap
+    assert(s2.size == 16 * 16 * 4, "s2 must be dense (its input is)")
+    // s2 == plain windowed mean of the dense s1 (the cheap path suffices
+    // above level 1)
+    s2.foreach { case ((x, y, z), v) =>
+      var s = 0L
+      for (dz <- 0 until 2; dy <- 0 until 2; dx <- 0 until 2)
+        s += s1((2 * x + dx, 2 * y + dy, 2 * z + dz))
+      assert(v == (s.toDouble / 8.0).toLong, s"s2 mismatch at ($x,$y,$z)")
+    }
+  }
 }
