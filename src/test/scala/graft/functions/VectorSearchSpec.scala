@@ -40,6 +40,24 @@ class VectorSearchSpec extends SparkSpec {
     assert(b1.values.toSet.size > 8, "buckets should spread")
   }
 
+  test("indexed entry points handle an empty probe relation") {
+    // empty probes → empty result, no exception (the bounded collect and
+    // the literal IN over zero cells must both degrade gracefully)
+    val cents = emb.filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    val index = emb.withColumn("cell",
+      VectorSearch.ivfCellD(VectorFunctions.toDoubles(col("embedding")), cents))
+    val none = emb.filter(col("vec_id") < -1)
+    assert(VectorSearch.ivfTopKIndexed(index, none, 5, cents).count() == 0)
+    val cb = VectorSearch.pqCodebook(emb, 8, 16)
+    val codes = index.select(col("vec_id"), col("cell"),
+      NativeExpressions.pqEncode(col("embedding"), cb).as("codes"))
+    assert(VectorSearch.ivfPqTopK(codes, none, 5, cents, cb).count() == 0)
+    assert(VectorSearch.ivfPqTopKRerank(codes, index, none, 5, 50, cents, cb)
+      .count() == 0)
+  }
+
   test("ivf search equals brute force restricted to the probed cells") {
     val e = emb
     val cents = e.filter(col("vec_id") < 8).collect()
