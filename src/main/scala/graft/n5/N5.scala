@@ -334,8 +334,16 @@ object N5 {
             val in = fs.open(path)
             val raw = try in.readAllBytes() finally in.close()
             val dec = BlockCodec.decode(raw, attrs.dataType, attrs.compression)
+            // same short-block discipline as N5ElementsReader /
+            // N5BlockReader: a truncated varlength (mode-1) block must
+            // fail loudly here too — a silent prefix+fill overlay would
+            // preserve WRONG voxels outside the box
+            if (dec.elementCount < vol) throw new IllegalArgumentException(
+              s"writeBox: block ${grid.mkString("/")} decodes " +
+                s"${dec.elementCount} elements, expected $vol — " +
+                "truncated varlength (mode-1) block")
             var i = 0
-            val n = math.min(base.length, dec.elementCount)
+            val n = base.length
             if (dec.isFloat)
               while (i < n) {
                 base(i) = java.lang.Double.doubleToRawLongBits(dec.doubles(i)); i += 1

@@ -61,8 +61,11 @@ object TiffIO {
     val h = img.getHeight
     val out = new Array[Int](w * h)
     img.getRaster.getSamples(0, 0, w, h, b, out)
-    // per-band sample depth, not getPixelSize (which is 24 for RGB)
-    Slice(w, h, out, img.getColorModel.getComponentSize(0))
+    // per-band sample depth, not getPixelSize (which is 24 for RGB); use
+    // THIS band's component size — bands can be heterogeneous (e.g.
+    // 5650-style 8+8+8 vs padded alpha), band 0's depth must not leak
+    val cs = img.getColorModel.getComponentSize
+    Slice(w, h, out, if (b < cs.length) cs(b) else cs(0))
   }
 
   def decodeBands(bytes: Array[Byte]): Seq[Slice] = {

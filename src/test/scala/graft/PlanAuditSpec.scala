@@ -210,9 +210,18 @@ class PlanAuditSpec extends SparkSpec {
       .flatMap(_.stageIds().toSeq)
       .flatMap(sid => tracker.getStageInfo(sid).toSeq)
       .map(_.name())
+    // poll until the job set is STABLE across two reads 100ms apart —
+    // re-reading immediately after the first read always saw zero growth
+    // and skipped the wait entirely, letting the assertions run on a
+    // partially populated store
     var names = stageNames
-    while (System.nanoTime < deadline && { val n = stageNames; val grown = n.size > names.size; names = n; grown })
+    var stable = false
+    while (System.nanoTime < deadline && !stable) {
       Thread.sleep(100)
+      val n = stageNames
+      stable = n.size == names.size
+      names = n
+    }
     assert(names.nonEmpty, "no stages recorded for the probe job group")
     // writes are saveAsTable/insertInto call sites; "parquet at" would be
     // a read-side schema job (Tables.load) and is legitimately probe-shaped
