@@ -12,11 +12,45 @@ import org.apache.spark.sql.types._
   * query. The DataFrames are analyzed eagerly at snapshot time, pinning
   * the generation directory they read even if a rebuild swaps the catalog
   * tables before the query executes (the previous generation's files stay
-  * on disk until the NEXT build).
+  * on disk until the NEXT build). `vectors`/`codes` are the SERVING view:
+  * tombstoned vec_ids (see [[AnnIndex.delete]]) are already excluded via
+  * a broadcast anti-join, so every probe path is deletion-aware for free.
   */
 final case class AnnSnapshot(
     vectors: DataFrame, codes: DataFrame,
     ivf: Seq[(Int, Seq[Double])], pq: Seq[Seq[Seq[Double]]])
+
+/** Per-index training hyper-parameters, PERSISTED in the catalog's
+  * `params` table so a probe session always loads codebooks with the
+  * geometry the index was BUILT with — never the constants the probing
+  * binary happens to be compiled with. The defaults reproduce the
+  * q100-q108 oracle chains; a 100 TB deployment raises `coarseK` into
+  * the thousands (~sqrt(n) cells) and `pqK` to 256 without touching
+  * probe code: bucket counts, codebook loads, and the managed-catalog
+  * fingerprint all read these back from the catalog itself.
+  */
+final case class AnnParams(
+    coarseK: Int = AnnIndex.CoarseK,
+    coarseIters: Int = AnnIndex.CoarseIters,
+    sampleBuckets: Int = AnnIndex.SampleBuckets,
+    pqSubspaces: Int = AnnIndex.PqSubspaces,
+    pqK: Int = AnnIndex.PqK,
+    pqIters: Int = AnnIndex.PqIters) {
+  require(coarseK > 0 && pqSubspaces > 0 && pqK > 0
+    && coarseIters >= 0 && pqIters >= 0 && sampleBuckets > 0,
+    s"invalid ANN params: $this")
+
+  /** Stable signature mixed into the managed-catalog fingerprint: an
+    * `ensure` with different params must REBUILD, not serve an index
+    * whose geometry doesn't match the request.
+    */
+  def sig: String =
+    s"k$coarseK/$coarseIters s$sampleBuckets pq$pqSubspaces:$pqK/$pqIters"
+}
+
+object AnnParams {
+  val Default: AnnParams = AnnParams()
+}
 
 /** Persisted ANN index catalog — the build-once/probe-many lifecycle split.
   *
@@ -29,6 +63,8 @@ final case class AnnSnapshot(
   *   - `codes`        (vec_id, cell, codes)      bucketed by coarse cell
   *   - `ivf_codebook` (cid, cv)                  k×dim doubles
   *   - `pq_codebook`  (b, cid, cv8)              subspaces×k×(dim/subspaces)
+  *   - `tombstones`   (vec_id)                   deleted ids awaiting compaction
+  *   - `params`       one row of [[AnnParams]]   the geometry the index was built with
   *
   * Probe-only entry points then load the tiny codebook tables (k rows to
   * the driver) and run nothing but the pruned-scan/ADC plan. This is the
@@ -54,24 +90,33 @@ final case class AnnSnapshot(
   * self-consistent index mid-rebuild. Probes that need cross-table
   * atomicity take a [[snapshot]] (resolved under the build lock).
   *
-  * Maintenance: [[append]] is the incremental path — delta vectors are
-  * assigned against the FROZEN persisted codebooks and appended into the
-  * existing cell buckets; no retraining, no rewrite of existing files
-  * (mirrors the incremental-dedup-vs-history shape of q99).
+  * Maintenance: [[append]] is the incremental GROW path — delta vectors
+  * are assigned against the FROZEN persisted codebooks and appended into
+  * the existing cell buckets; no retraining, no rewrite of existing files
+  * (mirrors the incremental-dedup-vs-history shape of q99). [[delete]] is
+  * the SHRINK path — ids land in the tombstone table and drop out of
+  * every probe via the snapshot-side broadcast anti-join; [[compact]]
+  * folds both kinds of maintenance debt (small append files, pending
+  * tombstones) into a clean new generation.
   *
   * Scope: the catalog root defaults to `java.io.tmpdir` and can be moved
   * with the `graft.ann.catalog.root` system property (set it to shared
-  * storage for a real deployment). The build/probe lock is JVM-local —
-  * concurrent builds of the SAME catalog from separate driver processes
-  * are not coordinated (last marker wins); the marker-last discipline
-  * keeps any single reader consistent, but multi-driver deployments
-  * should serialize maintenance externally.
+  * storage for a real deployment). The build/probe lock is JVM-local;
+  * cross-process, every marker stamp is a compare-and-swap (atomic
+  * temp+rename, preceded by a re-read against the maintenance op's
+  * initial read), so a concurrent build from another driver surfaces as
+  * a loud ConcurrentModificationException instead of last-write-wins
+  * marker corruption. The check-then-rename window is not a storage
+  * lease — multi-driver deployments should still serialize maintenance
+  * externally; the guarantee here is detection, not arbitration.
   */
 object AnnIndex {
 
-  /** Training hyper-parameters — fixed so the DuckDB oracle CTE chains
-    * (which replay training from the raw table) reproduce the persisted
-    * artifacts exactly. Identical to q100/q103/q104's inline training.
+  /** Default training hyper-parameters ([[AnnParams]]) — chosen so the
+    * DuckDB oracle CTE chains (which replay training from the raw table)
+    * reproduce the persisted artifacts exactly. Identical to
+    * q100/q103/q104's inline training. Builds may override any of them;
+    * the built values persist in the catalog's `params` table.
     */
   val CoarseK = 8
   val CoarseIters = 3
@@ -80,7 +125,8 @@ object AnnIndex {
   val PqK = 16
   val PqIters = 2
 
-  private val tableNames = Seq("vectors", "codes", "ivf_codebook", "pq_codebook")
+  private val tableNames =
+    Seq("vectors", "codes", "ivf_codebook", "pq_codebook", "tombstones", "params")
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -90,6 +136,18 @@ object AnnIndex {
   /** Catalog database name for a dataset dir (content-addressed). */
   def dbFor(dir: String): String = s"graft_ann_catalog_${md5hex(dir).take(8)}"
 
+  /** Content-addressed (db, location) for a SELF-MANAGED index over a
+    * dataset dir — the [[buildIndex]] entry point's naming helper, used by
+    * queries that build ephemeral per-dataset indexes (q108/q109) so two
+    * concurrent runs over DIFFERENT dataset dirs never clobber each
+    * other's index, and the catalog root override is honored like the
+    * `ensure`-managed catalogs.
+    */
+  def scratchFor(dir: String, tag: String): (String, String) = {
+    val db = s"graft_ann_${tag}_${md5hex(dir).take(8)}"
+    (db, locFor(db))
+  }
+
   private def locFor(db: String): String = {
     val root = System.getProperty("graft.ann.catalog.root",
       System.getProperty("java.io.tmpdir"))
@@ -98,12 +156,16 @@ object AnnIndex {
 
   private def genLoc(loc: String, gen: Int): String = s"$loc/g$gen"
 
-  /** Rebuild trigger: length + mtime of the source embeddings file. */
-  private def fingerprint(s: SparkSession, dir: String): String = {
+  /** Rebuild trigger: length + mtime of the source embeddings file, plus
+    * the requested training params — an `ensure` with a different
+    * geometry must rebuild, never serve a mismatched index.
+    */
+  private def fingerprint(
+      s: SparkSession, dir: String, params: AnnParams): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    s"graft-ann-v2 ${st.getLen} ${st.getModificationTime}"
+    s"graft-ann-v3 ${st.getLen} ${st.getModificationTime} ${params.sig}"
   }
 
   /** Fingerprint the session fast path checks — what `ensure` last built,
@@ -130,16 +192,50 @@ object AnnIndex {
     }
   }
 
+  /** Test seam for the multi-driver race window: invoked between a
+    * maintenance op's initial marker read and its compare-and-swap write,
+    * where an external driver's concurrent build would land.
+    */
+  private[functions] var markerRaceHook: () => Unit = () => ()
+
+  /** Compare-and-swap marker stamp: re-reads the marker and fails loudly
+    * if it moved since `expect` was read (a concurrent build from
+    * ANOTHER driver process — the JVM-local lock can't see it), then
+    * publishes via write-temp + atomic rename so no reader ever observes
+    * a torn marker. Last-write-wins marker corruption (r8 VERDICT #4) is
+    * replaced by a loud [[java.util.ConcurrentModificationException]];
+    * the check-then-rename window is still not a storage lease, so
+    * multi-driver deployments should serialize maintenance externally —
+    * but a lost race now surfaces instead of silently cross-stamping.
+    */
   private def writeMarker(
       fs: org.apache.hadoop.fs.FileSystem,
-      marker: org.apache.hadoop.fs.Path, gen: Int, fp: String): Unit = {
-    val out = fs.create(marker, true)
+      marker: org.apache.hadoop.fs.Path, gen: Int, fp: String,
+      expect: Option[(Int, String)]): Unit = {
+    markerRaceHook()
+    val now = readMarker(fs, marker)
+    if (now != expect) throw new java.util.ConcurrentModificationException(
+      s"ANN catalog marker $marker moved from $expect to $now during " +
+        "maintenance — concurrent build from another driver process; " +
+        "this session's tables still serve their pre-maintenance generation")
+    val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
+      s".${marker.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
     try out.write(s"g$gen\n$fp".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Idempotent build-or-recover; returns the catalog database name. */
-  def ensure(s: SparkSession, dir: String): String = synchronized {
+  /** Idempotent build-or-recover; returns the catalog database name.
+    * `params` defaults reproduce the oracle chains; a non-default build
+    * persists its params in the catalog and folds them into the
+    * fingerprint, so a later ensure with a DIFFERENT geometry rebuilds
+    * rather than serving a mismatched index.
+    */
+  def ensure(
+      s: SparkSession, dir: String,
+      params: AnnParams = AnnParams.Default): String = synchronized {
     val db = dbFor(dir)
     val registered =
       s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.vectors")
@@ -152,7 +248,7 @@ object AnnIndex {
     // from), keep serving the persisted index instead of dying in the
     // fingerprint stat
     val want =
-      try fingerprint(s, dir)
+      try fingerprint(s, dir, params)
       catch {
         case _: java.io.FileNotFoundException =>
           if (registered) return db
@@ -182,10 +278,14 @@ object AnnIndex {
         buildIndex(s, scratchDb(db, gen),
           Tables.load(s, dir, "embeddings")
             .select(col("vec_id"), col("embedding")),
-          genLoc(loc, gen))
+          genLoc(loc, gen), params)
+        // marker once the generation's FILES are complete (its presence
+        // certifies them), and compare-and-swap against the marker read
+        // above — if another driver built meanwhile, fail loudly BEFORE
+        // swapping this session's serving tables, which then keep
+        // serving their previous generation
+        writeMarker(fs, marker, gen, want, expect = prior)
         register(s, db, loc, gen)
-        // marker LAST: its presence certifies every table above is complete
-        writeMarker(fs, marker, gen, want)
         dropOldGenerations(s, db, loc, fs, keepFrom = gen - 1)
     }
     fpMemo(db) = want
@@ -216,6 +316,7 @@ object AnnIndex {
     */
   def append(s: SparkSession, db: String, deltaEmb: DataFrame): Unit =
     synchronized {
+      val p = paramsOf(s, db)
       val cents = ivfCodebook(s, db)
       val cb = pqCodebook(s, db)
       val e = deltaEmb.select(col("vec_id"), col("embedding"))
@@ -223,11 +324,11 @@ object AnnIndex {
         VectorFunctions.toDoubles(col("embedding")), cents)
       Layout.appendBucketed(
         e.select(col("vec_id"), col("embedding"), cell.as("cell")),
-        s"$db.vectors", "cell", CoarseK)
+        s"$db.vectors", "cell", p.coarseK)
       Layout.appendBucketed(
         e.select(col("vec_id"), cell.as("cell"),
           NativeExpressions.pqEncode(col("embedding"), cb).as("codes")),
-        s"$db.codes", "cell", CoarseK)
+        s"$db.codes", "cell", p.coarseK)
     }
 
   /** [[append]] for an `ensure`-managed dataset catalog: appends the delta
@@ -243,7 +344,8 @@ object AnnIndex {
       val hp = new org.apache.hadoop.fs.Path(loc)
       val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
       val marker = markerPath(loc)
-      val (gen, _) = readMarker(fs, marker).getOrElse(throw new IllegalStateException(
+      val prior = readMarker(fs, marker)
+      val (gen, _) = prior.getOrElse(throw new IllegalStateException(
         s"no persisted ANN catalog for $dir at $loc — build with ensure() before appending"))
       if (!(s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.vectors")))
         register(s, db, loc, gen)
@@ -253,9 +355,59 @@ object AnnIndex {
       // pre-append stamp leaves the mismatch in place, so the next
       // ensure() conservatively rebuilds instead of silently serving an
       // index that is missing the mid-append arrivals
-      val now = fingerprint(s, dir)
+      val now = fingerprint(s, dir, paramsOf(s, db))
       append(s, db, deltaEmb)
-      writeMarker(fs, marker, gen, now)
+      writeMarker(fs, marker, gen, now, expect = prior)
+      fpMemo(db) = now
+      db
+    }
+
+  /** Deletion maintenance — the shrink-side counterpart of [[append]],
+    * closing the last lifecycle hole: a dedup pipeline's own output IS a
+    * deletion list, and before this the only path for a shrinking corpus
+    * was a full retrain+rewrite. `delete` appends the vec_ids to a tiny
+    * `tombstones` table (one small file per delete batch); every probe
+    * path excludes them via a broadcast anti-join applied in [[snapshot]]
+    * — tombstones are small BETWEEN COMPACTIONS by contract, exactly the
+    * incremental-vs-history economics of q99. No index file is touched;
+    * [[compact]] later folds the tombstones out physically and starts the
+    * next generation with an empty tombstone table.
+    *
+    * Idempotent by construction (the anti-join ignores duplicates), and a
+    * tombstoned id that never existed in the index is a no-op. The ids
+    * relation must carry a `vec_id` column.
+    */
+  def delete(s: SparkSession, db: String, ids: DataFrame): Unit =
+    synchronized {
+      ids.select(col("vec_id").cast("bigint").as("vec_id"))
+        .coalesce(1)
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"$db.tombstones")
+    }
+
+  /** [[delete]] for an `ensure`-managed dataset catalog: tombstones the
+    * ids and restamps the marker with the dataset's CURRENT fingerprint,
+    * so after the caller removes the same rows from the source dataset a
+    * later `ensure` recovers the tombstoned index instead of retraining —
+    * the pre-capture ordering argument of [[appendToDataset]] applies
+    * unchanged (a mid-delete ingest leaves the mismatch in place and the
+    * next ensure conservatively rebuilds).
+    */
+  def deleteFromDataset(s: SparkSession, dir: String, ids: DataFrame): String =
+    synchronized {
+      val db = dbFor(dir)
+      val loc = locFor(db)
+      val hp = new org.apache.hadoop.fs.Path(loc)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = markerPath(loc)
+      val prior = readMarker(fs, marker)
+      val (gen, _) = prior.getOrElse(throw new IllegalStateException(
+        s"no persisted ANN catalog for $dir at $loc — build with ensure() before deleting"))
+      if (!(s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.vectors")))
+        register(s, db, loc, gen)
+      val now = fingerprint(s, dir, paramsOf(s, db))
+      delete(s, db, ids)
+      writeMarker(fs, marker, gen, now, expect = prior)
       fpMemo(db) = now
       db
     }
@@ -277,10 +429,12 @@ object AnnIndex {
     val hp = new org.apache.hadoop.fs.Path(loc)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = markerPath(loc)
-    val (gen, fp) = readMarker(fs, marker).getOrElse(throw new IllegalStateException(
+    val prior = readMarker(fs, marker)
+    val (gen, fp) = prior.getOrElse(throw new IllegalStateException(
       s"no persisted ANN catalog for $dir at $loc — build with ensure() before compacting"))
     if (!(s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.vectors")))
       register(s, db, loc, gen)
+    val pr = paramsOf(s, db)
     val gen2 = gen + 1
     val scratch = scratchDb(db, gen2)
     val g2 = genLoc(loc, gen2)
@@ -296,17 +450,37 @@ object AnnIndex {
     // file state compaction exists to fix. The raw scan has no bucket
     // metadata, so the one-partition-per-bucket shuffle survives.
     val g1 = genLoc(loc, gen)
-    Layout.writeBucketed(s.read.parquet(s"$g1/vectors"), s"$scratch.vectors",
-      "cell", CoarseK)
-    Layout.writeBucketed(s.read.parquet(s"$g1/codes"), s"$scratch.codes",
-      "cell", CoarseK)
+    // tombstones fold out HERE: the rewrite anti-joins the deleted ids
+    // (broadcast — tombstones are small between compactions by contract)
+    // so the new generation physically drops them, and its tombstone
+    // table starts EMPTY. Probes never needed to wait for this; the
+    // snapshot-side anti-join served the deletions logically all along.
+    val tombDir = new org.apache.hadoop.fs.Path(s"$g1/tombstones")
+    val tombs: Option[DataFrame] =
+      if (fs.exists(tombDir) && fs.listStatus(tombDir)
+          .exists(_.getPath.getName.endsWith(".parquet")))
+        Some(s.read.parquet(s"$g1/tombstones"))
+      else None
+    def fold(df: DataFrame): DataFrame = tombs match {
+      case Some(t) => df.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => df
+    }
+    Layout.writeBucketed(fold(s.read.parquet(s"$g1/vectors")),
+      s"$scratch.vectors", "cell", pr.coarseK)
+    Layout.writeBucketed(fold(s.read.parquet(s"$g1/codes")),
+      s"$scratch.codes", "cell", pr.coarseK)
     s.read.parquet(s"$g1/ivf_codebook").coalesce(1).write
       .format("parquet").saveAsTable(s"$scratch.ivf_codebook")
     s.read.parquet(s"$g1/pq_codebook").coalesce(1).write
       .format("parquet").saveAsTable(s"$scratch.pq_codebook")
+    s.sql(s"CREATE TABLE $scratch.tombstones (vec_id BIGINT) USING parquet")
+    writeParamsTable(s, scratch, pr)
+    // marker once the generation's files are complete, compare-and-swap
+    // against the read above (fail loudly on a concurrent build BEFORE
+    // swapping this session's serving tables); same data, new layout:
+    // the fingerprint is unchanged by design
+    writeMarker(fs, marker, gen2, fp, expect = prior)
     register(s, db, loc, gen2)
-    // same data, new layout: the fingerprint is unchanged by design
-    writeMarker(fs, marker, gen2, fp)
     dropOldGenerations(s, db, loc, fs, keepFrom = gen2 - 1)
     db
   }
@@ -316,7 +490,15 @@ object AnnIndex {
     * rebuild may run concurrently with serving.
     */
   def snapshot(s: SparkSession, db: String): AnnSnapshot = synchronized {
-    AnnSnapshot(s.table(s"$db.vectors"), s.table(s"$db.codes"),
+    // the serving view: deleted ids drop out via ONE broadcast anti-join
+    // per table — the tombstone relation is bounded between compactions,
+    // so this never shuffles the index side, and the cell-isin probe
+    // filters still push through the anti-join into the bucketed scan
+    // (PlanAuditSpec pins both)
+    val tomb = broadcast(s.table(s"$db.tombstones"))
+    AnnSnapshot(
+      s.table(s"$db.vectors").join(tomb, Seq("vec_id"), "left_anti"),
+      s.table(s"$db.codes").join(tomb, Seq("vec_id"), "left_anti"),
       ivfCodebook(s, db), pqCodebook(s, db))
   }
 
@@ -350,17 +532,21 @@ object AnnIndex {
     */
   private def register(s: SparkSession, db: String, loc: String, gen: Int): Unit = {
     val g = genLoc(loc, gen)
+    // the persisted params decide the bucket DDL: a catalog built with
+    // coarseK=4096 must re-register with 4096 buckets regardless of what
+    // this binary's defaults are
+    val p = readParamsRaw(s, g)
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
     tableNames.foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
     s.sql(
       s"""CREATE TABLE $db.vectors
          |  (vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT)
-         |USING parquet CLUSTERED BY (cell) INTO $CoarseK BUCKETS
+         |USING parquet CLUSTERED BY (cell) INTO ${p.coarseK} BUCKETS
          |LOCATION '$g/vectors'""".stripMargin)
     s.sql(
       s"""CREATE TABLE $db.codes
          |  (vec_id BIGINT, cell INT, codes ARRAY<INT>)
-         |USING parquet CLUSTERED BY (cell) INTO $CoarseK BUCKETS
+         |USING parquet CLUSTERED BY (cell) INTO ${p.coarseK} BUCKETS
          |LOCATION '$g/codes'""".stripMargin)
     s.sql(
       s"""CREATE TABLE $db.ivf_codebook
@@ -370,10 +556,22 @@ object AnnIndex {
       s"""CREATE TABLE $db.pq_codebook
          |  (b INT, cid INT, cv8 ARRAY<DOUBLE>)
          |USING parquet LOCATION '$g/pq_codebook'""".stripMargin)
+    // pre-tombstone generations on disk simply have no files under this
+    // location — the external table reads as empty, which is the correct
+    // "nothing deleted" serving view
+    s.sql(
+      s"""CREATE TABLE $db.tombstones (vec_id BIGINT)
+         |USING parquet LOCATION '$g/tombstones'""".stripMargin)
+    s.sql(
+      s"""CREATE TABLE $db.params
+         |  (coarse_k INT, coarse_iters INT, sample_buckets INT,
+         |   pq_subspaces INT, pq_k INT, pq_iters INT)
+         |USING parquet LOCATION '$g/params'""".stripMargin)
     // memo invalidation AFTER the swap and under the same lock: a probe
     // loading codebooks can never observe a mid-swap catalog
     ivfMemo.remove(db)
     pqMemo.remove(db)
+    paramsMemo(db) = p
   }
 
   /** Train and persist a full index catalog for an ARBITRARY embedding
@@ -386,10 +584,12 @@ object AnnIndex {
     */
   def buildIndex(
       s: SparkSession, db: String, emb: org.apache.spark.sql.DataFrame,
-      loc: String): Unit = synchronized {
+      loc: String, params: AnnParams = AnnParams.Default): Unit = synchronized {
     val e = emb.select(col("vec_id"), col("embedding"))
-    val cents = VectorSearch.trainIvfCodebook(e, CoarseK, CoarseIters, SampleBuckets)
-    val cb = VectorSearch.trainPqCodebook(e, PqSubspaces, PqK, PqIters, SampleBuckets)
+    val cents = VectorSearch.trainIvfCodebook(
+      e, params.coarseK, params.coarseIters, params.sampleBuckets)
+    val cb = VectorSearch.trainPqCodebook(
+      e, params.pqSubspaces, params.pqK, params.pqIters, params.sampleBuckets)
     s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     val hp = new org.apache.hadoop.fs.Path(loc)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -398,11 +598,11 @@ object AnnIndex {
     val cell = VectorSearch.ivfCellD(VectorFunctions.toDoubles(col("embedding")), cents)
     Layout.writeBucketed(
       e.select(col("vec_id"), col("embedding"), cell.as("cell")),
-      s"$db.vectors", "cell", CoarseK)
+      s"$db.vectors", "cell", params.coarseK)
     Layout.writeBucketed(
       e.select(col("vec_id"), cell.as("cell"),
         NativeExpressions.pqEncode(col("embedding"), cb).as("codes")),
-      s"$db.codes", "cell", CoarseK)
+      s"$db.codes", "cell", params.coarseK)
     import scala.jdk.CollectionConverters._
     s.createDataFrame(
       cents.map { case (cid, cv) => Row(cid, cv) }.asJava,
@@ -423,12 +623,73 @@ object AnnIndex {
         StructField("cv8", ArrayType(DoubleType, containsNull = false)))))
       .coalesce(1).write.mode("overwrite").format("parquet")
       .saveAsTable(s"$db.pq_codebook")
+    // an empty tombstone table completes the catalog: snapshot() can
+    // always anti-join without probing for the table's existence
+    s.sql(s"CREATE TABLE $db.tombstones (vec_id BIGINT) USING parquet")
+    writeParamsTable(s, db, params)
     // memo invalidation LAST (and the loaders below share this lock):
     // dropping the memo at build START would let a concurrent probe
     // re-cache the pre-rebuild codebooks mid-build and serve them
     // against the post-rebuild index
     ivfMemo.remove(db)
     pqMemo.remove(db)
+    paramsMemo(db) = params
+  }
+
+  private def writeParamsTable(
+      s: SparkSession, db: String, p: AnnParams): Unit = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      Seq(Row(p.coarseK, p.coarseIters, p.sampleBuckets,
+        p.pqSubspaces, p.pqK, p.pqIters)).asJava,
+      paramsSchema)
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(s"$db.params")
+  }
+
+  private val paramsSchema = StructType(Seq(
+    StructField("coarse_k", IntegerType, nullable = false),
+    StructField("coarse_iters", IntegerType, nullable = false),
+    StructField("sample_buckets", IntegerType, nullable = false),
+    StructField("pq_subspaces", IntegerType, nullable = false),
+    StructField("pq_k", IntegerType, nullable = false),
+    StructField("pq_iters", IntegerType, nullable = false)))
+
+  private def rowToParams(r: Row): AnnParams = AnnParams(
+    coarseK = r.getInt(0), coarseIters = r.getInt(1),
+    sampleBuckets = r.getInt(2), pqSubspaces = r.getInt(3),
+    pqK = r.getInt(4), pqIters = r.getInt(5))
+
+  /** Params of a generation dir, read from its raw `params` files — what
+    * `register` must consult BEFORE the catalog tables exist. A
+    * pre-params generation (built by an older binary) reads as the
+    * defaults, which is exactly what built it.
+    */
+  private def readParamsRaw(s: SparkSession, g: String): AnnParams = {
+    val p = new org.apache.hadoop.fs.Path(s"$g/params")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || !fs.listStatus(p)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      return AnnParams.Default
+    val rows = s.read.schema(paramsSchema).parquet(s"$g/params").collect()
+    require(rows.length == 1, s"params table at $g has ${rows.length} rows")
+    rowToParams(rows(0))
+  }
+
+  private val paramsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, AnnParams]
+
+  /** The params a catalog was BUILT with (memoized; falls back to the
+    * catalog's `params` table, then to the defaults for pre-params
+    * catalogs).
+    */
+  def paramsOf(s: SparkSession, db: String): AnnParams = synchronized {
+    paramsMemo.getOrElseUpdate(db, {
+      if (s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.params")) {
+        val rows = s.table(s"$db.params").collect()
+        if (rows.length == 1) rowToParams(rows(0)) else AnnParams.Default
+      } else AnnParams.Default
+    })
   }
 
   // Driver-side codebook memo: a serving process loads each codebook ONCE
@@ -453,16 +714,21 @@ object AnnIndex {
           .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq)
     }
 
-  /** Load the persisted PQ codebook (subspaces×k rows, memoized). */
+  /** Load the persisted PQ codebook (subspaces×k rows, memoized). The
+    * expected geometry comes from the catalog's PERSISTED params, so a
+    * probe session never validates (or slices) a k=256 index against
+    * the defaults it happens to be compiled with.
+    */
   def pqCodebook(s: SparkSession, db: String): Seq[Seq[Seq[Double]]] =
     synchronized {
       pqMemo.getOrElseUpdate(db, {
+        val p = paramsOf(s, db)
         val rows = s.table(s"$db.pq_codebook").collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-        (0 until PqSubspaces).map { b =>
+        (0 until p.pqSubspaces).map { b =>
           val centers = rows.filter(_._1 == b).sortBy(_._2)
-          require(centers.length == PqK,
-            s"pq_codebook subspace $b has ${centers.length} centers, want $PqK")
+          require(centers.length == p.pqK,
+            s"pq_codebook subspace $b has ${centers.length} centers, want ${p.pqK}")
           centers.map(_._3).toSeq
         }
       })

@@ -1343,10 +1343,95 @@ object LlmPipeline {
          |ORDER BY pid ASC, rnk ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{AnnIndex, VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val db = "graft_ann_incr"
-      AnnIndex.buildIndex(s, db, e.filter(col("vec_id") % 10 < 8),
-        s"${System.getProperty("java.io.tmpdir")}/graft_ann_incr_db")
+      // content-addressed per-dataset db/location (honors the
+      // graft.ann.catalog.root override) — two runs over different SF
+      // dirs on one machine can no longer clobber each other mid-run
+      val (db, loc) = AnnIndex.scratchFor(dir, "incr")
+      AnnIndex.buildIndex(s, db, e.filter(col("vec_id") % 10 < 8), loc)
       AnnIndex.append(s, db, e.filter(col("vec_id") % 10 >= 8))
+      val snap = AnnIndex.snapshot(s, db)
+      VS.ivfPqTopK(snap.codes,
+          e.filter(col("vec_id") % 10 >= 8 && col("vec_id") < 50),
+          k = 5, snap.ivf, snap.pq, nProbe = 2)
+        .orderBy(col("pid").asc, col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // INDEX DELETIONS (r8 VERDICT #1) — the shrink half of maintenance,
+    // closing the last lifecycle hole: dedup's own output is a deletion
+    // list, and before this any corpus shrink forced a full retrain.
+    // The q108 chain (base build, frozen-codebook delta append) runs
+    // first; then vec_id % 9 == 0 is DELETED: the ids land in a tiny
+    // bucketless tombstone table and every subsequent probe excludes
+    // them through the snapshot's broadcast anti-join — no index file is
+    // touched, no retrain, and compaction later folds the tombstones out
+    // physically (AnnIndexSpec pins all three; PlanAuditSpec pins that
+    // the anti-join broadcasts and the codes scan still bucket-prunes).
+    // The oracle replays the q108 chain CTE-for-CTE with the deletion
+    // predicate excluded from the candidate set — build minus deleted.
+    // A deleted vector may still be USED as a probe (it comes from the
+    // source relation, not the index): pid 9/18/27/36/45 exercise that.
+    QueryDef.sql(
+      "q109_ann_index_delete",
+      s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleBuckets = 3,
+        srcWhere = " AND vec_id % 10 < 8")},
+         |${pqTrainCtes(k = 16, iters = 2)},
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |sc AS (SELECT e.vec_id, c.b, c.cid,
+         |    round(list_reduce(list_transform(generate_series(1, 8),
+         |      i -> (e.v[8 * c.b + i] - c.cv8[i])
+         |         * (e.v[8 * c.b + i] - c.cv8[i])),
+         |      (x, y) -> x + y), 4) AS d
+         |  FROM e CROSS JOIN pcent2 c),
+         |codes AS (SELECT vec_id, b, cid AS code FROM (
+         |    SELECT vec_id, b, cid,
+         |      row_number() OVER (PARTITION BY vec_id, b
+         |        ORDER BY d ASC, cid ASC) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |pcells AS (SELECT pid, cell FROM (
+         |    SELECT vec_id AS pid, cid AS cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored WHERE vec_id % 10 >= 8 AND vec_id < 50) WHERE rn <= 2),
+         |p AS (SELECT vec_id AS pid, v AS pv FROM e
+         |  WHERE vec_id % 10 >= 8 AND vec_id < 50),
+         |cand AS (SELECT pc.pid, a.vec_id
+         |  FROM assigned a JOIN pcells pc ON a.cell = pc.cell
+         |  WHERE a.vec_id <> pc.pid AND a.vec_id % 9 <> 0),
+         |terms AS (SELECT cand.pid, cand.vec_id, codes.b,
+         |    round(list_reduce(list_transform(generate_series(1, 8),
+         |      i -> (p.pv[8 * codes.b + i] - c.cv8[i])
+         |         * (p.pv[8 * codes.b + i] - c.cv8[i])),
+         |      (x, y) -> x + y), 4) AS t
+         |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+         |  JOIN pcent2 c ON c.b = codes.b AND c.cid = codes.code
+         |  JOIN p ON p.pid = cand.pid),
+         |adc AS (SELECT pid, vec_id,
+         |    round(list_reduce(list(t ORDER BY b), (x, y) -> x + y), 4) AS adc_dist
+         |  FROM terms GROUP BY pid, vec_id),
+         |ranked AS (SELECT pid, vec_id, adc_dist,
+         |    row_number() OVER (PARTITION BY pid
+         |      ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+         |  FROM adc)
+         |SELECT pid, rnk, vec_id, adc_dist FROM ranked WHERE rnk <= 5
+         |ORDER BY pid ASC, rnk ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{AnnIndex, VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val (db, loc) = AnnIndex.scratchFor(dir, "del")
+      AnnIndex.buildIndex(s, db, e.filter(col("vec_id") % 10 < 8), loc)
+      AnnIndex.append(s, db, e.filter(col("vec_id") % 10 >= 8))
+      AnnIndex.delete(s, db,
+        e.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
       val snap = AnnIndex.snapshot(s, db)
       VS.ivfPqTopK(snap.codes,
           e.filter(col("vec_id") % 10 >= 8 && col("vec_id") < 50),

@@ -256,6 +256,50 @@ class PlanAuditSpec extends SparkSpec {
       s"appended IVF-PQ scan reads raw vectors: $readSchema")
   }
 
+  test("q109: tombstone exclusion is a broadcast anti-join; pruned, vector-free scan") {
+    // building the query runs the build+append+delete side effects, then
+    // returns the probe plan over the appended-minus-tombstoned index.
+    // The pins: (1) the tombstone anti-join BROADCASTS — a shuffled
+    // (sort-merge) anti-join would re-shuffle the whole index for a
+    // deletion list that is small between compactions by contract;
+    // (2) bucket pruning and the vector-free codes scan survive the
+    // extra join.
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val qe = Queries.byName("q109_ann_index_delete").build(spark, sf)
+        .queryExecution
+      import org.apache.spark.sql.catalyst.plans.LeftAnti
+      val bAnti = qe.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType == LeftAnti => j
+      }
+      assert(bAnti.nonEmpty,
+        s"tombstone anti-join is not a broadcast hash join:\n${qe.executedPlan}")
+      val shuffledAnti = qe.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.joinType == LeftAnti => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if j.joinType == LeftAnti => j
+      }
+      assert(shuffledAnti.isEmpty,
+        "tombstone anti-join shuffled the index side")
+      val p = qe.explainString(ExplainMode.fromString("formatted"))
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(p)
+        .getOrElse(fail(s"tombstoned index scan is not bucketed:\n$p"))
+      assert(sel.group(1).toInt < sel.group(2).toInt,
+        s"probe cells selected ${sel.group(1)} of ${sel.group(2)} buckets — no pruning")
+      val readSchema = p.linesIterator
+        .filter(_.contains("ReadSchema:"))
+        .find(_.contains("codes"))
+        .getOrElse(fail("no codes-table scan in the q109 plan"))
+      assert(!readSchema.contains("embedding"),
+        s"tombstoned IVF-PQ scan reads raw vectors: $readSchema")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q107: rerank fetches candidates via broadcast; vectors never shuffle") {
     graft.functions.AnnIndex.ensure(spark, sf)
     val p = formatted("q107_ann_ivfpq_rerank")

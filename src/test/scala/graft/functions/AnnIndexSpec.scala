@@ -281,6 +281,86 @@ class AnnIndexSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(markerOf(db)) == stamp)
   }
 
+  test("delete tombstones ids out of every probe path; compact folds them " +
+      "physically and empties the tombstone table") {
+    import org.apache.spark.sql.functions.col
+    val full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val d = Files.createTempDirectory("annidx-delete")
+    writeSingleParquet(full, d.resolve("embeddings.parquet"))
+    val db = AnnIndex.ensure(spark, d.toString)
+    val probes = full.filter(col("vec_id") < 3)
+    def probe(): Seq[(Long, Int, Long, Double)] = {
+      val sn = AnnIndex.snapshot(spark, db)
+      canon(VectorSearch.ivfPqTopK(sn.codes, probes, 5, sn.ivf, sn.pq, nProbe = 2))
+    }
+    val before = probe()
+    // delete three CURRENT top hits — the exclusion must be observable
+    val victims = before.map(_._3).distinct.take(3)
+    def indexFiles(t: String): Set[String] = {
+      val Array(g, _) = Files.readString(markerOf(db)).split("\n", 2)
+      Files.list(Paths.get(s"$tmp/${db}_db/$g/$t")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    }
+    val vFiles = indexFiles("vectors")
+    val cFiles = indexFiles("codes")
+    AnnIndex.delete(spark, db,
+      full.filter(col("vec_id").isin(victims: _*)).select(col("vec_id")))
+    // deletion is metadata-only: no index file was rewritten or removed
+    assert(indexFiles("vectors") == vFiles && indexFiles("codes") == cFiles,
+      "delete must not touch index files — that's compact's job")
+    val after = probe()
+    assert(after.nonEmpty && after != before)
+    assert(victims.forall(v => !after.exists(_._3 == v)),
+      "deleted ids still served by the IVF-PQ probe")
+    // the raw-vector probe path excludes them too (snapshot-wide view)
+    val sn = AnnIndex.snapshot(spark, db)
+    val vres = canon(VectorSearch.ivfTopKIndexed(sn.vectors, probes, 3, sn.ivf,
+      nProbe = 2))
+    assert(victims.forall(v => !vres.exists(_._3 == v)),
+      "deleted ids still served by the IVF probe")
+    // a deleted id that never existed is a harmless no-op
+    AnnIndex.delete(spark, db,
+      spark.range(900000, 900002).select(col("id").as("vec_id")))
+    assert(probe() == after)
+    // compact folds the tombstones out: probe equality, EMPTY tombstone
+    // table in the new generation, and the victims physically gone from
+    // the generation's raw files
+    AnnIndex.compact(spark, d.toString)
+    assert(spark.table(s"$db.tombstones").count() == 0,
+      "compaction must start the new generation with no tombstones")
+    assert(probe() == after, "compaction changed deletion-aware probe results")
+    val Array(g2, _) = Files.readString(markerOf(db)).split("\n", 2)
+    val raw = spark.read.parquet(s"$tmp/${db}_db/$g2/vectors")
+    assert(raw.filter(col("vec_id").isin(victims: _*)).count() == 0,
+      "compaction left tombstoned rows in the index files")
+  }
+
+  test("deleteFromDataset restamps the marker so ensure recovers the " +
+      "tombstoned index instead of retraining") {
+    import org.apache.spark.sql.functions.col
+    val full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val d = Files.createTempDirectory("annidx-delete-ds")
+    writeSingleParquet(full, d.resolve("embeddings.parquet"))
+    val db = AnnIndex.ensure(spark, d.toString)
+    // dedup removed vec_id % 7 == 0 from the corpus: the source shrinks,
+    // then the index is maintained incrementally instead of re-ensured —
+    // exactly the shrink that used to force a full retrain
+    writeSingleParquet(full.filter(col("vec_id") % 7 =!= 0),
+      d.resolve("embeddings.parquet"))
+    AnnIndex.deleteFromDataset(spark, d.toString,
+      full.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+    val stamp = Files.getLastModifiedTime(markerOf(db))
+    assert(AnnIndex.ensure(spark, d.toString) == db)
+    assert(Files.getLastModifiedTime(markerOf(db)) == stamp,
+      "ensure after deleteFromDataset must recover, not rebuild")
+    val sn = AnnIndex.snapshot(spark, db)
+    assert(sn.vectors.filter(col("vec_id") % 7 === 0).count() == 0,
+      "tombstoned ids leaked back into the serving view")
+    assert(sn.vectors.count() == full.filter(col("vec_id") % 7 =!= 0).count())
+  }
+
   test("a built catalog keeps serving after the source dataset is archived") {
     import org.apache.spark.sql.functions.col
     val full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -301,6 +381,101 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.ensure(spark, s"$ghost/nope")
     }
     assert(ex.getMessage.contains("no persisted ANN catalog"))
+  }
+
+  test("non-default params persist in the catalog and survive a fresh-" +
+      "session recovery; a different-params ensure rebuilds") {
+    import org.apache.spark.sql.functions.col
+    val full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val d = Files.createTempDirectory("annidx-params")
+    writeSingleParquet(full, d.resolve("embeddings.parquet"))
+    val p = AnnParams(coarseK = 4, pqSubspaces = 4, pqK = 8)
+    val db = AnnIndex.ensure(spark, d.toString, p)
+    assert(AnnIndex.paramsOf(spark, db) == p)
+    assert(AnnIndex.ivfCodebook(spark, db).size == 4)
+    val cb = AnnIndex.pqCodebook(spark, db)
+    assert(cb.size == 4 && cb.forall(_.size == 8),
+      "PQ codebook must follow the built params, not the compiled defaults")
+    val probes = full.filter(col("vec_id") < 3)
+    def probe(dbn: String): Seq[(Long, Int, Long, Double)] = {
+      val sn = AnnIndex.snapshot(spark, dbn)
+      canon(VectorSearch.ivfPqTopK(sn.codes, probes, 5, sn.ivf, sn.pq, nProbe = 2))
+    }
+    val res = probe(db)
+    assert(res.nonEmpty)
+    // fresh-session recovery: a second dataset dir with an identical
+    // fingerprint and a cloned catalog the session has never registered —
+    // the recovered bucket DDL and codebook geometry must come from the
+    // PERSISTED params table, not this binary's defaults
+    val dir2 = Files.createTempDirectory("annidx-params-rec").toString
+    Files.copy(Paths.get(s"$d/embeddings.parquet"),
+      Paths.get(s"$dir2/embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.COPY_ATTRIBUTES)
+    val db2 = AnnIndex.dbFor(dir2)
+    cloneCatalogTo(db, db2)
+    val stamp = Files.getLastModifiedTime(markerOf(db2))
+    assert(AnnIndex.ensure(spark, dir2, p) == db2)
+    assert(Files.getLastModifiedTime(markerOf(db2)) == stamp,
+      "same params + same content must recover, not rebuild")
+    assert(AnnIndex.paramsOf(spark, db2) == p)
+    assert(AnnIndex.pqCodebook(spark, db2) == cb)
+    assert(probe(db2) == res,
+      "recovered non-default catalog must probe identically")
+    // bucket pruning still works on the recovered 4-bucket layout
+    val sn2 = AnnIndex.snapshot(spark, db2)
+    val plan = VectorSearch.ivfPqTopK(sn2.codes, probes, 5, sn2.ivf, sn2.pq,
+        nProbe = 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+      .getOrElse(fail(s"recovered table lost its bucket spec:\n$plan"))
+    assert(sel.group(2).toInt == 4 && sel.group(1).toInt < 4,
+      s"expected a pruned 4-bucket scan, got ${sel.group(1)}/${sel.group(2)}")
+    // an ensure with DIFFERENT params (the defaults) must rebuild
+    AnnIndex.ensure(spark, dir2)
+    assert(Files.getLastModifiedTime(markerOf(db2)) != stamp,
+      "different-params ensure must rebuild, not serve the k=4 index")
+    assert(AnnIndex.paramsOf(spark, db2) == AnnParams.Default)
+    assert(AnnIndex.pqCodebook(spark, db2).size == AnnIndex.PqSubspaces)
+  }
+
+  test("a concurrent marker move fails maintenance loudly instead of " +
+      "last-write-wins") {
+    import org.apache.spark.sql.functions.col
+    val full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val d = Files.createTempDirectory("annidx-race")
+    writeSingleParquet(full, d.resolve("embeddings.parquet"))
+    val db = AnnIndex.ensure(spark, d.toString)
+    val rows = spark.table(s"$db.vectors").count()
+    val marker = markerOf(db)
+    // another driver process lands a build between this session's marker
+    // read and its stamp — simulated at exactly that window via the seam
+    AnnIndex.markerRaceHook = () => {
+      Files.writeString(marker, "g99\nother-driver-fingerprint")
+      // raw write invalidates Hadoop LocalFileSystem's checksum sidecar —
+      // drop it so the re-read sees the new content, as a real external
+      // driver (writing through the Hadoop fs) would present it
+      Files.deleteIfExists(marker.resolveSibling(s".${marker.getFileName}.crc"))
+      ()
+    }
+    try {
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        AnnIndex.compact(spark, d.toString)
+      }
+      assert(ex.getMessage.contains("concurrent build"))
+    } finally AnnIndex.markerRaceHook = () => ()
+    assert(Files.readString(marker).startsWith("g99"),
+      "the losing maintenance op must not clobber the winner's marker")
+    // the loser's serving tables were never swapped — still consistent
+    assert(spark.table(s"$db.vectors").count() == rows)
+    // and the compare-and-swap left no torn temp files behind
+    val leftovers = Files.list(Paths.get(s"$tmp/${db}_db")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.contains(".tmp-"))
+    assert(leftovers.isEmpty, s"temp marker files leaked: ${leftovers.toSeq}")
   }
 
   test("snapshots are generation-consistent under a concurrent rebuild") {
