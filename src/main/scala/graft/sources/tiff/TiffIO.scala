@@ -46,13 +46,13 @@ object TiffIO {
   /** Decode a TIFF of ANY band count into one grayscale slice per band
     * (RGB → 3) — the multi-channel breadth tifffile gives the reference
     * transparently (`tif_to_n5.py:21`). ImageIO's TIFF plugin reads both
-    * striped and tiled layouts; classic-TIFF only (BigTIFF's 0x2B magic
-    * is not a supported SPI, so it fails the decodability check below).
+    * striped and tiled CLASSIC layouts; BigTIFF (0x2B magic) routes to
+    * the native [[BigTiff]] reader, so >4 GB microscopy stacks ingest
+    * like any other series.
     */
   private def readImage(bytes: Array[Byte]): BufferedImage = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    require(img != null,
-      "not a decodable image (note: BigTIFF is not supported — rewrite as classic TIFF)")
+    require(img != null, "not a decodable image")
     img
   }
 
@@ -69,12 +69,20 @@ object TiffIO {
   }
 
   def decodeBands(bytes: Array[Byte]): Seq[Slice] = {
+    if (BigTiff.isBigTiff(bytes)) return BigTiff.decodeBands(bytes)
     val img = readImage(bytes)
     (0 until img.getRaster.getNumBands).map(band(img, _))
   }
 
   /** Decode a grayscale TIFF into (width, height, row-major pixels). */
   def decode(bytes: Array[Byte]): Slice = {
+    if (BigTiff.isBigTiff(bytes)) {
+      val bands = BigTiff.decodeBands(bytes)
+      require(bands.size == 1,
+        s"expected single-band grayscale TIFF, got ${bands.size} bands — " +
+          "use decodeBands / TiffVolume.ingestSlicesPerChannel for RGB/multi-channel")
+      return bands.head
+    }
     val img = readImage(bytes)
     // reject multi-band BEFORE extracting any pixel buffers: a 4k RGB
     // slice would otherwise allocate three w*h arrays just to throw; a
