@@ -21,6 +21,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // machine-health attribution (r8: a 64 s capture sat 20% above the
+    // frozen band with nothing in the artifact to blame — GC attribution
+    // can't see EXTERNAL load): process-CPU/wall ratio over the timed
+    // region plus the 1-min system load average at start and end. An
+    // externally loaded or page-cache-cold machine shows up as a LOW cpu/
+    // wall ratio and/or a load average well above this process's own
+    // appetite; a genuine plan regression changes neither.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def procCpuSec: Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+    val load0 = osBean.getSystemLoadAverage
+    val cpu0 = procCpuSec
+    val wall0 = System.nanoTime()
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // JVM/codegen/parquet-footer warmup: one untimed pass of the flagship.
@@ -113,7 +128,13 @@ object Bench {
       Seq("\"more\":\"" + (failed.size - 8) + " further failures\"")
     else Nil)).mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
-    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"errors":$errs,"gc":$gcs,"sf":"$sfDir"}""")
+    // ~70 bytes of env attribution, well inside the driver's tail window
+    val env = {
+      val wall = (System.nanoTime() - wall0) / 1e9
+      val cpuWall = if (cpu0 < 0) -1.0 else (procCpuSec - cpu0) / wall
+      s""""env":{"cpuWall":${num("%.2f", cpuWall)},"load0":${num("%.2f", load0)},"load1":${num("%.2f", osBean.getSystemLoadAverage)}}"""
+    }
+    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"errors":$errs,"gc":$gcs,$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -86,6 +86,43 @@ class ElementScanSpec extends SparkSpec {
     assert(after == before, "mode-1 rewrite changed the scanned elements")
   }
 
+  test("a mode-1 volume rechunks to a voxel-identical volume whose blocks " +
+      "are dense mode-0 (the writer's declared varlength normalization)") {
+    import graft.n5.{Compression, DatasetAttributes, N5Meta}
+    val (root, ds) = volume(Dtype.UInt16)
+    val attrs = N5Meta.datasetAttributes(root, ds)
+    // two blocks become varlength on disk (full element count — valid N5)
+    rewriteAsMode1(root, ds, "0/0/0", attrs.blockShape(Array(0, 0, 0)).product)
+    rewriteAsMode1(root, ds, "1/1/1", attrs.blockShape(Array(1, 1, 1)).product)
+    // rechunk cycle: columnar element read → regroup to a new block size
+    // → write. The writer always emits dense mode-0 (always-valid N5) —
+    // varlength is an INPUT encoding, not a property the rechunk promises
+    // to preserve; this pin is the documented contract of that choice.
+    val out = Files.createTempDirectory("mode1rechunk").toString + "/o.n5"
+    val tgt = DatasetAttributes(dims, Array(6, 5, 2), Dtype.UInt16,
+      Compression("gzip"))
+    N5.write(
+      N5.blocksFromElements(N5.elementsScan(spark, root, ds), tgt,
+        N5Schema.elementType(Dtype.UInt16)),
+      out, ds, tgt)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy(col("z"), col("y"), col("x"))
+        .collect().map(_.mkString("|")).toSeq
+    assert(canon(N5.elementsScan(spark, out, ds))
+      == canon(N5.elementsScan(spark, root, ds)),
+      "mode-1 → rechunk → read cycle changed voxels")
+    // every output block is mode-0: first two big-endian bytes are zero
+    val blockFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(out, ds))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => java.nio.file.Files.isRegularFile(p)
+        && p.getFileName.toString.matches("\\d+"))
+    assert(blockFiles.nonEmpty)
+    blockFiles.foreach { p =>
+      val hdr = java.nio.file.Files.readAllBytes(p).take(2)
+      assert(hdr.forall(_ == 0), s"$p is not a mode-0 block")
+    }
+  }
+
   test("a short varlength block fails the BLOCKS view loudly too") {
     val (root, ds) = volume(Dtype.UInt16)
     rewriteAsMode1(root, ds, "0/0/0", 7)
