@@ -209,6 +209,31 @@ object VectorSearch {
           .getField("cid")))
   }
 
+  /** Multi-cell assignment for CORPUS vectors: each (vec_id, embedding)
+    * row is exploded into its `nAssign` nearest trained cells (same
+    * ranking discipline as probeCellsD: round(cosine,4) DESC, cid ASC).
+    * This is the candidate-generation step of cell-bucketed semantic
+    * dedup (q111): near-dup pairs are only formed WITHIN a shared cell,
+    * so the pair space is Σ_cells n_c² instead of n² — and boundary
+    * pairs are caught because both members carry their top-nAssign
+    * cells, not just the argmax. At 100 TB, k grows to thousands while
+    * nAssign stays 2-3, so the blow-up factor is constant and the
+    * per-cell pair work stays bounded by the cell size.
+    */
+  def assignCells(
+      vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
+      nAssign: Int): DataFrame = {
+    val v = graft.functions.VectorFunctions.toDoubles(col("embedding"))
+    val entries = cents.map { case (cid, cv) =>
+      struct((round(graft.functions.VectorFunctions.cosine(
+        v, typedlit(cv)), 4) * -1).as("ns"),
+        lit(cid).as("cid"))
+    }
+    vectors.withColumn("cell",
+      explode(slice(array_sort(array(entries: _*)), 1, nAssign)
+        .getField("cid")))
+  }
+
   /** IVF search against a PERSISTED index table (vec_id, embedding, cell)
     * — the scan side of the trained-IVF story. The probe cells are
     * collected (≤ probes×nProbe ints) and pushed as a literal IN filter

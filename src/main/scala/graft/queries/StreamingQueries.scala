@@ -80,6 +80,28 @@ object StreamingQueries {
         .select(col("user_id"), col("session_window.start").as("sess_start"),
           col("n"), col("sv"))
         .orderBy(col("user_id").asc, col("sess_start").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Stream-stream join (click→purchase attribution within 60 minutes),
+    // declared in batch mode for the oracle; the WATERMARKED streaming
+    // run of the same Streams.clickAttribution plan — where the time
+    // bound becomes the join-state eviction policy — is asserted equal
+    // in StreamingSpec.
+    QueryDef.sql(
+      "q110_stream_stream_join",
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS purchase_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |  CAST(v.ts AS TIMESTAMP) AS purchase_ts,
+        |  round(v.value, 4) AS purchase_value
+        |FROM events c JOIN events v ON c.user_id = v.user_id
+        |WHERE c.event_type = 'click' AND v.event_type = 'purchase'
+        |  AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 60 minutes
+        |ORDER BY c.user_id ASC, click_id ASC, purchase_id ASC""".stripMargin) {
+      (s, dir) =>
+        graft.streaming.Streams.clickAttribution(ev(s, dir))
+          .orderBy(col("user_id").asc, col("click_id").asc,
+            col("purchase_id").asc)
     }
   )
 }

@@ -47,6 +47,43 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("sess_start"),
         col("n"), col("sv"))
 
+  /** Watermarked stream-stream INNER self-join (the §2.3 streaming-join
+    * row): click→purchase attribution — each click pairs with every
+    * purchase by the same user within [click_ts, click_ts + 60 min].
+    * Both sides carry a watermark and the join condition carries the
+    * time bound, which is what makes unbounded-stream joins feasible:
+    * Spark derives a state eviction policy from them (a buffered click
+    * can stop waiting once the purchase-side watermark passes
+    * click_ts + 60 min; a purchase can be dropped once the click-side
+    * watermark passes it), so join state is bounded by rate × window,
+    * not by stream length. In batch mode the watermarks are no-ops and
+    * this is a plain equi-join on user_id with a range filter — the
+    * q110 oracle form; StreamingSpec asserts the streamed run equals it.
+    *
+    * Scale notes: the equi-key (user_id) shuffles both sides once into
+    * co-partitioned join state; the time bound is evaluated within the
+    * key partition. A single hot user is the only skew risk (same shape
+    * as the session window and as-of rows).
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("purchase_user"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+        col("user_id") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 60 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"),
+        round(col("purchase_value"), 4).as("purchase_value"))
+  }
+
   /** Stateful dedup on event_id within the watermark (late duplicates
     * beyond it are dropped by definition).
     */

@@ -139,6 +139,26 @@ class VectorSearchSpec extends SparkSpec {
     assert(trained >= 0.3, f"trained recall $trained%.3f too low")
   }
 
+  test("cell-bucketed semantic dedup is a high-recall subset of all-pairs (q111 vs q45)") {
+    // q111 restricts the pair space to shared trained cells; every pair
+    // it emits must exist in the brute-force q45 answer with the SAME
+    // cosine (soundness), and it must recover >= 90% of those pairs
+    // (completeness of the top-3-of-8 cell assignment; measured 0.94 at
+    // sf0.001, 0.97-0.98 at sf0.01/0.1)
+    val dir = "/root/testdata/sf0.001"
+    val cellPairs = graft.Queries.byName("q111_dedup_semantic_cells")
+      .build(spark, dir)
+    val allPairs = graft.Queries.byName("q45_neardup_embedding")
+      .build(spark, dir)
+    assert(cellPairs.exceptAll(allPairs).isEmpty,
+      "cell-restricted pairs must be a subset of brute-force pairs")
+    val (nCell, nAll) = (cellPairs.count(), allPairs.count())
+    info(s"recall: $nCell / $nAll")
+    assert(nAll > 0, "fixture should contain near-dup pairs")
+    assert(nCell.toDouble / nAll >= 0.9,
+      s"cell-bucketed recall $nCell/$nAll below 0.9")
+  }
+
   test("pq codes are in range and ADC ranking recalls brute-force neighbours") {
     import graft.functions.{VectorFunctions => VF}
     val k = 10

@@ -85,6 +85,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.select(col("event_id")).distinct().count() == expected)
   }
 
+  test("watermarked stream-stream join (click attribution) equals batch") {
+    // the SAME Streams.clickAttribution plan runs twice: streamed (both
+    // sides watermarked; the time bound becomes the state eviction
+    // policy; inner-join rows emit in append mode as matches land) and
+    // in batch mode (watermarks no-op → plain equi-join + range filter,
+    // the q110 oracle form)
+    val q = Streams.clickAttribution(streamEvents())
+      .writeStream.format("memory").queryName("clickattr")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("clickattr")
+    val expected = Streams.clickAttribution(batchEvents())
+    assert(expected.count() > 0, "fixture should produce attribution pairs")
+    assertSameRows(got, expected)
+  }
+
   test("custom mapGroupsWithState user stats equal batch groupBy") {
     val q = Streams.userStats(streamEvents())
       .writeStream.format("memory").queryName("ustats")
