@@ -268,6 +268,79 @@ object Streams {
       .start()
   }
 
+  /** Digest-store bucket count — both the history table and every
+    * incremental join against it use the same spec (q99 discipline).
+    */
+  val DedupBuckets = 16
+
+  /** Create the persisted dedup digest store if absent: a database at
+    * `location` holding `history_digests`, bucketed by digest so every
+    * future anti-join and append is keyed to the same layout.
+    */
+  def ensureDedupStore(
+      spark: SparkSession, db: String, location: String): Unit = {
+    import spark.implicits._
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
+    if (!spark.catalog.tableExists(s"$db.history_digests"))
+      graft.operators.Layout.writeBucketed(
+        Seq.empty[String].toDF("digest"),
+        s"$db.history_digests", "digest", DedupBuckets, Seq("digest"))
+  }
+
+  /** Streaming incremental corpus dedup against the persisted digest
+    * store — the streaming face of q99's economics: each micro-batch of
+    * documents is digested (normalized-text sha256), anti-joined against
+    * the bucketed history table, the NOVEL docs (first-arrival-wins
+    * within the batch) go to `sink`, and their digests are appended back
+    * — bucketed, delta-sized — so later batches and later duplicates in
+    * the stream are dropped. This is how a continuously-fed training
+    * corpus actually deduplicates: the history table only ever pays for
+    * its delta (Layout.appendBucketed never rewrites existing files),
+    * and the per-batch anti-join exchanges only the batch side — the
+    * history scan carries its bucket partitioning, so the 100 TB side
+    * never shuffles.
+    *
+    * Delivery is at-least-once (foreachBatch replays on failure): a
+    * replayed append can duplicate digest ROWS in history, which the
+    * anti-join tolerates by construction (anti-join semantics ignore
+    * right-side multiplicity), so novel-doc emission stays correct.
+    */
+  def dedupIngest(
+      spark: SparkSession, docs: DataFrame, db: String,
+      trigger: Trigger = Trigger.AvailableNow())(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    docs.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch
+          .withColumn("digest",
+            sha2(graft.functions.TextFunctions.normalizeText(col("text")), 256))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!b.isEmpty) {
+            val novel = b
+              .join(spark.table(s"$db.history_digests"),
+                Seq("digest"), "left_anti")
+              // first-arrival-wins within the micro-batch: one survivor
+              // per digest (matches q40/q99 exact-dedup semantics)
+              .withColumn("rn", row_number().over(
+                Window.partitionBy(col("digest")).orderBy(col("doc_id"))))
+              .filter(col("rn") === 1).drop("rn")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              sink(novel, id)
+              graft.operators.Layout.appendBucketed(
+                novel.select(col("digest")),
+                s"$db.history_digests", "digest", DedupBuckets, Seq("digest"))
+            } finally { novel.unpersist(); () }
+          }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   def tiffSlabIngest(
       spark: SparkSession, inDir: String, dstRoot: String, dstDataset: String,
       width: Int, height: Int, depth: Int,

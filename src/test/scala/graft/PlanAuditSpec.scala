@@ -108,6 +108,26 @@ class PlanAuditSpec extends SparkSpec {
       s"IVF plan has ${shuffles.size} hash exchanges: ${shuffles.mkString("; ")}")
   }
 
+  test("q110: type filters reach the scans; time bound rides the user equi-join") {
+    val p = formatted("q110_stream_stream_join")
+    assert(p.contains("EqualTo(event_type,click)"), "click filter not pushed")
+    assert(p.contains("EqualTo(event_type,purchase)"), "purchase filter not pushed")
+    // the 60-minute range must be a residual on the user_id equi-join, not
+    // a join strategy of its own — a nested-loop here is quadratic at scale
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "stream-stream join must plan as an equi-join on user_id")
+  }
+
+  test("q111: pair generation is keyed on shared cells, never a product") {
+    val p = formatted("q111_dedup_semantic_cells")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cell-restricted pairing must plan as an equi-join on cell — " +
+        "a product would silently reintroduce the n² q45 shape")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+        || p.contains("ShuffledHashJoin"),
+      "expected a keyed join for intra-cell pair generation")
+  }
+
   test("q95: boilerplate gram agg keeps its map-side combine") {
     assert(formatted("q95_boilerplate_ngrams").contains("partial_count"),
       "gram doc-frequency agg lost map-side partial aggregation")

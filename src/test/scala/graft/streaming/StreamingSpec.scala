@@ -253,6 +253,47 @@ class StreamingSpec extends SparkSpec {
       "streamed micro-batch appends diverge from a one-shot append")
   }
 
+  test("streaming incremental dedup: each digest emits once; history absorbs the stream") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val db = "graft_dedup_stream"
+    val loc = s"$tmp/${db}_db"
+    // fresh store (delete leftovers: saveAsTable refuses a non-empty dir)
+    val hp = new org.apache.hadoop.fs.Path(loc)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    if (fs.exists(hp)) fs.delete(hp, true)
+    Streams.ensureDedupStore(spark, db, loc)
+
+    // two micro-batches: the corpus, then the same corpus under shifted
+    // ids — every row of the second batch is a cross-batch duplicate
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val d = Files.createTempDirectory("dedupstream").toString
+    docs.coalesce(1).write.mode("append").parquet(d)
+    docs.withColumn("doc_id", col("doc_id") + 100000)
+      .coalesce(1).write.mode("append").parquet(d)
+    val stream = spark.readStream.schema(spark.read.parquet(d).schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val perBatch = scala.collection.mutable.Map[Long, Array[String]]()
+    val q = Streams.dedupIngest(spark, stream, db) { (novel, id) =>
+      perBatch(id) = novel.select(col("digest")).collect().map(_.getString(0))
+    }
+    q.awaitTermination()
+
+    val expected = docs.select(sha2(
+        graft.functions.TextFunctions.normalizeText(col("text")), 256))
+      .distinct().count()
+    val emitted = perBatch.values.flatten.toSeq
+    assert(emitted.size.toLong == expected,
+      s"emitted ${emitted.size} novel docs, want $expected distinct digests")
+    assert(emitted.distinct.size == emitted.size, "a digest was emitted twice")
+    assert(perBatch.size == 2 && perBatch.values.exists(_.isEmpty),
+      "the all-duplicates batch should emit nothing")
+    assert(spark.table(s"$db.history_digests")
+      .select(col("digest")).distinct().count() == expected,
+      "history must hold exactly the corpus's distinct digests")
+  }
+
   test("writeStream.format(n5): native streaming sink commits block rows") {
     val tmp = Files.createTempDirectory("n5sink").toString
     // stream the fixture's 4 block rows (as parquet files) into a new N5
