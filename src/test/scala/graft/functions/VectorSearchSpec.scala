@@ -159,6 +159,47 @@ class VectorSearchSpec extends SparkSpec {
       s"cell-bucketed recall $nCell/$nAll below 0.9")
   }
 
+  test("semantic-dedup cell count is the scale lever: k=32 shrinks the pair space ~8x") {
+    // q111 freezes k=8/nAssign=3 for the oracle, where the pair space is
+    // ~(nAssign²/k)·n²/2 ≈ n²/2 — no reduction, by design (8 cells can't
+    // show the lever). This pins the lever itself: at k=32/nAssign=2 the
+    // SAME operator generates ~12% of the all-pairs space. The recall
+    // floor at the 0.4 threshold is deliberately modest: 0.4 sits at the
+    // random-similarity noise floor of this synthetic corpus (max
+    // pairwise cosine 0.51), where pairs straddle cells the most; real
+    // semantic dedup runs at thresholds where pairs co-cell.
+    import graft.functions.{NativeExpressions => NE}
+    val cents = VectorSearch.trainIvfCodebook(emb, k = 32, iters = 3)
+    val assigned = VectorSearch.assignCells(emb, cents, nAssign = 2)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val a = assigned.select(col("cell").as("ca"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("cell").as("cb"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val cand = a.join(b, col("ca") === col("cb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(NE.vectorCosine(col("va"), col("vb")), 4).as("cosine"))
+      .distinct()
+    val n = emb.count()
+    val total = n * (n - 1) / 2.0
+    val nCand = cand.count()
+    info(f"candidates $nCand of ${total.toLong} (${nCand / total}%.3f)")
+    assert(nCand < 0.15 * total,
+      s"k=32/nAssign=2 should prune the pair space to ~12%, got $nCand/$total")
+    val x = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val y = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val brute = x.crossJoin(y).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(NE.vectorCosine(col("va"), col("vb")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+    val hits = cand.filter(col("cosine") >= 0.4)
+    assert(hits.exceptAll(brute).isEmpty, "cell pairs must be sound")
+    val (nh, nb) = (hits.count(), brute.count())
+    info(s"recall@0.4 with k=32: $nh / $nb")
+    assert(nb > 0 && nh.toDouble / nb >= 0.45,
+      s"noise-floor recall degraded: $nh/$nb")
+  }
+
   test("pq codes are in range and ADC ranking recalls brute-force neighbours") {
     import graft.functions.{VectorFunctions => VF}
     val k = 10
