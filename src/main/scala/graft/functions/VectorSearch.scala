@@ -234,6 +234,38 @@ object VectorSearch {
         .getField("cid")))
   }
 
+  /** Cell-bucketed semantic near-dup pairs — the scalable counterpart
+    * of all-pairs embedding comparison (q45 ↔ q111): every vector joins
+    * only within its top-`nAssign` trained cells, so the candidate space
+    * is ~(nAssign²/k)·n²/2 instead of n²/2 — tune k with corpus size
+    * (thousands of cells at production scale; the oracle-frozen k=8 in
+    * q111 exists for determinism, not as a recommendation). Returns
+    * (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 4 decimals,
+    * threshold applied. Norms are computed once per assigned row (n·
+    * nAssign evaluations, never per pair); a pair sharing two cells is
+    * deduplicated. Recall loss is boundary pairs straddling cells —
+    * nAssign is the recall knob (measured on the synthetic corpus: ≥0.94
+    * at nAssign=3/k=8; VectorSearchSpec pins soundness + recall + the
+    * k=32 shrinkage).
+    */
+  def semanticDedupPairs(
+      vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
+      nAssign: Int, threshold: Double): DataFrame = {
+    val assigned = assignCells(vectors, cents, nAssign)
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        NE.vectorL2Norm(col("embedding")).as("nrm"))
+    val a = assigned.select(col("cell").as("cell_a"),
+      col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell").as("cell_b"),
+      col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(NE.vectorDot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
   /** IVF search against a PERSISTED index table (vec_id, embedding, cell)
     * — the scan side of the trained-IVF story. The probe cells are
     * collected (≤ probes×nProbe ints) and pushed as a literal IN filter

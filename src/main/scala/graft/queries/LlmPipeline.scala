@@ -1478,23 +1478,72 @@ object LlmPipeline {
       import graft.functions.{VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val cents = VS.trainIvfCodebook(e, k = 8, iters = 3, sampleBuckets = 3)
-      // norms precomputed per assigned row (n·nAssign, not n², norm
-      // evaluations); the float-native dot/norm kernels round to the
-      // same 4 decimals as the oracle's double cosine (q45 discipline)
-      val assigned = VS.assignCells(Tables.spread(s, e), cents, nAssign = 3)
-        .select(col("cell"), col("vec_id"), col("embedding"),
-          NE.vectorL2Norm(col("embedding")).as("nrm"))
-      val a = assigned.select(col("cell").as("cell_a"), col("vec_id").as("id_a"),
-        col("embedding").as("va"), col("nrm").as("na"))
-      val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
-        col("embedding").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(NE.vectorDot(col("va"), col("vb"))
-            / (col("na") * col("nb")), 4).as("cosine"))
-        .filter(col("cosine") >= 0.4)
-        .distinct()
+      // the float-native dot/norm kernels inside semanticDedupPairs round
+      // to the same 4 decimals as the oracle's double cosine (q45
+      // discipline); k/nAssign frozen here only for oracle determinism
+      VS.semanticDedupPairs(Tables.spread(s, e), cents,
+          nAssign = 3, threshold = 0.4)
         .orderBy(col("id_a").asc, col("id_b").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Semantic dedup END-TO-END: q111's cell-bucketed candidate pairs →
+    // connected components (transitive closure — A~B, B~C must collapse
+    // to ONE cluster) → the survivor set: every vector labeled with its
+    // cluster's canonical (minimum) vec_id and a keep flag. This is the
+    // full SemDeDup-style pass a training pipeline actually runs — the
+    // pair queries stop one step short of a usable corpus. Vectors in no
+    // pair are their own singleton (keep = true). Scale shape: the edge
+    // list entering ConnectedComponents is the THRESHOLDED pair set —
+    // orders of magnitude smaller than the corpus — and each closure
+    // round is a keyed hash shuffle of (node, label) with lineage
+    // truncated per round; the final labeling is one left join on
+    // vec_id. The oracle replays training + pairing CTE-for-CTE, then
+    // resolves the same closure with a recursive CTE (q93 discipline).
+    QueryDef.sql(
+      "q113_dedup_semantic_survivors",
+      s"""WITH RECURSIVE ${kmeansCtes(k = 8, iters = 3, sampleBuckets = 3)},
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn <= 3),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b AS a, id_a AS b FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT a AS node, a AS lbl FROM und
+         |  UNION
+         |  SELECT u.a AS node, r.lbl FROM und u JOIN reach r ON u.b = r.node),
+         |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+         |SELECT ev.vec_id,
+         |  CAST(coalesce(c.component, ev.vec_id) AS BIGINT) AS component,
+         |  (coalesce(c.component, ev.vec_id) = ev.vec_id) AS keep
+         |FROM (SELECT vec_id FROM embeddings) ev
+         |LEFT JOIN comp c ON ev.vec_id = c.node
+         |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = VS.trainIvfCodebook(e, k = 8, iters = 3, sampleBuckets = 3)
+      val edges = VS.semanticDedupPairs(Tables.spread(s, e), cents,
+          nAssign = 3, threshold = 0.4)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
+        .withColumnRenamed("node", "vec_id")
+      e.select(col("vec_id")).join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"))
+        .withColumn("keep", col("component") === col("vec_id"))
+        .orderBy(col("vec_id").asc)
     }
   )
 }

@@ -102,6 +102,30 @@ object StreamingQueries {
         graft.streaming.Streams.clickAttribution(ev(s, dir))
           .orderBy(col("user_id").asc, col("click_id").asc,
             col("purchase_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // LEFT OUTER stream-stream join: every click emits, matched or
+    // null-extended. The streaming form's outer rows trail the watermark
+    // (emitted only when no purchase can still arrive); StreamingSpec
+    // asserts prefix-completeness. Batch mode (here) is a plain left
+    // outer join with the same time-range condition.
+    QueryDef.sql(
+      "q112_stream_stream_outer",
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS purchase_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |  CAST(v.ts AS TIMESTAMP) AS purchase_ts,
+        |  round(v.value, 4) AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') v
+        |  ON c.user_id = v.user_id
+        |  AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 60 minutes
+        |ORDER BY c.user_id ASC, click_id ASC,
+        |  purchase_id ASC NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        graft.streaming.Streams.clickAttributionOuter(ev(s, dir))
+          .orderBy(col("user_id").asc, col("click_id").asc,
+            col("purchase_id").asc_nulls_first)
     }
   )
 }

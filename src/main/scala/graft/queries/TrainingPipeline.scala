@@ -158,6 +158,59 @@ object TrainingPipeline {
         .filter(col("rnk") <= 5)
         .select(col("doc_id"), col("rnk"), col("tok"), col("tfidf"))
         .orderBy(col("doc_id").asc, col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Domain-mixture rebalancing: deterministically downsample over-
+    // represented domains (here: languages) to a uniform target mix —
+    // the data-mixing pass between dedup and tokenization. Per-domain
+    // acceptance rate = min(1, target_share / actual_share); a document
+    // survives iff its content-stable md5 fraction (salted 'mix' so it
+    // is independent of the q55/q56 sampling family) falls below its
+    // domain's rate. rand()-free, so the kept set is reproducible across
+    // engines/reruns, and hash-threshold survival makes kept sets NESTED
+    // as rates move: a domain growing (rate shrinking) only drops docs,
+    // never swaps them — reruns on a grown corpus don't churn the mix.
+    // Scale shape: the rate table is one row per domain — computed in
+    // one tiny agg and broadcast back — so the corpus streams once
+    // through a narrow filter; no shuffle touches document text. The
+    // final per-domain report is a second map-side-combined agg.
+    QueryDef.sql(
+      "q114_domain_mixture",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+        |    CAST(count(*) AS BIGINT) AS nd FROM c),
+        |r AS (SELECT c.lang, c.n,
+        |    least(1.0, (t.total / t.nd) / c.n) AS rate
+        |  FROM c CROSS JOIN t),
+        |k AS (SELECT d.lang, count(*) AS n_kept
+        |  FROM documents d JOIN r ON d.lang = r.lang
+        |  WHERE ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000000 / 1000000.0 < r.rate
+        |  GROUP BY d.lang)
+        |SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  round(r.rate, 4) AS rate
+        |FROM r LEFT JOIN k ON r.lang = k.lang
+        |ORDER BY r.lang ASC""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val c = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).cast("double").as("total"),
+        count(lit(1)).as("nd"))
+      val r = c.crossJoin(broadcast(t))
+        .select(col("lang"), col("n"),
+          least(lit(1.0), (col("total") / col("nd")) / col("n")).as("rate"))
+      val frac = (conv(substring(
+          md5(concat(lit("mix"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % 1000000) / lit(1000000.0)
+      val kept = d.join(broadcast(r.select(col("lang"), col("rate"))), "lang")
+        .filter(frac < col("rate"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      r.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n").as("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          round(col("rate"), 4).as("rate"))
+        .orderBy(col("lang").asc)
     }
   )
 }

@@ -65,7 +65,25 @@ object Streams {
     * key partition. A single hot user is the only skew risk (same shape
     * as the session window and as-of rows).
     */
-  def clickAttribution(events: DataFrame): DataFrame = {
+  def clickAttribution(events: DataFrame): DataFrame =
+    attributionJoin(events, "inner")
+
+  /** LEFT OUTER variant (q112): every click emits — matched rows as in
+    * [[clickAttribution]], unmatched clicks null-extended. In streaming
+    * mode the null-extended row for a click can only be emitted once the
+    * watermark proves no purchase can still arrive inside its 60-minute
+    * window (both-side watermark past click_ts + 60 min + delay), so
+    * outer results trail the watermark — the StreamingSpec assertion is
+    * therefore prefix-complete (everything older than the final
+    * watermark's cutoff has flushed), not whole-stream equality: the
+    * last ~70 minutes of unmatched clicks are still buffered when an
+    * AvailableNow run drains. Batch mode is a plain left outer join —
+    * the q112 oracle form.
+    */
+  def clickAttributionOuter(events: DataFrame): DataFrame =
+    attributionJoin(events, "left_outer")
+
+  private def attributionJoin(events: DataFrame, joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -78,7 +96,8 @@ object Streams {
     clicks.join(purchases,
         col("user_id") === col("purchase_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 60 MINUTES"))
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 60 MINUTES"),
+        joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"),
         round(col("purchase_value"), 4).as("purchase_value"))

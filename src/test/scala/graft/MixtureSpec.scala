@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of q114 domain-mixture rebalancing beyond the oracle row-hash:
+  * determinism, rate-cap behavior, proximity of the downsampled domain to
+  * the uniform target, and the nesting property that makes hash-threshold
+  * survival rerun-safe on a growing corpus.
+  */
+class MixtureSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def mix() =
+    Queries.byName("q114_domain_mixture").build(spark, dir)
+
+  test("mixture report is deterministic and rate-capped domains keep everything") {
+    val a = mix().collect()
+    val b = mix().collect()
+    assert(a.toSeq == b.toSeq, "mixture must be rand()-free deterministic")
+    a.foreach { r =>
+      val (nDocs, nKept, rate) =
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Double]("rate"))
+      assert(nKept <= nDocs, s"kept more than existed: $r")
+      assert(rate > 0.0 && rate <= 1.0, s"rate out of range: $r")
+      if (rate == 1.0)
+        assert(nKept == nDocs,
+          s"under-represented domain must keep all docs: $r")
+    }
+  }
+
+  test("over-represented domain lands near the uniform target share") {
+    val rows = mix().collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val target = total.toDouble / rows.length
+    val down = rows.filter(_.getAs[Double]("rate") < 1.0)
+    assert(down.nonEmpty, "fixture must have an over-represented domain (en)")
+    down.foreach { r =>
+      val kept = r.getAs[Long]("n_kept").toDouble
+      // binomial noise around target: sd ≈ sqrt(target) ≈ 10 at target
+      // 100; 3 sd as the gate
+      assert(math.abs(kept - target) <= 3 * math.sqrt(target),
+        s"downsampled domain should land near target $target: $r")
+    }
+  }
+
+  test("kept sets nest as the rate shrinks (grown corpus never churns the mix)") {
+    // survival is frac(doc) < rate, so for rates r1 < r2 the r1-kept set
+    // must be a SUBSET of the r2-kept set — a domain growing (its rate
+    // dropping) only removes docs. Check on the raw survival predicate at
+    // two rates.
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val frac = (conv(substring(
+        md5(concat(lit("mix"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000) / lit(1000000.0)
+    def keptIds(rate: Double) =
+      d.filter(frac < lit(rate)).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+    val lo = keptIds(0.3)
+    val hi = keptIds(0.6)
+    assert(lo.nonEmpty && lo.size < hi.size)
+    assert(lo.subsetOf(hi),
+      "hash-threshold survival must be monotone in the rate")
+  }
+}

@@ -128,6 +128,37 @@ class PlanAuditSpec extends SparkSpec {
       "expected a keyed join for intra-cell pair generation")
   }
 
+  test("q112: outer stream-stream join keeps the q110 pushed-filter equi-join shape") {
+    val p = formatted("q112_stream_stream_outer")
+    assert(p.contains("EqualTo(event_type,click)"), "click filter not pushed")
+    assert(p.contains("EqualTo(event_type,purchase)"), "purchase filter not pushed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "outer stream-stream join must plan as an equi-join on user_id — " +
+        "the time bound is a residual, never a join strategy")
+  }
+
+  test("q113: survivor labeling is a keyed join; no product anywhere in the pass") {
+    // the closure itself runs ConnectedComponents (lineage truncated per
+    // round, so its rounds don't appear here); what must stay pinned is
+    // that the visible plan — pair generation feeding the closure and the
+    // final corpus ⟕ component labeling — contains only keyed joins.
+    val p = formatted("q113_dedup_semantic_survivors")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "semantic-survivor pass must never plan a product")
+  }
+
+  test("q114: mixture rates broadcast back; the corpus is never shuffled for the rate join") {
+    // the rate table (one row per domain) must reach the corpus as a
+    // BroadcastHashJoin on the domain key; the only products allowed are
+    // the single-row total⨯counts broadcasts (5×1 rows). A CartesianProduct
+    // would mean the corpus side itself entered an unkeyed join.
+    val p = formatted("q114_domain_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-domain rate table must broadcast — the corpus side streams once")
+    assert(!p.contains("CartesianProduct"),
+      "mixture pass must not plan an unbroadcast product")
+  }
+
   test("q95: boilerplate gram agg keeps its map-side combine") {
     assert(formatted("q95_boilerplate_ngrams").contains("partial_count"),
       "gram doc-frequency agg lost map-side partial aggregation")

@@ -159,6 +159,37 @@ class VectorSearchSpec extends SparkSpec {
       s"cell-bucketed recall $nCell/$nAll below 0.9")
   }
 
+  test("q113 survivors: one canonical per cluster, and no surviving pair is a near-dup pair") {
+    // end-to-end invariants of the survivor set, independent of the
+    // oracle's row-hash: (a) the labeling is total — every corpus vec_id
+    // appears exactly once; (b) each component keeps EXACTLY one doc and
+    // it is the component's min id; (c) dedup actually happened: no q111
+    // near-dup pair has BOTH endpoints kept (they share a component by
+    // construction, and only its min survives).
+    val dir = "/root/testdata/sf0.001"
+    val surv = graft.Queries.byName("q113_dedup_semantic_survivors")
+      .build(spark, dir).cache()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(surv.count() == n, "labeling must cover the corpus exactly once")
+    assert(surv.select(col("vec_id")).distinct().count() == n)
+    val perComp = surv.groupBy(col("component"))
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("kept"),
+        min(col("vec_id")).as("mn"),
+        max(when(col("keep"), col("vec_id"))).as("keptId"))
+    assert(perComp.filter(col("kept") =!= 1).count() == 0,
+      "every cluster must keep exactly one representative")
+    assert(perComp.filter(col("keptId") =!= col("mn")).count() == 0,
+      "the survivor must be the cluster's minimum vec_id")
+    val pairs = graft.Queries.byName("q111_dedup_semantic_cells").build(spark, dir)
+    val kept = surv.filter(col("keep")).select(col("vec_id"))
+    val bothKept = pairs
+      .join(kept.withColumnRenamed("vec_id", "id_a"), "id_a")
+      .join(kept.withColumnRenamed("vec_id", "id_b"), "id_b")
+    assert(bothKept.count() == 0,
+      "two surviving docs must never be a detected near-dup pair")
+    surv.unpersist()
+  }
+
   test("semantic-dedup cell count is the scale lever: k=32 shrinks the pair space ~8x") {
     // q111 freezes k=8/nAssign=3 for the oracle, where the pair space is
     // ~(nAssign²/k)·n²/2 ≈ n²/2 — no reduction, by design (8 cells can't

@@ -103,6 +103,88 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, expected)
   }
 
+  test("q110 stream-stream join: watermark evicts join state across micro-batches") {
+    // six time-ordered slices streamed one per trigger: the watermark
+    // advances between batches, so buffered clicks older than
+    // (purchase-watermark - 60 min) and purchases older than the click
+    // watermark must LEAVE the state store — this is the property that
+    // bounds join state at rate × window on an unbounded stream. The
+    // result must still equal the batch run: cross-slice matches are
+    // always old-click × newer-purchase, which eviction provably retains
+    // (a click lives 60 min + watermark past its own timestamp).
+    val d = Files.createTempDirectory("ssjoin").toString
+    val ev = spark.read.parquet(eventsDir)
+    val sliced = ev.withColumn("slice",
+      ((dayofmonth(col("ts")) - 1) / 5).cast("int"))
+    (0 until 6).foreach { i =>
+      sliced.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("append").parquet(d)
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val q = Streams.clickAttribution(stream)
+      .writeStream.format("memory").queryName("clickattr_evict")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assertSameRows(spark.table("clickattr_evict"),
+      Streams.clickAttribution(batchEvents()))
+    val sides = batchEvents()
+      .filter(col("event_type").isin("click", "purchase")).count()
+    val finalState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+      .getOrElse(sys.error("no state operator progress recorded"))
+    info(s"final join state: $finalState rows of $sides streamed join inputs")
+    assert(finalState < sides / 2,
+      s"watermark did not evict: $finalState state rows for $sides inputs " +
+        "— join state would grow with stream length, not rate × window")
+  }
+
+  test("q112 outer stream-stream join: watermark flushes null-extended rows (prefix-complete)") {
+    // same six time-ordered slices; outer rows can only emit once the
+    // watermark proves no purchase can still arrive, so the assertion is
+    // soundness (streamed ⊆ batch) + prefix-completeness (every click
+    // older than the final watermark's flush cutoff HAS emitted, matched
+    // or null-extended) — whole-stream equality is impossible by
+    // construction: the last ~70 minutes of unmatched clicks are still
+    // buffered when the AvailableNow run drains.
+    val d = Files.createTempDirectory("ssouter").toString
+    val ev = spark.read.parquet(eventsDir)
+    val sliced = ev.withColumn("slice",
+      ((dayofmonth(col("ts")) - 1) / 5).cast("int"))
+    (0 until 6).foreach { i =>
+      sliced.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("append").parquet(d)
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val q = Streams.clickAttributionOuter(stream)
+      .writeStream.format("memory").queryName("clickattr_outer")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("clickattr_outer")
+    val batch = Streams.clickAttributionOuter(batchEvents())
+    assert(got.exceptAll(batch).isEmpty,
+      "streamed outer join emitted rows the batch join would not")
+    assert(got.filter(col("purchase_id").isNull).count() > 0,
+      "no null-extended rows flushed — the outer half never fired")
+    // flush cutoff: global watermark = min(max click_ts, max purchase_ts)
+    // - 10 min delay; an unmatched click flushes once the watermark
+    // passes click_ts + 60 min. One extra minute of slack on the bound.
+    val maxes = batchEvents()
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type")).agg(max(col("ts")).as("m"))
+      .collect().map(_.getTimestamp(1).getTime)
+    val cutoff = new java.sql.Timestamp(maxes.min - (10 + 60 + 1) * 60 * 1000L)
+    val prefix = batch.filter(col("click_ts") <= lit(cutoff))
+    assert(prefix.exceptAll(got).isEmpty,
+      s"clicks before $cutoff must all have flushed (matched or null-extended)")
+  }
+
   test("custom mapGroupsWithState user stats equal batch groupBy") {
     val q = Streams.userStats(streamEvents())
       .writeStream.format("memory").queryName("ustats")
