@@ -266,6 +266,54 @@ object VectorSearch {
       .distinct()
   }
 
+  /** Approximate kNN GRAPH over the whole corpus — for EVERY vector, its
+    * top-`k` neighbors by cosine among vectors sharing a trained cell
+    * (same top-`nAssign` assignment as [[semanticDedupPairs]]). This is
+    * the batch all-queries counterpart of the per-probe topK entry
+    * points, and the input structure for SemDeDup-style cluster curation
+    * and graph-based diversity sampling. Vectors whose cells hold fewer
+    * than k co-members yield fewer than k edges. Cell count is the scale
+    * knob, exactly as in [[semanticDedupPairs]].
+    *
+    * Two-stage top-k, exact: a neighbor in a src's GLOBAL top-k must be
+    * in the per-cell top-k of every cell it shares with src (anything
+    * ranked above it there is also above it globally), so stage 1 keeps
+    * the per-(src, cell) top-k — a window whose clustering is already
+    * satisfied by the join's hash partitioning on cell, i.e. a local
+    * sort with NO extra exchange over the full candidate set — and only
+    * the ≤ nAssign·k survivors per src reach the dedup + global re-rank.
+    * The full candidate set (n·nAssign·avg-cell-size rows) is scored and
+    * locally ranked exactly once and never shuffled again; the ranking
+    * order (cosine DESC rounded to 4, nbr ASC) is total per src, so
+    * multi-cell duplicates rank identically and dedup cannot disturb it.
+    */
+  def knnGraph(
+      vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
+      nAssign: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignCells(vectors, cents, nAssign)
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        NE.vectorL2Norm(col("embedding")).as("nrm"))
+    val a = assigned.select(col("cell").as("cell_a"),
+      col("vec_id").as("src"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell").as("cell_b"),
+      col("vec_id").as("nbr"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val wCell = Window.partitionBy(col("cell_a"), col("src"))
+      .orderBy(col("cosine").desc, col("nbr").asc)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("nbr").asc)
+    a.join(b, col("cell_a") === col("cell_b") && col("src") =!= col("nbr"))
+      .select(col("cell_a"), col("src"), col("nbr"),
+        round(NE.vectorDot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 4).as("cosine"))
+      .withColumn("rc", row_number().over(wCell))
+      .filter(col("rc") <= k)
+      .select(col("src"), col("nbr"), col("cosine"))
+      .distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** IVF search against a PERSISTED index table (vec_id, embedding, cell)
     * — the scan side of the trained-IVF story. The probe cells are
     * collected (≤ probes×nProbe ints) and pushed as a literal IN filter

@@ -1544,6 +1544,50 @@ object LlmPipeline {
           coalesce(col("component"), col("vec_id")).as("component"))
         .withColumn("keep", col("component") === col("vec_id"))
         .orderBy(col("vec_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Approximate kNN GRAPH: every vector's top-5 cosine neighbors among
+    // vectors sharing a trained cell — the batch all-queries face of the
+    // ANN family (q100-q109 answer one probe; this answers ALL of them
+    // at once) and the input structure for SemDeDup cluster curation and
+    // graph-based diversity sampling. Candidates form only within shared
+    // top-3-of-8 cells (the q111 discipline); the ranking shuffle is
+    // keyed on src over the candidate set, never n². Cell count is the
+    // scale lever, as everywhere in this family. The oracle replays
+    // training, assignment, directed intra-cell pairing, and the ranking
+    // window CTE-for-CTE.
+    QueryDef.sql(
+      "q115_knn_graph",
+      s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleBuckets = 3)},
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn <= 3),
+         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr,
+         |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |ranked AS (SELECT src, nbr, cosine,
+         |    row_number() OVER (PARTITION BY src
+         |      ORDER BY cosine DESC, nbr ASC) AS rnk
+         |  FROM cand)
+         |SELECT src, CAST(rnk AS INTEGER) AS rnk, nbr, cosine
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY src ASC, rnk ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = VS.trainIvfCodebook(e, k = 8, iters = 3, sampleBuckets = 3)
+      VS.knnGraph(Tables.spread(s, e), cents, nAssign = 3, k = 5)
+        .select(col("src"), col("rnk"), col("nbr"), col("cosine"))
+        .orderBy(col("src").asc, col("rnk").asc)
     }
   )
 }

@@ -147,6 +147,34 @@ class PlanAuditSpec extends SparkSpec {
       "semantic-survivor pass must never plan a product")
   }
 
+  test("q115: knn-graph candidates form via a keyed cell join, never a product") {
+    val p = formatted("q115_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "kNN-graph candidate generation must stay cell-keyed — a product is the n² shape")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+        || p.contains("ShuffledHashJoin"),
+      "expected a keyed join for intra-cell candidate generation")
+  }
+
+  test("q115: the full candidate set shuffles at most once (two-stage top-k)") {
+    // stage-1 per-(cell, src) ranking must reuse the cell join's hash
+    // partitioning (HashPartitioning(cell) satisfies the window's
+    // ClusteredDistribution(cell, src)) — only the ≤ nAssign·k survivors
+    // per src may reach the dedup + global-rank exchanges. Exchange
+    // budget: ≤ 2 for the join sides (scored candidates), and everything
+    // after stage 1 operates on the pruned set. A third full-candidate
+    // exchange means the stage-1 window regressed into its own shuffle.
+    val shuffles = hashExchanges("q115_knn_graph")
+    assert(shuffles.size <= 4,
+      s"knn-graph has ${shuffles.size} hash exchanges — stage-1 ranking " +
+        "must ride the join partitioning, not add a full-candidate shuffle")
+    val cellKeyed = shuffles.count(
+      _.outputPartitioning.asInstanceOf[HashPartitioning]
+        .expressions.exists(_.toString.contains("cell")))
+    assert(cellKeyed <= 2,
+      s"$cellKeyed cell-keyed exchanges — the candidate set shuffled more than once per side")
+  }
+
   test("q114: mixture rates broadcast back; the corpus is never shuffled for the rate join") {
     // the rate table (one row per domain) must reach the corpus as a
     // BroadcastHashJoin on the domain key; the only products allowed are

@@ -190,6 +190,43 @@ class VectorSearchSpec extends SparkSpec {
     surv.unpersist()
   }
 
+  test("q115 knn graph: sound per-edge cosines, bounded degree, and decent recall vs brute top-5") {
+    import graft.functions.{NativeExpressions => NE}
+    val dir = "/root/testdata/sf0.001"
+    val g = graft.Queries.byName("q115_knn_graph").build(spark, dir).cache()
+    // degree bounded by k, ranks contiguous from 1, no self-edges
+    val deg = g.groupBy(col("src"))
+      .agg(count(lit(1)).as("d"), max(col("rnk")).as("mx"))
+    assert(deg.filter(col("d") > 5 || col("d") =!= col("mx")).count() == 0,
+      "each src must have <= 5 neighbors with contiguous ranks")
+    assert(g.filter(col("src") === col("nbr")).count() == 0, "self-edge")
+    // soundness: every emitted cosine equals the exact pairwise cosine
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val exact = g
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("es")), "src")
+      .join(e.select(col("vec_id").as("nbr"), col("embedding").as("en")), "nbr")
+      .filter(round(NE.vectorCosine(col("es"), col("en")), 4) =!= col("cosine"))
+    assert(exact.count() == 0, "graph edge cosine must be the exact cosine")
+    // recall vs brute-force top-5 (cell-restricted graphs miss cross-cell
+    // neighbors; top-3-of-8 assignment keeps most. Measured 0.89 here.)
+    val x = e.select(col("vec_id").as("src"), col("embedding").as("es"))
+    val y = e.select(col("vec_id").as("nbr"), col("embedding").as("en"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cosine").desc, col("nbr").asc)
+    val brute = x.join(y, col("src") =!= col("nbr"))
+      .select(col("src"), col("nbr"),
+        round(NE.vectorCosine(col("es"), col("en")), 4).as("cosine"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+    val hit = g.select(col("src"), col("nbr"))
+      .intersect(brute.select(col("src"), col("nbr"))).count()
+    val total = brute.count()
+    info(s"knn-graph recall@5 vs brute: $hit / $total")
+    assert(hit.toDouble / total >= 0.8,
+      s"cell-restricted knn graph recall $hit/$total below 0.8")
+    g.unpersist()
+  }
+
   test("semantic-dedup cell count is the scale lever: k=32 shrinks the pair space ~8x") {
     // q111 freezes k=8/nAssign=3 for the oracle, where the pair space is
     // ~(nAssign²/k)·n²/2 ≈ n²/2 — no reduction, by design (8 cells can't
