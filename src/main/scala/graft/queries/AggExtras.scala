@@ -132,6 +132,84 @@ object AggExtras {
       t(s, dir, "nation")
         .select(col("n_nationkey"), revUdf(col("n_name")).as("rev"))
         .orderBy(col("n_nationkey").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Time-series RESAMPLE + forward gap-fill: align an irregular event
+    // stream to a regular daily grid per key, then carry the last
+    // observed daily average across empty bars (leading gaps stay null).
+    // The grid is dataset-span days × keys — generated from one tiny
+    // bounds aggregate (broadcast) and a per-key sequence explode, so at
+    // 100 TB the grid is |keys|·|days| rows built WITHOUT touching the
+    // event data again; bars are one hash agg; the fill is one window
+    // per key ordered by day. Output restricted to 10 keys for the
+    // oracle; the plan shape is key-count-independent.
+    QueryDef.sql(
+      "q116_resample_gapfill",
+      """WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0,
+        |    CAST(max(ts) AS DATE) AS d1 FROM events),
+        |days AS (SELECT CAST(unnest(generate_series(d0::TIMESTAMP,
+        |    d1::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+        |grid AS (SELECT u.user_id, d.day FROM u CROSS JOIN days d),
+        |bars AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    count(*) AS n_events, round(avg(value), 4) AS avg_value
+        |  FROM events WHERE user_id < 10 GROUP BY user_id, day)
+        |SELECT g.user_id, g.day,
+        |  CAST(coalesce(r.n_events, 0) AS BIGINT) AS n_events,
+        |  r.avg_value,
+        |  last_value(r.avg_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN bars r
+        |  ON g.user_id = r.user_id AND g.day = r.day
+        |ORDER BY g.user_id ASC, g.day ASC""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+      val keyed = e.filter(col("user_id") < 10)
+      val bounds = e.agg(to_date(min(col("ts"))).as("d0"),
+        to_date(max(col("ts"))).as("d1"))
+      val days = bounds.select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+      val grid = keyed.select(col("user_id")).distinct()
+        .crossJoin(broadcast(days))
+      val bars = keyed
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          round(avg(col("value")), 4).as("avg_value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(bars, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("avg_value"),
+          last(col("avg_value"), ignoreNulls = true).over(w)
+            .as("filled_value"))
+        .orderBy(col("user_id").asc, col("day").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // UNPIVOT / melt — the inverse of q32's pivot: wide per-order columns
+    // back to tidy (key, metric, value) rows. A narrow per-row transform
+    // (no shuffle at all until the final presentation sort); Spark's
+    // unpivot is the typed counterpart of DuckDB's UNPIVOT.
+    QueryDef.sql(
+      "q117_unpivot",
+      """SELECT o_orderkey, metric, round(val, 4) AS val
+        |FROM (SELECT o_orderkey, o_totalprice,
+        |    CAST(o_custkey AS DOUBLE) AS o_custkey
+        |  FROM orders WHERE o_orderkey < 200)
+        |UNPIVOT (val FOR metric IN (o_totalprice, o_custkey))
+        |ORDER BY o_orderkey ASC, metric ASC""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey").cast("double").as("o_custkey"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("o_totalprice"), col("o_custkey")),
+          "metric", "val")
+        .select(col("o_orderkey"), col("metric"),
+          round(col("val"), 4).as("val"))
+        .orderBy(col("o_orderkey").asc, col("metric").asc)
     }
   )
 }

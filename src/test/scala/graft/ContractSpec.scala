@@ -12,14 +12,14 @@ class ContractSpec extends SparkSpec {
     assert(names.nonEmpty, "SparkEntry.queries must not be empty")
     assert(names.size == names.distinct.size,
       s"duplicate query names: ${names.diff(names.distinct).distinct}")
-    assert(names.size >= 105, s"expected the full surface, got ${names.size}")
+    assert(names.size >= 107, s"expected the full surface, got ${names.size}")
   }
 
   test("every oracle key corresponds to a declared query") {
     val q = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet.diff(q)
     assert(missing.isEmpty, s"oracles without queries: $missing")
-    assert(SparkEntry.oracleSql.size >= 105)
+    assert(SparkEntry.oracleSql.size >= 107)
   }
 
   test("every declared query is oracle-checked (no rows-only entries)") {
