@@ -17,7 +17,8 @@ object Queries {
       graft.queries.AggExtras.defs ++
       graft.queries.N5Queries.defs ++
       graft.queries.StreamingQueries.defs ++
-      graft.queries.MultimodalQueries.defs
+      graft.queries.MultimodalQueries.defs ++
+      graft.queries.CorpusOps.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

@@ -1,0 +1,290 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus analytics & curation operators, batch 2 (round 9): lexical
+  * ranking (BM25), PII redaction, passage-level dedup, distribution
+  * profiling (histogram/CDF), and group-wise anomaly detection. These are
+  * the remaining table-stakes passes of a production training-data
+  * pipeline that the earlier suites (LlmPipeline, TrainingPipeline) did
+  * not yet cover.
+  *
+  * Scale discipline (same as every suite): declarative DataFrame plans,
+  * map-side-combined hash aggregations, broadcast for the tiny sides
+  * (term stats, per-group moments, bin totals), no UDFs — every string
+  * kernel here is a codegen'd built-in (regexp_*, split, transform), so
+  * the corpus streams through narrow stages once per pass.
+  */
+object CorpusOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** BM25 query-term set, frozen for oracle determinism. In production the
+    * terms arrive per query; the plan shape is term-count-independent. */
+  private val Bm25Terms = Seq("spark", "table", "join")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  // PII patterns — valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+  // no backreferences, no lookaround. \b is supported by both.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Passage chunk width (tokens). Frozen small so the synthetic word-soup
+    * corpus actually contains cross-document duplicate chunks; real
+    * passage dedup runs 50-200-token windows — the width only changes a
+    * literal, never the plan. */
+  private val ChunkW = 3
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // BM25 ranking (Okapi, k1=1.2 b=0.75, Lucene-style idf) of the whole
+    // corpus against a fixed term set — the lexical-retrieval
+    // counterpart of the ANN family (q100+) and the standard first stage
+    // of hybrid search. Scale shape: the token explode feeds two
+    // map-side-combined hash aggs (per-doc tf restricted to query terms;
+    // per-doc length); document frequencies and corpus stats are
+    // term-count/1-row relations BROADCAST back, so the only shuffles
+    // are the two aggs — nothing corpus-sized is ever joined shuffled.
+    // Per-term contributions round to 4 decimals before the final sum
+    // (float-parity discipline), and the top-10 ranking order
+    // (score DESC, doc_id ASC) is total.
+    QueryDef.sql(
+      "q118_bm25_topk",
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks
+         |  WHERE length(tok) > 0 GROUP BY doc_id),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+         |  WHERE tok IN ('spark', 'table', 'join') GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |st AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl,
+         |    (SELECT count(*) FROM documents) AS n FROM dl),
+         |contrib AS (SELECT tf.doc_id,
+         |    round(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))
+         |      * tf.tf * (1.2 + 1)
+         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+         |      4) AS c
+         |  FROM tf JOIN dfreq d USING (tok) JOIN dl USING (doc_id)
+         |  CROSS JOIN st),
+         |scored AS (SELECT doc_id, round(sum(c), 4) AS bm25
+         |  FROM contrib GROUP BY doc_id)
+         |SELECT doc_id, bm25 FROM scored
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          explode(TF.tokens(lower(trim(col("text"))))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tf = toks.filter(col("tok").isin(Bm25Terms.map(x => x: Any): _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = broadcast(tf.groupBy(col("tok")).agg(count(lit(1)).as("df")))
+      val st = broadcast(
+        dl.agg(avg(col("dl").cast("double")).as("avgdl"))
+          .crossJoin(docs(s, dir).agg(count(lit(1)).as("n"))))
+      val idf = log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+      val norm = col("tf") + Bm25K1 *
+        (lit(1) - Bm25B + Bm25B * col("dl") / col("avgdl"))
+      tf.join(dfreq, "tok").join(dl, "doc_id").crossJoin(st)
+        .select(col("doc_id"),
+          round(idf * col("tf") * (Bm25K1 + 1) / norm, 4).as("c"))
+        .groupBy(col("doc_id")).agg(round(sum(col("c")), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(10)
+    },
+
+    // ------------------------------------------------------------------
+    // PII redaction — the compliance pass every training corpus runs
+    // before tokenization. The synthetic corpus carries no natural PII,
+    // so each doc is first augmented with DETERMINISTIC derived PII
+    // (email/phone/IPv4 built from doc_id — identically in both
+    // engines); the operator then counts and redacts all three classes.
+    // One narrow codegen'd pass (regexp_extract_all + chained
+    // regexp_replace), zero shuffles before the final order — at 100 TB
+    // this is a pure scan-transform-write with perfect linear scaling.
+    // Redaction order (email → phone → IP) is fixed; placeholders are
+    // digit-free so later patterns cannot match inside earlier
+    // replacements. Output pins counts AND the md5 of the redacted text.
+    QueryDef.sql(
+      "q119_pii_redaction",
+      s"""WITH aug AS (SELECT doc_id,
+         |    text || ' contact user' || doc_id
+         |      || '@mail.example.com call 555-'
+         |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+         |      AS a
+         |  FROM documents),
+         |red AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(a, '$EmailPat')) AS INTEGER) AS n_email,
+         |    CAST(len(regexp_extract_all(a, '$PhonePat')) AS INTEGER) AS n_phone,
+         |    CAST(len(regexp_extract_all(a, '$IpPat')) AS INTEGER) AS n_ip,
+         |    regexp_replace(regexp_replace(regexp_replace(a,
+         |      '$EmailPat', '<EMAIL>', 'g'),
+         |      '$PhonePat', '<PHONE>', 'g'),
+         |      '$IpPat', '<IP>', 'g') AS redacted
+         |  FROM aug)
+         |SELECT doc_id, n_email, n_phone, n_ip, md5(redacted) AS red_md5
+         |FROM red ORDER BY doc_id ASC""".stripMargin) { (s, dir) =>
+      val a = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256), lit(".0."),
+        (col("doc_id") % 100))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(
+        col("a"), lit(EmailPat), lit("<EMAIL>")),
+        lit(PhonePat), lit("<PHONE>")),
+        lit(IpPat), lit("<IP>"))
+      docs(s, dir).select(col("doc_id"), a.as("a"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("a"), lit(EmailPat), lit(0)))
+            .cast("int").as("n_email"),
+          size(regexp_extract_all(col("a"), lit(PhonePat), lit(0)))
+            .cast("int").as("n_phone"),
+          size(regexp_extract_all(col("a"), lit(IpPat), lit(0)))
+            .cast("int").as("n_ip"),
+          md5(redacted).as("red_md5"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // PASSAGE-level dedup: documents are chunked into fixed-width token
+    // windows; a chunk is a duplicate iff an identical chunk appears
+    // earlier in (doc_id, chunk_idx) order anywhere in the corpus. This
+    // is the sub-document granularity between exact dedup (q25/q40,
+    // whole doc) and MinHash (q42, fuzzy whole doc) — the pass that
+    // catches boilerplate headers/footers shared across distinct
+    // documents. Scale shape: chunking is a narrow codegen'd
+    // explode; first-occurrence marking is ONE window keyed by the
+    // chunk digest (hash-partitioned — each digest's occurrence list is
+    // tiny); the per-doc rollup is a map-side-combined agg. Nothing is
+    // ever compared pairwise.
+    QueryDef.sql(
+      "q120_passage_dedup",
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      t -> length(t) > 0) AS tk
+         |  FROM documents),
+         |chunks AS (SELECT doc_id,
+         |    unnest(range(CAST(ceil(len(tk) / $ChunkW.0) AS BIGINT)))
+         |      AS chunk_idx,
+         |    unnest(list_transform(
+         |      range(CAST(ceil(len(tk) / $ChunkW.0) AS BIGINT)),
+         |      i -> array_to_string(
+         |        tk[($ChunkW * i + 1):($ChunkW * i + $ChunkW)], ' ')))
+         |      AS passage
+         |  FROM toks),
+         |marked AS (SELECT doc_id, chunk_idx,
+         |    row_number() OVER (PARTITION BY md5(passage)
+         |      ORDER BY doc_id, chunk_idx) AS occ
+         |  FROM chunks)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup,
+         |  round(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+         |FROM marked GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin) {
+      (s, dir) =>
+      val tk = filter(TF.tokens(lower(trim(col("text")))),
+        t => length(t) > 0)
+      val nChunks = ceil(size(col("tk")).cast("double") / ChunkW).cast("int")
+      val chunks = Tables.spread(s, docs(s, dir).select(col("doc_id"), tk.as("tk")))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nChunks - 1),
+            i => concat_ws(" ", slice(col("tk"), i * ChunkW + 1, ChunkW)))))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "passage")
+      val w = Window.partitionBy(md5(col("passage")))
+        .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+      chunks.withColumn("occ", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          round(col("n_dup") / col("n_chunks").cast("double"), 4)
+            .as("dup_frac"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Numeric distribution profiling: fixed-width histogram of
+    // l_extendedprice with per-bin stats, share, and cumulative share
+    // (the empirical CDF) — the data-profiling pass that sizes
+    // everything else (bucket counts, salt factors, bin boundaries for
+    // range joins). Scale shape: ONE map-side-combined agg keyed by the
+    // bin (bounded domain — the histogram output is bin-count-sized,
+    // not data-sized); the total is a broadcast single row; the CDF
+    // window runs over the bounded bin table only, never the raw data.
+    QueryDef.sql(
+      "q121_histogram_cdf",
+      """WITH b AS (SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+        |    count(*) AS cnt,
+        |    round(min(l_extendedprice), 4) AS lo,
+        |    round(max(l_extendedprice), 4) AS hi,
+        |    round(avg(l_extendedprice), 4) AS avg_price
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM lineitem)
+        |SELECT bin, cnt, lo, hi, avg_price,
+        |  round(cnt / CAST(t.n AS DOUBLE), 4) AS share,
+        |  round(sum(cnt) OVER (ORDER BY bin) / CAST(t.n AS DOUBLE), 4)
+        |    AS cum_share
+        |FROM b CROSS JOIN t ORDER BY bin ASC""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val b = li.groupBy(
+          floor(col("l_extendedprice") / 5000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"),
+          round(min(col("l_extendedprice")), 4).as("lo"),
+          round(max(col("l_extendedprice")), 4).as("hi"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      val t = broadcast(li.agg(count(lit(1)).as("n")))
+      val w = Window.orderBy(col("bin"))
+      b.crossJoin(t)
+        .select(col("bin"), col("cnt"), col("lo"), col("hi"),
+          col("avg_price"),
+          round(col("cnt") / col("n").cast("double"), 4).as("share"),
+          round(sum(col("cnt")).over(w) / col("n").cast("double"), 4)
+            .as("cum_share"))
+        .orderBy(col("bin").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Group-wise anomaly detection: per-event-type z-scores over the
+    // event value stream; report events beyond 2.5σ. The data-quality
+    // tripwire run over telemetry/metrics before they poison a training
+    // mix. Scale shape: per-group moments are ONE map-side-combined agg
+    // producing a group-count-sized table BROADCAST back onto the
+    // stream — the corpus is never shuffled, scored in a narrow
+    // codegen'd stage (precedent: q114's rate table). The z threshold
+    // compares the 4-decimal-rounded score (float-parity discipline).
+    QueryDef.sql(
+      "q122_anomaly_zscore",
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+        |    stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  round(e.value, 4) AS value,
+        |  round((e.value - st.mu) / st.sd, 4) AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE st.sd > 0 AND abs(round((e.value - st.mu) / st.sd, 4)) > 2.5
+        |ORDER BY event_id ASC""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val st = broadcast(ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sd")))
+      val z = round((col("value") - col("mu")) / col("sd"), 4)
+      ev.join(st, "event_type")
+        .filter(col("sd") > 0 && abs(z) > 2.5)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"), z.as("z"))
+        .orderBy(col("event_id").asc)
+    }
+  )
+}

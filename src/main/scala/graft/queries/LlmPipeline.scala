@@ -1588,6 +1588,72 @@ object LlmPipeline {
       VS.knnGraph(Tables.spread(s, e), cents, nAssign = 3, k = 5)
         .select(col("src"), col("rnk"), col("nbr"), col("cosine"))
         .orderBy(col("src").asc, col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // FILTERED ANN — metadata-predicated vector search (the "where
+    // label < 5" face of q100): real retrieval always carries a
+    // metadata filter (language, license, date window), and the wrong
+    // plan applies it AFTER candidate generation — top-k starves when
+    // the filter is selective. Here the predicate is applied ON THE
+    // INDEX SCAN side, composed with the literal cell IN-filter, so the
+    // bucketed index read keeps its bucket pruning AND pushes the label
+    // predicate into the parquet scan (PlanAuditSpec pins both); the
+    // ranking window then sees only eligible candidates, guaranteeing k
+    // survivors whenever the filtered cells hold k. At 100 TB the
+    // filter rides the pruned scan for free — zero extra shuffles vs
+    // q100. The oracle replays training/assignment CTE-for-CTE and
+    // restricts the candidate set with the same predicate.
+    QueryDef.sql(
+      "q123_ann_filtered",
+      s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleBuckets = 3)},
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |flt AS (SELECT vec_id FROM embeddings WHERE label < 5),
+         |pcells AS (SELECT pid, cell FROM (
+         |    SELECT vec_id AS pid, cid AS cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+         |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 5),
+         |cand AS (SELECT pc.pid, a.vec_id,
+         |    round(list_cosine_similarity(a.v, p.pv), 4) AS cosine
+         |  FROM assigned a JOIN flt f ON f.vec_id = a.vec_id
+         |  JOIN pcells pc ON a.cell = pc.cell
+         |  JOIN p ON p.pid = pc.pid AND a.vec_id <> p.pid),
+         |ranked AS (SELECT pid, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY pid
+         |      ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |  FROM cand)
+         |SELECT pid, rnk, vec_id, cosine FROM ranked WHERE rnk <= 3
+         |ORDER BY pid ASC, rnk ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{AnnIndex, VectorSearch => VS}
+      import graft.operators.Layout
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+      val cents = VS.trainIvfCodebook(
+        e.select(col("vec_id"), col("embedding")),
+        k = 8, iters = 3, sampleBuckets = 3)
+      val (db, loc) = AnnIndex.scratchFor(dir, "fltr")
+      freshDb(s, db, loc)
+      Layout.writeBucketed(
+        e.withColumn("cell",
+          VS.ivfCellD(VF.toDoubles(col("embedding")), cents)),
+        s"$db.vectors", "cell", 8)
+      VS.ivfTopKIndexed(
+          s.table(s"$db.vectors").filter(col("label") < 5),
+          e.filter(col("vec_id") < 5)
+            .select(col("vec_id"), col("embedding")),
+          k = 3, cents, nProbe = 2)
+        .orderBy(col("pid").asc, col("rnk").asc)
     }
   )
 }
