@@ -91,8 +91,8 @@ object CorpusOps {
         dl.agg(avg(col("dl").cast("double")).as("avgdl"))
           .crossJoin(docs(s, dir).agg(count(lit(1)).as("n"))))
       val idf = log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-      val norm = col("tf") + Bm25K1 *
-        (lit(1) - Bm25B + Bm25B * col("dl") / col("avgdl"))
+      val norm = col("tf") + lit(Bm25K1) *
+        (lit(1) - Bm25B + lit(Bm25B) * col("dl") / col("avgdl"))
       tf.join(dfreq, "tok").join(dl, "doc_id").crossJoin(st)
         .select(col("doc_id"),
           round(idf * col("tf") * (Bm25K1 + 1) / norm, 4).as("c"))
@@ -199,7 +199,7 @@ object CorpusOps {
       val chunks = Tables.spread(s, docs(s, dir).select(col("doc_id"), tk.as("tk")))
         .select(col("doc_id"),
           posexplode(transform(sequence(lit(0), nChunks - 1),
-            i => concat_ws(" ", slice(col("tk"), i * ChunkW + 1, ChunkW)))))
+            i => concat_ws(" ", slice(col("tk"), i * ChunkW + 1, lit(ChunkW))))))
         .withColumnRenamed("pos", "chunk_idx")
         .withColumnRenamed("col", "passage")
       val w = Window.partitionBy(md5(col("passage")))
