@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided synthetic corpus (TESTDATA.md).
   *
@@ -22,9 +22,25 @@ object Tables {
     // reader rejects. Sessions set spark.sql.legacy.parquet.nanosAsLong=true
     // so the column arrives as LONG nanos; convert to a proper timestamp
     // (micros) here so every query sees the declared TIMESTAMP schema.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val ns =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    normalizeTimestamps(ns)
+  }
+
+  /** Engine boundary contract: event-time columns are TIMESTAMP (LTZ).
+    *
+    * Parquet written as TIMESTAMP_MICROS with isAdjustedToUTC=0 arrives as
+    * TIMESTAMP_NTZ in Spark 4, which `withWatermark` and `unix_micros`
+    * reject. The session timezone is pinned UTC (build.sbt), so casting
+    * NTZ -> LTZ is value-preserving; do it once here so every downstream
+    * operator (range join, streaming watermarks) sees one timestamp type
+    * regardless of how the corpus writer encoded it.
+    */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
 
   /** Spread a small single-split input across all cores before a

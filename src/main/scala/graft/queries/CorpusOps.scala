@@ -188,15 +188,19 @@ object CorpusOps {
          |      ORDER BY doc_id, chunk_idx) AS occ
          |  FROM chunks)
          |SELECT doc_id, count(*) AS n_chunks,
-         |  sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup,
-         |  round(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)
+         |  CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  round(CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    / CAST(count(*) AS DOUBLE), 4) AS dup_frac
          |FROM marked GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin) {
       (s, dir) =>
       val tk = filter(TF.tokens(lower(trim(col("text")))),
         t => length(t) > 0)
       val nChunks = ceil(size(col("tk")).cast("double") / ChunkW).cast("int")
+      // Guard the empty-doc edge: sequence(0, -1) would emit [0, -1]
+      // (descending default step) — two phantom chunks DuckDB's range(0)
+      // never produces. An empty token list has no passages; drop it.
       val chunks = Tables.spread(s, docs(s, dir).select(col("doc_id"), tk.as("tk")))
+        .filter(size(col("tk")) > 0)
         .select(col("doc_id"),
           posexplode(transform(sequence(lit(0), nChunks - 1),
             i => concat_ws(" ", slice(col("tk"), i * ChunkW + 1, lit(ChunkW))))))

@@ -41,6 +41,29 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("Tables.load normalizes TIMESTAMP_NTZ event time to TIMESTAMP") {
+    // The corpus writer may encode ts as parquet TIMESTAMP_MICROS with
+    // isAdjustedToUTC=0, which Spark 4 reads as TIMESTAMP_NTZ — a type
+    // withWatermark and unix_micros both reject. Tables.load is the
+    // boundary that guarantees downstream operators a single LTZ type.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val d = java.nio.file.Files.createTempDirectory("ntz").toString
+    spark.range(5)
+      .select(col("id"),
+        timestamp_micros(col("id") * 1000000L).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val raw = spark.read.parquet(s"$d/events.parquet")
+    assert(raw.schema("ts").dataType == TimestampNTZType,
+      "fixture should round-trip as NTZ for this test to be meaningful")
+    val loaded = Tables.load(spark, d, "events")
+    assert(loaded.schema("ts").dataType == TimestampType)
+    // UTC session => value-preserving cast
+    val micros = loaded.select(unix_micros(col("ts"))).as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    assert(micros.toSeq == Seq(0L, 1000000L, 2000000L, 3000000L, 4000000L))
+  }
+
   test("no query output contains nested (array/map/struct) columns") {
     // The driver's comparison harness sorts result cells in pandas;
     // numpy arrays are unhashable there, so even rows-only checks die
