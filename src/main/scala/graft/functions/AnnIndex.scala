@@ -52,6 +52,17 @@ object AnnParams {
   val Default: AnnParams = AnnParams()
 }
 
+/** What [[AnnIndex.maintain]] saw and did: the pre-maintenance stats the
+  * policy read, and whether they crossed a threshold and triggered a
+  * compaction. `nIndex` counts PHYSICAL rows in the vectors table
+  * (tombstoned rows included until a fold removes them); `filesPerBucket`
+  * is the append-debt measure — every [[AnnIndex.append]] batch adds one
+  * file per touched bucket.
+  */
+final case class AnnMaintenance(
+    nIndex: Long, nTombstones: Long, tombstoneFrac: Double,
+    filesPerBucket: Double, compacted: Boolean)
+
 /** Persisted ANN index catalog — the build-once/probe-many lifecycle split.
   *
   * r6 left every ANN query re-training its codebooks in-line, so the bench
@@ -483,6 +494,90 @@ object AnnIndex {
     register(s, db, loc, gen2)
     dropOldGenerations(s, db, loc, fs, keepFrom = gen2 - 1)
     db
+  }
+
+  /** Maintenance POLICY — the decision face the lifecycle was missing:
+    * [[buildIndex]]/[[append]]/[[delete]]/[[compact]] are mechanisms,
+    * this decides WHEN. It reads two cheap stats off the catalog — the
+    * tombstone fraction (deletion debt: every tombstone is a broadcast
+    * anti-join row EVERY probe pays until a fold removes it) and parquet
+    * files per bucket (append debt: each [[append]] batch adds one file
+    * per touched bucket) — and compacts only when a threshold is
+    * crossed. Both stats are metadata-cheap at any scale: one count on
+    * the bounded tombstone table, one count over the cell-bucketed
+    * vectors (a parquet row-group-stats scan, no data read), and a file
+    * listing the catalog already holds.
+    *
+    * This face serves SELF-MANAGED scratch indexes ([[buildIndex]] —
+    * single-driver ephemeral by contract, no marker/generation
+    * machinery): the fold writes both tables fresh (write-new + swap via
+    * managed-table rename, so a failure mid-fold leaves the original
+    * tables serving) and truncates the tombstone table. For
+    * `ensure`-managed dataset catalogs use [[maintainDataset]], which
+    * routes the same policy through the generation-swapping [[compact]]
+    * so concurrent probes stay snapshot-consistent.
+    */
+  def maintain(
+      s: SparkSession, db: String,
+      maxTombstoneFrac: Double = 0.2,
+      maxFilesPerBucket: Double = Double.PositiveInfinity): AnnMaintenance =
+    synchronized {
+      val p = paramsOf(s, db)
+      val (nIndex, nTomb, frac, fpb) = statsOf(s, db, p)
+      val due = frac > maxTombstoneFrac || fpb > maxFilesPerBucket
+      if (due) {
+        val tomb = broadcast(s.table(s"$db.tombstones"))
+        // read the tables as RAW parquet paths, not through the catalog:
+        // a catalog scan carries the bucket spec, the optimizer elides
+        // writeBucketed's repartition, and the "fold" degenerates to one
+        // output file per input file — the small-file state it exists to
+        // fix (same trick as compact; see Layout.bucketedSave's caveat)
+        val dbLoc = s.catalog.getDatabase(db).locationUri
+        Seq("vectors", "codes").foreach { t =>
+          val folded = s.read.parquet(s"$dbLoc/$t")
+            .join(tomb, Seq("vec_id"), "left_anti")
+          Layout.writeBucketed(folded, s"$db.${t}_folding", "cell", p.coarseK)
+          s.sql(s"DROP TABLE $db.$t")
+          s.sql(s"ALTER TABLE $db.${t}_folding RENAME TO $db.$t")
+        }
+        s.sql(s"TRUNCATE TABLE $db.tombstones")
+      }
+      AnnMaintenance(nIndex, nTomb, frac, fpb, compacted = due)
+    }
+
+  /** [[maintain]] for an `ensure`-managed dataset catalog: same policy
+    * stats, but a due compaction runs through [[compact]]'s generation
+    * swap (marker CAS, snapshot-isolated serving, old-generation GC).
+    */
+  def maintainDataset(
+      s: SparkSession, dir: String,
+      maxTombstoneFrac: Double = 0.2,
+      maxFilesPerBucket: Double = Double.PositiveInfinity): AnnMaintenance =
+    synchronized {
+      val db = dbFor(dir)
+      val loc = locFor(db)
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val prior = readMarker(fs, markerPath(loc))
+      val (gen, _) = prior.getOrElse(throw new IllegalStateException(
+        s"no persisted ANN catalog for $dir at $loc — build with ensure() " +
+          "before maintaining"))
+      if (!(s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.vectors")))
+        register(s, db, loc, gen)
+      val (nIndex, nTomb, frac, fpb) = statsOf(s, db, paramsOf(s, db))
+      val due = frac > maxTombstoneFrac || fpb > maxFilesPerBucket
+      if (due) compact(s, dir)
+      AnnMaintenance(nIndex, nTomb, frac, fpb, compacted = due)
+    }
+
+  private def statsOf(
+      s: SparkSession, db: String,
+      p: AnnParams): (Long, Long, Double, Double) = {
+    val nTomb = s.table(s"$db.tombstones").count()
+    val vectors = s.table(s"$db.vectors")
+    val nIndex = vectors.count()
+    val frac = if (nIndex == 0L) 0.0 else nTomb.toDouble / nIndex
+    (nIndex, nTomb, frac, vectors.inputFiles.length.toDouble / p.coarseK)
   }
 
   /** Probe-time-consistent resolution of the full catalog (see

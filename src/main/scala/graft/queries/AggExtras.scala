@@ -210,6 +210,80 @@ object AggExtras {
         .select(col("o_orderkey"), col("metric"),
           round(col("val"), 4).as("val"))
         .orderBy(col("o_orderkey").asc, col("metric").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // TYPED GROUPED-MAP (r11) — the Spark-native analogue of pandas'
+    // grouped-map `applyInPandas`: arbitrary imperative per-entity logic
+    // over each group's rows in event order, here a per-customer walk of
+    // their order history computing the max gap in days between
+    // consecutive orders and the longest streak of strictly-rising order
+    // totals. Streaks ARE window-expressible (the oracle proves it) but
+    // only via the two-pass gaps-and-islands contortion; a state machine
+    // one step more complex (resets, nested conditions, cross-field
+    // carry) stops being SQL-shaped — this is the escape hatch that
+    // stays ON the JVM executors (no Python worker round-trip, no Arrow
+    // serialization boundary). Scale shape: `flatMapSortedGroups` plans
+    // ONE hash exchange on the key and pushes the secondary sort INTO
+    // the shuffle's per-partition sort — groups stream through the
+    // function as sorted iterators, nothing is materialized per group,
+    // so a billion-customer table runs exactly this plan (TypedGroupsSpec
+    // pins the single exchange + no extra sort). Use windows when the
+    // logic is declarative; use THIS when it genuinely is not.
+    QueryDef.sql(
+      "q125_grouped_map_typed",
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |    lag(CAST(o_orderdate AS DATE)) OVER w AS pd,
+        |    CASE WHEN lag(o_totalprice) OVER w IS NOT NULL
+        |      AND o_totalprice > lag(o_totalprice) OVER w
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC)),
+        |runs AS (
+        |  SELECT o_custkey, pd, d,
+        |    sum(brk) OVER (PARTITION BY o_custkey
+        |      ORDER BY d ASC, o_orderkey ASC
+        |      ROWS UNBOUNDED PRECEDING) AS rid
+        |  FROM seq),
+        |rises AS (SELECT o_custkey, rid, count(*) AS runlen
+        |  FROM runs GROUP BY o_custkey, rid),
+        |gaps AS (SELECT o_custkey, count(*) AS n_orders,
+        |    coalesce(max(date_diff('day', pd, d)), 0) AS max_gap_days
+        |  FROM runs GROUP BY o_custkey)
+        |SELECT g.o_custkey, g.n_orders, g.max_gap_days,
+        |  CAST(max(r.runlen) AS BIGINT) AS longest_rise
+        |FROM gaps g JOIN rises r ON r.o_custkey = g.o_custkey
+        |GROUP BY g.o_custkey, g.n_orders, g.max_gap_days
+        |ORDER BY g.o_custkey ASC""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ds = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"), col("o_totalprice"))
+        .as[(Long, Long, java.sql.Date, Double)]
+      ds.groupByKey(_._1)
+        .flatMapSortedGroups(col("d"), col("o_orderkey")) {
+          (key: Long, it: Iterator[(Long, Long, java.sql.Date, Double)]) =>
+            var n = 0L; var maxGap = 0L
+            var longest = 0L; var run = 0L
+            var prevDate: java.time.LocalDate = null
+            var prevPrice = 0.0
+            it.foreach { case (_, _, d, p) =>
+              val ld = d.toLocalDate
+              if (n > 0L) {
+                val gap = java.time.temporal.ChronoUnit.DAYS
+                  .between(prevDate, ld)
+                if (gap > maxGap) maxGap = gap
+                run = if (p > prevPrice) run + 1 else 1L
+              } else run = 1L
+              if (run > longest) longest = run
+              n += 1; prevDate = ld; prevPrice = p
+            }
+            Iterator((key, n, maxGap, longest))
+        }
+        .toDF("o_custkey", "n_orders", "max_gap_days", "longest_rise")
+        .orderBy(col("o_custkey").asc)
     }
   )
 }

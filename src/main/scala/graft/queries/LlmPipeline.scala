@@ -1654,6 +1654,62 @@ object LlmPipeline {
             .select(col("vec_id"), col("embedding")),
           k = 3, cents, nProbe = 2)
         .orderBy(col("pid").asc, col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // INDEX MAINTENANCE POLICY (r11) — build/append/delete/compact are
+    // mechanisms; this is the DECISION: AnnIndex.maintain reads the
+    // tombstone fraction (deletion debt every probe pays through the
+    // anti-join) and files-per-bucket (append debt) off the catalog and
+    // compacts only past a threshold. The query runs the policy twice on
+    // a freshly built index with vec_id % 9 == 0 tombstoned (~11%):
+    // first at maxTombstoneFrac=0.5 (under threshold — must be a no-op)
+    // then at 0.05 (over — must fold). Each row reports the stats the
+    // policy READ and the post-state RE-MEASURED from the real catalog
+    // tables, so the oracle's predicted fold (n - n_deleted live rows,
+    // zero tombstones) is checked against what the fold physically did.
+    // Scale shape: the stats are metadata-cheap (bounded tombstone
+    // count + a row-group-stats count + a file listing); the fold
+    // itself is one bucketed rewrite of each index table, paid only
+    // when due — the LSM-ish economics that keep a 100 TB index
+    // servable without ever retraining.
+    QueryDef.sql(
+      "q124_ann_maintenance_policy",
+      """WITH t AS (SELECT count(*) AS n FROM embeddings),
+        |d AS (SELECT count(*) AS nd FROM embeddings WHERE vec_id % 9 = 0),
+        |th AS (SELECT * FROM (VALUES (0.5), (0.05)) v(threshold)),
+        |pre AS (SELECT CAST(th.threshold AS DOUBLE) AS threshold,
+        |    t.n, d.nd, CAST(d.nd AS DOUBLE) / t.n AS frac
+        |  FROM th CROSS JOIN t CROSS JOIN d)
+        |SELECT threshold, n AS n_index, nd AS n_tombstones,
+        |  round(frac, 4) AS tombstone_frac,
+        |  CASE WHEN frac > threshold THEN 'compact' ELSE 'none' END
+        |    AS action,
+        |  CASE WHEN frac > threshold THEN n - nd ELSE n END AS post_n_index,
+        |  CASE WHEN frac > threshold THEN CAST(0 AS BIGINT) ELSE nd END
+        |    AS post_n_tombstones
+        |FROM pre ORDER BY threshold DESC""".stripMargin) { (s, dir) =>
+      import graft.functions.AnnIndex
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val (db, loc) = AnnIndex.scratchFor(dir, "mnt")
+      AnnIndex.buildIndex(s, db, e, loc)
+      AnnIndex.delete(s, db,
+        e.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+      val reports = Seq(0.5, 0.05).map { thr =>
+        val m = AnnIndex.maintain(s, db, maxTombstoneFrac = thr)
+        val (postIdx, postTomb) =
+          if (m.compacted)
+            (s.table(s"$db.vectors").count(),
+              s.table(s"$db.tombstones").count())
+          else (m.nIndex, m.nTombstones)
+        (thr, m.nIndex, m.nTombstones, m.tombstoneFrac,
+          if (m.compacted) "compact" else "none", postIdx, postTomb)
+      }
+      import s.implicits._
+      reports.toDF("threshold", "n_index", "n_tombstones",
+          "tombstone_frac", "action", "post_n_index", "post_n_tombstones")
+        .withColumn("tombstone_frac", round(col("tombstone_frac"), 4))
+        .orderBy(col("threshold").desc)
     }
   )
 }

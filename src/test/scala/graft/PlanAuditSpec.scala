@@ -459,6 +459,34 @@ class PlanAuditSpec extends SparkSpec {
       "split aggregation lost its map-side combine")
   }
 
+  test("q125: typed grouped-map plans ONE hash exchange and rides the " +
+      "secondary sort on the shuffle's partition-local sort") {
+    // flatMapSortedGroups' contract at scale: the per-group event-order
+    // iteration must come from the shuffle's own per-partition sort, not
+    // a second exchange or a global sort — one hash exchange on the key,
+    // then a LOCAL SortExec over (key, date, orderkey) feeding MapGroups.
+    val shuffles = hashExchanges("q125_grouped_map_typed")
+    assert(shuffles.size == 1,
+      s"grouped-map should shuffle once (got ${shuffles.size})")
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val sorts = Queries.byName("q125_grouped_map_typed").build(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }
+      val local = sorts.filter(!_.global)
+      assert(local.size == 1,
+        s"expected exactly the grouped-map's partition-local sort, got $sorts")
+      assert(local.head.sortOrder.size == 3,
+        s"local sort must cover key + the two secondary-sort columns: " +
+          s"${local.head.sortOrder}")
+      // the only global sort is the presentation orderBy
+      assert(sorts.count(_.global) == 1)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("whole-stage codegen spans the Q1 pipeline") {
     // AQE materializes codegen stages lazily; disable it for the probe so
     // the prepared plan shows the WholeStageCodegen spans directly.

@@ -520,4 +520,111 @@ class AnnIndexSpec extends SparkSpec {
     assert(run(AnnIndex.snapshot(spark, db)) == resB,
       "post-rebuild snapshot must serve the new generation")
   }
+
+  test("maintain is a measured no-op under thresholds and a physical " +
+      "fold over them, probe-equivalent throughout") {
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val db = "graft_ann_maintain_spec"
+    AnnIndex.buildIndex(spark, db,
+      all.filter(col("vec_id") % 10 < 8), s"$tmp/${db}_db")
+    AnnIndex.append(spark, db, all.filter(col("vec_id") % 10 >= 8))
+    AnnIndex.delete(spark, db,
+      all.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+    val n = all.count()
+    val nd = all.filter(col("vec_id") % 9 === 0).count()
+    def files(t: String): Set[String] =
+      Files.list(Paths.get(s"$tmp/${db}_db/$t")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    val vBefore = files("vectors")
+    val probes = all.filter(col("vec_id") < 3)
+    def probe(): Seq[(Long, Int, Long, Double)] = {
+      val snap = AnnIndex.snapshot(spark, db)
+      canon(VectorSearch.ivfPqTopK(snap.codes, probes, 5,
+        snap.ivf, snap.pq, nProbe = 2))
+    }
+    val before = probe()
+    // UNDER both thresholds: stats are read, nothing moves
+    val m0 = AnnIndex.maintain(spark, db,
+      maxTombstoneFrac = 0.5, maxFilesPerBucket = 1e9)
+    assert(!m0.compacted)
+    assert(m0.nIndex == n && m0.nTombstones == nd)
+    assert(math.abs(m0.tombstoneFrac - nd.toDouble / n) < 1e-12)
+    assert(m0.filesPerBucket > 1.0,
+      "append should have left more than one file per bucket")
+    assert(files("vectors") == vBefore, "a no-op maintain moved files")
+    assert(spark.table(s"$db.vectors").count() == n)
+    // OVER the tombstone threshold: the fold physically removes the
+    // tombstoned rows from BOTH tables and empties the tombstone table
+    val m1 = AnnIndex.maintain(spark, db, maxTombstoneFrac = 0.05)
+    assert(m1.compacted && m1.nTombstones == nd)
+    assert(spark.table(s"$db.vectors").count() == n - nd)
+    assert(spark.table(s"$db.codes").count() == n - nd)
+    assert(spark.table(s"$db.tombstones").count() == 0)
+    assert(spark.table(s"$db.vectors")
+      .filter(col("vec_id") % 9 === 0).count() == 0)
+    // the serving view never changed: deletions were already logical
+    assert(probe() == before, "fold changed probe results")
+    // the folded tables kept the bucket layout: one file per bucket and
+    // a probe plan that still prunes buckets
+    assert(files("codes").size <= AnnIndex.CoarseK)
+    val snap = AnnIndex.snapshot(spark, db)
+    val plan = VectorSearch.ivfPqTopK(snap.codes, probes, 5,
+        snap.ivf, snap.pq, nProbe = 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+      .getOrElse(fail(s"folded table lost its bucket spec:\n$plan"))
+    assert(sel.group(1).toInt < sel.group(2).toInt)
+    // idempotent: debt is gone, a re-run with the same policy is a no-op
+    val m2 = AnnIndex.maintain(spark, db,
+      maxTombstoneFrac = 0.05, maxFilesPerBucket = 1.5)
+    assert(!m2.compacted && m2.nTombstones == 0)
+  }
+
+  test("maintain compacts on append debt alone (files-per-bucket trigger)") {
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val db = "graft_ann_maintain_fpb_spec"
+    AnnIndex.buildIndex(spark, db,
+      all.filter(col("vec_id") % 10 < 8), s"$tmp/${db}_db")
+    AnnIndex.append(spark, db, all.filter(col("vec_id") % 10 >= 8))
+    val m = AnnIndex.maintain(spark, db,
+      maxTombstoneFrac = 1.0, maxFilesPerBucket = 1.0)
+    assert(m.compacted && m.nTombstones == 0,
+      "two write batches per bucket must trip a files-per-bucket=1 policy")
+    def files(t: String): Int =
+      Files.list(Paths.get(s"$tmp/${db}_db/$t")).toArray
+        .map(_.toString).count(_.endsWith(".parquet"))
+    assert(files("vectors") <= AnnIndex.CoarseK)
+    assert(spark.table(s"$db.vectors").count() == all.count(),
+      "an append-debt fold with no tombstones must keep every row")
+  }
+
+  test("maintainDataset routes a due fold through the generation swap") {
+    import org.apache.spark.sql.functions.col
+    val full = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val d = Files.createTempDirectory("annidx-maintain")
+    writeSingleParquet(full, d.resolve("embeddings.parquet"))
+    val db = AnnIndex.ensure(spark, d.toString)
+    AnnIndex.delete(spark, db,
+      full.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+    def gen: String = Files.readString(markerOf(db)).split("\n", 2)(0)
+    val g0 = gen
+    // under threshold: no generation change
+    val m0 = AnnIndex.maintainDataset(spark, d.toString,
+      maxTombstoneFrac = 0.5)
+    assert(!m0.compacted && gen == g0)
+    // over: compact() runs, landing a NEW generation with tombstones folded
+    val m1 = AnnIndex.maintainDataset(spark, d.toString,
+      maxTombstoneFrac = 0.05)
+    assert(m1.compacted && gen != g0)
+    assert(spark.table(s"$db.tombstones").count() == 0)
+    assert(spark.table(s"$db.vectors").count()
+      == full.count() - m1.nTombstones)
+  }
 }
