@@ -284,6 +284,61 @@ object AggExtras {
         }
         .toDF("o_custkey", "n_orders", "max_gap_days", "longest_rise")
         .orderBy(col("o_custkey").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // TYPED COGROUP (r11) — the two-sided grouped-map: both relations
+    // are co-partitioned on the key and each key's rows from BOTH sides
+    // stream through one function (pandas' cogrouped `applyInPandas`,
+    // on the JVM). Here: per-order reconciliation of the order header
+    // against its line items — recompute the charge Σ extprice ×
+    // (1-disc) × (1+tax), count items, classify orphan/no-item keys —
+    // the merge-audit shape (ledger vs entries, header vs detail) that
+    // a FULL OUTER JOIN + agg expresses declaratively (the oracle) but
+    // that stops being SQL-shaped one step later (per-item matching
+    // rules, ordered netting, tolerance cascades). Scale shape: ONE
+    // hash exchange per side (pinned in PlanAuditSpec), no broadcast,
+    // no re-shuffle after the cogroup; if both inputs were bucketed by
+    // the key the exchanges elide entirely (Layout.writeBucketed).
+    QueryDef.sql(
+      "q126_cogroup_reconcile",
+      """WITH li AS (SELECT l_orderkey, count(*) AS n_items,
+        |    sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS charge
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT coalesce(o.o_orderkey, li.l_orderkey) AS o_orderkey,
+        |  coalesce(li.n_items, 0) AS n_items,
+        |  round(coalesce(li.charge, 0), 2) AS charge,
+        |  round(o.o_totalprice - coalesce(li.charge, 0), 2) AS delta,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'orphan'
+        |       WHEN li.l_orderkey IS NULL THEN 'no_items'
+        |       ELSE 'ok' END AS status
+        |FROM orders o FULL OUTER JOIN li ON li.l_orderkey = o.o_orderkey
+        |ORDER BY o_orderkey ASC""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Double)].groupByKey(_._1)
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .as[(Long, Double, Double, Double)].groupByKey(_._1)
+      o.cogroup(l) { (k, oit, lit) =>
+          var n = 0L; var charge = 0.0
+          lit.foreach { case (_, ep, disc, tax) =>
+            n += 1; charge += ep * (1 - disc) * (1 + tax)
+          }
+          val ord = if (oit.hasNext) Some(oit.next()) else None
+          val status =
+            if (ord.isEmpty) "orphan"
+            else if (n == 0L) "no_items"
+            else "ok"
+          Iterator((k, n, charge, ord.map(_._2 - charge), status))
+        }
+        .toDF("o_orderkey", "n_items", "charge", "delta", "status")
+        .select(col("o_orderkey"), col("n_items"),
+          round(col("charge"), 2).as("charge"),
+          round(col("delta"), 2).as("delta"), col("status"))
+        .orderBy(col("o_orderkey").asc)
     }
   )
 }

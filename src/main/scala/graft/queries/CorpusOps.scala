@@ -289,6 +289,89 @@ object CorpusOps {
         .select(col("event_id"), col("event_type"),
           round(col("value"), 4).as("value"), z.as("z"))
         .orderBy(col("event_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // DATA-QUALITY CONSTRAINT AUDIT (r11) — the validation gate a
+    // production pipeline runs before training ever sees a batch
+    // (the Deequ/Great-Expectations shape): declared constraints →
+    // one violations count each → a pass/fail report row per
+    // constraint. Scale shape is the whole point: the three lineitem
+    // range/null checks fold into ONE conditional aggregation — a
+    // single map-side-combined scan regardless of how many constraints
+    // are declared (never one scan per check); uniqueness is one
+    // distinct-agg; the FK and reconciliation checks are the only
+    // joins, both on natural keys (shuffled hash at 100 TB, elidable
+    // under shared bucketing). The report is constraint-count-sized.
+    QueryDef.sql(
+      "q127_constraint_audit",
+      """WITH li AS (SELECT
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_nonnull,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS price_positive
+        |  FROM lineitem),
+        |uq AS (SELECT count(*) - count(DISTINCT o_orderkey) AS v
+        |  FROM orders),
+        |fk AS (SELECT count(*) AS v FROM orders o
+        |  LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        |  WHERE c.c_custkey IS NULL),
+        |chg AS (SELECT l_orderkey,
+        |    sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS charge
+        |  FROM lineitem GROUP BY l_orderkey),
+        |recon AS (SELECT count(*) AS v FROM orders o
+        |  LEFT JOIN chg ON chg.l_orderkey = o.o_orderkey
+        |  WHERE abs(o.o_totalprice - coalesce(chg.charge, 0)) > 0.01),
+        |rep AS (
+        |  SELECT 'custkey_fk' AS check_name, fk.v AS violations FROM fk
+        |  UNION ALL SELECT 'discount_range', discount_range FROM li
+        |  UNION ALL SELECT 'orderkey_unique', uq.v FROM uq
+        |  UNION ALL SELECT 'price_positive', price_positive FROM li
+        |  UNION ALL SELECT 'shipdate_nonnull', shipdate_nonnull FROM li
+        |  UNION ALL SELECT 'total_reconciles', recon.v FROM recon)
+        |SELECT check_name, violations,
+        |  CAST(violations = 0 AS INTEGER) AS pass
+        |FROM rep ORDER BY check_name ASC""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      def one(name: String, v: org.apache.spark.sql.Column): DataFrame => DataFrame =
+        df => df.agg(v.cast("long").as("violations"))
+          .select(lit(name).as("check_name"), col("violations"))
+      // three checks, ONE lineitem scan: conditional aggregation
+      val liChecks = li.agg(
+          sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+            .otherwise(0L)).cast("long").as("discount_range"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+            .cast("long").as("shipdate_nonnull"),
+          sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+            .cast("long").as("price_positive"))
+        .selectExpr(
+          "stack(3, 'discount_range', discount_range, " +
+            "'shipdate_nonnull', shipdate_nonnull, " +
+            "'price_positive', price_positive) AS (check_name, violations)")
+      val uqCheck = one("orderkey_unique",
+        count(lit(1)) - countDistinct(col("o_orderkey")))(o)
+      val fkCheck = o.join(cust, col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("custkey_fk").as("check_name"), col("violations"))
+      val charge = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("charge"))
+      val reconCheck = o.join(charge,
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .filter(abs(col("o_totalprice")
+          - coalesce(col("charge"), lit(0.0))) > 0.01)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("total_reconciles").as("check_name"), col("violations"))
+      liChecks.unionByName(uqCheck).unionByName(fkCheck)
+        .unionByName(reconCheck)
+        .select(col("check_name"), col("violations"),
+          (col("violations") === 0L).cast("int").as("pass"))
+        .orderBy(col("check_name").asc)
     }
   )
 }

@@ -211,6 +211,30 @@ object TrainingPipeline {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           round(col("rate"), 4).as("rate"))
         .orderBy(col("lang").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // EXACT-k reproducible global sample (r11) — "carve out exactly 200
+    // eval documents, the same 200 every run, on any cluster size."
+    // q55/q56's hash-bucket predicates give a reproducible ~fraction;
+    // an eval set needs an exact COUNT, which means a global order over
+    // a salted hash — but never a global sort: orderBy+limit plans as
+    // TakeOrderedAndProject, a per-partition O(n log k) heap + one
+    // k-sized merge on the driver. The salt ('eval-v1') versions the
+    // carve-out: bump it and the sample redraws independently of every
+    // other hash family in the pipeline (bucket splits, dedup digests).
+    QueryDef.sql(
+      "q128_sample_exact_k",
+      """SELECT doc_id, lang, source,
+        |  md5('eval-v1' || CAST(doc_id AS VARCHAR)) AS rk
+        |FROM documents
+        |ORDER BY rk ASC, doc_id ASC LIMIT 200""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(concat(lit("eval-v1"), col("doc_id").cast("string")))
+            .as("rk"))
+        .orderBy(col("rk").asc, col("doc_id").asc)
+        .limit(200)
     }
   )
 }

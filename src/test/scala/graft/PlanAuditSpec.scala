@@ -487,6 +487,25 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q126: typed cogroup co-partitions both sides with one exchange " +
+      "each and nothing after") {
+    // CoGroup's contract at scale: each side is hash-exchanged on its
+    // key ONCE (elidable entirely under a shared bucket layout) and the
+    // merged iterators stream — no broadcast, no post-cogroup shuffle
+    // except the presentation sort.
+    val shuffles = hashExchanges("q126_cogroup_reconcile")
+    assert(shuffles.size == 2,
+      s"cogroup should shuffle each side exactly once (got ${shuffles.size})")
+  }
+
+  test("q128: exact-k sample is TakeOrdered, never a global sort") {
+    val p = formatted("q128_sample_exact_k")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exact-k carve-out fell back to a global sort:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "exact-k sample must not range-shuffle the corpus")
+  }
+
   test("whole-stage codegen spans the Q1 pipeline") {
     // AQE materializes codegen stages lazily; disable it for the probe so
     // the prepared plan shows the WholeStageCodegen spans directly.
