@@ -124,6 +124,23 @@ object LlmPipeline {
     (init +: rounds).mkString(",\n")
   }
 
+  /** DuckDB CTE chain for q129's fixed-iteration PageRank: expects
+    * `knn(src, nbr)`, `deg(src, outdeg)`, `n(nn)`, `pr0(node, pr)` to be
+    * in scope; yields `pr1..pr{iters}`. Mirrors the Spark loop exactly —
+    * dangling mass dropped, damping 0.85, every iteration rounded to 8
+    * decimals so both engines walk the same value lattice.
+    */
+  private def pagerankCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""it$i AS (SELECT k.nbr AS node, sum(p.pr / d.outdeg) AS m
+         |  FROM knn k JOIN pr${i - 1} p ON p.node = k.src
+         |  JOIN deg d ON d.src = k.src GROUP BY k.nbr),
+         |pr$i AS (SELECT p.node,
+         |    round(0.15 / n.nn + 0.85 * coalesce(it$i.m, 0), 8) AS pr
+         |  FROM pr${i - 1} p CROSS JOIN n
+         |  LEFT JOIN it$i ON it$i.node = p.node)""".stripMargin
+    }.mkString(",\n")
+
   /** DuckDB CTE chain reproducing VectorSearch.trainPqCodebook: per-
     * subspace Lloyd rounds over the shared `samp`, initialized from the
     * first k sample vectors' slices. Yields `pcent0..pcent{iters}` with
@@ -1710,6 +1727,83 @@ object LlmPipeline {
           "tombstone_frac", "action", "post_n_index", "post_n_tombstones")
         .withColumn("tombstone_frac", round(col("tombstone_frac"), 4))
         .orderBy(col("threshold").desc)
+    },
+
+    // ------------------------------------------------------------------
+    // PAGERANK CENTRALITY over the kNN graph (r11) — the iterative-
+    // computation face the engine was missing beyond connected
+    // components: quality/centrality propagation over the q115
+    // similarity graph (the curation signal SemDeDup-style pipelines
+    // rank clusters by). Pregel-on-DataFrames shape: the edge list is
+    // built ONCE (q115's cell-bucketed candidate generation) and
+    // localCheckpoint'd — iterating on raw lineage would re-run
+    // training+pairing EVERY iteration and grow the plan without
+    // bound; each of the 5 fixed iterations is then ONE join keyed on
+    // src (contributions) + one map-side-combined agg on dst + a
+    // left-join back to the node set, with the rank vector
+    // re-checkpointed per iteration (bounded lineage, N-row state).
+    // Dangling mass is dropped (documented; both engines agree) and
+    // every iteration rounds to 8 decimals so the two engines walk the
+    // same lattice — the q111 k-means determinism discipline. At 100 TB
+    // the per-iteration cost is the edges-by-src exchange; the node
+    // vector is corpus-row-count-sized, never corpus-content-sized.
+    QueryDef.sql(
+      "q129_pagerank_centrality",
+      s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleBuckets = 3)},
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn <= 3),
+         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr,
+         |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |knn AS (SELECT src, nbr FROM (
+         |    SELECT src, nbr,
+         |      row_number() OVER (PARTITION BY src
+         |        ORDER BY cosine DESC, nbr ASC) AS rnk
+         |    FROM cand) WHERE rnk <= 5),
+         |deg AS (SELECT src, count(*) AS outdeg FROM knn GROUP BY src),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM e),
+         |pr0 AS (SELECT vec_id AS node, round(1.0 / n.nn, 8) AS pr
+         |  FROM e CROSS JOIN n),
+         |${pagerankCtes(5)}
+         |SELECT node AS vec_id, pr AS pagerank FROM pr5
+         |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = VS.trainIvfCodebook(e, k = 8, iters = 3, sampleBuckets = 3)
+      val edges = VS.knnGraph(Tables.spread(s, e), cents, nAssign = 3, k = 5)
+        .select(col("src"), col("nbr")).localCheckpoint()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val nodes = e.select(col("vec_id").as("node"))
+      val nDf = broadcast(nodes.agg(count(lit(1)).cast("double").as("nn")))
+      var pr = nodes.crossJoin(nDf)
+        .select(col("node"), round(lit(1.0) / col("nn"), 8).as("pr"))
+        .localCheckpoint()
+      for (_ <- 1 to 5) {
+        val contrib = edges
+          .join(pr.withColumnRenamed("node", "src"), "src")
+          .join(deg, "src")
+          .groupBy(col("nbr"))
+          .agg(sum(col("pr") / col("outdeg")).as("m"))
+          .withColumnRenamed("nbr", "node")
+        pr = nodes.crossJoin(nDf)
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            round(lit(0.15) / col("nn")
+              + lit(0.85) * coalesce(col("m"), lit(0.0)), 8).as("pr"))
+          .localCheckpoint()
+      }
+      pr.select(col("node").as("vec_id"), col("pr").as("pagerank"))
+        .orderBy(col("vec_id").asc)
     }
   )
 }
