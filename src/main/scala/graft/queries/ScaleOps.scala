@@ -215,6 +215,42 @@ object ScaleOps {
         .groupBy(col("win_id"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
         .orderBy(col("win_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // SCD2 DIMENSION BUILD (r11) — turn a change-event log into a
+    // validity-interval dimension table (key, attr, valid_from,
+    // valid_to), the slowly-changing-dimension shape every temporal
+    // pipeline keeps so point-in-time questions become as-of joins
+    // (q12) or interval joins (q101) instead of per-query log replays.
+    // The current state of each key carries valid_to = NULL. Scale
+    // shape: ONE window keyed by the dimension key (hash-partitioned;
+    // per-key history streams through lead()) — the log is never
+    // self-joined, never replayed per query; the build is paid once
+    // per snapshot and the output is change-count-sized, not
+    // event-count-sized.
+    QueryDef.sql(
+      "q130_scd2_intervals",
+      """SELECT user_id, event_type AS state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS valid_to,
+        |  round(value, 4) AS value
+        |FROM events
+        |WHERE user_id % 97 = 0
+        |ORDER BY user_id ASC, valid_from ASC,
+        |  coalesce(CAST(valid_to AS VARCHAR), 'open') ASC,
+        |  state ASC, value ASC""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") % 97 === 0)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("user_id").asc, col("valid_from").asc,
+          coalesce(col("valid_to").cast("string"), lit("open")).asc,
+          col("state").asc, col("value").asc)
     }
   )
 }
