@@ -761,6 +761,54 @@ object CoreRelational {
         .select(col("vec_id"), col("pos"),
           round(col("x").cast("double"), 6).as("v"))
         .orderBy(col("vec_id").asc, col("pos").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // SIX-WAY STAR JOIN (r11; TPC-H Q5 shape) — the canonical
+    // plan-quality probe: two fact tables (orders, lineitem) against a
+    // four-deep dimension chain (customer → nation → region, supplier)
+    // with the "local supplier" condition (c_nationkey = s_nationkey)
+    // that makes join ORDER matter. The plan is declared flat and
+    // Catalyst does the work: the region/nation filters cascade down
+    // the dimension chain, the date range pushes into the orders scan,
+    // the small sides broadcast (pinned in PlanAuditSpec), and the only
+    // shuffles are the two fact-fact/fact-dim hash joins plus the final
+    // 5-group aggregate. At 100 TB the same declaration holds — AQE
+    // re-plans the broadcast thresholds; nothing here hand-schedules.
+    QueryDef.sql(
+      "q131_star_join_q5",
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01")
+          && col("o_orderdate") < ts("1999-01-01"))
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
     }
   )
 }

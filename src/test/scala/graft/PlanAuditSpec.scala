@@ -506,6 +506,18 @@ class PlanAuditSpec extends SparkSpec {
       "exact-k sample must not range-shuffle the corpus")
   }
 
+  test("q131: star join broadcasts the dimension chain and pushes the " +
+      "date range into the orders scan") {
+    val p = formatted("q131_star_join_q5")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3,
+      s"expected supplier/nation/region (at least) to broadcast, got $bhj:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "orderdate lower bound not pushed into the scan")
+    assert(p.contains("IsNotNull(r_name)") || p.contains("EqualTo(r_name"),
+      "region filter not pushed into the scan")
+  }
+
   test("whole-stage codegen spans the Q1 pipeline") {
     // AQE materializes codegen stages lazily; disable it for the probe so
     // the prepared plan shows the WholeStageCodegen spans directly.
