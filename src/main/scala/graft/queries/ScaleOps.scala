@@ -218,6 +218,57 @@ object ScaleOps {
     },
 
     // ------------------------------------------------------------------
+    // BUCKETED CO-LOCATED JOIN, query face (r11) — the "pay the shuffle
+    // once at ingest" discipline as a runnable query: orders and
+    // lineitem are written ONCE as bucketed tables on the join key, and
+    // the join + per-order aggregate then plan with ZERO shuffle
+    // exchanges (PlanAuditSpec pins hash-exchange count == 0): the
+    // bucket layout satisfies the join's clustered distribution AND the
+    // groupBy's, and the only movement left is the k-row TakeOrdered.
+    // At 100 TB this is THE fact⨝fact strategy — the recurring
+    // exchange, the single largest cost in a repeated pipeline, is
+    // converted into a one-time layout decision. The oracle is the
+    // PLAIN join: bucketing is a pure physical rewrite.
+    QueryDef.sql(
+      "q132_bucketed_join",
+      """SELECT o_orderkey, o_orderpriority,
+        |  count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 25""".stripMargin) {
+      (s, dir) =>
+      import graft.operators.Layout
+      val dbTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val db = s"graft_bkt_$dbTag"
+      val loc = s"${System.getProperty("java.io.tmpdir")}/${db}_db"
+      s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      val hp = new org.apache.hadoop.fs.Path(loc)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+      s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+      Layout.writeBucketed(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        s"$db.b_orders", "o_orderkey", 32)
+      Layout.writeBucketed(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")),
+        s"$db.b_lineitem", "l_orderkey", 32)
+      s.table(s"$db.b_orders")
+        .join(s.table(s"$db.b_lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(25)
+    },
+
+    // ------------------------------------------------------------------
     // SCD2 DIMENSION BUILD (r11) — turn a change-event log into a
     // validity-interval dimension table (key, attr, valid_from,
     // valid_to), the slowly-changing-dimension shape every temporal

@@ -518,6 +518,15 @@ class PlanAuditSpec extends SparkSpec {
       "region filter not pushed into the scan")
   }
 
+  test("q132: bucketed co-located join + per-key agg plan with ZERO " +
+      "shuffle exchanges") {
+    // The entire join + groupBy rides the on-disk bucket layout; the
+    // only movement in the whole query is the 25-row TakeOrdered.
+    val shuffles = hashExchanges("q132_bucketed_join")
+    assert(shuffles.isEmpty,
+      s"bucketed join should be exchange-free, got ${shuffles.size}")
+  }
+
   test("whole-stage codegen spans the Q1 pipeline") {
     // AQE materializes codegen stages lazily; disable it for the probe so
     // the prepared plan shows the WholeStageCodegen spans directly.
