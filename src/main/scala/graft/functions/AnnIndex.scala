@@ -531,7 +531,12 @@ object AnnIndex {
         // a catalog scan carries the bucket spec, the optimizer elides
         // writeBucketed's repartition, and the "fold" degenerates to one
         // output file per input file — the small-file state it exists to
-        // fix (same trick as compact; see Layout.bucketedSave's caveat)
+        // fix (same trick as compact; see Layout.bucketedSave's caveat).
+        // Failure-ordering invariant: the tombstone TRUNCATE runs LAST.
+        // A crash after folding one table but not the other leaves the
+        // serving view CORRECT — snapshot() anti-joins the tombstones
+        // against both tables, and re-dropping already-folded rows is a
+        // no-op — so a retried maintain() simply folds the remainder.
         val dbLoc = s.catalog.getDatabase(db).locationUri
         Seq("vectors", "codes").foreach { t =>
           val folded = s.read.parquet(s"$dbLoc/$t")

@@ -272,8 +272,17 @@ object Streams {
     */
   def annIngest(
       spark: SparkSession, deltas: DataFrame, db: String,
-      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxTombstoneFrac: Double = Double.PositiveInfinity,
+      maxFilesPerBucket: Double = Double.PositiveInfinity): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.AnnIndex
+    // With thresholds set, the stream is SELF-MAINTAINING: after each
+    // micro-batch append the maintenance policy (AnnIndex.maintain, q124)
+    // reads its metadata-cheap debt stats and folds only when a threshold
+    // is crossed — an unbounded ingest stream never accumulates unbounded
+    // per-bucket small files, and the fold runs between batches where the
+    // single-driver scratch-index contract already holds. Defaults keep
+    // the policy disabled (append-only, exactly the pre-r11 behavior).
     deltas.writeStream
       .trigger(trigger)
       .outputMode(OutputMode.Append())
@@ -281,7 +290,14 @@ object Streams {
         val b = batch.select(col("vec_id"), col("embedding"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          if (!b.isEmpty) AnnIndex.append(spark, db, b)
+          if (!b.isEmpty) {
+            AnnIndex.append(spark, db, b)
+            if (maxTombstoneFrac != Double.PositiveInfinity
+                || maxFilesPerBucket != Double.PositiveInfinity) {
+              AnnIndex.maintain(spark, db, maxTombstoneFrac, maxFilesPerBucket)
+              ()
+            }
+          }
         } finally { b.unpersist(); () }
       }
       .start()

@@ -335,6 +335,48 @@ class StreamingSpec extends SparkSpec {
       "streamed micro-batch appends diverge from a one-shot append")
   }
 
+  test("self-maintaining ingest stream: per-batch policy folds append " +
+      "debt, probe-equivalent to append-only") {
+    import graft.functions.{AnnIndex, VectorSearch}
+    val tmp = System.getProperty("java.io.tmpdir")
+    val full = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = full.filter(col("vec_id") % 10 < 8)
+    val delta = full.filter(col("vec_id") % 10 >= 8)
+    val db = "graft_ann_stream_mnt"
+    AnnIndex.buildIndex(spark, db, base, s"$tmp/${db}_db")
+    val d = Files.createTempDirectory("anndeltas-mnt").toString
+    delta.filter(col("vec_id") < 250).coalesce(1).write.mode("append").parquet(d)
+    delta.filter(col("vec_id") >= 250).coalesce(1).write.mode("append").parquet(d)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    // files-per-bucket = 1.0: every batch append trips the policy and
+    // folds, so the stream leaves the index compact
+    Streams.annIngest(spark, stream, db,
+      maxFilesPerBucket = 1.0).awaitTermination()
+    assert(spark.table(s"$db.vectors").count() == full.count())
+    def files(t: String): Int =
+      Files.list(java.nio.file.Paths.get(s"$tmp/${db}_db/$t")).toArray
+        .map(_.toString).count(_.endsWith(".parquet"))
+    assert(files("vectors") <= AnnIndex.CoarseK,
+      "self-maintaining stream left more than one file per bucket")
+    assert(files("codes") <= AnnIndex.CoarseK)
+    // probe-equivalent to the append-only reference stream catalog
+    // (graft_ann_stream, built by the previous test's identical
+    // deterministic training) when both exist; otherwise vs bulk append
+    val ref = "graft_ann_stream_mnt_ref"
+    AnnIndex.buildIndex(spark, ref, base, s"$tmp/${ref}_db")
+    AnnIndex.append(spark, ref, delta)
+    val probes = full.filter(col("vec_id") % 10 >= 8 && col("vec_id") < 50)
+    def topk(cat: String): Seq[String] =
+      VectorSearch.ivfPqTopK(spark.table(s"$cat.codes"), probes, 5,
+          AnnIndex.ivfCodebook(spark, cat), AnnIndex.pqCodebook(spark, cat),
+          nProbe = 2)
+        .collect().map(_.mkString("|")).toSeq.sorted
+    assert(topk(db) == topk(ref),
+      "maintenance folds changed streaming probe results")
+  }
+
   test("streaming incremental dedup: each digest emits once; history absorbs the stream") {
     val tmp = System.getProperty("java.io.tmpdir")
     val db = "graft_dedup_stream"
