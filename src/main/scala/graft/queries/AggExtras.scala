@@ -302,13 +302,22 @@ object AggExtras {
     // the key the exchanges elide entirely (Layout.writeBucketed).
     QueryDef.sql(
       "q126_cogroup_reconcile",
+      // Money flows through INTEGER CENTS: each line item rounds to cents
+      // ONCE (products of the raw doubles are not decimal-aligned, so
+      // there are no systematic .5-cent ties), then sums are exact long
+      // arithmetic — order-independent and engine-independent. Summing
+      // doubles and rounding the TOTAL instead puts 2-decimal-aligned
+      // deltas on .005 boundaries where Spark and DuckDB tie-break
+      // differently (observed at sf0.1: 6/150k rows off by 0.01).
       """WITH li AS (SELECT l_orderkey, count(*) AS n_items,
-        |    sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS charge
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |      * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM lineitem GROUP BY l_orderkey)
         |SELECT coalesce(o.o_orderkey, li.l_orderkey) AS o_orderkey,
         |  coalesce(li.n_items, 0) AS n_items,
-        |  round(coalesce(li.charge, 0), 2) AS charge,
-        |  round(o.o_totalprice - coalesce(li.charge, 0), 2) AS delta,
+        |  coalesce(li.cents, 0) AS charge_cents,
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT)
+        |    - coalesce(li.cents, 0) AS delta_cents,
         |  CASE WHEN o.o_orderkey IS NULL THEN 'orphan'
         |       WHEN li.l_orderkey IS NULL THEN 'no_items'
         |       ELSE 'ok' END AS status
@@ -323,21 +332,20 @@ object AggExtras {
           col("l_discount"), col("l_tax"))
         .as[(Long, Double, Double, Double)].groupByKey(_._1)
       o.cogroup(l) { (k, oit, lit) =>
-          var n = 0L; var charge = 0.0
+          var n = 0L; var cents = 0L
           lit.foreach { case (_, ep, disc, tax) =>
-            n += 1; charge += ep * (1 - disc) * (1 + tax)
+            n += 1; cents += math.round(ep * (1 - disc) * (1 + tax) * 100)
           }
           val ord = if (oit.hasNext) Some(oit.next()) else None
           val status =
             if (ord.isEmpty) "orphan"
             else if (n == 0L) "no_items"
             else "ok"
-          Iterator((k, n, charge, ord.map(_._2 - charge), status))
+          Iterator((k, n, cents,
+            ord.map(t2 => math.round(t2._2 * 100) - cents), status))
         }
-        .toDF("o_orderkey", "n_items", "charge", "delta", "status")
-        .select(col("o_orderkey"), col("n_items"),
-          round(col("charge"), 2).as("charge"),
-          round(col("delta"), 2).as("delta"), col("status"))
+        .toDF("o_orderkey", "n_items", "charge_cents", "delta_cents",
+          "status")
         .orderBy(col("o_orderkey").asc)
     }
   )
