@@ -1804,6 +1804,57 @@ object LlmPipeline {
       }
       pr.select(col("node").as("vec_id"), col("pr").as("pagerank"))
         .orderBy(col("vec_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // PRODUCTION-k kNN GRAPH (r12) — the SAME operator as q115 at the
+    // scale-lever setting the whole cell-bucketed family documents but
+    // (until now) only spec-asserted: k=32 cells, nAssign=2. q115's
+    // oracle freezes k=8/nAssign=3, which makes the candidate space
+    // (nAssign²/k)·n² ≈ 9n²/8 — MORE than all-pairs — so every sf1
+    // number in the q111/q113/q115/q129 family reads quadratic. Here
+    // the identical knnGraph runs with 4/32 = 12.5% of the pair space
+    // (VectorSearchSpec pins the exact candidate shrinkage, 15472 of
+    // 124750 at sf0.01), demonstrating as an ORACLE-GREEN query that
+    // the k lever — thousands of cells at 100 TB — is what carries
+    // this family to scale, not a different algorithm. Bench reads
+    // q133 directly against q115: same output semantics (top-5 cosine
+    // neighbors), same training discipline, ~8x fewer candidates.
+    // Recall vs exact top-5 drops with fewer shared cells (more
+    // boundary losses at nAssign=2) — that recall/cost curve is the
+    // tunable, measured in VectorSearchSpec; the oracle replays
+    // training, 2-of-32 assignment, pairing, and ranking CTE-for-CTE.
+    QueryDef.sql(
+      "q133_knn_graph_production_k",
+      s"""WITH ${kmeansCtes(k = 32, iters = 3, sampleBuckets = 3)},
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr,
+         |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |ranked AS (SELECT src, nbr, cosine,
+         |    row_number() OVER (PARTITION BY src
+         |      ORDER BY cosine DESC, nbr ASC) AS rnk
+         |  FROM cand)
+         |SELECT src, CAST(rnk AS INTEGER) AS rnk, nbr, cosine
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY src ASC, rnk ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = VS.trainIvfCodebook(e, k = 32, iters = 3, sampleBuckets = 3)
+      VS.knnGraph(Tables.spread(s, e), cents, nAssign = 2, k = 5)
+        .select(col("src"), col("rnk"), col("nbr"), col("cosine"))
+        .orderBy(col("src").asc, col("rnk").asc)
     }
   )
 }
