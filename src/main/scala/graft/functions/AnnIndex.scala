@@ -14,7 +14,10 @@ import org.apache.spark.sql.types._
   * tables before the query executes (the previous generation's files stay
   * on disk until the NEXT build). `vectors`/`codes` are the SERVING view:
   * tombstoned vec_ids (see [[AnnIndex.delete]]) are already excluded via
-  * a broadcast anti-join, so every probe path is deletion-aware for free.
+  * a broadcast anti-join whose tombstone set is MATERIALIZED at snapshot
+  * time (a concurrent fold truncates the tombstone table in place; the
+  * pinned view must not dissolve with it), so every probe path is
+  * deletion-aware for free and fold-stable.
   */
 final case class AnnSnapshot(
     vectors: DataFrame, codes: DataFrame,
@@ -436,13 +439,22 @@ object AnnIndex {
     */
   def compact(s: SparkSession, dir: String): String = synchronized {
     val db = dbFor(dir)
-    val loc = locFor(db)
+    compactAt(s, db, locFor(db))
+    db
+  }
+
+  /** [[compact]] keyed by catalog (db, loc) rather than dataset dir —
+    * what generation-layout-aware [[maintain]] routes through when it
+    * only holds the database name (e.g. a self-maintaining ingest
+    * stream over an `ensure`-managed catalog).
+    */
+  private def compactAt(s: SparkSession, db: String, loc: String): Unit = {
     val hp = new org.apache.hadoop.fs.Path(loc)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = markerPath(loc)
     val prior = readMarker(fs, marker)
     val (gen, fp) = prior.getOrElse(throw new IllegalStateException(
-      s"no persisted ANN catalog for $dir at $loc — build with ensure() before compacting"))
+      s"no persisted ANN catalog at $loc — build with ensure() before compacting"))
     if (!(s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.vectors")))
       register(s, db, loc, gen)
     val pr = paramsOf(s, db)
@@ -493,7 +505,6 @@ object AnnIndex {
     writeMarker(fs, marker, gen2, fp, expect = prior)
     register(s, db, loc, gen2)
     dropOldGenerations(s, db, loc, fs, keepFrom = gen2 - 1)
-    db
   }
 
   /** Maintenance POLICY — the decision face the lifecycle was missing:
@@ -508,14 +519,20 @@ object AnnIndex {
     * vectors (a parquet row-group-stats scan, no data read), and a file
     * listing the catalog already holds.
     *
-    * This face serves SELF-MANAGED scratch indexes ([[buildIndex]] —
-    * single-driver ephemeral by contract, no marker/generation
-    * machinery): the fold writes both tables fresh (write-new + swap via
-    * managed-table rename, so a failure mid-fold leaves the original
-    * tables serving) and truncates the tombstone table. For
-    * `ensure`-managed dataset catalogs use [[maintainDataset]], which
-    * routes the same policy through the generation-swapping [[compact]]
-    * so concurrent probes stay snapshot-consistent.
+    * For SELF-MANAGED scratch indexes ([[buildIndex]]): the fold writes
+    * both tables to a fresh fold-generation directory and REPOINTS the
+    * serving names (external-table DROP + RENAME — no old file is
+    * deleted in the swap), truncating the tombstone table last. The
+    * previous serving directory survives until the fold after next, so
+    * a probe whose snapshot resolved just before the fold keeps reading
+    * complete files — the same keep-one-generation rule as [[compact]].
+    * A crash mid-fold leaves a serving view that is still correct
+    * (snapshot() anti-joins tombstones; [[healInterruptedFold]] finishes
+    * or discards the half-swap on the next call). For `ensure`-managed
+    * dataset catalogs this entry point detects the generation layout
+    * (marker file at the db location) and routes the fold through
+    * [[compact]]'s generation swap — [[maintainDataset]] does the same
+    * when the caller holds the dataset dir.
     */
   def maintain(
       s: SparkSession, db: String,
@@ -523,32 +540,128 @@ object AnnIndex {
       maxFilesPerBucket: Double = Double.PositiveInfinity): AnnMaintenance =
     synchronized {
       val p = paramsOf(s, db)
+      val dbLoc = s.catalog.getDatabase(db).locationUri
+      val hp = new org.apache.hadoop.fs.Path(dbLoc)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // an `ensure`-managed catalog (generation layout — its marker file
+      // lives at the db location) must fold through compact's generation
+      // swap: the flat fold below would write outside generation tracking
+      // and TRUNCATE an external tombstone table (which Spark refuses).
+      // Detecting the layout here makes the threshold parameters of
+      // Streams.annIngest valid for BOTH catalog kinds (r11 ADVICE).
+      if (fs.exists(markerPath(dbLoc))) {
+        val (nIndex, nTomb, frac, fpb) = statsOf(s, db, p)
+        val due = frac > maxTombstoneFrac || fpb > maxFilesPerBucket
+        if (due) compactAt(s, db, dbLoc)
+        return AnnMaintenance(nIndex, nTomb, frac, fpb, compacted = due)
+      }
+      healInterruptedFold(s, db)
       val (nIndex, nTomb, frac, fpb) = statsOf(s, db, p)
       val due = frac > maxTombstoneFrac || fpb > maxFilesPerBucket
       if (due) {
         val tomb = broadcast(s.table(s"$db.tombstones"))
-        // read the tables as RAW parquet paths, not through the catalog:
-        // a catalog scan carries the bucket spec, the optimizer elides
-        // writeBucketed's repartition, and the "fold" degenerates to one
-        // output file per input file — the small-file state it exists to
-        // fix (same trick as compact; see Layout.bucketedSave's caveat).
-        // Failure-ordering invariant: the tombstone TRUNCATE runs LAST.
-        // A crash after folding one table but not the other leaves the
-        // serving view CORRECT — snapshot() anti-joins the tombstones
-        // against both tables, and re-dropping already-folded rows is a
-        // no-op — so a retried maintain() simply folds the remainder.
-        val dbLoc = s.catalog.getDatabase(db).locationUri
+        // Swap discipline (r11 ADVICE — previously DROP on a MANAGED
+        // table deleted the old files immediately, racing any probe
+        // whose snapshot resolved just before the fold): each folded
+        // table is written to a fresh fold_g<N> directory as an
+        // EXTERNAL table, the serving name is repointed via DROP (no
+        // file deletion — buildIndex writes the index tables external)
+        // + RENAME, and the PREVIOUS serving directory survives this
+        // fold so pinned plans finish against complete files; only
+        // directories two folds old are deleted (compact's
+        // keep-one-generation rule, applied to the scratch layout).
+        //
+        // The source is read as RAW parquet paths, not through the
+        // catalog: a catalog scan carries the bucket spec, the optimizer
+        // elides writeBucketed's repartition, and the "fold" degenerates
+        // to one output file per input file — the small-file state it
+        // exists to fix.
+        //
+        // Failure ordering: the tombstone TRUNCATE runs LAST, and the
+        // serving view stays correct at every crash point — snapshot()
+        // anti-joins the tombstones against both tables, re-dropping
+        // already-folded rows is a no-op, and a crash between DROP and
+        // RENAME is healed by healInterruptedFold() on the next
+        // maintain() (the folded files are already complete on disk).
+        val oldLocs = Seq("vectors", "codes")
+          .map(t => t -> servingLocation(s, db, t)).toMap
+        val foldDir = s"$dbLoc/fold_g${nextFoldGen(fs, hp)}"
+        val newLocs = Seq("vectors", "codes")
+          .map(t => t -> s"$foldDir/$t").toMap
         Seq("vectors", "codes").foreach { t =>
-          val folded = s.read.parquet(s"$dbLoc/$t")
+          val folded = s.read.parquet(oldLocs(t))
             .join(tomb, Seq("vec_id"), "left_anti")
-          Layout.writeBucketed(folded, s"$db.${t}_folding", "cell", p.coarseK)
+          Layout.writeBucketedAt(
+            folded, s"$db.${t}_folding", "cell", p.coarseK, newLocs(t))
           s.sql(s"DROP TABLE $db.$t")
           s.sql(s"ALTER TABLE $db.${t}_folding RENAME TO $db.$t")
         }
         s.sql(s"TRUNCATE TABLE $db.tombstones")
+        gcRetiredFoldDirs(s, fs, hp,
+          keep = (oldLocs.values ++ newLocs.values).toSet)
       }
       AnnMaintenance(nIndex, nTomb, frac, fpb, compacted = due)
     }
+
+  /** Current file location of `db.t` (qualified string). */
+  private def servingLocation(
+      s: SparkSession, db: String, t: String): String = {
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db)))
+    new org.apache.hadoop.fs.Path(meta.location).toString
+  }
+
+  /** Complete (or discard) the artifacts of a fold that crashed between
+    * its catalog operations: a missing serving table with a complete
+    * `_folding` table present is the DROP→RENAME window — finish the
+    * rename; a `_folding` table beside an intact serving table never
+    * swapped — drop it (external: its files are GC'd by the next fold).
+    */
+  private def healInterruptedFold(s: SparkSession, db: String): Unit =
+    Seq("vectors", "codes").foreach { t =>
+      val serving = s.catalog.tableExists(s"$db.$t")
+      val folding = s.catalog.tableExists(s"$db.${t}_folding")
+      if (!serving && folding)
+        s.sql(s"ALTER TABLE $db.${t}_folding RENAME TO $db.$t")
+      else if (folding)
+        s.sql(s"DROP TABLE $db.${t}_folding")
+    }
+
+  /** Next fold-generation number under the scratch db root. */
+  private def nextFoldGen(
+      fs: org.apache.hadoop.fs.FileSystem,
+      hp: org.apache.hadoop.fs.Path): Int = {
+    val exist =
+      if (fs.exists(hp)) fs.listStatus(hp).map(_.getPath.getName)
+        .collect { case n if n.matches("fold_g\\d+") => n.drop(6).toInt }
+      else Array.empty[Int]
+    if (exist.isEmpty) 1 else exist.max + 1
+  }
+
+  /** Delete retired index-table directories (the flat g0 dirs and old
+    * fold_g<K> dirs) EXCEPT the `keep` set — the previous and the new
+    * serving locations — so deletion always lags the swap by one fold.
+    */
+  private def gcRetiredFoldDirs(
+      s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      hp: org.apache.hadoop.fs.Path, keep: Set[String]): Unit = {
+    val keepQ = keep.map(l =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(l)).toString)
+    def dropUnlessKept(p: org.apache.hadoop.fs.Path): Unit =
+      if (fs.exists(p) && !keepQ.contains(fs.makeQualified(p).toString)) {
+        fs.delete(p, true); ()
+      }
+    Seq("vectors", "codes").foreach(t =>
+      dropUnlessKept(new org.apache.hadoop.fs.Path(hp, t)))
+    if (fs.exists(hp)) fs.listStatus(hp).foreach { st =>
+      if (st.getPath.getName.matches("fold_g\\d+")) {
+        Seq("vectors", "codes").foreach(t =>
+          dropUnlessKept(new org.apache.hadoop.fs.Path(st.getPath, t)))
+        if (fs.listStatus(st.getPath).isEmpty) { fs.delete(st.getPath, true); () }
+      }
+    }
+  }
 
   /** [[maintain]] for an `ensure`-managed dataset catalog: same policy
     * stats, but a due compaction runs through [[compact]]'s generation
@@ -582,20 +695,46 @@ object AnnIndex {
     val vectors = s.table(s"$db.vectors")
     val nIndex = vectors.count()
     val frac = if (nIndex == 0L) 0.0 else nTomb.toDouble / nIndex
-    (nIndex, nTomb, frac, vectors.inputFiles.length.toDouble / p.coarseK)
+    // append debt = the MAX over both index tables' file counts (r11
+    // ADVICE): a fold that crashed after rewriting vectors but before
+    // codes must still read as due on retry, not let the codes table's
+    // small-file debt hide behind a freshly-folded vectors count
+    val files = math.max(vectors.inputFiles.length,
+      s.table(s"$db.codes").inputFiles.length)
+    (nIndex, nTomb, frac, files.toDouble / p.coarseK)
   }
 
   /** Probe-time-consistent resolution of the full catalog (see
     * [[AnnSnapshot]]) — use this instead of raw `s.table` calls when a
     * rebuild may run concurrently with serving.
     */
+  /** Ceiling on the tombstone rows a snapshot materializes to the driver.
+    * Tombstones are bounded BETWEEN COMPACTIONS by contract (they ride a
+    * broadcast anti-join on every probe); an index whose deletion debt
+    * grew past this is mis-operated — fail loudly pointing at the fix
+    * (maintain/compact) instead of OOMing the driver.
+    */
+  val MaxSnapshotTombstones = 5000000
+
   def snapshot(s: SparkSession, db: String): AnnSnapshot = synchronized {
     // the serving view: deleted ids drop out via ONE broadcast anti-join
     // per table — the tombstone relation is bounded between compactions,
     // so this never shuffles the index side, and the cell-isin probe
     // filters still push through the anti-join into the bucketed scan
-    // (PlanAuditSpec pins both)
-    val tomb = broadcast(s.table(s"$db.tombstones"))
+    // (PlanAuditSpec pins both). The tombstone SET is materialized here,
+    // at snapshot time: the index tables pin their files via deferred
+    // deletion, but a concurrent fold TRUNCATEs the tombstone table in
+    // place — a lazy reference would dissolve the snapshot's deletions
+    // the moment a fold lands (tombstoned rows, still present in the
+    // pinned pre-fold files, would leak back into the serving view).
+    val tombTable = s.table(s"$db.tombstones")
+    val rows = tombTable.take(MaxSnapshotTombstones + 1)
+    require(rows.length <= MaxSnapshotTombstones,
+      s"$db.tombstones exceeds $MaxSnapshotTombstones rows — deletion " +
+        "debt this size must be folded (AnnIndex.maintain/compact) " +
+        "before serving")
+    val tomb = broadcast(s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), tombTable.schema))
     AnnSnapshot(
       s.table(s"$db.vectors").join(tomb, Seq("vec_id"), "left_anti"),
       s.table(s"$db.codes").join(tomb, Seq("vec_id"), "left_anti"),
@@ -696,13 +835,18 @@ object AnnIndex {
     if (fs.exists(hp)) fs.delete(hp, true)
     s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
     val cell = VectorSearch.ivfCellD(VectorFunctions.toDoubles(col("embedding")), cents)
-    Layout.writeBucketed(
+    // the two big index tables are EXTERNAL at their flat locations (same
+    // physical layout as before — ensure's register() and compact's raw
+    // reads depend on `$loc/vectors`): maintain's fold can then retire a
+    // serving table with DROP TABLE without deleting the files a
+    // concurrently-resolved snapshot already pinned
+    Layout.writeBucketedAt(
       e.select(col("vec_id"), col("embedding"), cell.as("cell")),
-      s"$db.vectors", "cell", params.coarseK)
-    Layout.writeBucketed(
+      s"$db.vectors", "cell", params.coarseK, s"$loc/vectors")
+    Layout.writeBucketedAt(
       e.select(col("vec_id"), cell.as("cell"),
         NativeExpressions.pqEncode(col("embedding"), cb).as("codes")),
-      s"$db.codes", "cell", params.coarseK)
+      s"$db.codes", "cell", params.coarseK, s"$loc/codes")
     import scala.jdk.CollectionConverters._
     s.createDataFrame(
       cents.map { case (cid, cv) => Row(cid, cv) }.asJava,

@@ -28,6 +28,20 @@ object Layout {
       sortCols: Seq[String] = Nil): Unit =
     bucketedSave(df, table, key, buckets, sortCols, "overwrite")
 
+  /** [[writeBucketed]] with an explicit file location: the table is
+    * created EXTERNAL at `path`, so a later `DROP TABLE` retires the
+    * catalog entry without deleting the files. This is the swap
+    * discipline index maintenance relies on (AnnIndex.maintain): a
+    * reader that pinned the old files at plan-resolution time keeps
+    * reading a complete table while a fold repoints the serving name
+    * at a freshly-written directory — deletion is deferred, never
+    * raced against in-flight scans.
+    */
+  def writeBucketedAt(
+      df: DataFrame, table: String, key: String, buckets: Int,
+      path: String, sortCols: Seq[String] = Nil): Unit =
+    bucketedSave(df, table, key, buckets, sortCols, "overwrite", Some(path))
+
   /** Append into an EXISTING bucketed table under the same bucket spec —
     * the incremental-maintenance counterpart of [[writeBucketed]]. Spark
     * validates the declared (buckets, key) against the catalog table, and
@@ -44,7 +58,8 @@ object Layout {
 
   private def bucketedSave(
       df: DataFrame, table: String, key: String, buckets: Int,
-      sortCols: Seq[String], mode: String): Unit = {
+      sortCols: Seq[String], mode: String,
+      path: Option[String] = None): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     // co-partition the write with the bucket function: without this every
     // task holds rows of every bucket and emits one file PER (task,
@@ -58,8 +73,9 @@ object Layout {
     val w: DataFrameWriter[Row] = df.repartition(buckets, df.col(key))
       .write.mode(mode)
       .format("parquet").bucketBy(buckets, key)
-    val sorted =
-      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    val located = path.fold(w)(p => w.option("path", p))
+    val sorted = if (sortCols.nonEmpty)
+      located.sortBy(sortCols.head, sortCols.tail: _*) else located
     sorted.saveAsTable(table)
   }
 }

@@ -281,7 +281,11 @@ object Streams {
     // reads its metadata-cheap debt stats and folds only when a threshold
     // is crossed — an unbounded ingest stream never accumulates unbounded
     // per-bucket small files, and the fold runs between batches where the
-    // single-driver scratch-index contract already holds. Defaults keep
+    // single-driver scratch-index contract already holds. maintain()
+    // detects the catalog layout itself: a buildIndex scratch catalog
+    // folds in place (deferred-deletion swap, so a concurrent annServe
+    // batch keeps its pinned files), an ensure-managed generation
+    // catalog routes through compact's generation swap. Defaults keep
     // the policy disabled (append-only, exactly the pre-r11 behavior).
     deltas.writeStream
       .trigger(trigger)

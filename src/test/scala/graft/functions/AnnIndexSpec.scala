@@ -555,6 +555,10 @@ class AnnIndexSpec extends SparkSpec {
       "append should have left more than one file per bucket")
     assert(files("vectors") == vBefore, "a no-op maintain moved files")
     assert(spark.table(s"$db.vectors").count() == n)
+    // a snapshot resolved BEFORE the fold pins the pre-fold files; the
+    // fold must not delete them out from under it (r11 ADVICE — the old
+    // managed DROP did exactly that)
+    val snapBefore = AnnIndex.snapshot(spark, db)
     // OVER the tombstone threshold: the fold physically removes the
     // tombstoned rows from BOTH tables and empties the tombstone table
     val m1 = AnnIndex.maintain(spark, db, maxTombstoneFrac = 0.05)
@@ -566,9 +570,15 @@ class AnnIndexSpec extends SparkSpec {
       .filter(col("vec_id") % 9 === 0).count() == 0)
     // the serving view never changed: deletions were already logical
     assert(probe() == before, "fold changed probe results")
-    // the folded tables kept the bucket layout: one file per bucket and
-    // a probe plan that still prunes buckets
-    assert(files("codes").size <= AnnIndex.CoarseK)
+    // the pre-fold snapshot still executes against its pinned files
+    assert(canon(VectorSearch.ivfPqTopK(snapBefore.codes, probes, 5,
+        snapBefore.ivf, snapBefore.pq, nProbe = 2)) == before,
+      "a pre-fold snapshot must keep serving its pinned files after the fold")
+    // the folded SERVING tables kept the bucket layout: one file per
+    // bucket (the retired pre-fold directory still holds its old files
+    // until the next fold — deferred deletion — so count the serving
+    // table's files, not the directory tree)
+    assert(spark.table(s"$db.codes").inputFiles.length <= AnnIndex.CoarseK)
     val snap = AnnIndex.snapshot(spark, db)
     val plan = VectorSearch.ivfPqTopK(snap.codes, probes, 5,
         snap.ivf, snap.pq, nProbe = 2)
@@ -596,10 +606,7 @@ class AnnIndexSpec extends SparkSpec {
       maxTombstoneFrac = 1.0, maxFilesPerBucket = 1.0)
     assert(m.compacted && m.nTombstones == 0,
       "two write batches per bucket must trip a files-per-bucket=1 policy")
-    def files(t: String): Int =
-      Files.list(Paths.get(s"$tmp/${db}_db/$t")).toArray
-        .map(_.toString).count(_.endsWith(".parquet"))
-    assert(files("vectors") <= AnnIndex.CoarseK)
+    assert(spark.table(s"$db.vectors").inputFiles.length <= AnnIndex.CoarseK)
     assert(spark.table(s"$db.vectors").count() == all.count(),
       "an append-debt fold with no tombstones must keep every row")
   }

@@ -355,9 +355,7 @@ class StreamingSpec extends SparkSpec {
     Streams.annIngest(spark, stream, db,
       maxFilesPerBucket = 1.0).awaitTermination()
     assert(spark.table(s"$db.vectors").count() == full.count())
-    def files(t: String): Int =
-      Files.list(java.nio.file.Paths.get(s"$tmp/${db}_db/$t")).toArray
-        .map(_.toString).count(_.endsWith(".parquet"))
+    def files(t: String): Int = spark.table(s"$db.$t").inputFiles.length
     assert(files("vectors") <= AnnIndex.CoarseK,
       "self-maintaining stream left more than one file per bucket")
     assert(files("codes") <= AnnIndex.CoarseK)
