@@ -319,11 +319,13 @@ object CorpusOps {
         |  LEFT JOIN customer c ON c.c_custkey = o.o_custkey
         |  WHERE c.c_custkey IS NULL),
         |chg AS (SELECT l_orderkey,
-        |    sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS charge
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |      * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM lineitem GROUP BY l_orderkey),
         |recon AS (SELECT count(*) AS v FROM orders o
         |  LEFT JOIN chg ON chg.l_orderkey = o.o_orderkey
-        |  WHERE abs(o.o_totalprice - coalesce(chg.charge, 0)) > 0.01),
+        |  WHERE abs(CAST(round(o.o_totalprice * 100) AS BIGINT)
+        |    - coalesce(chg.cents, 0)) > 1),
         |rep AS (
         |  SELECT 'custkey_fk' AS check_name, fk.v AS violations FROM fk
         |  UNION ALL SELECT 'discount_range', discount_range FROM li
@@ -358,13 +360,18 @@ object CorpusOps {
           "left_anti")
         .agg(count(lit(1)).as("violations"))
         .select(lit("custkey_fk").as("check_name"), col("violations"))
+      // q126 integer-cents discipline: each line charge rounds to cents
+      // ONCE, sums and the header comparison are exact long arithmetic —
+      // the sum-doubles-then-threshold formulation put 2-decimal-aligned
+      // deltas on .005 boundaries where the engines tie-break differently
+      // (r11 ADVICE; observed 6/150k flips at sf0.1 in q126's history)
       val charge = li.groupBy(col("l_orderkey"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * (lit(1) + col("l_tax"))).as("charge"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")) * 100).cast("long")).as("cents"))
       val reconCheck = o.join(charge,
           col("l_orderkey") === col("o_orderkey"), "left")
-        .filter(abs(col("o_totalprice")
-          - coalesce(col("charge"), lit(0.0))) > 0.01)
+        .filter(abs(round(col("o_totalprice") * 100).cast("long")
+          - coalesce(col("cents"), lit(0L))) > 1)
         .agg(count(lit(1)).as("violations"))
         .select(lit("total_reconciles").as("check_name"), col("violations"))
       liChecks.unionByName(uqCheck).unionByName(fkCheck)
