@@ -155,6 +155,9 @@ object BlockCodec {
       case "lz4" => drain(new net.jpountz.lz4.LZ4BlockInputStream(bis))
       case "zstd" => drain(new com.github.luben.zstd.ZstdInputStream(bis))
       case "xz" => drain(new org.tukaani.xz.XZInputStream(bis))
+      // pure-JVM blosc1 container decode (lz4/zlib/zstd inner streams;
+      // bit-shuffle/blosclz/snappy fail with their own loud messages)
+      case "blosc" => BloscCodec.decode(raw, off, expected)
       case other => throw new IllegalArgumentException(
         s"unsupported compression for read: $other")
     }
@@ -187,6 +190,10 @@ object BlockCodec {
       case "xz" => fill(new org.tukaani.xz.XZOutputStream(bos,
         new org.tukaani.xz.LZMA2Options(
           if (comp.level >= 0) comp.level else 6)))
+      case "blosc" => throw new IllegalArgumentException(
+        "blosc is read-only in this engine (pure-JVM container decode; " +
+          "an honest encoder would need c-blosc's exact block/split " +
+          "heuristics) — write the dataset with gzip/lz4/zstd instead")
       case other => throw new IllegalArgumentException(
         s"unsupported compression for write: $other")
     }

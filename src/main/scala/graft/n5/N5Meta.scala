@@ -52,21 +52,24 @@ object Dtype {
 /** Compression codec id + codec-specific parameter (`level`):
   * gzip → deflate level (-1 = default), bzip2 → block size 1-9,
   * lz4 → block size in bytes, zstd → level, xz → LZMA2 preset 0-9.
-  * blosc is JNI-only on the JVM → declared unsupported (SURVEY §4).
+  * blosc is READ-ONLY (pure-JVM container decode, [[BloscCodec]]);
+  * writes fail loudly at DDL/encode time.
   */
 final case class Compression(codec: String, level: Int = -1)
     extends Serializable {
   require(Compression.supported(codec),
     s"unsupported N5 compression: $codec " +
-      s"(supported: ${Compression.supported.mkString(", ")}; blosc needs native libs)")
+      s"(supported: ${Compression.supported.mkString(", ")})")
 }
 object Compression {
   /** "zlib" is n5-java's gzip-with-useZlib=true wire format (raw deflate,
     * no gzip wrapper); it round-trips through attributes.json as
-    * `{"type":"gzip","useZlib":true}`.
+    * `{"type":"gzip","useZlib":true}`. "blosc" is accepted for READ
+    * (zarr's default compressor family — [[BloscCodec]]); block encode
+    * and dataset DDL reject it.
     */
   val supported: Set[String] =
-    Set("raw", "gzip", "zlib", "bzip2", "lz4", "zstd", "xz")
+    Set("raw", "gzip", "zlib", "bzip2", "lz4", "zstd", "xz", "blosc")
   def defaultParam(codec: String): Int = codec match {
     case "bzip2" => 9
     case "lz4" => 65536
@@ -171,6 +174,12 @@ object N5Meta {
 
   def writeDatasetAttributes(
       root: String, dataset: String, a: DatasetAttributes): Unit = {
+    // fail at DDL time, not first block write: a blosc-compressed dataset
+    // can be READ (BloscCodec) but never written — cloning a blosc
+    // template (create_n5.py's compression='same') must override the codec
+    require(a.compression.codec != "blosc",
+      "blosc is read-only in this engine — create the dataset with an " +
+        "explicit compression override (gzip/lz4/zstd) instead of 'same'")
     val o = mapper.createObjectNode()
     val dims = o.putArray("dimensions"); a.dimensions.foreach(dims.add)
     val bs = o.putArray("blockSize"); a.blockSize.foreach(bs.add)

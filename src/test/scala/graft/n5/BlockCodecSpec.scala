@@ -194,6 +194,178 @@ class BlockCodecSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("unsupported N5 block mode: 2"))
   }
 
+  // ------------------------------------------------------------------
+  // blosc (read-only): chunks are built here by a test-side encoder that
+  // follows the public c-blosc 1.x container spec (README_HEADER.rst) —
+  // 16-byte header, per-block offset table, per-block split streams each
+  // prefixed with its LE int32 csize (csize == stream size ⇒ stored raw),
+  // byte-shuffle applied per block before compression. numcodecs is not
+  // installable in this container (zero egress), so spec-conformance of
+  // the golden bytes is by construction, not by c-blosc itself.
+
+  private def bloscLe32(bb: java.nio.ByteBuffer, v: Int): Unit = {
+    bb.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+      .put(((v >> 16) & 0xff).toByte).put(((v >> 24) & 0xff).toByte)
+    ()
+  }
+
+  /** c-blosc byte shuffle (inverse of BloscCodec.unshuffle): whole
+    * elements transposed into typesize byte lanes, tail verbatim.
+    */
+  private def bloscShuffle(b: Array[Byte], typesize: Int): Array[Byte] = {
+    val elems = b.length / typesize
+    val out = new Array[Byte](b.length)
+    for (i <- 0 until elems; t <- 0 until typesize)
+      out(t * elems + i) = b(i * typesize + t)
+    val whole = elems * typesize
+    System.arraycopy(b, whole, out, whole, b.length - whole)
+    out
+  }
+
+  private def bloscCompress(code: Int, data: Array[Byte]): Array[Byte] =
+    code match {
+      case 1 => // lz4 raw block
+        val c = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().fastCompressor()
+        val out = new Array[Byte](c.maxCompressedLength(data.length))
+        java.util.Arrays.copyOf(out, c.compress(data, 0, data.length, out, 0))
+      case 3 => // zlib stream
+        val d = new java.util.zip.Deflater()
+        d.setInput(data); d.finish()
+        val out = new Array[Byte](data.length * 2 + 64)
+        val n = d.deflate(out); d.end()
+        java.util.Arrays.copyOf(out, n)
+      case 4 => com.github.luben.zstd.Zstd.compress(data, 3)
+      case c => fail(s"test encoder: no codec $c")
+    }
+
+  /** Build one blosc1 chunk over `data`. `split` > 1 divides each block
+    * into that many streams (the c-blosc lz4/blosclz regime).
+    */
+  private def bloscChunk(
+      data: Array[Byte], typesize: Int, blocksize: Int,
+      code: Int, shuffle: Boolean, split: Int,
+      memcpy: Boolean = false, forceRawSplits: Boolean = false): Array[Byte] = {
+    val flags = (code << 5) | (if (shuffle) 1 else 0) | (if (memcpy) 2 else 0)
+    def header(cbytes: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + body.length)
+      bb.put(2.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
+      bloscLe32(bb, data.length); bloscLe32(bb, blocksize)
+      bloscLe32(bb, cbytes); bb.put(body)
+      bb.array()
+    }
+    if (memcpy) return header(data.length + 16, data)
+    val nblocks = (data.length + blocksize - 1) / blocksize
+    val blocks = (0 until nblocks).map { j =>
+      val bs = math.min(blocksize, data.length - j * blocksize)
+      val block = java.util.Arrays.copyOfRange(data, j * blocksize, j * blocksize + bs)
+      val shuffled = if (shuffle && typesize > 1) bloscShuffle(block, typesize) else block
+      val ns = if (bs % split == 0) split else 1
+      val streamSize = shuffled.length / ns
+      val bb = new java.io.ByteArrayOutputStream()
+      for (s <- 0 until ns) {
+        val stream = java.util.Arrays.copyOfRange(
+          shuffled, s * streamSize, (s + 1) * streamSize)
+        val comp = if (forceRawSplits) stream else bloscCompress(code, stream)
+        val stored = if (comp.length >= streamSize) stream else comp
+        val lb = java.nio.ByteBuffer.allocate(4)
+        bloscLe32(lb, stored.length)
+        bb.write(lb.array()); bb.write(stored)
+      }
+      bb.toByteArray
+    }
+    val bstartsLen = 4 * nblocks
+    val offsets = blocks.scanLeft(16 + bstartsLen)(_ + _.length)
+    val body = java.nio.ByteBuffer.allocate(bstartsLen + blocks.map(_.length).sum)
+    offsets.take(nblocks).foreach(bloscLe32(body, _))
+    blocks.foreach(body.put)
+    header(16 + bstartsLen + blocks.map(_.length).sum, body.array())
+  }
+
+  test("blosc chunks decode: memcpy, lz4+shuffle split, zlib, zstd, raw splits") {
+    val rng = new scala.util.Random(7)
+    // compressible uint16-ish payload, > 1 internal block
+    val data = Array.tabulate(4096)(i => ((i / 7) % 251).toByte)
+    // memcpy'ed chunk (incompressible path)
+    val rnd = Array.fill(512)(rng.nextInt().toByte)
+    assert(BloscCodec.decode(bloscChunk(rnd, 4, 256, 1, shuffle = false,
+      split = 1, memcpy = true), 0, rnd.length).toSeq == rnd.toSeq)
+    // lz4, byte-shuffle, typesize-way split, 2 internal blocks — the
+    // numcodecs Blosc(cname='lz4', shuffle=SHUFFLE) shape
+    assert(BloscCodec.decode(bloscChunk(data, 2, 2048, 1, shuffle = true,
+      split = 2), 0, data.length).toSeq == data.toSeq)
+    // lz4 unsplit (the NEVER_SPLIT side of the forward-compat rule):
+    // the adaptive parser must accept this too
+    assert(BloscCodec.decode(bloscChunk(data, 2, 2048, 1, shuffle = true,
+      split = 1), 0, data.length).toSeq == data.toSeq)
+    // zlib, no shuffle, single stream (c-blosc never splits zlib)
+    assert(BloscCodec.decode(bloscChunk(data, 2, 4096, 3, shuffle = false,
+      split = 1), 0, data.length).toSeq == data.toSeq)
+    // zstd + shuffle, typesize 8, 4 blocks
+    assert(BloscCodec.decode(bloscChunk(data, 8, 1024, 4, shuffle = true,
+      split = 1), 0, data.length).toSeq == data.toSeq)
+    // stored-raw splits (csize == stream size) inside a compressed chunk
+    assert(BloscCodec.decode(bloscChunk(data, 2, 2048, 1, shuffle = false,
+      split = 2, forceRawSplits = true), 0, data.length).toSeq == data.toSeq)
+    // leftover last block (nbytes not a multiple of blocksize)
+    val odd = data.take(3000)
+    assert(BloscCodec.decode(bloscChunk(odd, 2, 1024, 1, shuffle = true,
+      split = 2), 0, odd.length).toSeq == odd.toSeq)
+  }
+
+  test("blosc rides the N5 block path and unsupported variants fail loudly") {
+    // a full N5 block whose payload is a blosc chunk: header + chunk
+    val shape = Array(8, 8, 4)
+    val vals = Array.tabulate(shape.product)(i => ((i * 11) % 251).toLong)
+    val payload = java.nio.ByteBuffer.allocate(shape.product * 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    vals.foreach(v => payload.putShort(v.toShort))
+    val chunk = bloscChunk(payload.array(), 2, 256, 1, shuffle = true, split = 2)
+    val bb = java.nio.ByteBuffer.allocate(4 + 12 + chunk.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putShort(0.toShort).putShort(3.toShort)
+    shape.foreach(bb.putInt); bb.put(chunk)
+    val dec = BlockCodec.decode(bb.array(), Dtype.UInt16, Compression("blosc"))
+    assert(dec.shape.toSeq == shape.toSeq)
+    assert(dec.longs.toSeq == vals.toSeq)
+    // attrs parse: numcodecs-style blosc compression object reads as the
+    // read-only blosc codec...
+    val tmp = java.nio.file.Files.createTempDirectory("bloscattrs")
+    java.nio.file.Files.createDirectories(tmp.resolve("a"))
+    java.nio.file.Files.writeString(tmp.resolve("a/attributes.json"),
+      """{"dimensions":[8,8,4],"blockSize":[8,8,4],"dataType":"uint16",
+        |"compression":{"type":"blosc","cname":"lz4","clevel":5,
+        |"shuffle":1,"blocksize":0}}""".stripMargin)
+    val a = N5Meta.datasetAttributes(tmp.toString, "a")
+    assert(a.compression.codec == "blosc")
+    // ...but writing a blosc dataset fails at DDL and at block encode
+    val ddl = intercept[IllegalArgumentException] {
+      N5Meta.writeDatasetAttributes(tmp.toString, "b", a)
+    }
+    assert(ddl.getMessage.contains("read-only"))
+    val enc = intercept[IllegalArgumentException] {
+      BlockCodec.encode(Array(1, 1, 1), Array(1L), null, Dtype.UInt8,
+        Compression("blosc"))
+    }
+    assert(enc.getMessage.contains("read-only"))
+    // bit-shuffle, snappy, blosclz: loud unsupported messages
+    val bitshuf = bloscChunk(payload.array(), 2, 256, 1, shuffle = false, split = 1)
+    bitshuf(2) = (bitshuf(2) | 0x4).toByte
+    assert(intercept[IllegalArgumentException] {
+      BloscCodec.decode(bitshuf, 0, payload.array().length)
+    }.getMessage.contains("bit-shuffle"))
+    for (code <- Seq(0, 2)) { // blosclz, snappy
+      val c = bloscChunk(payload.array(), 2, 256, 1, shuffle = false, split = 1)
+      c(2) = ((code << 5) & 0xff).toByte
+      assert(intercept[IllegalArgumentException] {
+        BloscCodec.decode(c, 0, payload.array().length)
+      }.getMessage.contains("not supported"))
+    }
+    // nbytes mismatch against the dtype-derived payload size
+    assert(intercept[IllegalArgumentException] {
+      BloscCodec.decode(chunk, 0, payload.array().length - 2)
+    }.getMessage.contains("nbytes"))
+  }
+
   test("gzip honors the requested deflate level") {
     // highly compressible payload: level 1 must produce more bytes than
     // level 9, and both must decode back to the original
