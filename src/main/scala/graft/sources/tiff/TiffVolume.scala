@@ -89,15 +89,16 @@ object TiffVolume {
         }
         writePage(outDir, prefix, z.toInt, w, h, px, bits)
         z
-      }.collect().toSet
-    // fully-absent z-slabs still produce (all-zero) files
-    val missing = (0L until depth).filterNot(written)
-    if (missing.nonEmpty)
-      spark.createDataset(missing)
-        .repartition(math.max(1, math.min(missing.size,
-          spark.sparkContext.defaultParallelism)))
-        .foreach(z =>
-          writePage(outDir, prefix, z.toInt, w, h, new Array[Int](w * h), bits))
+      }
+    // fully-absent z-slabs still produce (all-zero) files; the written-z
+    // set stays distributed (an anti-join against the dense z range —
+    // collecting it was a depth-sized driver set), and page writes are
+    // idempotent overwrites, so a re-executed branch is harmless
+    spark.range(depth).select(col("id").as("z"))
+      .join(written.toDF("z"), Seq("z"), "left_anti")
+      .as[Long]
+      .foreach(z =>
+        writePage(outDir, prefix, z.toInt, w, h, new Array[Int](w * h), bits))
     depth
   }
 
@@ -116,6 +117,9 @@ object TiffVolume {
     }
     val limit = (1 << bits) - 1
     val (w, h) = ((end(0) - start(0)).toInt, (end(1) - start(1)).toInt)
+    // the collect below is bounded by the REQUESTED box (this entry point
+    // produces one driver-assembled TIFF file by contract — the
+    // whole-volume path is exportSlices, which writes from tasks)
     val pages = N5.readBox(spark, root, dataset, start, end)
       .select(col("z"),
         ((col("x") - start(0)) + (col("y") - start(1)) * w).cast("int").as("idx"),
@@ -151,34 +155,56 @@ object TiffVolume {
   /** The ranked (z, content) slice relation shared by the ingest paths:
     * z COORDINATE = rank in numeric order with path tiebreak (glob-sort
     * semantics, `tif_to_n5.py:21`) — 1-based or gappy numbering ingests
-    * densely; ranking happens on the tiny driver-side (path, zraw) list
-    * so the per-file decode parallelism of the binaryFile scan survives
-    * (a global window would funnel all content through one task).
+    * densely.
+    *
+    * The manifest stays a DATAFRAME end to end (r11 VERDICT: the old
+    * driver-side `collect()` of every (path, z) pair made a multi-
+    * million-file series a driver memory bottleneck): the skinny
+    * (path, zraw) listing — content column never touched — is ranked by
+    * a range-partitioned distributed sort + `zipWithIndex` (one tiny
+    * partition-count job; no global single-task window, no driver
+    * materialization), and each task then OPENS its ranked files
+    * directly (the reference's executor-side open-per-task discipline,
+    * `ometif_to_n5.py:174-182`) — so slice content is never shuffled
+    * and never joined: it flows scan → decode inside one task. The only
+    * driver-resident manifest data are the ≤3 example paths of a
+    * validation failure.
     */
   private def rankedSlices(
       spark: SparkSession, inDir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile")
+    // numeric sort key: digit run right before .tif; files without one
+    // are rejected rather than silently mis-placed (an empty extract
+    // must become null explicitly — ANSI CAST('' AS BIGINT) throws an
+    // opaque error before the curated require below could fire)
+    val order = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tif")
       .load(inDir)
-      // numeric sort key: digit run right before .tif; files without one
-      // are rejected rather than silently mis-placed (an empty extract
-      // must become null explicitly — ANSI CAST('' AS BIGINT) throws an
-      // opaque error before the curated require below could fire)
-      .withColumn("zraw", {
+      .select(col("path"), {
         val digits = regexp_extract(col("path"), "(\\d+)\\.tif$", 1)
         when(length(digits) === 0, lit(null)).otherwise(digits.cast("long"))
-      })
-    val order = files.select(col("path"), col("zraw"))
-      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.toString.toLong)))
-    require(order.nonEmpty, s"no .tif files found in $inDir")
-    require(order.forall(_._2.isDefined),
+      }.as("zraw"))
+    val bad = order.filter(col("zraw").isNull).select(col("path")).take(3)
+    require(bad.isEmpty,
       s"$inDir contains .tif files without a numeric suffix: " +
-        order.filter(_._2.isEmpty).map(_._1).take(3).mkString(", "))
-    val rankByPath = order.sortBy { case (p, z) => (z.get, p) }
-      .zipWithIndex.map { case ((p, _), i) => (p, i.toLong) }.toSeq
-    files.join(broadcast(rankByPath.toDF("path", "z")), Seq("path"))
-      .select(col("z"), col("content"))
+        bad.map(_.getString(0)).mkString(", "))
+    require(!order.isEmpty, s"no .tif files found in $inDir")
+    val ranked = order.sort(col("zraw").asc, col("path").asc)
+      .select(col("path")).as[String].rdd
+      .zipWithIndex().toDF("path", "z")
+    ranked.select(col("z"), col("path")).as[(Long, String)]
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        it.map { case (z, p) =>
+          val hp = new HPath(p)
+          val fs = hp.getFileSystem(conf)
+          val in = fs.open(hp)
+          val bytes =
+            try in.readAllBytes()
+            finally in.close()
+          (z, bytes)
+        }
+      }.toDF("z", "content")
   }
 
   /** Ingest a directory of grayscale TIFF slices (z order = numeric order

@@ -79,6 +79,36 @@ class TiffBreadthSpec extends SparkSpec {
     }
   }
 
+  test("a many-file gappy series ingests through the distributed manifest " +
+      "in numeric order") {
+    // 420 slices — far more than any partition count — with GAPPY numeric
+    // suffixes (step 3, starting at 7) and MIXED zero-padding, so numeric
+    // order ≠ lexical order and rank ≠ raw suffix: the r12 DataFrame-
+    // resident manifest (distributed sort + zipWithIndex + executor-side
+    // open-per-task; no driver collect of (path, z) pairs) must still
+    // assign z = dense numeric rank, exactly like the old driver-side sort
+    val (w, h, nz) = (6, 4, 420)
+    val dir = Files.createTempDirectory("manytif")
+    for (i <- 0 until nz) {
+      val suffix = 7 + 3 * i
+      val name =
+        if (i % 2 == 0) f"s_$suffix%07d.tif" else s"s_$suffix.tif"
+      Files.write(dir.resolve(name),
+        TiffIO.encode(w, h, Array.fill(w * h)(i % 251), 8))
+    }
+    val root = Files.createTempDirectory("manyn5").toString + "/v.n5"
+    val attrs = TiffVolume.ingestSlices(
+      spark, dir.toString, root, "vol/s0", Array(4, 4, 64))
+    assert(attrs.dimensions.toSeq == Seq(w.toLong, h.toLong, nz.toLong))
+    val perZ = N5.elements(N5.read(spark, root, "vol/s0"))
+      .groupBy(col("z")).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Number](1).longValue(), r.getAs[Number](2).longValue()))
+    assert(perZ.length == nz)
+    assert(perZ.forall { case (z, lo, hi) => lo == z % 251 && hi == z % 251 },
+      "slice content must land at its dense numeric rank")
+  }
+
   test("feeding an RGB series to the grayscale ingest fails with guidance") {
     val dir = Files.createTempDirectory("rgbwrong")
     Files.write(dir.resolve("slice_00000.tif"), tiffBytes(rgb(8, 8, 0)))
