@@ -82,14 +82,19 @@ object BlockCodec {
   }
 
   /** Encode a block to the N5 binary layout. Exactly one of longs/doubles
-    * must be non-null, length == shape.product.
+    * must be non-null, length == shape.product. `varlength` emits the
+    * mode-1 header (an extra uint32 element count after the dims —
+    * n5-java DefaultBlockWriter's varlength layout) with the full
+    * count, so a mode-1 label volume round-trips through the engine
+    * mode-byte-compatibly instead of being re-encoded dense mode-0.
     */
   def encode(
       shape: Array[Int],
       longs: Array[Long],
       doubles: Array[Double],
       dtype: Dtype,
-      comp: Compression): Array[Byte] = {
+      comp: Compression,
+      varlength: Boolean = false): Array[Byte] = {
     val n = shape.product
     val payload = ByteBuffer.allocate(n * dtype.bytesPerElement)
       .order(ByteOrder.BIG_ENDIAN)
@@ -125,11 +130,13 @@ object BlockCodec {
         }
     }
     val body = compress(payload.array(), comp)
-    val out = ByteBuffer.allocate(4 + 4 * shape.length + body.length)
+    val headerLen = 4 + 4 * shape.length + (if (varlength) 4 else 0)
+    val out = ByteBuffer.allocate(headerLen + body.length)
       .order(ByteOrder.BIG_ENDIAN)
-    out.putShort(0.toShort)
+    out.putShort(if (varlength) 1.toShort else 0.toShort)
     out.putShort(shape.length.toShort)
     shape.foreach(out.putInt)
+    if (varlength) out.putInt(n)
     out.put(body)
     out.array()
   }

@@ -641,10 +641,24 @@ class N5WriteBuilder(
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  /** `blockMode` option: `default` (mode-0, dense) or `varlength`
+    * (mode-1 header carrying its element count — full-count, so the
+    * volume stays dense-complete; the VALUE of mode-1 here is byte-
+    * compatible round-trips of label volumes that arrived mode-1).
+    */
+  private def varlengthMode(): Boolean =
+    options.getOrDefault("blockMode", "default") match {
+      case "default" => false
+      case "varlength" => true
+      case other => throw new IllegalArgumentException(
+        s"unknown blockMode '$other' (default | varlength)")
+    }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val attrs = writeAttrs()
-      new N5BatchWrite(root, dataset, attrs, info.schema(), doTruncate)
+      new N5BatchWrite(root, dataset, attrs, info.schema(), doTruncate,
+        varlengthMode())
     }
     /** Streaming sink: each micro-batch writes its block rows with the
       * same idempotent blind-overwrite writers; replayed epochs rewrite
@@ -661,7 +675,8 @@ class N5WriteBuilder(
         "n5 streaming sink supports Append output mode only")
       new swrite.StreamingWrite {
         private val batch =
-          new N5BatchWrite(root, dataset, attrs, info.schema(), false)
+          new N5BatchWrite(root, dataset, attrs, info.schema(), false,
+            varlengthMode())
         override def createStreamingWriterFactory(
             pinfo: PhysicalWriteInfo): swrite.StreamingDataWriterFactory = {
           val f = batch.createBatchWriterFactory(pinfo)
@@ -705,7 +720,8 @@ class N5WriteBuilder(
 
 class N5BatchWrite(
     root: String, dataset: String, attrs: DatasetAttributes,
-    inputSchema: StructType, truncate: Boolean) extends BatchWrite {
+    inputSchema: StructType, truncate: Boolean,
+    varlength: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // driver-side prep: optional truncate, container root marker
@@ -715,7 +731,7 @@ class N5BatchWrite(
       if (fs.exists(p)) fs.delete(p, true)
     }
     N5Meta.ensureRoot(root)
-    new N5WriterFactory(root, dataset, attrs, inputSchema)
+    new N5WriterFactory(root, dataset, attrs, inputSchema, varlength)
   }
 
   /** Metadata commit AFTER data: the dataset only becomes readable once
@@ -729,9 +745,9 @@ class N5BatchWrite(
 
 class N5WriterFactory(
     root: String, dataset: String, attrs: DatasetAttributes,
-    inputSchema: StructType) extends DataWriterFactory {
+    inputSchema: StructType, varlength: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new N5BlockWriter(root, dataset, attrs, inputSchema)
+    new N5BlockWriter(root, dataset, attrs, inputSchema, varlength)
 }
 
 /** Writes each incoming (gx,gy,gz,shape,data) row as one block file.
@@ -747,7 +763,8 @@ class N5WriterFactory(
   */
 class N5BlockWriter(
     root: String, dataset: String, attrs: DatasetAttributes,
-    inputSchema: StructType) extends DataWriter[InternalRow] {
+    inputSchema: StructType, varlength: Boolean = false)
+    extends DataWriter[InternalRow] {
 
   private val conf = new Configuration()
   private val fs: FileSystem = new HPath(root).getFileSystem(conf)
@@ -776,7 +793,7 @@ class N5BlockWriter(
       case other => throw new IllegalArgumentException(s"bad element type $other")
     }
     val bytes = BlockCodec.encode(shape, longs, doubles, attrs.dataType,
-      attrs.compression)
+      attrs.compression, varlength)
     val path = new HPath(root, s"$dataset/$gx/$gy/$gz")
     fs.mkdirs(path.getParent)
     // unique temp per attempt: concurrent speculative attempts must not

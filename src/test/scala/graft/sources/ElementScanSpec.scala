@@ -123,6 +123,68 @@ class ElementScanSpec extends SparkSpec {
     }
   }
 
+  test("blockMode=varlength writes mode-1 blocks: a mode-1 label volume " +
+      "round-trips mode-byte-compatibly") {
+    import graft.n5.N5Meta
+    val (root, ds) = volume(Dtype.UInt16)
+    val attrs = N5Meta.datasetAttributes(root, ds)
+    // the r9 policy made the writer ALWAYS emit dense mode-0 (documented
+    // normalization); the r12 option restores byte-compatible round
+    // trips for volumes that arrived mode-1
+    rewriteAsMode1(root, ds, "0/0/0", attrs.blockShape(Array(0, 0, 0)).product)
+    val out = Files.createTempDirectory("mode1write").toString + "/o.n5"
+    N5.read(spark, root, ds).write.format("n5")
+      .option("dataset", ds)
+      .option("dimensions", attrs.dimensions.mkString(","))
+      .option("blockSize", attrs.blockSize.mkString(","))
+      .option("dataType", attrs.dataType.name)
+      .option("compression", attrs.compression.codec)
+      .option("blockMode", "varlength")
+      .mode("append").save(out)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy(col("z"), col("y"), col("x"))
+        .collect().map(_.mkString("|")).toSeq
+    assert(canon(N5.elementsScan(spark, out, ds))
+      == canon(N5.elementsScan(spark, root, ds)),
+      "varlength write changed voxels")
+    // every output block is mode-1 and declares its FULL element count
+    // (dense-complete varlength — always-valid N5)
+    val blockFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(out, ds))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => java.nio.file.Files.isRegularFile(p)
+        && p.getFileName.toString.matches("\\d+"))
+    assert(blockFiles.nonEmpty)
+    blockFiles.foreach { p =>
+      val hdr = java.nio.ByteBuffer
+        .wrap(java.nio.file.Files.readAllBytes(p).take(20))
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      assert(hdr.getShort() == 1, s"$p is not a mode-1 block")
+      val ndim = hdr.getShort()
+      val shape = Array.fill(ndim)(hdr.getInt())
+      assert(hdr.getInt() == shape.product,
+        s"$p mode-1 count must equal its dense element count")
+    }
+    // and the decoded payloads agree with the mode-0 write of the same data
+    val back = N5.read(spark, out, ds)
+      .agg(sum(aggregate(col("data").cast("array<bigint>"),
+        lit(0L), (a, x) => a + x))).collect()(0).getLong(0)
+    val orig = N5.read(spark, root, ds)
+      .agg(sum(aggregate(col("data").cast("array<bigint>"),
+        lit(0L), (a, x) => a + x))).collect()(0).getLong(0)
+    assert(back == orig)
+    // unknown blockMode values fail loudly at plan build
+    val ex = intercept[Exception] {
+      N5.read(spark, root, ds).write.format("n5")
+        .option("dataset", ds)
+        .option("dimensions", attrs.dimensions.mkString(","))
+        .option("blockMode", "bogus")
+        .mode("append").save(out)
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("unknown blockMode")), s"got: $chain")
+  }
+
   test("a short varlength block fails the BLOCKS view loudly too") {
     val (root, ds) = volume(Dtype.UInt16)
     rewriteAsMode1(root, ds, "0/0/0", 7)
