@@ -127,6 +127,11 @@ object Bench {
     } ++ (if (failed.size > 8)
       Seq("\"more\":\"" + (failed.size - 8) + " further failures\"")
     else Nil)).mkString("{", ",", "}")
+    // sub-metric stamps (BenchProbes): phase timings inside build-
+    // dominated queries (q124's policy fold vs its scratch-index setup)
+    val subs = BenchProbes.snapshot().toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + num("%.2f", v) }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
     // ~70 bytes of env attribution, well inside the driver's tail window
     val env = {
@@ -134,7 +139,7 @@ object Bench {
       val cpuWall = if (cpu0 < 0) -1.0 else (procCpuSec - cpu0) / wall
       s""""env":{"cpuWall":${num("%.2f", cpuWall)},"load0":${num("%.2f", load0)},"load1":${num("%.2f", osBean.getSystemLoadAverage)}}"""
     }
-    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"errors":$errs,"gc":$gcs,$env,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"errors":$errs,"gc":$gcs,"sub":$subs,$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

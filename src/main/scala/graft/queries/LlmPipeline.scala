@@ -1712,15 +1712,21 @@ object LlmPipeline {
       AnnIndex.buildIndex(s, db, e, loc)
       AnnIndex.delete(s, db,
         e.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
-      val reports = Seq(0.5, 0.05).map { thr =>
-        val m = AnnIndex.maintain(s, db, maxTombstoneFrac = thr)
-        val (postIdx, postTomb) =
-          if (m.compacted)
-            (s.table(s"$db.vectors").count(),
-              s.table(s"$db.tombstones").count())
-          else (m.nIndex, m.nTombstones)
-        (thr, m.nIndex, m.nTombstones, m.tombstoneFrac,
-          if (m.compacted) "compact" else "none", postIdx, postTomb)
+      // the build above is a fixed setup cost (~85% of q124's bench
+      // number); the POLICY — stats read + threshold fold — is what this
+      // query measures, so it stamps its own phase seconds for the bench
+      // artifact's `sub` map (BenchProbes; r11 VERDICT #8)
+      val reports = graft.BenchProbes.time("q124.policy") {
+        Seq(0.5, 0.05).map { thr =>
+          val m = AnnIndex.maintain(s, db, maxTombstoneFrac = thr)
+          val (postIdx, postTomb) =
+            if (m.compacted)
+              (s.table(s"$db.vectors").count(),
+                s.table(s"$db.tombstones").count())
+            else (m.nIndex, m.nTombstones)
+          (thr, m.nIndex, m.nTombstones, m.tombstoneFrac,
+            if (m.compacted) "compact" else "none", postIdx, postTomb)
+        }
       }
       import s.implicits._
       reports.toDF("threshold", "n_index", "n_tombstones",
@@ -1781,28 +1787,19 @@ object LlmPipeline {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val cents = VS.trainIvfCodebook(e, k = 8, iters = 3, sampleBuckets = 3)
       val edges = VS.knnGraph(Tables.spread(s, e), cents, nAssign = 3, k = 5)
-        .select(col("src"), col("nbr")).localCheckpoint()
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      val nodes = e.select(col("vec_id").as("node"))
-      val nDf = broadcast(nodes.agg(count(lit(1)).cast("double").as("nn")))
-      var pr = nodes.crossJoin(nDf)
-        .select(col("node"), round(lit(1.0) / col("nn"), 8).as("pr"))
-        .localCheckpoint()
-      for (_ <- 1 to 5) {
-        val contrib = edges
-          .join(pr.withColumnRenamed("node", "src"), "src")
-          .join(deg, "src")
-          .groupBy(col("nbr"))
-          .agg(sum(col("pr") / col("outdeg")).as("m"))
-          .withColumnRenamed("nbr", "node")
-        pr = nodes.crossJoin(nDf)
-          .join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            round(lit(0.15) / col("nn")
-              + lit(0.85) * coalesce(col("m"), lit(0.0)), 8).as("pr"))
-          .localCheckpoint()
-      }
-      pr.select(col("node").as("vec_id"), col("pr").as("pagerank"))
+        .select(col("src"), col("nbr").as("dst")).localCheckpoint()
+      // the r12 PageRank operator at the oracle-frozen settings: fixed 5
+      // iterations, dangling mass dropped, every iterate on the 8-decimal
+      // lattice — the standard-formulation options (redistribution,
+      // convergence stop) are exercised in PageRankSpec, not here, so the
+      // oracle CTE chain stays frozen
+      graft.operators.PageRank.run(
+          e.select(col("vec_id").as("node")), edges,
+          damping = 0.85, maxIters = 5,
+          redistributeDangling = false, tol = 0.0,
+          roundDecimals = Some(8))
+        .ranks
+        .select(col("node").as("vec_id"), col("pr").as("pagerank"))
         .orderBy(col("vec_id").asc)
     },
 
