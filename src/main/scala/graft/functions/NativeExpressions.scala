@@ -349,6 +349,76 @@ object WordNgrams {
   }
 }
 
+/** Serializable handle around a Spark `util.sketch.BloomFilter`: ships the
+  * SERIALIZED bytes to executors and deserializes once per JVM reference
+  * (transient lazy), so the per-row probe is two murmur hashes over the
+  * UTF8String bytes — no per-row deserialization, no boxing. This is the
+  * broadcast side of bloom-pre-filtered decontamination (q135): the sketch
+  * is bounded by bits-per-item × expected items regardless of corpus size,
+  * which is what lets a benchmark-set membership test ride every corpus
+  * scan at 100 TB without a shuffle.
+  */
+final class BloomRef(val bytes: Array[Byte]) extends Serializable {
+  @transient private lazy val bf: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  /** UTF8String probe — same hashing as BloomFilter.putString (which
+    * hashes the string's UTF-8 bytes), without materializing a java
+    * String per row.
+    */
+  def mightContain(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    bf.mightContainBinary(s.getBytes)
+}
+
+object BloomRef {
+  /** Build a bloom filter over a STRING column of `df` (an action — the
+    * sketch, not the data, returns to the driver; size is fpp-bounded).
+    */
+  def build(
+      df: org.apache.spark.sql.DataFrame, colName: String,
+      expectedItems: Long, fpp: Double): BloomRef = {
+    val bf = df.stat.bloomFilter(colName, expectedItems, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    new BloomRef(out.toByteArray)
+  }
+}
+
+/** `bloom_might_contain(gram)` — native, codegen'd membership probe of a
+  * STRING column against a driver-built [[BloomRef]]. FALSE NEGATIVES ARE
+  * IMPOSSIBLE (bloom property), so placing this filter BEFORE an exact
+  * confirmation join can only drop rows the join would drop anyway —
+  * exactness is preserved while the join (and any exchange feeding it)
+  * sees only the fpp-bounded bloom-positive slice of the corpus.
+  */
+case class BloomMightContain(child: Expression, bloom: BloomRef)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain requires STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContain(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomRef", bloom,
+      "graft.functions.BloomRef")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = $ref.mightContain($c);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
   /** Column API for the native L2-norm expression. */
   def vectorL2Norm(v: Column): Column =
@@ -377,4 +447,9 @@ object NativeExpressions {
   /** Word n-grams of a token-array column (empty when shorter than n). */
   def wordNgrams(toks: Column, n: Int): Column =
     GraftSqlBridge.column(WordNgrams(GraftSqlBridge.expression(toks), n))
+
+  /** Bloom membership probe of a STRING column (see [[BloomMightContain]]). */
+  def bloomMightContain(c: Column, bloom: BloomRef): Column =
+    GraftSqlBridge.column(
+      BloomMightContain(GraftSqlBridge.expression(c), bloom))
 }

@@ -1897,6 +1897,63 @@ object LlmPipeline {
       VS.semanticDedupPairs(Tables.spread(s, e), cents,
           nAssign = 2, threshold = 0.4)
         .orderBy(col("id_a").asc, col("id_b").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // BLOOM-PRE-FILTERED DECONTAMINATION (r12) — the DELETE face of
+    // q97's contamination scan, in the shape a 100 TB pipeline runs it:
+    // the benchmark set's distinct 3-grams are folded into a driver-
+    // built bloom SKETCH (fpp-bounded bytes regardless of corpus size),
+    // the corpus gram stream is pre-filtered by a native codegen'd
+    // bloom_might_contain BEFORE anything shuffles, and exactness is
+    // restored by confirming only the bloom-positives against the real
+    // (broadcast) probe set — false negatives are impossible, so the
+    // pre-filter can only drop rows the confirmation join would drop.
+    // Unlike q97 there is NO corpus-wide distinct: the per-doc shared-
+    // gram count is a countDistinct AFTER the filter+join, so the only
+    // exchange in the whole query carries the fpp-bounded contaminated
+    // slice, not the corpus. Output: every corpus doc with its distinct
+    // shared-gram count and a keep flag (< 2 shared grams). The oracle
+    // is the exact join — the bloom is an optimization that cannot
+    // change the answer, which is precisely the property worth pinning.
+    QueryDef.sql(
+      "q135_decontaminate_bloom",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS toks
+        |  FROM documents),
+        |ex AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(0, len(toks) - 3),
+        |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS gram
+        |  FROM t),
+        |p AS (SELECT DISTINCT gram FROM ex WHERE doc_id < 10),
+        |sh AS (SELECT c.doc_id, count(DISTINCT c.gram) AS n_shared
+        |  FROM (SELECT doc_id, gram FROM ex WHERE doc_id >= 10) c
+        |  JOIN p USING (gram) GROUP BY c.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |  (coalesce(sh.n_shared, 0) < 2) AS keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+        |LEFT JOIN sh ON sh.doc_id = d.doc_id
+        |ORDER BY d.doc_id ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.BloomRef
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val exploded = Tables.spread(s, docs(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(NE.wordNgrams(toks, 3)).as("gram"))
+      val probeGrams = exploded.filter(col("doc_id") < 10)
+        .select(col("gram")).distinct()
+      // sketch sizing only — the confirmation join makes any fpp exact
+      val bloom = BloomRef.build(probeGrams, "gram",
+        expectedItems = math.max(probeGrams.count(), 1L), fpp = 0.01)
+      val shared = exploded.filter(col("doc_id") >= 10)
+        .filter(NE.bloomMightContain(col("gram"), bloom))
+        .join(broadcast(probeGrams), Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_shared"))
+      docs(s, dir).select(col("doc_id")).filter(col("doc_id") >= 10)
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).cast("long").as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) < 2).as("keep"))
+        .orderBy(col("doc_id").asc)
     }
   )
 }
