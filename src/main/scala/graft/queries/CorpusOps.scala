@@ -379,6 +379,198 @@ object CorpusOps {
         .select(col("check_name"), col("violations"),
           (col("violations") === 0L).cast("int").as("pass"))
         .orderBy(col("check_name").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // FREQUENT-PHRASE MINING via a CERTIFIED Misra-Gries sketch (r12) —
+    // the boilerplate-detection pass of a crawl pipeline (C4-style: find
+    // the hottest repeated lines/phrases to strip) over a heavy-tailed
+    // phrase domain: unigrams + word 2-grams + 3-grams in one stream
+    // (the corpus's 31-word unigram head rides on a 16k+-distinct n-gram
+    // tail at sf0.01 — exactly the frequent-head/near-unique-tail shape
+    // of a real crawl). Why not a plain groupBy: the exchange of an
+    // exact count carries one row per DISTINCT phrase per partition —
+    // at 100 TB that domain is billions of near-unique strings. The MG
+    // summary (functions/HeavyHitters.scala) caps the pass-1 shuffle at
+    // capacity=512 entries per partition REGARDLESS of domain size, the
+    // confirmation pass exact-counts only the ≤512 candidates behind a
+    // codegen'd isin literal filter, and the result carries a
+    // CERTIFICATE (k-th confirmed count > N/(m+1)) proving it equals
+    // the exact plan — with an exact-groupBy fallback when a degenerate
+    // uniform domain has no heavy hitters to find (HeavyHittersSpec pins
+    // both paths; the certified path is taken at the oracle SFs). The
+    // oracle is the exact top-25 — the sketch cannot change the answer.
+    QueryDef.sql(
+      "q136_frequent_phrases",
+      """WITH t AS (SELECT
+        |    string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(toks) AS phrase FROM t
+        |  UNION ALL
+        |  SELECT unnest(list_transform(generate_series(0, len(toks) - 2),
+        |    i -> concat_ws(' ', toks[i+1], toks[i+2]))) FROM t
+        |  UNION ALL
+        |  SELECT unnest(list_transform(generate_series(0, len(toks) - 3),
+        |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) FROM t)
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS cnt
+        |FROM g WHERE phrase <> ''
+        |GROUP BY phrase ORDER BY cnt DESC, phrase ASC LIMIT 25""".stripMargin) {
+      (s, dir) =>
+      import graft.functions.{HeavyHitters, NativeExpressions => NE}
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val phrases = Tables.spread(s, docs(s, dir).select(col("text")))
+        .select(toks.as("toks"))
+        .select(explode(concat(col("toks"),
+          NE.wordNgrams(col("toks"), 2),
+          NE.wordNgrams(col("toks"), 3))).as("phrase"))
+      HeavyHitters.exactTopK(phrases, "phrase", k = 25, capacity = 512)
+        .withColumnRenamed("term", "phrase")
+    },
+
+    // ------------------------------------------------------------------
+    // BIGRAM-LM PERPLEXITY QUALITY SCORING (r12) — the CCNet-style
+    // quality gate: train an add-k-smoothed bigram language model on a
+    // held-out reference slice (doc_id % 7 = 0), score every remaining
+    // document by perplexity, low = fluent/in-domain. In-engine training
+    // is two map-side-combined count aggs over the slice (unigrams,
+    // bigrams); the model is a BOUNDED relation (slice vocabulary), so
+    // scoring is the corpus bigram stream LEFT-joined against two
+    // BROADCAST count tables + a 1-row vocab-size broadcast — the only
+    // corpus-sized exchange is the per-doc partial agg. OOV needs no
+    // <unk> bookkeeping: a missing join hit IS the zero count, and
+    // add-k smoothing p = (c12+0.5)/(c1+0.5V) makes unseen-context
+    // bigrams score exactly 1/V. Float parity: per-bigram log-probs
+    // round to 6 decimals before the per-doc avg (the q118 discipline);
+    // perplexity = exp(-avg) rounds to 4. At 100 TB the model stays
+    // broadcast-sized because the training slice is bounded by design —
+    // a web-scale vocab would flip the two model joins to bucketed
+    // shuffled-hash, changing nothing upstream.
+    QueryDef.sql(
+      "q137_perplexity_score",
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS toks
+        |  FROM documents),
+        |tr AS (SELECT * FROM d WHERE doc_id % 7 = 0),
+        |uni AS (SELECT w, count(*) AS c1 FROM
+        |  (SELECT unnest(toks) AS w FROM tr) GROUP BY w),
+        |v AS (SELECT count(*) AS vs FROM uni),
+        |bi AS (SELECT gram, count(*) AS c12 FROM
+        |  (SELECT unnest(list_transform(generate_series(0, len(toks) - 2),
+        |     i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS gram FROM tr)
+        |  GROUP BY gram),
+        |sc AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(0, len(toks) - 2),
+        |      i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS gram
+        |  FROM d WHERE doc_id % 7 <> 0),
+        |p AS (SELECT sc.doc_id,
+        |    round(ln((coalesce(bi.c12, 0) + 0.5)
+        |      / (coalesce(uni.c1, 0) + 0.5 * v.vs)), 6) AS lp
+        |  FROM sc
+        |  LEFT JOIN bi USING (gram)
+        |  LEFT JOIN uni ON uni.w = string_split(sc.gram, ' ')[1]
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(exp(-avg(lp)), 4) AS ppl
+        |FROM p GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{NativeExpressions => NE}
+      val d = docs(s, dir)
+        .select(col("doc_id"), TF.tokens(TF.normalizeText(col("text"))).as("toks"))
+      val train = d.filter(col("doc_id") % 7 === 0)
+      val uni = train.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("vs"))
+      val bi = train.select(explode(NE.wordNgrams(col("toks"), 2)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+      val sc = Tables.spread(s, d.filter(col("doc_id") % 7 =!= 0))
+        .select(col("doc_id"), explode(NE.wordNgrams(col("toks"), 2)).as("gram"))
+      sc.join(broadcast(bi), Seq("gram"), "left")
+        .join(broadcast(uni),
+          split(col("gram"), " ").getItem(0) === col("w"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          round(log((coalesce(col("c12"), lit(0L)) + lit(0.5))
+            / (coalesce(col("c1"), lit(0L)) + lit(0.5) * col("vs"))), 6).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(exp(-avg(col("lp"))), 4).as("ppl"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // JSONL ROUND TRIP (r12) — the interchange-format ingest face: a
+    // 100 TB corpus arrives (and ships) as JSON-lines, not parquet. The
+    // query writes the documents table to JSONL, reads it back with an
+    // EXPLICIT schema (no inference pass — inference is a second full
+    // scan at scale), and proves fidelity with content digests: row
+    // count, id sum, distinct text-md5 count, total char count, and the
+    // (lang, source) domain size all computed from the round-tripped
+    // data, while the oracle computes them straight from parquet — any
+    // encode/escape/type loss in the trip flips a digest. Both
+    // directions are distributed (one task per partition); the scratch
+    // path is keyed by the SF dir (same same-SF-concurrency contract as
+    // q99's digest store).
+    QueryDef.sql(
+      "q138_jsonl_roundtrip",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_text_digests,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
+        |  CAST(count(DISTINCT lang || '|' || source) AS BIGINT) AS n_lang_src
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = "/tmp/graft_textfmt/jsonl_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      docs(s, dir).write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(out)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          countDistinct(md5(col("text"))).as("n_text_digests"),
+          sum(length(col("text"))).cast("long").as("n_chars_total"),
+          countDistinct(concat_ws("|", col("lang"), col("source")))
+            .as("n_lang_src"))
+    },
+
+    // ------------------------------------------------------------------
+    // CSV ROUND TRIP (r12) — same digest contract as q138 through the
+    // other ubiquitous text format, exercising the hazards JSONL does
+    // not have: quoting and separator collision. Written with explicit
+    // quote/escape settings and a header, read back with the explicit
+    // schema + header (again no inference scan). The digests are
+    // deliberately identical to q138's: the pair pins that BOTH text
+    // formats are lossless for this corpus, so a mismatch isolates the
+    // failing codec rather than the data.
+    QueryDef.sql(
+      "q139_csv_roundtrip",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_text_digests,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
+        |  CAST(count(DISTINCT lang || '|' || source) AS BIGINT) AS n_lang_src
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = "/tmp/graft_textfmt/csv_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      docs(s, dir).write.mode("overwrite")
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .csv(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema)
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .csv(out)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          countDistinct(md5(col("text"))).as("n_text_digests"),
+          sum(length(col("text"))).cast("long").as("n_chars_total"),
+          countDistinct(concat_ws("|", col("lang"), col("source")))
+            .as("n_lang_src"))
     }
   )
 }
