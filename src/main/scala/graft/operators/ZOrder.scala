@@ -78,4 +78,35 @@ object ZOrder {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
   }
+
+  /** Linear quantization of a raw numeric column from its closed domain
+    * [min, max] into [0, 2^bits) — the upstream range mapping [[zValue]]'s
+    * low-bits contract requires (r12, the q140 face). Collisions inside
+    * one cell are harmless: they land in the same curve neighborhood. */
+  def scaleToBits(c: Column, min: Long, max: Long, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in (0, 31], got $bits")
+    val cells = 1L << bits
+    val span = math.max(max - min + 1, 1L)
+    floor((c.cast("long") - lit(min)).cast("double") * cells / span)
+      .cast("long")
+  }
+
+  /** Per-file (min, max) ranges of two columns — the zone map a pruning
+    * reader consults (parquet footers locally, per-file column ranges in
+    * any catalog). Computed distributively: one scan, one file-keyed agg
+    * (r12). Used by ZOrderSpec to pin the overlap bound and by callers
+    * auditing a layout. */
+  def zoneMap(spark: org.apache.spark.sql.SparkSession, path: String,
+      colA: String, colB: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(colA)).as("a_min"), max(col(colA)).as("a_max"),
+        min(col(colB)).as("b_min"), max(col(colB)).as("b_max"))
+
+  /** How many files of the layout an (a, b) box query must open, per the
+    * zone map (r12). */
+  def overlapCount(zones: DataFrame,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long): Long =
+    zones.filter(col("a_max") >= aLo && col("a_min") <= aHi &&
+      col("b_max") >= bLo && col("b_min") <= bHi).count()
 }

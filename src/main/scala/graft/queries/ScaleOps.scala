@@ -302,6 +302,88 @@ object ScaleOps {
         .orderBy(col("user_id").asc, col("valid_from").asc,
           coalesce(col("valid_to").cast("string"), lit("open")).asc,
           col("state").asc, col("value").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Z-ORDER LAYOUT + 2-D BOX QUERY (r12) — the END-TO-END face of
+    // q94's Morton key (lakehouse OPTIMIZE ZORDER BY): lineitem
+    // REWRITTEN clustered on the interleave of quantized
+    // (l_orderkey, l_partkey) via `ZOrder.writeZOrdered` (one sampled
+    // repartitionByRange — no driver histogram — plus a within-
+    // partition sort), then the box aggregate answered from the
+    // round-tripped files. q94 pins the curve arithmetic; this pins the
+    // LAYOUT PIPELINE: quantize → interleave → range-shuffle → write →
+    // read-back, with parquet min/max row-group stats as the zone map.
+    // The layout cannot change answers — the oracle computes the same
+    // box aggregate from the ORIGINAL table — and ZOrderSpec pins the
+    // point of it all: on a strip query wide on the sorted key, the
+    // z-layout opens ≤ half the files while a linear sort opens ALL.
+    QueryDef.sql(
+      "q140_zorder_box",
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000
+        |  AND l_partkey BETWEEN 100 AND 300""".stripMargin) { (s, dir) =>
+      import graft.operators.ZOrder
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+      // one cheap min/max agg fixes the quantization domain (4 scalars)
+      val r = li.agg(
+        min(col("l_orderkey")).cast("long"), max(col("l_orderkey")).cast("long"),
+        min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"))
+        .head()
+      val keyed = li
+        .withColumn("__a",
+          ZOrder.scaleToBits(col("l_orderkey"), r.getLong(0), r.getLong(1), 16))
+        .withColumn("__b",
+          ZOrder.scaleToBits(col("l_partkey"), r.getLong(2), r.getLong(3), 16))
+      val path = "/tmp/graft_zorder/" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      ZOrder.writeZOrdered(keyed, Seq("__a", "__b"), 16, path, numFiles = 16)
+      s.read.parquet(path)
+        .filter(col("l_orderkey").between(1000, 3000) &&
+          col("l_partkey").between(100, 300))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    },
+
+    // ------------------------------------------------------------------
+    // CDC LATEST-WINS APPLY (r12) — the MERGE INTO / upsert semantics
+    // open Spark lacks without a table format (operators/CdcApply.scala):
+    // the events stream read as a changelog (user_id key, (ts, event_id)
+    // recency, 'error' as the tombstone op) reduces to current state —
+    // per key the latest row wins, tombstoned keys drop out. This face
+    // runs the full-log reduction (one key exchange + window, elidable
+    // under bucketing); CdcApplySpec pins that the INCREMENTAL form —
+    // snapshot + delta via a broadcast anti-join on the delta's key set,
+    // untouched keys never shuffled or rewritten — produces the
+    // identical state, which is the 100 TB execution path.
+    QueryDef.sql(
+      "q141_cdc_apply",
+      """WITH c AS (SELECT user_id, event_id, ts, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM c)
+        |SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |  event_type AS state, round(value, 4) AS last_value
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id ASC""".stripMargin) { (s, dir) =>
+      import graft.operators.CdcApply
+      val log = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      CdcApply.currentState(log, keys = Seq("user_id"),
+          orderCols = Seq("ts", "event_id"), opCol = Some("op"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("state"),
+          round(col("value"), 4).as("last_value"))
+        .orderBy(col("user_id").asc)
     }
   )
 }

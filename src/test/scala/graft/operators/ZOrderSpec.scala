@@ -93,4 +93,47 @@ class ZOrderSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       ZOrder.writeZOrdered(df, Seq("x", "y"), 8, "/tmp/unused"))
   }
+
+  test("zone-map pruning beats a linear sort on its worst-case strip (q140)") {
+    // probe the layout where a single-column sort is worst: a strip WIDE
+    // on the sorted key (orderkey: whole domain) and NARROW on the other
+    // (partkey: ~2%). The orderkey-sorted strawman passes every file
+    // (each spans the whole partkey domain); the z-layout bounds every
+    // file to a rectangle of the plane, so only the files crossing the
+    // thin strip survive the zone-map check.
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val r = li.agg(
+      min(col("l_orderkey")).cast("long"), max(col("l_orderkey")).cast("long"),
+      min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"))
+      .head()
+    val keyed = li
+      .withColumn("__a", ZOrder.scaleToBits(col("l_orderkey"), r.getLong(0), r.getLong(1), 16))
+      .withColumn("__b", ZOrder.scaleToBits(col("l_partkey"), r.getLong(2), r.getLong(3), 16))
+    val tmp = java.nio.file.Files.createTempDirectory("zprune").toString
+    val nFiles = 16
+    ZOrder.writeZOrdered(keyed, Seq("__a", "__b"), 16, s"$tmp/z", numFiles = nFiles)
+    li.repartitionByRange(nFiles, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$tmp/linear")
+
+    val aHi = r.getLong(1) + 1
+    val (bLo, bHi) = (100L, 140L) // ~2% of the partkey domain
+    val zHit = ZOrder.overlapCount(
+      ZOrder.zoneMap(spark, s"$tmp/z", "l_orderkey", "l_partkey"), 0, aHi, bLo, bHi)
+    val linHit = ZOrder.overlapCount(
+      ZOrder.zoneMap(spark, s"$tmp/linear", "l_orderkey", "l_partkey"), 0, aHi, bLo, bHi)
+    assert(linHit.toInt == nFiles,
+      s"strawman should open every file on the wide-narrow strip, got $linHit")
+    assert(zHit <= nFiles / 2,
+      s"z-layout overlap $zHit of $nFiles files — expected 2-D pruning")
+
+    // and the layout never changes answers: box aggregate equality
+    def boxAgg(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("l_orderkey").between(1000, 3000) &&
+        col("l_partkey").between(100, 300))
+      .agg(count(lit(1)), round(sum(col("l_quantity")), 2)).head()
+    assert(boxAgg(spark.read.parquet(s"$tmp/z")) == boxAgg(li),
+      "z-layout changed the box answer")
+  }
 }
