@@ -235,6 +235,88 @@ object TrainingPipeline {
             .as("rk"))
         .orderBy(col("rk").asc, col("doc_id").asc)
         .limit(200)
+    },
+
+    // ------------------------------------------------------------------
+    // IN-ENGINE TRAINED QUALITY CLASSIFIER (r12) — the fastText-style
+    // quality gate of a GPT-3/LLaMA-class pipeline, trained INSIDE the
+    // engine: logistic regression over cheap per-doc features (length
+    // saturation, alpha ratio, distinct-token ratio + bias), weak labels
+    // from a length rule, three full-batch gradient-descent iterations.
+    // Distributed shape: each iteration is ONE map-side-combined
+    // aggregate producing a 4-scalar gradient (the only thing that ever
+    // reaches the driver); the feature table is localCheckpoint'd once
+    // so the 3 training passes + the scoring pass never recompute the
+    // regex feature extraction, and scoring is a narrow codegen'd
+    // expression over broadcast-literal weights. At 100 TB: training
+    // cost is 3 linear passes (or 1 over a slice — the lever is the
+    // slice, not the algorithm), scoring streams once. Determinism:
+    // weights round to 8 decimals after EVERY iteration (both engines
+    // restart each pass from bit-identical weights — drift cannot
+    // compound), per-feature values round to 6 at extraction, scores to
+    // 4; iteration 1 needs no sigmoid (sigma(0) = 0.5 exactly). The
+    // oracle replays all three iterations CTE-for-CTE.
+    {
+      def dot(w: String) = s"($w.w0*f0 + $w.w1*f1 + $w.w2*f2 + $w.w3*f3)"
+      def step(prev: String, cur: String) =
+        s"$cur AS (SELECT " + (0 to 3).map(i =>
+          s"round(min(w.w$i) + avg((y - 1/(1+exp(-${dot("w")})))*f$i), 8) AS w$i")
+          .mkString(", ") + s" FROM f, $prev w)"
+      QueryDef.sql(
+        "q142_quality_classifier",
+        s"""WITH base AS (SELECT doc_id, text, n_chars,
+           |    string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS toks
+           |  FROM documents),
+           |f AS (SELECT doc_id, 1.0 AS f0,
+           |    round(least(length(text) / 1000.0, 1.0), 6) AS f1,
+           |    round(CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           |        / length(text) END, 6) AS f2,
+           |    round(CASE WHEN len(toks) = 0 THEN 0.0
+           |      ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6) AS f3,
+           |    CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
+           |  FROM base),
+           |w1 AS (SELECT round(avg((y - 0.5)*f0), 8) AS w0,
+           |    round(avg((y - 0.5)*f1), 8) AS w1,
+           |    round(avg((y - 0.5)*f2), 8) AS w2,
+           |    round(avg((y - 0.5)*f3), 8) AS w3 FROM f),
+           |${step("w1", "w2")},
+           |${step("w2", "w3")}
+           |SELECT f.doc_id,
+           |  round(1/(1+exp(-${dot("w")})), 4) AS score,
+           |  CAST(y AS INTEGER) AS label,
+           |  round(1/(1+exp(-${dot("w")})), 4) >= 0.5 AS keep
+           |FROM f, w3 w ORDER BY f.doc_id ASC""".stripMargin) { (s, dir) =>
+        val toks = TF.tokens(TF.normalizeText(col("text")))
+        val f = Tables.spread(s, docs(s, dir)).select(col("doc_id"),
+            lit(1.0).as("f0"),
+            round(least(length(col("text")) / lit(1000.0), lit(1.0)), 6).as("f1"),
+            round(when(length(col("text")) === 0, 0.0)
+              .otherwise(length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+                .cast("double") / length(col("text"))), 6).as("f2"),
+            round(when(size(toks) === 0, 0.0)
+              .otherwise(size(array_distinct(toks)).cast("double")
+                / size(toks)), 6).as("f3"),
+            when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"))
+          .localCheckpoint()
+        val feats = Seq("f0", "f1", "f2", "f3")
+        var w = Array.fill(4)(0.0)
+        for (_ <- 1 to 3) {
+          val z = feats.zipWithIndex
+            .map { case (c, i) => col(c) * lit(w(i)) }.reduce(_ + _)
+          val resid = col("y") - lit(1.0) / (lit(1.0) + exp(-z))
+          val g = f.agg(avg(resid * col("f0")), avg(resid * col("f1")),
+            avg(resid * col("f2")), avg(resid * col("f3"))).head()
+          w = w.indices.map(i => BigDecimal(w(i) + g.getDouble(i))
+            .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+        }
+        val zFinal = feats.zipWithIndex
+          .map { case (c, i) => col(c) * lit(w(i)) }.reduce(_ + _)
+        val score = round(lit(1.0) / (lit(1.0) + exp(-zFinal)), 4)
+        f.select(col("doc_id"), score.as("score"),
+            col("y").cast("int").as("label"), (score >= 0.5).as("keep"))
+          .orderBy(col("doc_id").asc)
+      }
     }
   )
 }
