@@ -317,6 +317,37 @@ object TrainingPipeline {
             col("y").cast("int").as("label"), (score >= 0.5).as("keep"))
           .orderBy(col("doc_id").asc)
       }
+    },
+
+    // ------------------------------------------------------------------
+    // PER-GROUP EXACT-k SAMPLE (r12) — q128's eval carve-out, stratified:
+    // exactly 20 reproducible docs PER SOURCE (per-domain eval sets need
+    // fixed-size strata, not a global draw that under-samples small
+    // domains). Same salted-md5 determinism ('eval-v2' versions this
+    // hash family independently). Plan shape: the rank-then-filter pair
+    // triggers Spark's WindowGroupLimit — per-partition group-local
+    // top-k heaps run BEFORE the exchange, so the shuffle carries at
+    // most k rows per group per partition, never the full group (the
+    // per-group analogue of q128's TakeOrderedAndProject; pinned in
+    // PlanAuditSpec).
+    QueryDef.sql(
+      "q143_sample_per_group",
+      """WITH r AS (SELECT doc_id, source,
+        |    md5('eval-v2' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY rk ASC, doc_id ASC) AS rn FROM r)
+        |SELECT source, doc_id, rk FROM k WHERE rn <= 20
+        |ORDER BY source ASC, rk ASC, doc_id ASC""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("rk").asc, col("doc_id").asc)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("eval-v2"), col("doc_id").cast("string"))).as("rk"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("source"), col("doc_id"), col("rk"))
+        .orderBy(col("source").asc, col("rk").asc, col("doc_id").asc)
     }
   )
 }

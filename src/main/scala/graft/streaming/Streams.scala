@@ -430,4 +430,87 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming CDC apply — maintain a CURRENT-STATE table from a
+    * changelog stream (the streaming face of q141 / operators/CdcApply):
+    * each micro-batch reduces to its per-key latest rows FIRST
+    * (delta-sized work), then merges into the persisted state with
+    * delta-proportional IO. The state is hash-bucket-partitioned on the
+    * key (`__kb` partition column), so a batch
+    *   - READS only the bucket partitions its keys touch (partition
+    *     pruning on the `isin` filter), and
+    *   - REWRITES only those partitions (dynamic partition overwrite) —
+    * untouched buckets of a 100 TB state are neither scanned nor
+    * written. Inside a touched bucket, CdcApply.merge keeps untouched
+    * keys via the broadcast anti-join and applies the delta's latest
+    * rows, dropping tombstones.
+    *
+    * Delivery: with a checkpoint the file source is exactly-once; on a
+    * crash-replay of the last uncommitted batch the merge is IDEMPOTENT
+    * (re-anti-joining keys the failed write may have partially applied
+    * and re-applying the same latest rows converges to the same state —
+    * Structured Streaming never replays a batch older than the last
+    * committed one, so no regression to stale values is possible).
+    * Contract: changelog rows arrive in batches that respect key
+    * recency (the snapshot is the state as of the batch's start), the
+    * invariant any log-ordered CDC source (Debezium/binlog) provides.
+    */
+  def cdcApply(
+      spark: SparkSession, changelog: DataFrame, statePath: String,
+      keys: Seq[String], orderCols: Seq[String], opCol: String,
+      buckets: Int = 32, checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.CdcApply
+    val writer = changelog.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val deltaLast = CdcApply
+          .currentState(batch, keys, orderCols, opCol = None)
+          .withColumn("__kb",
+            pmod(hash(keys.map(col): _*), lit(buckets)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // bounded by construction: at most `buckets` distinct values
+          val touched = deltaLast.select(col("__kb")).distinct()
+            .collect().map(_.getInt(0)).toIndexedSeq
+          val fs = new org.apache.hadoop.fs.Path(statePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val slice =
+            if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+              spark.read.parquet(statePath)
+                .filter(col("__kb").isin(touched: _*)) // partition-pruned
+            else
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                deltaLast.schema)
+          val merged = CdcApply
+            .merge(slice, deltaLast, keys, orderCols, Some(opCol))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            merged.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__kb")
+              .parquet(statePath)
+            // dynamic overwrite only replaces partitions PRESENT in the
+            // output: a touched bucket whose every key was tombstoned
+            // produces no rows and would silently keep its stale files —
+            // drop those partition dirs explicitly (idempotent under
+            // replay: the merge recomputes empty and re-deletes)
+            val live = merged.select(col("__kb")).distinct()
+              .collect().map(_.getInt(0)).toSet
+            (touched.toSet -- live).foreach { kb =>
+              fs.delete(
+                new org.apache.hadoop.fs.Path(s"$statePath/__kb=$kb"), true)
+              ()
+            }
+          } finally { merged.unpersist(); () }
+        } finally { deltaLast.unpersist(); () }
+      }
+    }
+      .start()
+  }
 }

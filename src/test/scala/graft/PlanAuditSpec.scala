@@ -506,6 +506,18 @@ class PlanAuditSpec extends SparkSpec {
       "exact-k sample must not range-shuffle the corpus")
   }
 
+  test("q143: per-group exact-k runs group-local limits before the exchange") {
+    // the rank<=k filter over the window must trigger WindowGroupLimit:
+    // partial per-partition group heaps ahead of the shuffle (the
+    // per-group analogue of q128's TakeOrderedAndProject), so the
+    // exchange carries at most k rows per group per partition
+    val p = formatted("q143_sample_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-filter did not plan group-local limits:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "expected BOTH partial (pre-shuffle) and final group limits")
+  }
+
   test("q131: star join broadcasts the dimension chain and pushes the " +
       "date range into the orders scan") {
     val p = formatted("q131_star_join_q5")

@@ -416,6 +416,77 @@ class StreamingSpec extends SparkSpec {
       "history must hold exactly the corpus's distinct digests")
   }
 
+  test("streaming CDC apply: incremental state equals full-log reduction; untouched buckets stay untouched") {
+    import graft.operators.CdcApply
+    val tmp = Files.createTempDirectory("cdcstream").toString
+    val statePath = s"$tmp/state"
+    val srcDir = s"$tmp/log"
+    def withOp(df: DataFrame): DataFrame = df
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"))
+    val ev = withOp(Tables.load(spark, sfDir, "events"))
+    val cut = "2024-01-15"
+    // batch 1: the first half of the log, all users
+    ev.filter(col("ts") < cut).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+
+    def run(): Unit = {
+      val q = Streams.cdcApply(spark,
+        spark.readStream.schema(spark.read.parquet(srcDir).schema)
+          .parquet(srcDir),
+        statePath, keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        opCol = "op", buckets = 8, checkpoint = Some(s"$tmp/ckpt"))
+      q.awaitTermination()
+    }
+    run()
+    def bucketFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(statePath)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__kb="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = bucketFiles()
+
+    // batch 2 (one file => one micro-batch): user 7's second-half events
+    // plus an explicit late tombstone for user 13 — touches <= 2 buckets
+    val late = ev.filter(col("ts") >= cut && col("user_id") === 7)
+      .unionByName(withOp(Tables.load(spark, sfDir, "events"))
+        .filter(col("user_id") === 13).limit(1)
+        .select(col("user_id"), lit(999999L).as("event_id"),
+          lit(java.sql.Timestamp.valueOf("2024-02-15 00:00:00")).as("ts"),
+          lit("error").as("event_type"), lit("D").as("op")))
+    late.coalesce(1).write.mode("append").parquet(srcDir)
+    run() // checkpointed: only the new file is processed
+
+    // equivalence with the batch reduction of the log THAT WAS STREAMED
+    // (first half for everyone + user 7's second half + the tombstone)
+    val streamedLog = ev.filter(col("ts") < cut)
+      .unionByName(late)
+    val expect = CdcApply.currentState(streamedLog, Seq("user_id"),
+        Seq("ts", "event_id"), Some("op"))
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect().toSet
+    val got = spark.read.parquet(statePath)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect().toSet
+    assert(got == expect, s"state diverged: got=${got.size} want=${expect.size}")
+    assert(!got.exists(_._1 == 13L), "tombstoned user survived")
+
+    // incrementality: bucket partitions the second batch did not touch
+    // kept their exact file sets
+    val after = bucketFiles()
+    val touched = Set(7L, 13L).map(u => "__kb=" +
+      math.floorMod(org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashLong(u, 42), 8))
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty, "test setup: every bucket was touched")
+    untouched.foreach { d =>
+      assert(after(d) == before(d), s"untouched bucket $d was rewritten")
+    }
+  }
+
   test("writeStream.format(n5): native streaming sink commits block rows") {
     val tmp = Files.createTempDirectory("n5sink").toString
     // stream the fixture's 4 block rows (as parquet files) into a new N5
