@@ -431,6 +431,51 @@ object Streams {
       .start()
   }
 
+  /** Streaming JSONL ingest with dead-lettering — the corpus-arrival face
+    * of q138: a directory of JSON-lines files consumed with an EXPLICIT
+    * schema (no inference pass), malformed lines routed to a dead-letter
+    * sink instead of poisoning the batch or silently disappearing. A
+    * 100 TB crawl drop ALWAYS contains broken lines; dropping them
+    * silently (DROPMALFORMED) loses the audit trail and failing the
+    * stream (FAILFAST) loses the batch — PERMISSIVE + corrupt-record
+    * routing keeps both. The persist is load-bearing, not an
+    * optimization: Spark's JSON reader only materializes the corrupt
+    * column on a cached plan (filtering the raw stream on it is
+    * documented to be unreliable), and it also keeps the two sink
+    * branches to one parse of the batch.
+    */
+  def jsonlIngest(
+      spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      trigger: Trigger = Trigger.AvailableNow())(
+      sink: (DataFrame, Long) => Unit)(
+      deadLetter: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val corrupt = "_corrupt_record"
+    require(!schema.fieldNames.contains(corrupt),
+      s"schema must not already declare $corrupt")
+    val withCorrupt = schema
+      .add(corrupt, org.apache.spark.sql.types.StringType)
+    spark.readStream
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(inDir)
+      .writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          deadLetter(
+            b.filter(col(corrupt).isNotNull).select(col(corrupt)), id)
+          sink(b.filter(col(corrupt).isNull).drop(corrupt), id)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Streaming CDC apply — maintain a CURRENT-STATE table from a
     * changelog stream (the streaming face of q141 / operators/CdcApply):
     * each micro-batch reduces to its per-key latest rows FIRST

@@ -506,6 +506,35 @@ class PlanAuditSpec extends SparkSpec {
       "exact-k sample must not range-shuffle the corpus")
   }
 
+  test("runtime bloom filter injects on a selective fact-fact join") {
+    // the 100 TB lever Catalyst ships for big-big joins neither side of
+    // which broadcasts: a bloom filter built from the SELECTIVE side's
+    // join keys is injected into the other side's scan, discarding
+    // non-matching rows BEFORE the shuffle. Default thresholds target
+    // cluster-sized inputs, so pin the capability with them lowered —
+    // the plan must carry might_contain on the lineitem side.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = graft.Tables.load(spark, sf, "orders")
+        .filter(col("o_totalprice") > 500000) // selective creation side
+      val li = graft.Tables.load(spark, sf, "lineitem")
+      val p = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected on the application side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q143: per-group exact-k runs group-local limits before the exchange") {
     // the rank<=k filter over the window must trigger WindowGroupLimit:
     // partial per-partition group heaps ahead of the shuffle (the

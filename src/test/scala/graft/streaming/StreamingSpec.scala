@@ -487,6 +487,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming JSONL ingest: explicit schema, malformed lines dead-lettered") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("jsonlstream").toString
+    val good = (0 until 50).map(i =>
+      s"""{"doc_id":$i,"text":"doc number $i","lang":"en"}""")
+    val bad = Seq(
+      """{"doc_id":999,"text":"unterminated""",
+      """not json at all""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/part1.jsonl"),
+      (good.take(25) ++ bad.take(1) ++ good.drop(25) ++ bad.drop(1))
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    var rows = Vector.empty[(Long, String)]
+    var dead = Vector.empty[String]
+    val q = Streams.jsonlIngest(spark, tmp, schema) { (batch, _) =>
+      rows ++= batch.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    } { (letters, _) =>
+      dead ++= letters.collect().map(_.getString(0))
+    }
+    q.awaitTermination()
+    assert(rows.size == 50 && rows.map(_._1).sorted == (0L until 50L),
+      s"good rows lost or duplicated: ${rows.size}")
+    assert(dead.size == 2 && dead.exists(_.contains("not json at all")),
+      s"malformed lines not dead-lettered: $dead")
+  }
+
   test("writeStream.format(n5): native streaming sink commits block rows") {
     val tmp = Files.createTempDirectory("n5sink").toString
     // stream the fixture's 4 block rows (as parquet files) into a new N5
