@@ -571,6 +571,81 @@ object CorpusOps {
           sum(length(col("text"))).cast("long").as("n_chars_total"),
           countDistinct(concat_ws("|", col("lang"), col("source")))
             .as("n_lang_src"))
+    },
+
+    // ------------------------------------------------------------------
+    // IN-ENGINE BPE TOKENIZER TRAINING (q144, r12) — byte-pair-encoding
+    // merge learning (Sennrich et al. 2016), the tokenizer-construction
+    // step of an LLM data pipeline, run WITHOUT leaving the engine. The
+    // corpus is touched exactly ONCE (the map-side-combined word-
+    // frequency count — BPE canonically trains on the frequency table,
+    // not the raw stream); each of the 3 merge rounds is then a
+    // vocabulary-sized job: explode the symbol pairs of each distinct
+    // word weighted by its count, one hash agg, argmax (count desc,
+    // pair asc — total order), and a narrow literal replace applying
+    // the merge. Sequences are '|'-delimited ('j|o|i|n|') so a merge
+    // application is plain left-to-right string replace with NO shared
+    // boundary characters between adjacent matches — both engines'
+    // replace() semantics coincide with BPE's leftmost-greedy rule.
+    // All-integer/string arithmetic: full hash determinism, no floats.
+    // At 100 TB the frequency table is the scale lever: a web-scale
+    // vocab gets pre-capped to its frequent head first (exactly what
+    // q136's certified heavy hitters computes), after which every round
+    // is head-sized. First learned merge on this corpus: e+r -> 'er'.
+    {
+      def round(prev: String, r: Int): String =
+        s"""pc$r AS (SELECT pair, sum(n) AS cnt FROM (
+           |    SELECT n, unnest(list_transform(
+           |      generate_series(1, len(string_split(seq, '|')) - 2),
+           |      i -> string_split(seq, '|')[i] || '|' ||
+           |           string_split(seq, '|')[i+1] || '|')) AS pair
+           |    FROM $prev) GROUP BY pair),
+           |m$r AS (SELECT pair, replace(pair, '|', '') || '|' AS merged
+           |  FROM pc$r ORDER BY cnt DESC, pair ASC LIMIT 1),
+           |s$r AS (SELECT t, n, replace(seq, m$r.pair, m$r.merged) AS seq
+           |  FROM s${r - 1}, m$r)""".stripMargin
+      QueryDef.sql(
+        "q144_bpe_train",
+        s"""WITH tok AS (SELECT
+           |    unnest(string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS t
+           |  FROM documents),
+           |wf AS (SELECT t, count(*) AS n FROM tok WHERE t <> '' GROUP BY t),
+           |s0 AS (SELECT t, n, regexp_replace(t, '(.)', '\\1|', 'g') AS seq
+           |  FROM wf),
+           |${round("s0", 1)},
+           |${round("s1", 2)},
+           |${round("s2", 3)}
+           |SELECT t AS token, CAST(n AS BIGINT) AS cnt, seq AS segmentation
+           |FROM s3 ORDER BY token ASC""".stripMargin) { (s, dir) =>
+        val wf = Tables.spread(s, docs(s, dir).select(col("text")))
+          .select(explode(TF.tokens(TF.normalizeText(col("text")))).as("t"))
+          .filter(col("t") =!= "")
+          .groupBy(col("t")).agg(count(lit(1)).as("n"))
+        var cur = wf
+          .withColumn("seq", regexp_replace(col("t"), "(.)", "$1|"))
+          .localCheckpoint()
+        for (_ <- 1 to 3) {
+          val syms = split(col("seq"), "\\|")
+          val pairs = when(size(syms) >= 3,
+              transform(sequence(lit(1), size(syms) - 2),
+                i => concat(element_at(syms, i), lit("|"),
+                  element_at(syms, i + 1), lit("|"))))
+            .otherwise(array().cast("array<string>"))
+          val top = cur.select(col("n"), explode(pairs).as("pair"))
+            .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+            .orderBy(col("cnt").desc, col("pair").asc)
+            .limit(1).head()
+          val pair = top.getString(0)
+          val merged = pair.replace("|", "") + "|"
+          cur = cur.withColumn("seq",
+            org.apache.spark.sql.functions.replace(
+              col("seq"), lit(pair), lit(merged)))
+            .localCheckpoint()
+        }
+        cur.select(col("t").as("token"), col("n").cast("long").as("cnt"),
+            col("seq").as("segmentation"))
+          .orderBy(col("token").asc)
+      }
     }
   )
 }
