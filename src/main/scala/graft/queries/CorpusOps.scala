@@ -42,6 +42,21 @@ object CorpusOps {
     * literal, never the plan. */
   private val ChunkW = 3
 
+  /** One BPE merge round as oracle CTEs (shared by q144 train and q145
+    * apply): weighted pair counts over `prev`, total-order argmax, merge
+    * applied by literal replace. */
+  private def BpeRound(prev: String, r: Int): String =
+    s"""pc$r AS (SELECT pair, sum(n) AS cnt FROM (
+       |    SELECT n, unnest(list_transform(
+       |      generate_series(1, len(string_split(seq, '|')) - 2),
+       |      i -> string_split(seq, '|')[i] || '|' ||
+       |           string_split(seq, '|')[i+1] || '|')) AS pair
+       |    FROM $prev) GROUP BY pair),
+       |m$r AS (SELECT pair, replace(pair, '|', '') || '|' AS merged
+       |  FROM pc$r ORDER BY cnt DESC, pair ASC LIMIT 1),
+       |s$r AS (SELECT t, n, replace(seq, m$r.pair, m$r.merged) AS seq
+       |  FROM s${r - 1}, m$r)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -593,17 +608,6 @@ object CorpusOps {
     // q136's certified heavy hitters computes), after which every round
     // is head-sized. First learned merge on this corpus: e+r -> 'er'.
     {
-      def round(prev: String, r: Int): String =
-        s"""pc$r AS (SELECT pair, sum(n) AS cnt FROM (
-           |    SELECT n, unnest(list_transform(
-           |      generate_series(1, len(string_split(seq, '|')) - 2),
-           |      i -> string_split(seq, '|')[i] || '|' ||
-           |           string_split(seq, '|')[i+1] || '|')) AS pair
-           |    FROM $prev) GROUP BY pair),
-           |m$r AS (SELECT pair, replace(pair, '|', '') || '|' AS merged
-           |  FROM pc$r ORDER BY cnt DESC, pair ASC LIMIT 1),
-           |s$r AS (SELECT t, n, replace(seq, m$r.pair, m$r.merged) AS seq
-           |  FROM s${r - 1}, m$r)""".stripMargin
       QueryDef.sql(
         "q144_bpe_train",
         s"""WITH tok AS (SELECT
@@ -612,9 +616,9 @@ object CorpusOps {
            |wf AS (SELECT t, count(*) AS n FROM tok WHERE t <> '' GROUP BY t),
            |s0 AS (SELECT t, n, regexp_replace(t, '(.)', '\\1|', 'g') AS seq
            |  FROM wf),
-           |${round("s0", 1)},
-           |${round("s1", 2)},
-           |${round("s2", 3)}
+           |${BpeRound("s0", 1)},
+           |${BpeRound("s1", 2)},
+           |${BpeRound("s2", 3)}
            |SELECT t AS token, CAST(n AS BIGINT) AS cnt, seq AS segmentation
            |FROM s3 ORDER BY token ASC""".stripMargin) { (s, dir) =>
         val wf = Tables.spread(s, docs(s, dir).select(col("text")))
@@ -646,6 +650,82 @@ object CorpusOps {
             col("seq").as("segmentation"))
           .orderBy(col("token").asc)
       }
+    },
+
+    // ------------------------------------------------------------------
+    // BPE TOKENIZATION APPLY (q145, r12) — the other half of q144: run
+    // the LEARNED merges over the corpus and count subwords per doc,
+    // the single most-executed preprocessing pass of an LLM pipeline
+    // (every training document is tokenized at least once). Shape is
+    // the point: after the vocab-sized training replay, the application
+    // side is a pure NARROW expression chain — per-token char split,
+    // three literal replaces (the merges arrive as collected literals,
+    // broadcast by codegen), a transform+aggregate per doc — so the
+    // corpus streams through with ZERO exchanges and no join against
+    // the merge table. At 100 TB tokenization cost is exactly one
+    // decode-bound scan, the correct floor for this pass.
+    QueryDef.sql(
+      "q145_bpe_apply",
+      s"""WITH tok AS (SELECT
+         |    unnest(string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS t
+         |  FROM documents),
+         |wf AS (SELECT t, count(*) AS n FROM tok WHERE t <> '' GROUP BY t),
+         |s0 AS (SELECT t, n, regexp_replace(t, '(.)', '\\1|', 'g') AS seq
+         |  FROM wf),
+         |${BpeRound("s0", 1)},
+         |${BpeRound("s1", 2)},
+         |${BpeRound("s2", 3)},
+         |d AS (SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'),
+         |    x -> x <> '') AS toks
+         |  FROM documents WHERE doc_id < 300)
+         |SELECT doc_id,
+         |  CAST(list_reduce(list_prepend(0, list_transform(d.toks,
+         |    t -> len(string_split(replace(replace(replace(
+         |      regexp_replace(t, '(.)', '\\1|', 'g'),
+         |      m1.pair, m1.merged), m2.pair, m2.merged), m3.pair, m3.merged),
+         |      '|')) - 1)), (a, b) -> a + b) AS BIGINT) AS n_subwords
+         |FROM d, m1, m2, m3 ORDER BY doc_id ASC""".stripMargin) { (s, dir) =>
+      val wf = Tables.spread(s, docs(s, dir).select(col("text")))
+        .select(explode(TF.tokens(TF.normalizeText(col("text")))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      var cur = wf
+        .withColumn("seq", regexp_replace(col("t"), "(.)", "$1|"))
+        .localCheckpoint()
+      val merges = (1 to 3).map { _ =>
+        val syms = split(col("seq"), "\\|")
+        val pairs = when(size(syms) >= 3,
+            transform(sequence(lit(1), size(syms) - 2),
+              i => concat(element_at(syms, i), lit("|"),
+                element_at(syms, i + 1), lit("|"))))
+          .otherwise(array().cast("array<string>"))
+        val top = cur.select(col("n"), explode(pairs).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(1).head()
+        val pair = top.getString(0)
+        val merged = pair.replace("|", "") + "|"
+        cur = cur.withColumn("seq",
+          org.apache.spark.sql.functions.replace(
+            col("seq"), lit(pair), lit(merged)))
+          .localCheckpoint()
+        (pair, merged)
+      }
+      val toks = filter(TF.tokens(TF.normalizeText(col("text"))),
+        t => length(t) > 0)
+      def subwords(t: org.apache.spark.sql.Column) = {
+        val seq = merges.foldLeft(regexp_replace(t, "(.)", "$1|")) {
+          case (c, (pair, merged)) =>
+            org.apache.spark.sql.functions.replace(c, lit(pair), lit(merged))
+        }
+        (size(split(seq, "\\|")) - 1).cast("long")
+      }
+      Tables.spread(s, docs(s, dir).filter(col("doc_id") < 300))
+        .select(col("doc_id"),
+          aggregate(transform(toks, subwords(_)), lit(0L), (a, b) => a + b)
+            .as("n_subwords"))
+        .orderBy(col("doc_id").asc)
     }
   )
 }
