@@ -42,6 +42,54 @@ object CorpusOps {
     * literal, never the plan. */
   private val ChunkW = 3
 
+  /** q118's per-doc BM25 scores (shared by q118 and the q146 hybrid):
+    * token explode → two map-side-combined aggs (per-doc tf on query
+    * terms, per-doc length); df and corpus stats broadcast back; 4-dec
+    * rounded per-term contributions summed per doc. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        explode(TF.tokens(lower(trim(col("text"))))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("tok").isin(Bm25Terms.map(x => x: Any): _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = broadcast(tf.groupBy(col("tok")).agg(count(lit(1)).as("df")))
+    val st = broadcast(
+      dl.agg(avg(col("dl").cast("double")).as("avgdl"))
+        .crossJoin(docs(s, dir).agg(count(lit(1)).as("n"))))
+    val idf = log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") + lit(Bm25K1) *
+      (lit(1) - Bm25B + lit(Bm25B) * col("dl") / col("avgdl"))
+    tf.join(dfreq, "tok").join(dl, "doc_id").crossJoin(st)
+      .select(col("doc_id"),
+        round(idf * col("tf") * (Bm25K1 + 1) / norm, 4).as("c"))
+      .groupBy(col("doc_id")).agg(round(sum(col("c")), 4).as("bm25"))
+  }
+
+  /** q118's BM25 CTE chain (shared oracle text for q118/q146), ending in
+    * `scored(doc_id, bm25)`. */
+  private val Bm25ScoredSql: String =
+    s"""toks AS (SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks
+       |  WHERE length(tok) > 0 GROUP BY doc_id),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+       |  WHERE tok IN ('spark', 'table', 'join') GROUP BY doc_id, tok),
+       |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |st AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl,
+       |    (SELECT count(*) FROM documents) AS n FROM dl),
+       |contrib AS (SELECT tf.doc_id,
+       |    round(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))
+       |      * tf.tf * (1.2 + 1)
+       |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+       |      4) AS c
+       |  FROM tf JOIN dfreq d USING (tok) JOIN dl USING (doc_id)
+       |  CROSS JOIN st),
+       |scored AS (SELECT doc_id, round(sum(c), 4) AS bm25
+       |  FROM contrib GROUP BY doc_id)""".stripMargin
+
   /** One BPE merge round as oracle CTEs (shared by q144 train and q145
     * apply): weighted pair counts over `prev`, total-order argmax, merge
     * applied by literal replace. */
@@ -73,45 +121,10 @@ object CorpusOps {
     // (score DESC, doc_id ASC) is total.
     QueryDef.sql(
       "q118_bm25_topk",
-      s"""WITH toks AS (SELECT doc_id,
-         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-         |  FROM documents),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM toks
-         |  WHERE length(tok) > 0 GROUP BY doc_id),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
-         |  WHERE tok IN ('spark', 'table', 'join') GROUP BY doc_id, tok),
-         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-         |st AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl,
-         |    (SELECT count(*) FROM documents) AS n FROM dl),
-         |contrib AS (SELECT tf.doc_id,
-         |    round(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))
-         |      * tf.tf * (1.2 + 1)
-         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
-         |      4) AS c
-         |  FROM tf JOIN dfreq d USING (tok) JOIN dl USING (doc_id)
-         |  CROSS JOIN st),
-         |scored AS (SELECT doc_id, round(sum(c), 4) AS bm25
-         |  FROM contrib GROUP BY doc_id)
+      s"""WITH $Bm25ScoredSql
          |SELECT doc_id, bm25 FROM scored
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
-      val toks = docs(s, dir)
-        .select(col("doc_id"),
-          explode(TF.tokens(lower(trim(col("text"))))).as("tok"))
-        .filter(length(col("tok")) > 0)
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val tf = toks.filter(col("tok").isin(Bm25Terms.map(x => x: Any): _*))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val dfreq = broadcast(tf.groupBy(col("tok")).agg(count(lit(1)).as("df")))
-      val st = broadcast(
-        dl.agg(avg(col("dl").cast("double")).as("avgdl"))
-          .crossJoin(docs(s, dir).agg(count(lit(1)).as("n"))))
-      val idf = log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-      val norm = col("tf") + lit(Bm25K1) *
-        (lit(1) - Bm25B + lit(Bm25B) * col("dl") / col("avgdl"))
-      tf.join(dfreq, "tok").join(dl, "doc_id").crossJoin(st)
-        .select(col("doc_id"),
-          round(idf * col("tf") * (Bm25K1 + 1) / norm, 4).as("c"))
-        .groupBy(col("doc_id")).agg(round(sum(col("c")), 4).as("bm25"))
+      bm25Scored(s, dir)
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(10)
     },
@@ -726,6 +739,73 @@ object CorpusOps {
           aggregate(transform(toks, subwords(_)), lit(0L), (a, b) => a + b)
             .as("n_subwords"))
         .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // HYBRID RETRIEVAL via RECIPROCAL RANK FUSION (q146, r12) — the
+    // standard RAG serving pattern: the SAME query runs through the
+    // lexical ranker (q118's BM25, shared scoring code AND shared
+    // oracle CTE text) and the semantic ranker (q41's cosine against
+    // the doc_id=0 embedding as the query vector), and the two top-20
+    // lists fuse by RRF: score = Σ 1/(60 + rank). RRF needs only RANKS,
+    // never comparable scores — which is why it is the fusion of choice
+    // when the rankers' score scales differ (Cormack et al. 2009,
+    // public). Plan shape: both rankers end in a top-20 TakeOrdered;
+    // the rank windows then run over 20-ROW inputs (bounded, never the
+    // corpus — same discipline as q121's bin table); the fusion is a
+    // 20x20 full outer join. At 100 TB the semantic side swaps to the
+    // q100+ IVF index probe — the fusion stage is ranker-agnostic by
+    // construction.
+    QueryDef.sql(
+      "q146_hybrid_rrf",
+      s"""WITH $Bm25ScoredSql,
+         |lex AS (SELECT doc_id, row_number() OVER (
+         |    ORDER BY bm25 DESC, doc_id ASC) AS r
+         |  FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |cos AS (SELECT e.vec_id AS doc_id,
+         |    round(list_cosine_similarity(e.v, q.qv), 4) AS cs
+         |  FROM e, q, nd WHERE e.vec_id < nd.n AND e.vec_id <> 0),
+         |sem AS (SELECT doc_id, row_number() OVER (
+         |    ORDER BY cs DESC, doc_id ASC) AS r
+         |  FROM cos ORDER BY cs DESC, doc_id ASC LIMIT 20),
+         |fused AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |    round(coalesce(1.0 / (60 + l.r), 0)
+         |      + coalesce(1.0 / (60 + s.r), 0), 6) AS rrf
+         |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+         |SELECT doc_id, rrf FROM fused
+         |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      import graft.functions.{NativeExpressions => NE}
+      val wLex = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+      val lex = bm25Scored(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+        .withColumn("r", row_number().over(wLex))
+        .select(col("doc_id"), col("r"))
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val qv = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe")))
+      val nd = broadcast(docs(s, dir).agg(count(lit(1)).as("n")))
+      val wSem = Window.orderBy(col("cs").desc, col("doc_id").asc)
+      val sem = e.filter(col("vec_id") =!= 0)
+        .crossJoin(nd).filter(col("vec_id") < col("n"))
+        .crossJoin(qv)
+        .select(col("vec_id").as("doc_id"),
+          round(NE.vectorCosine(col("embedding"), col("qe")), 4).as("cs"))
+        .orderBy(col("cs").desc, col("doc_id").asc).limit(20)
+        .withColumn("r", row_number().over(wSem))
+        .select(col("doc_id"), col("r").as("rs"))
+      lex.join(sem, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("r")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(10)
     }
   )
 }
