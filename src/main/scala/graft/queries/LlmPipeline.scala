@@ -1954,6 +1954,67 @@ object LlmPipeline {
           coalesce(col("n_shared"), lit(0L)).cast("long").as("n_shared"),
           (coalesce(col("n_shared"), lit(0L)) < 2).as("keep"))
         .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // CONTAMINATION-AWARE TRAIN/VAL SPLIT (q147, r12) — the composed
+    // pipeline gate a real pretraining run ships: the q135 bloom-
+    // pre-filtered decontamination scan and the q56-family deterministic
+    // md5-bucket split fused into ONE pass over the corpus, so every doc
+    // leaves with its split assignment AND its benchmark-contamination
+    // verdict (keep = < 2 shared 3-grams). Contaminated docs must be
+    // excluded from TRAINING for the held-out benchmark to stay valid —
+    // the query emits the verdict rather than silently dropping, so the
+    // exclusion is auditable (same dead-letter philosophy as
+    // Streams.jsonlIngest). Plan shape is q135's: the only exchange
+    // carries the fpp-bounded bloom-positive gram slice; the split
+    // column is a narrow md5 expression on top of the same scan.
+    QueryDef.sql(
+      "q147_split_decontaminated",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS toks
+        |  FROM documents),
+        |ex AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(0, len(toks) - 3),
+        |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS gram
+        |  FROM t),
+        |p AS (SELECT DISTINCT gram FROM ex WHERE doc_id < 10),
+        |sh AS (SELECT c.doc_id, count(DISTINCT c.gram) AS n_shared
+        |  FROM (SELECT doc_id, gram FROM ex WHERE doc_id >= 10) c
+        |  JOIN p USING (gram) GROUP BY c.doc_id),
+        |base AS (SELECT d.doc_id,
+        |    coalesce(sh.n_shared, 0) AS n_shared,
+        |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS b
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+        |  LEFT JOIN sh ON sh.doc_id = d.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN b < 8 THEN 'train' ELSE 'val' END AS split,
+        |  CAST(n_shared AS BIGINT) AS n_shared,
+        |  (n_shared < 2) AS keep
+        |FROM base ORDER BY doc_id ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.BloomRef
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val exploded = Tables.spread(s, docs(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(NE.wordNgrams(toks, 3)).as("gram"))
+      val probeGrams = exploded.filter(col("doc_id") < 10)
+        .select(col("gram")).distinct()
+      val bloom = BloomRef.build(probeGrams, "gram",
+        expectedItems = math.max(probeGrams.count(), 1L), fpp = 0.01)
+      val shared = exploded.filter(col("doc_id") >= 10)
+        .filter(NE.bloomMightContain(col("gram"), bloom))
+        .join(broadcast(probeGrams), Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_shared"))
+      // q56-family deterministic bucket: md5 prefix of the doc id
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 10
+      docs(s, dir).select(col("doc_id")).filter(col("doc_id") >= 10)
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(bucket < 8, "train").otherwise("val").as("split"),
+          coalesce(col("n_shared"), lit(0L)).cast("long").as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) < 2).as("keep"))
+        .orderBy(col("doc_id").asc)
     }
   )
 }

@@ -535,6 +535,43 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // the OTHER half of the skew story: operators/SkewJoin salts
+    // proactively (q67); AQE's skew-join handles the skew you did NOT
+    // predict, splitting an oversized shuffle partition into parallel
+    // sub-reads at runtime. Pinned with thresholds scaled to local data:
+    // 90% of the left rows share one key, so its partition must come
+    // back marked skew-split.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val left = spark.range(200000)
+        .select(org.apache.spark.sql.functions
+          .when(col("id") % 10 === 0, col("id")).otherwise(0L).as("k"),
+          col("id").as("v"))
+      val right = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+        .groupBy((col("k") % 7).as("g"))
+        .agg(org.apache.spark.sql.functions.count(col("v")).as("c"))
+      j.collect() // AQE decides at runtime — must execute, not just plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed partition split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q143: per-group exact-k runs group-local limits before the exchange") {
     // the rank<=k filter over the window must trigger WindowGroupLimit:
     // partial per-partition group heaps ahead of the shuffle (the
