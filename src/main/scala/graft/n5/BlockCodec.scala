@@ -197,10 +197,10 @@ object BlockCodec {
       case "xz" => fill(new org.tukaani.xz.XZOutputStream(bos,
         new org.tukaani.xz.LZMA2Options(
           if (comp.level >= 0) comp.level else 6)))
-      case "blosc" => throw new IllegalArgumentException(
-        "blosc is read-only in this engine (pure-JVM container decode; " +
-          "an honest encoder would need c-blosc's exact block/split " +
-          "heuristics) — write the dataset with gzip/lz4/zstd instead")
+      // pure-JVM blosc1 encode: typesize-1/no-shuffle/lz4 profile whose
+      // structure every conforming decoder derives without heuristics
+      // (BloscCodec.encode); foreign inner codecs remain read-side-only
+      case "blosc" => BloscCodec.encode(data, comp.level)
       case other => throw new IllegalArgumentException(
         s"unsupported compression for write: $other")
     }

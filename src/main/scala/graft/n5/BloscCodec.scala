@@ -185,6 +185,61 @@ object BloscCodec {
         s"blosc inner codec '${cname(c)}' is not supported")
     }
 
+  /** Encode a payload as a blosc1 chunk (r12 — closes the write half of
+    * blosc compatibility). The emitted profile is chosen so that EVERY
+    * conforming decoder agrees on its structure without guessing:
+    *
+    *   - typesize = 1 — below c-blosc's 2..16 split regime, so its
+    *     frozen forward-compat heuristic (and this file's adaptive
+    *     parser) derives exactly ONE stream per block; no heuristic
+    *     replication is needed for interop;
+    *   - no shuffle — shuffle at typesize 1 is the identity anyway;
+    *   - lz4 inner codec (raw LZ4 block format, the LZ4_compress
+    *     framing c-blosc itself uses), single internal block
+    *     (blocksize = nbytes);
+    *   - a stream that lz4 EXPANDS is emitted stored (csize == stream
+    *     size), the container's own raw form.
+    *
+    * `level` > 0 selects LZ4-HC at that level; otherwise the fast
+    * compressor. An empty payload emits the bare 16-byte memcpy header.
+    * The choice trades the last few % of ratio (c-blosc's shuffle+split
+    * would sometimes do better) for a byte stream whose validity does
+    * not depend on replicating c-blosc's internal block heuristics —
+    * and the N5 layer's compression ratio story remains gzip/zstd.
+    */
+  def encode(payload: Array[Byte], level: Int = -1): Array[Byte] = {
+    val nbytes = payload.length
+    def header(flags: Int, blocksize: Int, cbytes: Int): Array[Byte] = {
+      val h = new Array[Byte](16)
+      h(0) = 2; h(1) = 1 // container version, lz4 format version
+      h(2) = flags.toByte
+      h(3) = 1 // typesize
+      def le32(i: Int, v: Int): Unit = {
+        h(i) = v.toByte; h(i + 1) = (v >> 8).toByte
+        h(i + 2) = (v >> 16).toByte; h(i + 3) = (v >> 24).toByte
+      }
+      le32(4, nbytes); le32(8, blocksize); le32(12, cbytes)
+      h
+    }
+    if (nbytes == 0) return header(0x2, 0, 16) // memcpy'ed empty chunk
+    val factory = net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
+    val comp =
+      if (level > 0) factory.highCompressor(math.min(level, 17))
+      else factory.fastCompressor()
+    val cbuf = new Array[Byte](comp.maxCompressedLength(nbytes))
+    val clen = comp.compress(payload, 0, nbytes, cbuf, 0)
+    val stored = clen >= nbytes
+    val streamLen = if (stored) nbytes else clen
+    val cbytes = 16 + 4 + 4 + streamLen // header + 1 offset + csize prefix
+    val out = java.nio.ByteBuffer.allocate(cbytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(header(0x20, nbytes, cbytes)) // flags: lz4, no shuffle
+    out.putInt(20) // single block offset (right after the offsets table)
+    out.putInt(streamLen)
+    if (stored) out.put(payload) else out.put(cbuf, 0, clen)
+    out.array()
+  }
+
   /** Undo c-blosc's byte shuffle on one block: the first
     * `(len/typesize)*typesize` bytes are a [typesize × elems] transpose,
     * the sub-element tail is stored verbatim.

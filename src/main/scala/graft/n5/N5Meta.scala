@@ -51,9 +51,11 @@ object Dtype {
 
 /** Compression codec id + codec-specific parameter (`level`):
   * gzip → deflate level (-1 = default), bzip2 → block size 1-9,
-  * lz4 → block size in bytes, zstd → level, xz → LZMA2 preset 0-9.
-  * blosc is READ-ONLY (pure-JVM container decode, [[BloscCodec]]);
-  * writes fail loudly at DDL/encode time.
+  * lz4 → block size in bytes, zstd → level, xz → LZMA2 preset 0-9,
+  * blosc → LZ4-HC level (>0) or fast LZ4 (-1). blosc READ accepts any
+  * lz4/zlib/zstd-backed chunk ([[BloscCodec.decode]]); blosc WRITE
+  * always emits the heuristic-free typesize-1/no-shuffle/lz4 profile
+  * ([[BloscCodec.encode]], r12).
   */
 final case class Compression(codec: String, level: Int = -1)
     extends Serializable {
@@ -64,9 +66,9 @@ final case class Compression(codec: String, level: Int = -1)
 object Compression {
   /** "zlib" is n5-java's gzip-with-useZlib=true wire format (raw deflate,
     * no gzip wrapper); it round-trips through attributes.json as
-    * `{"type":"gzip","useZlib":true}`. "blosc" is accepted for READ
-    * (zarr's default compressor family — [[BloscCodec]]); block encode
-    * and dataset DDL reject it.
+    * `{"type":"gzip","useZlib":true}`. "blosc" (zarr's default
+    * compressor family) reads any lz4/zlib/zstd-backed chunk and writes
+    * the fixed interop profile of [[BloscCodec.encode]].
     */
   val supported: Set[String] =
     Set("raw", "gzip", "zlib", "bzip2", "lz4", "zstd", "xz", "blosc")
@@ -157,6 +159,7 @@ object N5Meta {
           if (c.has("level")) c.get("level").asInt()
           else if (c.has("blockSize")) c.get("blockSize").asInt()
           else if (c.has("preset")) c.get("preset").asInt() // n5-java xz
+          else if (c.has("clevel")) c.get("clevel").asInt() // blosc family
           else Compression.defaultParam(codec)
         Compression(codec, param)
       } else if (j.has("compressionType"))
@@ -174,12 +177,6 @@ object N5Meta {
 
   def writeDatasetAttributes(
       root: String, dataset: String, a: DatasetAttributes): Unit = {
-    // fail at DDL time, not first block write: a blosc-compressed dataset
-    // can be READ (BloscCodec) but never written — cloning a blosc
-    // template (create_n5.py's compression='same') must override the codec
-    require(a.compression.codec != "blosc",
-      "blosc is read-only in this engine — create the dataset with an " +
-        "explicit compression override (gzip/lz4/zstd) instead of 'same'")
     val o = mapper.createObjectNode()
     val dims = o.putArray("dimensions"); a.dimensions.foreach(dims.add)
     val bs = o.putArray("blockSize"); a.blockSize.foreach(bs.add)
@@ -211,6 +208,16 @@ object N5Meta {
       case "xz" =>
         // n5-java XzCompression serializes its parameter as "preset"
         c.put("preset", param)
+      case "blosc" =>
+        // n5-blosc attribute shape (cname/clevel/shuffle/blocksize/
+        // nthreads); the emitted chunks are always the lz4 no-shuffle
+        // profile of BloscCodec.encode regardless of what a cloned
+        // template declared
+        c.put("cname", "lz4")
+        c.put("clevel", if (a.compression.level > 0) a.compression.level else 5)
+        c.put("shuffle", 0)
+        c.put("blocksize", 0)
+        c.put("nthreads", 1)
       case _ => ()
     }
     a.extra.foreach { case (k, v) => o.set[ObjectNode](k, mapper.readTree(v)) }

@@ -117,17 +117,20 @@ class CliSpec extends SparkSpec {
     }
   }
 
-  test("blosc is read-only: the codec id parses but DDL rejects it") {
-    // r12: blosc READS are supported (pure-JVM container decode,
-    // BloscCodec) so the codec id must construct; creating a dataset
-    // with it still fails loudly at DDL time with guidance
-    val c = graft.n5.Compression("blosc")
+  test("blosc DDL writes n5-blosc-shaped attributes and round-trips") {
+    // r12 late: blosc WRITE landed (BloscCodec.encode — the heuristic-
+    // free lz4 profile), so DDL must emit the n5-blosc attribute shape
+    // and read back as the blosc codec with its clevel
+    val c = graft.n5.Compression("blosc", 7)
     val tmp = java.nio.file.Files.createTempDirectory("bloscddl")
-    val ex = intercept[IllegalArgumentException] {
-      graft.n5.N5Meta.writeDatasetAttributes(tmp.toString, "d",
-        graft.n5.DatasetAttributes(Array(4L, 4L, 1L), Array(4, 4, 1),
-          graft.n5.Dtype.UInt8, c))
-    }
-    assert(ex.getMessage.contains("read-only"))
+    graft.n5.N5Meta.writeDatasetAttributes(tmp.toString, "d",
+      graft.n5.DatasetAttributes(Array(4L, 4L, 1L), Array(4, 4, 1),
+        graft.n5.Dtype.UInt8, c))
+    val back = graft.n5.N5Meta.datasetAttributes(tmp.toString, "d")
+    assert(back.compression.codec == "blosc" && back.compression.level == 7)
+    val json = java.nio.file.Files.readString(
+      tmp.resolve("d/attributes.json")).replaceAll("\\s", "")
+    assert(json.contains("\"cname\"") && json.contains("\"clevel\":7") &&
+      json.contains("\"shuffle\":0"))
   }
 }

@@ -337,16 +337,26 @@ class BlockCodecSpec extends AnyFunSuite {
         |"shuffle":1,"blocksize":0}}""".stripMargin)
     val a = N5Meta.datasetAttributes(tmp.toString, "a")
     assert(a.compression.codec == "blosc")
-    // ...but writing a blosc dataset fails at DDL and at block encode
-    val ddl = intercept[IllegalArgumentException] {
-      N5Meta.writeDatasetAttributes(tmp.toString, "b", a)
-    }
-    assert(ddl.getMessage.contains("read-only"))
-    val enc = intercept[IllegalArgumentException] {
-      BlockCodec.encode(Array(1, 1, 1), Array(1L), null, Dtype.UInt8,
-        Compression("blosc"))
-    }
-    assert(enc.getMessage.contains("read-only"))
+    // ...and (r12 late) blosc WRITES land through the heuristic-free
+    // typesize-1/no-shuffle/lz4 profile: a full encode -> decode round
+    // trip through the N5 block framing preserves every voxel
+    val vals2 = (0 until 512).map(i => ((i * 37) % 251).toLong).toArray
+    val rt = BlockCodec.decode(
+      BlockCodec.encode(Array(8, 8, 8), vals2, null, Dtype.UInt16,
+        Compression("blosc")),
+      Dtype.UInt16, Compression("blosc"))
+    assert(rt.longs.toSeq == vals2.toSeq)
+    // the chunk itself is parseable standalone, single stream, lz4 flags
+    val chunk2 = BloscCodec.encode(Array.tabulate(1000)(i => (i % 7).toByte))
+    assert((chunk2(2) & 0xff) == 0x20 && (chunk2(3) & 0xff) == 1,
+      "encode must emit the lz4/no-shuffle/typesize-1 profile")
+    assert(BloscCodec.decode(chunk2, 0, 1000).toSeq ==
+      Array.tabulate(1000)(i => (i % 7).toByte).toSeq)
+    // incompressible payload falls back to the stored-stream form
+    val rnd = new scala.util.Random(11)
+    val noise = Array.fill(777)(rnd.nextInt().toByte)
+    assert(BloscCodec.decode(BloscCodec.encode(noise), 0, 777).toSeq ==
+      noise.toSeq)
     // bit-shuffle, snappy, blosclz: loud unsupported messages
     val bitshuf = bloscChunk(payload.array(), 2, 256, 1, shuffle = false, split = 1)
     bitshuf(2) = (bitshuf(2) | 0x4).toByte
