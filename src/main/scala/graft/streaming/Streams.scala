@@ -431,6 +431,34 @@ object Streams {
       .start()
   }
 
+  /** Streaming quality gate — the train-offline/serve-online shape: a
+    * logistic model trained in batch (q142's weights, passed as plain
+    * doubles) scores and filters a document stream with a PURE NARROW
+    * expression — features, dot product and sigmoid are codegen'd per
+    * row, no state, no shuffle, no model join. This is how a trained
+    * filter actually deploys: the model rides the plan as literals, so
+    * serving cost is exactly the scan. Feature extraction is q142's,
+    * verbatim (6-decimal rounding included), so a batch-scored doc and a
+    * stream-scored doc get bit-identical scores (StreamingSpec pins it).
+    *
+    * @param w weights (bias, lenSat, alphaRatio, distinctRatio)
+    */
+  def qualityGate(docs: DataFrame, w: Array[Double],
+      threshold: Double = 0.5): DataFrame = {
+    require(w.length == 4, s"expected 4 weights, got ${w.length}")
+    val toks = graft.functions.TextFunctions.tokens(
+      graft.functions.TextFunctions.normalizeText(col("text")))
+    val f1 = round(least(length(col("text")) / lit(1000.0), lit(1.0)), 6)
+    val f2 = round(when(length(col("text")) === 0, 0.0)
+      .otherwise(length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        .cast("double") / length(col("text"))), 6)
+    val f3 = round(when(size(toks) === 0, 0.0)
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks)), 6)
+    val z = lit(w(0)) + f1 * w(1) + f2 * w(2) + f3 * w(3)
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+    docs.withColumn("score", score).filter(col("score") >= threshold)
+  }
+
   /** Streaming JSONL ingest with dead-lettering — the corpus-arrival face
     * of q138: a directory of JSON-lines files consumed with an EXPLICIT
     * schema (no inference pass), malformed lines routed to a dead-letter

@@ -516,6 +516,32 @@ class StreamingSpec extends SparkSpec {
       s"malformed lines not dead-lettered: $dead")
   }
 
+  test("streaming quality gate equals the batch gate (train offline, serve online)") {
+    val w = Array(0.1, 2.0, -1.0, 0.5) // batch-trained weights, as literals
+    val tmp = Files.createTempDirectory("qgate").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(tmp).schema).parquet(tmp)
+    val q = Streams.qualityGate(stream, w)
+      .select(col("doc_id"), col("score"))
+      .writeStream.format("memory").queryName("qgate_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("qgate_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batch = Streams.qualityGate(docs, w)
+      .select(col("doc_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed == batch, s"stream gate diverged: " +
+      s"${streamed.size} vs ${batch.size} rows")
+    assert(batch.nonEmpty && batch.size < docs.count(),
+      "gate should filter some but not all docs at these weights")
+  }
+
   test("writeStream.format(n5): native streaming sink commits block rows") {
     val tmp = Files.createTempDirectory("n5sink").toString
     // stream the fixture's 4 block rows (as parquet files) into a new N5
