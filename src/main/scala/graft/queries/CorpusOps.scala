@@ -806,6 +806,109 @@ object CorpusOps {
             .as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id").asc)
         .limit(10)
+    },
+
+    // ------------------------------------------------------------------
+    // DATASET CARD (q148, r12) — the one-row summary a corpus release
+    // ships (datasheet/data-card practice): volume, token totals,
+    // domain cardinalities, length distribution, exact-dup rate. The
+    // shape is the q127 discipline applied to profiling: EVERY metric
+    // folds into ONE map-side-combined aggregate scan (conditional sums
+    // for the length bands, countDistinct for the domains and the
+    // normalized-text digest), so the card costs a single corpus pass
+    // no matter how many metrics it carries.
+    QueryDef.sql(
+      "q148_data_card",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(list_filter(
+        |      string_split_regex(trim(text), '\s+'), x -> x <> '')))
+        |    AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_short,
+        |  CAST(sum(CASE WHEN n_chars >= 100 AND n_chars < 300
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+        |  CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_long,
+        |  CAST(count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+        |    AS BIGINT) AS n_unique_texts,
+        |  round(avg(CAST(len(list_filter(
+        |      string_split_regex(trim(text), '\s+'), x -> x <> ''))
+        |    AS DOUBLE)), 4) AS mean_tokens
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val toks = filter(TF.tokens(col("text")), t => length(t) > 0)
+      docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(size(toks)).cast("long").as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).cast("long")
+          .as("n_short"),
+        sum(when(col("n_chars") >= 100 && col("n_chars") < 300, 1L)
+          .otherwise(0L)).cast("long").as("n_mid"),
+        sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).cast("long")
+          .as("n_long"),
+        countDistinct(md5(TF.normalizeText(col("text"))))
+          .as("n_unique_texts"),
+        round(avg(size(toks).cast("double")), 4).as("mean_tokens"))
+    },
+
+    // ------------------------------------------------------------------
+    // DISTRIBUTION DRIFT via PSI (q149, r12) — the monitoring pass that
+    // catches a corpus snapshot silently changing shape: per source,
+    // the Population Stability Index between two slices (here the
+    // deterministic doc_id parity split; in production, yesterday's
+    // snapshot vs today's) over fixed length bands. PSI = Σ (p_b - p_a)
+    // · ln(p_b / p_a) with add-half smoothing so empty bins stay
+    // finite and deterministic. Shape: one narrow binning pass, ONE
+    // hash agg on (source, slice, bin), then the PSI fold runs on the
+    // bin table (sources × 10 rows) — corpus-sized work is a single
+    // map-side-combined aggregation regardless of band count.
+    QueryDef.sql(
+      "q149_drift_psi",
+      """WITH b AS (SELECT source,
+        |    doc_id % 2 AS slice,
+        |    CASE WHEN n_chars < 100 THEN 0 WHEN n_chars < 200 THEN 1
+        |      WHEN n_chars < 300 THEN 2 WHEN n_chars < 400 THEN 3
+        |      ELSE 4 END AS bin
+        |  FROM documents),
+        |c AS (SELECT source, slice, bin, count(*) AS n
+        |  FROM b GROUP BY source, slice, bin),
+        |g AS (SELECT source, bin,
+        |    coalesce(max(CASE WHEN slice = 0 THEN n END), 0) AS n0,
+        |    coalesce(max(CASE WHEN slice = 1 THEN n END), 0) AS n1
+        |  FROM c GROUP BY source, bin),
+        |t AS (SELECT source, sum(n0) AS t0, sum(n1) AS t1
+        |  FROM g GROUP BY source),
+        |p AS (SELECT g.source,
+        |    (g.n0 + 0.5) / (t.t0 + 2.5) AS p0,
+        |    (g.n1 + 0.5) / (t.t1 + 2.5) AS p1
+        |  FROM g JOIN t ON g.source = t.source)
+        |SELECT source, round(sum((p1 - p0) * ln(p1 / p0)), 6) AS psi
+        |FROM p GROUP BY source ORDER BY source ASC""".stripMargin) { (s, dir) =>
+      val bin = when(col("n_chars") < 100, 0).when(col("n_chars") < 200, 1)
+        .when(col("n_chars") < 300, 2).when(col("n_chars") < 400, 3)
+        .otherwise(4)
+      val c = docs(s, dir)
+        .select(col("source"), (col("doc_id") % 2).as("slice"), bin.as("bin"))
+        .groupBy(col("source"), col("slice"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+      val g = c.groupBy(col("source"), col("bin")).agg(
+        coalesce(max(when(col("slice") === 0, col("n"))), lit(0L)).as("n0"),
+        coalesce(max(when(col("slice") === 1, col("n"))), lit(0L)).as("n1"))
+      val t = g.groupBy(col("source"))
+        .agg(sum(col("n0")).as("t0"), sum(col("n1")).as("t1"))
+      g.join(t, Seq("source"))
+        .select(col("source"),
+          ((col("n0") + 0.5) / (col("t0") + 2.5)).as("p0"),
+          ((col("n1") + 0.5) / (col("t1") + 2.5)).as("p1"))
+        .groupBy(col("source"))
+        .agg(round(sum((col("p1") - col("p0")) * log(col("p1") / col("p0"))), 6)
+          .as("psi"))
+        .orderBy(col("source").asc)
     }
   )
 }
