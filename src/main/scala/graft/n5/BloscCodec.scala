@@ -1,17 +1,22 @@
 package graft.n5
 
-/** Pure-JVM READ-ONLY decoder for the blosc1 chunk container — the c-blosc
-  * 1.x wire format that numcodecs/zarr resolve by codec id (the reference
-  * accepts it wherever a compressor name is taken: `tif_to_n5.py:89-92`,
+/** Pure-JVM codec for the blosc1 chunk container — the c-blosc 1.x wire
+  * format that numcodecs/zarr resolve by codec id (the reference accepts
+  * it wherever a compressor name is taken: `tif_to_n5.py:89-92`,
   * `create_n5.py:13-18`, `ometif_to_n5.py:257-260`), and zarr's default
-  * compressor family in the wild — so real N5 volumes exist that an engine
-  * without this path simply cannot scan. Decompression needs no JNI: the
-  * container is a plain 16-byte header + per-block split streams, and the
-  * inner codecs blosc actually uses (lz4 raw blocks, zlib streams, zstd
-  * frames) all have JVM implementations already on the classpath. WRITES
-  * stay unsupported (the engine re-encodes with its own codecs; a blosc
-  * ENCODER would have to reproduce c-blosc's block/split heuristics
-  * byte-for-byte to be honest) and fail loudly at DDL time.
+  * compressor family in the wild — so real N5 volumes exist that an
+  * engine without this path simply cannot scan. No JNI anywhere: the
+  * container is a plain 16-byte header + per-block split streams.
+  *
+  * READ ([[decode]]) accepts blosclz (c-blosc's own default LZ77, decoded
+  * by [[blosclzDecompress]]), lz4/lz4hc (raw-block framing), zlib and
+  * zstd inner streams, byte-shuffled ([[unshuffle]]) and bit-shuffled
+  * ([[bitUnshuffle]]) chunks; only snappy inner streams still fail
+  * loudly (no JVM decoder on the classpath). WRITE ([[encode]]) emits the
+  * fixed interop profile documented on that method (typesize-1 /
+  * no-shuffle / lz4, single block) — deliberately the corner of the
+  * format every conforming decoder, including c-blosc's own frozen
+  * forward-compat heuristic, parses without guessing.
   *
   * Chunk layout (public c-blosc `README_HEADER.rst`):
   *
@@ -41,12 +46,26 @@ package graft.n5
   *
   * Byte-shuffle (flags bit0) is undone per block after decompression
   * (whole elements transposed, the sub-element tail copied verbatim —
-  * c-blosc's `unshuffle` contract). Bit-shuffle (bit2), blosclz, and
-  * snappy inner streams have no JVM decoder and fail with a message that
-  * says exactly that.
+  * c-blosc's `unshuffle` contract); bit-shuffle (bit2) likewise per
+  * block, over the largest multiple-of-8 element prefix with the tail
+  * verbatim (c-blosc's `bitshuffle` wrapper contract). Snappy inner
+  * streams have no JVM decoder and fail with a message that says that.
+  *
+  * Validation honesty: this container has no c-blosc build and no
+  * numcodecs, so the blosclz and bit-shuffle paths are implemented from
+  * the PUBLIC wire formats (blosclz is a documented FastLZ-level-2
+  * derivative — token stream of 5-bit-literal-run / 3-bit-length +
+  * 13-bit-offset matches with 255-chained length extension and the
+  * 16-bit far-offset escape; bitshuffle is the documented bit-matrix
+  * transpose) and verified by hand-computed vectors + inverse-property
+  * tests in BlockCodecSpec, not against live c-blosc output. The
+  * adaptive stream parser's double check (streams must consume exactly
+  * the block range AND decompress to exactly the block size) makes a
+  * format misreading fail loudly rather than corrupt silently.
   */
 object BloscCodec {
 
+  private val CompBloscLz = 0
   private val CompLz4 = 1
   private val CompZlib = 3
   private val CompZstd = 4
@@ -85,13 +104,11 @@ object BloscCodec {
       System.arraycopy(raw, off + 16, out, 0, nbytes)
       return out
     }
-    require((flags & 0x4) == 0,
-      "blosc bit-shuffle is not supported (no pure-JVM bitshuffle kernel); " +
-        "re-encode the volume with byte-shuffle or no shuffle")
     val comp = (flags >> 5) & 0x7
-    require(comp == CompLz4 || comp == CompZlib || comp == CompZstd,
+    require(comp == CompBloscLz || comp == CompLz4 || comp == CompZlib ||
+        comp == CompZstd,
       s"blosc inner codec '${cname(comp)}' is not supported " +
-        "(no pure-JVM decoder); lz4, zlib and zstd are")
+        "(no pure-JVM decoder); blosclz, lz4, zlib and zstd are")
     require(blocksize > 0, s"blosc blocksize $blocksize must be positive")
     val nblocks = (nbytes + blocksize - 1) / blocksize
     require(raw.length - off >= 16 + 4 * nblocks,
@@ -104,8 +121,11 @@ object BloscCodec {
       require(bstart >= 16 && bend > bstart && off + bend <= raw.length,
         s"blosc block $j has invalid range [$bstart, $bend)")
       val block = decodeBlock(raw, off + bstart, off + bend, bs, typesize, comp)
+      // bit-shuffle is NOT the identity at typesize 1 (it still transposes
+      // bit planes of 8-byte groups), so it applies unconditionally
       val plain =
-        if ((flags & 0x1) != 0 && typesize > 1) unshuffle(block, typesize)
+        if ((flags & 0x4) != 0) bitUnshuffle(block, typesize)
+        else if ((flags & 0x1) != 0 && typesize > 1) unshuffle(block, typesize)
         else block
       System.arraycopy(plain, 0, out, j * blocksize, bs)
       j += 1
@@ -120,7 +140,8 @@ object BloscCodec {
   private def decodeBlock(
       raw: Array[Byte], start: Int, end: Int, bs: Int,
       typesize: Int, comp: Int): Array[Byte] = {
-    val splitFriendly = comp == CompLz4 // (and blosclz, which we reject)
+    // c-blosc's split heuristic applies to blosclz and lz4 only
+    val splitFriendly = comp == CompLz4 || comp == CompBloscLz
     val canSplit = typesize >= 2 && typesize <= 16 && bs % typesize == 0
     val candidates =
       if (!canSplit) Seq(1)
@@ -165,6 +186,8 @@ object BloscCodec {
       src: Array[Byte], srcOff: Int, srcLen: Int,
       dst: Array[Byte], dstOff: Int, dstLen: Int, comp: Int): Unit =
     comp match {
+      case CompBloscLz =>
+        blosclzDecompress(src, srcOff, srcLen, dst, dstOff, dstLen)
       case CompLz4 => // raw LZ4 block (LZ4_compress_default framing)
         val n = net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
           .safeDecompressor().decompress(src, srcOff, srcLen, dst, dstOff, dstLen)
@@ -258,5 +281,169 @@ object BloscCodec {
     val whole = elems * typesize
     if (whole < n) System.arraycopy(b, whole, out, whole, n - whole)
     out
+  }
+
+  /** Undo c-blosc's BIT shuffle on one block (r13). Forward bitshuffle
+    * (public bitshuffle library, wrapped by c-blosc's `bitshuffle()`):
+    * the largest multiple-of-8 element prefix is viewed as an
+    * [nelem × 8·typesize] bit matrix and transposed — output bit-plane
+    * `p = 8·byte + bit` is `nelem/8` bytes long, its byte `q` packs
+    * elements `8q..8q+7` LSB-first, and plane (byte b, bit k) holds bit
+    * k of byte b of every element. The remaining bytes (partial
+    * elements, plus whole elements beyond the multiple-of-8 prefix) are
+    * stored verbatim after the shuffled prefix — c-blosc's
+    * `shuffle.c` leftover contract, same as [[unshuffle]]'s tail.
+    * This is the inverse: scatter each set plane bit back to
+    * (element, byte, bit).
+    */
+  private[n5] def bitUnshuffle(b: Array[Byte], typesize: Int): Array[Byte] = {
+    val n = b.length
+    val nelem0 = n / typesize
+    val nelem = nelem0 - (nelem0 % 8)
+    if (nelem == 0) return b
+    val out = new Array[Byte](n)
+    val planeBytes = nelem / 8
+    var bIdx = 0
+    while (bIdx < typesize) {
+      var k = 0
+      while (k < 8) {
+        val planeOff = (bIdx * 8 + k) * planeBytes
+        val setBit = 1 << k
+        var q = 0
+        while (q < planeBytes) {
+          val s = b(planeOff + q) & 0xff
+          if (s != 0) {
+            val eBase = 8 * q
+            var j = 0
+            while (j < 8) {
+              if (((s >> j) & 1) != 0) {
+                val at = (eBase + j) * typesize + bIdx
+                out(at) = (out(at) | setBit).toByte
+              }
+              j += 1
+            }
+          }
+          q += 1
+        }
+        k += 1
+      }
+      bIdx += 1
+    }
+    val whole = nelem * typesize
+    if (whole < n) System.arraycopy(b, whole, out, whole, n - whole)
+    out
+  }
+
+  /** Forward bitshuffle of one block — the exact inverse of
+    * [[bitUnshuffle]], exposed for the spec's inverse-property and
+    * hand-vector tests (and so a future writer could emit shuffled
+    * chunks). Same prefix/tail contract.
+    */
+  private[n5] def bitShuffle(b: Array[Byte], typesize: Int): Array[Byte] = {
+    val n = b.length
+    val nelem0 = n / typesize
+    val nelem = nelem0 - (nelem0 % 8)
+    if (nelem == 0) return b
+    val out = new Array[Byte](n)
+    val planeBytes = nelem / 8
+    var e = 0
+    while (e < nelem) {
+      var bIdx = 0
+      while (bIdx < typesize) {
+        val s = b(e * typesize + bIdx) & 0xff
+        if (s != 0) {
+          var k = 0
+          while (k < 8) {
+            if (((s >> k) & 1) != 0) {
+              val at = (bIdx * 8 + k) * planeBytes + (e >> 3)
+              out(at) = (out(at) | (1 << (e & 7))).toByte
+            }
+            k += 1
+          }
+        }
+        bIdx += 1
+      }
+      e += 1
+    }
+    val whole = nelem * typesize
+    if (whole < n) System.arraycopy(b, whole, out, whole, n - whole)
+    out
+  }
+
+  /** Decompress one blosclz stream (r13) — c-blosc's own default LZ77,
+    * a documented FastLZ-level-2 derivative. Token stream (first token
+    * is always a literal run, its high bits masked):
+    *
+    *   ctrl < 32   literal run of `ctrl + 1` bytes copied from input
+    *   ctrl >= 32  match: length token `ctrl >> 5` ∈ [1,7] encodes
+    *               length `tok + 2` (min match 3); tok == 7 chains
+    *               extension bytes (`len += byte` while byte == 255).
+    *               Distance = `((ctrl & 31) << 8) + lowByte + 1`
+    *               (13-bit + 1); the saturated pair (high bits 31,
+    *               lowByte 255) escapes to a 16-bit big-endian far
+    *               offset with distance `far + 8192`.
+    *
+    * Matches copy byte-sequentially so overlapping (RLE-style)
+    * references self-extend, per the format. Every read and write is
+    * bounds-checked and the stream must decode to exactly `dstLen` —
+    * a wrong-format parse dies loudly (see the class doc's validation
+    * note).
+    */
+  private[n5] def blosclzDecompress(
+      src: Array[Byte], srcOff: Int, srcLen: Int,
+      dst: Array[Byte], dstOff: Int, dstLen: Int): Unit = {
+    require(srcLen > 0, "blosclz: empty stream")
+    val ipLimit = srcOff + srcLen
+    val opLimit = dstOff + dstLen
+    val MaxDistance = 8191
+    var ip = srcOff
+    var op = dstOff
+    var ctrl = src(ip) & 31
+    ip += 1
+    var done = false
+    while (!done) {
+      if (ctrl >= 32) { // match
+        var len = (ctrl >> 5) - 1
+        val ofsHigh = (ctrl & 31) << 8
+        if (len == 6) { // saturated length token: chained extension
+          var code = 0
+          do {
+            require(ip < ipLimit, "blosclz: truncated length extension")
+            code = src(ip) & 0xff; ip += 1
+            len += code
+          } while (code == 255)
+        }
+        require(ip < ipLimit, "blosclz: truncated offset byte")
+        val low = src(ip) & 0xff
+        ip += 1
+        len += 3
+        var dist = ofsHigh + low + 1
+        if (low == 255 && ofsHigh == (31 << 8)) { // far-offset escape
+          require(ip + 2 <= ipLimit, "blosclz: truncated far offset")
+          dist = (((src(ip) & 0xff) << 8) | (src(ip + 1) & 0xff)) +
+            MaxDistance + 1
+          ip += 2
+        }
+        val ref = op - dist
+        require(ref >= dstOff,
+          s"blosclz: match distance $dist reaches before output start")
+        require(op + len <= opLimit,
+          s"blosclz: match of $len bytes overruns output")
+        var i = 0
+        while (i < len) { dst(op + i) = dst(ref + i); i += 1 }
+        op += len
+      } else { // literal run
+        val run = ctrl + 1
+        require(ip + run <= ipLimit, "blosclz: literal run overruns input")
+        require(op + run <= opLimit, "blosclz: literal run overruns output")
+        System.arraycopy(src, ip, dst, op, run)
+        ip += run
+        op += run
+      }
+      if (ip >= ipLimit) done = true
+      else { ctrl = src(ip) & 0xff; ip += 1 }
+    }
+    require(op == opLimit,
+      s"blosclz stream decoded ${op - dstOff} bytes, want $dstLen")
   }
 }

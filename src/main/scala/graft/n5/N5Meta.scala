@@ -159,7 +159,13 @@ object N5Meta {
           if (c.has("level")) c.get("level").asInt()
           else if (c.has("blockSize")) c.get("blockSize").asInt()
           else if (c.has("preset")) c.get("preset").asInt() // n5-java xz
-          else if (c.has("clevel")) c.get("clevel").asInt() // blosc family
+          else if (c.has("clevel")) { // blosc family
+            // clevel<=1 is the fast-compressor profile: map to the
+            // encoder's -1 fast path so our own writes round-trip (the
+            // write side serializes level -1 as clevel:1)
+            val cl = c.get("clevel").asInt()
+            if (declared == "blosc" && cl <= 1) -1 else cl
+          }
           else Compression.defaultParam(codec)
         Compression(codec, param)
       } else if (j.has("compressionType"))
@@ -214,7 +220,10 @@ object N5Meta {
         // profile of BloscCodec.encode regardless of what a cloned
         // template declared
         c.put("cname", "lz4")
-        c.put("clevel", if (a.compression.level > 0) a.compression.level else 5)
+        // fast-path level -1 serializes as clevel:1 (fastest), NOT a
+        // silent upgrade to LZ4-HC(5); the read side maps clevel<=1 back
+        // to -1 so write settings survive a metadata round trip
+        c.put("clevel", if (a.compression.level > 0) a.compression.level else 1)
         c.put("shuffle", 0)
         c.put("blocksize", 0)
         c.put("nthreads", 1)

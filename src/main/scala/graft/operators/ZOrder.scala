@@ -87,8 +87,13 @@ object ZOrder {
     require(bits > 0 && bits <= 31, s"bits must be in (0, 31], got $bits")
     val cells = 1L << bits
     val span = math.max(max - min + 1, 1L)
-    floor((c.cast("long") - lit(min)).cast("double") * cells / span)
-      .cast("long")
+    // the double product can round UP for spans near 2^53, mapping c=max
+    // to `cells` — outside zValue's [0, 2^bits) contract; clamp (r12
+    // ADVICE)
+    least(
+      floor((c.cast("long") - lit(min)).cast("double") * cells / span)
+        .cast("long"),
+      lit(cells - 1))
   }
 
   /** Per-file (min, max) ranges of two columns — the zone map a pruning

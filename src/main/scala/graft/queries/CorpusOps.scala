@@ -592,6 +592,9 @@ object CorpusOps {
         StructField("n_chars", LongType)))
       s.read.schema(schema)
         .option("header", "true").option("quote", "\"").option("escape", "\"")
+        // quoted fields may legally contain newlines; without multiLine a
+        // text value with '\n' splits into spurious records (r12 ADVICE)
+        .option("multiLine", "true")
         .csv(out)
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_id")).cast("long").as("id_sum"),

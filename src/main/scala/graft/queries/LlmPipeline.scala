@@ -2015,6 +2015,125 @@ object LlmPipeline {
           coalesce(col("n_shared"), lit(0L)).cast("long").as("n_shared"),
           (coalesce(col("n_shared"), lit(0L)) < 2).as("keep"))
         .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // PRODUCTION-k SEMANTIC-DEDUP SURVIVORS (r13) — q113's full
+    // SemDeDup pass (pairs → connected-component closure → canonical
+    // keep-set) composed over q134's PRODUCTION-k candidate chain
+    // (k=32 cells, nAssign=2: 12.5 % of the pair space) instead of the
+    // oracle-frozen quadratic k=8/nAssign=3. q134 proved the pair
+    // PRIMITIVE at production k; this proves the COMPOSED pipeline a
+    // 100 TB curation run actually ships — closure rounds shuffle only
+    // the thresholded edge set (a subset of q113's, by the documented
+    // recall/cost tradeoff), and the final labeling is one left join on
+    // vec_id. Survivor semantics are q113's verbatim: cluster canonical
+    // = minimum vec_id, unpaired vectors are their own singleton. The
+    // oracle replays k=32 training, top-2 assignment, thresholded
+    // pairing, and the recursive closure CTE-for-CTE (q93 discipline).
+    QueryDef.sql(
+      "q150_dedup_survivors_production_k",
+      s"""WITH RECURSIVE ${kmeansCtes(k = 32, iters = 3, sampleBuckets = 3)},
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn <= 2),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b AS a, id_a AS b FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT a AS node, a AS lbl FROM und
+         |  UNION
+         |  SELECT u.a AS node, r.lbl FROM und u JOIN reach r ON u.b = r.node),
+         |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+         |SELECT ev.vec_id,
+         |  CAST(coalesce(c.component, ev.vec_id) AS BIGINT) AS component,
+         |  (coalesce(c.component, ev.vec_id) = ev.vec_id) AS keep
+         |FROM (SELECT vec_id FROM embeddings) ev
+         |LEFT JOIN comp c ON ev.vec_id = c.node
+         |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = VS.trainIvfCodebook(e, k = 32, iters = 3, sampleBuckets = 3)
+      val edges = VS.semanticDedupPairs(Tables.spread(s, e), cents,
+          nAssign = 2, threshold = 0.4)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
+        .withColumnRenamed("node", "vec_id")
+      e.select(col("vec_id")).join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"))
+        .withColumn("keep", col("component") === col("vec_id"))
+        .orderBy(col("vec_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // PRODUCTION-k PAGERANK (r13) — q129's centrality propagation over
+    // q133's PRODUCTION-k kNN graph (k=32 cells, nAssign=2) instead of
+    // the frozen quadratic k=8/nAssign=3 edge generation it inherited.
+    // Same iteration discipline as q129 exactly: edges built once and
+    // localCheckpoint'd, 5 fixed iterations of ONE src-keyed join + one
+    // map-side-combined agg on dst + a left-join back to the node set,
+    // dangling mass dropped, damping 0.85, every iterate rounded to the
+    // 8-decimal lattice both engines share. With q150 this retires the
+    // last frozen-k-only composites: every member of the cell-bucketed
+    // family (pairs, survivors, graph, centrality) now has an
+    // oracle-green face at the scale-lever setting. The oracle replays
+    // k=32 training, 2-of-32 assignment, top-5 ranking, and the 5
+    // PageRank rounds CTE-for-CTE.
+    QueryDef.sql(
+      "q151_pagerank_production_k",
+      s"""WITH ${kmeansCtes(k = 32, iters = 3, sampleBuckets = 3)},
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr,
+         |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |knn AS (SELECT src, nbr FROM (
+         |    SELECT src, nbr,
+         |      row_number() OVER (PARTITION BY src
+         |        ORDER BY cosine DESC, nbr ASC) AS rnk
+         |    FROM cand) WHERE rnk <= 5),
+         |deg AS (SELECT src, count(*) AS outdeg FROM knn GROUP BY src),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM e),
+         |pr0 AS (SELECT vec_id AS node, round(1.0 / n.nn, 8) AS pr
+         |  FROM e CROSS JOIN n),
+         |${pagerankCtes(5)}
+         |SELECT node AS vec_id, pr AS pagerank FROM pr5
+         |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = VS.trainIvfCodebook(e, k = 32, iters = 3, sampleBuckets = 3)
+      val edges = VS.knnGraph(Tables.spread(s, e), cents, nAssign = 2, k = 5)
+        .select(col("src"), col("nbr").as("dst")).localCheckpoint()
+      graft.operators.PageRank.run(
+          e.select(col("vec_id").as("node")), edges,
+          damping = 0.85, maxIters = 5,
+          redistributeDangling = false, tol = 0.0,
+          roundDecimals = Some(8))
+        .ranks
+        .select(col("node").as("vec_id"), col("pr").as("pagerank"))
+        .orderBy(col("vec_id").asc)
     }
   )
 }

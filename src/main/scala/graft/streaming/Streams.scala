@@ -564,6 +564,12 @@ object Streams {
             .merge(slice, deltaLast, keys, orderCols, Some(opCol))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
+            // collect the live bucket set BEFORE the overwrite: computing
+            // it afterwards would recompute `merged` against a state path
+            // whose old files the dynamic-overwrite commit already
+            // deleted if the cached blocks were evicted (r12 ADVICE)
+            val live = merged.select(col("__kb")).distinct()
+              .collect().map(_.getInt(0)).toSet
             merged.write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("__kb")
@@ -573,8 +579,6 @@ object Streams {
             // produces no rows and would silently keep its stale files —
             // drop those partition dirs explicitly (idempotent under
             // replay: the merge recomputes empty and re-deletes)
-            val live = merged.select(col("__kb")).distinct()
-              .collect().map(_.getInt(0)).toSet
             (touched.toSet -- live).foreach { kb =>
               fs.delete(
                 new org.apache.hadoop.fs.Path(s"$statePath/__kb=$kb"), true)

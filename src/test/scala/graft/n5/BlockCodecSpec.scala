@@ -222,8 +222,63 @@ class BlockCodecSpec extends AnyFunSuite {
     out
   }
 
+  /** Minimal greedy blosclz compressor emitting the documented token
+    * forms (literal runs ≤ 32, near matches with 13-bit offsets and
+    * 255-chained length extension). Valid by the same public format the
+    * decoder implements — round-trip consistency, not c-blosc interop
+    * (see the BloscCodec class doc's validation note); the hand-built
+    * token-stream test below pins the decoder against fixed bytes
+    * instead.
+    */
+  private def blosclzTestCompress(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var litStart = 0
+    def flushLits(until: Int): Unit = {
+      var p = litStart
+      while (p < until) {
+        val run = math.min(32, until - p)
+        out.write(run - 1)
+        out.write(data, p, run)
+        p += run
+      }
+      litStart = until
+    }
+    var i = 0
+    while (i < data.length) {
+      // longest match ≥ 3 within the near window (dist ≤ 8191; d ≤ 8190
+      // so the saturated far-escape byte pair can never appear)
+      var bestLen = 0
+      var bestDist = 0
+      val lo = math.max(0, i - 8190)
+      var s = lo
+      while (s < i) {
+        var l = 0
+        while (i + l < data.length && data(s + l) == data(i + l) && l < 1000) l += 1
+        if (l > bestLen) { bestLen = l; bestDist = i - s }
+        s += 1
+      }
+      if (bestLen >= 3 && i > 0) {
+        flushLits(i)
+        val d = bestDist - 1
+        val tok = math.min(bestLen - 2, 7)
+        out.write((tok << 5) | (d >> 8))
+        if (tok == 7) {
+          var rem = bestLen - 9
+          while (rem >= 255) { out.write(255); rem -= 255 }
+          out.write(rem)
+        }
+        out.write(d & 0xff)
+        i += bestLen
+        litStart = i
+      } else i += 1
+    }
+    flushLits(data.length)
+    out.toByteArray
+  }
+
   private def bloscCompress(code: Int, data: Array[Byte]): Array[Byte] =
     code match {
+      case 0 => blosclzTestCompress(data)
       case 1 => // lz4 raw block
         val c = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().fastCompressor()
         val out = new Array[Byte](c.maxCompressedLength(data.length))
@@ -244,8 +299,10 @@ class BlockCodecSpec extends AnyFunSuite {
   private def bloscChunk(
       data: Array[Byte], typesize: Int, blocksize: Int,
       code: Int, shuffle: Boolean, split: Int,
-      memcpy: Boolean = false, forceRawSplits: Boolean = false): Array[Byte] = {
-    val flags = (code << 5) | (if (shuffle) 1 else 0) | (if (memcpy) 2 else 0)
+      memcpy: Boolean = false, forceRawSplits: Boolean = false,
+      bitshuffle: Boolean = false): Array[Byte] = {
+    val flags = (code << 5) | (if (shuffle) 1 else 0) |
+      (if (memcpy) 2 else 0) | (if (bitshuffle) 4 else 0)
     def header(cbytes: Int, body: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(16 + body.length)
       bb.put(2.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
@@ -258,7 +315,10 @@ class BlockCodecSpec extends AnyFunSuite {
     val blocks = (0 until nblocks).map { j =>
       val bs = math.min(blocksize, data.length - j * blocksize)
       val block = java.util.Arrays.copyOfRange(data, j * blocksize, j * blocksize + bs)
-      val shuffled = if (shuffle && typesize > 1) bloscShuffle(block, typesize) else block
+      val shuffled =
+        if (bitshuffle) BloscCodec.bitShuffle(block, typesize)
+        else if (shuffle && typesize > 1) bloscShuffle(block, typesize)
+        else block
       val ns = if (bs % split == 0) split else 1
       val streamSize = shuffled.length / ns
       val bb = new java.io.ByteArrayOutputStream()
@@ -357,23 +417,124 @@ class BlockCodecSpec extends AnyFunSuite {
     val noise = Array.fill(777)(rnd.nextInt().toByte)
     assert(BloscCodec.decode(BloscCodec.encode(noise), 0, 777).toSeq ==
       noise.toSeq)
-    // bit-shuffle, snappy, blosclz: loud unsupported messages
-    val bitshuf = bloscChunk(payload.array(), 2, 256, 1, shuffle = false, split = 1)
-    bitshuf(2) = (bitshuf(2) | 0x4).toByte
+    // snappy: loud unsupported message (the one remaining inner codec
+    // with no JVM decoder; bit-shuffle and blosclz decode since r13)
+    val snappy = bloscChunk(payload.array(), 2, 256, 1, shuffle = false, split = 1)
+    snappy(2) = ((2 << 5) & 0xff).toByte
     assert(intercept[IllegalArgumentException] {
-      BloscCodec.decode(bitshuf, 0, payload.array().length)
-    }.getMessage.contains("bit-shuffle"))
-    for (code <- Seq(0, 2)) { // blosclz, snappy
-      val c = bloscChunk(payload.array(), 2, 256, 1, shuffle = false, split = 1)
-      c(2) = ((code << 5) & 0xff).toByte
-      assert(intercept[IllegalArgumentException] {
-        BloscCodec.decode(c, 0, payload.array().length)
-      }.getMessage.contains("not supported"))
-    }
+      BloscCodec.decode(snappy, 0, payload.array().length)
+    }.getMessage.contains("not supported"))
     // nbytes mismatch against the dtype-derived payload size
     assert(intercept[IllegalArgumentException] {
       BloscCodec.decode(chunk, 0, payload.array().length - 2)
     }.getMessage.contains("nbytes"))
+  }
+
+  test("blosclz decodes fixed hand-built token streams (r13)") {
+    def dec(stream: Array[Int], outLen: Int): Seq[Byte] = {
+      val src = stream.map(_.toByte)
+      val dst = new Array[Byte](outLen)
+      BloscCodec.blosclzDecompress(src, 0, src.length, dst, 0, outLen)
+      dst.toSeq
+    }
+    // pure literal run: ctrl 4 → 5 bytes
+    assert(dec(Array(0x04, 10, 20, 30, 40, 50), 5) ==
+      Seq[Byte](10, 20, 30, 40, 50))
+    // literals "abc" then a len-3 match at distance 3 → "abcabc"
+    // (match token: len tok 1 = (1<<5), low offset byte 2 → dist 3)
+    assert(dec(Array(0x02, 'a', 'b', 'c', 0x20, 0x02), 6) ==
+      "abcabc".getBytes.toSeq)
+    // RLE self-extension: one literal 'x', match dist 1 len 10
+    // (tok 7 → 0xE0, extension 1 → len 6+1+3, low offset 0 → dist 1)
+    assert(dec(Array(0x00, 'x', 0xE0, 0x01, 0x00), 11) ==
+      Seq.fill(11)('x'.toByte))
+    // 255-chained extension: len 6+255+36+3 = 300 of 'y'
+    assert(dec(Array(0x00, 'y', 0xE0, 0xFF, 36, 0x00), 301) ==
+      Seq.fill(301)('y'.toByte))
+    // far-offset escape: build > 8192 bytes of history via RLE, then a
+    // len-3 match at distance 8193 (saturated near pair 31<<8|255,
+    // 16-bit far offset 1 → dist 1 + 8191 + 1)
+    val n = 8200
+    val rem = n - 1 - 9 // RLE match len = n-1: tok 7, extension chain
+    val ext = Array.fill(rem / 255)(255) :+ (rem % 255)
+    val farStream =
+      Array(0x00, 'z') ++ Array(0xE0) ++ ext ++ Array(0x00) ++
+        Array(0x3F, 0xFF, 0x00, 0x01) // (1<<5)|31, low 255, far 0x0001
+    val out = dec(farStream, n + 3)
+    assert(out.take(n) == Seq.fill(n)('z'.toByte))
+    assert(out.drop(n) == Seq.fill(3)('z'.toByte)) // ref is all-'z' history
+    // a truncated stream dies loudly instead of under-filling
+    assert(intercept[IllegalArgumentException] {
+      dec(Array(0x04, 1, 2), 5)
+    }.getMessage.contains("literal run overruns input"))
+    // a stream decoding short of dstLen dies loudly
+    assert(intercept[IllegalArgumentException] {
+      dec(Array(0x01, 1, 2), 5)
+    }.getMessage.contains("want 5"))
+  }
+
+  test("bitshuffle kernels: hand vectors, inverse property, tails (r13)") {
+    // typesize 1, 8 elements: plane k = bit k of each byte, LSB-first
+    val one = new Array[Byte](8); one(0) = 0x01
+    assert(BloscCodec.bitShuffle(one, 1).toSeq ==
+      (Seq[Byte](0x01) ++ Seq.fill(7)(0.toByte)))
+    val twos = Array.fill(8)(0x02.toByte) // bit 1 set in all 8 elements
+    val twosShuf = BloscCodec.bitShuffle(twos, 1)
+    assert(twosShuf(1) == 0xFF.toByte &&
+      twosShuf.zipWithIndex.count(_._1 != 0) == 1)
+    // typesize 2: byte-0 planes (p = 0..7) then byte-1 planes (8..15)
+    val u16 = new Array[Byte](16)
+    for (e <- 0 until 8) u16(e * 2) = 0xFF.toByte // byte 0 all-ones
+    val u16Shuf = BloscCodec.bitShuffle(u16, 2)
+    assert(u16Shuf.take(8).forall(_ == 0xFF.toByte) &&
+      u16Shuf.drop(8).forall(_ == 0), "byte-0 bit planes come first")
+    // inverse property across typesizes, incl. non-multiple-of-8 tails
+    val rng = new scala.util.Random(13)
+    for (ts <- Seq(1, 2, 4, 7, 8); len <- Seq(ts * 8, ts * 64, ts * 64 + 5,
+        ts * 67, 3)) {
+      val data = Array.fill(len)(rng.nextInt().toByte)
+      val rt = BloscCodec.bitUnshuffle(BloscCodec.bitShuffle(data, ts), ts)
+      assert(rt.toSeq == data.toSeq, s"typesize $ts len $len")
+    }
+    // the tail beyond the multiple-of-8 element prefix is verbatim
+    val tailed = Array.tabulate(21)(_.toByte) // typesize 2: 10 elems → 8 shuffled
+    val shuf = BloscCodec.bitShuffle(tailed, 2)
+    assert(shuf.slice(16, 21).toSeq == tailed.slice(16, 21).toSeq)
+  }
+
+  test("blosclz and bit-shuffled blosc chunks decode end-to-end (r13)") {
+    val data = Array.tabulate(4096)(i => ((i / 7) % 251).toByte)
+    // blosclz, no shuffle, split (c-blosc splits blosclz like lz4)
+    assert(BloscCodec.decode(bloscChunk(data, 2, 2048, 0, shuffle = false,
+      split = 2), 0, data.length).toSeq == data.toSeq)
+    // blosclz + byte-shuffle, 2 internal blocks, unsplit fallback
+    assert(BloscCodec.decode(bloscChunk(data, 2, 2048, 0, shuffle = true,
+      split = 1), 0, data.length).toSeq == data.toSeq)
+    // blosclz + BIT-shuffle — zarr's Blosc(cname='blosclz',
+    // shuffle=BITSHUFFLE) shape; also exercises leftover elements
+    val odd = data.take(3000)
+    assert(BloscCodec.decode(bloscChunk(odd, 4, 1024, 0, shuffle = false,
+      split = 1, bitshuffle = true), 0, odd.length).toSeq == odd.toSeq)
+    // lz4 + bit-shuffle, typesize-way split
+    assert(BloscCodec.decode(bloscChunk(data, 2, 2048, 1, shuffle = false,
+      split = 2, bitshuffle = true), 0, data.length).toSeq == data.toSeq)
+    // zstd + bit-shuffle at typesize 1 (bitshuffle is NOT identity there)
+    assert(BloscCodec.decode(bloscChunk(data, 1, 4096, 4, shuffle = false,
+      split = 1, bitshuffle = true), 0, data.length).toSeq == data.toSeq)
+    // blosclz through the full N5 block framing
+    val shape = Array(8, 8, 4)
+    val vals = Array.tabulate(shape.product)(i => ((i * 11) % 251).toLong)
+    val payload = java.nio.ByteBuffer.allocate(shape.product * 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    vals.foreach(v => payload.putShort(v.toShort))
+    val chunk = bloscChunk(payload.array(), 2, 256, 0, shuffle = false,
+      split = 1, bitshuffle = true)
+    val bb = java.nio.ByteBuffer.allocate(4 + 12 + chunk.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putShort(0.toShort).putShort(3.toShort)
+    shape.foreach(bb.putInt); bb.put(chunk)
+    val dec = BlockCodec.decode(bb.array(), Dtype.UInt16, Compression("blosc"))
+    assert(dec.longs.toSeq == vals.toSeq)
   }
 
   test("gzip honors the requested deflate level") {
