@@ -2134,6 +2134,201 @@ object LlmPipeline {
         .ranks
         .select(col("node").as("vec_id"), col("pr").as("pagerank"))
         .orderBy(col("vec_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // RELEASE-PIPELINE CAPSTONE (q152, r13) — the end-to-end artifact a
+    // 100 TB pretraining run actually ships, composed from pieces that
+    // are each individually oracle-green: (1) the q142 trained quality
+    // gate (3 GD iterations, score >= 0.5 keeps), (2) exact dedup among
+    // the quality survivors (canonical = min doc_id per normalized-text
+    // digest), (3) semantic dedup survivors from q150's production-k
+    // chain (k=32/nAssign=2 cells; docs without an embedding can't be
+    // semantic dups and keep), (4) q135's benchmark decontamination
+    // (drop >= 2 shared 3-grams with the probe set, bloom pre-filter on
+    // the Spark side, exact join in the oracle — the bloom cannot change
+    // the answer), (5) the q147 deterministic md5 split, (6) a per-split
+    // release card: docs, whitespace tokens, 512-token chunk count and
+    // oversize count (document-wise chunking — cross-doc greedy packing
+    // is q57's own operator), mean quality score. What the composition
+    // PROVES beyond its parts: every stage is data-REDUCING (filters and
+    // keep-sets only — the corpus is scanned a bounded number of times
+    // and nothing joins corpus-to-corpus except the digest self-agg),
+    // and the whole plan's exchange count stays bounded (pinned in
+    // PlanAuditSpec): the drop-sets (semantic non-survivors,
+    // contaminated ids) are corpus-SUBSET-sized and broadcast into
+    // anti-joins, the quality weights are 4 literals, and the final
+    // card is one hash agg on the split column. The oracle replays
+    // training (GD + k-means), closure, decontamination, split, and
+    // card CTE-for-CTE.
+    {
+      def dot(w: String) = s"($w.w0*f0 + $w.w1*f1 + $w.w2*f2 + $w.w3*f3)"
+      def step(prev: String, cur: String) =
+        s"$cur AS (SELECT " + (0 to 3).map(i =>
+          s"round(min(w.w$i) + avg((y - 1/(1+exp(-${dot("w")})))*f$i), 8) AS w$i")
+          .mkString(", ") + s" FROM f, $prev w)"
+      QueryDef.sql(
+        "q152_release_pipeline",
+        s"""WITH RECURSIVE ${kmeansCtes(k = 32, iters = 3, sampleBuckets = 3)},
+           |e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |scored AS (SELECT e.vec_id, e.v, c.cid,
+           |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+           |  FROM e CROSS JOIN cent3 c),
+           |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+           |    SELECT vec_id, v, cid,
+           |      row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY sim DESC, cid ASC) AS rn
+           |    FROM scored) WHERE rn <= 2),
+           |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+           |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b AS a, id_a AS b FROM pairs),
+           |reach(node, lbl) AS (
+           |  SELECT a AS node, a AS lbl FROM und
+           |  UNION
+           |  SELECT u.a AS node, r.lbl FROM und u JOIN reach r ON u.b = r.node),
+           |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+           |semdrop AS (SELECT node AS doc_id FROM comp WHERE component <> node),
+           |base AS (SELECT doc_id, text, n_chars,
+           |    string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS toks
+           |  FROM documents),
+           |f AS (SELECT doc_id, 1.0 AS f0,
+           |    round(least(length(text) / 1000.0, 1.0), 6) AS f1,
+           |    round(CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           |        / length(text) END, 6) AS f2,
+           |    round(CASE WHEN len(toks) = 0 THEN 0.0
+           |      ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6) AS f3,
+           |    CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
+           |  FROM base),
+           |w1 AS (SELECT round(avg((y - 0.5)*f0), 8) AS w0,
+           |    round(avg((y - 0.5)*f1), 8) AS w1,
+           |    round(avg((y - 0.5)*f2), 8) AS w2,
+           |    round(avg((y - 0.5)*f3), 8) AS w3 FROM f),
+           |${step("w1", "w2")},
+           |${step("w2", "w3")},
+           |qk AS (SELECT f.doc_id, round(1/(1+exp(-${dot("w")})), 4) AS score
+           |  FROM f, w3 w
+           |  WHERE round(1/(1+exp(-${dot("w")})), 4) >= 0.5),
+           |ex AS (SELECT doc_id,
+           |    unnest(list_transform(generate_series(0, len(toks) - 3),
+           |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS gram
+           |  FROM base),
+           |p AS (SELECT DISTINCT gram FROM ex WHERE doc_id < 10),
+           |contaminated AS (SELECT c.doc_id
+           |  FROM (SELECT doc_id, gram FROM ex WHERE doc_id >= 10) c
+           |  JOIN p USING (gram) GROUP BY c.doc_id
+           |  HAVING count(DISTINCT c.gram) >= 2),
+           |corpus AS (SELECT d.doc_id, d.text, qk.score
+           |  FROM documents d JOIN qk ON qk.doc_id = d.doc_id
+           |  WHERE d.doc_id >= 10),
+           |dg AS (SELECT doc_id, text, score,
+           |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest
+           |  FROM corpus),
+           |ek AS (SELECT dg.doc_id, dg.text, dg.score FROM dg
+           |  JOIN (SELECT digest, min(doc_id) AS doc_id FROM dg GROUP BY digest) m
+           |    ON dg.digest = m.digest AND dg.doc_id = m.doc_id),
+           |kept AS (SELECT ek.doc_id, ek.text, ek.score FROM ek
+           |  LEFT JOIN semdrop sd ON sd.doc_id = ek.doc_id
+           |  LEFT JOIN contaminated ct ON ct.doc_id = ek.doc_id
+           |  WHERE sd.doc_id IS NULL AND ct.doc_id IS NULL),
+           |final AS (SELECT doc_id, score,
+           |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |        % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+           |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |      x -> x <> '')) AS ntok
+           |  FROM kept)
+           |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           |  CAST(sum(CAST(ceil(ntok / 512.0) AS BIGINT)) AS BIGINT) AS n_chunks,
+           |  CAST(sum(CASE WHEN ntok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_oversize,
+           |  round(avg(score), 4) AS mean_score
+           |FROM final GROUP BY split ORDER BY split ASC""".stripMargin) { (s, dir) =>
+        import graft.functions.{VectorSearch => VS, BloomRef}
+        val d = docs(s, dir)
+        // (1) quality gate: the q142 training loop verbatim — three
+        // 4-scalar gradient aggregates off one localCheckpoint'd pass
+        val toksN = TF.tokens(TF.normalizeText(col("text")))
+        val fTbl = Tables.spread(s, d).select(col("doc_id"),
+            lit(1.0).as("f0"),
+            round(least(length(col("text")) / lit(1000.0), lit(1.0)), 6).as("f1"),
+            round(when(length(col("text")) === 0, 0.0)
+              .otherwise(length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+                .cast("double") / length(col("text"))), 6).as("f2"),
+            round(when(size(toksN) === 0, 0.0)
+              .otherwise(size(array_distinct(toksN)).cast("double")
+                / size(toksN)), 6).as("f3"),
+            when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"))
+          .localCheckpoint()
+        val feats = Seq("f0", "f1", "f2", "f3")
+        var w = Array.fill(4)(0.0)
+        for (_ <- 1 to 3) {
+          val z = feats.zipWithIndex
+            .map { case (c, i) => col(c) * lit(w(i)) }.reduce(_ + _)
+          val resid = col("y") - lit(1.0) / (lit(1.0) + exp(-z))
+          val g = fTbl.agg(avg(resid * col("f0")), avg(resid * col("f1")),
+            avg(resid * col("f2")), avg(resid * col("f3"))).head()
+          w = w.indices.map(i => BigDecimal(w(i) + g.getDouble(i))
+            .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+        }
+        val zFinal = feats.zipWithIndex
+          .map { case (c, i) => col(c) * lit(w(i)) }.reduce(_ + _)
+        val scoreC = round(lit(1.0) / (lit(1.0) + exp(-zFinal)), 4)
+        val quality = fTbl.select(col("doc_id"), scoreC.as("score"))
+          .filter(col("score") >= 0.5)
+        // (3) semantic non-survivors from the q150 production-k chain;
+        // the drop-set is cluster-member-sized, broadcast below
+        val eTbl = emb(s, dir).select(col("vec_id"), col("embedding"))
+        val cents = VS.trainIvfCodebook(eTbl, k = 32, iters = 3, sampleBuckets = 3)
+        val edges = VS.semanticDedupPairs(Tables.spread(s, eTbl), cents,
+            nAssign = 2, threshold = 0.4)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val semDrop = graft.operators.ConnectedComponents.run(edges, "a", "b")
+          .filter(col("component") =!= col("node"))
+          .select(col("node").as("doc_id"))
+        // (4) decontamination: q135's bloom pre-filter before any
+        // exchange, exact confirm join restores exactness
+        val exploded = Tables.spread(s, d.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), explode(NE.wordNgrams(toksN, 3)).as("gram"))
+        val probeGrams = exploded.filter(col("doc_id") < 10)
+          .select(col("gram")).distinct()
+        val bloom = BloomRef.build(probeGrams, "gram",
+          expectedItems = math.max(probeGrams.count(), 1L), fpp = 0.01)
+        val contaminated = exploded.filter(col("doc_id") >= 10)
+          .filter(NE.bloomMightContain(col("gram"), bloom))
+          .join(broadcast(probeGrams), Seq("gram"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("gram")).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .select(col("doc_id"))
+        // (2) exact dedup among quality survivors, then the keep-set
+        val corpus = d.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), col("text"))
+          .join(quality, Seq("doc_id"))
+        val dg = corpus.withColumn("digest", md5(TF.normalizeText(col("text"))))
+        val minIds = dg.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+        val kept = dg.join(minIds, Seq("digest", "doc_id"))
+          .join(broadcast(semDrop), Seq("doc_id"), "left_anti")
+          .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        // (5) deterministic split + (6) the per-split release card
+        val split = when(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long") % 10 < 8, "train").otherwise("val")
+        val ntok = size(filter(TF.tokens(col("text")), t => length(t) > 0))
+        kept.select(split.as("split"), col("score"), ntok.as("ntok"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).cast("long").as("total_tokens"),
+            sum(ceil(col("ntok") / lit(512.0))).cast("long").as("n_chunks"),
+            sum(when(col("ntok") > 512, 1L).otherwise(0L)).cast("long")
+              .as("n_oversize"),
+            round(avg(col("score")), 4).as("mean_score"))
+          .orderBy(col("split").asc)
+      }
     }
   )
 }

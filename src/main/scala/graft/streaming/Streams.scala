@@ -459,6 +459,59 @@ object Streams {
     docs.withColumn("score", score).filter(col("score") >= threshold)
   }
 
+  /** Streaming decontamination (r13) — q135's bloom-pre-filtered benchmark
+    * decontamination in the shape a live ingest runs it, mirroring
+    * [[qualityGate]]'s train-offline/serve-online pattern: the probe
+    * set's distinct n-grams and their fpp-bounded bloom sketch are built
+    * ONCE from `probeDocs` (static — benchmark sets don't change
+    * mid-ingest), then every micro-batch is gated exactly as the batch
+    * query gates the corpus: the codegen'd `bloom_might_contain` drops
+    * non-matching grams BEFORE the batch's only exchange, the broadcast
+    * confirm join against the true probe grams restores exactness (false
+    * negatives are impossible, so the sketch can only drop rows the join
+    * would drop), and each doc leaves with `n_shared` and a `keep`
+    * verdict (< `minShared` shared distinct grams). The verdict is
+    * emitted, not silently applied — the same auditable dead-letter
+    * philosophy as [[jsonlIngest]]. Per-batch cost: the exchange carries
+    * only the batch's bloom-positive gram slice; the probe grams stay
+    * cached and broadcast. Batch-equivalence vs q135 is pinned in
+    * StreamingSpec.
+    */
+  def decontaminate(
+      stream: DataFrame, probeDocs: DataFrame,
+      n: Int = 3, minShared: Int = 2, fpp: Double = 0.01,
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow())
+      (onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.{BloomRef, NativeExpressions => NE, TextFunctions => TF}
+    val grams = (c: org.apache.spark.sql.Column) =>
+      NE.wordNgrams(TF.tokens(TF.normalizeText(c)), n)
+    val probeGrams = probeDocs
+      .select(explode(grams(col("text"))).as("gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = BloomRef.build(probeGrams, "gram",
+      expectedItems = math.max(probeGrams.count(), 1L), fpp = fpp)
+    val writer = stream.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.foreachBatch { (batch: DataFrame, id: Long) =>
+      val shared = batch
+        .select(col("doc_id"), explode(grams(col("text"))).as("gram"))
+        .filter(NE.bloomMightContain(col("gram"), bloom))
+        .join(broadcast(probeGrams), Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_shared"))
+      val gated = batch.join(shared, Seq("doc_id"), "left")
+        .withColumn("n_shared",
+          coalesce(col("n_shared"), lit(0L)).cast("long"))
+        .withColumn("keep", col("n_shared") < minShared)
+      onBatch(gated, id)
+    }
+      .start()
+  }
+
   /** Streaming JSONL ingest with dead-lettering — the corpus-arrival face
     * of q138: a directory of JSON-lines files consumed with an EXPLICIT
     * schema (no inference pass), malformed lines routed to a dead-letter

@@ -542,6 +542,33 @@ class StreamingSpec extends SparkSpec {
       "gate should filter some but not all docs at these weights")
   }
 
+  test("streaming decontamination equals the q135 batch gate on the same slice") {
+    val tmp = Files.createTempDirectory("decontam").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val probe = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    // several parquet files → several micro-batch candidates; the gate
+    // is per-doc so batch boundaries cannot change verdicts
+    corpus.repartition(4).write.mode("overwrite").parquet(tmp)
+    var got = Vector.empty[(Long, Long, Boolean)]
+    val q = Streams.decontaminate(
+      spark.readStream.schema(spark.read.parquet(tmp).schema).parquet(tmp),
+      probe) { (gated, _) =>
+      got ++= gated.select(col("doc_id"), col("n_shared"), col("keep"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    }
+    q.awaitTermination()
+    val oracle = graft.Queries.byName("q135_decontaminate_bloom")
+      .build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got.size == got.toSet.size, "a doc was gated twice")
+    assert(got.toSet == oracle,
+      s"stream gate diverged from q135: ${got.size} vs ${oracle.size} rows")
+    assert(oracle.exists(!_._3) && oracle.exists(_._3),
+      "slice should contain both contaminated and clean docs")
+  }
+
   test("writeStream.format(n5): native streaming sink commits block rows") {
     val tmp = Files.createTempDirectory("n5sink").toString
     // stream the fixture's 4 block rows (as parquet files) into a new N5
