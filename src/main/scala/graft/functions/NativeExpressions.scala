@@ -205,6 +205,115 @@ object PqEncodeVector {
   }
 }
 
+/** Trained-codebook IVF assignment as a native expression (r13):
+  * ARRAY<DOUBLE> vector → ARRAY<INT> of its top-`nAssign` cell ids by
+  * round(cosine, 4), ties to the lowest cid — the EXACT semantics of the
+  * declarative `ivfCellD`/`assignCells` formulation (left-to-right dot
+  * and norm folds, BigDecimal HALF_UP rounding at 4 decimals,
+  * java.lang.Double.compare ordering), so every oracle CTE replay is
+  * unchanged. What it fixes: the literal-centroid formulation builds a
+  * k-way struct expression tree, so task binaries and codegen grow O(k)
+  * — at the k=512 scale probe that meant 4.9 MiB task binaries and a
+  * 938 s training pass. Here the codebook rides as ONE reference object
+  * (centroid norms precomputed once) and the whole k×dim kernel is a
+  * primitive loop per row; assignment stays a narrow zero-shuffle
+  * expression at ANY k, which is what makes production cell counts
+  * (thousands at 100 TB) practical.
+  */
+case class IvfTopCells(
+    child: Expression, codebook: IvfCodebookRef, nAssign: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_top_cells requires ARRAY<DOUBLE>, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_top_cells"
+
+  override protected def nullSafeEval(input: Any): Any =
+    codebook.topCells(input.asInstanceOf[ArrayData], nAssign)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCodebook", codebook,
+      "graft.functions.IvfCodebookRef")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = $ref.topCells($c, $nAssign);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfTopCells =
+    copy(child = newChild)
+}
+
+/** Shared eval/codegen kernel + codebook holder for [[IvfTopCells]].
+  * Centroid L2 norms are computed once per (deserialized) instance, not
+  * per row; similarity = dot/(|v|·|c|) with every fold left-to-right, so
+  * the doubles are bit-identical to `VectorFunctions.cosine`'s
+  * `aggregate` formulation and to DuckDB's `list_cosine_similarity`.
+  */
+final class IvfCodebookRef(
+    val cids: Array[Int], val vecs: Array[Array[Double]]) extends Serializable {
+
+  @transient private lazy val norms: Array[Double] = vecs.map { cv =>
+    var s = 0.0
+    var i = 0
+    while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  def topCells(v: ArrayData, n: Int): ArrayData = {
+    val len = v.numElements()
+    val a = new Array[Double](len)
+    var i = 0
+    while (i < len) { a(i) = v.getDouble(i); i += 1 }
+    var sa = 0.0
+    i = 0
+    while (i < len) { sa += a(i) * a(i); i += 1 }
+    val na = math.sqrt(sa)
+    val k = cids.length
+    val cap = math.min(n, k)
+    val topS = new Array[Double](cap)
+    val topC = new Array[Int](cap)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val cv = vecs(c)
+      require(cv.length == len,
+        s"ivf_top_cells: ${len}-dim vector vs ${cv.length}-dim centroid")
+      var dot = 0.0
+      var j = 0
+      while (j < len) { dot += a(j) * cv(j); j += 1 }
+      val cos = dot / (na * norms(c))
+      // identical to round(col, 4): BigDecimal HALF_UP, NaN/Inf pass
+      // through (java.lang.Double.compare then ranks NaN greatest,
+      // matching Spark's struct ordering in the declarative path)
+      val s =
+        if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
+        else java.math.BigDecimal.valueOf(cos)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      val cid = cids(c)
+      var pos = filled
+      while (pos > 0 && {
+        val cmp = java.lang.Double.compare(s, topS(pos - 1))
+        cmp > 0 || (cmp == 0 && cid < topC(pos - 1))
+      }) pos -= 1
+      if (pos < cap) {
+        var m = math.min(filled, cap - 1)
+        while (m > pos) { topS(m) = topS(m - 1); topC(m) = topC(m - 1); m -= 1 }
+        topS(pos) = s
+        topC(pos) = cid
+        if (filled < cap) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topC, filled))
+  }
+}
+
 /** Per-document MinHash signatures as a native expression: token array →
   * ARRAY<LONG> of `as.length` signature mins. Replicates the declared
   * q42 arithmetic exactly — word-3-shingles with concat_ws null-skipping
@@ -452,4 +561,15 @@ object NativeExpressions {
   def bloomMightContain(c: Column, bloom: BloomRef): Column =
     GraftSqlBridge.column(
       BloomMightContain(GraftSqlBridge.expression(c), bloom))
+
+  /** Top-`nAssign` trained-codebook IVF cells of an ARRAY<DOUBLE> column
+    * (see [[IvfTopCells]]); ordered by similarity desc, cid asc.
+    */
+  def ivfTopCells(
+      vecD: Column, cents: Seq[(Int, Seq[Double])], nAssign: Int): Column = {
+    val ref = new IvfCodebookRef(
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray)
+    GraftSqlBridge.column(
+      IvfTopCells(GraftSqlBridge.expression(vecD), ref, nAssign))
+  }
 }

@@ -119,14 +119,12 @@ object VectorSearch {
     * fold rather than the float-native expression. `vecD` must already be
     * ARRAY<DOUBLE>.
     */
-  def ivfCellD(vecD: Column, cents: Seq[(Int, Seq[Double])]): Column = {
-    val entries = cents.map { case (cid, cv) =>
-      struct(round(graft.functions.VectorFunctions.cosine(
-        vecD, typedlit(cv)), 4).as("s"),
-        lit(-cid).as("n"))
-    }
-    (array_max(array(entries: _*)).getField("n") * -1).cast("int")
-  }
+  def ivfCellD(vecD: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    // the native single-loop kernel (r13): identical argmax semantics to
+    // the old k-way struct-literal formulation (NativeExpressionsSpec
+    // pins the equivalence), but task-binary/codegen size is O(1) in k —
+    // the property that makes production cell counts practical
+    element_at(NE.ivfTopCells(vecD, cents, 1), 1)
 
   /** Seeded deterministic k-means codebook (Lloyd, FIXED iteration count)
     * over a hash-sampled subset of the corpus — the trained replacement
@@ -223,15 +221,11 @@ object VectorSearch {
   def assignCells(
       vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
       nAssign: Int): DataFrame = {
+    // native top-nAssign kernel (r13) — same (similarity desc, cid asc)
+    // order as the old array_sort-of-structs formulation at O(1)
+    // codegen size in k
     val v = graft.functions.VectorFunctions.toDoubles(col("embedding"))
-    val entries = cents.map { case (cid, cv) =>
-      struct((round(graft.functions.VectorFunctions.cosine(
-        v, typedlit(cv)), 4) * -1).as("ns"),
-        lit(cid).as("cid"))
-    }
-    vectors.withColumn("cell",
-      explode(slice(array_sort(array(entries: _*)), 1, nAssign)
-        .getField("cid")))
+    vectors.withColumn("cell", explode(NE.ivfTopCells(v, cents, nAssign)))
   }
 
   /** Cell-bucketed semantic near-dup pairs — the scalable counterpart

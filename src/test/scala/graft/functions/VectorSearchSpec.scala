@@ -28,6 +28,31 @@ class VectorSearchSpec extends SparkSpec {
     assert(cmp.getDouble(1) == 0.0, "dots must agree bit-for-bit")
   }
 
+  test("native ivfTopCells equals the declarative struct-sort assignment (r13)") {
+    import graft.functions.{NativeExpressions => NE, VectorFunctions => VF}
+    val cents = VectorSearch.trainIvfCodebook(emb, k = 32, iters = 3,
+      sampleBuckets = 3)
+    val v = VF.toDoubles(col("embedding"))
+    // the pre-r13 formulation, verbatim: k structs of (negated rounded
+    // cosine, cid), array_sort, slice — the reference semantics
+    val entries = cents.map { case (cid, cv) =>
+      struct((round(VF.cosine(v, typedlit(cv)), 4) * -1).as("ns"),
+        lit(cid).as("cid"))
+    }
+    for (nAssign <- Seq(1, 2, 3)) {
+      val declarative = emb.select(col("vec_id"),
+        slice(array_sort(array(entries: _*)), 1, nAssign)
+          .getField("cid").as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val native = emb.select(col("vec_id"),
+        NE.ivfTopCells(v, cents, nAssign).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(native == declarative,
+        s"nAssign=$nAssign: native kernel diverged on " +
+          s"${native.count { case (k2, cs) => declarative(k2) != cs }} vectors")
+    }
+  }
+
   test("lsh buckets are deterministic and cover the corpus") {
     val b1 = emb.withColumn("b",
       VectorSearch.signBucket(col("embedding"), 6, 64))
