@@ -33,6 +33,40 @@ object AggExtras {
     },
 
     // ------------------------------------------------------------------
+    // DISTRIBUTED rank family (q153, r13) — the SAME window semantics as
+    // q61 computed by operators.DistributedRank instead of a hash window:
+    // q61's `Window.partitionBy(o_orderstatus)` collapses to 3 reducers
+    // at any cluster size (the window family's measured worst-in-suite
+    // scaling — BASELINE.md's 8.2× per 10×), while this plan range-
+    // partitions on (status, date), streams per-partition boundary stats
+    // (ONE tiny row per partition-group fragment) to the driver, prefix-
+    // merges offsets + cross-boundary tie runs, and emits global ranks
+    // in a second narrow pass — parallelism = #ranges, not #statuses.
+    // The tied order column (o_orderdate, ~hundreds of dups per status)
+    // makes the oracle exercise real tie runs, including ones spanning
+    // range boundaries. ntile is q61's alone: it is positional among
+    // ties, so only a total order defines it across engines.
+    QueryDef.sql(
+      "q153_rank_distributed",
+      """SELECT o_orderstatus, o_orderkey,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 4) AS prnk,
+        |  round(cume_dist() OVER w, 4) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate ASC)
+        |ORDER BY o_orderstatus ASC, o_orderkey ASC""".stripMargin) { (s, dir) =>
+      graft.operators.DistributedRank.withRanks(
+          t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate")),
+          Seq("o_orderstatus"), Seq(("o_orderdate", true)))
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("rnk"), col("drnk"),
+          round(col("prnk"), 4).as("prnk"), round(col("cd"), 4).as("cd"))
+        .orderBy(col("o_orderstatus").asc, col("o_orderkey").asc)
+    },
+
+    // ------------------------------------------------------------------
     // Full ranking window family: rank / dense_rank / ntile / percent_rank
     // / cume_dist. One shuffle by o_orderstatus, one sort per partition.
     QueryDef.sql(

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DistributedRank must equal Spark's own window functions exactly —
+  * including tie runs that span range-partition boundaries — while
+  * running at range parallelism instead of #distinct-window-keys.
+  */
+class DistributedRankSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def orders = Tables.load(spark, sfDir, "orders")
+    .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      col("o_orderdate"))
+
+  private def assertMatchesWindow(
+      orderCols: Seq[(String, Boolean)], numPartitions: Int): Unit = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(orderCols.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc }: _*)
+    val expected = orders.select(col("o_orderkey"),
+        row_number().over(w).as("rn"), rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"), cume_dist().over(w).as("cd"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val got = DistributedRank.withRanks(orders, Seq("o_orderstatus"),
+        orderCols, numPartitions = numPartitions)
+      .select(col("o_orderkey"), col("rn"), col("rnk"), col("drnk"),
+        col("prnk"), col("cd"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.size == expected.size, s"${got.size} vs ${expected.size} rows")
+    val bad = expected.collect {
+      case (k, e) if {
+        val g = got(k)
+        // rn is only defined up to tie permutation when the order is not
+        // total; compare it only when ranks are tie-free (rnk == rn)
+        g._2 != e._2 || g._3 != e._3 || g._4 != e._4 || g._5 != e._5
+      } => k -> (expected(k), got(k))
+    }
+    assert(bad.isEmpty, s"${bad.size} rows diverge, e.g. ${bad.take(3)}")
+  }
+
+  test("tied order column (o_orderdate): ranks equal Spark windows " +
+      "across partition-boundary tie runs") {
+    // 13 range partitions over ~1.5k rows × 3 statuses guarantees both
+    // group splits and tie runs crossing partition boundaries
+    assertMatchesWindow(Seq(("o_orderdate", true)), numPartitions = 13)
+  }
+
+  test("total order (price desc, key asc): rn == rnk everywhere and both " +
+      "equal Spark windows") {
+    val out = DistributedRank.withRanks(orders, Seq("o_orderstatus"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), numPartitions = 7)
+    assert(out.filter(col("rn") =!= col("rnk")).count() == 0,
+      "a total order admits no rank ties")
+    assertMatchesWindow(
+      Seq(("o_totalprice", false), ("o_orderkey", true)), numPartitions = 7)
+  }
+
+  test("parallelism: computation runs at range width, not #window-keys") {
+    val out = DistributedRank.withRanks(orders, Seq("o_orderstatus"),
+      Seq(("o_orderdate", true)), numPartitions = 13)
+    val statuses = orders.select(col("o_orderstatus")).distinct().count()
+    assert(out.rdd.getNumPartitions > statuses,
+      s"ranks computed in ${out.rdd.getNumPartitions} partitions — must " +
+        s"exceed the $statuses window keys a hash-window would collapse to")
+  }
+
+  test("single partition and empty input degrade gracefully") {
+    val one = DistributedRank.withRanks(orders.limit(50),
+      Seq("o_orderstatus"), Seq(("o_orderdate", true)), numPartitions = 1)
+    assert(one.count() == 50)
+    val none = DistributedRank.withRanks(orders.filter(col("o_orderkey") < 0),
+      Seq("o_orderstatus"), Seq(("o_orderdate", true)), numPartitions = 3)
+    assert(none.count() == 0)
+  }
+}
