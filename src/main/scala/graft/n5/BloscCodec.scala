@@ -8,11 +8,12 @@ package graft.n5
   * engine without this path simply cannot scan. No JNI anywhere: the
   * container is a plain 16-byte header + per-block split streams.
   *
-  * READ ([[decode]]) accepts blosclz (c-blosc's own default LZ77, decoded
-  * by [[blosclzDecompress]]), lz4/lz4hc (raw-block framing), zlib and
-  * zstd inner streams, byte-shuffled ([[unshuffle]]) and bit-shuffled
-  * ([[bitUnshuffle]]) chunks; only snappy inner streams still fail
-  * loudly (no JVM decoder on the classpath). WRITE ([[encode]]) emits the
+  * READ ([[decode]]) accepts EVERY inner codec the blosc1 flag space
+  * names: blosclz (c-blosc's own default LZ77, decoded by
+  * [[blosclzDecompress]]), lz4/lz4hc (raw-block framing), snappy (raw
+  * block via the snappy-java already on Spark's classpath), zlib and
+  * zstd streams — plus byte-shuffled ([[unshuffle]]) and bit-shuffled
+  * ([[bitUnshuffle]]) chunks. WRITE ([[encode]]) emits the
   * fixed interop profile documented on that method (typesize-1 /
   * no-shuffle / lz4, single block) — deliberately the corner of the
   * format every conforming decoder, including c-blosc's own frozen
@@ -48,8 +49,7 @@ package graft.n5
   * (whole elements transposed, the sub-element tail copied verbatim —
   * c-blosc's `unshuffle` contract); bit-shuffle (bit2) likewise per
   * block, over the largest multiple-of-8 element prefix with the tail
-  * verbatim (c-blosc's `bitshuffle` wrapper contract). Snappy inner
-  * streams have no JVM decoder and fail with a message that says that.
+  * verbatim (c-blosc's `bitshuffle` wrapper contract).
   *
   * Validation honesty: this container has no c-blosc build and no
   * numcodecs, so the blosclz and bit-shuffle paths are implemented from
@@ -67,6 +67,7 @@ object BloscCodec {
 
   private val CompBloscLz = 0
   private val CompLz4 = 1
+  private val CompSnappy = 2
   private val CompZlib = 3
   private val CompZstd = 4
 
@@ -105,10 +106,9 @@ object BloscCodec {
       return out
     }
     val comp = (flags >> 5) & 0x7
-    require(comp == CompBloscLz || comp == CompLz4 || comp == CompZlib ||
-        comp == CompZstd,
-      s"blosc inner codec '${cname(comp)}' is not supported " +
-        "(no pure-JVM decoder); blosclz, lz4, zlib and zstd are")
+    require(comp >= CompBloscLz && comp <= CompZstd,
+      s"blosc inner codec '${cname(comp)}' is not supported; " +
+        "blosclz, lz4, snappy, zlib and zstd are")
     require(blocksize > 0, s"blosc blocksize $blocksize must be positive")
     val nblocks = (nbytes + blocksize - 1) / blocksize
     require(raw.length - off >= 16 + 4 * nblocks,
@@ -188,6 +188,9 @@ object BloscCodec {
     comp match {
       case CompBloscLz =>
         blosclzDecompress(src, srcOff, srcLen, dst, dstOff, dstLen)
+      case CompSnappy => // raw snappy block (c-blosc calls snappy_uncompress)
+        val n = org.xerial.snappy.Snappy.uncompress(src, srcOff, srcLen, dst, dstOff)
+        require(n == dstLen, s"snappy stream decoded $n bytes, want $dstLen")
       case CompLz4 => // raw LZ4 block (LZ4_compress_default framing)
         val n = net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
           .safeDecompressor().decompress(src, srcOff, srcLen, dst, dstOff, dstLen)

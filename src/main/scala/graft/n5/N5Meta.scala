@@ -52,9 +52,10 @@ object Dtype {
 /** Compression codec id + codec-specific parameter (`level`):
   * gzip → deflate level (-1 = default), bzip2 → block size 1-9,
   * lz4 → block size in bytes, zstd → level, xz → LZMA2 preset 0-9,
-  * blosc → LZ4-HC level (>0) or fast LZ4 (-1). blosc READ accepts any
-  * lz4/zlib/zstd-backed chunk ([[BloscCodec.decode]]); blosc WRITE
-  * always emits the heuristic-free typesize-1/no-shuffle/lz4 profile
+  * blosc → LZ4-HC level (>0) or fast LZ4 (-1). blosc READ accepts every
+  * blosc1 inner codec — blosclz/lz4/snappy/zlib/zstd, byte- or
+  * bit-shuffled ([[BloscCodec.decode]], r13); blosc WRITE always emits
+  * the heuristic-free typesize-1/no-shuffle/lz4 profile
   * ([[BloscCodec.encode]], r12).
   */
 final case class Compression(codec: String, level: Int = -1)

@@ -289,6 +289,7 @@ class BlockCodecSpec extends AnyFunSuite {
         val out = new Array[Byte](data.length * 2 + 64)
         val n = d.deflate(out); d.end()
         java.util.Arrays.copyOf(out, n)
+      case 2 => org.xerial.snappy.Snappy.compress(data) // raw snappy block
       case 4 => com.github.luben.zstd.Zstd.compress(data, 3)
       case c => fail(s"test encoder: no codec $c")
     }
@@ -417,12 +418,12 @@ class BlockCodecSpec extends AnyFunSuite {
     val noise = Array.fill(777)(rnd.nextInt().toByte)
     assert(BloscCodec.decode(BloscCodec.encode(noise), 0, 777).toSeq ==
       noise.toSeq)
-    // snappy: loud unsupported message (the one remaining inner codec
-    // with no JVM decoder; bit-shuffle and blosclz decode since r13)
-    val snappy = bloscChunk(payload.array(), 2, 256, 1, shuffle = false, split = 1)
-    snappy(2) = ((2 << 5) & 0xff).toByte
+    // an unknown inner-codec code (5-7 are unassigned in blosc1) fails
+    // loudly; all five assigned codecs decode since r13
+    val unknown = bloscChunk(payload.array(), 2, 256, 1, shuffle = false, split = 1)
+    unknown(2) = ((5 << 5) & 0xff).toByte
     assert(intercept[IllegalArgumentException] {
-      BloscCodec.decode(snappy, 0, payload.array().length)
+      BloscCodec.decode(unknown, 0, payload.array().length)
     }.getMessage.contains("not supported"))
     // nbytes mismatch against the dtype-derived payload size
     assert(intercept[IllegalArgumentException] {
@@ -521,6 +522,10 @@ class BlockCodecSpec extends AnyFunSuite {
     // zstd + bit-shuffle at typesize 1 (bitshuffle is NOT identity there)
     assert(BloscCodec.decode(bloscChunk(data, 1, 4096, 4, shuffle = false,
       split = 1, bitshuffle = true), 0, data.length).toSeq == data.toSeq)
+    // snappy raw-block inner streams (numcodecs Blosc(cname='snappy')),
+    // with byte-shuffle, 2 internal blocks
+    assert(BloscCodec.decode(bloscChunk(data, 2, 2048, 2, shuffle = true,
+      split = 1), 0, data.length).toSeq == data.toSeq)
     // blosclz through the full N5 block framing
     val shape = Array(8, 8, 4)
     val vals = Array.tabulate(shape.product)(i => ((i * 11) % 251).toLong)
