@@ -33,6 +33,35 @@ object AggExtras {
     },
 
     // ------------------------------------------------------------------
+    // APPROXIMATE PERCENTILES (q155, r13) — percentile_approx (Spark's
+    // GK-style quantile sketch) against the exact interpolated
+    // percentiles q66 declares, tolerance-gated like q60's HLL row: the
+    // sketch answer must sit within 2 % relative of the exact one for
+    // p50 AND p90 in EVERY status group. The scale story is the sketch's:
+    // exact percentiles need the full sorted group; the sketch is a
+    // bounded-size mergeable summary — map-side partial aggregation
+    // carries accuracy-bounded state, never the data. (Exact values are
+    // engine-specific interpolations of a sketch, so a hash oracle is
+    // impossible by design — the declared check is the bound itself.)
+    QueryDef.sql(
+      "q155_approx_percentile",
+      "SELECT CAST(1 AS INTEGER) AS within_tol") { (s, dir) =>
+      val g = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.9)),
+            lit(10000)).as("apx"),
+          percentile(col("o_totalprice"), array(lit(0.5), lit(0.9)))
+            .as("ex"))
+      g.select(
+          (abs(element_at(col("apx"), 1) - element_at(col("ex"), 1))
+            <= abs(element_at(col("ex"), 1)) * 0.02 &&
+           abs(element_at(col("apx"), 2) - element_at(col("ex"), 2))
+            <= abs(element_at(col("ex"), 2)) * 0.02).as("ok"))
+        .agg(min(col("ok").cast("int")).cast("int").as("within_tol"))
+    },
+
+    // ------------------------------------------------------------------
     // DISTRIBUTED rank family (q153, r13) — the SAME window semantics as
     // q61 computed by operators.DistributedRank instead of a hash window:
     // q61's `Window.partitionBy(o_orderstatus)` collapses to 3 reducers

@@ -384,6 +384,52 @@ object ScaleOps {
           col("ts").as("last_ts"), col("event_type").as("state"),
           round(col("value"), 4).as("last_value"))
         .orderBy(col("user_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // INT8-QUANTIZED VECTOR SERVING (q154, r13) — search over the 4×-
+    // compressed representation q68 produces, the memory-bandwidth lever
+    // of a vector-heavy corpus: at 100 TB the scan cost of brute-force
+    // or within-cell ranking is bytes moved, and int8 codes + one scale
+    // move a quarter of the floats. Both sides dequantize (code · scale)
+    // before the cosine, so the ranking math is the standard double fold
+    // and composes unchanged with every cell-bucketed entry point (cells
+    // don't care how vector bytes are stored). Top-10 for the fixed
+    // probe — the q41 shape on the quantized representation; recall vs
+    // float is pinned ≥ 0.8 in VectorQuantSpec (measured ~1.0 at the
+    // ~1e-6 MSE q68 pins). The oracle replays quantize → dequantize →
+    // cosine → top-k CTE-for-CTE.
+    QueryDef.sql(
+      "q154_ann_int8_serving",
+      """WITH m AS (SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        |  FROM embeddings),
+        |sc AS (SELECT vec_id, embedding,
+        |    CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale FROM m),
+        |q AS (SELECT vec_id, scale,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER)) AS qv
+        |  FROM sc),
+        |d AS (SELECT vec_id, list_transform(qv, c -> c * scale) AS dv FROM q),
+        |p AS (SELECT dv AS pv FROM d WHERE vec_id = 1)
+        |SELECT vec_id, round(list_cosine_similarity(dv, pv), 4) AS cosine
+        |FROM d, p WHERE vec_id <> 1
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("scale", VF.int8Scale(col("embedding")))
+      val deq = e
+        .withColumn("qv", VF.quantizeInt8(col("embedding"), col("scale")))
+        .select(col("vec_id"),
+          transform(col("qv"), c => c * col("scale")).as("dv"))
+      val probe = broadcast(deq.filter(col("vec_id") === 1)
+        .select(col("dv").as("pv")))
+      deq.filter(col("vec_id") =!= 1)
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          round(VF.cosine(col("dv"), col("pv")), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
     }
   )
 }

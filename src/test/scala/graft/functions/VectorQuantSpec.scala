@@ -25,6 +25,40 @@ class VectorQuantSpec extends SparkSpec {
     assert(bad.count() == 0, bad.limit(5).collect().mkString("; "))
   }
 
+  test("int8 serving recall@10 >= 0.8 vs float search over 10 probes (r13)") {
+    // the q154 contract: ranking over dequantized int8 codes must find
+    // (nearly) the same neighbors as ranking over the raw floats — at
+    // the (scale/2)^2 MSE bound above, order inversions are confined to
+    // near-ties
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .withColumn("scale", VectorFunctions.int8Scale(col("embedding")))
+    val deq = e
+      .withColumn("qv",
+        VectorFunctions.quantizeInt8(col("embedding"), col("scale")))
+      .select(col("vec_id"),
+        VectorFunctions.toDoubles(col("embedding")).as("fv"),
+        transform(col("qv"), c => c * col("scale")).as("dv"))
+      .cache()
+    def top10(pid: Long, vcol: String): Seq[Long] = {
+      val p = deq.filter(col("vec_id") === pid)
+        .select(col(vcol).as("pv"))
+      deq.filter(col("vec_id") =!= pid).crossJoin(broadcast(p))
+        .select(col("vec_id"),
+          round(VectorFunctions.cosine(col(vcol), col("pv")), 4).as("c"))
+        .orderBy(col("c").desc, col("vec_id").asc).limit(10)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val recalls = (0L until 10L).map { pid =>
+      val f = top10(pid, "fv").toSet
+      val q = top10(pid, "dv").toSet
+      (f intersect q).size.toDouble / 10.0
+    }
+    deq.unpersist()
+    val avg = recalls.sum / recalls.size
+    info(f"int8 recall@10 = $avg%.2f over 10 probes")
+    assert(avg >= 0.8, s"int8 ranking diverged from float: $recalls")
+  }
+
   test("zero vector: scale 1.0, all-zero codes, zero error") {
     import spark.implicits._
     val df = Seq((1L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
