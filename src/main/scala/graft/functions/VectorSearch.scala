@@ -244,8 +244,16 @@ object VectorSearch {
     */
   def semanticDedupPairs(
       vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
-      nAssign: Int, threshold: Double): DataFrame = {
-    val assigned = assignCells(vectors, cents, nAssign)
+      nAssign: Int, threshold: Double): DataFrame =
+    pairsWithinCells(assignCells(vectors, cents, nAssign), threshold)
+
+  /** Thresholded cosine pairs within shared `cell` values — the join
+    * half of [[semanticDedupPairs]], shared with the IMI variant (the
+    * assignment strategy is orthogonal to the pairing).
+    */
+  private def pairsWithinCells(
+      assignedIn: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assignedIn
       .select(col("cell"), col("vec_id"), col("embedding"),
         NE.vectorL2Norm(col("embedding")).as("nrm"))
     val a = assigned.select(col("cell").as("cell_a"),
@@ -259,6 +267,58 @@ object VectorSearch {
       .filter(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** Two-level IMI (inverted multi-index) coarse quantization (r13) —
+    * the assignment-cost fix PLANS.md's production-k caveat names: a
+    * flat codebook with K cells costs K·dim per row to assign; two
+    * independent codebooks of k cells each over the vector HALVES span
+    * K = k² product cells for 2·k·(dim/2) = k·dim assignment work —
+    * O(√K) in the product-cell count. Training cost falls the same way
+    * (two Lloyd chains on half-vectors). Candidates then form within
+    * shared product cells exactly as in [[semanticDedupPairs]]; recall
+    * is dialed by `aProbe` (top-a cells on the FIRST half × top-1 on
+    * the second — a·1 product cells per vector). Everything stays on
+    * the oracle lattice: per-half argmax over round(cosine, 4), ties to
+    * the lowest cid, product cell id = c1 · k2 + c2.
+    */
+  def trainImiCodebooks(
+      emb: DataFrame, k: Int, iters: Int, sampleBuckets: Int = 3)
+      : (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])], Int) = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % 2 == 0, s"IMI needs an even dim, got $dim")
+    val half = dim / 2
+    def sliced(lo: Int) = emb.select(col("vec_id"),
+      slice(col("embedding"), lo, half).as("embedding"))
+    val cb1 = trainIvfCodebook(sliced(1), k, iters, sampleBuckets)
+    val cb2 = trainIvfCodebook(sliced(half + 1), k, iters, sampleBuckets)
+    (cb1, cb2, half)
+  }
+
+  /** IMI cell assignment: `aProbe` top cells on half 1 × top-1 on half
+    * 2, exploded to one row per product cell (column `cell`).
+    */
+  def imiAssignCells(
+      vectors: DataFrame, cb1: Seq[(Int, Seq[Double])],
+      cb2: Seq[(Int, Seq[Double])], half: Int, aProbe: Int): DataFrame = {
+    val v1 = graft.functions.VectorFunctions.toDoubles(
+      slice(col("embedding"), 1, half))
+    val v2 = graft.functions.VectorFunctions.toDoubles(
+      slice(col("embedding"), half + 1, half))
+    val k2 = cb2.size
+    vectors
+      .withColumn("c2", element_at(NE.ivfTopCells(v2, cb2, 1), 1))
+      .withColumn("c1", explode(NE.ivfTopCells(v1, cb1, aProbe)))
+      .withColumn("cell", col("c1") * k2 + col("c2"))
+      .drop("c1", "c2")
+  }
+
+  /** [[semanticDedupPairs]] over IMI product cells. */
+  def imiDedupPairs(
+      vectors: DataFrame, cb1: Seq[(Int, Seq[Double])],
+      cb2: Seq[(Int, Seq[Double])], half: Int, aProbe: Int,
+      threshold: Double): DataFrame =
+    pairsWithinCells(
+      imiAssignCells(vectors, cb1, cb2, half, aProbe), threshold)
 
   /** Approximate kNN GRAPH over the whole corpus — for EVERY vector, its
     * top-`k` neighbors by cosine among vectors sharing a trained cell

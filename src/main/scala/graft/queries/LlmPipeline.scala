@@ -124,6 +124,41 @@ object LlmPipeline {
     (init +: rounds).mkString(",\n")
   }
 
+  /** Half-vector k-means chain for the IMI oracle (q156): the
+    * [[kmeansCtes]] arithmetic verbatim, parameterized by the slice
+    * window and a CTE-name prefix so two independent chains coexist in
+    * one WITH. Yields `${p}samp` and `${p}cent0..${p}cent{iters}`.
+    */
+  private def kmeansCtesHalf(
+      k: Int, iters: Int, sampleBuckets: Int,
+      lo: Int, dims: Int, p: String): String = {
+    val bk = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10"
+    val samp =
+      s"""${p}samp AS (SELECT vec_id, $bk AS bk,
+         |    list_transform(embedding[$lo:${lo + dims - 1}],
+         |      x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE $bk < $sampleBuckets)""".stripMargin
+    val init =
+      s"""${p}cent0 AS (SELECT cid, cv FROM (
+         |    SELECT row_number() OVER (ORDER BY bk ASC, vec_id ASC) - 1 AS cid,
+         |      v AS cv FROM ${p}samp) WHERE cid < $k)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""${p}a$t AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT s.vec_id, s.v, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY round(list_cosine_similarity(s.v, c.cv), 4) DESC,
+         |          c.cid ASC) AS rn
+         |    FROM ${p}samp s CROSS JOIN ${p}cent${t - 1} c) WHERE rn = 1),
+         |${p}m$t AS (SELECT cell, list(mq ORDER BY i) AS cv FROM (
+         |    SELECT cell, i, floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 AS mq
+         |    FROM ${p}a$t CROSS JOIN generate_series(1, $dims) s(i)
+         |    GROUP BY cell, i) GROUP BY cell),
+         |${p}cent$t AS (SELECT pr.cid, coalesce(m.cv, pr.cv) AS cv
+         |  FROM ${p}cent${t - 1} pr LEFT JOIN ${p}m$t m ON m.cell = pr.cid)""".stripMargin
+    }
+    (Seq(samp, init) ++ rounds).mkString(",\n")
+  }
+
   /** DuckDB CTE chain for q129's fixed-iteration PageRank: expects
     * `knn(src, nbr)`, `deg(src, outdeg)`, `n(nn)`, `pr0(node, pr)` to be
     * in scope; yields `pr1..pr{iters}`. Mirrors the Spark loop exactly —
@@ -2134,6 +2169,66 @@ object LlmPipeline {
         .ranks
         .select(col("node").as("vec_id"), col("pr").as("pagerank"))
         .orderBy(col("vec_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // TWO-LEVEL IMI COARSE QUANTIZATION (q156, r13) — the assignment-
+    // cost answer to PLANS.md's production-k caveat: a FLAT codebook
+    // with K cells costs K·dim per row to assign (and train), so
+    // growing K with the corpus reintroduces an n·K term; two
+    // independent k-cell codebooks over the vector HALVES span K = k²
+    // PRODUCT cells for k·dim assignment work — O(√K). Here k=8 per
+    // half spans 64 product cells at 16-cell cost; at 100 TB, k=4096
+    // per half spans 16.8M cells at 8192-cell cost. Pairing within
+    // shared product cells is the UNCHANGED semanticDedupPairs join
+    // (assignment strategy is orthogonal to pairing); recall dials via
+    // aProbe (top-2 on half 1 × top-1 on half 2 here). Determinism is
+    // the family discipline per half: argmax of round(cosine,4), ties
+    // to the lowest cid, product id = c1·k + c2. The oracle replays
+    // BOTH half-vector Lloyd chains + both assignments + the pairing
+    // CTE-for-CTE.
+    QueryDef.sql(
+      "q156_dedup_semantic_imi",
+      s"""WITH ${kmeansCtesHalf(k = 8, iters = 3, sampleBuckets = 3, lo = 1, dims = 32, p = "h1")},
+         |${kmeansCtesHalf(k = 8, iters = 3, sampleBuckets = 3, lo = 33, dims = 32, p = "h2")},
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    list_transform(embedding[1:32], x -> CAST(x AS DOUBLE)) AS v1,
+         |    list_transform(embedding[33:64], x -> CAST(x AS DOUBLE)) AS v2
+         |  FROM embeddings),
+         |s1 AS (SELECT e.vec_id, c.cid,
+         |    round(list_cosine_similarity(e.v1, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN h1cent3 c),
+         |a1 AS (SELECT vec_id, cid AS c1 FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM s1) WHERE rn <= 2),
+         |s2 AS (SELECT e.vec_id, c.cid,
+         |    round(list_cosine_similarity(e.v2, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN h2cent3 c),
+         |a2 AS (SELECT vec_id, cid AS c2 FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM s2) WHERE rn = 1),
+         |assigned AS (SELECT e.vec_id, e.v, a1.c1 * 8 + a2.c2 AS cell
+         |  FROM e JOIN a1 ON a1.vec_id = e.vec_id
+         |  JOIN a2 ON a2.vec_id = e.vec_id),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4)
+         |SELECT id_a, id_b, cosine FROM pairs
+         |ORDER BY id_a ASC, id_b ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 8, iters = 3,
+        sampleBuckets = 3)
+      VS.imiDedupPairs(Tables.spread(s, e), cb1, cb2, half,
+          aProbe = 2, threshold = 0.4)
+        .orderBy(col("id_a").asc, col("id_b").asc)
     },
 
     // ------------------------------------------------------------------

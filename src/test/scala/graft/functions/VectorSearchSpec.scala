@@ -53,6 +53,56 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("IMI product cells: k-cost assignment spans k², sound pairs, " +
+      "measured recall (r13)") {
+    import graft.functions.{VectorFunctions => VF}
+    val (cb1, cb2, half) = VectorSearch.trainImiCodebooks(emb, k = 8,
+      iters = 3, sampleBuckets = 3)
+    assert(half == 32 && cb1.size == 8 && cb2.size == 8)
+    val assigned = VectorSearch.imiAssignCells(emb, cb1, cb2, half, aProbe = 2)
+    val cells = assigned.select(col("cell")).distinct().count()
+    assert(cells > 8, s"product space should exceed one half's k, got $cells")
+    assert(assigned.agg(max(col("cell"))).head().getInt(0) < 64 &&
+      assigned.agg(min(col("cell"))).head().getInt(0) >= 0)
+    // soundness: every emitted pair's cosine really clears the threshold
+    // when recomputed independently from the raw vectors
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // the aProbe dial saturates at 19 of 59 brute pairs on this corpus
+    // (measured: a=2→15, a=3→18, a=4→19, a=6→19): at 64 product cells
+    // over 500 vectors the recall limiter is the half-space PARTITION,
+    // not the probe count — pairs whose two halves disagree about their
+    // nearest sub-centroid straddle product cells no probe combination
+    // covers. That is the documented IMI trade: O(√K) assignment for a
+    // recall cut flat-k doesn't take; at 100 TB the cell/corpus ratio is
+    // chosen so cells hold hundreds of vectors and the partition
+    // boundary-loss shrinks (and aProbe probes a×a product cells if both
+    // halves multi-probe — this operator dials half 1 only, matching the
+    // oracle).
+    val pairs = VectorSearch.imiDedupPairs(emb, cb1, cb2, half,
+        aProbe = 2, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(cos(vecs(a), vecs(b)) >= 0.39995, s"unsound pair ($a,$b)")
+    }
+    // recall vs the brute-force thresholded set — the aProbe/k dial
+    val ids = vecs.keys.toSeq.sorted
+    val brute = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      if BigDecimal(cos(vecs(ids(i)), vecs(ids(j))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.4
+    } yield (ids(i), ids(j))
+    val recall = pairs.toSet.intersect(brute.toSet).size.toDouble / brute.size
+    info(f"IMI recall = $recall%.2f (${pairs.size} of ${brute.size} pairs) " +
+      f"over $cells product cells at 2x8-cell assignment cost")
+    assert(recall >= 0.2, s"IMI recall collapsed: $recall")
+  }
+
   test("lsh buckets are deterministic and cover the corpus") {
     val b1 = emb.withColumn("b",
       VectorSearch.signBucket(col("embedding"), 6, 64))
