@@ -2362,14 +2362,20 @@ object LlmPipeline {
           .localCheckpoint()
         val feats = Seq("f0", "f1", "f2", "f3")
         var w = Array.fill(4)(0.0)
-        for (_ <- 1 to 3) {
-          val z = feats.zipWithIndex
-            .map { case (c, i) => col(c) * lit(w(i)) }.reduce(_ + _)
-          val resid = col("y") - lit(1.0) / (lit(1.0) + exp(-z))
-          val g = fTbl.agg(avg(resid * col("f0")), avg(resid * col("f1")),
-            avg(resid * col("f2")), avg(resid * col("f3"))).head()
-          w = w.indices.map(i => BigDecimal(w(i) + g.getDouble(i))
-            .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+        // training is ~most of q152's bench cost BY DESIGN (the oracle
+        // replays it); stamp the phases for the bench `sub` map so a
+        // regression in the composed gate itself is visible through
+        // training noise (the q124.policy discipline)
+        graft.BenchProbes.time("q152.train_gd") {
+          for (_ <- 1 to 3) {
+            val z = feats.zipWithIndex
+              .map { case (c, i) => col(c) * lit(w(i)) }.reduce(_ + _)
+            val resid = col("y") - lit(1.0) / (lit(1.0) + exp(-z))
+            val g = fTbl.agg(avg(resid * col("f0")), avg(resid * col("f1")),
+              avg(resid * col("f2")), avg(resid * col("f3"))).head()
+            w = w.indices.map(i => BigDecimal(w(i) + g.getDouble(i))
+              .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+          }
         }
         val zFinal = feats.zipWithIndex
           .map { case (c, i) => col(c) * lit(w(i)) }.reduce(_ + _)
@@ -2379,21 +2385,27 @@ object LlmPipeline {
         // (3) semantic non-survivors from the q150 production-k chain;
         // the drop-set is cluster-member-sized, broadcast below
         val eTbl = emb(s, dir).select(col("vec_id"), col("embedding"))
-        val cents = VS.trainIvfCodebook(eTbl, k = 32, iters = 3, sampleBuckets = 3)
-        val edges = VS.semanticDedupPairs(Tables.spread(s, eTbl), cents,
-            nAssign = 2, threshold = 0.4)
-          .select(col("id_a").as("a"), col("id_b").as("b"))
-        val semDrop = graft.operators.ConnectedComponents.run(edges, "a", "b")
-          .filter(col("component") =!= col("node"))
-          .select(col("node").as("doc_id"))
+        val cents = graft.BenchProbes.time("q152.train_cells") {
+          VS.trainIvfCodebook(eTbl, k = 32, iters = 3, sampleBuckets = 3)
+        }
+        val semDrop = graft.BenchProbes.time("q152.semantic") {
+          val edges = VS.semanticDedupPairs(Tables.spread(s, eTbl), cents,
+              nAssign = 2, threshold = 0.4)
+            .select(col("id_a").as("a"), col("id_b").as("b"))
+          graft.operators.ConnectedComponents.run(edges, "a", "b")
+            .filter(col("component") =!= col("node"))
+            .select(col("node").as("doc_id"))
+        }
         // (4) decontamination: q135's bloom pre-filter before any
         // exchange, exact confirm join restores exactness
         val exploded = Tables.spread(s, d.select(col("doc_id"), col("text")))
           .select(col("doc_id"), explode(NE.wordNgrams(toksN, 3)).as("gram"))
         val probeGrams = exploded.filter(col("doc_id") < 10)
           .select(col("gram")).distinct()
-        val bloom = BloomRef.build(probeGrams, "gram",
-          expectedItems = math.max(probeGrams.count(), 1L), fpp = 0.01)
+        val bloom = graft.BenchProbes.time("q152.bloom") {
+          BloomRef.build(probeGrams, "gram",
+            expectedItems = math.max(probeGrams.count(), 1L), fpp = 0.01)
+        }
         val contaminated = exploded.filter(col("doc_id") >= 10)
           .filter(NE.bloomMightContain(col("gram"), bloom))
           .join(broadcast(probeGrams), Seq("gram"))

@@ -348,6 +348,61 @@ object TrainingPipeline {
         .filter(col("rn") <= 20)
         .select(col("source"), col("doc_id"), col("rk"))
         .orderBy(col("source").asc, col("rk").asc, col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // OBSERVED IN-FLIGHT METRICS (q157, r13) — Dataset.observe /
+    // CollectMetrics: release-audit metrics collected in the SAME job
+    // that materializes the output, not by a second scan. Here the
+    // q56-family split assignment is written to its release path while
+    // an Observation piggybacks per-split counts, char totals, and a
+    // bucket-skew bound onto that one pass; the query's result row IS
+    // what the observation handed back after the write action. At
+    // 100 TB this is the difference between auditing a snapshot for
+    // free and re-reading it: CollectMetrics folds into the write
+    // job's tasks (map-side, no extra exchange, no extra scan). The
+    // oracle recomputes the same aggregates declaratively — observe
+    // cannot change them, which is exactly the property worth pinning.
+    QueryDef.sql(
+      "q157_observed_metrics",
+      """WITH sp AS (SELECT doc_id, n_chars,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        % 10 < 8 THEN 'train' ELSE 'val' END AS split
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train,
+        |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_val,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM sp""".stripMargin) { (s, dir) =>
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 10
+      val sp = docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          when(bucket < 8, "train").otherwise("val").as("split"))
+      val obs = org.apache.spark.sql.Observation("q157")
+      val observed = sp.observe(obs,
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long")
+          .as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long")
+          .as("n_val"),
+        max(col("n_chars")).cast("long").as("max_chars"))
+      // ONE action: the release write; the metrics ride its tasks
+      val out = "/tmp/graft_observe/split_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      observed.write.mode("overwrite").parquet(out)
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_docs").asInstanceOf[Long],
+          m("total_chars").asInstanceOf[Long],
+          m("n_train").asInstanceOf[Long],
+          m("n_val").asInstanceOf[Long],
+          m("max_chars").asInstanceOf[Long]))
+        .toDF("n_docs", "total_chars", "n_train", "n_val", "max_chars")
     }
   )
 }
