@@ -40,19 +40,35 @@ object ScaleK {
       val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    val (cents, tTrain) =
-      timed(VS.trainIvfCodebook(e, k = k, iters = 3, sampleBuckets = 3))
     val spread = Tables.spread(spark, e)
-    val (nPairs, tPairs) = timed(
-      VS.semanticDedupPairs(spread, cents, nAssign = nAssign, threshold = 0.4)
-        .count())
-    val (nEdges, tGraph) = timed(
-      VS.knnGraph(spread, cents, nAssign = nAssign, k = 5).count())
-    println(
-      s"""{"metric":"scale_k","sf":"$sfDir","n":$n,"k":$k,"nAssign":$nAssign,""" +
-        s""""train_sec":${f"$tTrain%.2f"},"pairs":$nPairs,""" +
-        s""""pairs_sec":${f"$tPairs%.2f"},"knn_edges":$nEdges,""" +
-        s""""graph_sec":${f"$tGraph%.2f"}}""")
+    // optional 4th arg "imi": k is the PER-HALF codebook size; the
+    // product space spans k² cells at k-cost train+assign — the O(√K)
+    // face measured against the flat runs at K = k²
+    if (args.lift(3).contains("imi")) {
+      val ((cb1, cb2, half), tTrain) =
+        timed(VS.trainImiCodebooks(e, k = k, iters = 3, sampleBuckets = 3))
+      val (nPairs, tPairs) = timed(
+        VS.imiDedupPairs(spread, cb1, cb2, half, aProbe = nAssign,
+          threshold = 0.4).count())
+      println(
+        s"""{"metric":"scale_k_imi","sf":"$sfDir","n":$n,"kHalf":$k,""" +
+          s""""cells":${k * k},"aProbe":$nAssign,""" +
+          s""""train_sec":${f"$tTrain%.2f"},"pairs":$nPairs,""" +
+          s""""pairs_sec":${f"$tPairs%.2f"}}""")
+    } else {
+      val (cents, tTrain) =
+        timed(VS.trainIvfCodebook(e, k = k, iters = 3, sampleBuckets = 3))
+      val (nPairs, tPairs) = timed(
+        VS.semanticDedupPairs(spread, cents, nAssign = nAssign, threshold = 0.4)
+          .count())
+      val (nEdges, tGraph) = timed(
+        VS.knnGraph(spread, cents, nAssign = nAssign, k = 5).count())
+      println(
+        s"""{"metric":"scale_k","sf":"$sfDir","n":$n,"k":$k,"nAssign":$nAssign,""" +
+          s""""train_sec":${f"$tTrain%.2f"},"pairs":$nPairs,""" +
+          s""""pairs_sec":${f"$tPairs%.2f"},"knn_edges":$nEdges,""" +
+          s""""graph_sec":${f"$tGraph%.2f"}}""")
+    }
     spark.stop()
   }
 }
