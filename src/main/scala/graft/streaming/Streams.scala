@@ -512,6 +512,78 @@ object Streams {
       .start()
   }
 
+  /** Streaming RELEASE GATE (r13) — the live-ingest face of q152's
+    * per-doc gating stages, fused into ONE micro-batch pass: the
+    * batch-trained quality weights score each doc (narrow codegen'd
+    * expression, [[qualityGate]]'s math), the static probe-gram bloom
+    * sketch + exact confirm join decide contamination
+    * ([[decontaminate]]'s math), and the deterministic md5 bucket
+    * assigns the split — every doc leaves with (score, n_shared, split)
+    * and ONE composed `keep` verdict (quality AND clean), emitted not
+    * silently applied. What a streaming face cannot do is the CORPUS-
+    * level stages (exact/semantic dedup need cross-batch state — that
+    * is [[dedupIngest]]'s job, composable downstream); this gate is
+    * everything per-doc, which is exactly the part that can run at
+    * ingest time before data ever lands. Per-batch cost: one scan +
+    * the fpp-bounded bloom-positive gram exchange.
+    */
+  def releaseGate(
+      stream: DataFrame, w: Array[Double], probeDocs: DataFrame,
+      n: Int = 3, minShared: Int = 2, threshold: Double = 0.5,
+      splitBuckets: Int = 10, trainBuckets: Int = 8, fpp: Double = 0.01,
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow())
+      (onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.{BloomRef, NativeExpressions => NE, TextFunctions => TF}
+    require(w.length == 4, s"expected 4 weights, got ${w.length}")
+    val grams = (c: org.apache.spark.sql.Column) =>
+      NE.wordNgrams(TF.tokens(TF.normalizeText(c)), n)
+    val probeGrams = probeDocs
+      .select(explode(grams(col("text"))).as("gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = BloomRef.build(probeGrams, "gram",
+      expectedItems = math.max(probeGrams.count(), 1L), fpp = fpp)
+    val writer = stream.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.foreachBatch { (batch: DataFrame, id: Long) =>
+      // quality score: qualityGate's expression verbatim, weights as
+      // literals — zero state, zero shuffle
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val f1 = round(least(length(col("text")) / lit(1000.0), lit(1.0)), 6)
+      val f2 = round(when(length(col("text")) === 0, 0.0)
+        .otherwise(length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+          .cast("double") / length(col("text"))), 6)
+      val f3 = round(when(size(toks) === 0, 0.0)
+        .otherwise(size(array_distinct(toks)).cast("double") / size(toks)), 6)
+      val z = lit(w(0)) + f1 * w(1) + f2 * w(2) + f3 * w(3)
+      val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+      // contamination: bloom pre-filter + exact confirm (decontaminate's
+      // batch body)
+      val shared = batch
+        .select(col("doc_id"), explode(grams(col("text"))).as("gram"))
+        .filter(NE.bloomMightContain(col("gram"), bloom))
+        .join(broadcast(probeGrams), Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_shared"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") % splitBuckets
+      val gated = batch
+        .withColumn("score", score)
+        .join(shared, Seq("doc_id"), "left")
+        .withColumn("n_shared",
+          coalesce(col("n_shared"), lit(0L)).cast("long"))
+        .withColumn("split",
+          when(bucket < trainBuckets, "train").otherwise("val"))
+        .withColumn("keep",
+          col("score") >= threshold && col("n_shared") < minShared)
+      onBatch(gated, id)
+    }
+      .start()
+  }
+
   /** Streaming JSONL ingest with dead-lettering — the corpus-arrival face
     * of q138: a directory of JSON-lines files consumed with an EXPLICIT
     * schema (no inference pass), malformed lines routed to a dead-letter

@@ -569,6 +569,50 @@ class StreamingSpec extends SparkSpec {
       "slice should contain both contaminated and clean docs")
   }
 
+  test("streaming release gate composes quality + decontamination + split " +
+      "per micro-batch (r13)") {
+    val w = Array(0.1, 2.0, -1.0, 0.5)
+    val tmp = Files.createTempDirectory("relgate").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val probe = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    corpus.repartition(3).write.mode("overwrite").parquet(tmp)
+    var got = Vector.empty[(Long, Double, Long, String, Boolean)]
+    val q = Streams.releaseGate(
+      spark.readStream.schema(spark.read.parquet(tmp).schema).parquet(tmp),
+      w, probe) { (gated, _) =>
+      got ++= gated.select(col("doc_id"), col("score"), col("n_shared"),
+          col("split"), col("keep"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+          r.getString(3), r.getBoolean(4)))
+    }
+    q.awaitTermination()
+    // batch reference: the same three verdicts composed from the batch
+    // operators on the same slice
+    val scored = Streams.qualityGate(corpus, w, threshold = -1.0) // score all
+      .select(col("doc_id"), col("score"))
+    val decontamRows = graft.Queries.byName("q135_decontaminate_bloom")
+      .build(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 10
+    val expected = scored
+      .withColumn("split", when(bucket < 8, "train").otherwise("val"))
+      .collect().map { r =>
+        val id = r.getLong(0); val sc = r.getDouble(1)
+        val ns = decontamRows(id)
+        (id, sc, ns, r.getString(2), sc >= 0.5 && ns < 2)
+      }.toSet
+    assert(got.size == got.toSet.size, "a doc was gated twice")
+    assert(got.toSet == expected,
+      s"release gate diverged: ${got.size} vs ${expected.size}")
+    // all three verdict dimensions must be non-degenerate on this slice
+    assert(got.exists(_._5) && got.exists(!_._5), "keep verdict degenerate")
+    assert(got.exists(_._4 == "train") && got.exists(_._4 == "val"))
+    assert(got.exists(_._3 >= 2), "no contaminated doc in slice")
+  }
+
   test("writeStream.format(n5): native streaming sink commits block rows") {
     val tmp = Files.createTempDirectory("n5sink").toString
     // stream the fixture's 4 block rows (as parquet files) into a new N5
