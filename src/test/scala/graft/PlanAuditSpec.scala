@@ -626,6 +626,26 @@ class PlanAuditSpec extends SparkSpec {
       "drop-set anti-joins lost their broadcast")
   }
 
+  test("q154: int8 serving keeps the q41 broadcast + TakeOrdered shape") {
+    val p = formatted("q154_ann_int8_serving")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "probe side must broadcast — the corpus may not shuffle for the join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must plan as TakeOrdered, not a global sort")
+  }
+
+  test("q156: IMI product-cell pairing is a keyed join, assignment narrow") {
+    // the IMI face must keep the q111 discipline: candidates form via an
+    // equi-join on the product cell, never a cartesian product; the
+    // two-half assignment is a narrow expression chain (no exchange of
+    // its own beyond the pairing join's)
+    val p = formatted("q156_dedup_semantic_imi")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "IMI pairing must stay cell-keyed — a product is the n² shape")
+    assert(p.contains("ivf_top_cells"),
+      "assignment must come from the native codebook kernel")
+  }
+
   test("whole-stage codegen spans the Q1 pipeline") {
     // AQE materializes codegen stages lazily; disable it for the probe so
     // the prepared plan shows the WholeStageCodegen spans directly.
