@@ -542,6 +542,42 @@ class BlockCodecSpec extends AnyFunSuite {
     assert(dec.longs.toSeq == vals.toSeq)
   }
 
+  test("blosclz round-trips seeded random + adversarial payloads (r13)") {
+    // property sweep over payload classes a compressor actually meets:
+    // pure noise (all-literal streams), long runs (RLE matches + chained
+    // length extensions), periodic data (short-distance matches), and
+    // mixed segments — every token form the decoder implements gets hit,
+    // and the stream/byte-count validation must hold on each
+    val rng = new scala.util.Random(42)
+    val cases: Seq[Array[Byte]] =
+      Seq(
+        Array.emptyByteArray,
+        Array[Byte](7),
+        Array.fill(5000)(rng.nextInt().toByte), // incompressible
+        Array.fill(4000)('r'.toByte), // one giant run
+        Array.tabulate(6000)(i => (i % 13).toByte), // period 13
+        Array.tabulate(3000)(i => ((i / 97) % 251).toByte), // runs of 97
+        (Array.fill(800)(rng.nextInt().toByte) ++
+          Array.fill(900)('x'.toByte) ++
+          Array.tabulate(700)(i => (i % 5).toByte)), // mixed
+      ) ++ (1 to 20).map { i =>
+        // seeded random mixtures of runs and noise
+        val r2 = new scala.util.Random(i)
+        (0 until 10).flatMap { _ =>
+          if (r2.nextBoolean()) Array.fill(r2.nextInt(300) + 1)(r2.nextInt(4).toByte)
+          else Array.fill(r2.nextInt(100) + 1)(r2.nextInt().toByte)
+        }.toArray
+      }
+    cases.foreach { data =>
+      if (data.nonEmpty) {
+        val comp = blosclzTestCompress(data)
+        val out = new Array[Byte](data.length)
+        BloscCodec.blosclzDecompress(comp, 0, comp.length, out, 0, data.length)
+        assert(out.toSeq == data.toSeq, s"round trip failed at ${data.length} B")
+      }
+    }
+  }
+
   test("gzip honors the requested deflate level") {
     // highly compressible payload: level 1 must produce more bytes than
     // level 9, and both must decode back to the original

@@ -75,6 +75,32 @@ class DistributedRankSpec extends SparkSpec {
         s"exceed the $statuses window keys a hash-window would collapse to")
   }
 
+  test("null order values rank identically to Spark windows (r13)") {
+    // nulls sort first under the default asc ordering and tie with each
+    // other; the boundary-stat merge must treat them like any other run
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A", null.asInstanceOf[java.lang.Double]),
+      (2L, "A", null.asInstanceOf[java.lang.Double]),
+      (3L, "A", java.lang.Double.valueOf(1.0)),
+      (4L, "A", java.lang.Double.valueOf(1.0)),
+      (5L, "A", java.lang.Double.valueOf(2.0)),
+      (6L, "B", null.asInstanceOf[java.lang.Double]),
+      (7L, "B", java.lang.Double.valueOf(3.0))
+    ).toDF("id", "k", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("v").asc)
+    val expected = df.select(col("id"), rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"), cume_dist().over(w).as("cd"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    val got = DistributedRank.withRanks(df, Seq("k"), Seq(("v", true)),
+        numPartitions = 3)
+      .select(col("id"), col("rnk"), col("drnk"), col("cd"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got == expected, s"nulls diverged: $got vs $expected")
+  }
+
   test("single partition and empty input degrade gracefully") {
     val one = DistributedRank.withRanks(orders.limit(50),
       Seq("o_orderstatus"), Seq(("o_orderdate", true)), numPartitions = 1)
