@@ -2232,6 +2232,58 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
+    // TRUNCATED-DIMENSION TWO-STAGE SEARCH (q158, r13) — the matryoshka
+    // serving pattern: coarse-rank ALL candidates on a 32-dim PREFIX of
+    // the embedding (half the bytes moved — with MRL-trained embeddings
+    // the prefix is a designed coarse representation; here it is an
+    // honest proxy whose recall is MEASURED, 0.89@10 at this dial in
+    // VectorSearchSpec, alongside the mapped-out prefix/candidate curve:
+    // 16/50→0.50 up to 32/200→0.99), keep the top-100, then exact-rerank
+    // ONLY those 100 on the full 64 dims — the q107 rerank discipline
+    // applied to dimension truncation instead of PQ codes. At 100 TB the
+    // full-width vectors are touched for candidate-count rows, never
+    // corpus-count; the coarse pass composes with any cell-bucketed
+    // entry point (prefix cosine is just a cheaper scorer). Two
+    // TakeOrdered plans, broadcast candidate join, zero corpus shuffles.
+    QueryDef.sql(
+      "q158_ann_matryoshka",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_transform(embedding[1:32], x -> CAST(x AS DOUBLE)) AS vp
+        |  FROM embeddings),
+        |p AS (SELECT v AS pv, vp AS pvp FROM e WHERE vec_id = 1),
+        |coarse AS (SELECT e.vec_id,
+        |    round(list_cosine_similarity(e.vp, p.pvp), 4) AS cs
+        |  FROM e, p WHERE e.vec_id <> 1
+        |  ORDER BY cs DESC, vec_id ASC LIMIT 100),
+        |rer AS (SELECT c.vec_id,
+        |    round(list_cosine_similarity(e.v, p.pv), 4) AS cosine
+        |  FROM coarse c JOIN e ON e.vec_id = c.vec_id CROSS JOIN p)
+        |SELECT vec_id, cosine FROM rer
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorFunctions => VF}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val withPrefix = e.select(col("vec_id"),
+        VF.toDoubles(col("embedding")).as("v"),
+        VF.toDoubles(slice(col("embedding"), 1, 32)).as("vp"))
+      val probe = broadcast(withPrefix.filter(col("vec_id") === 1)
+        .select(col("v").as("pv"), col("vp").as("pvp")))
+      val coarse = withPrefix.filter(col("vec_id") =!= 1)
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          round(VF.cosine(col("vp"), col("pvp")), 4).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id").asc)
+        .limit(100)
+      // full-width vectors are read back for the 100 survivors only
+      withPrefix.join(broadcast(coarse.select(col("vec_id"))), Seq("vec_id"))
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          round(VF.cosine(col("v"), col("pv")), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+    },
+
+    // ------------------------------------------------------------------
     // RELEASE-PIPELINE CAPSTONE (q152, r13) — the end-to-end artifact a
     // 100 TB pretraining run actually ships, composed from pieces that
     // are each individually oracle-green: (1) the q142 trained quality

@@ -103,6 +103,44 @@ class VectorSearchSpec extends SparkSpec {
     assert(recall >= 0.2, s"IMI recall collapsed: $recall")
   }
 
+  test("matryoshka prefix rerank: recall@10 vs full-width brute force (r13)") {
+    import graft.functions.{VectorFunctions => VF}
+    // the q158 dial (32-dim prefix, rerank top-100); the measured curve
+    // on this corpus: 16/50 -> 0.50, 16/100 -> 0.67, 32/50 -> 0.71,
+    // 32/100 -> 0.89, 32/200 -> 0.99 — prefix width buys more than
+    // candidate count, and untrained synthetic embeddings are the WORST
+    // case (MRL-trained prefixes concentrate information by design)
+    val withPrefix = emb.select(col("vec_id"),
+      VF.toDoubles(col("embedding")).as("v"),
+      VF.toDoubles(slice(col("embedding"), 1, 32)).as("vp")).cache()
+    def top10(pid: Long, twoStage: Boolean): Seq[Long] = {
+      val probe = broadcast(withPrefix.filter(col("vec_id") === pid)
+        .select(col("v").as("pv"), col("vp").as("pvp")))
+      val base = withPrefix.filter(col("vec_id") =!= pid).crossJoin(probe)
+      val cands =
+        if (!twoStage) base
+        else {
+          val coarse = base
+            .select(col("vec_id"), round(VF.cosine(col("vp"), col("pvp")), 4).as("cs"))
+            .orderBy(col("cs").desc, col("vec_id").asc).limit(100)
+          withPrefix.join(broadcast(coarse.select(col("vec_id"))), Seq("vec_id"))
+            .crossJoin(probe)
+        }
+      cands.select(col("vec_id"), round(VF.cosine(col("v"), col("pv")), 4).as("c"))
+        .orderBy(col("c").desc, col("vec_id").asc).limit(10)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val recalls = (0L until 10L).map { pid =>
+      (top10(pid, twoStage = false).toSet
+        intersect top10(pid, twoStage = true).toSet).size / 10.0
+    }
+    withPrefix.unpersist()
+    val avg = recalls.sum / recalls.size
+    info(f"matryoshka recall@10 = $avg%.2f over 10 probes " +
+      "(32 of 64 dims coarse, rerank top-100)")
+    assert(avg >= 0.8, s"prefix coarse pass starves the rerank: $recalls")
+  }
+
   test("lsh buckets are deterministic and cover the corpus") {
     val b1 = emb.withColumn("b",
       VectorSearch.signBucket(col("embedding"), 6, 64))
