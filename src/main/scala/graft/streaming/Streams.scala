@@ -171,11 +171,17 @@ object Streams {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{
       StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    // Resolve the state encoder OUTSIDE the processor: resolving it inside
+    // (via spark.implicits) makes the anon class capture the SparkSession,
+    // which stops being java-serializable the moment anything touches the
+    // session's lazy ObservationManager (e.g. q157's Observation) — an
+    // order-dependent Task-not-serializable at executor ship time.
+    val statEnc: org.apache.spark.sql.Encoder[UserStat] =
+      org.apache.spark.sql.Encoders.product[UserStat]
     val processor = new StatefulProcessor[Long, (Long, Timestamp), UserStat] {
       @transient private var state: ValueState[UserStat] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-        state = getHandle.getValueState[UserStat](
-          "userStat", implicitly[org.apache.spark.sql.Encoder[UserStat]],
+        state = getHandle.getValueState[UserStat]("userStat", statEnc,
           TTLConfig.NONE)
       override def handleInputRows(
           uid: Long, rows: Iterator[(Long, Timestamp)],

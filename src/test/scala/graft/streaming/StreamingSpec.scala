@@ -206,6 +206,13 @@ class StreamingSpec extends SparkSpec {
     try {
       spark.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Materialize the session's lazy ObservationManager first: once ANY
+      // query observes (q157 does), a processor that captured the session
+      // would fail Task-not-serializable — but only in suite orders where
+      // an observing spec ran earlier. Forcing it here makes that capture
+      // bug deterministic instead of order-dependent.
+      val warmObs = org.apache.spark.sql.Observation("tws_obs_warm")
+      spark.range(1).observe(warmObs, count(lit(1)).as("n")).collect()
       val q = Streams.userStatsTws(streamEvents())
         .writeStream.format("memory").queryName("ustats_tws")
         .outputMode(OutputMode.Update())
