@@ -403,6 +403,135 @@ object TrainingPipeline {
           m("n_val").asInstanceOf[Long],
           m("max_chars").asInstanceOf[Long]))
         .toDF("n_docs", "total_chars", "n_train", "n_val", "max_chars")
+    },
+
+    // ------------------------------------------------------------------
+    // TOKEN-BUDGET MIXTURE MATERIALIZATION (r13) — the step between the
+    // dataset card and the release that a Llama/GPT-class data recipe
+    // actually runs: given per-domain TARGET WEIGHTS, a GLOBAL token
+    // budget B, and an epoch cap E, decide how many epochs of each
+    // domain to take (continuous, fractional) and MATERIALIZE the
+    // repeated dataset deterministically. q114 rebalances to a uniform
+    // mix by downsampling only; this solves the general weighted case
+    // WITH upsampling (epochs > 1) under a budget — classic
+    // WATERFILLING, closed-form: take_d = min(lam*w_d, E*T_d) with lam
+    // chosen so sum(take) = B. Sort domains by saturation point
+    // lam_d = E*T_d/w_d; prefix sums give, for each candidate saturated
+    // prefix, lam = (B - sum_sat E*T) / (W - sum_sat w); exactly one
+    // prefix brackets its own lam (total(lam) is continuous increasing)
+    // — pure window functions over the PER-DOMAIN table (tens of rows at
+    // 100 TB; the single-partition WindowExec is the q121 precedent).
+    // Weights here derive from the source id (tiers 1/10/19) and
+    // B = 2 epochs' worth of corpus with E = 3: tier-19 domains
+    // saturate at rate 3.0 while tier-1 stay fractional, so BOTH
+    // branches of the solver are exercised at every SF. Materialization:
+    // floor(rate) full epochs per doc + one extra iff the salted
+    // content-stable md5 fraction falls under the fractional part — the
+    // q114/q55 hash discipline, so the emitted multiset is reproducible
+    // across engines, partitionings, and reruns. Scale shape: one tiny
+    // per-domain agg, the solver on that table only, rates broadcast
+    // back; the corpus streams ONCE through a narrow <=E-fold
+    // sequence+explode (no shuffle ever touches text); the report is
+    // one map-side-combined agg over the emitted rows. FP determinism:
+    // every windowed sum is over integer-valued doubles (exact at any
+    // association); lam rounds to 6 decimals before rates, rates round
+    // to 6 before the epoch threshold.
+    QueryDef.sql(
+      "q159_mixture_token_budget",
+      """WITH c AS (SELECT source,
+        |    CAST(CAST(substr(source, 4) AS INT) % 3 * 9 + 1 AS DOUBLE) AS w,
+        |    CAST(sum(n_chars) AS DOUBLE) AS t,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars_avail
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(w) AS wsum, 2.0 * sum(t) AS b FROM c),
+        |s AS (SELECT c.*, 3.0 * t / w AS lam_d FROM c),
+        |o AS (SELECT s.*,
+        |    coalesce(sum(3.0 * t) OVER (ORDER BY lam_d, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pcap,
+        |    coalesce(sum(w) OVER (ORDER BY lam_d, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pw,
+        |    coalesce(lag(lam_d) OVER (ORDER BY lam_d, source), 0.0) AS plam
+        |  FROM s),
+        |cand AS (SELECT o.*, (tt.b - pcap) / (tt.wsum - pw) AS lam_c
+        |  FROM o CROSS JOIN tot tt),
+        |lam AS (SELECT min(round(lam_c, 6)) AS lam FROM cand
+        |  WHERE plam <= lam_c AND lam_c < lam_d),
+        |r AS (SELECT s.source, s.w, s.t, s.n_docs, s.chars_avail,
+        |    round(least(3.0, coalesce(l.lam, 1e18) * s.w / s.t), 6) AS rate
+        |  FROM s CROSS JOIN lam l),
+        |m AS (SELECT d.source, d.n_chars,
+        |    CAST(floor(r.rate) AS BIGINT)
+        |      + CASE WHEN ('0x' || substr(md5('mixb' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |          % 1000000 / 1000000.0 < r.rate - floor(r.rate)
+        |        THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN r ON d.source = r.source),
+        |e AS (SELECT source, CAST(sum(copies) AS BIGINT) AS rows_emitted,
+        |    CAST(sum(copies * n_chars) AS BIGINT) AS chars_emitted
+        |  FROM m GROUP BY source)
+        |SELECT r.source, CAST(r.w AS BIGINT) AS weight, r.n_docs,
+        |  r.chars_avail, round(r.rate, 4) AS rate,
+        |  coalesce(e.rows_emitted, 0) AS rows_emitted,
+        |  coalesce(e.chars_emitted, 0) AS chars_emitted
+        |FROM r LEFT JOIN e ON r.source = e.source
+        |ORDER BY r.source ASC""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val c = d.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_avail"))
+        .select(col("source"),
+          ((substring(col("source"), 4, 10).cast("int") % 3) * 9 + 1)
+            .cast("double").as("w"),
+          col("chars_avail").cast("double").as("t"),
+          col("n_docs"), col("chars_avail"))
+      val tot = c.agg(sum(col("w")).as("wsum"),
+        (lit(2.0) * sum(col("t"))).as("b"))
+      val sDf = c.withColumn("lam_d", lit(3.0) * col("t") / col("w"))
+      val ord = Window.orderBy(col("lam_d"), col("source"))
+      val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val o = sDf
+        .withColumn("pcap",
+          coalesce(sum(lit(3.0) * col("t")).over(pre), lit(0.0)))
+        .withColumn("pw", coalesce(sum(col("w")).over(pre), lit(0.0)))
+        .withColumn("plam", coalesce(lag(col("lam_d"), 1).over(ord), lit(0.0)))
+      val cand = o.crossJoin(broadcast(tot))
+        .withColumn("lam_c",
+          (col("b") - col("pcap")) / (col("wsum") - col("pw")))
+      val lam = cand
+        .filter(col("plam") <= col("lam_c") && col("lam_c") < col("lam_d"))
+        .agg(min(round(col("lam_c"), 6)).as("lam"))
+      val r = sDf.crossJoin(broadcast(lam))
+        .withColumn("rate", round(
+          least(lit(3.0),
+            coalesce(col("lam"), lit(1e18)) * col("w") / col("t")), 6))
+        .select(col("source"), col("w"), col("n_docs"), col("chars_avail"),
+          col("rate"))
+      val frac = (conv(substring(
+          md5(concat(lit("mixb"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % 1000000) / lit(1000000.0)
+      val withCopies = d
+        .join(broadcast(r.select(col("source"), col("rate"))), "source")
+        .withColumn("copies",
+          floor(col("rate")) +
+            when(frac < col("rate") - floor(col("rate")), 1L).otherwise(0L))
+      // the REAL (doc, epoch) materialization a release writes: a narrow
+      // <=E-fold expansion, no shuffle on text; copies=0 docs drop via
+      // the empty-array (non-outer) explode
+      val emitted = withCopies
+        .select(col("source"), col("n_chars"),
+          explode(when(col("copies") > 0,
+              sequence(lit(1L), col("copies")))
+            .otherwise(array().cast("array<long>"))).as("epoch"))
+      val e = emitted.groupBy(col("source")).agg(
+        count(lit(1)).as("rows_emitted"),
+        sum(col("n_chars")).as("chars_emitted"))
+      r.join(e, Seq("source"), "left")
+        .select(col("source"), col("w").cast("long").as("weight"),
+          col("n_docs"), col("chars_avail"),
+          round(col("rate"), 4).as("rate"),
+          coalesce(col("rows_emitted"), lit(0L)).as("rows_emitted"),
+          coalesce(col("chars_emitted"), lit(0L)).as("chars_emitted"))
+        .orderBy(col("source").asc)
     }
   )
 }

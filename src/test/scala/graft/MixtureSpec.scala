@@ -63,4 +63,40 @@ class MixtureSpec extends SparkSpec {
     assert(lo.subsetOf(hi),
       "hash-threshold survival must be monotone in the rate")
   }
+
+  test("q159 waterfilling meets the budget, caps epochs, and orders rates by weight") {
+    val rows = Queries.byName("q159_mixture_token_budget")
+      .build(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 3.0, s"rate outside (0, E]: $r")
+      // emitted rows bounded by ceil(rate) * n_docs
+      assert(r.getAs[Long]("rows_emitted") <=
+        math.ceil(rate).toLong * r.getAs[Long]("n_docs"), s"over-emitted: $r")
+    }
+    // tier-19 weights must saturate at the epoch cap; tier-1 must not
+    val byW = rows.groupBy(_.getAs[Long]("weight"))
+    assert(byW(19L).forall(_.getAs[Double]("rate") == 3.0),
+      "heaviest tier should hit the epoch cap")
+    assert(byW(1L).forall(_.getAs[Double]("rate") < 1.0),
+      "lightest tier should stay fractional")
+    // the materialized multiset tracks the budget B = 2 * total chars:
+    // hash-threshold binomial noise only — gate at 1% relative
+    val avail = rows.map(_.getAs[Long]("chars_avail")).sum
+    val emitted = rows.map(_.getAs[Long]("chars_emitted")).sum
+    val budget = 2.0 * avail
+    assert(math.abs(emitted - budget) / budget < 0.01,
+      s"emitted $emitted should track budget $budget")
+    // un-saturated rates must be proportional to weight (same lambda):
+    // rate/w constant across unsaturated domains up to rate rounding
+    val unsat = rows.filter(_.getAs[Double]("rate") < 3.0)
+      .map(r => r.getAs[Double]("rate") * r.getAs[Long]("chars_avail") /
+        r.getAs[Long]("weight"))
+    assert(unsat.nonEmpty)
+    // rate is reported rounded to 4 decimals, so the reconstructed
+    // lambda carries up to ~T/w * 5e-5 absolute error — gate relatively
+    assert((unsat.max - unsat.min) / unsat.max < 0.01,
+      "unsaturated domains must share one lambda (take = lambda * w)")
+  }
 }
