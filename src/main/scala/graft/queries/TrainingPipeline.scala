@@ -532,6 +532,59 @@ object TrainingPipeline {
           coalesce(col("rows_emitted"), lit(0L)).as("rows_emitted"),
           coalesce(col("chars_emitted"), lit(0L)).as("chars_emitted"))
         .orderBy(col("source").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // BYTE-BALANCED RELEASE SHARDING + MANIFEST (r13) — the export step
+    // after the mixture is decided: split the ordered corpus into S
+    // shards of ~equal BYTES (not rows — doc sizes are skewed) and emit
+    // the manifest the serving side prunes with (per shard: doc count,
+    // bytes, ordered key range, domain spread). Shard of a doc =
+    // (cumStart * S) div total where cumStart = inclusive running sum of
+    // bytes minus own size ∈ [0, total) — pure integer arithmetic, so
+    // the assignment is deterministic across engines. The running sum is
+    // operators/PrefixSum (the q57 bucketed-carry scheme): within-bucket
+    // windows stay bounded (doc_id div 1000 buckets), the cross-bucket
+    // carry is a window over the BUCKET table — no single-reducer global
+    // window ever touches corpus-sized data, which is what makes this
+    // shard assignment hold at 100 TB (contrast the naive
+    // sum().over(orderBy) — one reducer). The manifest agg is map-side
+    // combined over S*sources cells. At scale the export writes
+    // partitionBy(shard); the query's output IS the manifest artifact.
+    QueryDef.sql(
+      "q160_release_sharding",
+      """WITH c AS (SELECT doc_id, source, n_chars,
+        |    sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents),
+        |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM documents),
+        |sh AS (SELECT doc_id, source, n_chars,
+        |    ((cum - n_chars) * 16) // t.total AS shard
+        |  FROM c CROSS JOIN t)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_key,
+        |  CAST(max(doc_id) AS BIGINT) AS max_key,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM sh GROUP BY shard ORDER BY shard ASC""".stripMargin) { (s, dir) =>
+      import graft.operators.PrefixSum
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("g", lit(0))
+      val cum = PrefixSum.runningSum(
+        d, "g", expr("doc_id div 1000"), Seq(col("doc_id")),
+        col("n_chars"), "cum")
+      val t = d.agg(sum(col("n_chars")).as("total"))
+      cum.crossJoin(broadcast(t))
+        .withColumn("shard", expr("((cum - n_chars) * 16) div total"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("shard_chars"),
+          min(col("doc_id")).as("min_key"),
+          max(col("doc_id")).as("max_key"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("shard").asc)
     }
   )
 }

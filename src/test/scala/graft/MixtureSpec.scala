@@ -99,4 +99,30 @@ class MixtureSpec extends SparkSpec {
     assert((unsat.max - unsat.min) / unsat.max < 0.01,
       "unsaturated domains must share one lambda (take = lambda * w)")
   }
+
+  test("q160 shards are byte-balanced within one max-document of the ideal") {
+    val rows = Queries.byName("q160_release_sharding")
+      .build(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("shard")).toSeq ==
+      (0L until 16L), "all 16 shards present, in order")
+    val total = rows.map(_.getAs[Long]("shard_chars")).sum
+    val maxDoc = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(max(col("n_chars"))).collect()(0).getLong(0)
+    val ideal = total.toDouble / 16
+    rows.foreach { r =>
+      val chars = r.getAs[Long]("shard_chars")
+      // cumStart-interval assignment bounds every shard by one straddling
+      // document around the ideal byte budget
+      assert(math.abs(chars - ideal) <= maxDoc,
+        s"shard ${r.getAs[Long]("shard")} chars $chars vs ideal $ideal " +
+          s"(maxDoc $maxDoc)")
+      assert(r.getAs[Long]("min_key") <= r.getAs[Long]("max_key"))
+    }
+    // key ranges must be disjoint and ordered — that is what makes the
+    // manifest prunable
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_key") < b.getAs[Long]("min_key"),
+        "shard key ranges must be disjoint and ordered")
+    }
+  }
 }
