@@ -31,6 +31,48 @@ object TrainingPipeline {
   private val bucketSql =
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10"
 
+  /** q159's waterfilling solver, reusable: per-domain epoch rates for
+    * weights w_d = (src id % 3) * 9 + 1, budget B = 2 * total chars,
+    * epoch cap E = 3. Returns (source, w, n_docs, chars_avail, rate)
+    * with rate at the ROUND-6 precision the materialization thresholds
+    * on (the q159 report re-rounds to 4 for display only). The rate
+    * table is what a streaming mixture gate serves with
+    * (`Streams.mixtureGate`) — solver offline, rates as literals online.
+    */
+  def mixtureRates(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val c = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_avail"))
+      .select(col("source"),
+        ((substring(col("source"), 4, 10).cast("int") % 3) * 9 + 1)
+          .cast("double").as("w"),
+        col("chars_avail").cast("double").as("t"),
+        col("n_docs"), col("chars_avail"))
+    val tot = c.agg(sum(col("w")).as("wsum"),
+      (lit(2.0) * sum(col("t"))).as("b"))
+    val sDf = c.withColumn("lam_d", lit(3.0) * col("t") / col("w"))
+    val ord = Window.orderBy(col("lam_d"), col("source"))
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val o = sDf
+      .withColumn("pcap",
+        coalesce(sum(lit(3.0) * col("t")).over(pre), lit(0.0)))
+      .withColumn("pw", coalesce(sum(col("w")).over(pre), lit(0.0)))
+      .withColumn("plam", coalesce(lag(col("lam_d"), 1).over(ord), lit(0.0)))
+    val cand = o.crossJoin(broadcast(tot))
+      .withColumn("lam_c",
+        (col("b") - col("pcap")) / (col("wsum") - col("pw")))
+    val lam = cand
+      .filter(col("plam") <= col("lam_c") && col("lam_c") < col("lam_d"))
+      .agg(min(round(col("lam_c"), 6)).as("lam"))
+    sDf.crossJoin(broadcast(lam))
+      .withColumn("rate", round(
+        least(lit(3.0),
+          coalesce(col("lam"), lit(1e18)) * col("w") / col("t")), 6))
+      .select(col("source"), col("w"), col("n_docs"), col("chars_avail"),
+        col("rate"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -476,36 +518,7 @@ object TrainingPipeline {
         |FROM r LEFT JOIN e ON r.source = e.source
         |ORDER BY r.source ASC""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val c = d.groupBy(col("source")).agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("chars_avail"))
-        .select(col("source"),
-          ((substring(col("source"), 4, 10).cast("int") % 3) * 9 + 1)
-            .cast("double").as("w"),
-          col("chars_avail").cast("double").as("t"),
-          col("n_docs"), col("chars_avail"))
-      val tot = c.agg(sum(col("w")).as("wsum"),
-        (lit(2.0) * sum(col("t"))).as("b"))
-      val sDf = c.withColumn("lam_d", lit(3.0) * col("t") / col("w"))
-      val ord = Window.orderBy(col("lam_d"), col("source"))
-      val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
-      val o = sDf
-        .withColumn("pcap",
-          coalesce(sum(lit(3.0) * col("t")).over(pre), lit(0.0)))
-        .withColumn("pw", coalesce(sum(col("w")).over(pre), lit(0.0)))
-        .withColumn("plam", coalesce(lag(col("lam_d"), 1).over(ord), lit(0.0)))
-      val cand = o.crossJoin(broadcast(tot))
-        .withColumn("lam_c",
-          (col("b") - col("pcap")) / (col("wsum") - col("pw")))
-      val lam = cand
-        .filter(col("plam") <= col("lam_c") && col("lam_c") < col("lam_d"))
-        .agg(min(round(col("lam_c"), 6)).as("lam"))
-      val r = sDf.crossJoin(broadcast(lam))
-        .withColumn("rate", round(
-          least(lit(3.0),
-            coalesce(col("lam"), lit(1e18)) * col("w") / col("t")), 6))
-        .select(col("source"), col("w"), col("n_docs"), col("chars_avail"),
-          col("rate"))
+      val r = mixtureRates(s, dir)
       val frac = (conv(substring(
           md5(concat(lit("mixb"), col("doc_id").cast("string"))), 1, 8),
           16, 10).cast("long") % 1000000) / lit(1000000.0)

@@ -465,6 +465,39 @@ object Streams {
     docs.withColumn("score", score).filter(col("score") >= threshold)
   }
 
+  /** Streaming mixture gate (r13) — q159's token-budget mixture in the
+    * shape a live ingest runs it, the [[qualityGate]]
+    * solve-offline/serve-online pattern applied to data mixing: the
+    * waterfilling solver (`TrainingPipeline.mixtureRates`) runs ONCE
+    * over the reference corpus snapshot; the resulting per-domain epoch
+    * rates ride the streaming plan as a LITERAL map (no join, no state,
+    * pure codegen — serving cost is the scan). Each micro-batch doc
+    * emits floor(rate) full epochs plus one extra iff its salted
+    * content-stable md5 fraction falls under the fractional part —
+    * byte-identical arithmetic to the batch materialization, so the
+    * emitted multiset equals q159's on the same slice (pinned in
+    * StreamingSpec). Docs from domains absent in the rate table emit
+    * ZERO rows by policy (an unsolved domain has no budget); route such
+    * docs to a dead-letter with a rates-keyset filter upstream if they
+    * must be audited.
+    */
+  def mixtureGate(stream: DataFrame, rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty, "rate table must not be empty")
+    val rateMap = map(rates.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val rate = element_at(rateMap, col("source"))
+    val frac = (conv(substring(
+        md5(concat(lit("mixb"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000) / lit(1000000.0)
+    val copies = floor(rate) +
+      when(frac < rate - floor(rate), 1L).otherwise(0L)
+    stream
+      .withColumn("rate", rate)
+      .withColumn("epoch",
+        explode(when(copies > 0, sequence(lit(1L), copies))
+          .otherwise(array().cast("array<long>"))))
+  }
+
   /** Streaming decontamination (r13) — q135's bloom-pre-filtered benchmark
     * decontamination in the shape a live ingest runs it, mirroring
     * [[qualityGate]]'s train-offline/serve-online pattern: the probe

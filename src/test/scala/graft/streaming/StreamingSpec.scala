@@ -549,6 +549,47 @@ class StreamingSpec extends SparkSpec {
       "gate should filter some but not all docs at these weights")
   }
 
+  test("streaming mixture gate equals the q159 batch materialization per domain") {
+    // solver offline over the corpus snapshot; rates become literals
+    val rates = graft.queries.TrainingPipeline.mixtureRates(spark, sfDir)
+      .select(col("source"), col("rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val tmp = Files.createTempDirectory("mixgate").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.repartition(3).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(tmp).schema).parquet(tmp)
+    val q = Streams.mixtureGate(stream, rates)
+      .select(col("doc_id"), col("epoch"))
+      .writeStream.format("memory").queryName("mixgate_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("mixgate_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Streams.mixtureGate(docs, rates)
+      .select(col("doc_id"), col("epoch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"stream mixture diverged: ${streamed.size} vs ${batch.size} rows")
+    // and the batch transform matches the q159 report's emitted counts
+    val report = graft.Queries.byName("q159_mixture_token_budget")
+      .build(spark, sfDir)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("rows_emitted")).toMap
+    val bySource = Streams.mixtureGate(docs, rates)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    report.foreach { case (src, n) =>
+      assert(bySource.getOrElse(src, 0L) == n,
+        s"$src: gate emitted ${bySource.getOrElse(src, 0L)}, q159 says $n")
+    }
+    // upsampling must actually occur (epoch cap 3, budget 2x corpus)
+    assert(streamed.exists(_._2 >= 2L), "some doc should repeat (epoch 2+)")
+  }
+
   test("streaming decontamination equals the q135 batch gate on the same slice") {
     val tmp = Files.createTempDirectory("decontam").toString
     val docs = Tables.load(spark, sfDir, "documents")
