@@ -912,6 +912,73 @@ object CorpusOps {
         .agg(round(sum((col("p1") - col("p0")) * log(col("p1") / col("p0"))), 6)
           .as("psi"))
         .orderBy(col("source").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // EMBEDDING CENTROID DRIFT MONITOR (r13) — q149's drift question
+    // asked of the EMBEDDING space: did a class's semantic center move
+    // between two corpus slices? (The monitor a retrieval/semantic-dedup
+    // deployment runs before trusting a stale IVF codebook on new data —
+    // high centroid drift is the "retrain the coarse quantizer" signal
+    // feeding the q124 maintenance policy.) Per (label, slice): the mean
+    // vector over the slice's embeddings; per label: angular drift
+    // 1 - cosine(mean_a, mean_b). Slices split by vec_id parity (the
+    // q149 discipline). Scale shape: ONE corpus pass explodes vectors to
+    // (label, slice, dim, x) and map-side-combines the avg — the agg
+    // output is labels x 2 x dim cells regardless of corpus size; the
+    // cosine fold runs on that tiny table. Determinism: per-dim means
+    // round to 6 (the trainIvfCodebook centroid discipline) before the
+    // cosine; drift rounds to 4.
+    QueryDef.sql(
+      "q161_embedding_drift",
+      """WITH x AS (SELECT label, vec_id % 2 AS slice, t.i AS i,
+        |    CAST(embedding[t.i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)),
+        |cm AS (SELECT label, slice, i, round(avg(x), 6) AS m
+        |  FROM x GROUP BY label, slice, i),
+        |j AS (SELECT a.label, a.m AS ma, b.m AS mb
+        |  FROM cm a JOIN cm b ON a.label = b.label AND a.i = b.i
+        |  WHERE a.slice = 0 AND b.slice = 1),
+        |d AS (SELECT label, sum(ma * mb) AS dot,
+        |    sqrt(sum(ma * ma)) AS na, sqrt(sum(mb * mb)) AS nb
+        |  FROM j GROUP BY label),
+        |n AS (SELECT label,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM embeddings GROUP BY label)
+        |SELECT d.label, n.n_a, n.n_b,
+        |  round(1.0 - dot / (na * nb), 4) AS drift
+        |FROM d JOIN n ON d.label = n.label
+        |ORDER BY d.label ASC""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("slice"),
+          col("embedding"), col("vec_id"))
+      // 1-based dim index to mirror the oracle's array subscript
+      val x = e.select(col("label"), col("slice"),
+          posexplode(col("embedding")).as(Seq("i0", "xf")))
+        .select(col("label"), col("slice"), (col("i0") + 1).as("i"),
+          col("xf").cast("double").as("x"))
+      val cm = x.groupBy(col("label"), col("slice"), col("i"))
+        .agg(round(avg(col("x")), 6).as("m"))
+      val a = cm.filter(col("slice") === 0)
+        .select(col("label"), col("i"), col("m").as("ma"))
+      val b = cm.filter(col("slice") === 1)
+        .select(col("label"), col("i"), col("m").as("mb"))
+      val d = a.join(b, Seq("label", "i"))
+        .groupBy(col("label"))
+        .agg(sum(col("ma") * col("mb")).as("dot"),
+          sqrt(sum(col("ma") * col("ma"))).as("na"),
+          sqrt(sum(col("mb") * col("mb"))).as("nb"))
+      val n = e.groupBy(col("label")).agg(
+        sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n_b"))
+      d.join(n, Seq("label"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          round(lit(1.0) - col("dot") / (col("na") * col("nb")), 4)
+            .as("drift"))
+        .orderBy(col("label").asc)
     }
   )
 }
