@@ -100,6 +100,19 @@ class MixtureSpec extends SparkSpec {
       "unsaturated domains must share one lambda (take = lambda * w)")
   }
 
+  test("waterfilling degenerates correctly to a single domain: rate = budget/corpus") {
+    // one domain, B = 2*T, cap E = 3 > 2 → nobody saturates and the
+    // solver must return exactly rate 2.0 (lambda = B/w, rate = lambda*w/T)
+    val tmp = java.nio.file.Files.createTempDirectory("mix1dom").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") === "src7")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.queries.TrainingPipeline.mixtureRates(spark, tmp).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("rate") == 2.0,
+      s"single-domain rate must be exactly the budget ratio: ${r(0)}")
+  }
+
   test("q160 shards are byte-balanced within one max-document of the ideal") {
     val rows = Queries.byName("q160_release_sharding")
       .build(spark, dir).collect()
