@@ -646,6 +646,55 @@ class PlanAuditSpec extends SparkSpec {
       "assignment must come from the native codebook kernel")
   }
 
+  test("q159: epoch rates broadcast back; corpus never shuffles for the rate join") {
+    // q114's discipline for the budgeted solver: the per-domain rate
+    // table reaches the corpus as a BroadcastHashJoin on source, the
+    // epoch explode stays narrow, and no unbroadcast product appears
+    // anywhere (the solver's total/lambda one-row joins are broadcast
+    // nested loops over single rows — allowed).
+    val p = formatted("q159_mixture_token_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-domain rate table must broadcast — the corpus side streams once")
+    assert(!p.contains("CartesianProduct"),
+      "mixture pass must not plan an unbroadcast product")
+    assert(p.contains("Generate") && p.contains("sequence"),
+      "epoch materialization must be the narrow sequence+explode")
+  }
+
+  test("q160: shard assignment never plans a corpus-sized single-partition window") {
+    // PrefixSum's point: the within-bucket window partitions by
+    // (g, bucket) — corpus-sized data only ever enters a PARTITIONED
+    // window; the only unpartitioned window is the carry over the
+    // bucket table. SinglePartition exchanges must therefore only feed
+    // tiny inputs (the carry + the final ordered report).
+    val plan = {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "false")
+        Queries.byName("q160_release_sharding").build(spark, sf)
+          .queryExecution.executedPlan
+      } finally spark.conf.set(key, prev)
+    }
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected window nodes from PrefixSum")
+    val (unpart, part) = windows.partition(_.partitionSpec.isEmpty)
+    assert(part.nonEmpty,
+      "the corpus running sum must run under a PARTITIONED window")
+    // every unpartitioned window must sit above a bucket-level agg
+    // (its subtree contains the bucket-total HashAggregate), never the
+    // raw corpus scan
+    unpart.foreach { w =>
+      assert(w.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        }.nonEmpty,
+        "unpartitioned carry window must consume the bucket-total agg, " +
+          "not corpus-sized input")
+    }
+  }
+
   test("whole-stage codegen spans the Q1 pipeline") {
     // AQE materializes codegen stages lazily; disable it for the probe so
     // the prepared plan shows the WholeStageCodegen spans directly.
