@@ -73,6 +73,74 @@ object TrainingPipeline {
         col("rate"))
   }
 
+  /** q142's oracle scaffolding, shared with q162: the feature CTEs and
+    * the rounded 3-iteration GD chain ending in weight table w3.
+    */
+  private def gdDot(w: String) =
+    s"($w.w0*f0 + $w.w1*f1 + $w.w2*f2 + $w.w3*f3)"
+  private def gdStep(prev: String, cur: String) =
+    s"$cur AS (SELECT " + (0 to 3).map(i =>
+      s"round(min(w.w$i) + avg((y - 1/(1+exp(-${gdDot("w")})))*f$i), 8) AS w$i")
+      .mkString(", ") + s" FROM f, $prev w)"
+  private val gdCtes =
+    s"""base AS (SELECT doc_id, text, n_chars,
+       |    string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS toks
+       |  FROM documents),
+       |f AS (SELECT doc_id, 1.0 AS f0,
+       |    round(least(length(text) / 1000.0, 1.0), 6) AS f1,
+       |    round(CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |        / length(text) END, 6) AS f2,
+       |    round(CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6) AS f3,
+       |    CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM base),
+       |w1 AS (SELECT round(avg((y - 0.5)*f0), 8) AS w0,
+       |    round(avg((y - 0.5)*f1), 8) AS w1,
+       |    round(avg((y - 0.5)*f2), 8) AS w2,
+       |    round(avg((y - 0.5)*f3), 8) AS w3 FROM f),
+       |${gdStep("w1", "w2")},
+       |${gdStep("w2", "w3")}""".stripMargin
+
+  /** q142's engine side, shared with q162: the localCheckpoint'd feature
+    * table and the 3-iteration trained weights (rounded to 8 decimals
+    * per iteration — the cross-engine determinism contract).
+    */
+  def qualityTraining(
+      s: SparkSession, dir: String): (DataFrame, Array[Double]) = {
+    val toks = TF.tokens(TF.normalizeText(col("text")))
+    val f = Tables.spread(s, docs(s, dir)).select(col("doc_id"),
+        lit(1.0).as("f0"),
+        round(least(length(col("text")) / lit(1000.0), lit(1.0)), 6).as("f1"),
+        round(when(length(col("text")) === 0, 0.0)
+          .otherwise(length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+            .cast("double") / length(col("text"))), 6).as("f2"),
+        round(when(size(toks) === 0, 0.0)
+          .otherwise(size(array_distinct(toks)).cast("double")
+            / size(toks)), 6).as("f3"),
+        when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint()
+    val feats = Seq("f0", "f1", "f2", "f3")
+    var w = Array.fill(4)(0.0)
+    for (_ <- 1 to 3) {
+      val z = feats.zipWithIndex
+        .map { case (c, i) => col(c) * lit(w(i)) }.reduce(_ + _)
+      val resid = col("y") - lit(1.0) / (lit(1.0) + exp(-z))
+      val g = f.agg(avg(resid * col("f0")), avg(resid * col("f1")),
+        avg(resid * col("f2")), avg(resid * col("f3"))).head()
+      w = w.indices.map(i => BigDecimal(w(i) + g.getDouble(i))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+    }
+    (f, w)
+  }
+
+  /** Final codegen'd score column over literal weights. */
+  private def gdScore(w: Array[Double]) = {
+    val z = Seq("f0", "f1", "f2", "f3").zipWithIndex
+      .map { case (c, i) => col(c) * lit(w(i)) }.reduce(_ + _)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -298,67 +366,19 @@ object TrainingPipeline {
     // compound), per-feature values round to 6 at extraction, scores to
     // 4; iteration 1 needs no sigmoid (sigma(0) = 0.5 exactly). The
     // oracle replays all three iterations CTE-for-CTE.
-    {
-      def dot(w: String) = s"($w.w0*f0 + $w.w1*f1 + $w.w2*f2 + $w.w3*f3)"
-      def step(prev: String, cur: String) =
-        s"$cur AS (SELECT " + (0 to 3).map(i =>
-          s"round(min(w.w$i) + avg((y - 1/(1+exp(-${dot("w")})))*f$i), 8) AS w$i")
-          .mkString(", ") + s" FROM f, $prev w)"
-      QueryDef.sql(
-        "q142_quality_classifier",
-        s"""WITH base AS (SELECT doc_id, text, n_chars,
-           |    string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS toks
-           |  FROM documents),
-           |f AS (SELECT doc_id, 1.0 AS f0,
-           |    round(least(length(text) / 1000.0, 1.0), 6) AS f1,
-           |    round(CASE WHEN length(text) = 0 THEN 0.0
-           |      ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-           |        / length(text) END, 6) AS f2,
-           |    round(CASE WHEN len(toks) = 0 THEN 0.0
-           |      ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6) AS f3,
-           |    CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
-           |  FROM base),
-           |w1 AS (SELECT round(avg((y - 0.5)*f0), 8) AS w0,
-           |    round(avg((y - 0.5)*f1), 8) AS w1,
-           |    round(avg((y - 0.5)*f2), 8) AS w2,
-           |    round(avg((y - 0.5)*f3), 8) AS w3 FROM f),
-           |${step("w1", "w2")},
-           |${step("w2", "w3")}
-           |SELECT f.doc_id,
-           |  round(1/(1+exp(-${dot("w")})), 4) AS score,
-           |  CAST(y AS INTEGER) AS label,
-           |  round(1/(1+exp(-${dot("w")})), 4) >= 0.5 AS keep
-           |FROM f, w3 w ORDER BY f.doc_id ASC""".stripMargin) { (s, dir) =>
-        val toks = TF.tokens(TF.normalizeText(col("text")))
-        val f = Tables.spread(s, docs(s, dir)).select(col("doc_id"),
-            lit(1.0).as("f0"),
-            round(least(length(col("text")) / lit(1000.0), lit(1.0)), 6).as("f1"),
-            round(when(length(col("text")) === 0, 0.0)
-              .otherwise(length(regexp_replace(col("text"), "[^A-Za-z]", ""))
-                .cast("double") / length(col("text"))), 6).as("f2"),
-            round(when(size(toks) === 0, 0.0)
-              .otherwise(size(array_distinct(toks)).cast("double")
-                / size(toks)), 6).as("f3"),
-            when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"))
-          .localCheckpoint()
-        val feats = Seq("f0", "f1", "f2", "f3")
-        var w = Array.fill(4)(0.0)
-        for (_ <- 1 to 3) {
-          val z = feats.zipWithIndex
-            .map { case (c, i) => col(c) * lit(w(i)) }.reduce(_ + _)
-          val resid = col("y") - lit(1.0) / (lit(1.0) + exp(-z))
-          val g = f.agg(avg(resid * col("f0")), avg(resid * col("f1")),
-            avg(resid * col("f2")), avg(resid * col("f3"))).head()
-          w = w.indices.map(i => BigDecimal(w(i) + g.getDouble(i))
-            .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
-        }
-        val zFinal = feats.zipWithIndex
-          .map { case (c, i) => col(c) * lit(w(i)) }.reduce(_ + _)
-        val score = round(lit(1.0) / (lit(1.0) + exp(-zFinal)), 4)
-        f.select(col("doc_id"), score.as("score"),
-            col("y").cast("int").as("label"), (score >= 0.5).as("keep"))
-          .orderBy(col("doc_id").asc)
-      }
+    QueryDef.sql(
+      "q142_quality_classifier",
+      s"""WITH $gdCtes
+         |SELECT f.doc_id,
+         |  round(1/(1+exp(-${gdDot("w")})), 4) AS score,
+         |  CAST(y AS INTEGER) AS label,
+         |  round(1/(1+exp(-${gdDot("w")})), 4) >= 0.5 AS keep
+         |FROM f, w3 w ORDER BY f.doc_id ASC""".stripMargin) { (s, dir) =>
+      val (f, w) = qualityTraining(s, dir)
+      val score = gdScore(w)
+      f.select(col("doc_id"), score.as("score"),
+          col("y").cast("int").as("label"), (score >= 0.5).as("keep"))
+        .orderBy(col("doc_id").asc)
     },
 
     // ------------------------------------------------------------------
@@ -598,6 +618,45 @@ object TrainingPipeline {
           max(col("doc_id")).as("max_key"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy(col("shard").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // CLASSIFIER CALIBRATION REPORT (r13) — the audit a trained quality
+    // gate must pass before its threshold is trusted: bin the q142
+    // scores into 10 equal-width bins and compare each bin's mean
+    // predicted score against its observed positive rate (the
+    // reliability-diagram table; per-bin |gap| is the ECE contribution).
+    // A well-calibrated gate has gap ~ 0 in populated bins; a large gap
+    // at the threshold bin means the 0.5 cut keeps/drops the wrong mass.
+    // Reuses qualityTraining verbatim (same checkpointed features, same
+    // rounded GD weights), so the report audits EXACTLY the weights the
+    // gate serves. Scale shape: scoring is the same narrow literal-
+    // weight expression; the report is ONE map-side-combined agg into
+    // <=10 cells. Oracle replays the full GD chain + binning.
+    QueryDef.sql(
+      "q162_classifier_calibration",
+      s"""WITH $gdCtes,
+         |sel AS (SELECT round(1/(1+exp(-${gdDot("w")})), 4) AS score, y
+         |  FROM f, w3 w),
+         |b AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+         |    score, y FROM sel)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(score), 4) AS mean_score,
+         |  round(avg(y), 4) AS pos_rate,
+         |  round(abs(round(avg(score), 4) - round(avg(y), 4)), 4) AS gap
+         |FROM b GROUP BY bin ORDER BY bin ASC""".stripMargin) { (s, dir) =>
+      val (f, w) = qualityTraining(s, dir)
+      val score = gdScore(w)
+      f.select(score.as("score"), col("y"))
+        .withColumn("bin",
+          least(floor(col("score") * 10), lit(9.0)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("score")), 4).as("mean_score"),
+          round(avg(col("y")), 4).as("pos_rate"))
+        .withColumn("gap",
+          round(abs(col("mean_score") - col("pos_rate")), 4))
+        .orderBy(col("bin").asc)
     }
   )
 }
