@@ -2113,6 +2113,69 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
+    // DUP-CLUSTER SIZE HISTOGRAM (r13) — the release-card observability
+    // face of semantic dedup: how much of the corpus sits in near-dup
+    // clusters of each size? (Size-1 = unique; a heavy tail of large
+    // clusters is the "one template stamped a million times" smell that
+    // changes dedup strategy before it changes any query.) Exactly
+    // q150's production-k chain (k=32 training, 2-of-32 assignment,
+    // threshold 0.4 pairs, closure) folded twice more: component →
+    // cluster size, size → (n_clusters, n_docs). Scale shape: both
+    // folds are map-side-combined aggs whose outputs are bounded by the
+    // distinct-size count (≤ largest cluster) — the corpus-sized work is
+    // the pair chain q150 already pays, nothing new shuffles.
+    QueryDef.sql(
+      "q163_dup_cluster_histogram",
+      s"""WITH RECURSIVE ${kmeansCtes(k = 32, iters = 3, sampleBuckets = 3)},
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn <= 2),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b AS a, id_a AS b FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT a AS node, a AS lbl FROM und
+         |  UNION
+         |  SELECT u.a AS node, r.lbl FROM und u JOIN reach r ON u.b = r.node),
+         |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+         |lab AS (SELECT ev.vec_id,
+         |    coalesce(c.component, ev.vec_id) AS component
+         |  FROM (SELECT vec_id FROM embeddings) ev
+         |  LEFT JOIN comp c ON ev.vec_id = c.node),
+         |cs AS (SELECT component, count(*) AS sz FROM lab GROUP BY component)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sz * count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY sz ORDER BY cluster_size ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = VS.trainIvfCodebook(e, k = 32, iters = 3, sampleBuckets = 3)
+      val edges = VS.semanticDedupPairs(Tables.spread(s, e), cents,
+          nAssign = 2, threshold = 0.4)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
+        .withColumnRenamed("node", "vec_id")
+      e.select(col("vec_id")).join(comp, Seq("vec_id"), "left")
+        .select(coalesce(col("component"), col("vec_id")).as("component"))
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"))
+        .orderBy(col("cluster_size").asc)
+    },
+
+    // ------------------------------------------------------------------
     // PRODUCTION-k PAGERANK (r13) — q129's centrality propagation over
     // q133's PRODUCTION-k kNN graph (k=32 cells, nAssign=2) instead of
     // the frozen quadratic k=8/nAssign=3 edge generation it inherited.
