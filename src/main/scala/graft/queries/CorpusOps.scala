@@ -979,6 +979,63 @@ object CorpusOps {
           round(lit(1.0) - col("dot") / (col("na") * col("nb")), 4)
             .as("drift"))
         .orderBy(col("label").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // N-GRAM NOVELTY RATE (r13) — the freshness/diversity monitor
+    // between two corpus slices: what fraction of slice B's distinct
+    // 3-grams never occur in slice A? Novelty ~1 means genuinely new
+    // material (vocabulary/domain growth); novelty ~0 means the "new"
+    // slice is re-treading the old corpus — the signal that more
+    // crawling is buying repetition, not data (and the dual of q135's
+    // contamination overlap: that asks "too shared?", this asks "shared
+    // enough to be stale?"). Per-source so a single saturated domain is
+    // visible. Scale shape: ONE gram-keyed exchange (the distinct over
+    // (source, slice, gram) — the q95/q120 shingle discipline), then a
+    // co-keyed anti join on the SAME (source, gram) key — no re-shuffle
+    // of gram text beyond the distinct — and two map-side-combined aggs
+    // to source-sized output.
+    QueryDef.sql(
+      "q164_ngram_novelty",
+      """WITH t AS (SELECT source,
+        |    ('0x' || substr(md5('nov' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS slice,
+        |    string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS toks
+        |  FROM documents),
+        |ex AS (SELECT DISTINCT source, slice,
+        |    unnest(list_transform(generate_series(0, len(toks) - 3),
+        |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS gram
+        |  FROM t),
+        |b AS (SELECT source, gram FROM ex WHERE slice = 1),
+        |a AS (SELECT source, gram FROM ex WHERE slice = 0),
+        |nov AS (SELECT b.source, count(*) AS n_new
+        |  FROM b ANTI JOIN a USING (source, gram) GROUP BY b.source),
+        |tot AS (SELECT source, count(*) AS n_grams FROM b GROUP BY source)
+        |SELECT tot.source, CAST(coalesce(nov.n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(tot.n_grams AS BIGINT) AS n_grams,
+        |  round(CAST(coalesce(nov.n_new, 0) AS DOUBLE) / tot.n_grams, 4)
+        |    AS novelty
+        |FROM tot LEFT JOIN nov ON tot.source = nov.source
+        |ORDER BY tot.source ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{NativeExpressions => NE}
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val ex = graft.Tables.spread(s, docs(s, dir))
+        .select(col("source"),
+          (conv(substring(md5(concat(lit("nov"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2)
+            .as("slice"),
+          explode(NE.wordNgrams(toks, 3)).as("gram"))
+        .distinct()
+      val aS = ex.filter(col("slice") === 0).select(col("source"), col("gram"))
+      val bS = ex.filter(col("slice") === 1).select(col("source"), col("gram"))
+      val nov = bS.join(aS, Seq("source", "gram"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+      val tot = bS.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      tot.join(nov, Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"), col("n_grams"),
+          round(coalesce(col("n_new"), lit(0L)).cast("double")
+            / col("n_grams"), 4).as("novelty"))
+        .orderBy(col("source").asc)
     }
   )
 }
