@@ -873,7 +873,7 @@ object CorpusOps {
     QueryDef.sql(
       "q149_drift_psi",
       """WITH b AS (SELECT source,
-        |    doc_id % 2 AS slice,
+        |    ('0x' || substr(md5('psi' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS slice,
         |    CASE WHEN n_chars < 100 THEN 0 WHEN n_chars < 200 THEN 1
         |      WHEN n_chars < 300 THEN 2 WHEN n_chars < 400 THEN 3
         |      ELSE 4 END AS bin
@@ -895,8 +895,10 @@ object CorpusOps {
       val bin = when(col("n_chars") < 100, 0).when(col("n_chars") < 200, 1)
         .when(col("n_chars") < 300, 2).when(col("n_chars") < 400, 3)
         .otherwise(4)
+      val slice = conv(substring(md5(concat(lit("psi"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2
       val c = docs(s, dir)
-        .select(col("source"), (col("doc_id") % 2).as("slice"), bin.as("bin"))
+        .select(col("source"), slice.as("slice"), bin.as("bin"))
         .groupBy(col("source"), col("slice"), col("bin"))
         .agg(count(lit(1)).as("n"))
       val g = c.groupBy(col("source"), col("bin")).agg(
