@@ -25,6 +25,19 @@ object LlmPipeline {
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
+  /** q49's profile-word voting as an oracle expression over a `toks`
+    * column (shared by q49 and the q165 agreement matrix): struct-max on
+    * (hits, lang) with the deterministic tie-break both engines share.
+    */
+  private val LangVoteSql: String =
+    """list_aggregate([
+      |    {'hits': len(list_filter(toks, x -> x IN ('the','and','of','to','is','with'))), 'lang': 'en'},
+      |    {'hits': len(list_filter(toks, x -> x IN ('der','die','das','und','ist','mit'))), 'lang': 'de'},
+      |    {'hits': len(list_filter(toks, x -> x IN ('le','la','les','et','est','avec'))), 'lang': 'fr'},
+      |    {'hits': len(list_filter(toks, x -> x IN ('el','la','los','que','es','con'))), 'lang': 'es'},
+      |    {'hits': len(list_filter(toks, x -> x IN ('的','是','和','了','在','不'))), 'lang': 'zh'}
+      |  ], 'max')""".stripMargin
+
   /** embeddings with the float vector widened to ARRAY<DOUBLE>. */
   private def embD(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"), VF.toDoubles(col("embedding")).as("v"))
@@ -616,23 +629,57 @@ object LlmPipeline {
     // (hits, lang)-max tie-break, identical struct ordering in both engines.
     QueryDef.sql(
       "q49_lang_id",
-      """WITH t AS (SELECT doc_id,
-        |    string_split_regex(trim(lower(text)), '\s+') AS toks
-        |  FROM documents),
-        |s AS (SELECT doc_id, list_aggregate([
-        |    {'hits': len(list_filter(toks, x -> x IN ('the','and','of','to','is','with'))), 'lang': 'en'},
-        |    {'hits': len(list_filter(toks, x -> x IN ('der','die','das','und','ist','mit'))), 'lang': 'de'},
-        |    {'hits': len(list_filter(toks, x -> x IN ('le','la','les','et','est','avec'))), 'lang': 'fr'},
-        |    {'hits': len(list_filter(toks, x -> x IN ('el','la','los','que','es','con'))), 'lang': 'es'},
-        |    {'hits': len(list_filter(toks, x -> x IN ('的','是','和','了','在','不'))), 'lang': 'zh'}
-        |  ], 'max') AS best FROM t)
-        |SELECT CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS pred,
-        |  count(*) AS n
-        |FROM s GROUP BY pred ORDER BY pred ASC""".stripMargin) { (s, dir) =>
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, $LangVoteSql AS best FROM t)
+         |SELECT CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS pred,
+         |  count(*) AS n
+         |FROM s GROUP BY pred ORDER BY pred ASC""".stripMargin) { (s, dir) =>
       Tables.spread(s, docs(s, dir))
         .select(TF.languageId(col("text")).as("pred"))
         .groupBy(col("pred")).agg(count(lit(1)).as("n"))
         .orderBy(col("pred").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // LANG-ID AGREEMENT MATRIX (r13) — how far should the corpus's
+    // DECLARED language metadata be trusted? Cross-tabulate the stored
+    // `lang` column against the content-based q49 detector: per
+    // (declared, detected) cell, count + share of the declared language
+    // — the confusion matrix that decides whether downstream per-lang
+    // routing (mixture weights, tokenizer choice, quality thresholds)
+    // can key on metadata or must key on detection. On the synthetic
+    // word-soup corpus the detector reads mostly non-declared values —
+    // exactly the disagreement the audit exists to surface. Scale
+    // shape: one narrow codegen'd detection pass, one map-side-combined
+    // agg to (langs x preds) cells, per-lang totals joined on the tiny
+    // cell table.
+    QueryDef.sql(
+      "q165_langid_agreement",
+      s"""WITH t AS (SELECT lang,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |s AS (SELECT lang, $LangVoteSql AS best FROM t),
+         |p AS (SELECT lang,
+         |    CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS pred
+         |  FROM s),
+         |c AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred),
+         |tl AS (SELECT lang, sum(n) AS tot FROM c GROUP BY lang)
+         |SELECT c.lang, c.pred, CAST(c.n AS BIGINT) AS n,
+         |  round(CAST(c.n AS DOUBLE) / tl.tot, 4) AS share,
+         |  (c.lang = c.pred) AS agree
+         |FROM c JOIN tl USING (lang)
+         |ORDER BY c.lang ASC, c.pred ASC""".stripMargin) { (s, dir) =>
+      val p = Tables.spread(s, docs(s, dir))
+        .select(col("lang"), TF.languageId(col("text")).as("pred"))
+      val c = p.groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+      val tl = c.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
+      c.join(tl, Seq("lang"))
+        .select(col("lang"), col("pred"), col("n"),
+          round(col("n").cast("double") / col("tot"), 4).as("share"),
+          (col("lang") === col("pred")).as("agree"))
+        .orderBy(col("lang").asc, col("pred").asc)
     },
 
     // ------------------------------------------------------------------
