@@ -2160,6 +2160,56 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
+    // SEMANTIC DECONTAMINATION (r13) — the embedding-level face of
+    // q135's benchmark decontamination: n-gram overlap cannot see a
+    // PARAPHRASED eval leak, but its embedding can still sit next to a
+    // training doc. Carve a deterministic eval set (q128's salted-md5
+    // exact-k discipline, 20 vectors), then flag every eval vector whose
+    // max cosine against the TRAINING side (everything else) clears the
+    // threshold — those eval items are compromised and must be dropped
+    // or the training neighbors quarantined. Scale shape: the eval set
+    // is tiny BY CONSTRUCTION (eval sets are), so it BROADCASTS and the
+    // training corpus streams ONCE through a narrow cosine + max-agg —
+    // no shuffle carries vectors; at 100 TB the same contract swaps the
+    // brute-force pass for the q123-style filtered IVF probe (the flag
+    // semantics and threshold are probe-strategy-independent).
+    QueryDef.sql(
+      "q166_semantic_decontamination",
+      """WITH r AS (SELECT vec_id,
+        |    md5('sdecon' || CAST(vec_id AS VARCHAR)) AS rk
+        |  FROM embeddings),
+        |ev AS (SELECT vec_id FROM r ORDER BY rk ASC, vec_id ASC LIMIT 20),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |mx AS (SELECT ev.vec_id,
+        |    max(round(list_cosine_similarity(q.v, tr.v), 4)) AS max_cos
+        |  FROM ev
+        |  JOIN e q ON q.vec_id = ev.vec_id
+        |  CROSS JOIN e tr
+        |  WHERE tr.vec_id NOT IN (SELECT vec_id FROM ev)
+        |  GROUP BY ev.vec_id)
+        |SELECT vec_id, max_cos, (max_cos >= 0.4) AS contaminated
+        |FROM mx ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{NativeExpressions => NE}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val ev = e.select(col("vec_id"),
+          md5(concat(lit("sdecon"), col("vec_id").cast("string"))).as("rk"))
+        .orderBy(col("rk").asc, col("vec_id").asc).limit(20)
+        .select(col("vec_id"))
+      val evVecs = broadcast(e.join(ev, Seq("vec_id"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val train = Tables.spread(s, e.join(ev, Seq("vec_id"), "left_anti"))
+      train.crossJoin(evVecs)
+        .select(col("qid"),
+          round(NE.vectorCosine(col("embedding"), col("qv")), 4).as("c"))
+        .groupBy(col("qid")).agg(max(col("c")).as("max_cos"))
+        .select(col("qid").as("vec_id"), col("max_cos"),
+          (col("max_cos") >= 0.4).as("contaminated"))
+        .orderBy(col("vec_id").asc)
+    },
+
+    // ------------------------------------------------------------------
     // DUP-CLUSTER SIZE HISTOGRAM (r13) — the release-card observability
     // face of semantic dedup: how much of the corpus sits in near-dup
     // clusters of each size? (Size-1 = unique; a heavy tail of large
