@@ -465,6 +465,33 @@ object Streams {
     docs.withColumn("score", score).filter(col("score") >= threshold)
   }
 
+  /** Streaming SEMANTIC gate (r13) — q166's embedding-level
+    * decontamination pointed at the ingest direction: incoming TRAINING
+    * candidates are flagged when their embedding sits too close to any
+    * eval-set vector (a paraphrased leak the n-gram [[decontaminate]]
+    * gate cannot see). The eval set is tiny by construction, so its
+    * vectors ride the plan as an ARRAY LITERAL and the per-row verdict
+    * is max-over-evals cosine via higher-order functions — pure narrow
+    * codegen, no state, no join, no shuffle; serving cost is the scan
+    * (the [[qualityGate]]/[[mixtureGate]] solve-offline/serve-online
+    * pattern, third instance). Emits `max_cos` and a `keep` verdict
+    * (audit-don't-drop, as everywhere). Cosines round to 4 decimals —
+    * the q41 ranking lattice — so stream and batch agree bit-for-bit.
+    */
+  def semanticGate(
+      stream: DataFrame, evalVecs: Seq[Seq[Double]],
+      threshold: Double = 0.4): DataFrame = {
+    require(evalVecs.nonEmpty, "eval vector set must not be empty")
+    import org.apache.spark.sql.functions.{typedlit, transform => hTransform}
+    val VF = graft.functions.VectorFunctions
+    val evs = typedlit(evalVecs.map(_.toArray).toArray)
+    val cosines = hTransform(evs,
+      ev => round(VF.cosine(VF.toDoubles(col("embedding")), ev), 4))
+    stream
+      .withColumn("max_cos", array_max(cosines))
+      .withColumn("keep", col("max_cos") < threshold)
+  }
+
   /** Streaming mixture gate (r13) — q159's token-budget mixture in the
     * shape a live ingest runs it, the [[qualityGate]]
     * solve-offline/serve-online pattern applied to data mixing: the

@@ -590,6 +590,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._2 >= 2L), "some doc should repeat (epoch 2+)")
   }
 
+  test("streaming semantic gate flags ingest vectors near the eval set (stream = batch)") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // eval carve-out offline (tiny by construction); vectors become literals
+    val evalIds = emb.select(col("vec_id"))
+      .orderBy(md5(concat(lit("sg"), col("vec_id").cast("string"))).asc)
+      .limit(5).collect().map(_.getLong(0)).toSet
+    val evalVecs = emb.filter(col("vec_id").isInCollection(evalIds))
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val ingest = emb.filter(!col("vec_id").isInCollection(evalIds))
+    val tmp = Files.createTempDirectory("sgate").toString
+    ingest.repartition(3).write.mode("overwrite").parquet(tmp)
+    val q = Streams.semanticGate(
+        spark.readStream.schema(spark.read.parquet(tmp).schema).parquet(tmp),
+        evalVecs)
+      .select(col("vec_id"), col("max_cos"), col("keep"))
+      .writeStream.format("memory").queryName("sgate_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sgate_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val batch = Streams.semanticGate(ingest, evalVecs)
+      .select(col("vec_id"), col("max_cos"), col("keep")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(streamed == batch, s"semantic gate diverged: " +
+      s"${streamed.size} vs ${batch.size}")
+    assert(streamed.size == ingest.count())
+    // cross-check one row against a direct driver-side cosine
+    val (vid, got, _) = streamed.head
+    val v = emb.filter(col("vec_id") === vid)
+      .collect()(0).getSeq[Float](1).map(_.toDouble)
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = evalVecs.map(ev =>
+      BigDecimal(cos(v, ev)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).max
+    assert(math.abs(got - want) < 1e-9,
+      s"vec $vid: gate max_cos $got vs direct $want")
+  }
+
   test("streaming decontamination equals the q135 batch gate on the same slice") {
     val tmp = Files.createTempDirectory("decontam").toString
     val docs = Tables.load(spark, sfDir, "documents")
