@@ -157,4 +157,34 @@ class TextFunctionsSpec extends SparkSpec {
     // hello , world ! it ' s 4 2 degrees -> 10
     assert(r.getLong(1) == 10)
   }
+
+  test("null, empty, and whitespace-only text never throw (external-corpus hardening)") {
+    // the fixture corpus is null-free, but a user's corpus won't be —
+    // every text kernel must yield null/empty/zero, never an exception
+    import spark.implicits._
+    val d = Seq(Option.empty[String], Some(""), Some("   \t\n "))
+      .toDF("text")
+    val r = d.select(
+      TF.normalizeText(col("text")).as("norm"),
+      TF.tokens(col("text")).as("toks"),
+      TF.tokenCount(col("text")).as("tc"),
+      TF.alphaRatio(col("text")).as("ar"),
+      TF.languageId(col("text")).as("lang"),
+      TF.fingerprint(col("text")).as("fp")).collect()
+    assert(r.length == 3) // evaluation itself must not throw
+    val nullRow = r(0)
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1),
+      "null text propagates null, never a crash")
+    // empty/whitespace rows: defined, finite outputs
+    Seq(r(1), r(2)).foreach { row =>
+      assert(!row.isNullAt(4) , s"languageId must be defined: $row")
+      assert(row.getAs[Double]("ar") == 0.0 || row.isNullAt(3),
+        s"alphaRatio of empty text must be 0 or null: $row")
+    }
+    // the gates built on these kernels must also pass such rows through
+    val gated = graft.streaming.Streams.qualityGate(
+      d.withColumn("doc_id", monotonically_increasing_id()),
+      Array(0.1, 2.0, -1.0, 0.5), threshold = 0.0)
+    assert(gated.count() <= 3) // no exception; null score rows may drop
+  }
 }
