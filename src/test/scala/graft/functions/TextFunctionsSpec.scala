@@ -187,4 +187,29 @@ class TextFunctionsSpec extends SparkSpec {
       Array(0.1, 2.0, -1.0, 0.5), threshold = 0.0)
     assert(gated.count() <= 3) // no exception; null score rows may drop
   }
+
+  test("native vector kernels: null rows propagate, mismatched lengths fail loudly") {
+    import graft.functions.{NativeExpressions => NE}
+    import spark.implicits._
+    // null input row -> null output (nullSafeEval contract), both the
+    // interpreted and codegen paths
+    val d = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (Option.empty[Array[Float]], Some(Array(3.0f, 4.0f))))
+      .toDF("a", "b")
+    val r = d.select(NE.vectorDot(col("a"), col("b")).as("dot")).collect()
+    assert(r(0).getDouble(0) == 11.0)
+    assert(r(1).isNullAt(0), "null vector must yield null, not crash")
+    // mismatched dimensions are corrupt input: documented LOUD failure
+    // (never a plausible-wrong score) — same verdict as the DuckDB oracle
+    val bad = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(NE.vectorDot(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("mismatched lengths")),
+      s"expected the documented loud mismatch failure, got: $e")
+  }
 }
