@@ -955,13 +955,25 @@ object LlmPipeline {
     // of the slice + a co-located anti-join; the corpus is never
     // re-shuffled. Split rule here: even doc_ids = history, odd = new.
     QueryDef.sql(
+      // The synthetic corpus has ZERO duplicate digests (measured:
+      // every doc content-unique), so splitting it alone would leave
+      // the anti-join verdict untested by data — every incoming row
+      // would survive whether or not the dedup works. The incoming
+      // batch therefore carries deterministic REPLAYS of history docs
+      // (the q119 augmentation precedent): every 10th history doc
+      // re-submitted under a shifted id. A broken history join would
+      // leak those replays into the output and fail the hash.
       "q99_dedup_incremental",
       """WITH d AS (SELECT doc_id,
         |    sha256(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS digest
-        |  FROM documents)
+        |  FROM documents),
+        |inc AS (SELECT doc_id, digest FROM d WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, digest FROM d
+        |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0)
         |SELECT n.doc_id, n.digest
-        |FROM d n
-        |WHERE n.doc_id % 2 = 1 AND NOT EXISTS (
+        |FROM inc n
+        |WHERE NOT EXISTS (
         |  SELECT 1 FROM d h WHERE h.doc_id % 2 = 0 AND h.digest = n.digest)
         |ORDER BY n.doc_id ASC""".stripMargin) { (s, dir) =>
       import graft.operators.Layout
@@ -970,11 +982,15 @@ object LlmPipeline {
       val db = "graft_dedup_store"
       freshDb(s, db,
         s"${System.getProperty("java.io.tmpdir")}/graft_dedup_store_db")
+      val incoming = d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("digest"))
+        .unionAll(d
+          .filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("digest")))
       Layout.writeBucketed(
         d.filter(col("doc_id") % 2 === 0).select(col("digest")).distinct(),
         s"$db.history_digests", "digest", 16, Seq("digest"))
-      Layout.writeBucketed(
-        d.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("digest")),
+      Layout.writeBucketed(incoming,
         s"$db.incoming_docs", "digest", 16, Seq("digest"))
       s.table(s"$db.incoming_docs")
         .join(s.table(s"$db.history_digests"), Seq("digest"), "left_anti")
