@@ -227,15 +227,28 @@ object LlmPipeline {
     // lowest doc_id per digest. One shuffle hash-partitioned by digest;
     // at 100 TB this is the canonical first dedup pass (no all-pairs).
     QueryDef.sql(
+      // Liveness (r13): the corpus itself has zero duplicate digests
+      // (measured), so without injection every group had dups=1 and a
+      // broken keep-first filter would produce identical output. Every
+      // 10th doc is re-submitted under a shifted id (the q119/q99
+      // augmentation precedent): those groups now carry dups=2 with the
+      // ORIGINAL id as keeper, so the window rank and the group count
+      // are both load-bearing in the hash.
       "q40_dedup_exact_norm",
-      """SELECT min(doc_id) AS keeper, digest, count(*) AS dups
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS keeper, digest, CAST(count(*) AS BIGINT) AS dups
         |FROM (SELECT doc_id,
         |        sha256(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS digest
-        |      FROM documents) d
+        |      FROM aug) d
         |GROUP BY digest
         |ORDER BY keeper ASC""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir)
-        .withColumn("digest", sha2(TF.normalizeText(col("text")), 256))
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val aug = base.unionAll(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val d = aug.withColumn("digest", sha2(TF.normalizeText(col("text")), 256))
       val w = Window.partitionBy(col("digest")).orderBy(col("doc_id").asc)
       d.withColumn("rn", row_number().over(w))
         .withColumn("dups", count(lit(1)).over(Window.partitionBy(col("digest"))))
