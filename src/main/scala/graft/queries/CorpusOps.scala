@@ -331,26 +331,52 @@ object CorpusOps {
     // distinct-agg; the FK and reconciliation checks are the only
     // joins, both on natural keys (shuffled hash at 100 TB, elidable
     // under shared bucketing). The report is constraint-count-sized.
+    // Liveness (r13): five of the six checks read 0 violations on the
+    // clean fixture tables, so for those an auditor that always
+    // answered 0 was indistinguishable from a working one
+    // (total_reconciles was already live: the synthetic o_totalprice is
+    // unrelated to the line charges, and the audit correctly reports
+    // every order). Each audited table now carries one deterministic
+    // bad row per dormant check (the q119/q99/q40 injection precedent):
+    // a 2.0 discount, a NULL shipdate, a negative price, a duplicated
+    // order key, and an orphan custkey whose order also fails
+    // reconciliation — the five dormant checks now report EXACTLY one
+    // violation with pass=0, pinned by the oracle hash. The one-scan
+    // conditional-agg shape is unchanged (the injection is a narrow
+    // 3-row union).
     QueryDef.sql(
       "q127_constraint_audit",
-      """WITH li AS (SELECT
+      """WITH liaug AS (SELECT l_orderkey, l_discount, l_shipdate,
+        |    l_extendedprice, l_tax FROM lineitem
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (900000001, 2.0, TIMESTAMP '1995-01-01 00:00:00', 10.0, 0.0),
+        |    (900000002, 0.0, CAST(NULL AS TIMESTAMP), 10.0, 0.0),
+        |    (900000003, 0.0, TIMESTAMP '1995-01-01 00:00:00', -5.0, 0.0))
+        |    v(l_orderkey, l_discount, l_shipdate, l_extendedprice, l_tax)),
+        |oaug AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (SELECT o_orderkey, o_custkey, o_totalprice
+        |    FROM orders ORDER BY o_orderkey ASC LIMIT 1)),
+        |oaug2 AS (SELECT * FROM oaug
+        |  UNION ALL SELECT 900000010, -999, 99.99),
+        |li AS (SELECT
         |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
         |      THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
         |    CAST(sum(CASE WHEN l_shipdate IS NULL
         |      THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_nonnull,
         |    CAST(sum(CASE WHEN l_extendedprice <= 0
         |      THEN 1 ELSE 0 END) AS BIGINT) AS price_positive
-        |  FROM lineitem),
+        |  FROM liaug),
         |uq AS (SELECT count(*) - count(DISTINCT o_orderkey) AS v
-        |  FROM orders),
-        |fk AS (SELECT count(*) AS v FROM orders o
+        |  FROM oaug2),
+        |fk AS (SELECT count(*) AS v FROM oaug2 o
         |  LEFT JOIN customer c ON c.c_custkey = o.o_custkey
         |  WHERE c.c_custkey IS NULL),
         |chg AS (SELECT l_orderkey,
         |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
         |      * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM lineitem GROUP BY l_orderkey),
-        |recon AS (SELECT count(*) AS v FROM orders o
+        |  FROM liaug GROUP BY l_orderkey),
+        |recon AS (SELECT count(*) AS v FROM oaug2 o
         |  LEFT JOIN chg ON chg.l_orderkey = o.o_orderkey
         |  WHERE abs(CAST(round(o.o_totalprice * 100) AS BIGINT)
         |    - coalesce(chg.cents, 0)) > 1),
@@ -364,9 +390,25 @@ object CorpusOps {
         |SELECT check_name, violations,
         |  CAST(violations = 0 AS INTEGER) AS pass
         |FROM rep ORDER BY check_name ASC""".stripMargin) { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      val o = Tables.load(s, dir, "orders")
+      import s.implicits._
+      val liRaw = Tables.load(s, dir, "lineitem")
+      val oRaw = Tables.load(s, dir, "orders")
       val cust = Tables.load(s, dir, "customer")
+      val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+      val li = liRaw.select(col("l_orderkey"), col("l_discount"),
+          col("l_shipdate"), col("l_extendedprice"), col("l_tax"))
+        .unionAll(Seq(
+          (900000001L, 2.0, Some(ts), 10.0, 0.0),
+          (900000002L, 0.0, Option.empty[java.sql.Timestamp], 10.0, 0.0),
+          (900000003L, 0.0, Some(ts), -5.0, 0.0))
+          .toDF("l_orderkey", "l_discount", "l_shipdate",
+            "l_extendedprice", "l_tax"))
+      val o = oRaw.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+        .unionAll(oRaw.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")).orderBy(col("o_orderkey").asc).limit(1))
+        .unionAll(Seq((900000010L, -999L, 99.99))
+          .toDF("o_orderkey", "o_custkey", "o_totalprice"))
       def one(name: String, v: org.apache.spark.sql.Column): DataFrame => DataFrame =
         df => df.agg(v.cast("long").as("violations"))
           .select(lit(name).as("check_name"), col("violations"))
