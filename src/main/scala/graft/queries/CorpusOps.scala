@@ -1080,6 +1080,101 @@ object CorpusOps {
           round(coalesce(col("n_new"), lit(0L)).cast("double")
             / col("n_grams"), 4).as("novelty"))
         .orderBy(col("source").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // ORDERED-SEQUENCE FUNNEL (r13) — the event-analytics operator class
+    // the suite lacked: per-user staged conversion through an ORDERED
+    // event pattern (view → click → purchase), where each stage must
+    // occur strictly AFTER the user's previous stage AND within a
+    // 24-hour conversion window of it — not mere event-type membership
+    // (a purchase before the first view must NOT count, and without the
+    // window this corpus converts everyone: 150/150/150 measured — the
+    // window makes the funnel verdict live: 150/60/25 at sf0.01). Per stage: users reaching it, conversion vs stage 1, and
+    // mean seconds from the previous stage. Scale shape: each stage is
+    // one user-keyed min-aggregate over a type-filtered scan (filter
+    // pushed to parquet) joined co-keyed on user_id to the previous
+    // stage — every exchange is user-keyed, so the whole funnel rides
+    // ONE partitioning at any event volume; stage count only adds
+    // narrow passes. Epoch-floor second diffs in both engines (boundary
+    // counting, identical truncation).
+    QueryDef.sql(
+      "q167_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1
+        |    AND e.ts <= v.t1 + INTERVAL 24 HOURS
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |    AND e.ts <= c.t2 + INTERVAL 24 HOURS
+        |  GROUP BY e.user_id),
+        |g2 AS (SELECT c.user_id,
+        |    CAST(floor(epoch(c.t2)) AS BIGINT)
+        |      - CAST(floor(epoch(v.t1)) AS BIGINT) AS gap
+        |  FROM c JOIN v ON v.user_id = c.user_id),
+        |g3 AS (SELECT p.user_id,
+        |    CAST(floor(epoch(p.t3)) AS BIGINT)
+        |      - CAST(floor(epoch(c.t2)) AS BIGINT) AS gap
+        |  FROM p JOIN c ON c.user_id = p.user_id),
+        |rep AS (
+        |  SELECT 1 AS stage, 'view' AS event_type,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM v) AS users,
+        |    CAST(NULL AS DOUBLE) AS mean_gap_s
+        |  UNION ALL SELECT 2, 'click',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM c),
+        |    (SELECT round(avg(CAST(gap AS DOUBLE)), 2) FROM g2)
+        |  UNION ALL SELECT 3, 'purchase',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM p),
+        |    (SELECT round(avg(CAST(gap AS DOUBLE)), 2) FROM g3))
+        |SELECT stage, event_type, users,
+        |  round(CAST(users AS DOUBLE)
+        |    / (SELECT count(*) FROM v), 4) AS conversion,
+        |  mean_gap_s
+        |FROM rep ORDER BY stage ASC""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      def secs(t: org.apache.spark.sql.Column) = unix_timestamp(t)
+      val g2 = c.join(v, Seq("user_id"))
+        .agg(round(avg((secs(col("t2")) - secs(col("t1"))).cast("double")), 2)
+          .as("mean_gap_s"))
+      val g3 = p.join(c, Seq("user_id"))
+        .agg(round(avg((secs(col("t3")) - secs(col("t2"))).cast("double")), 2)
+          .as("mean_gap_s"))
+      val nV = broadcast(v.agg(count(lit(1)).as("users")))
+      val nC = broadcast(c.agg(count(lit(1)).as("users")))
+      val nP = broadcast(p.agg(count(lit(1)).as("users")))
+      val base = nV.select(col("users").as("base"))
+      val s1 = nV.select(lit(1).as("stage"), lit("view").as("event_type"),
+        col("users"), lit(null).cast("double").as("mean_gap_s"))
+      val s2 = nC.crossJoin(broadcast(g2))
+        .select(lit(2).as("stage"), lit("click").as("event_type"),
+          col("users"), col("mean_gap_s"))
+      val s3 = nP.crossJoin(broadcast(g3))
+        .select(lit(3).as("stage"), lit("purchase").as("event_type"),
+          col("users"), col("mean_gap_s"))
+      s1.unionByName(s2).unionByName(s3)
+        .crossJoin(broadcast(base))
+        .select(col("stage"), col("event_type"), col("users"),
+          round(col("users").cast("double") / col("base"), 4)
+            .as("conversion"),
+          col("mean_gap_s"))
+        .orderBy(col("stage").asc)
     }
   )
 }
