@@ -1175,6 +1175,58 @@ object CorpusOps {
             .as("conversion"),
           col("mean_gap_s"))
         .orderBy(col("stage").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // COHORT RETENTION MATRIX (r13) — the unordered-recurrence
+    // counterpart of q167's ordered funnel: users cohorted by the week
+    // of their first signup; each later week of ANY activity marks them
+    // retained at that offset. Output = the classic retention triangle
+    // (cohort_week, week_offset) → active users / cohort size, offsets
+    // 0-8. Scale shape: cohorting is one user-keyed min-agg; the
+    // activity pass joins co-keyed on user_id and dedups on (user,
+    // cohort, offset) — cardinality ≤ users × 9 regardless of event
+    // volume — then two tiny aggs. Week truncation is Monday-start in
+    // BOTH engines (ISO); offsets via epoch-floor integer division so
+    // no date arithmetic ambiguity survives.
+    QueryDef.sql(
+      "q168_cohort_retention",
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cw,
+        |    (CAST(floor(epoch(date_trunc('week', e.ts))) AS BIGINT)
+        |      - CAST(floor(epoch(f.cw)) AS BIGINT)) // 604800 AS wk
+        |  FROM events e JOIN f ON f.user_id = e.user_id
+        |  WHERE e.ts >= f.cw),
+        |cs AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort FROM f
+        |  GROUP BY cw),
+        |r AS (SELECT cw, wk, CAST(count(*) AS BIGINT) AS active FROM a
+        |  WHERE wk BETWEEN 0 AND 8 GROUP BY cw, wk)
+        |SELECT r.cw AS cohort_week, CAST(r.wk AS BIGINT) AS week_offset,
+        |  r.active, cs.cohort,
+        |  round(CAST(r.active AS DOUBLE) / cs.cohort, 4) AS retention
+        |FROM r JOIN cs ON cs.cw = r.cw
+        |ORDER BY cohort_week ASC, week_offset ASC""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val f = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      val a = ev.join(f, Seq("user_id"))
+        .filter(col("ts") >= col("cw"))
+        .select(col("user_id"), col("cw"),
+          expr("(unix_timestamp(date_trunc('week', ts))" +
+            " - unix_timestamp(cw)) div 604800").as("wk"))
+        .distinct()
+      val cs = f.groupBy(col("cw")).agg(count(lit(1)).as("cohort"))
+      val r = a.filter(col("wk").between(0, 8))
+        .groupBy(col("cw"), col("wk")).agg(count(lit(1)).as("active"))
+      r.join(broadcast(cs), Seq("cw"))
+        .select(col("cw").as("cohort_week"), col("wk").as("week_offset"),
+          col("active"), col("cohort"),
+          round(col("active").cast("double") / col("cohort"), 4)
+            .as("retention"))
+        .orderBy(col("cohort_week").asc, col("week_offset").asc)
     }
   )
 }
