@@ -1227,6 +1227,63 @@ object CorpusOps {
           round(col("active").cast("double") / col("cohort"), 4)
             .as("retention"))
         .orderBy(col("cohort_week").asc, col("week_offset").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // BATCH SESSIONIZATION (r13) — the batch face of the streaming
+    // session window (q72): reconstruct gap-based sessions (30-minute
+    // inactivity boundary) per user with lag + cumulative-flag window
+    // arithmetic and emit the per-session table (start, events,
+    // duration) a behavioral pipeline persists. Scale shape: BOTH
+    // windows partition by user_id — a HIGH-cardinality key, so this is
+    // the healthy member of the window family (contrast q61's 3-value
+    // key; no DistributedRank needed) — and the corpus is touched once:
+    // one user-keyed exchange feeds lag, flag-cumsum, and the session
+    // agg without re-shuffling. Durations via epoch-floor seconds.
+    QueryDef.sql(
+      "q169_sessionize",
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |fl AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL
+        |      OR CAST(floor(epoch(ts)) AS BIGINT)
+        |        - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |sid AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM fl)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  min(ts) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT)
+        |    - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        |FROM sid GROUP BY user_id, session_no
+        |ORDER BY user_id ASC, session_no ASC""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wCum = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("prev", lag(col("ts"), 1).over(wOrd))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800,
+            1).otherwise(0))
+        .withColumn("session_no", sum(col("brk")).over(wCum))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(min(col("ts")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts")))
+            - unix_timestamp(min(col("ts")))).as("duration_s"))
+        .select(col("user_id"), col("session_no").cast("long"),
+          col("session_start"), col("n_events"), col("duration_s"))
+        .orderBy(col("user_id").asc, col("session_no").asc)
     }
   )
 }
