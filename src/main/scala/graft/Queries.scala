@@ -18,7 +18,8 @@ object Queries {
       graft.queries.N5Queries.defs ++
       graft.queries.StreamingQueries.defs ++
       graft.queries.MultimodalQueries.defs ++
-      graft.queries.CorpusOps.defs
+      graft.queries.CorpusOps.defs ++
+      graft.queries.CurationOps.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

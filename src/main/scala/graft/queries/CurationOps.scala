@@ -1,0 +1,326 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{NativeExpressions => NE, TextFunctions => TF}
+import graft.operators.{LabelPropagation, SetSimJoin}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation operators, batch 3 (round 13): exact set-similarity
+  * join via lossless prefix filtering, label-propagation communities,
+  * an inverted-index build + conjunctive search, character-entropy
+  * quality scoring, and deterministic weighted sampling (A-ES).
+  *
+  * These close the remaining gaps between the probabilistic dedup family
+  * (LSH/SimHash — recall < 1 by construction) and the exact family: q170
+  * is an EXACT near-dup join whose candidate generation is still sublinear
+  * (the AllPairs prefix filter), q171 separates dense near-dup cores that
+  * connected components (q93) would chain together, and q174 is the
+  * importance-weighted counterpart of the uniform samplers (q55/q128/q143).
+  *
+  * Scale discipline (unchanged from every other suite): keyed exchanges
+  * only, map-side-combined aggs, fixed-point e4/e6 outputs via
+  * floor(x*10^d + 0.5) on identically-computed doubles, total ORDER BY
+  * over output columns, LIMIT only after a total order.
+  */
+object CurationOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** q170's similarity threshold as an exact rational (see SetSimJoin:
+    * both the prefix length and the verify compare run in integer
+    * arithmetic, so boundary ratios like 30/50 behave identically in
+    * both engines). */
+  private val TauNum = 3
+  private val TauDen = 5
+
+  /** q172's frozen conjunctive query, rarest-first by measured df
+    * ('dup' hits ~5% of docs; the others ~75%). In production the terms
+    * arrive per query; the plan shape is term-count-independent. */
+  private val IdxTerms = Seq("dup", "scan", "vector")
+
+  /** q172's doc-space posting-block width: postings are sharded by
+    * floor(doc_id / BlockW), the Lucene-segment layout — NO global or
+    * per-term rank pass is needed to assign blocks, so the index build
+    * is one exchange keyed by (term, block) regardless of term skew. */
+  private val BlockW = 1000L
+
+  /** q173's alphabet, in the exact summation order both engines use. */
+  private val Alphabet: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+
+  /** The 5 synchronous label-propagation rounds q171 freezes (determinism:
+    * fixed budget, min-label tie-break — see operators/LabelPropagation).
+    */
+  private val LpaIters = 5
+
+  /** DuckDB replay of q171: edges from the bounded Jaccard slice, then
+    * `LpaIters` rounds of argmax-by-(count desc, label asc). Generated so
+    * the SQL stays literally iteration-for-iteration what the operator
+    * runs. */
+  private def lpaOracleSql: String = {
+    val head =
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS s
+        |  FROM documents WHERE doc_id < 150),
+        |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 5
+        |    >= len(list_distinct(list_concat(a.s, b.s))) * 4),
+        |bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |l0 AS (SELECT doc_id AS node, doc_id AS label FROM t)""".stripMargin
+    val iters = (1 to LpaIters).map { k =>
+      s"""c$k AS (SELECT bi.dst AS node, l.label, count(*) AS cnt
+         |  FROM bi JOIN l${k - 1} l ON l.node = bi.src
+         |  GROUP BY bi.dst, l.label),
+         |m$k AS (SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |      PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM c$k) WHERE rn = 1),
+         |l$k AS (SELECT p.node, coalesce(m.label, p.label) AS label
+         |  FROM l${k - 1} p LEFT JOIN m$k m ON m.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iters
+       |SELECT node AS doc_id, label AS community FROM l$LpaIters
+       |ORDER BY doc_id ASC""".stripMargin
+  }
+
+  /** DuckDB side of q173: per-character counts via the length-replace
+    * trick, then the entropy fold in the exact same term order as the
+    * Spark expression tree (left-associative over [[Alphabet]]). */
+  private def entropyOracleSql: String = {
+    def q(ch: String) = if (ch == "'") "''" else ch
+    val cnts = Alphabet.zipWithIndex.map { case (ch, i) =>
+      s"length(nt) - length(replace(nt, '${q(ch)}', '')) AS c$i"
+    }.mkString(",\n    ")
+    val lSum = Alphabet.indices.map(i => s"c$i").mkString(" + ")
+    val terms = Alphabet.indices.map { i =>
+      s"""CASE WHEN c$i > 0
+         |    THEN -((CAST(c$i AS DOUBLE) / l) * ln(CAST(c$i AS DOUBLE) / l))
+         |    ELSE 0.0 END""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH n AS (SELECT doc_id,
+       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |    $cnts
+       |  FROM n),
+       |s AS (SELECT doc_id, CAST($lSum AS DOUBLE) AS l,
+       |    ${Alphabet.indices.map(i => s"c$i").mkString(", ")}
+       |  FROM c)
+       |SELECT doc_id, CAST(l AS BIGINT) AS n_counted,
+       |  CAST(floor(($terms) * 10000.0 + 0.5) AS BIGINT) AS ent_e4
+       |FROM s WHERE l > 0
+       |ORDER BY doc_id ASC""".stripMargin
+  }
+
+  /** Spark side of q173's entropy fold, mirroring [[entropyOracleSql]]
+    * term for term (same counts, same left-associative sum order, same
+    * -((p) * ln(p)) shape) so the doubles are bit-identical. */
+  private def entropyCols(nt: Column): (Column, Column) = {
+    // translate(nt, ch, "") deletes every occurrence of the single char —
+    // the codegen'd equivalent of the oracle's replace(nt, ch, '')
+    val cnts: Seq[Column] = Alphabet.map { ch =>
+      length(nt) - length(translate(nt, ch, ""))
+    }
+    val l = cnts.map(_.cast("double")).reduce(_ + _)
+    val ent = cnts.map { c =>
+      when(c > 0, -((c.cast("double") / l) * log(c.cast("double") / l)))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    (l, ent)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // EXACT Jaccard near-dup join over 3-gram shingle sets via prefix
+    // filtering (AllPairs, Bayardo et al. 2007 — operators/SetSimJoin).
+    // Unlike the LSH family (q42/q43: recall < 1), this is exact: the
+    // prefix filter is a LOSSLESS blocking scheme (SetSimJoinSpec pins
+    // prefix == brute-force at two SFs), and unlike q44 it runs on the
+    // FULL corpus, not a bounded slice — candidates come from an
+    // equi-join on each set's rarest shingles only (measured 0.13% of
+    // the pair space at sf0.01, 2.4% at sf0.1). The oracle replays the
+    // chain stage for stage — every decision (prefix length, threshold)
+    // is integer arithmetic, so the engines cannot diverge on
+    // boundaries. Shingles, not unigrams: the synthetic corpus has a
+    // ~31-word vocabulary, so unigram dfs are all ~n and a unigram
+    // prefix filter would degenerate to all-pairs; 3-gram dfs are 1-2.
+    QueryDef.sql(
+      "q170_setsim_prefix_join",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(0, len(toks) - 3),
+        |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS s
+        |  FROM t WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS gram FROM g),
+        |df AS (SELECT gram, count(*) AS df FROM ex GROUP BY gram),
+        |rk AS (SELECT ex.doc_id, ex.sz, ex.gram,
+        |    row_number() OVER (PARTITION BY ex.doc_id
+        |      ORDER BY df.df ASC, ex.gram ASC) AS rn
+        |  FROM ex JOIN df ON ex.gram = df.gram),
+        |pre AS (SELECT doc_id, gram FROM rk
+        |  WHERE rn <= sz - CAST(floor((3 * sz + 4) / 5) AS BIGINT) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pre a JOIN pre b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |ver AS (SELECT c.doc_a, c.doc_b,
+        |    len(list_intersect(ga.s, gb.s)) AS i,
+        |    len(list_distinct(list_concat(ga.s, gb.s))) AS u
+        |  FROM cand c JOIN g ga ON ga.doc_id = c.doc_a
+        |    JOIN g gb ON gb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b,
+        |  CAST(floor(CAST(i AS DOUBLE) / u * 10000.0 + 0.5) AS BIGINT) AS jac_e4
+        |FROM ver WHERE i * 5 >= u * 3
+        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, dir) =>
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val items = Tables.spread(s,
+          docs(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id").as("id"),
+          array_distinct(NE.wordNgrams(toks, 3)).as("s"))
+        .filter(size(col("s")) > 0)
+      SetSimJoin.prefixJaccardJoin(items, TauNum, TauDen)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          floor(col("jaccard") * 10000.0 + 0.5).cast("long").as("jac_e4"))
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Label-propagation communities (Raghavan et al. 2007, deterministic
+    // synchronous variant — operators/LabelPropagation) over the Jaccard
+    // near-dup graph. Completes the graph trio: q93 CC answers "what is
+    // transitively linked", q129 PageRank "what is central", this "which
+    // dense cores exist" — distinct communities survive inside one
+    // connected component when bridges chain unrelated near-dup groups.
+    // Bounded slice + 5 frozen rounds so the oracle can replay every
+    // round; the operator itself is corpus-scale (per round: one
+    // src-keyed join + two same-key aggs, argmax via struct-min with NO
+    // window — see the Scaladoc).
+    QueryDef.sql("q171_label_propagation", lpaOracleSql) { (s, dir) =>
+      val t = Tables.spread(s,
+          docs(s, dir).filter(col("doc_id") < 150)
+            .select(col("doc_id"), col("text")))
+        .select(col("doc_id").as("id"),
+          array_distinct(TF.tokens(lower(trim(col("text"))))).as("s"))
+      val edges = SetSimJoin.bruteForceJaccardJoin(t, 4, 5)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .localCheckpoint()
+      val nodes = t.select(col("id").as("node"))
+      LabelPropagation.run(nodes, edges, LpaIters)
+        .select(col("node").as("doc_id"), col("label").as("community"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Inverted-index build + conjunctive search. The index artifact is a
+    // blocked postings layout: (term, block = floor(doc_id/BlockW)) ->
+    // sorted (doc_id, tf) list — doc-space sharding (the Lucene-segment
+    // scheme), so block assignment needs NO rank pass and the build is
+    // ONE exchange keyed by (term, block) no matter how skewed a term's
+    // postings are. The search goes THROUGH the built postings (explode
+    // -> doc-keyed intersect agg), so the oracle checks the whole
+    // round trip preserves (doc, tf) exactly. Terms are df-ascending
+    // ('dup' ~5% of docs): at scale the rarest term's postings bound the
+    // candidate set before the agg ever forms.
+    QueryDef.sql(
+      "q172_inverted_index",
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+         |  WHERE tok IN (${IdxTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY doc_id, tok)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+         |FROM tf GROUP BY doc_id
+         |HAVING count(DISTINCT tok) = ${IdxTerms.size}
+         |ORDER BY score DESC, doc_id ASC""".stripMargin) { (s, dir) =>
+      val tf = Tables.spread(s,
+          docs(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(TF.tokens(TF.normalizeText(col("text")))).as("tok"))
+        .filter(col("tok").isin(IdxTerms.map(x => x: Any): _*))
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val postings = tf
+        .withColumn("blk", floor(col("doc_id") / BlockW).cast("long"))
+        .groupBy(col("tok"), col("blk"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("plist"))
+      val hits = postings
+        .select(col("tok"), explode(col("plist")).as("p"))
+        .select(col("tok"), col("p.doc_id").as("doc_id"),
+          col("p.tf").as("tf"))
+      hits.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("score"),
+          countDistinct(col("tok")).as("nt"))
+        .filter(col("nt") === IdxTerms.size)
+        .select(col("doc_id"), col("score").cast("long").as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Character-entropy quality signal — the standard gibberish /
+    // mojibake / binary-spill detector (low entropy = repeated filler,
+    // high entropy near log(27) = uniform noise; natural prose sits in a
+    // band). One narrow codegen'd pass: 27 length-replace counts, one
+    // fold — no explode, no shuffle, scales as a pure scan. Both engines
+    // run the IDENTICAL expression tree (same counts, same
+    // left-associative sum order, same -((p)*ln(p)) shape) on doubles,
+    // then land on the e4 lattice via floor(x*1e4 + 0.5).
+    QueryDef.sql("q173_char_entropy", entropyOracleSql) { (s, dir) =>
+      val base = Tables.spread(s,
+          docs(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TF.normalizeText(col("text")).as("nt"))
+      val (l, ent) = entropyCols(col("nt"))
+      // guard BEFORE the entropy projection with the cheap equivalent of
+      // the oracle's l > 0 (l > 0 iff nt contains a counted char): keeps
+      // the 27-term fold out of the filter, so it is evaluated once in
+      // the projection instead of twice with a megabyte codegen filter
+      base.filter(col("nt").rlike("[a-z ]"))
+        .select(col("doc_id"), l.cast("long").as("n_counted"),
+          floor(ent * 10000.0 + 0.5).cast("long").as("ent_e4"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Deterministic weighted sampling WITHOUT replacement via exponential
+    // sort keys (Efraimidis & Spirakis 2006, "A-ES"): key = -ln(u)/w with
+    // u an md5-derived uniform and w = n_chars; the k smallest keys are a
+    // weighted sample. The whole operator is one narrow key computation +
+    // a TakeOrdered top-k — NO global sort materializes, no weight table
+    // shuffles; this is how a quality-weighted subsample of a 100 TB
+    // corpus is drawn in a single pass (the importance-weighted
+    // counterpart of q55/q128/q143's uniform samplers). u is built from
+    // 52 md5 bits so (h + 0.5)/2^52 is exact in a double in BOTH engines.
+    QueryDef.sql(
+      "q174_weighted_sample",
+      """WITH w AS (SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_chars,
+        |    -ln((CAST(h AS DOUBLE) + 0.5) / 4503599627370496.0)
+        |      / CAST(n_chars AS DOUBLE) AS key
+        |  FROM w),
+        |top AS (SELECT doc_id, n_chars, key FROM k
+        |  ORDER BY key ASC, doc_id ASC LIMIT 50)
+        |SELECT doc_id, n_chars,
+        |  CAST(floor(key * 1000000.0 + 0.5) AS BIGINT) AS key_e6
+        |FROM top
+        |ORDER BY key_e6 ASC, doc_id ASC""".stripMargin) { (s, dir) =>
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+        16, 10).cast("long")
+      val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0)
+      val key = -log(u) / col("n_chars").cast("double")
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"), key.as("key"))
+        .orderBy(col("key").asc, col("doc_id").asc)
+        .limit(50)
+        .select(col("doc_id"), col("n_chars"),
+          floor(col("key") * 1000000.0 + 0.5).cast("long").as("key_e6"))
+        .orderBy(col("key_e6").asc, col("doc_id").asc)
+    }
+  )
+}
