@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.{NativeExpressions => NE, TextFunctions => TF}
-import graft.operators.{LabelPropagation, SetSimJoin}
+import graft.operators.{LabelPropagation, PrefixSum, SetSimJoin, Triangles}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -321,6 +321,208 @@ object CurationOps {
         .select(col("doc_id"), col("n_chars"),
           floor(col("key") * 1000000.0 + 0.5).cast("long").as("key_e6"))
         .orderBy(col("key_e6").asc, col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Interval-concurrency sweep line: how many user sessions (q169's
+    // 30-minute-gap sessionization) are simultaneously open at every
+    // boundary instant — the load-profile query behind capacity planning
+    // and peak-QPS reports. Closed-interval semantics fall out of
+    // aggregating the NET delta per timestamp before the running sum (a
+    // start and an end at the same instant both count), which also
+    // removes any tie-ordering ambiguity between engines. The running
+    // sum is the ONE global-order step — it runs through
+    // operators/PrefixSum (bucketed carry: per-day partial sums + a
+    // day-count-sized carry merge), not a single-partition window, so
+    // the sweep scales with executors while the oracle's global window
+    // states the identical semantics.
+    QueryDef.sql(
+      "q175_interval_concurrency",
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |fl AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL
+        |      OR CAST(floor(epoch(ts)) AS BIGINT)
+        |        - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |sid AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_no
+        |  FROM fl),
+        |sess AS (SELECT user_id, session_no,
+        |    min(ts) AS s, max(ts) AS e
+        |  FROM sid GROUP BY user_id, session_no),
+        |d AS (SELECT s AS ts, 1 AS delta FROM sess
+        |  UNION ALL SELECT e AS ts, -1 AS delta FROM sess),
+        |net AS (SELECT ts, sum(delta) AS net FROM d GROUP BY ts)
+        |SELECT ts, CAST(sum(net) OVER (ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS concurrent
+        |FROM net ORDER BY ts ASC""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wCum = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = ev
+        .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800,
+            1).otherwise(0))
+        .withColumn("session_no", sum(col("brk")).over(wCum))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      val net = sess.select(col("s").as("ts"), lit(1L).as("delta"))
+        .union(sess.select(col("e").as("ts"), lit(-1L).as("delta")))
+        .groupBy(col("ts")).agg(sum(col("delta")).as("net"))
+        .withColumn("__g", lit(0))
+      PrefixSum.runningSum(net, "__g",
+          bucket = floor(unix_timestamp(col("ts")) / 86400L),
+          order = Seq(col("ts")), value = col("net"), out = "concurrent")
+        .select(col("ts"), col("concurrent").cast("long").as("concurrent"))
+        .orderBy(col("ts").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Per-node triangle counts over the near-dup graph (same bounded
+    // edge slice as q171) via DEGREE ORIENTATION — operators/Triangles.
+    // Triangle density is the local-clustering signal that separates
+    // genuine duplicate clusters (cliquish) from LSH chaining artifacts
+    // (paths). The oracle enumerates triangles the naive id-ordered way
+    // (three-way edge join), INDEPENDENT of the engine's degree-ordered
+    // plan — both must land on identical exact counts. Scale story in
+    // the operator Scaladoc: orientation bounds the wedge fan-out by
+    // O(sqrt m) on any graph, which a naive neighbor self-join does not.
+    QueryDef.sql(
+      "q176_triangle_count",
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS s
+        |  FROM documents WHERE doc_id < 150),
+        |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 5
+        |    >= len(list_distinct(list_concat(a.s, b.s))) * 4),
+        |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        |  FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        |    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |m AS (SELECT u AS node FROM tri
+        |  UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri),
+        |c AS (SELECT node, count(*) AS cnt FROM m GROUP BY node)
+        |SELECT t.doc_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS triangles
+        |FROM t LEFT JOIN c ON c.node = t.doc_id
+        |ORDER BY doc_id ASC""".stripMargin) { (s, dir) =>
+      val t = Tables.spread(s,
+          docs(s, dir).filter(col("doc_id") < 150)
+            .select(col("doc_id"), col("text")))
+        .select(col("doc_id").as("id"),
+          array_distinct(TF.tokens(lower(trim(col("text"))))).as("s"))
+      val edges = SetSimJoin.bruteForceJaccardJoin(t, 4, 5)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .localCheckpoint()
+      val nodes = t.select(col("id").as("node"))
+      Triangles.perNodeCounts(nodes, edges)
+        .select(col("node").as("doc_id"), col("triangles"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // Edit-distance near-dup pairs with LOSSLESS length-band blocking:
+    // levenshtein(a,b) >= |len(a)-len(b)|, so a d<=60 search only needs
+    // pairs whose normalized lengths fall in the same or adjacent
+    // 64-wide length bin — the candidate join is EQUI on the bin key
+    // (probe side exploded to its 3 neighbor bins), never an all-pairs
+    // theta join. The bounded doc_id slice keeps the O(len^2)-per-pair
+    // verify oracle-checkable (the q44 discipline); the blocking scheme
+    // itself is corpus-scale. Complements Jaccard (q170): edit distance
+    // sees transpositions/rewrites that bag-of-shingles misses.
+    QueryDef.sql(
+      "q177_editdist_blocked",
+      """WITH t AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.nt, b.nt) <= 60
+        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, dir) =>
+      val t = Tables.spread(s,
+          docs(s, dir).filter(col("doc_id") < 100)
+            .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TF.normalizeText(col("text")).as("nt"))
+        .withColumn("bin", floor(length(col("nt")) / 64L))
+      val probe = t
+        .select(col("doc_id").as("doc_a"), col("nt").as("na"),
+          explode(array(col("bin") - 1, col("bin"), col("bin") + 1))
+            .as("bin"))
+      val index = t
+        .select(col("doc_id").as("doc_b"), col("nt").as("nb"), col("bin"))
+      probe.join(index, Seq("bin"))
+        .filter(col("doc_a") < col("doc_b"))
+        // cheap triangle-inequality reject BEFORE the O(len^2) kernel
+        .filter(abs(length(col("na")) - length(col("nb"))) <= 60)
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+        .filter(col("dist") <= 60)
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // PMI collocations: pointwise mutual information between token TYPES
+    // co-occurring in a document — the classic corpus-linguistics
+    // association score (Church & Hanks 1990), and the signal behind
+    // phrase-vocabulary induction. Document frequencies and the pair
+    // table are both map-side-combined keyed aggs; the pair enumeration
+    // is a doc-keyed self-join of the distinct (doc, token) relation —
+    // per-doc fan-out is v_doc^2 (bounded by per-doc vocabulary, NOT
+    // corpus size), the standard co-occurrence pass shape. n_xy >= 5
+    // prunes noise floor pairs.
+    QueryDef.sql(
+      "q178_pmi_collocations",
+      """WITH tk AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')) AS tok
+        |    FROM documents)),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |f AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+        |p AS (SELECT a.tok AS x, b.tok AS y, count(*) AS nxy
+        |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY a.tok, b.tok)
+        |SELECT x, y, CAST(nxy AS BIGINT) AS n_xy,
+        |  CAST(floor(ln(CAST(nxy AS DOUBLE) * n
+        |      / (CAST(fx.df AS DOUBLE) * fy.df)) * 10000.0 + 0.5)
+        |    AS BIGINT) AS pmi_e4
+        |FROM p JOIN f fx ON fx.tok = p.x JOIN f fy ON fy.tok = p.y, n
+        |WHERE nxy >= 5
+        |ORDER BY x ASC, y ASC""".stripMargin) { (s, dir) =>
+      val tk = Tables.spread(s,
+          docs(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(TF.tokens(TF.normalizeText(col("text")))).as("tok"))
+        .distinct()
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      val f = tk.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val pairs = tk.as("a")
+        .join(tk.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("x"), col("b.tok").as("y"))
+        .agg(count(lit(1)).as("nxy"))
+        .filter(col("nxy") >= 5)
+      pairs
+        .join(broadcast(f.select(col("tok").as("x"), col("df").as("dfx"))), "x")
+        .join(broadcast(f.select(col("tok").as("y"), col("df").as("dfy"))), "y")
+        .crossJoin(broadcast(n))
+        .select(col("x"), col("y"), col("nxy").cast("long").as("n_xy"),
+          floor(log(col("nxy").cast("double") * col("n")
+            / (col("dfx").cast("double") * col("dfy"))) * 10000.0 + 0.5)
+            .cast("long").as("pmi_e4"))
+        .orderBy(col("x").asc, col("y").asc)
     }
   )
 }
