@@ -695,6 +695,59 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q170: the set-similarity join is pure equi joins — no nested loop") {
+    // the whole point of prefix filtering: a SIMILARITY join planned as
+    // keyed equi-joins (candidates on prefix elements, verify on ids).
+    // A nested-loop or cartesian anywhere means the blocking regressed
+    // to all-pairs.
+    val p = formatted("q170_setsim_prefix_join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "prefix-filter join must never plan a nested loop")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+      "candidate/verify joins must be hash/merge equi-joins")
+  }
+
+  test("q177: banded levenshtein joins on the length bin, no nested loop") {
+    val p = formatted("q177_editdist_blocked")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "length-band blocking must plan as an equi join")
+  }
+
+  test("q174: weighted sample is TakeOrdered, never a global sort") {
+    val p = formatted("q174_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "A-ES top-k must plan as TakeOrdered")
+  }
+
+  test("q175: the global sweep runs through the bucketed carry, not a " +
+      "corpus-sized single-partition window") {
+    val plan = {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "false")
+        Queries.byName("q175_interval_concurrency").build(spark, sf)
+          .queryExecution.executedPlan
+      } finally spark.conf.set(key, prev)
+    }
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected window nodes")
+    // windows on the constant sweep key (__g) — the PrefixSum local +
+    // carry — must consume the per-timestamp NET aggregate, never the
+    // raw event scan; the session windows partition by user_id (high
+    // cardinality) and are exempt
+    windows.filter(_.partitionSpec.exists(_.toString.contains("__g")))
+      .foreach { w =>
+        assert(w.child.collectFirst {
+            case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+          }.nonEmpty,
+          "sweep windows must consume the net-delta aggregate, not events")
+      }
+  }
+
   test("whole-stage codegen spans the Q1 pipeline") {
     // AQE materializes codegen stages lazily; disable it for the probe so
     // the prepared plan shows the WholeStageCodegen spans directly.
