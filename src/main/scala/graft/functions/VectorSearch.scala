@@ -368,6 +368,54 @@ object VectorSearch {
       .filter(col("rnk") <= k)
   }
 
+  /** HARD-NEGATIVE MINING over the trained cells — for every anchor, its
+    * top-`k` highest-cosine neighbors with a DIFFERENT `label`, among
+    * vectors sharing a top-`nAssign` cell. This is the candidate-mining
+    * pass of contrastive embedding training (the negatives that sit
+    * closest to the anchor are the informative ones); structurally it is
+    * [[knnGraph]] with the label carried through and the mismatch
+    * predicate applied IN the cell join, so the per-(cell, src) top-k
+    * window ranks only different-label candidates and the two-stage
+    * exactness argument holds unchanged: a global top-k negative must be
+    * in the per-cell top-k of every shared cell, the per-cell window
+    * rides the join's hash partitioning on cell with no extra exchange,
+    * and only ≤ nAssign·k survivors per anchor reach the global re-rank.
+    * Cell count is the scale knob exactly as in [[semanticDedupPairs]].
+    *
+    * Input must carry (vec_id, embedding, label); output is
+    * (src, rnk, nbr, nbr_label, cosine) with the (cosine DESC rounded to
+    * 4, nbr ASC) total order per anchor.
+    */
+  def hardNegatives(
+      vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
+      nAssign: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignCells(vectors, cents, nAssign)
+      .select(col("cell"), col("vec_id"), col("label"), col("embedding"),
+        NE.vectorL2Norm(col("embedding")).as("nrm"))
+    val a = assigned.select(col("cell").as("cell_a"),
+      col("vec_id").as("src"), col("label").as("la"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell").as("cell_b"),
+      col("vec_id").as("nbr"), col("label").as("nbr_label"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val wCell = Window.partitionBy(col("cell_a"), col("src"))
+      .orderBy(col("cosine").desc, col("nbr").asc)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("nbr").asc)
+    a.join(b, col("cell_a") === col("cell_b") &&
+        col("src") =!= col("nbr") && col("la") =!= col("nbr_label"))
+      .select(col("cell_a"), col("src"), col("nbr"), col("nbr_label"),
+        round(NE.vectorDot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 4).as("cosine"))
+      .withColumn("rc", row_number().over(wCell))
+      .filter(col("rc") <= k)
+      .select(col("src"), col("nbr"), col("nbr_label"), col("cosine"))
+      .distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** IVF search against a PERSISTED index table (vec_id, embedding, cell)
     * — the scan side of the trained-IVF story. The probe cells are
     * collected (≤ probes×nProbe ints) and pushed as a literal IN filter

@@ -105,6 +105,53 @@ object CorpusOps {
        |s$r AS (SELECT t, n, replace(seq, m$r.pair, m$r.merged) AS seq
        |  FROM s${r - 1}, m$r)""".stripMargin
 
+  /** Train the 3 BPE merges on the full-corpus word-frequency table —
+    * q144's training loop, shared verbatim by q145 (per-doc apply) and
+    * q182 (per-lang fertility). One corpus pass builds the vocab-sized
+    * frequency table; each round is one agg + head() over that table
+    * (vocab-sized, never the corpus) and a narrow literal replace.
+    */
+  private def trainedBpeMerges(
+      s: SparkSession, dir: String): Seq[(String, String)] = {
+    val wf = Tables.spread(s, docs(s, dir).select(col("text")))
+      .select(explode(TF.tokens(TF.normalizeText(col("text")))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    var cur = wf
+      .withColumn("seq", regexp_replace(col("t"), "(.)", "$1|"))
+      .localCheckpoint()
+    (1 to 3).map { _ =>
+      val syms = split(col("seq"), "\\|")
+      val pairs = when(size(syms) >= 3,
+          transform(sequence(lit(1), size(syms) - 2),
+            i => concat(element_at(syms, i), lit("|"),
+              element_at(syms, i + 1), lit("|"))))
+        .otherwise(array().cast("array<string>"))
+      val top = cur.select(col("n"), explode(pairs).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).head()
+      val pair = top.getString(0)
+      val merged = pair.replace("|", "") + "|"
+      cur = cur.withColumn("seq",
+        org.apache.spark.sql.functions.replace(
+          col("seq"), lit(pair), lit(merged)))
+        .localCheckpoint()
+      (pair, merged)
+    }
+  }
+
+  /** Subword count of one token under the learned merges — a pure
+    * narrow expression (merges arrive as literals), zero exchanges. */
+  private def bpeSubwords(merges: Seq[(String, String)])(
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val seq = merges.foldLeft(regexp_replace(t, "(.)", "$1|")) {
+      case (c, (pair, merged)) =>
+        org.apache.spark.sql.functions.replace(c, lit(pair), lit(merged))
+    }
+    (size(split(seq, "\\|")) - 1).cast("long")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -744,46 +791,83 @@ object CorpusOps {
          |      m1.pair, m1.merged), m2.pair, m2.merged), m3.pair, m3.merged),
          |      '|')) - 1)), (a, b) -> a + b) AS BIGINT) AS n_subwords
          |FROM d, m1, m2, m3 ORDER BY doc_id ASC""".stripMargin) { (s, dir) =>
-      val wf = Tables.spread(s, docs(s, dir).select(col("text")))
-        .select(explode(TF.tokens(TF.normalizeText(col("text")))).as("t"))
-        .filter(col("t") =!= "")
-        .groupBy(col("t")).agg(count(lit(1)).as("n"))
-      var cur = wf
-        .withColumn("seq", regexp_replace(col("t"), "(.)", "$1|"))
-        .localCheckpoint()
-      val merges = (1 to 3).map { _ =>
-        val syms = split(col("seq"), "\\|")
-        val pairs = when(size(syms) >= 3,
-            transform(sequence(lit(1), size(syms) - 2),
-              i => concat(element_at(syms, i), lit("|"),
-                element_at(syms, i + 1), lit("|"))))
-          .otherwise(array().cast("array<string>"))
-        val top = cur.select(col("n"), explode(pairs).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair").asc)
-          .limit(1).head()
-        val pair = top.getString(0)
-        val merged = pair.replace("|", "") + "|"
-        cur = cur.withColumn("seq",
-          org.apache.spark.sql.functions.replace(
-            col("seq"), lit(pair), lit(merged)))
-          .localCheckpoint()
-        (pair, merged)
-      }
+      val merges = trainedBpeMerges(s, dir)
       val toks = filter(TF.tokens(TF.normalizeText(col("text"))),
         t => length(t) > 0)
-      def subwords(t: org.apache.spark.sql.Column) = {
-        val seq = merges.foldLeft(regexp_replace(t, "(.)", "$1|")) {
-          case (c, (pair, merged)) =>
-            org.apache.spark.sql.functions.replace(c, lit(pair), lit(merged))
-        }
-        (size(split(seq, "\\|")) - 1).cast("long")
-      }
       Tables.spread(s, docs(s, dir).filter(col("doc_id") < 300))
         .select(col("doc_id"),
-          aggregate(transform(toks, subwords(_)), lit(0L), (a, b) => a + b)
-            .as("n_subwords"))
+          aggregate(transform(toks, t => bpeSubwords(merges)(t)), lit(0L),
+            (a, b) => a + b).as("n_subwords"))
         .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // TOKENIZER FERTILITY BY LANGUAGE (q182, r13) — the tokenizer-audit
+    // table every multilingual pretraining run publishes: subwords per
+    // word ("fertility") and chars per subword, per language, under the
+    // learned merges. A tokenizer trained on skewed language mixes
+    // over-fragments the under-represented languages (fertility ↑),
+    // which silently multiplies their effective token cost — this query
+    // is how that is detected BEFORE burning compute. Shape: the q144/
+    // q145 training replay (vocab-sized table, corpus touched once),
+    // then ONE narrow pass over the apply slice folding per-token
+    // subword and char counts per doc, into a lang-keyed map-side-
+    // combined agg (output rows = languages). Ratios are integer
+    // fixed-point (floor(1e4·x + 0.5)) so both engines agree exactly.
+    QueryDef.sql(
+      "q182_tokenizer_fertility",
+      s"""WITH tok AS (SELECT
+         |    unnest(string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS t
+         |  FROM documents),
+         |wf AS (SELECT t, count(*) AS n FROM tok WHERE t <> '' GROUP BY t),
+         |s0 AS (SELECT t, n, regexp_replace(t, '(.)', '\\1|', 'g') AS seq
+         |  FROM wf),
+         |${BpeRound("s0", 1)},
+         |${BpeRound("s1", 2)},
+         |${BpeRound("s2", 3)},
+         |d AS (SELECT lang, list_filter(
+         |    string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'),
+         |    x -> x <> '') AS toks
+         |  FROM documents WHERE doc_id < 300),
+         |per AS (SELECT lang,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_reduce(list_prepend(0, list_transform(d.toks,
+         |      t -> len(string_split(replace(replace(replace(
+         |        regexp_replace(t, '(.)', '\\1|', 'g'),
+         |        m1.pair, m1.merged), m2.pair, m2.merged), m3.pair, m3.merged),
+         |        '|')) - 1)), (a, b) -> a + b) AS BIGINT) AS n_sub,
+         |    CAST(list_reduce(list_prepend(0, list_transform(d.toks,
+         |      t -> len(t))), (a, b) -> a + b) AS BIGINT) AS n_chr
+         |  FROM d, m1, m2, m3)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+         |  CAST(sum(n_chr) AS BIGINT) AS n_chars,
+         |  CAST(floor(10000.0 * sum(n_sub) / sum(n_words) + 0.5) AS BIGINT)
+         |    AS fertility_e4,
+         |  CAST(floor(10000.0 * sum(n_chr) / sum(n_sub) + 0.5) AS BIGINT)
+         |    AS cps_e4
+         |FROM per GROUP BY lang ORDER BY lang ASC""".stripMargin) { (s, dir) =>
+      val merges = trainedBpeMerges(s, dir)
+      val toks = filter(TF.tokens(TF.normalizeText(col("text"))),
+        t => length(t) > 0)
+      Tables.spread(s, docs(s, dir).filter(col("doc_id") < 300))
+        .select(col("lang"),
+          size(toks).cast("long").as("n_words"),
+          aggregate(transform(toks, t => bpeSubwords(merges)(t)), lit(0L),
+            (a, b) => a + b).as("n_sub"),
+          aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+            (a, b) => a + b).as("n_chr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("n_words"),
+          sum(col("n_sub")).cast("long").as("n_subwords"),
+          sum(col("n_chr")).cast("long").as("n_chars"),
+          floor(lit(10000.0) * sum(col("n_sub")) / sum(col("n_words"))
+            + lit(0.5)).cast("long").as("fertility_e4"),
+          floor(lit(10000.0) * sum(col("n_chr")) / sum(col("n_sub"))
+            + lit(0.5)).cast("long").as("cps_e4"))
+        .orderBy(col("lang").asc)
     },
 
     // ------------------------------------------------------------------

@@ -523,6 +523,63 @@ object CurationOps {
             / (col("dfx").cast("double") * col("dfy"))) * 10000.0 + 0.5)
             .cast("long").as("pmi_e4"))
         .orderBy(col("x").asc, col("y").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // RELEASE DIFF / DATASET REGRESSION AUDIT (q183, r13) — the diff
+    // table shipped alongside every corpus release: vs the previous
+    // release, which docs were ADDED, REMOVED, CHANGED (same id,
+    // different content digest), or carried UNCHANGED, per source. The
+    // two releases are carved deterministically from the corpus by md5
+    // bucket (old = buckets 0-7, new = buckets 2-9, so both exclusive
+    // slices and an overlap exist), and a deterministic slice of the
+    // overlap (doc_id % 7 = 0) is content-REVISED on the new side so
+    // the changed-detection path is live, not vacuously green (the
+    // q40/q99 injected-replay discipline). Scale shape: one full-outer
+    // join co-keyed on doc_id — both sides hash-partition once, digests
+    // compare within the join row, and the agg is map-side-combined
+    // into sources×4 output cells; nothing corpus-sized shuffles twice.
+    // At 100 TB with digest-bucketed releases (q99's store layout) the
+    // join is zero-exchange.
+    QueryDef.sql(
+      "q183_release_diff",
+      """WITH b AS (SELECT doc_id, source, text,
+        |    ('0x' || substr(md5('rel' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bk
+        |  FROM documents),
+        |old AS (SELECT doc_id, source, md5(text) AS digest
+        |  FROM b WHERE bk < 8),
+        |new_r AS (SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END)
+        |      AS digest
+        |  FROM b WHERE bk >= 2),
+        |d AS (SELECT coalesce(o.source, n.source) AS source,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.digest <> n.digest THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old o FULL OUTER JOIN new_r n ON o.doc_id = n.doc_id)
+        |SELECT source, status, count(*) AS n_docs
+        |FROM d GROUP BY source, status
+        |ORDER BY source ASC, status ASC""".stripMargin) { (s, dir) =>
+      val b = docs(s, dir).select(col("doc_id"), col("source"), col("text"),
+        (conv(substring(md5(concat(lit("rel"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % 10).as("bk"))
+      val old = b.filter(col("bk") < 8)
+        .select(col("doc_id"), col("source").as("src_o"),
+          md5(col("text")).as("dig_o"))
+      val newR = b.filter(col("bk") >= 2)
+        .select(col("doc_id"), col("source").as("src_n"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("dig_n"))
+      old.join(newR, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src_o"), col("src_n")).as("source"),
+          when(col("dig_o").isNull, "added")
+            .when(col("dig_n").isNull, "removed")
+            .when(col("dig_o") =!= col("dig_n"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source").asc, col("status").asc)
     }
   )
 }

@@ -2677,6 +2677,133 @@ object LlmPipeline {
             round(avg(col("score")), 4).as("mean_score"))
           .orderBy(col("split").asc)
       }
+    },
+
+    // ------------------------------------------------------------------
+    // HARD-NEGATIVE MINING (r13) — the contrastive-training face of the
+    // trained-cell family: for every anchor vector, its top-3 highest-
+    // cosine neighbors carrying a DIFFERENT label. Random negatives are
+    // trivially separable and teach an embedding model nothing; the
+    // negatives that matter are the ones sitting closest to the anchor,
+    // and mining them exactly is an all-pairs pass — so this rides the
+    // IDENTICAL production-k chain as q133 (k=32 cells, nAssign=2,
+    // 12.5 % of the pair space) with the label-mismatch predicate pushed
+    // INTO the cell join, where it prunes candidates before either
+    // window. Scale shape: same as q133 — assignment is shuffle-free,
+    // the only exchange is the cell-keyed join, the per-(cell, anchor)
+    // top-k is a local sort on the join's partitioning, and k-the-cell-
+    // count is the measured lever (ScaleK). The oracle replays training,
+    // 2-of-32 assignment, mismatch pairing, and ranking CTE-for-CTE.
+    QueryDef.sql(
+      "q179_hard_negatives",
+      s"""WITH ${kmeansCtes(k = 32, iters = 3, sampleBuckets = 3)},
+         |e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.label, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, label, v, cid AS cell FROM (
+         |    SELECT vec_id, label, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr,
+         |    b.label AS nbr_label,
+         |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |      AND a.label <> b.label),
+         |ranked AS (SELECT src, nbr, nbr_label, cosine,
+         |    row_number() OVER (PARTITION BY src
+         |      ORDER BY cosine DESC, nbr ASC) AS rnk
+         |  FROM cand)
+         |SELECT src, CAST(rnk AS INTEGER) AS rnk, nbr, nbr_label, cosine
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY src ASC, rnk ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+      val cents = VS.trainIvfCodebook(
+        e.select(col("vec_id"), col("embedding")),
+        k = 32, iters = 3, sampleBuckets = 3)
+      VS.hardNegatives(Tables.spread(s, e), cents, nAssign = 2, k = 3)
+        .select(col("src"), col("rnk"), col("nbr"), col("nbr_label"),
+          col("cosine"))
+        .orderBy(col("src").asc, col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // SOFT-DEDUP SAMPLING WEIGHTS (r13) — the reweighting alternative to
+    // hard semantic dedup (q150 keeps one survivor per cluster and drops
+    // the rest; SoftDeDup-style curation instead keeps EVERY member at
+    // sampling weight 1/cluster_size, so near-dup content contributes one
+    // effective copy to training without a hard drop decision). Composes
+    // the q134 production-k pair chain: pairs → connected components →
+    // component sizes → weight_e4 = floor(10^4/size + 0.5) per member,
+    // 10^4 for singletons. The weight arithmetic is integer fixed-point,
+    // so both engines agree exactly. Scale shape: the pair chain is the
+    // measured k-lever family; the closure runs on the PAIR table (output-
+    // sized, not corpus-sized); sizes are one keyed agg; the final join
+    // back to the corpus is keyed by vec_id with the component table
+    // cluster-member-sized — broadcastable at any corpus scale where the
+    // near-dup fraction is bounded. Output also carries the effective-
+    // dataset-size story: SUM(weight_e4)/10^4 is the corpus's effective
+    // row count after soft dedup.
+    QueryDef.sql(
+      "q180_softdedup_weights",
+      s"""WITH RECURSIVE ${kmeansCtes(k = 32, iters = 3, sampleBuckets = 3)},
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn <= 2),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b AS a, id_a AS b FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT a AS node, a AS lbl FROM und
+         |  UNION
+         |  SELECT u.a AS node, r.lbl FROM und u JOIN reach r ON u.b = r.node),
+         |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+         |sized AS (SELECT component, count(*) AS csize FROM comp
+         |  GROUP BY component)
+         |SELECT ev.vec_id,
+         |  CAST(coalesce(c.component, ev.vec_id) AS BIGINT) AS component,
+         |  CAST(coalesce(s.csize, 1) AS BIGINT) AS csize,
+         |  CAST(floor(10000.0 / coalesce(s.csize, 1) + 0.5) AS BIGINT)
+         |    AS weight_e4
+         |FROM (SELECT vec_id FROM embeddings) ev
+         |LEFT JOIN comp c ON ev.vec_id = c.node
+         |LEFT JOIN sized s ON c.component = s.component
+         |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = VS.trainIvfCodebook(e, k = 32, iters = 3, sampleBuckets = 3)
+      val edges = VS.semanticDedupPairs(Tables.spread(s, e), cents,
+          nAssign = 2, threshold = 0.4)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
+        .withColumnRenamed("node", "vec_id")
+      val sized = comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("csize"))
+      e.select(col("vec_id"))
+        .join(broadcast(comp), Seq("vec_id"), "left")
+        .join(broadcast(sized), Seq("component"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"),
+          coalesce(col("csize"), lit(1L)).cast("long").as("csize"),
+          floor(lit(10000.0) / coalesce(col("csize"), lit(1L)) + lit(0.5))
+            .cast("long").as("weight_e4"))
+        .orderBy(col("vec_id").asc)
     }
   )
 }

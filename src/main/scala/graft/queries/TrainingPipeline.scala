@@ -657,6 +657,43 @@ object TrainingPipeline {
         .withColumn("gap",
           round(abs(col("mean_score") - col("pos_rate")), 4))
         .orderBy(col("bin").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // CURRICULUM TRAINING ORDER (r13) — the materialized global sample
+    // order a curriculum run feeds the data loader: documents grouped
+    // into deterministic quality tiers (here n_chars bands; any scored
+    // tier works — the plan is tier-source-agnostic), shuffled WITHIN
+    // each tier by a seedable md5 key (rand()-free, so the order is
+    // reproducible and resumable), and assigned one GLOBAL position.
+    // The position is the q153 operator, not a partition-less window:
+    // `Window.orderBy(...)` with no partition key collapses the corpus
+    // onto one reducer (the bench's own WindowExec warning), while
+    // DistributedRank range-partitions on (tier, shuffle-key) and emits
+    // global row numbers at range parallelism with one tiny boundary-
+    // stats merge on the driver — the only plan shape under which
+    // "write out the epoch's sample order" survives 100 TB. The md5 key
+    // is unique per doc, so the order is total and tie-free by
+    // construction; the oracle replays tiering, key, and row_number.
+    QueryDef.sql(
+      "q181_curriculum_order",
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN n_chars >= 600 THEN 2
+        |         WHEN n_chars >= 200 THEN 1 ELSE 0 END AS tier,
+        |    md5('curr7' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents)
+        |SELECT CAST(row_number() OVER (
+        |    ORDER BY tier DESC, rk ASC, doc_id ASC) AS INTEGER) AS pos,
+        |  doc_id, tier
+        |FROM t ORDER BY pos ASC""".stripMargin) { (s, dir) =>
+      val tiered = docs(s, dir).select(col("doc_id"),
+          when(col("n_chars") >= 600, 2)
+            .when(col("n_chars") >= 200, 1).otherwise(0).as("tier"),
+          md5(concat(lit("curr7"), col("doc_id").cast("string"))).as("rk"))
+      graft.operators.DistributedRank.withRanks(tiered, Seq(),
+          Seq(("tier", false), ("rk", true), ("doc_id", true)))
+        .select(col("rn").as("pos"), col("doc_id"), col("tier"))
+        .orderBy(col("pos").asc)
     }
   )
 }

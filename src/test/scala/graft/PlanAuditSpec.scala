@@ -748,6 +748,44 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("q181: the global curriculum order plans NO window at all — " +
+      "DistributedRank, not a partition-less WindowExec") {
+    // `Window.orderBy(...)` with no key moves the corpus to ONE reducer
+    // (the bench's own WindowExec warning); the whole point of q181 is
+    // that the global position comes from the range-parallel operator.
+    val plan = {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "false")
+        Queries.byName("q181_curriculum_order").build(spark, sf)
+          .queryExecution.executedPlan
+      } finally spark.conf.set(key, prev)
+    }
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      "curriculum order must never plan a WindowExec")
+  }
+
+  test("q183: the release diff is one co-keyed full-outer equi join, " +
+      "never a nested loop") {
+    val p = formatted("q183_release_diff")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "diff must join on doc_id as an equi join")
+    assert(p.contains("FullOuter"), "diff must plan a full-outer join")
+    assert(p.contains("HashAggregate"),
+      "status counts must map-side combine")
+  }
+
+  test("q179: hard-negative mining keeps the knn-graph shape — keyed " +
+      "cell join, no nested loop, per-cell window with no extra exchange") {
+    val p = formatted("q179_hard_negatives")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "candidate generation must be the cell equi join")
+  }
+
   test("whole-stage codegen spans the Q1 pipeline") {
     // AQE materializes codegen stages lazily; disable it for the probe so
     // the prepared plan shows the WholeStageCodegen spans directly.

@@ -381,6 +381,90 @@ class VectorSearchSpec extends SparkSpec {
       s"noise-floor recall degraded: $nh/$nb")
   }
 
+  test("q179 hard negatives: every edge crosses labels, cosines exact, " +
+      "recall vs brute different-label top-3") {
+    import graft.functions.{NativeExpressions => NE}
+    val dir = "/root/testdata/sf0.001"
+    val hn = graft.Queries.byName("q179_hard_negatives").build(spark, dir)
+      .cache()
+    val el = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    // (1) label integrity: src label never equals the emitted nbr_label,
+    // and nbr_label is the neighbor's true label
+    val joined = hn
+      .join(el.select(col("vec_id").as("src"), col("label").as("ls"),
+        col("embedding").as("es")), "src")
+      .join(el.select(col("vec_id").as("nbr"), col("label").as("ln"),
+        col("embedding").as("en")), "nbr")
+      .cache()
+    assert(joined.filter(col("ls") === col("nbr_label")).count() == 0,
+      "a hard negative must carry a different label than its anchor")
+    assert(joined.filter(col("ln") =!= col("nbr_label")).count() == 0,
+      "emitted nbr_label must be the neighbor's true label")
+    // (2) degree bounded by k=3, contiguous ranks, no self-edges
+    val deg = hn.groupBy(col("src"))
+      .agg(count(lit(1)).as("d"), max(col("rnk")).as("mx"))
+    assert(deg.filter(col("d") > 3 || col("d") =!= col("mx")).count() == 0)
+    assert(hn.filter(col("src") === col("nbr")).count() == 0)
+    // (3) soundness: emitted cosine is the exact pairwise cosine
+    assert(joined.filter(
+      round(NE.vectorCosine(col("es"), col("en")), 4) =!= col("cosine"))
+      .count() == 0, "edge cosine must be the exact cosine")
+    // (4) recall vs brute-force different-label top-3. This corpus's
+    // cross-label cosines sit at the random-similarity noise floor
+    // (max pairwise ~0.51), where neighbors straddle cells the most —
+    // the same regime as the k=32 scale-lever test above (0.45 floor);
+    // measured 0.48 here. Real mining dials nAssign up for recall.
+    val x = el.select(col("vec_id").as("src"), col("label").as("ls"),
+      col("embedding").as("es"))
+    val y = el.select(col("vec_id").as("nbr"), col("label").as("ln"),
+      col("embedding").as("en"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cosine").desc, col("nbr").asc)
+    val brute = x.join(y, col("src") =!= col("nbr") && col("ls") =!= col("ln"))
+      .select(col("src"), col("nbr"),
+        round(NE.vectorCosine(col("es"), col("en")), 4).as("cosine"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    val hit = hn.select(col("src"), col("nbr"))
+      .intersect(brute.select(col("src"), col("nbr"))).count()
+    val total = brute.count()
+    info(s"hard-negative recall@3 vs brute: $hit / $total")
+    assert(total > 0 && hit.toDouble / total >= 0.4,
+      s"hard-negative recall $hit/$total below the 0.4 noise floor")
+    joined.unpersist(); hn.unpersist()
+  }
+
+  test("q180 softdedup weights: fixed-point arithmetic, full coverage, " +
+      "effective size = #clusters + #singletons") {
+    val dir = "/root/testdata/sf0.001"
+    val wts = graft.Queries.byName("q180_softdedup_weights")
+      .build(spark, dir).cache()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // every corpus vector gets exactly one weight row
+    assert(wts.count() == n, "one weight row per corpus vector")
+    assert(wts.select(col("vec_id")).distinct().count() == n)
+    // weight arithmetic: floor(1e4/csize + 0.5), singletons at 1e4
+    assert(wts.filter(col("weight_e4") =!=
+      floor(lit(10000.0) / col("csize") + lit(0.5)).cast("long"))
+      .count() == 0, "weight must be floor(1e4/csize + 0.5)")
+    assert(wts.filter(col("csize") === 1 && col("weight_e4") =!= 10000L)
+      .count() == 0, "singletons keep full weight")
+    // csize is consistent: the component's row count equals csize
+    val sizes = wts.groupBy(col("component"))
+      .agg(count(lit(1)).as("m"), max(col("csize")).as("cs"),
+        min(col("csize")).as("cs2"))
+    assert(sizes.filter(col("m") =!= col("cs") || col("cs") =!= col("cs2"))
+      .count() == 0, "csize must equal the component's member count")
+    // effective dataset size: Σ weight ≈ #components (each cluster
+    // contributes ~1 effective doc; floor rounding loses < 1 per member)
+    val eff = wts.agg(sum(col("weight_e4"))).head().getLong(0) / 10000.0
+    val nComp = wts.select(col("component")).distinct().count()
+    info(s"effective size $eff vs components $nComp of $n docs")
+    assert(math.abs(eff - nComp) < 0.01 * n,
+      s"effective size $eff should approximate component count $nComp")
+    wts.unpersist()
+  }
+
   test("pq codes are in range and ADC ranking recalls brute-force neighbours") {
     import graft.functions.{VectorFunctions => VF}
     val k = 10

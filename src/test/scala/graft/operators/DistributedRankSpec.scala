@@ -101,6 +101,29 @@ class DistributedRankSpec extends SparkSpec {
     assert(got == expected, s"nulls diverged: $got vs $expected")
   }
 
+  test("global order (empty partCols) equals a partition-less window — " +
+      "the q181 curriculum shape") {
+    // the global-sample-order use case: NO window key at all. Spark's own
+    // partition-less window collapses to one reducer; DistributedRank must
+    // produce the identical numbers at range parallelism.
+    val w = Window.orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val expected = orders.select(col("o_orderkey"),
+        row_number().over(w).as("rn"), rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    val got = DistributedRank.withRanks(orders, Seq(),
+        Seq(("o_orderdate", true), ("o_orderkey", true)), numPartitions = 11)
+      .select(col("o_orderkey"), col("rn"), col("rnk"), col("drnk"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(got.size == expected.size)
+    val bad = expected.filter { case (k, e) => got(k) != e }
+    assert(bad.isEmpty, s"${bad.size} rows diverge, e.g. ${bad.take(3)}")
+  }
+
   test("single partition and empty input degrade gracefully") {
     val one = DistributedRank.withRanks(orders.limit(50),
       Seq("o_orderstatus"), Seq(("o_orderdate", true)), numPartitions = 1)
