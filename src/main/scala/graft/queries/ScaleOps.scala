@@ -430,6 +430,81 @@ object ScaleOps {
           round(VF.cosine(col("dv"), col("pv")), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(10)
+    },
+
+    // ------------------------------------------------------------------
+    // MERGEABLE HLL SHARD SKETCHES + UNION (q184, r13) — the incremental
+    // distinct-counting pattern a 100 TB deployment actually runs:
+    // distinct counts are NEVER recomputed from rows; each ingest
+    // partition (here: ship-month shards — literally the time-partition
+    // layout) persists a bounded-size Datasketches HLL of its keys; ANY
+    // later rollup (day → month → release) is a sketch UNION — rows are
+    // touched exactly once, ever. This is q60's approx_count_distinct
+    // upgraded to REUSABLE state: hll_sketch_agg's buffer is the
+    // artifact, hll_union_agg proves the re-aggregation works across
+    // overlapping shards (an orderkey spans shipmodes, so the union must
+    // dedup across sketches, not add them). Tolerance-gated like
+    // q60/q155 — sketch estimates are engine-specific by design, so the
+    // declared check is the bound: every per-shard estimate AND the
+    // unioned global estimate within 5 % of exact.
+    QueryDef.sql(
+      "q184_hll_sketch_union",
+      "SELECT CAST(1 AS INTEGER) AS within_tol") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val shard = li.groupBy(date_trunc("month", col("l_shipdate")).as("m"))
+        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"),
+          countDistinct(col("l_orderkey")).as("ex"))
+        .localCheckpoint() // the persisted-artifact boundary: union reads
+                           // sketches, never rows
+      val shardOk = shard
+        .select((abs(hll_sketch_estimate(col("sk")) - col("ex"))
+          <= col("ex").cast("double") * 0.05).cast("int").as("ok"))
+        .agg(min(col("ok")).as("shard_ok"))
+      val global = shard
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("apx"))
+      val exact = li.agg(countDistinct(col("l_orderkey")).as("ex"))
+      global.crossJoin(exact).crossJoin(shardOk)
+        .select((col("shard_ok") === 1 &&
+          abs(col("apx") - col("ex")) <= col("ex").cast("double") * 0.05)
+          .cast("int").as("within_tol"))
+    },
+
+    // ------------------------------------------------------------------
+    // RELEASE SHARD INTEGRITY CHECKSUMS (q185, r13) — the fixity table
+    // published with a release so a consumer (or a later re-run) can
+    // verify every shard byte-for-byte without re-reading the corpus
+    // next to it: per shard, the doc count, total chars, and an ORDER-
+    // INDEPENDENT content checksum — sum of per-doc md5-prefix integers
+    // mod the Mersenne-ish prime 1e9+7. Order independence is the
+    // point: a distributed rewrite emits rows in nondeterministic order,
+    // so a concatenation hash would never reproduce, while a modular
+    // sum is invariant under both row order and partitioning (map-side
+    // partial sums stay < 2^63 up to ~9.2e9 rows/shard at these
+    // summand bounds — overflow-safe headroom of 6 orders). One narrow
+    // pass, one map-side-combined agg into #shards cells.
+    QueryDef.sql(
+      "q185_shard_checksums",
+      """WITH d AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+        |      AS shard,
+        |    ('0x' || substr(md5(text), 1, 13))::BIGINT % 1000000007 AS dint,
+        |    n_chars
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(dint) % 1000000007 AS BIGINT) AS checksum
+        |FROM d GROUP BY shard ORDER BY shard ASC""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 8).as("shard"),
+          (conv(substring(md5(col("text")), 1, 13), 16, 10)
+            .cast("long") % 1000000007L).as("dint"),
+          col("n_chars"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          (sum(col("dint")) % 1000000007L).cast("long").as("checksum"))
+        .orderBy(col("shard").asc)
     }
   )
 }

@@ -781,4 +781,44 @@ object Streams {
     }
       .start()
   }
+
+  /** Streaming INTEGRITY LEDGER (r13) — the live-ingest face of q185's
+    * release shard checksums: every micro-batch emits one ledger row per
+    * touched shard — (shard, n_docs, total_chars, checksum_partial) —
+    * and the release-time rollup per shard is Σn_docs, Σtotal_chars, and
+    * (Σ checksum_partial) mod p. The rollup EQUALS the batch checksum
+    * because modular addition is associative and commutative — the same
+    * property that makes the q185 checksum row-order-independent makes
+    * it batch-boundary-independent, so the ledger can be folded at any
+    * granularity (batch → hour → release) without ever re-reading rows.
+    * Per-batch cost: one narrow pass + a map-side-combined agg into at
+    * most `shards` cells; the ledger itself is shards×batches rows of
+    * metadata.
+    */
+  def integrityLedger(
+      stream: DataFrame, shards: Int = 8,
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow())
+      (onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val P = 1000000007L
+    val writer = stream.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.foreachBatch { (batch: DataFrame, id: Long) =>
+      val ledger = batch.select(
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % shards).as("shard"),
+          (conv(substring(md5(col("text")), 1, 13), 16, 10)
+            .cast("long") % P).as("dint"),
+          col("n_chars"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          (sum(col("dint")) % P).cast("long").as("checksum_partial"))
+      onBatch(ledger, id)
+    }
+      .start()
+  }
 }

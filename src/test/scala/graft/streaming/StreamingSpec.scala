@@ -705,6 +705,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._3 >= 2), "no contaminated doc in slice")
   }
 
+  test("streaming integrity ledger rolls up to the q185 batch checksums " +
+      "across micro-batch boundaries") {
+    val tmp = Files.createTempDirectory("ledger").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    // several files → several micro-batch candidates: the rollup must be
+    // batch-boundary-independent (modular sums are associative)
+    docs.repartition(5).write.mode("overwrite").parquet(tmp)
+    var ledger = Vector.empty[(Long, Long, Long, Long)]
+    val q = Streams.integrityLedger(
+      spark.readStream.schema(spark.read.parquet(tmp).schema).parquet(tmp)) {
+      (rows, _) =>
+        ledger ++= rows.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    q.awaitTermination()
+    val P = 1000000007L
+    val rolled = ledger.groupBy(_._1).map { case (shard, rs) =>
+      (shard, rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum % P)
+    }.toSet
+    val batch = graft.Queries.byName("q185_shard_checksums")
+      .build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch.size > 1, "expected multiple shards")
+    assert(rolled == batch,
+      s"ledger rollup diverged from the batch checksums: $rolled vs $batch")
+  }
+
   test("writeStream.format(n5): native streaming sink commits block rows") {
     val tmp = Files.createTempDirectory("n5sink").toString
     // stream the fixture's 4 block rows (as parquet files) into a new N5
