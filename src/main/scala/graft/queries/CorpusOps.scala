@@ -294,6 +294,61 @@ object CorpusOps {
     },
 
     // ------------------------------------------------------------------
+    // EXACT SUBSTRING-LEVEL DEDUP (q186, r13) — the character-granular
+    // exact-duplication scan (the ExactSubstr pass of Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better",
+    // public): every 40-char window of every document, marked duplicate
+    // when the identical character string occurs earlier anywhere in
+    // the corpus — stride 1, so duplication is caught ACROSS token and
+    // passage boundaries where q120's word-chunk grid and q95's
+    // token-shingle grid cannot see it (a copied sentence re-wrapped
+    // with different whitespace segmentation still shares its interior
+    // char windows). Suffix arrays are the classical single-machine
+    // answer; the shuffle-native equivalent is the gram-keyed window
+    // below — the exchange carries md5(gram) (fixed 32 bytes, never the
+    // text), partitions by content so identical windows meet exactly
+    // once, and the per-doc rollup is map-side-combined. The k-factor
+    // write amplification (each char enters k grams) is the documented
+    // cost, paid in shuffle bytes only: the scan reads the corpus once
+    // and nothing corpus×k-sized is ever persisted.
+    QueryDef.sql(
+      "q186_substring_dedup",
+      """WITH g AS (SELECT doc_id,
+        |    unnest(generate_series(1, length(text) - 39)) AS pos,
+        |    unnest(list_transform(generate_series(1, length(text) - 39),
+        |      i -> md5(substr(text, CAST(i AS BIGINT), 40)))) AS gh
+        |  FROM documents WHERE length(text) >= 40),
+        |marked AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY gh
+        |      ORDER BY doc_id ASC, pos ASC) AS occ
+        |  FROM g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+        |FROM marked GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin) {
+      (s, dir) =>
+      val k = 40
+      val grams = Tables.spread(s,
+          docs(s, dir).select(col("doc_id"), col("text")))
+        .filter(length(col("text")) >= k)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), length(col("text")) - (k - 1)),
+            i => md5(col("text").substr(i, lit(k))))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
+      val w = Window.partitionBy(col("gh"))
+        .orderBy(col("doc_id").asc, col("pos").asc)
+      grams.withColumn("occ", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          round(col("n_dup") / col("n_grams").cast("double"), 4)
+            .as("dup_frac"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
     // Numeric distribution profiling: fixed-width histogram of
     // l_extendedprice with per-bin stats, share, and cumulative share
     // (the empirical CDF) — the data-profiling pass that sizes
