@@ -580,6 +580,62 @@ object CurationOps {
         .groupBy(col("source"), col("status"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source").asc, col("status").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // QUALITY-SIGNAL RANK FUSION (q187, r13) — ensemble quality scoring
+    // by CORPUS-WIDE percent ranks instead of raw values: each signal
+    // (length, token count, alpha ratio) is converted to its global
+    // percent_rank and the fused score is the rank average. Rank fusion
+    // is the q146 RRF rationale applied to curation: signals live on
+    // incomparable scales (chars vs ratios), and rank-normalizing makes
+    // the blend calibration-free — the standard move when combining
+    // heterogeneous quality classifiers over a pretraining corpus. The
+    // scale problem is that percent_rank is a GLOBAL window: a
+    // partition-less Window.orderBy would single-reduce the corpus
+    // once per signal. Here each signal ranks through
+    // `operators/DistributedRank` (range partitions + driver boundary
+    // merge, tie-exact prnk) on a doc_id+signals PROJECTION — the text
+    // never enters any of the three range exchanges. Fused scores are
+    // e4 fixed-point on identically-associated double sums, ties broken
+    // by doc_id, LIMIT only after the total order.
+    QueryDef.sql(
+      "q187_quality_rank_fusion",
+      """WITH sig AS (SELECT doc_id,
+        |    CAST(n_chars AS DOUBLE) AS s1,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS DOUBLE) AS s2,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |        AS DOUBLE) / length(text) END AS s3
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    percent_rank() OVER (ORDER BY s1 ASC) AS p1,
+        |    percent_rank() OVER (ORDER BY s2 ASC) AS p2,
+        |    percent_rank() OVER (ORDER BY s3 ASC) AS p3
+        |  FROM sig)
+        |SELECT doc_id,
+        |  CAST(floor((p1 + p2 + p3) / 3.0 * 10000.0 + 0.5) AS BIGINT)
+        |    AS fused_e4
+        |FROM r ORDER BY fused_e4 DESC, doc_id ASC LIMIT 100""".stripMargin) {
+      (s, dir) =>
+      val sig = docs(s, dir).select(col("doc_id"),
+        col("n_chars").cast("double").as("s1"),
+        size(filter(TF.tokens(trim(col("text"))), t => length(t) > 0))
+          .cast("double").as("s2"),
+        TF.alphaRatio(col("text")).as("s3"))
+      val ranked = Seq("s1", "s2", "s3").zipWithIndex
+        .foldLeft(sig) { case (df, (c, i)) =>
+          graft.operators.DistributedRank
+            .withRanks(df, Seq(), Seq((c, true)))
+            .withColumnRenamed("prnk", s"p${i + 1}")
+            .drop("rn", "rnk", "drnk", "cd")
+        }
+      ranked.select(col("doc_id"),
+          floor((col("p1") + col("p2") + col("p3")) / 3.0 * 10000.0 + 0.5)
+            .cast("long").as("fused_e4"))
+        .orderBy(col("fused_e4").desc, col("doc_id").asc)
+        .limit(100)
     }
   )
 }

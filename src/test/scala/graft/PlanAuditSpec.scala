@@ -769,6 +769,26 @@ class PlanAuditSpec extends SparkSpec {
       "curriculum order must never plan a WindowExec")
   }
 
+  test("q187: three global percent-ranks plan ZERO WindowExec — all " +
+      "ranking through DistributedRank at range parallelism") {
+    val plan = {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "false")
+        Queries.byName("q187_quality_rank_fusion").build(spark, sf)
+          .queryExecution.executedPlan
+      } finally spark.conf.set(key, prev)
+    }
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      "rank fusion must never plan a partition-less WindowExec")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      "the final top-100 must be TakeOrdered, not a global sort")
+  }
+
   test("q183: the release diff is one co-keyed full-outer equi join, " +
       "never a nested loop") {
     val p = formatted("q183_release_diff")
