@@ -52,6 +52,34 @@ object Multimodal {
     })
   }
 
+  final case class ImagePHash(id: Long, h0: Int, h1: Int, h2: Int, h3: Int)
+
+  /** Average-hash (aHash) of a decoded image — the perceptual fingerprint
+    * used for image-level near-dup detection: bit_i = (n·p_i >= Σp), an
+    * INTEGER-exact threshold against the mean (no double division, so
+    * any engine reproduces it bit-for-bit), packed into four 16-bit
+    * bands. The banding IS the search structure: two hashes at hamming
+    * distance ≤ 3 must agree on at least one of the 4 bands (pigeonhole),
+    * so an equi-join on (band_idx, band_value) is a LOSSLESS candidate
+    * blocker for T ≤ 3 — the q177 length-band discipline in hamming
+    * space. REAL decode on executors. */
+  def imagePHash(media: Dataset[MediaRow]): Dataset[ImagePHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val s = TiffIO.decode(m.bytes)
+      val n = s.pixels.length
+      var sum = 0L; var i = 0
+      while (i < n) { sum += s.pixels(i); i += 1 }
+      val bands = new Array[Int](4)
+      i = 0
+      while (i < n && i < 64) {
+        if (n.toLong * s.pixels(i) >= sum) bands(i / 16) |= (1 << (i % 16))
+        i += 1
+      }
+      ImagePHash(m.id, bands(0), bands(1), bands(2), bands(3))
+    })
+  }
+
   /** Nearest-neighbour resize to (tw, th). REAL pixels in, real pixels out. */
   def resizeImages(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._

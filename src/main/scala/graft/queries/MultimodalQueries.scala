@@ -171,6 +171,102 @@ object MultimodalQueries {
           round(col("mean_luma"), 4).as("mean_luma"))
         .orderBy(col("id").asc, col("frame_idx").asc)
         .limit(400)
+    },
+
+    // ------------------------------------------------------------------
+    // PERCEPTUAL-HASH IMAGE DEDUP (q188, r13) — near-dup detection for
+    // the IMAGE modality: every image's average-hash (aHash — integer-
+    // exact mean threshold, the public perceptual-fingerprint baseline)
+    // packed into four 16-bit bands, then pairs at hamming distance ≤ 3
+    // found via a LOSSLESS banded equi-join: hamming ≤ 3 over 64 bits
+    // means at least one of the 4 bands matches exactly (pigeonhole), so
+    // candidate generation is a keyed join on (band_idx, band_value) —
+    // never all-pairs — and the exact hamming verify runs only on
+    // band-colliding candidates. The q177/q170 lossless-blocking
+    // discipline in hamming space, over the REAL image path (embedding →
+    // TIFF encode → executor-side decode → hash). The corpus's natural
+    // hash distances sit ≥ 15 (measured), so the dup path is kept LIVE
+    // by injected replays per the q40/q99 discipline: 10 exact copies
+    // (hamming 0) and 5 one-pixel perturbations; the oracle replays the
+    // injection, the hash, and an all-pairs hamming scan — which the
+    // banded join must reproduce exactly BECAUSE the blocking is
+    // lossless.
+    QueryDef.sql(
+      "q188_phash_dedup",
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id < 10
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS vec_id,
+        |    list_transform(generate_series(1, len(embedding)),
+        |      i -> CASE WHEN i = 1 THEN CAST(1.0 AS FLOAT)
+        |           ELSE embedding[i] END) AS embedding
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 15),
+        |px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |  FROM corpus),
+        |hs AS (SELECT vec_id, p,
+        |    list_reduce(list_prepend(0, p), (a, b) -> a + b) AS s
+        |  FROM px),
+        |bits AS (SELECT vec_id,
+        |    list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN 64 * p[i + 1] >= s THEN 1 ELSE 0 END) AS b
+        |  FROM hs),
+        |bands AS (SELECT vec_id,
+        |    list_transform(generate_series(0, 3), j ->
+        |      list_reduce(list_prepend(0,
+        |        list_transform(generate_series(0, 15),
+        |          k -> b[16 * j + k + 1] << k)), (a, c) -> a + c)) AS bd
+        |  FROM bits)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(bit_count(xor(CAST(a.bd[1] AS BIGINT), CAST(b.bd[1] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[2] AS BIGINT), CAST(b.bd[2] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[3] AS BIGINT), CAST(b.bd[3] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[4] AS BIGINT), CAST(b.bd[4] AS BIGINT)))
+        |    AS INTEGER) AS hamming
+        |FROM bands a JOIN bands b ON a.vec_id < b.vec_id
+        |WHERE bit_count(xor(CAST(a.bd[1] AS BIGINT), CAST(b.bd[1] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[2] AS BIGINT), CAST(b.bd[2] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[3] AS BIGINT), CAST(b.bd[3] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[4] AS BIGINT), CAST(b.bd[4] AS BIGINT)))
+        |    <= 3
+        |ORDER BY id_a ASC, id_b ASC""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val exact = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val perturbed = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, lit(1.0f)).otherwise(x)).as("embedding"))
+      val corpus = e.unionAll(exact).unionAll(perturbed)
+      val ph = Multimodal.imagePHash(
+          Multimodal.embeddingsAsImages(Tables.spread(s, corpus))).toDF()
+      val bandCols = Seq("h0", "h1", "h2", "h3")
+      val exploded = ph.select(col("id"),
+          posexplode(array(bandCols.map(col): _*)))
+        .select(col("id"), col("pos").as("j"), col("col").as("h"))
+      val cand = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.j") === col("b.j") && col("a.h") === col("b.h") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val ha = bandCols.foldLeft(ph)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+        .withColumnRenamed("id", "id_a")
+      val hb = bandCols.foldLeft(ph)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+        .withColumnRenamed("id", "id_b")
+      val hamming = bandCols
+        .map(c => bit_count(col(s"a_$c").bitwiseXOR(col(s"b_$c"))))
+        .reduce(_ + _)
+      cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("id_a").asc, col("id_b").asc)
     }
   )
 }

@@ -172,4 +172,40 @@ class MultimodalSpec extends SparkSpec {
     assert(px.width == 2 && px.height == 2)
     assert(px.pixels.toSeq == Seq(0, 127, 255, 191))
   }
+
+  test("q188 banded pHash blocking is LOSSLESS: equals brute-force " +
+      "all-pairs hamming at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val q = graft.Queries.byName("q188_phash_dedup")
+      .build(spark, "/root/testdata/sf0.001")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // brute force over the SAME injected corpus, via the same real path
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val exact = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val pert = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, lit(1.0f)).otherwise(x)).as("embedding"))
+    val ph = Multimodal.imagePHash(Multimodal.embeddingsAsImages(
+        e.unionAll(exact).unionAll(pert)))
+      .collect().map(p => (p.id, Seq(p.h0, p.h1, p.h2, p.h3)))
+    val brute = (for {
+      (ia, ba) <- ph; (ib, bb) <- ph if ia < ib
+      ham = ba.zip(bb).map { case (x, y) =>
+        java.lang.Integer.bitCount(x ^ y) }.sum
+      if ham <= 3
+    } yield (ia, ib, ham)).toSet
+    assert(brute.nonEmpty, "injected replays must produce live pairs")
+    assert(got == brute,
+      s"banded blocking lost pairs: got ${got.size} vs brute ${brute.size}")
+    // the pigeonhole argument itself: any surviving pair shares a band
+    val byId = ph.toMap
+    got.foreach { case (a, b, _) =>
+      assert(byId(a).zip(byId(b)).exists { case (x, y) => x == y },
+        s"pair ($a,$b) shares no band — blocking argument violated")
+    }
+  }
 }
