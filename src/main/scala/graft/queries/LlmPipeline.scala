@@ -2804,6 +2804,105 @@ object LlmPipeline {
           floor(lit(10000.0) / coalesce(col("csize"), lit(1L)) + lit(0.5))
             .cast("long").as("weight_e4"))
         .orderBy(col("vec_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // INCREMENTAL NEAR-DUP vs a MINHASH SIGNATURE STORE (q189, r13) —
+    // q99's incremental pattern lifted from exact digests to NEAR-dups:
+    // the history corpus's LSH band keys live in a PERSISTED store
+    // bucketed by band key (each key md5-prefixed with its band index,
+    // so one column is the complete join identity); an incoming delta
+    // computes its own band keys (the q42 native signature kernel — a
+    // row-local pass, no exchange) and LEFT-joins the store: co-bucketed
+    // layout ⇒ the history side never reshuffles, the join input is
+    // delta-sized, and each incoming doc leaves with its history-match
+    // count and first match. Incoming includes REPLAYS of history docs
+    // with one appended token (near-dup but digest-distinct — exactly
+    // what q99's exact store cannot catch), keeping the detection path
+    // live per the q40/q99 injection discipline. At 100 TB the store is
+    // the standing artifact; each day pays only its delta's signatures
+    // plus a band-bucket-pruned probe.
+    QueryDef.sql(
+      "q189_dedup_incremental_minhash", {
+        val sigSelects = (0 until 16)
+          .map(j => s"min((${MinhashParams.a(j)} * h + ${MinhashParams.b(j)}) " +
+            s"% ${MinhashParams.p}) AS s$j").mkString(", ")
+        val bandSelects = (0 until 4).map { b =>
+          val cols = (0 until 4).map(i => s"s${b * 4 + i}").mkString(", ")
+          s"SELECT doc_id, md5(concat_ws('|', '$b', $cols)) AS bk FROM sig"
+        }.mkString("\nUNION ALL ")
+        s"""WITH base AS (SELECT doc_id, text,
+           |    ('0x' || substr(md5('mh' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS g
+           |  FROM documents),
+           |corpus AS (
+           |  SELECT doc_id, text, g FROM base
+           |  UNION ALL
+           |  SELECT doc_id + 500000 AS doc_id, text || ' xtra' AS text,
+           |    9 AS g
+           |  FROM base WHERE g < 8 AND doc_id % 50 = 0),
+           |t AS (SELECT doc_id, g,
+           |    string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS toks
+           |  FROM corpus),
+           |ex0 AS (SELECT doc_id, g,
+           |    unnest(list_transform(generate_series(0, greatest(len(toks) - 3, 0)),
+           |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
+           |  FROM t),
+           |ex AS (SELECT doc_id, g,
+           |    ('0x' || substr(md5(sh), 18, 15))::BIGINT % ${MinhashParams.p} AS h
+           |  FROM ex0),
+           |sig AS (SELECT doc_id, any_value(g) AS g, $sigSelects
+           |  FROM ex GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |hist AS (SELECT DISTINCT b.bk, b.doc_id AS hist_id
+           |  FROM bands b JOIN sig s ON b.doc_id = s.doc_id WHERE s.g < 8),
+           |inc AS (SELECT DISTINCT b.doc_id, b.bk
+           |  FROM bands b JOIN sig s ON b.doc_id = s.doc_id WHERE s.g >= 8)
+           |SELECT i.doc_id,
+           |  CAST(count(DISTINCT h.hist_id) AS BIGINT) AS n_hist,
+           |  CAST(coalesce(min(h.hist_id), -1) AS BIGINT) AS first_match
+           |FROM inc i LEFT JOIN hist h ON i.bk = h.bk
+           |GROUP BY i.doc_id ORDER BY i.doc_id ASC""".stripMargin
+      }) { (s, dir) =>
+      import graft.operators.Layout
+      val base = docs(s, dir).select(col("doc_id"), col("text"),
+        (conv(substring(md5(concat(lit("mh"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % 10).as("g"))
+      val corpus = base.unionAll(
+        base.filter(col("g") < 8 && col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            concat(col("text"), lit(" xtra")).as("text"), lit(9L).as("g")))
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val sigArr = NE.minhashSigs(toks,
+        (0 until 16).map(MinhashParams.a), (0 until 16).map(MinhashParams.b),
+        MinhashParams.p)
+      val sigs = Tables.spread(s, corpus)
+        .select(col("doc_id"), col("g"), sigArr.as("sig"))
+        .select(col("doc_id") :: col("g") :: (0 until 16).map(j =>
+          element_at(col("sig"), j + 1).as(s"s$j")).toList: _*)
+      val bandKeys = (0 until 4).map(b =>
+        md5(concat_ws("|", lit(b.toString) +:
+          (0 until 4).map(i => col(s"s${b * 4 + i}").cast("string")): _*)))
+      val withKeys = sigs.select(col("doc_id"), col("g"),
+        explode(array(bandKeys: _*)).as("bk"))
+      val db = "graft_minhash_store"
+      freshDb(s, db,
+        s"${System.getProperty("java.io.tmpdir")}/graft_minhash_store_db")
+      Layout.writeBucketed(
+        withKeys.filter(col("g") < 8)
+          .select(col("bk"), col("doc_id").as("hist_id")).distinct(),
+        s"$db.history_bands", "bk", 16, Seq("bk"))
+      Layout.writeBucketed(
+        withKeys.filter(col("g") >= 8)
+          .select(col("doc_id"), col("bk")).distinct(),
+        s"$db.incoming_bands", "bk", 16, Seq("bk"))
+      s.table(s"$db.incoming_bands")
+        .join(s.table(s"$db.history_bands"), Seq("bk"), "left")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("hist_id")).as("n_hist"),
+          coalesce(min(col("hist_id")), lit(-1L)).cast("long")
+            .as("first_match"))
+        .select(col("doc_id"), col("n_hist"), col("first_match"))
+        .orderBy(col("doc_id").asc)
     }
   )
 }

@@ -87,4 +87,39 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("bucketed band-store left join (q189 shape) plans with no exchange " +
+      "before the per-doc aggregate") {
+    import spark.implicits._
+    // history band keys vs incoming band keys — the minhash-store join:
+    // both sides bucketed by the band key, so the join itself must not
+    // shuffle; only the per-doc rollup afterwards exchanges (delta-sized)
+    val hist = Seq(("k1", 10L), ("k2", 11L), ("k3", 12L))
+      .toDF("bk", "hist_id")
+    val inc = Seq((100L, "k1"), (100L, "k9"), (101L, "k8"), (102L, "k2"))
+      .toDF("doc_id", "bk")
+    val loc = java.nio.file.Files.createTempDirectory("bucketspec3").toString
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Layout.writeBucketed(hist, s"$db.hist_bands", "bk", 4, Seq("bk"))
+      Layout.writeBucketed(inc, s"$db.inc_bands", "bk", 4, Seq("bk"))
+      val joined = spark.table(s"$db.inc_bands")
+        .join(spark.table(s"$db.hist_bands"), Seq("bk"), "left")
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed band join still shuffles: ${exchanges.mkString("; ")}")
+      val got = joined.groupBy(col("doc_id"))
+        .agg(countDistinct(col("hist_id")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(100L -> 1L, 101L -> 0L, 102L -> 1L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
 }
