@@ -48,7 +48,7 @@ object LlmPipeline {
     * mod prime p is a bijection of Z_p, so each h_j is a valid
     * permutation for min-wise hashing.
     */
-  private object MinhashParams {
+  private[graft] object MinhashParams {
     val p: Long = 2147483647L // 2^31 - 1 (prime); a·h + b stays < 2^62
     private val as = Array(
       1299709L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L,
@@ -60,6 +60,24 @@ object LlmPipeline {
       1870667L, 2015177L, 2160553L)
     def a(j: Int): Long = as(j)
     def b(j: Int): Long = bs(j)
+  }
+
+  /** The q42/q189 LSH band keys of one document's text, as a 4-element
+    * array column — band index folded into each key's md5 so ONE string
+    * column is the complete join identity. Shared by the streaming
+    * near-dup ingest face (`Streams.nearDupIngest`), so stream ≡ batch
+    * band identity is definitional, not coincidental.
+    */
+  private[graft] def minhashBandKeys(
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = TF.tokens(TF.normalizeText(text))
+    val sig = NE.minhashSigs(toks,
+      (0 until 16).map(MinhashParams.a), (0 until 16).map(MinhashParams.b),
+      MinhashParams.p)
+    array((0 until 4).map(b =>
+      md5(concat_ws("|", lit(b.toString) +:
+        (0 until 4).map(i => element_at(sig, b * 4 + i + 1).cast("string"))
+        : _*))): _*)
   }
 
   /** DuckDB expression computing the q47/q52 sign-projection bucket of a

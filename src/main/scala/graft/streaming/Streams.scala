@@ -379,9 +379,82 @@ object Streams {
               graft.operators.Layout.appendBucketed(
                 novel.select(col("digest")),
                 s"$db.history_digests", "digest", DedupBuckets, Seq("digest"))
+              // same stale-relation hazard as nearDupIngest: the append
+              // refreshes the micro-batch clone's cache, not this
+              // session's — refresh explicitly so the next batch's
+              // anti-join sees this batch's digests
+              spark.catalog.refreshTable(s"$db.history_digests")
             } finally { novel.unpersist(); () }
           }
         } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
+  def ensureNearDupStore(
+      spark: SparkSession, db: String, location: String): Unit = {
+    import spark.implicits._
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
+    if (!spark.catalog.tableExists(s"$db.history_bands"))
+      graft.operators.Layout.writeBucketed(
+        Seq.empty[(String, Long)].toDF("bk", "hist_id"),
+        s"$db.history_bands", "bk", DedupBuckets, Seq("bk"))
+  }
+
+  /** Streaming incremental NEAR-dup detection against the persisted
+    * minhash band store — the streaming face of q189, and the near-dup
+    * sibling of [[dedupIngest]]: each micro-batch computes its LSH band
+    * keys row-locally (the shared `LlmPipeline.minhashBandKeys`
+    * definition, so stream ≡ batch band identity is definitional),
+    * LEFT-joins the co-bucketed history store (history never
+    * reshuffles), and every doc leaves with (n_hist, first_match) — a
+    * verdict, emitted not silently applied, because near-dup decisions
+    * (unlike exact ones) are threshold policy downstream. With `absorb`
+    * on (default), the batch's own band keys append back delta-sized,
+    * so later batches see earlier stream docs as history.
+    *
+    * At-least-once: a replayed append duplicates band ROWS, which the
+    * countDistinct(hist_id) rollup tolerates by construction.
+    */
+  def nearDupIngest(
+      spark: SparkSession, docs: DataFrame, db: String,
+      absorb: Boolean = true,
+      trigger: Trigger = Trigger.AvailableNow())(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val keys = batch
+          .select(col("doc_id"),
+            explode(graft.queries.LlmPipeline.minhashBandKeys(col("text")))
+              .as("bk"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!keys.isEmpty) {
+            val verdicts = keys
+              .join(spark.table(s"$db.history_bands"), Seq("bk"), "left")
+              .groupBy(col("doc_id"))
+              .agg(countDistinct(col("hist_id")).as("n_hist"),
+                coalesce(min(col("hist_id")), lit(-1L)).cast("long")
+                  .as("first_match"))
+            sink(verdicts, id)
+            if (absorb) {
+              graft.operators.Layout.appendBucketed(
+                keys.select(col("bk"), col("doc_id").as("hist_id")),
+                s"$db.history_bands", "bk", DedupBuckets, Seq("bk"))
+              // the append runs on the MICRO-BATCH session clone (keys
+              // derives from `batch`), which refreshes the clone's
+              // relation cache — not this outer session's. Without the
+              // explicit refresh, the next batch (and any later query on
+              // this session) joins against a stale file listing and
+              // silently misses everything absorbed here.
+              spark.catalog.refreshTable(s"$db.history_bands")
+            }
+          }
+        } finally { keys.unpersist(); () }
       }
       .start()
   }

@@ -705,6 +705,71 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._3 >= 2), "no contaminated doc in slice")
   }
 
+  test("streaming near-dup ingest equals the q189 batch verdicts; absorb " +
+      "catches an intra-stream duplicate") {
+    val tmpDocs = Files.createTempDirectory("neardup_in").toString
+    val tmpDb = Files.createTempDirectory("neardup_db").toString
+    val db = "graft_stream_neardup"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    Streams.ensureNearDupStore(spark, db, tmpDb)
+    // seed the store with q189's history split (same salt, same keys)
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        (conv(substring(md5(concat(lit("mh"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % 10).as("g"))
+    graft.operators.Layout.appendBucketed(
+      base.filter(col("g") < 8)
+        .select(explode(graft.queries.LlmPipeline.minhashBandKeys(col("text")))
+          .as("bk"), col("doc_id").as("hist_id")).distinct(),
+      s"$db.history_bands", "bk", Streams.DedupBuckets, Seq("bk"))
+    // incoming = q189's incoming: the g>=8 slice + the injected replays
+    val incoming = base.filter(col("g") >= 8)
+      .select(col("doc_id"), col("text"))
+      .unionAll(base.filter(col("g") < 8 && col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" xtra")).as("text")))
+    incoming.repartition(3).write.mode("overwrite").parquet(tmpDocs)
+    var got = Vector.empty[(Long, Long, Long)]
+    val q = Streams.nearDupIngest(spark,
+      spark.readStream.schema(spark.read.parquet(tmpDocs).schema)
+        .parquet(tmpDocs),
+      db, absorb = false) { (v, _) =>
+      got ++= v.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    q.awaitTermination()
+    val oracle = graft.Queries.byName("q189_dedup_incremental_minhash")
+      .build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.size == got.toSet.size, "a doc was gated twice")
+    assert(got.toSet == oracle,
+      s"stream verdicts diverged from q189: ${got.size} vs ${oracle.size}")
+    assert(oracle.exists(_._2 > 0) && oracle.exists(_._2 == 0),
+      "slice should contain both matched and novel docs")
+    // absorb: replay the SAME stream with absorb on — second pass sees
+    // the first pass's docs as history, so every doc now matches
+    val q2 = Streams.nearDupIngest(spark,
+      spark.readStream.schema(spark.read.parquet(tmpDocs).schema)
+        .parquet(tmpDocs), db) { (_, _) => () }
+    q2.awaitTermination()
+    var got3 = Vector.empty[(Long, Long)]
+    val q3 = Streams.nearDupIngest(spark,
+      spark.readStream.schema(spark.read.parquet(tmpDocs).schema)
+        .parquet(tmpDocs),
+      db, absorb = false) { (v, _) =>
+      got3 ++= v.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    q3.awaitTermination()
+    val misses = got3.filter(_._2 == 0)
+    info(s"post-absorb rows=${got3.size}, misses=${misses.size}: " +
+      misses.take(10).toString)
+    info("history_bands rows = " +
+      spark.table(s"$db.history_bands").count())
+    assert(misses.isEmpty,
+      "after absorb, every replayed doc must match itself in history")
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("streaming integrity ledger rolls up to the q185 batch checksums " +
       "across micro-batch boundaries") {
     val tmp = Files.createTempDirectory("ledger").toString
