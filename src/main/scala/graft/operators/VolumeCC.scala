@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed 3-D connected components over a chunked N5 volume — the
+  * canonical scientific-imaging labeling pass (cell/organelle instance
+  * counting) over the reference's data model (`n5_to_tif.py:25`'s block
+  * grid): every foreground voxel (v >= threshold) joins its 6-connected
+  * neighbors' component.
+  *
+  * Shape, built for the 100 TB volume case:
+  *
+  *   1. PER-BLOCK local labeling — each block row (one task per block,
+  *      full grid parallelism) runs an in-memory union-find over its own
+  *      voxels (6-connectivity restricted to the block interior). Local
+  *      component ids are GLOBAL voxel indices (x + dimX·(y + dimY·z) of
+  *      the component's minimum voxel), so ids are unique across blocks
+  *      with no coordination.
+  *   2. BOUNDARY stitching — each block emits only its 6 FACES (one row
+  *      per foreground face voxel: face key, in-face position, local
+  *      label). A block's +axis face and its neighbor's -axis face share
+  *      a key, so one equi-join pairs touching voxels and yields label
+  *      EQUIVALENCES. The exchange carries face area, not volume —
+  *      O(n^(2/3)) of the data.
+  *   3. Equivalence closure — [[ConnectedComponents]] (min-label
+  *      propagation + pointer jumping) over the equivalence edges; the
+  *      graph is boundary-label-sized, orders of magnitude smaller than
+  *      the volume.
+  *   4. Per-component sizes — block-local (label, count) partials join
+  *      the closure map (left: interior components never appear in it)
+  *      and one keyed agg sums voxel counts per final component.
+  *
+  * The volume itself is read ONCE per pass (two passes: counts, faces)
+  * and never shuffled; everything exchanged is face- or label-sized.
+  * Component ids are deterministic (min global voxel index of the
+  * cluster), so results are engine- and partitioning-independent.
+  */
+object VolumeCC {
+
+  /** Resolved per-voxel local roots: parent(i) = root local index of
+    * voxel i's block-local component, or -1 for background. Union keeps
+    * the SMALLER local index as root; local index order equals global
+    * voxel-id order inside a block, so the root is the component's
+    * minimum voxel.
+    */
+  private def localRoots(
+      sx: Int, sy: Int, sz: Int, data: Array[Long],
+      threshold: Long): Array[Int] = {
+    val n = sx * sy * sz
+    val parent = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      parent(i) = if (data(i) >= threshold) i else -1
+      i += 1
+    }
+    def find(x0: Int): Int = {
+      var r = x0
+      while (parent(r) != r) r = parent(r)
+      var c = x0
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(p: Int, q: Int): Unit = {
+      val rp = find(p); val rq = find(q)
+      if (rp != rq) {
+        if (rp < rq) parent(rq) = rp else parent(rp) = rq
+      }
+    }
+    i = 0
+    while (i < n) {
+      if (parent(i) != -1) {
+        val x = i % sx
+        val y = (i / sx) % sy
+        if (x > 0 && parent(i - 1) != -1) union(i, i - 1)
+        if (y > 0 && parent(i - sx) != -1) union(i, i - sx)
+        if (i >= sx * sy && parent(i - sx * sy) != -1) union(i, i - sx * sy)
+      }
+      i += 1
+    }
+    i = 0
+    while (i < n) { if (parent(i) != -1) parent(i) = find(i); i += 1 }
+    parent
+  }
+
+  private def blockArrays(r: Row): (Int, Int, Int, Long, Long, Long,
+      Int, Int, Int, Array[Long]) = {
+    val shape = r.getSeq[Int](6)
+    val (sx, sy, sz) = (shape(0), shape(1), shape(2))
+    val raw = r.getSeq[Any](7)
+    val data = new Array[Long](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      data(i) = raw(i).asInstanceOf[Number].longValue; i += 1
+    }
+    (r.getInt(0), r.getInt(1), r.getInt(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), sx, sy, sz, data)
+  }
+
+  /** (component BIGINT, n_voxels BIGINT) of the thresholded volume.
+    * `blocks` is an N5 block scan (N5.read); dimX/dimY are the volume
+    * dimensions defining the global voxel index.
+    */
+  def components(
+      blocks: DataFrame, dimX: Long, dimY: Long,
+      threshold: Long): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val slim = blocks.select(
+      col("gx"), col("gy"), col("gz"),
+      col("x0"), col("y0"), col("z0"), col("shape"), col("data"))
+
+    def gid(x0: Long, y0: Long, z0: Long, sx: Int, sy: Int)(li: Int): Long = {
+      val lx = li % sx; val ly = (li / sx) % sy; val lz = li / (sx * sy)
+      (x0 + lx) + dimX * ((y0 + ly) + dimY * (z0 + lz))
+    }
+
+    // pass 1: block-local (label, count) partials
+    val counts = slim.flatMap { r =>
+      val (_, _, _, x0, y0, z0, sx, sy, sz, data) = blockArrays(r)
+      val roots = localRoots(sx, sy, sz, data, threshold)
+      val g = gid(x0, y0, z0, sx, sy) _
+      val m = new scala.collection.mutable.HashMap[Int, Long]()
+      var i = 0
+      while (i < roots.length) {
+        if (roots(i) != -1)
+          m.update(roots(i), m.getOrElse(roots(i), 0L) + 1L)
+        i += 1
+      }
+      m.iterator.map { case (root, n) => (g(root), n) }
+    }.toDF("label", "n")
+
+    // pass 2: face voxels; a block's +axis face keys to the NEIGHBOR's
+    // grid position, its -axis face to its own, so adjacent faces meet
+    // on (key, axis, a, b) with side 0 (high) vs 1 (low)
+    val faces = slim.flatMap { r =>
+      val (bgx, bgy, bgz, x0, y0, z0, sx, sy, sz, data) = blockArrays(r)
+      val roots = localRoots(sx, sy, sz, data, threshold)
+      val g = gid(x0, y0, z0, sx, sy) _
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Int, Int, Int, Int, Long, Long, Long)]
+      def idx(lx: Int, ly: Int, lz: Int) = lx + sx * (ly + sy * lz)
+      var u = 0
+      while (u < sy * sz) { // axis 0 faces (y,z)
+        val ly = u % sy; val lz = u / sy
+        val lo = idx(0, ly, lz); val hi = idx(sx - 1, ly, lz)
+        if (roots(lo) != -1)
+          out += ((bgx, bgy, bgz, 0, 1, y0 + ly, z0 + lz, g(roots(lo))))
+        if (roots(hi) != -1)
+          out += ((bgx + 1, bgy, bgz, 0, 0, y0 + ly, z0 + lz, g(roots(hi))))
+        u += 1
+      }
+      u = 0
+      while (u < sx * sz) { // axis 1 faces (x,z)
+        val lx = u % sx; val lz = u / sx
+        val lo = idx(lx, 0, lz); val hi = idx(lx, sy - 1, lz)
+        if (roots(lo) != -1)
+          out += ((bgx, bgy, bgz, 1, 1, x0 + lx, z0 + lz, g(roots(lo))))
+        if (roots(hi) != -1)
+          out += ((bgx, bgy + 1, bgz, 1, 0, x0 + lx, z0 + lz, g(roots(hi))))
+        u += 1
+      }
+      u = 0
+      while (u < sx * sy) { // axis 2 faces (x,y)
+        val lx = u % sx; val ly = u / sx
+        val lo = idx(lx, ly, 0); val hi = idx(lx, ly, sz - 1)
+        if (roots(lo) != -1)
+          out += ((bgx, bgy, bgz, 2, 1, x0 + lx, y0 + ly, g(roots(lo))))
+        if (roots(hi) != -1)
+          out += ((bgx, bgy, bgz + 1, 2, 0, x0 + lx, y0 + ly, g(roots(hi))))
+        u += 1
+      }
+      out.iterator
+    }.toDF("kx", "ky", "kz", "axis", "side", "a", "b", "label")
+
+    val keyCols = Seq("kx", "ky", "kz", "axis", "a", "b")
+    val edges = faces.filter(col("side") === 0)
+      .select(keyCols.map(col) :+ col("label").as("la"): _*)
+      .join(faces.filter(col("side") === 1)
+        .select(keyCols.map(col) :+ col("label").as("lb"): _*), keyCols)
+      .select(col("la").as("a"), col("lb").as("b"))
+      .distinct()
+    val comp = ConnectedComponents.run(edges, "a", "b")
+      .withColumnRenamed("node", "label")
+    counts.join(comp, Seq("label"), "left")
+      .select(coalesce(col("component"), col("label")).as("component"),
+        col("n"))
+      .groupBy(col("component"))
+      .agg(sum(col("n")).cast("long").as("n_voxels"))
+  }
+}

@@ -217,6 +217,50 @@ object N5Queries {
       val b = N5.elementsScan(s, out, "re/s1")
         .agg(count(lit(1)).as("n1"), sum(col("v").cast("long")).as("sum1"))
       a.crossJoin(b)
+    },
+
+    // ------------------------------------------------------------------
+    // DISTRIBUTED 3-D CONNECTED COMPONENTS (q190, r13) — instance
+    // labeling over the chunked volume, the canonical scientific-imaging
+    // analysis the reference's ecosystem runs downstream of ingest (cell
+    // counting, organelle segmentation post-processing). The operator
+    // (`operators/VolumeCC`) labels each block locally (in-task union-
+    // find, full grid parallelism), stitches ONLY block faces (the
+    // exchange is O(n^(2/3)) surface area, never volume), closes label
+    // equivalences with the boundary-label-sized ConnectedComponents
+    // pass, and sums per-component voxel counts. Component ids are the
+    // cluster's minimum global voxel index — engine- and chunking-
+    // independent (VolumeCCSpec pins equality with a naive whole-volume
+    // BFS AND invariance under a 32-cube rechunk). Oracle: golden
+    // constants (q80 discipline) — the fixture's top-10 components at
+    // threshold 128, independently confirmed by the spec's naive BFS.
+    QueryDef.sql(
+      "q190_volume_cc",
+      """SELECT CAST(rnk AS INTEGER) AS rnk,
+        |  CAST(component AS BIGINT) AS component,
+        |  CAST(n_voxels AS BIGINT) AS n_voxels
+        |FROM (VALUES
+        |  ( 1,    7955, 12945),
+        |  ( 2,    6990,   966),
+        |  ( 3,    6775,   947),
+        |  ( 4,    9897,   255),
+        |  ( 5,    3443,   191),
+        |  ( 6,  801185,   129),
+        |  ( 7,   14016,   120),
+        |  ( 8,  997362,   119),
+        |  ( 9,  142255,   103),
+        |  (10, 1078835,    97))
+        |  t(rnk, component, n_voxels)
+        |ORDER BY rnk""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val comps = graft.operators.VolumeCC.components(
+        N5.read(s, fixtureRoot, fixtureDs), 186L, 226L, threshold = 128L)
+      comps
+        .withColumn("rnk", row_number().over(Window.orderBy(
+          col("n_voxels").desc, col("component").asc)))
+        .filter(col("rnk") <= 10)
+        .select(col("rnk"), col("component"), col("n_voxels"))
+        .orderBy(col("rnk").asc)
     }
   )
 }
