@@ -97,46 +97,23 @@ object VolumeCC {
       r.getLong(3), r.getLong(4), r.getLong(5), sx, sy, sz, data)
   }
 
-  /** (component BIGINT, n_voxels BIGINT) of the thresholded volume.
-    * `blocks` is an N5 block scan (N5.read); dimX/dimY are the volume
-    * dimensions defining the global voxel index.
+  /** Face voxels of every block: a block's +axis face keys to the
+    * NEIGHBOR's grid position, its -axis face to its own, so adjacent
+    * faces meet on (key, axis, a, b) with side 0 (high) vs 1 (low).
+    * Shared by [[components]] and [[regionProps]].
     */
-  def components(
-      blocks: DataFrame, dimX: Long, dimY: Long,
+  private def faceVoxels(
+      slim: DataFrame, dimX: Long, dimY: Long,
       threshold: Long): DataFrame = {
-    val spark = blocks.sparkSession
+    val spark = slim.sparkSession
     import spark.implicits._
-    val slim = blocks.select(
-      col("gx"), col("gy"), col("gz"),
-      col("x0"), col("y0"), col("z0"), col("shape"), col("data"))
-
-    def gid(x0: Long, y0: Long, z0: Long, sx: Int, sy: Int)(li: Int): Long = {
-      val lx = li % sx; val ly = (li / sx) % sy; val lz = li / (sx * sy)
-      (x0 + lx) + dimX * ((y0 + ly) + dimY * (z0 + lz))
-    }
-
-    // pass 1: block-local (label, count) partials
-    val counts = slim.flatMap { r =>
-      val (_, _, _, x0, y0, z0, sx, sy, sz, data) = blockArrays(r)
-      val roots = localRoots(sx, sy, sz, data, threshold)
-      val g = gid(x0, y0, z0, sx, sy) _
-      val m = new scala.collection.mutable.HashMap[Int, Long]()
-      var i = 0
-      while (i < roots.length) {
-        if (roots(i) != -1)
-          m.update(roots(i), m.getOrElse(roots(i), 0L) + 1L)
-        i += 1
-      }
-      m.iterator.map { case (root, n) => (g(root), n) }
-    }.toDF("label", "n")
-
-    // pass 2: face voxels; a block's +axis face keys to the NEIGHBOR's
-    // grid position, its -axis face to its own, so adjacent faces meet
-    // on (key, axis, a, b) with side 0 (high) vs 1 (low)
-    val faces = slim.flatMap { r =>
+    slim.flatMap { r =>
       val (bgx, bgy, bgz, x0, y0, z0, sx, sy, sz, data) = blockArrays(r)
       val roots = localRoots(sx, sy, sz, data, threshold)
-      val g = gid(x0, y0, z0, sx, sy) _
+      def g(li: Int): Long = {
+        val lx = li % sx; val ly = (li / sx) % sy; val lz = li / (sx * sy)
+        (x0 + lx) + dimX * ((y0 + ly) + dimY * (z0 + lz))
+      }
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Int, Int, Int, Int, Int, Long, Long, Long)]
       def idx(lx: Int, ly: Int, lz: Int) = lx + sx * (ly + sy * lz)
@@ -172,7 +149,42 @@ object VolumeCC {
       }
       out.iterator
     }.toDF("kx", "ky", "kz", "axis", "side", "a", "b", "label")
+  }
 
+  /** (component BIGINT, n_voxels BIGINT) of the thresholded volume.
+    * `blocks` is an N5 block scan (N5.read); dimX/dimY are the volume
+    * dimensions defining the global voxel index.
+    */
+  def components(
+      blocks: DataFrame, dimX: Long, dimY: Long,
+      threshold: Long): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val slim = blocks.select(
+      col("gx"), col("gy"), col("gz"),
+      col("x0"), col("y0"), col("z0"), col("shape"), col("data"))
+
+    def gid(x0: Long, y0: Long, z0: Long, sx: Int, sy: Int)(li: Int): Long = {
+      val lx = li % sx; val ly = (li / sx) % sy; val lz = li / (sx * sy)
+      (x0 + lx) + dimX * ((y0 + ly) + dimY * (z0 + lz))
+    }
+
+    // pass 1: block-local (label, count) partials
+    val counts = slim.flatMap { r =>
+      val (_, _, _, x0, y0, z0, sx, sy, sz, data) = blockArrays(r)
+      val roots = localRoots(sx, sy, sz, data, threshold)
+      val g = gid(x0, y0, z0, sx, sy) _
+      val m = new scala.collection.mutable.HashMap[Int, Long]()
+      var i = 0
+      while (i < roots.length) {
+        if (roots(i) != -1)
+          m.update(roots(i), m.getOrElse(roots(i), 0L) + 1L)
+        i += 1
+      }
+      m.iterator.map { case (root, n) => (g(root), n) }
+    }.toDF("label", "n")
+
+    val faces = faceVoxels(slim, dimX, dimY, threshold)
     val keyCols = Seq("kx", "ky", "kz", "axis", "a", "b")
     val edges = faces.filter(col("side") === 0)
       .select(keyCols.map(col) :+ col("label").as("la"): _*)
@@ -187,5 +199,94 @@ object VolumeCC {
         col("n"))
       .groupBy(col("component"))
       .agg(sum(col("n")).cast("long").as("n_voxels"))
+  }
+
+  /** REGION PROPS — per-component voxel count, axis-aligned bounding box,
+    * and fixed-point centroid: the measurement table a segmentation
+    * pipeline publishes after labeling. Same plan skeleton as
+    * [[components]]: all voxel-level work happens in block-local partials
+    * (count, per-axis min/max, per-axis coordinate sums — each a
+    * constant-size accumulator per local label), the closure map joins
+    * label-sized rows, and the final agg folds partials with min/max/sum
+    * — all associative, so the result is partitioning-independent.
+    * Centroids are e4 fixed-point (floor(1e4·sum/count + 0.5)): exact
+    * integer arithmetic end to end, no float drift across engines.
+    */
+  def regionProps(
+      blocks: DataFrame, dimX: Long, dimY: Long,
+      threshold: Long): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val slim = blocks.select(
+      col("gx"), col("gy"), col("gz"),
+      col("x0"), col("y0"), col("z0"), col("shape"), col("data"))
+
+    final case class P(
+        var n: Long, var mnx: Long, var mxx: Long, var mny: Long,
+        var mxy: Long, var mnz: Long, var mxz: Long,
+        var sx: Long, var sy: Long, var sz: Long)
+    val partials = slim.flatMap { r =>
+      val (_, _, _, x0, y0, z0, sx, sy, sz, data) = blockArrays(r)
+      val roots = localRoots(sx, sy, sz, data, threshold)
+      val m = new scala.collection.mutable.HashMap[Int, P]()
+      var i = 0
+      while (i < roots.length) {
+        if (roots(i) != -1) {
+          val x = x0 + i % sx
+          val y = y0 + (i / sx) % sy
+          val z = z0 + i / (sx * sy)
+          val p = m.getOrElseUpdate(roots(i),
+            P(0L, Long.MaxValue, Long.MinValue, Long.MaxValue,
+              Long.MinValue, Long.MaxValue, Long.MinValue, 0L, 0L, 0L))
+          p.n += 1
+          if (x < p.mnx) p.mnx = x
+          if (x > p.mxx) p.mxx = x
+          if (y < p.mny) p.mny = y
+          if (y > p.mxy) p.mxy = y
+          if (z < p.mnz) p.mnz = z
+          if (z > p.mxz) p.mxz = z
+          p.sx += x; p.sy += y; p.sz += z
+        }
+        i += 1
+      }
+      val lx0 = x0; val ly0 = y0; val lz0 = z0
+      m.iterator.map { case (root, p) =>
+        val lxr = root % sx; val lyr = (root / sx) % sy
+        val lzr = root / (sx * sy)
+        val label = (lx0 + lxr) + dimX * ((ly0 + lyr) + dimY * (lz0 + lzr))
+        (label, p.n, p.mnx, p.mxx, p.mny, p.mxy, p.mnz, p.mxz,
+          p.sx, p.sy, p.sz)
+      }
+    }.toDF("label", "n", "mnx", "mxx", "mny", "mxy", "mnz", "mxz",
+      "sx", "sy", "sz")
+
+    val faces = faceVoxels(slim, dimX, dimY, threshold)
+    val keyCols = Seq("kx", "ky", "kz", "axis", "a", "b")
+    val edges = faces.filter(col("side") === 0)
+      .select(keyCols.map(col) :+ col("label").as("la"): _*)
+      .join(faces.filter(col("side") === 1)
+        .select(keyCols.map(col) :+ col("label").as("lb"): _*), keyCols)
+      .select(col("la").as("a"), col("lb").as("b"))
+      .distinct()
+    val comp = ConnectedComponents.run(edges, "a", "b")
+      .withColumnRenamed("node", "label")
+    def cE4(s: org.apache.spark.sql.Column) =
+      floor(lit(10000.0) * s / col("n_voxels") + lit(0.5)).cast("long")
+    partials.join(comp, Seq("label"), "left")
+      .select(coalesce(col("component"), col("label")).as("component"),
+        col("n"), col("mnx"), col("mxx"), col("mny"), col("mxy"),
+        col("mnz"), col("mxz"), col("sx"), col("sy"), col("sz"))
+      .groupBy(col("component"))
+      .agg(sum(col("n")).cast("long").as("n_voxels"),
+        min(col("mnx")).as("x_min"), max(col("mxx")).as("x_max"),
+        min(col("mny")).as("y_min"), max(col("mxy")).as("y_max"),
+        min(col("mnz")).as("z_min"), max(col("mxz")).as("z_max"),
+        sum(col("sx")).as("sxs"), sum(col("sy")).as("sys"),
+        sum(col("sz")).as("szs"))
+      .select(col("component"), col("n_voxels"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"),
+        col("z_min"), col("z_max"),
+        cE4(col("sxs")).as("cx_e4"), cE4(col("sys")).as("cy_e4"),
+        cE4(col("szs")).as("cz_e4"))
   }
 }

@@ -261,6 +261,55 @@ object N5Queries {
         .filter(col("rnk") <= 10)
         .select(col("rnk"), col("component"), col("n_voxels"))
         .orderBy(col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // REGION PROPS (q191, r13) — the measurement table published after
+    // q190's labeling: per component, voxel count, axis-aligned bounding
+    // box, and e4 fixed-point centroid (the skimage.regionprops /
+    // cell-measurement standard). Every voxel-level quantity folds
+    // block-locally into constant-size per-label accumulators; the
+    // closure map joins label-sized rows; min/max/sum are associative so
+    // the result is partitioning-independent, and centroids are exact
+    // integer arithmetic (floor(1e4·Σx/n + 0.5)). Oracle: golden
+    // constants confirmed by VolumeCCSpec's independent whole-volume
+    // union-find over the element view (all 1011 components compared,
+    // not just these 10).
+    QueryDef.sql(
+      "q191_volume_region_props",
+      """SELECT CAST(rnk AS INTEGER) AS rnk,
+        |  CAST(component AS BIGINT) AS component,
+        |  CAST(n_voxels AS BIGINT) AS n_voxels,
+        |  CAST(x_min AS BIGINT) AS x_min, CAST(x_max AS BIGINT) AS x_max,
+        |  CAST(y_min AS BIGINT) AS y_min, CAST(y_max AS BIGINT) AS y_max,
+        |  CAST(z_min AS BIGINT) AS z_min, CAST(z_max AS BIGINT) AS z_max,
+        |  CAST(cx_e4 AS BIGINT) AS cx_e4, CAST(cy_e4 AS BIGINT) AS cy_e4,
+        |  CAST(cz_e4 AS BIGINT) AS cz_e4
+        |FROM (VALUES
+        |  ( 1,    7955, 12945,  11, 171,   3, 219,  0, 23,  935975, 1102293, 105847),
+        |  ( 2,    6990,   966, 107, 137,  35,  73,  0,  6, 1198075,  540704,  33602),
+        |  ( 3,    6775,   947,  51,  81,  36,  72,  0,  6,  684509,  544118,  31690),
+        |  ( 4,    9897,   255,  24,  39,  53,  97,  0,  5,  302235,  761804,  28078),
+        |  ( 5,    3443,   191,  93,  99,  18,  51,  0,  4,  958220,  338272,   9267),
+        |  ( 6,  801185,   129,  72, 130,  13,  33, 19, 19, 1022558,  186124, 190000),
+        |  ( 7,   14016,   120,  65,  79,  72,  83,  0,  4,  731917,  778417,  17167),
+        |  ( 8,  997362,   119,  30,  46, 152, 176, 23, 24,  364958, 1662269, 235378),
+        |  ( 9,  142255,   103, 151, 163,  86, 107,  3,  5, 1563786,  941262,  40000),
+        |  (10, 1078835,    97,  33,  59, 150, 174, 25, 25,  433711, 1625876, 250000))
+        |  t(rnk, component, n_voxels, x_min, x_max, y_min, y_max,
+        |    z_min, z_max, cx_e4, cy_e4, cz_e4)
+        |ORDER BY rnk""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.operators.VolumeCC.regionProps(
+          N5.read(s, fixtureRoot, fixtureDs), 186L, 226L, threshold = 128L)
+        .withColumn("rnk", row_number().over(Window.orderBy(
+          col("n_voxels").desc, col("component").asc)))
+        .filter(col("rnk") <= 10)
+        .select(col("rnk"), col("component"), col("n_voxels"),
+          col("x_min"), col("x_max"), col("y_min"), col("y_max"),
+          col("z_min"), col("z_max"),
+          col("cx_e4"), col("cy_e4"), col("cz_e4"))
+        .orderBy(col("rnk").asc)
     }
   )
 }

@@ -74,6 +74,69 @@ class VolumeCCSpec extends SparkSpec {
     assert(got.values.sum == expected.values.sum)
   }
 
+  test("regionProps equal a naive whole-volume pass (count, bbox, centroid)") {
+    val threshold = 128L
+    val got = VolumeCC
+      .regionProps(N5.read(spark, root, ds), dimX, dimY, threshold)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10)))
+      .toMap
+    // naive: recompute per-component stats from the element view + the
+    // BFS labels
+    val vox = N5.elements(N5.read(spark, root, ds))
+      .filter(col("v") >= threshold)
+      .select(col("x"), col("y"), col("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val labels = naive(threshold) // component -> size, from the BFS
+    // rebuild comp assignment with the same BFS
+    val nx = dimX.toInt; val ny = dimY.toInt
+    // group voxels by which BFS component they belong to: redo a cheap
+    // union-find keyed by global id adjacency
+    val fg = vox.map { case (x, y, z) => x + dimX * (y + dimY * z) }.toSet
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(a: Long): Long = {
+      var r = a
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = a
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    vox.foreach { case (x, y, z) =>
+      val g = x + dimX * (y + dimY * z)
+      if (x > 0 && fg.contains(g - 1)) union(g, g - 1)
+      if (y > 0 && fg.contains(g - dimX)) union(g, g - dimX)
+      if (z > 0 && fg.contains(g - dimX * dimY)) union(g, g - dimX * dimY)
+    }
+    val stats = scala.collection.mutable.HashMap
+      .empty[Long, (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+    vox.foreach { case (x, y, z) =>
+      val c = find(x + dimX * (y + dimY * z))
+      val s = stats.getOrElse(c,
+        (0L, Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue,
+          Long.MaxValue, Long.MinValue, 0L, 0L, 0L))
+      stats(c) = (s._1 + 1, math.min(s._2, x), math.max(s._3, x),
+        math.min(s._4, y), math.max(s._5, y), math.min(s._6, z),
+        math.max(s._7, z), s._8 + x, s._9 + y, s._10 + z)
+    }
+    val expected = stats.map { case (c, s) =>
+      def e4(sum: Long) = math.floor(10000.0 * sum / s._1 + 0.5).toLong
+      c -> (s._1, s._2, s._3, s._4, s._5, s._6, s._7,
+        e4(s._8), e4(s._9), e4(s._10))
+    }.toMap
+    assert(expected.keySet == labels.keySet, "BFS/union-find label mismatch")
+    assert(got.size == expected.size)
+    val bad = expected.filter { case (k, v) => got.get(k) != Some(v) }
+    assert(bad.isEmpty, s"${bad.size} props diverge, e.g. ${bad.take(2)}")
+    info("top-10 props: " + got.toSeq.sortBy(p => (-p._2._1, p._1)).take(10)
+      .map { case (c, v) => s"($c, $v)" }.mkString(", "))
+  }
+
   test("components are chunking-invariant: 32-cube rechunk equals the " +
       "fixture chunking") {
     // rechunking multiplies the number of block boundaries ~4x per axis;
