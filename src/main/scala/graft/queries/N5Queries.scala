@@ -310,6 +310,49 @@ object N5Queries {
           col("z_min"), col("z_max"),
           col("cx_e4"), col("cy_e4"), col("cz_e4"))
         .orderBy(col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // MAXIMUM-INTENSITY PROJECTION (q192, r13) — the standard volume →
+    // 2-D preview/QC reduction (fluorescence microscopy's default view):
+    // MIP(x, y) = max over z of v(x, y, z). Plan shape: the COLUMNAR
+    // element view scans each block as its own partition, so the
+    // groupBy(x, y) max aggregates block-locally first (map-side partial
+    // max over each block's z-extent) and the exchange carries one row
+    // per (x, y, block-column) — the projected image's size times the
+    // z-chunking, never the volume. Output pins the whole projection
+    // (count + sum + max) plus the 5 brightest pixels in a total order.
+    // Oracle: golden constants (q80 discipline) over the fixture.
+    QueryDef.sql(
+      "q192_volume_mip",
+      """SELECT CAST(n_pixels AS BIGINT) AS n_pixels,
+        |  CAST(mip_sum AS BIGINT) AS mip_sum,
+        |  CAST(mip_max AS BIGINT) AS mip_max,
+        |  CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+        |  CAST(v AS BIGINT) AS v, CAST(rnk AS INTEGER) AS rnk
+        |FROM (VALUES
+        |  (42036, 3415830, 255,  19, 159, 255, 1),
+        |  (42036, 3415830, 255, 138, 200, 251, 2),
+        |  (42036, 3415830, 255, 140, 199, 242, 3),
+        |  (42036, 3415830, 255,  58, 208, 239, 4),
+        |  (42036, 3415830, 255,  20, 161, 236, 5))
+        |  t(n_pixels, mip_sum, mip_max, x, y, v, rnk)
+        |ORDER BY rnk""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val mip = N5.elementsScan(s, fixtureRoot, fixtureDs)
+        .groupBy(col("x"), col("y"))
+        .agg(max(col("v").cast("long")).as("v"))
+      val stats = mip.agg(count(lit(1)).as("n_pixels"),
+        sum(col("v")).as("mip_sum"), max(col("v")).as("mip_max"))
+      // top-5 via TakeOrdered (never a projection-sized global window);
+      // the rank window then runs over the 5-row result only
+      mip.orderBy(col("v").desc, col("x").asc, col("y").asc).limit(5)
+        .withColumn("rnk", row_number().over(Window.orderBy(
+          col("v").desc, col("x").asc, col("y").asc)))
+        .crossJoin(stats)
+        .select(col("n_pixels"), col("mip_sum"), col("mip_max"),
+          col("x"), col("y"), col("v"), col("rnk"))
+        .orderBy(col("rnk").asc)
     }
   )
 }

@@ -137,6 +137,27 @@ class VolumeCCSpec extends SparkSpec {
       .map { case (c, v) => s"($c, $v)" }.mkString(", "))
   }
 
+  test("q192 MIP golden constants match a driver-side recomputation over " +
+      "the ROW-based element view (independent of the columnar scan)") {
+    val vox = N5.elements(N5.read(spark, root, ds))
+      .select(col("x"), col("y"), col("v").cast("long"))
+      .collect()
+    val mip = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    vox.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val v = r.getLong(2)
+      if (v > mip.getOrElse(k, Long.MinValue)) mip(k) = v
+    }
+    assert(mip.size == 42036L)
+    assert(mip.values.sum == 3415830L)
+    assert(mip.values.max == 255L)
+    val top = mip.toSeq.sortBy { case ((x, y), v) => (-v, x, y) }.take(5)
+      .map { case ((x, y), v) => (x, y, v) }
+    assert(top == Seq((19L, 159L, 255L), (138L, 200L, 251L),
+      (140L, 199L, 242L), (58L, 208L, 239L), (20L, 161L, 236L)),
+      s"got $top")
+  }
+
   test("components are chunking-invariant: 32-cube rechunk equals the " +
       "fixture chunking") {
     // rechunking multiplies the number of block boundaries ~4x per axis;
