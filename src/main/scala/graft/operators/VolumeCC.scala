@@ -201,6 +201,54 @@ object VolumeCC {
       .agg(sum(col("n")).cast("long").as("n_voxels"))
   }
 
+  /** LABEL VOLUME — the per-voxel component assignment as an element
+    * table (x, y, z, v) with v = component + 1 for foreground (ids are
+    * global voxel indices, so +1 keeps 0 free for background) — the
+    * artifact a segmentation pipeline actually ships, ready for
+    * [[graft.n5.N5.blocksFromElements]] + the N5 writer. The closure map
+    * is boundary-label-sized and BROADCAST into a second block-local
+    * labeling pass; every voxel resolves with zero shuffles (the write's
+    * own block regrouping is the only exchange downstream).
+    */
+  def labelVolume(
+      blocks: DataFrame, dimX: Long, dimY: Long,
+      threshold: Long): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val slim = blocks.select(
+      col("gx"), col("gy"), col("gz"),
+      col("x0"), col("y0"), col("z0"), col("shape"), col("data"))
+    val faces = faceVoxels(slim, dimX, dimY, threshold)
+    val keyCols = Seq("kx", "ky", "kz", "axis", "a", "b")
+    val edges = faces.filter(col("side") === 0)
+      .select(keyCols.map(col) :+ col("label").as("la"): _*)
+      .join(faces.filter(col("side") === 1)
+        .select(keyCols.map(col) :+ col("label").as("lb"): _*), keyCols)
+      .select(col("la").as("a"), col("lb").as("b"))
+      .distinct()
+    val compMap = ConnectedComponents.run(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(compMap)
+    slim.flatMap { r =>
+      val (_, _, _, x0, y0, z0, sx, sy, sz, data) = blockArrays(r)
+      val roots = localRoots(sx, sy, sz, data, threshold)
+      val m = bc.value
+      Iterator.range(0, roots.length).map { i =>
+        val x = x0 + i % sx
+        val y = y0 + (i / sx) % sy
+        val z = z0 + i / (sx * sy)
+        val v = if (roots(i) == -1) 0L
+        else {
+          val lxr = roots(i) % sx; val lyr = (roots(i) / sx) % sy
+          val lzr = roots(i) / (sx * sy)
+          val lbl = (x0 + lxr) + dimX * ((y0 + lyr) + dimY * (z0 + lzr))
+          m.getOrElse(lbl, lbl) + 1L
+        }
+        (x, y, z, v)
+      }
+    }.toDF("x", "y", "z", "v")
+  }
+
   /** REGION PROPS — per-component voxel count, axis-aligned bounding box,
     * and fixed-point centroid: the measurement table a segmentation
     * pipeline publishes after labeling. Same plan skeleton as

@@ -353,6 +353,59 @@ object N5Queries {
         .select(col("n_pixels"), col("mip_sum"), col("mip_max"),
           col("x"), col("y"), col("v"), col("rnk"))
         .orderBy(col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // LABEL-VOLUME MATERIALIZATION (q193, r13) — the segmentation
+    // artifact a pipeline actually SHIPS: q190's component assignment
+    // written back as a uint32 N5 dataset (background 0, foreground
+    // component+1) and re-read for verification — the full
+    // read → label → write → re-read loop over the reference's own
+    // format. The closure map is boundary-label-sized and broadcast
+    // into a second block-local pass, so per-voxel labels resolve with
+    // zero shuffles; the write's block regrouping (the patch-row
+    // element→block path) is the only volume-sized exchange, exactly
+    // once. Golden constants over the RE-READ volume: foreground count,
+    // distinct components, and the top-5 (component, size) — which must
+    // match q190's sizes by construction.
+    QueryDef.sql(
+      "q193_volume_label_writeback",
+      """SELECT CAST(n_fg AS BIGINT) AS n_fg,
+        |  CAST(n_components AS BIGINT) AS n_components,
+        |  CAST(component AS BIGINT) AS component,
+        |  CAST(n_voxels AS BIGINT) AS n_voxels,
+        |  CAST(rnk AS INTEGER) AS rnk
+        |FROM (VALUES
+        |  (20282, 1011, 7955, 12945, 1),
+        |  (20282, 1011, 6990,   966, 2),
+        |  (20282, 1011, 6775,   947, 3),
+        |  (20282, 1011, 9897,   255, 4),
+        |  (20282, 1011, 3443,   191, 5))
+        |  t(n_fg, n_components, component, n_voxels, rnk)
+        |ORDER BY rnk""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.n5.{Compression, DatasetAttributes, Dtype}
+      val tmp = java.nio.file.Files.createTempDirectory("labelvol").toString
+      val elems = graft.operators.VolumeCC.labelVolume(
+        N5.read(s, fixtureRoot, fixtureDs), 186L, 226L, threshold = 128L)
+      val attrs = DatasetAttributes(Array(186L, 226L, 27L),
+        Array(64, 64, 64), Dtype.UInt32, Compression("gzip"))
+      N5.write(N5.blocksFromElements(elems, attrs,
+        org.apache.spark.sql.types.LongType), tmp, "labels/s0", attrs)
+      val back = N5.elementsScan(s, tmp, "labels/s0")
+        .filter(col("v") > 0)
+        .select((col("v").cast("long") - 1L).as("component"))
+      val sizes = back.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_voxels"))
+      val stats = sizes.agg(sum(col("n_voxels")).as("n_fg"),
+        count(lit(1)).as("n_components"))
+      sizes.orderBy(col("n_voxels").desc, col("component").asc).limit(5)
+        .withColumn("rnk", row_number().over(Window.orderBy(
+          col("n_voxels").desc, col("component").asc)))
+        .crossJoin(stats)
+        .select(col("n_fg"), col("n_components"),
+          col("component"), col("n_voxels"), col("rnk"))
+        .orderBy(col("rnk").asc)
     }
   )
 }
