@@ -406,6 +406,58 @@ object N5Queries {
         .select(col("n_fg"), col("n_components"),
           col("component"), col("n_voxels"), col("rnk"))
         .orderBy(col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // OTSU AUTO-THRESHOLD (q194, r13) — the classic data-driven
+    // segmentation threshold (Otsu 1979, public): maximize the
+    // between-class variance ω0·ω1·(μ0−μ1)² over the intensity
+    // histogram. Plan shape: the distributed work is ONE map-side-
+    // combined histogram agg over the columnar element scan (output
+    // bounded by the dtype's value domain — ≤256 rows for uint8 at ANY
+    // volume size); the Otsu sweep itself folds the collected histogram
+    // on the driver (metadata-cheap, the bloom-build discipline).
+    // Foreground = v > t. Oracle: golden constants independently derived
+    // by a from-scratch python N5 reader (raw gzip block decode, no
+    // engine code) — threshold 35, 569,513 foreground voxels.
+    QueryDef.sql(
+      "q194_volume_otsu",
+      """SELECT CAST(35 AS INTEGER) AS threshold,
+        |  CAST(569513 AS BIGINT) AS n_fg,
+        |  CAST(42204 AS BIGINT) AS mu_bg_e4,
+        |  CAST(674233 AS BIGINT) AS mu_fg_e4,
+        |  CAST(9986416 AS BIGINT) AS var_e4""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val hRows = N5.elementsScan(s, fixtureRoot, fixtureDs)
+        .groupBy(col("v").cast("int").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .collect() // bounded by the dtype domain (≤256 rows)
+      val h = new Array[Long](256)
+      hRows.foreach(r => h(r.getInt(0)) = r.getLong(1))
+      val total = h.sum
+      val allSum = h.zipWithIndex.map { case (n, v) => n * v.toLong }.sum
+      var bestT = -1; var bestVar = -1.0
+      var cum = 0L; var cumSum = 0L
+      var t = 0
+      while (t < 256) {
+        cum += h(t); cumSum += t.toLong * h(t)
+        if (cum != 0L && cum != total) {
+          val w0 = cum.toDouble / total; val w1 = 1.0 - w0
+          val mu0 = cumSum.toDouble / cum
+          val mu1 = (allSum - cumSum).toDouble / (total - cum)
+          val v = w0 * w1 * (mu0 - mu1) * (mu0 - mu1)
+          if (v > bestVar) { bestVar = v; bestT = t }
+        }
+        t += 1
+      }
+      val nFg = h.zipWithIndex.collect {
+        case (n, v) if v > bestT => n }.sum
+      val fgSum = h.zipWithIndex.collect {
+        case (n, v) if v > bestT => n * v.toLong }.sum
+      def e4(x: Double) = math.floor(10000.0 * x + 0.5).toLong
+      Seq((bestT, nFg, e4((allSum - fgSum).toDouble / (total - nFg)),
+          e4(fgSum.toDouble / nFg), e4(bestVar)))
+        .toDF("threshold", "n_fg", "mu_bg_e4", "mu_fg_e4", "var_e4")
     }
   )
 }
