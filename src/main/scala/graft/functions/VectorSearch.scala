@@ -388,7 +388,18 @@ object VectorSearch {
     */
   def hardNegatives(
       vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
-      nAssign: Int, k: Int): DataFrame = {
+      nAssign: Int, k: Int): DataFrame =
+    labelNeighbors(vectors, cents, nAssign, k, sameLabel = false)
+
+  /** Generalization of [[hardNegatives]]: top-`k` highest-cosine
+    * neighbors with the SAME label (`sameLabel = true` — the positives
+    * of a triplet-mining pass) or a DIFFERENT label (`false` — hard
+    * negatives). The label predicate lives IN the cell join in both
+    * cases, so the two-stage top-k exactness argument is unchanged.
+    */
+  def labelNeighbors(
+      vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
+      nAssign: Int, k: Int, sameLabel: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assignCells(vectors, cents, nAssign)
       .select(col("cell"), col("vec_id"), col("label"), col("embedding"),
@@ -399,12 +410,15 @@ object VectorSearch {
     val b = assigned.select(col("cell").as("cell_b"),
       col("vec_id").as("nbr"), col("label").as("nbr_label"),
       col("embedding").as("vb"), col("nrm").as("nb"))
+    val labelPred =
+      if (sameLabel) col("la") === col("nbr_label")
+      else col("la") =!= col("nbr_label")
     val wCell = Window.partitionBy(col("cell_a"), col("src"))
       .orderBy(col("cosine").desc, col("nbr").asc)
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cosine").desc, col("nbr").asc)
     a.join(b, col("cell_a") === col("cell_b") &&
-        col("src") =!= col("nbr") && col("la") =!= col("nbr_label"))
+        col("src") =!= col("nbr") && labelPred)
       .select(col("cell_a"), col("src"), col("nbr"), col("nbr_label"),
         round(NE.vectorDot(col("va"), col("vb"))
           / (col("na") * col("nb")), 4).as("cosine"))

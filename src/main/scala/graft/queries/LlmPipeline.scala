@@ -2921,6 +2921,79 @@ object LlmPipeline {
             .as("first_match"))
         .select(col("doc_id"), col("n_hist"), col("first_match"))
         .orderBy(col("doc_id").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // TRIPLET MINING (q195, r13) — the full contrastive-training export:
+    // for every anchor, its hardest POSITIVE (nearest same-label
+    // neighbor — the pair the model must pull together) and hardest
+    // NEGATIVE (q179's nearest different-label neighbor — the pair it
+    // must push apart), plus the margin between them. Anchors whose
+    // cells hold no same-label or no different-label co-member drop out
+    // (an inner join on both sides — a triplet needs all three legs).
+    // Both legs are the identical labelNeighbors operator at the
+    // production-k setting, differing only in the label predicate —
+    // which lives IN the cell join, so both rankings are exact over
+    // their populations. margin_e4 = 1e4·(pos_cos − neg_cos), integer
+    // fixed point on already-4-decimal cosines: the quantity a training
+    // run monitors (negative margins are the informative triplets).
+    QueryDef.sql(
+      "q195_triplet_mining",
+      s"""WITH ${kmeansCtes(k = 32, iters = 3, sampleBuckets = 3)},
+         |e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.label, e.v, c.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM e CROSS JOIN cent3 c),
+         |assigned AS (SELECT vec_id, label, v, cid AS cell FROM (
+         |    SELECT vec_id, label, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn <= 2),
+         |cand_p AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr,
+         |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |      AND a.label = b.label),
+         |pos AS (SELECT src, nbr AS pos, cosine AS pos_cos FROM (
+         |  SELECT src, nbr, cosine, row_number() OVER (PARTITION BY src
+         |      ORDER BY cosine DESC, nbr ASC) AS rnk FROM cand_p)
+         |  WHERE rnk = 1),
+         |cand_n AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr,
+         |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |      AND a.label <> b.label),
+         |neg AS (SELECT src, nbr AS neg, cosine AS neg_cos FROM (
+         |  SELECT src, nbr, cosine, row_number() OVER (PARTITION BY src
+         |      ORDER BY cosine DESC, nbr ASC) AS rnk FROM cand_n)
+         |  WHERE rnk = 1)
+         |SELECT p.src AS anchor, p.pos, p.pos_cos, n.neg, n.neg_cos,
+         |  CAST(floor((p.pos_cos - n.neg_cos) * 10000.0 + 0.5) AS BIGINT)
+         |    AS margin_e4
+         |FROM pos p JOIN neg n ON p.src = n.src
+         |ORDER BY anchor ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+      val cents = VS.trainIvfCodebook(
+        e.select(col("vec_id"), col("embedding")),
+        k = 32, iters = 3, sampleBuckets = 3)
+      val sp = Tables.spread(s, e)
+      val pos = VS.labelNeighbors(sp, cents, nAssign = 2, k = 1,
+          sameLabel = true)
+        .select(col("src").as("anchor"), col("nbr").as("pos"),
+          col("cosine").as("pos_cos"))
+      val neg = VS.labelNeighbors(sp, cents, nAssign = 2, k = 1,
+          sameLabel = false)
+        .select(col("src").as("anchor"), col("nbr").as("neg"),
+          col("cosine").as("neg_cos"))
+      pos.join(neg, Seq("anchor"))
+        .select(col("anchor"), col("pos"), col("pos_cos"),
+          col("neg"), col("neg_cos"),
+          floor((col("pos_cos") - col("neg_cos")) * 10000.0 + 0.5)
+            .cast("long").as("margin_e4"))
+        .orderBy(col("anchor").asc)
     }
   )
 }
