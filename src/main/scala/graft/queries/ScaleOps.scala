@@ -505,6 +505,88 @@ object ScaleOps {
           sum(col("n_chars")).cast("long").as("total_chars"),
           (sum(col("dint")) % 1000000007L).cast("long").as("checksum"))
         .orderBy(col("shard").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // PCA SPECTRUM OF THE EMBEDDING COVARIANCE (q196, r13) — the
+    // dimensionality audit run before whitening / dim-reduction /
+    // matryoshka truncation (q158's premise): eigenvalues of the
+    // population covariance say how much of the space the corpus
+    // actually uses. Plan shape: ONE pass over the vectors accumulating
+    // (n, Σx, Σxxᵀ) block-locally into a constant-size buffer
+    // (64 + 2080 doubles per partition — dimension-bounded, corpus-
+    // independent); partials are collected, sorted by partition id, and
+    // folded in FIXED order (bitwise-deterministic under any
+    // scheduling), then a driver-side cyclic Jacobi solves the 64×64
+    // symmetric eigenproblem (metadata-cheap, the q194 discipline). The
+    // oracle computes the covariance TRACE independently in DuckDB and
+    // demands the eigensolver reproduce it through the spectral
+    // identity Σλ = tr(Σ) — an end-to-end constraint a broken solver or
+    // a drifted accumulation cannot fake; the full spectrum is pinned
+    // against numpy-derived constants in PcaSpec. spd_ok / sorted_ok
+    // pin positive-semidefiniteness and descending order.
+    QueryDef.sql(
+      "q196_pca_spectrum",
+      """WITH e AS (SELECT
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |comp AS (SELECT i, avg(v[i]) AS m, avg(v[i] * v[i]) AS m2
+        |  FROM e, generate_series(1, 64) AS t(i) GROUP BY i)
+        |SELECT CAST(floor(1000000.0 * SUM(m2 - m * m) + 0.5) AS BIGINT)
+        |    AS trace_e6,
+        |  CAST(floor(1000000.0 * SUM(m2 - m * m) + 0.5) AS BIGINT)
+        |    AS sum_eig_e6,
+        |  CAST(1 AS INTEGER) AS spd_ok,
+        |  CAST(1 AS INTEGER) AS sorted_ok
+        |FROM comp""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (trace, eig) = graft.operators.Pca.spectrum(
+        Tables.load(s, dir, "embeddings"), 64)
+      def e6(x: Double) = math.floor(1000000.0 * x + 0.5).toLong
+      val spdOk = if (eig.forall(_ >= -1e-9)) 1 else 0
+      val sortedOk =
+        if (eig.sliding(2).forall(p => p.head >= p.last)) 1 else 0
+      Seq((e6(trace), e6(eig.sum), spdOk, sortedOk))
+        .toDF("trace_e6", "sum_eig_e6", "spd_ok", "sorted_ok")
+    },
+
+    // ------------------------------------------------------------------
+    // MATRYOSHKA VARIANCE AUDIT (q199, r13) — the measurement behind
+    // q158's truncated-dim serving decision: what fraction of the
+    // corpus's total variance lives in each coordinate PREFIX (8/16/32/
+    // 64)? A matryoshka-trained embedding front-loads variance and makes
+    // truncation cheap; this corpus spreads it uniformly (share ≈ p/64),
+    // which is exactly what the audit is for — it prices the recall cost
+    // BEFORE a 100 TB serving tier commits to truncated vectors. Plan:
+    // one posexplode pass into a 64-cell var_pop agg (map-side combined,
+    // output bounded by the dimension at any corpus size), then prefix
+    // shares from a broadcast 4-row prefix table over the 64-row result.
+    QueryDef.sql(
+      "q199_matryoshka_variance",
+      """WITH e AS (SELECT
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |comp AS (SELECT i, avg(v[i] * v[i]) - avg(v[i]) * avg(v[i]) AS var
+        |  FROM e, generate_series(1, 64) AS t(i) GROUP BY i),
+        |pref AS (SELECT p AS prefix_dim,
+        |    SUM(CASE WHEN i <= p THEN var ELSE 0 END) AS pv, SUM(var) AS tv
+        |  FROM comp, (SELECT unnest([8, 16, 32, 64]) AS p) GROUP BY p)
+        |SELECT CAST(prefix_dim AS INTEGER) AS prefix_dim,
+        |  CAST(floor(10000.0 * pv / tv + 0.5) AS BIGINT) AS var_share_e4
+        |FROM pref ORDER BY prefix_dim ASC""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dims = Tables.load(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(var_pop(col("x").cast("double")).as("var"))
+      val pref = Seq(8, 16, 32, 64).toDF("prefix_dim")
+      dims.crossJoin(broadcast(pref))
+        .groupBy(col("prefix_dim"))
+        .agg(floor(lit(10000.0) *
+            sum(when(col("i") < col("prefix_dim"), col("var"))
+              .otherwise(0.0)) / sum(col("var")) + 0.5)
+          .cast("long").as("var_share_e4"))
+        .orderBy(col("prefix_dim").asc)
     }
   )
 }
