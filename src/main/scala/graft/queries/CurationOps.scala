@@ -636,6 +636,101 @@ object CurationOps {
             .cast("long").as("fused_e4"))
         .orderBy(col("fused_e4").desc, col("doc_id").asc)
         .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // TIME-SERIES AUTOCORRELATION (q198, r13) — lag-1 and lag-7 Pearson
+    // autocorrelation of the daily event-count series: the seasonality /
+    // trend diagnostic run before capacity planning (q175's sweep line)
+    // or anomaly thresholds (q122's z-scores) are trusted. Plan shape:
+    // the corpus-sized work is ONE map-side-combined hash agg to the
+    // daily table (365 rows per year at ANY event volume); the lag
+    // windows and the corr() folds run on that day-count-bounded table —
+    // the q121 bounded-window discipline, documented, not a scale hole.
+    // corr() skips null lag pairs identically in both engines, and the
+    // sample-vs-population distinction cancels in the Pearson ratio.
+    QueryDef.sql(
+      "q198_daily_autocorrelation",
+      """WITH d AS (SELECT date_trunc('day', ts) AS day,
+        |    CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT cnt,
+        |    lag(cnt, 1) OVER (ORDER BY day ASC) AS c1,
+        |    lag(cnt, 7) OVER (ORDER BY day ASC) AS c7
+        |  FROM d)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(floor(10000.0 * corr(cnt, c1) + 0.5) AS BIGINT) AS acf1_e4,
+        |  CAST(floor(10000.0 * corr(cnt, c7) + 0.5) AS BIGINT) AS acf7_e4
+        |FROM l""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val w = Window.orderBy(col("day").asc)
+      // global window over the DAILY table only: rows bounded by the
+      // calendar span (≤ a few thousand at decade horizons), never the
+      // event volume — the q121 bounded-window exception.
+      daily
+        .select(col("cnt"), lag(col("cnt"), 1).over(w).as("c1"),
+          lag(col("cnt"), 7).over(w).as("c7"))
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          floor(lit(10000.0) * corr(col("cnt"), col("c1")) + 0.5)
+            .cast("long").as("acf1_e4"),
+          floor(lit(10000.0) * corr(col("cnt"), col("c7")) + 0.5)
+            .cast("long").as("acf7_e4"))
+    },
+
+    // ------------------------------------------------------------------
+    // BENFORD FIRST-DIGIT AUDIT (q200, r13) — the forensic data-quality
+    // check run on monetary/measurement columns before trusting an
+    // upstream feed: observed first-significant-digit shares vs the
+    // Benford expectation log10(1 + 1/d), with per-digit chi-squared
+    // contributions locating WHICH digits drive a deviation (synthetic
+    // uniform-ish values fail hard at digit 5+ — the audit is supposed
+    // to flag that). Digit extraction is EXACT, not log/pow: the values
+    // are cent-quantized, so round(value*100) is an exact BIGINT in both
+    // engines and the leading digit comes from integer-to-string — no
+    // libm floor(log10(x)) cliff at the 1.0/10.0/100.0 boundaries where
+    // this corpus actually has mass. Plan: one narrow pass → 9-cell
+    // map-side-combined agg; scale-free by construction.
+    QueryDef.sql(
+      "q200_benford_audit",
+      """WITH c AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS cents
+        |  FROM events WHERE value > 0),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit FROM c),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY digit),
+        |t AS (SELECT SUM(n) AS total FROM g)
+        |SELECT digit, n,
+        |  CAST(floor(10000.0 * n / total + 0.5) AS BIGINT) AS obs_share_e4,
+        |  CAST(floor(10000.0 * log10(1.0 + 1.0/digit) + 0.5) AS BIGINT)
+        |    AS benford_e4,
+        |  CAST(floor(10000.0
+        |      * (n - total*log10(1.0 + 1.0/digit))
+        |      * (n - total*log10(1.0 + 1.0/digit))
+        |      / (total*log10(1.0 + 1.0/digit)) + 0.5) AS BIGINT)
+        |    AS chi2_term_e4
+        |FROM g, t ORDER BY digit ASC""".stripMargin) { (s, dir) =>
+      val digits = Tables.load(s, dir, "events")
+        .filter(col("value") > 0)
+        .select(substring(round(col("value") * 100.0).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val expected = lit(1.0) + lit(1.0) / col("digit")
+      val w = Window.partitionBy()
+      // window over the 9-row digit table only (bounded by the decimal
+      // alphabet at any corpus size) — the q121 exception, again.
+      val withTotal = digits.withColumn("total", sum(col("n")).over(w))
+      val e = col("total") * log10(expected)
+      withTotal.select(col("digit"), col("n"),
+          floor(lit(10000.0) * col("n") / col("total") + 0.5)
+            .cast("long").as("obs_share_e4"),
+          floor(lit(10000.0) * log10(expected) + 0.5)
+            .cast("long").as("benford_e4"),
+          floor(lit(10000.0) * (col("n") - e) * (col("n") - e) / e + 0.5)
+            .cast("long").as("chi2_term_e4"))
+        .orderBy(col("digit").asc)
     }
   )
 }

@@ -694,6 +694,78 @@ object TrainingPipeline {
           Seq(("tier", false), ("rk", true), ("doc_id", true)))
         .select(col("rn").as("pos"), col("doc_id"), col("tier"))
         .orderBy(col("pos").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // CLOSED-FORM MULTI-FEATURE OLS (q197, r13) — the calibration
+    // regression a pipeline fits when it needs interpretable
+    // coefficients (which raw signals predict token count / quality /
+    // cost) without an iterative trainer. q142's GD answers "can a
+    // linear model separate?"; this answers "what is THE least-squares
+    // fit, exactly". Plan: features are narrow codegen'd expressions,
+    // every moment the normal equations need folds in ONE map-side-
+    // combined HashAggregate (covar_pop/var_pop — Welford merges,
+    // O(p²) state per partition), and the 3×3 solve is driver-side
+    // (operators/Ols). The oracle is maximally independent: DuckDB
+    // computes its OWN covariances and solves the SAME normal equations
+    // by an explicit Cramer 3×3 determinant expansion — no engine
+    // output feeds it. Features scaled to O(1) so both engines' e4
+    // lattice sits far above their FP fold noise.
+    QueryDef.sql(
+      "q197_ols_normal_equations",
+      """WITH f AS (SELECT
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+        |      / 100.0 AS y,
+        |    CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+        |    CAST(n_chars AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) AS x2,
+        |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+        |      AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) AS x3
+        |  FROM documents),
+        |m AS (SELECT count(*) AS n,
+        |    avg(y) AS my, avg(x1) AS m1, avg(x2) AS m2, avg(x3) AS m3,
+        |    covar_pop(x1, x1) AS s11, covar_pop(x1, x2) AS s12,
+        |    covar_pop(x1, x3) AS s13, covar_pop(x2, x2) AS s22,
+        |    covar_pop(x2, x3) AS s23, covar_pop(x3, x3) AS s33,
+        |    covar_pop(x1, y) AS c1, covar_pop(x2, y) AS c2,
+        |    covar_pop(x3, y) AS c3, var_pop(y) AS vy
+        |  FROM f),
+        |d AS (SELECT *,
+        |    s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13)
+        |      + s13*(s12*s23 - s22*s13) AS det
+        |  FROM m),
+        |b AS (SELECT n, my, m1, m2, m3, vy, c1, c2, c3,
+        |    (c1*(s22*s33 - s23*s23) - s12*(c2*s33 - s23*c3)
+        |      + s13*(c2*s23 - s22*c3)) / det AS b1,
+        |    (s11*(c2*s33 - c3*s23) - c1*(s12*s33 - s23*s13)
+        |      + s13*(s12*c3 - c2*s13)) / det AS b2,
+        |    (s11*(s22*c3 - s23*c2) - s12*(s12*c3 - c2*s13)
+        |      + c1*(s12*s23 - s22*s13)) / det AS b3
+        |  FROM d)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(floor(10000.0*b1 + 0.5) AS BIGINT) AS beta1_e4,
+        |  CAST(floor(10000.0*b2 + 0.5) AS BIGINT) AS beta2_e4,
+        |  CAST(floor(10000.0*b3 + 0.5) AS BIGINT) AS beta3_e4,
+        |  CAST(floor(10000.0*(my - b1*m1 - b2*m2 - b3*m3) + 0.5) AS BIGINT)
+        |    AS intercept_e4,
+        |  CAST(floor(10000.0*((b1*c1 + b2*c2 + b3*c3) / vy) + 0.5) AS BIGINT)
+        |    AS r2_e4
+        |FROM b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = TF.tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val feats = docs(s, dir).select(
+        (nTok / 100.0).as("y"),
+        (col("n_chars").cast("double") / 1000.0).as("x1"),
+        (col("n_chars").cast("double") / nTok).as("x2"),
+        (size(array_distinct(toks)).cast("double") / nTok).as("x3"))
+      val fit = graft.operators.Ols.fit(feats, "y", Seq("x1", "x2", "x3"))
+      def e4(x: Double) = math.floor(10000.0 * x + 0.5).toLong
+      Seq((fit.n, e4(fit.betas(0)), e4(fit.betas(1)), e4(fit.betas(2)),
+          e4(fit.intercept), e4(fit.r2)))
+        .toDF("n", "beta1_e4", "beta2_e4", "beta3_e4", "intercept_e4",
+          "r2_e4")
     }
   )
 }
