@@ -343,9 +343,25 @@ object VectorSearch {
     */
   def knnGraph(
       vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
-      nAssign: Int, k: Int): DataFrame = {
+      nAssign: Int, k: Int): DataFrame =
+    knnWithinCells(assignCells(vectors, cents, nAssign), k)
+
+  /** [[knnGraph]] over IMI product cells (the q151 production chain):
+    * assignment strategy is orthogonal to the two-stage top-k, exactly
+    * as [[imiDedupPairs]] is to [[semanticDedupPairs]].
+    */
+  def imiKnnGraph(
+      vectors: DataFrame, cb1: Seq[(Int, Seq[Double])],
+      cb2: Seq[(Int, Seq[Double])], half: Int, aProbe: Int,
+      k: Int): DataFrame =
+    knnWithinCells(imiAssignCells(vectors, cb1, cb2, half, aProbe), k)
+
+  /** The join/rank half of [[knnGraph]], shared with the IMI variant:
+    * expects one row per (cell, vec_id, embedding) assignment.
+    */
+  private def knnWithinCells(assignedIn: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = assignCells(vectors, cents, nAssign)
+    val assigned = assignedIn
       .select(col("cell"), col("vec_id"), col("embedding"),
         NE.vectorL2Norm(col("embedding")).as("nrm"))
     val a = assigned.select(col("cell").as("cell_a"),

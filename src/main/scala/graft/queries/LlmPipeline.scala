@@ -190,6 +190,49 @@ object LlmPipeline {
     (Seq(samp, init) ++ rounds).mkString(",\n")
   }
 
+  /** The PRODUCTION coarse-quantizer oracle chain (r14): both half-vector
+    * k-means chains ([[kmeansCtesHalf]]) plus the q156 product-cell
+    * assignment, yielding CTEs `e(vec_id, v, v1, v2)` and
+    * `assigned(vec_id, v, cell)` for the composite queries (q150-q152/
+    * q163/q180) to build pairs/graphs on. This replaces the flat
+    * [[kmeansCtes]]+scored+assigned prefix those composites carried in
+    * r13: a flat K-cell codebook costs K·dim per row to train and
+    * assign, and the measured sf10 capstone spent 270.9 s in that
+    * trainer; two k-cell half-codebooks span K = k² product cells for
+    * k·dim work — O(√K) (VERDICT r13 next-round #1). Every step stays
+    * on the oracle lattice: per-half argmax of round(cosine, 4), ties
+    * to the lowest cid, product id = c1·k + c2, top-`aProbe` cells on
+    * half 1 × top-1 on half 2.
+    */
+  private def imiProdCtes(k: Int, iters: Int, sampleBuckets: Int,
+      aProbe: Int): String =
+    s"""${kmeansCtesHalf(k, iters, sampleBuckets, lo = 1, dims = 32, p = "h1")},
+       |${kmeansCtesHalf(k, iters, sampleBuckets, lo = 33, dims = 32, p = "h2")},
+       |e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_transform(embedding[1:32], x -> CAST(x AS DOUBLE)) AS v1,
+       |    list_transform(embedding[33:64], x -> CAST(x AS DOUBLE)) AS v2
+       |  FROM embeddings),
+       |s1 AS (SELECT e.vec_id, c.cid,
+       |    round(list_cosine_similarity(e.v1, c.cv), 4) AS sim
+       |  FROM e CROSS JOIN h1cent$iters c),
+       |a1 AS (SELECT vec_id, cid AS c1 FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, cid ASC) AS rn
+       |    FROM s1) WHERE rn <= $aProbe),
+       |s2 AS (SELECT e.vec_id, c.cid,
+       |    round(list_cosine_similarity(e.v2, c.cv), 4) AS sim
+       |  FROM e CROSS JOIN h2cent$iters c),
+       |a2 AS (SELECT vec_id, cid AS c2 FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, cid ASC) AS rn
+       |    FROM s2) WHERE rn = 1),
+       |assigned AS (SELECT e.vec_id, e.v, a1.c1 * $k + a2.c2 AS cell
+       |  FROM e JOIN a1 ON a1.vec_id = e.vec_id
+       |  JOIN a2 ON a2.vec_id = e.vec_id)""".stripMargin
+
   /** DuckDB CTE chain for q129's fixed-iteration PageRank: expects
     * `knn(src, nbr)`, `deg(src, outdeg)`, `n(nn)`, `pr0(node, pr)` to be
     * in scope; yields `pr1..pr{iters}`. Mirrors the Spark loop exactly —
@@ -2149,8 +2192,8 @@ object LlmPipeline {
     // ------------------------------------------------------------------
     // PRODUCTION-k SEMANTIC-DEDUP SURVIVORS (r13) — q113's full
     // SemDeDup pass (pairs → connected-component closure → canonical
-    // keep-set) composed over q134's PRODUCTION-k candidate chain
-    // (k=32 cells, nAssign=2: 12.5 % of the pair space) instead of the
+    // keep-set) composed over the PRODUCTION candidate chain (64 IMI
+    // product cells, 2 assignments per vector) instead of the
     // oracle-frozen quadratic k=8/nAssign=3. q134 proved the pair
     // PRIMITIVE at production k; this proves the COMPOSED pipeline a
     // 100 TB curation run actually ships — closure rounds shuffle only
@@ -2158,22 +2201,17 @@ object LlmPipeline {
     // recall/cost tradeoff), and the final labeling is one left join on
     // vec_id. Survivor semantics are q113's verbatim: cluster canonical
     // = minimum vec_id, unpaired vectors are their own singleton. The
-    // oracle replays k=32 training, top-2 assignment, thresholded
-    // pairing, and the recursive closure CTE-for-CTE (q93 discipline).
+    // oracle replays IMI training (both half chains), top-2×top-1
+    // product-cell assignment, thresholded pairing, and the recursive
+    // closure CTE-for-CTE (q93 discipline). r14: the coarse quantizer is
+    // the O(√K) IMI chain (k=8 per half → 64 product cells at 16-cell
+    // assignment cost) instead of the flat k=32 trainer whose n·K Lloyd
+    // assignment was the measured sf10 scale wall (270.9 s of the
+    // capstone's 347.8 s; VERDICT r13 #1) — at 100 TB, k grows ∝ √n per
+    // half while assignment work stays O(√K).
     QueryDef.sql(
       "q150_dedup_survivors_production_k",
-      s"""WITH RECURSIVE ${kmeansCtes(k = 32, iters = 3, sampleBuckets = 3)},
-         |e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |scored AS (SELECT e.vec_id, e.v, c.cid,
-         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
-         |  FROM e CROSS JOIN cent3 c),
-         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
-         |    SELECT vec_id, v, cid,
-         |      row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY sim DESC, cid ASC) AS rn
-         |    FROM scored) WHERE rn <= 2),
+      s"""WITH RECURSIVE ${imiProdCtes(k = 8, iters = 3, sampleBuckets = 3, aProbe = 2)},
          |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2193,9 +2231,10 @@ object LlmPipeline {
          |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val cents = VS.trainIvfCodebook(e, k = 32, iters = 3, sampleBuckets = 3)
-      val edges = VS.semanticDedupPairs(Tables.spread(s, e), cents,
-          nAssign = 2, threshold = 0.4)
+      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 8, iters = 3,
+        sampleBuckets = 3)
+      val edges = VS.imiDedupPairs(Tables.spread(s, e), cb1, cb2, half,
+          aProbe = 2, threshold = 0.4)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
         .withColumnRenamed("node", "vec_id")
@@ -2262,26 +2301,16 @@ object LlmPipeline {
     // clusters of each size? (Size-1 = unique; a heavy tail of large
     // clusters is the "one template stamped a million times" smell that
     // changes dedup strategy before it changes any query.) Exactly
-    // q150's production-k chain (k=32 training, 2-of-32 assignment,
-    // threshold 0.4 pairs, closure) folded twice more: component →
+    // q150's production chain (IMI k=8-per-half training, 2-of-64
+    // product-cell assignment, threshold 0.4 pairs, closure) folded
+    // twice more: component →
     // cluster size, size → (n_clusters, n_docs). Scale shape: both
     // folds are map-side-combined aggs whose outputs are bounded by the
     // distinct-size count (≤ largest cluster) — the corpus-sized work is
     // the pair chain q150 already pays, nothing new shuffles.
     QueryDef.sql(
       "q163_dup_cluster_histogram",
-      s"""WITH RECURSIVE ${kmeansCtes(k = 32, iters = 3, sampleBuckets = 3)},
-         |e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |scored AS (SELECT e.vec_id, e.v, c.cid,
-         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
-         |  FROM e CROSS JOIN cent3 c),
-         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
-         |    SELECT vec_id, v, cid,
-         |      row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY sim DESC, cid ASC) AS rn
-         |    FROM scored) WHERE rn <= 2),
+      s"""WITH RECURSIVE ${imiProdCtes(k = 8, iters = 3, sampleBuckets = 3, aProbe = 2)},
          |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2304,9 +2333,10 @@ object LlmPipeline {
          |FROM cs GROUP BY sz ORDER BY cluster_size ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val cents = VS.trainIvfCodebook(e, k = 32, iters = 3, sampleBuckets = 3)
-      val edges = VS.semanticDedupPairs(Tables.spread(s, e), cents,
-          nAssign = 2, threshold = 0.4)
+      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 8, iters = 3,
+        sampleBuckets = 3)
+      val edges = VS.imiDedupPairs(Tables.spread(s, e), cb1, cb2, half,
+          aProbe = 2, threshold = 0.4)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
         .withColumnRenamed("node", "vec_id")
@@ -2320,9 +2350,10 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
-    // PRODUCTION-k PAGERANK (r13) — q129's centrality propagation over
-    // q133's PRODUCTION-k kNN graph (k=32 cells, nAssign=2) instead of
-    // the frozen quadratic k=8/nAssign=3 edge generation it inherited.
+    // PRODUCTION-k PAGERANK (r13; r14 quantizer swap) — q129's
+    // centrality propagation over the PRODUCTION kNN graph (64 IMI
+    // product cells, 2 assignments per vector) instead of the frozen
+    // quadratic k=8/nAssign=3 edge generation it inherited.
     // Same iteration discipline as q129 exactly: edges built once and
     // localCheckpoint'd, 5 fixed iterations of ONE src-keyed join + one
     // map-side-combined agg on dst + a left-join back to the node set,
@@ -2331,22 +2362,11 @@ object LlmPipeline {
     // last frozen-k-only composites: every member of the cell-bucketed
     // family (pairs, survivors, graph, centrality) now has an
     // oracle-green face at the scale-lever setting. The oracle replays
-    // k=32 training, 2-of-32 assignment, top-5 ranking, and the 5
-    // PageRank rounds CTE-for-CTE.
+    // IMI training, 2-of-64 product-cell assignment, top-5 ranking, and
+    // the 5 PageRank rounds CTE-for-CTE.
     QueryDef.sql(
       "q151_pagerank_production_k",
-      s"""WITH ${kmeansCtes(k = 32, iters = 3, sampleBuckets = 3)},
-         |e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |scored AS (SELECT e.vec_id, e.v, c.cid,
-         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
-         |  FROM e CROSS JOIN cent3 c),
-         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
-         |    SELECT vec_id, v, cid,
-         |      row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY sim DESC, cid ASC) AS rn
-         |    FROM scored) WHERE rn <= 2),
+      s"""WITH ${imiProdCtes(k = 8, iters = 3, sampleBuckets = 3, aProbe = 2)},
          |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr,
          |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
          |  FROM assigned a JOIN assigned b
@@ -2365,8 +2385,10 @@ object LlmPipeline {
          |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val cents = VS.trainIvfCodebook(e, k = 32, iters = 3, sampleBuckets = 3)
-      val edges = VS.knnGraph(Tables.spread(s, e), cents, nAssign = 2, k = 5)
+      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 8, iters = 3,
+        sampleBuckets = 3)
+      val edges = VS.imiKnnGraph(Tables.spread(s, e), cb1, cb2, half,
+          aProbe = 2, k = 5)
         .select(col("src"), col("nbr").as("dst")).localCheckpoint()
       graft.operators.PageRank.run(
           e.select(col("vec_id").as("node")), edges,
@@ -2496,8 +2518,8 @@ object LlmPipeline {
     // are each individually oracle-green: (1) the q142 trained quality
     // gate (3 GD iterations, score >= 0.5 keeps), (2) exact dedup among
     // the quality survivors (canonical = min doc_id per normalized-text
-    // digest), (3) semantic dedup survivors from q150's production-k
-    // chain (k=32/nAssign=2 cells; docs without an embedding can't be
+    // digest), (3) semantic dedup survivors from q150's production IMI
+    // chain (2-of-64 product cells; docs without an embedding can't be
     // semantic dups and keep), (4) q135's benchmark decontamination
     // (drop >= 2 shared 3-grams with the probe set, bloom pre-filter on
     // the Spark side, exact join in the oracle — the bloom cannot change
@@ -2523,18 +2545,7 @@ object LlmPipeline {
           .mkString(", ") + s" FROM f, $prev w)"
       QueryDef.sql(
         "q152_release_pipeline",
-        s"""WITH RECURSIVE ${kmeansCtes(k = 32, iters = 3, sampleBuckets = 3)},
-           |e AS (SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |  FROM embeddings),
-           |scored AS (SELECT e.vec_id, e.v, c.cid,
-           |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
-           |  FROM e CROSS JOIN cent3 c),
-           |assigned AS (SELECT vec_id, v, cid AS cell FROM (
-           |    SELECT vec_id, v, cid,
-           |      row_number() OVER (PARTITION BY vec_id
-           |        ORDER BY sim DESC, cid ASC) AS rn
-           |    FROM scored) WHERE rn <= 2),
+        s"""WITH RECURSIVE ${imiProdCtes(k = 8, iters = 3, sampleBuckets = 3, aProbe = 2)},
            |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            |  FROM assigned a JOIN assigned b
            |    ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2641,15 +2652,17 @@ object LlmPipeline {
         val scoreC = round(lit(1.0) / (lit(1.0) + exp(-zFinal)), 4)
         val quality = fTbl.select(col("doc_id"), scoreC.as("score"))
           .filter(col("score") >= 0.5)
-        // (3) semantic non-survivors from the q150 production-k chain;
+        // (3) semantic non-survivors from the q150 production IMI chain;
         // the drop-set is cluster-member-sized, broadcast below
         val eTbl = emb(s, dir).select(col("vec_id"), col("embedding"))
-        val cents = graft.BenchProbes.time("q152.train_cells") {
-          VS.trainIvfCodebook(eTbl, k = 32, iters = 3, sampleBuckets = 3)
+        val (cb1, cb2, halfD) = graft.BenchProbes.time("q152.train_cells") {
+          // r14: IMI replaces the flat k=32 trainer — the flat n·K Lloyd
+          // assignment was 270.9 s of the sf10 capstone (VERDICT r13 #1)
+          VS.trainImiCodebooks(eTbl, k = 8, iters = 3, sampleBuckets = 3)
         }
         val semDrop = graft.BenchProbes.time("q152.semantic") {
-          val edges = VS.semanticDedupPairs(Tables.spread(s, eTbl), cents,
-              nAssign = 2, threshold = 0.4)
+          val edges = VS.imiDedupPairs(Tables.spread(s, eTbl), cb1, cb2,
+              halfD, aProbe = 2, threshold = 0.4)
             .select(col("id_a").as("a"), col("id_b").as("b"))
           graft.operators.ConnectedComponents.run(edges, "a", "b")
             .filter(col("component") =!= col("node"))
@@ -2756,7 +2769,7 @@ object LlmPipeline {
     // the rest; SoftDeDup-style curation instead keeps EVERY member at
     // sampling weight 1/cluster_size, so near-dup content contributes one
     // effective copy to training without a hard drop decision). Composes
-    // the q134 production-k pair chain: pairs → connected components →
+    // the q150 production IMI pair chain: pairs → connected components →
     // component sizes → weight_e4 = floor(10^4/size + 0.5) per member,
     // 10^4 for singletons. The weight arithmetic is integer fixed-point,
     // so both engines agree exactly. Scale shape: the pair chain is the
@@ -2769,18 +2782,7 @@ object LlmPipeline {
     // row count after soft dedup.
     QueryDef.sql(
       "q180_softdedup_weights",
-      s"""WITH RECURSIVE ${kmeansCtes(k = 32, iters = 3, sampleBuckets = 3)},
-         |e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |scored AS (SELECT e.vec_id, e.v, c.cid,
-         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
-         |  FROM e CROSS JOIN cent3 c),
-         |assigned AS (SELECT vec_id, v, cid AS cell FROM (
-         |    SELECT vec_id, v, cid,
-         |      row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY sim DESC, cid ASC) AS rn
-         |    FROM scored) WHERE rn <= 2),
+      s"""WITH RECURSIVE ${imiProdCtes(k = 8, iters = 3, sampleBuckets = 3, aProbe = 2)},
          |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2805,9 +2807,10 @@ object LlmPipeline {
          |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val cents = VS.trainIvfCodebook(e, k = 32, iters = 3, sampleBuckets = 3)
-      val edges = VS.semanticDedupPairs(Tables.spread(s, e), cents,
-          nAssign = 2, threshold = 0.4)
+      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 8, iters = 3,
+        sampleBuckets = 3)
+      val edges = VS.imiDedupPairs(Tables.spread(s, e), cb1, cb2, half,
+          aProbe = 2, threshold = 0.4)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
         .withColumnRenamed("node", "vec_id")
