@@ -84,6 +84,27 @@ class SetSimJoinSpec extends SparkSpec {
       "J = 1/3 < 3/5 must be verified away")
   }
 
+  test("PPJoin length + positional filters hold the candidate counts") {
+    // r13 measured the filterless prefix join's candidate share GROWING
+    // with the corpus on this ~fixed shingle vocabulary (0.13 % at
+    // sf0.01 → 2.4 % at sf0.1 of the pair space — VERDICT r13 #3); with
+    // the r14 length + positional filters the measured counts are 25 and
+    // 68,725 (0.02 % / 0.55 %). Pin them with zero headroom at the small
+    // SF and ~9 % at the large one (the count is deterministic; the
+    // slack only covers a future corpus regeneration) so a regression
+    // that drops either filter fails loudly here, not in the bench.
+    val bounds = Seq(
+      ("/root/testdata/sf0.01", 30L),
+      ("/root/testdata/sf0.1", 75000L))
+    for ((dir, bound) <- bounds) {
+      val items = shingleSets(dir).localCheckpoint()
+      val cands = SetSimJoin.candidates(items, 3, 5).count()
+      assert(cands <= bound,
+        s"$dir: candidate count $cands exceeds the frozen bound $bound — " +
+          "did the length/positional filters regress?")
+    }
+  }
+
   test("empty and singleton inputs produce no pairs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[String])].toDF("id", "s")
