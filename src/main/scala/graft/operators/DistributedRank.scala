@@ -54,14 +54,38 @@ object DistributedRank {
       rowOff: Long, denseOff: Long, continues: Boolean,
       leadRunStartRow: Long, extraTrail: Long, n: Long)
 
-  /** Append `rn`/`rnk`/`drnk`/`prnk`/`cd` columns over the window
-    * (partCols, orderSpec) with full parallelism. `orderSpec` entries are
-    * (column, ascending).
+  /** Hard ceiling on pass 1's driver-collected group fragments. The
+    * contract is a LOW-CARDINALITY window key: fragments number at most
+    * partitions + distinct keys (each partition holds fragments for the
+    * keys its range covers, +1 per boundary), so a million of them means
+    * the key is high-cardinality and stock `Window.partitionBy` — which
+    * parallelizes across keys just fine in that regime — is the right
+    * operator. Failing fast here beats a silent driver OOM
+    * (ADVICE r13: nothing previously prevented a per-row key from
+    * turning the collect into the row count).
+    */
+  val MaxFragments: Int = 1 << 20
+
+  /** Append `rn`/`rnk`/`drnk`/`prnk`/`cd` (and with `ntileBuckets` set,
+    * `nt`) columns over the window (partCols, orderSpec) with full
+    * parallelism. `orderSpec` entries are (column, ascending).
+    *
+    * `ntileBuckets = Some(k)` emits Spark's `ntile(k)`: bucket sizes
+    * floor(n/k) with the first n mod k buckets one larger — pure local
+    * arithmetic from the global row number and group size already in
+    * hand, no extra pass.
+    *
+    * Contract: partCols must be LOW-cardinality (the q61/q153 shape —
+    * the whole point is ranges ≫ keys). Pass 1 collects one fragment
+    * per (partition, group) to the driver; [[MaxFragments]] bounds that
+    * loudly.
     */
   def withRanks(
       df: DataFrame, partCols: Seq[String],
       orderSpec: Seq[(String, Boolean)],
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      ntileBuckets: Option[Int] = None): DataFrame = {
+    require(ntileBuckets.forall(_ > 0), s"ntile buckets must be > 0")
     val spark = df.sparkSession
     val sortCols = partCols.map(col(_).asc) ++
       orderSpec.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
@@ -85,7 +109,16 @@ object DistributedRank {
       var nRows = 0L; var nDense = 0L; var nLead = 0L; var nTrail = 0L
       var leadOpen = false
       def flush(): Unit =
-        if (pk != null) out += Frag(pid, pk, nRows, nDense, first, last, nLead, nTrail)
+        if (pk != null) {
+          out += Frag(pid, pk, nRows, nDense, first, last, nLead, nTrail)
+          // executor-side guard: throw BEFORE a high-cardinality key's
+          // fragments ever travel to (and OOM) the driver
+          if (out.size > MaxFragments) throw new IllegalArgumentException(
+            s"DistributedRank: partition $pid produced > $MaxFragments window-" +
+              "group fragments — the partition key is high-cardinality, " +
+              "which violates this operator's contract; use a stock " +
+              "Window.partitionBy (it parallelizes across keys) instead")
+        }
       it.foreach { r =>
         val k = keyOf(r, pIdx)
         val o = keyOf(r, oIdx)
@@ -102,6 +135,10 @@ object DistributedRank {
       flush()
       out.iterator
     }.collect()
+    require(frags.length <= MaxFragments,
+      s"DistributedRank: ${frags.length} window-group fragments exceed the " +
+        s"$MaxFragments bound — partition key too high-cardinality for the " +
+        "driver prefix-merge; use a stock Window.partitionBy instead")
 
     // ---- driver prefix-merge per window group -------------------------
     val adjMap = scala.collection.mutable.HashMap.empty[(Int, Seq[Any]), Adj]
@@ -141,12 +178,24 @@ object DistributedRank {
     val bc = spark.sparkContext.broadcast(adjMap.toMap)
 
     // ---- pass 2: streaming global ranks, tie runs buffered ------------
-    val outSchema = StructType(schema.fields ++ Seq(
+    val outSchema = StructType(schema.fields ++ (Seq(
       StructField("rn", IntegerType, nullable = false),
       StructField("rnk", IntegerType, nullable = false),
       StructField("drnk", IntegerType, nullable = false),
       StructField("prnk", DoubleType, nullable = false),
-      StructField("cd", DoubleType, nullable = false)))
+      StructField("cd", DoubleType, nullable = false)) ++
+      ntileBuckets.map(_ => StructField("nt", IntegerType, nullable = false))))
+    // Spark's ntile(k): the first (n mod k) buckets hold floor(n/k)+1
+    // rows, the rest floor(n/k); nt is derived from the global row
+    // number alone
+    def ntileOf(gRow: Long, n: Long, k: Int): Int = {
+      val base = n / k
+      val extra = n % k
+      val bigSpan = (base + 1) * extra
+      if (base == 0) gRow.toInt // fewer rows than buckets: row i -> bucket i
+      else if (gRow <= bigSpan) ((gRow + base) / (base + 1)).toInt
+      else (extra + (gRow - bigSpan + base - 1) / base).toInt
+    }
     val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       val adjs = bc.value
       new Iterator[Row] {
@@ -165,8 +214,9 @@ object DistributedRank {
             val n = adj.n
             val prnk = if (n > 1) (gRank - 1).toDouble / (n - 1) else 0.0
             val cd = runEndGlobal.toDouble / n
-            buf += Row.fromSeq(r.toSeq ++ Seq[Any](
-              gRow.toInt, gRank.toInt, gDense.toInt, prnk, cd))
+            val base = Seq[Any](gRow.toInt, gRank.toInt, gDense.toInt, prnk, cd)
+            buf += Row.fromSeq(r.toSeq ++
+              (base ++ ntileBuckets.map(k => ntileOf(gRow, n, k))))
           }
           run.clear()
         }

@@ -96,6 +96,42 @@ object AggExtras {
     },
 
     // ------------------------------------------------------------------
+    // KEYED DISTRIBUTED RANK (q201, r14) — q61's EXACT query (same
+    // window, same five rank functions INCLUDING ntile, same oracle SQL)
+    // via operators.DistributedRank, retiring the last stock-window
+    // scale-killer: q61's PARTITION BY o_orderstatus hash-window is 3
+    // reducers at any cluster size (measured 34.99 s / 8.2× per 10× at
+    // sf10), while this plan range-partitions on (status, price, key)
+    // and ranks at #ranges parallelism. ntile(4) is emitted from the
+    // global row number and group size already in hand (q61's order is
+    // total — o_orderkey breaks price ties — so ntile is well-defined
+    // across engines). q61 itself deliberately stays the stock plan as
+    // the measured contrast; PlanAuditSpec pins this one WindowExec-free.
+    QueryDef.sql(
+      "q201_rank_keyed_distributed",
+      """SELECT o_orderstatus, o_orderkey,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS nt,
+        |  round(percent_rank() OVER w, 4) AS prnk,
+        |  round(cume_dist() OVER w, 4) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderstatus ASC, o_orderkey ASC""".stripMargin) { (s, dir) =>
+      graft.operators.DistributedRank.withRanks(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")),
+          Seq("o_orderstatus"),
+          Seq(("o_totalprice", false), ("o_orderkey", true)),
+          ntileBuckets = Some(4))
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("rnk"), col("drnk"), col("nt"),
+          round(col("prnk"), 4).as("prnk"), round(col("cd"), 4).as("cd"))
+        .orderBy(col("o_orderstatus").asc, col("o_orderkey").asc)
+    },
+
+    // ------------------------------------------------------------------
     // Full ranking window family: rank / dense_rank / ntile / percent_rank
     // / cume_dist. One shuffle by o_orderstatus, one sort per partition.
     QueryDef.sql(

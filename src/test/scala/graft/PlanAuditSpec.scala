@@ -769,6 +769,28 @@ class PlanAuditSpec extends SparkSpec {
       "curriculum order must never plan a WindowExec")
   }
 
+  test("q201: the keyed rank family plans ZERO WindowExec — q61's exact " +
+      "query at range parallelism") {
+    // q61's Window.partitionBy(o_orderstatus) is 3 reducers at any
+    // cluster size; q201 computes the identical five rank functions
+    // (ntile included) through DistributedRank and must never fall back
+    // to a hash window.
+    val plan = {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "false")
+        Queries.byName("q201_rank_keyed_distributed").build(spark, sf)
+          .queryExecution.executedPlan
+      } finally spark.conf.set(key, prev)
+    }
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      "keyed distributed rank must never plan a WindowExec")
+  }
+
   test("q187: three global percent-ranks plan ZERO WindowExec — all " +
       "ranking through DistributedRank at range parallelism") {
     val plan = {

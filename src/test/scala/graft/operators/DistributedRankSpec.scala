@@ -124,6 +124,35 @@ class DistributedRankSpec extends SparkSpec {
     assert(bad.isEmpty, s"${bad.size} rows diverge, e.g. ${bad.take(3)}")
   }
 
+  test("ntile equals Spark's ntile (r14): uneven buckets and n < k") {
+    // q61's shape: total order (price desc, key asc) so ntile is
+    // well-defined; group sizes are not multiples of 4, exercising the
+    // first-(n mod k)-buckets-one-larger rule
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val expected = orders.select(col("o_orderkey"), ntile(4).over(w).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = DistributedRank.withRanks(orders, Seq("o_orderstatus"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)),
+        numPartitions = 7, ntileBuckets = Some(4))
+      .select(col("o_orderkey"), col("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == expected.size)
+    val bad = expected.filter { case (k, e) => got(k) != e }
+    assert(bad.isEmpty, s"${bad.size} ntiles diverge, e.g. ${bad.take(3)}")
+    // fewer rows than buckets: each row its own bucket (Spark semantics)
+    import spark.implicits._
+    val tiny = Seq((1L, "A", 5.0), (2L, "A", 3.0)).toDF("id", "k", "v")
+    val wt = Window.partitionBy(col("k")).orderBy(col("v").asc)
+    val expTiny = tiny.select(col("id"), ntile(4).over(wt).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gotTiny = DistributedRank.withRanks(tiny, Seq("k"), Seq(("v", true)),
+        numPartitions = 2, ntileBuckets = Some(4))
+      .select(col("id"), col("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotTiny == expTiny, s"n<k diverged: $gotTiny vs $expTiny")
+  }
+
   test("single partition and empty input degrade gracefully") {
     val one = DistributedRank.withRanks(orders.limit(50),
       Seq("o_orderstatus"), Seq(("o_orderdate", true)), numPartitions = 1)
