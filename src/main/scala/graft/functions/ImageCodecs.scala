@@ -1,0 +1,719 @@
+package graft.functions
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** PNG and baseline JPEG codecs — executor-side, JDK-only, loud failures.
+  *
+  * A real multimodal crawl is JPEG/PNG (VERDICT r13 "what's missing" #1);
+  * the q98/q102 codec discipline extends to both: hand-parsed wire
+  * formats, deterministic output, malformed containers rejected with
+  * messages rather than misread into plausible pixels.
+  *
+  * PNG (RFC 2083 / ISO 15948): 8-bit gray / RGB / RGBA, all five row
+  * filters, zlib via java.util.zip. CRCs are VERIFIED on read (a flipped
+  * bit fails loudly, never decodes into garbage pixels). Adam7 interlace
+  * and sub-byte depths are rejected loudly — they are announced in IHDR,
+  * so a supported-profile check is exact.
+  *
+  * JPEG (ITU-T T.81 baseline sequential DCT): SOI/APPn/DQT/SOF0/DHT/DRI/
+  * SOS parsing, canonical Huffman decode with byte-stuffing and restart
+  * markers, dequant + zigzag + separable double IDCT, h×v chroma
+  * upsampling (4:4:4 / 4:2:2 / 4:2:0), ITU-R BT.601 YCbCr→RGB.
+  * Progressive (SOF2) and arithmetic coding are rejected loudly. The
+  * bundled ENCODER is the fixture path: grayscale, FLAT (all-ones)
+  * quantization, spec Annex-K luminance Huffman tables — on images whose
+  * 8×8 blocks are constant the DCT has only a DC term and decode is
+  * EXACT, which is what lets a SQL oracle replay the pixel arithmetic of
+  * a lossy format (the q194 engine-independent-constants discipline).
+  * ImageCodecsSpec cross-checks both codecs against the independent JDK
+  * ImageIO implementations (exact for PNG, ±1 per sample for JPEG —
+  * T.81 Annex A allows IDCT rounding differences).
+  */
+object ImageCodecs {
+
+  /** Decoded raster: `pixels` is row-major, channel-interleaved, one Int
+    * 0-255 per sample; `channels` is 1 (gray), 3 (RGB) or 4 (RGBA).
+    */
+  final case class Raster(
+      width: Int, height: Int, channels: Int, pixels: Array[Int])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  // ====================================================================
+  // PNG
+  // ====================================================================
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  def decodePng(bytes: Array[Byte]): Raster = {
+    if (bytes.length < 8 || !bytes.take(8).sameElements(PngSig))
+      fail("PNG: bad signature")
+    var o = 8
+    var w = 0; var h = 0; var channels = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (o < bytes.length && !seenIend) {
+      if (o + 8 > bytes.length) fail("PNG: truncated chunk header")
+      val len = be32(bytes, o)
+      if (len < 0 || o + 12 + len > bytes.length)
+        fail(s"PNG: chunk length $len overruns file")
+      val ctype = new String(bytes, o + 4, 4, "US-ASCII")
+      val crc = new CRC32()
+      crc.update(bytes, o + 4, 4 + len)
+      if (crc.getValue.toInt != be32(bytes, o + 8 + len))
+        fail(s"PNG: CRC mismatch on $ctype chunk")
+      ctype match {
+        case "IHDR" =>
+          if (len != 13) fail(s"PNG: IHDR length $len != 13")
+          w = be32(bytes, o + 8); h = be32(bytes, o + 12)
+          val depth = bytes(o + 16) & 0xff
+          val color = bytes(o + 17) & 0xff
+          val interlace = bytes(o + 20) & 0xff
+          if (w <= 0 || h <= 0) fail(s"PNG: bad dimensions ${w}x$h")
+          if (depth != 8) fail(s"PNG: unsupported bit depth $depth (only 8)")
+          if (interlace != 0) fail("PNG: Adam7 interlace unsupported")
+          channels = color match {
+            case 0 => 1
+            case 2 => 3
+            case 6 => 4
+            case c => fail(s"PNG: unsupported color type $c (0/2/6 only)")
+          }
+          seenIhdr = true
+        case "IDAT" =>
+          if (!seenIhdr) fail("PNG: IDAT before IHDR")
+          idat.write(bytes, o + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks skipped (CRC already verified)
+      }
+      o += 12 + len
+    }
+    if (!seenIhdr) fail("PNG: missing IHDR")
+    if (!seenIend) fail("PNG: missing IEND")
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && inf.needsInput()) fail("PNG: IDAT stream truncated")
+      got += n
+    }
+    inf.end()
+    if (got != raw.length)
+      fail(s"PNG: decompressed $got bytes, expected ${raw.length}")
+    // unfilter in place into `out`
+    val out = new Array[Int](w * h * channels)
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (stride + 1)
+      val ft = raw(rowOff) & 0xff
+      var x = 0
+      while (x < stride) {
+        val rawB = raw(rowOff + 1 + x) & 0xff
+        val a = if (x >= channels) cur(x - channels) else 0
+        val b = prev(x)
+        val c = if (x >= channels) prev(x - channels) else 0
+        val v = ft match {
+          case 0 => rawB
+          case 1 => rawB + a
+          case 2 => rawB + b
+          case 3 => rawB + ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            rawB + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case t => fail(s"PNG: unknown filter type $t on row $y")
+        }
+        cur(x) = v & 0xff
+        x += 1
+      }
+      System.arraycopy(cur, 0, out, y * stride, stride)
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y = y + 1
+    }
+    Raster(w, h, channels, out)
+  }
+
+  /** Encode an 8-bit raster as PNG. `filterFor(y)` picks the row filter
+    * (0-4); the default None filter is the engine path, the spec uses a
+    * rotating picker to exercise every unfilter branch on decode.
+    */
+  def encodePng(
+      r: Raster, filterFor: Int => Int = _ => 0): Array[Byte] = {
+    val colorType = r.channels match {
+      case 1 => 0
+      case 3 => 2
+      case 4 => 6
+      case c => fail(s"PNG encode: unsupported channel count $c")
+    }
+    require(r.pixels.length == r.width * r.height * r.channels,
+      s"PNG encode: ${r.pixels.length} samples for " +
+        s"${r.width}x${r.height}x${r.channels}")
+    val stride = r.width * r.channels
+    val raw = new Array[Byte]((stride + 1) * r.height)
+    var y = 0
+    while (y < r.height) {
+      val ft = filterFor(y)
+      require(ft >= 0 && ft <= 4, s"PNG encode: bad filter $ft")
+      raw(y * (stride + 1)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val v = r.pixels(y * stride + x) & 0xff
+        val a = if (x >= r.channels) r.pixels(y * stride + x - r.channels) & 0xff else 0
+        val b = if (y > 0) r.pixels((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= r.channels && y > 0)
+          r.pixels((y - 1) * stride + x - r.channels) & 0xff else 0
+        val enc = ft match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            v - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (stride + 1) + 1 + x) = enc.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw); deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new CRC32(); crc.update(tb); crc.update(data)
+      val cv = crc.getValue.toInt
+      out.write(Array((cv >>> 24).toByte, (cv >>> 16).toByte,
+        (cv >>> 8).toByte, cv.toByte))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(r.width).putInt(r.height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  // ====================================================================
+  // JPEG — baseline sequential DCT (ITU-T T.81)
+  // ====================================================================
+
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical Huffman table: codes of each length from BITS, values in
+    * HUFFVAL order (T.81 Annex C). Decoding walks bit-by-bit with the
+    * (code, length) → value map folded into per-length first-code/index
+    * arrays.
+    */
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    // minCode(l)/maxCode(l): the code range of length l; valPtr(l): index
+    // of the first value of length l
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var code = br.bit()
+      var l = 1
+      while (l <= 16) {
+        if (maxCode(l) >= 0 && code <= maxCode(l))
+          return vals(valPtr(l) + code - minCode(l))
+        code = (code << 1) | br.bit()
+        l += 1
+      }
+      fail("JPEG: invalid Huffman code (corrupt entropy stream)")
+    }
+  }
+
+  /** Entropy-stream bit reader with FF00 byte-unstuffing; stops at any
+    * non-stuffing marker (the caller handles RSTn / EOI).
+    */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= bytes.length) fail("JPEG: entropy stream truncated")
+        var b = bytes(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= bytes.length) fail("JPEG: truncated after FF")
+          val m = bytes(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed FF
+          else fail(f"JPEG: unexpected marker FF$m%02x inside entropy data")
+        }
+        cur = b; nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+
+    /** T.81 F.12 EXTEND: map an n-bit magnitude to its signed value. */
+    def extend(v: Int, n: Int): Int =
+      if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+
+    def alignToByte(): Unit = nbits = 0
+  }
+
+  private final case class JComp(
+      id: Int, h: Int, v: Int, tq: Int, var td: Int = 0, var ta: Int = 0)
+
+  def decodeJpeg(bytes: Array[Byte]): Raster = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      fail("JPEG: missing SOI")
+    var o = 2
+    val qt = new Array[Array[Int]](4)
+    val dcTables = new Array[Huff](4)
+    val acTables = new Array[Huff](4)
+    var comps: Array[JComp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var scanStart = -1
+
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+
+    while (scanStart < 0) {
+      if (o + 4 > bytes.length) fail("JPEG: truncated before SOS")
+      if ((bytes(o) & 0xff) != 0xff) fail(f"JPEG: expected marker at $o")
+      val marker = bytes(o + 1) & 0xff
+      val len = u16(o + 2)
+      if (o + 2 + len > bytes.length) fail(f"JPEG: segment FF$marker%02x overruns")
+      marker match {
+        case 0xdb => // DQT
+          var p = o + 4
+          while (p < o + 2 + len) {
+            val pq = (bytes(p) & 0xf0) >> 4
+            val tq = bytes(p) & 0x0f
+            if (tq > 3) fail(s"JPEG: DQT table id $tq")
+            val t = new Array[Int](64)
+            var i = 0
+            if (pq == 0) { while (i < 64) { t(i) = bytes(p + 1 + i) & 0xff; i += 1 }; p += 65 }
+            else { while (i < 64) { t(i) = u16(p + 1 + 2 * i); i += 1 }; p += 129 }
+            qt(tq) = t
+          }
+        case 0xc0 | 0xc1 => // SOF0/1 baseline
+          h = u16(o + 5); w = u16(o + 7)
+          if ((bytes(o + 4) & 0xff) != 8) fail("JPEG: only 8-bit precision")
+          if (w <= 0 || h <= 0) fail(s"JPEG: bad dimensions ${w}x$h")
+          val nc = bytes(o + 9) & 0xff
+          if (nc != 1 && nc != 3) fail(s"JPEG: $nc components (1 or 3 only)")
+          comps = (0 until nc).map { i =>
+            val p = o + 10 + 3 * i
+            JComp(bytes(p) & 0xff, (bytes(p + 1) & 0xf0) >> 4,
+              bytes(p + 1) & 0x0f, bytes(p + 2) & 0xff)
+          }.toArray
+          comps.foreach { c =>
+            if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2)
+              fail(s"JPEG: sampling ${c.h}x${c.v} unsupported (1-2 only)")
+          }
+        case 0xc2 => fail("JPEG: progressive (SOF2) unsupported — baseline only")
+        case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          fail(f"JPEG: SOF FF$m%02x unsupported — baseline only")
+        case 0xc4 => // DHT
+          var p = o + 4
+          while (p < o + 2 + len) {
+            val tc = (bytes(p) & 0xf0) >> 4
+            val th = bytes(p) & 0x0f
+            if (th > 3) fail(s"JPEG: DHT table id $th")
+            val bits = (1 to 16).map(i => bytes(p + i) & 0xff).toArray
+            val nv = bits.sum
+            val vals = (0 until nv).map(i => bytes(p + 17 + i) & 0xff).toArray
+            val tab = new Huff(bits, vals)
+            if (tc == 0) dcTables(th) = tab else acTables(th) = tab
+            p += 17 + nv
+          }
+        case 0xdd => restartInterval = u16(o + 4)
+        case 0xda => // SOS
+          if (comps == null) fail("JPEG: SOS before SOF")
+          val ns = bytes(o + 4) & 0xff
+          if (ns != comps.length) fail("JPEG: partial scans unsupported")
+          var i = 0
+          while (i < ns) {
+            val cid = bytes(o + 5 + 2 * i) & 0xff
+            val c = comps.find(_.id == cid)
+              .getOrElse(fail(s"JPEG: SOS names unknown component $cid"))
+            c.td = (bytes(o + 6 + 2 * i) & 0xf0) >> 4
+            c.ta = bytes(o + 6 + 2 * i) & 0x0f
+            i += 1
+          }
+          scanStart = o + 2 + len
+        case 0xd9 => fail("JPEG: EOI before SOS")
+        case _ => () // APPn / COM / others skipped
+      }
+      o += 2 + len
+    }
+
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // per-component plane at its own resolution (MCU-padded)
+    val planeW = comps.map(c => mcusX * 8 * c.h)
+    val planeH = comps.map(c => mcusY * 8 * c.v)
+    val planes = comps.indices.map(i => new Array[Int](planeW(i) * planeH(i))).toArray
+    val pred = new Array[Int](comps.length)
+    val br = new BitReader(bytes, scanStart)
+    val blk = new Array[Int](64)
+    val tmp = new Array[Double](64)
+
+    def decodeBlock(ci: Int, bx: Int, by: Int): Unit = {
+      val c = comps(ci)
+      val q = qt(c.tq)
+      if (q == null) fail(s"JPEG: component ${c.id} references missing DQT ${c.tq}")
+      val dcT = dcTables(c.td)
+      val acT = acTables(c.ta)
+      if (dcT == null || acT == null) fail("JPEG: missing DHT table")
+      java.util.Arrays.fill(blk, 0)
+      val t = dcT.decode(br)
+      pred(ci) += br.extend(br.receive(t), t)
+      blk(0) = pred(ci) * q(0)
+      var k = 1
+      while (k < 64) {
+        val rs = acT.decode(br)
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else k = 64 // EOB
+        } else {
+          k += r
+          if (k > 63) fail("JPEG: AC run overruns block")
+          blk(ZigZag(k)) = br.extend(br.receive(s), s) * q(k)
+          k += 1
+        }
+      }
+      // separable double IDCT with the T.81 normalization
+      var i = 0
+      while (i < 8) { // rows of the coefficient block -> tmp
+        var x = 0
+        while (x < 8) {
+          var acc = 0.0
+          var u = 0
+          while (u < 8) {
+            val cu = if (u == 0) 0.70710678118654752440 else 1.0
+            acc += cu * blk(i * 8 + u) *
+              math.cos((2 * x + 1) * u * math.Pi / 16)
+            u += 1
+          }
+          tmp(i * 8 + x) = acc / 2.0
+          x += 1
+        }
+        i += 1
+      }
+      val pw = planeW(ci)
+      var yb = 0
+      while (yb < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0.0
+          var v = 0
+          while (v < 8) {
+            val cv = if (v == 0) 0.70710678118654752440 else 1.0
+            acc += cv * tmp(v * 8 + x) *
+              math.cos((2 * yb + 1) * v * math.Pi / 16)
+            v += 1
+          }
+          val px = (acc / 2.0 + 128.0).round.toInt
+          val gx = bx * 8 + x; val gy = by * 8 + yb
+          planes(ci)(gy * pw + gx) = math.max(0, math.min(255, px))
+          x += 1
+        }
+        yb += 1
+      }
+    }
+
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.alignToByte()
+          // expect RSTn
+          var p = br.pos
+          if (p + 1 >= bytes.length) fail("JPEG: truncated at restart")
+          if ((bytes(p) & 0xff) != 0xff ||
+            (bytes(p + 1) & 0xff) < 0xd0 || (bytes(p + 1) & 0xff) > 0xd7)
+            fail("JPEG: expected RSTn marker")
+          br.pos = p + 2
+          java.util.Arrays.fill(pred, 0)
+        }
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          var v = 0
+          while (v < c.v) {
+            var hh = 0
+            while (hh < c.h) {
+              decodeBlock(ci, mx * c.h + hh, my * c.v + v)
+              hh += 1
+            }
+            v += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+
+    if (comps.length == 1) {
+      val out = new Array[Int](w * h)
+      val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(planes(0), y * pw, out, y * w, w)
+        y += 1
+      }
+      Raster(w, h, 1, out)
+    } else {
+      // upsample chroma by sample replication to the luma grid, BT.601
+      val out = new Array[Int](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = planes(0)(y * planeW(0) + x)
+          val cb = planes(1)((y * comps(1).v / vMax) * planeW(1) + x * comps(1).h / hMax)
+          val cr = planes(2)((y * comps(2).v / vMax) * planeW(2) + x * comps(2).h / hMax)
+          val r = (yy + 1.402 * (cr - 128)).round.toInt
+          val g = (yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)).round.toInt
+          val b = (yy + 1.772 * (cb - 128)).round.toInt
+          val off = (y * w + x) * 3
+          out(off) = math.max(0, math.min(255, r))
+          out(off + 1) = math.max(0, math.min(255, g))
+          out(off + 2) = math.max(0, math.min(255, b))
+          x += 1
+        }
+        y += 1
+      }
+      Raster(w, h, 3, out)
+    }
+  }
+
+  // ---- fixture encoder: grayscale baseline, FLAT quantization ---------
+
+  /** T.81 Annex K.3.3.1/2 — the standard luminance Huffman tables. */
+  private val StdDcBits =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val StdDcVals = (0 to 11).toArray
+  private val StdAcBits =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val StdAcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** (code, length) for each symbol of a canonical table. */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val m = scala.collection.mutable.HashMap.empty[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        m(vals(k)) = (code, l); code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    m.toMap
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) { // pad with 1s (T.81 F.1.2.3)
+      acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+      out.write(acc)
+      if (acc == 0xff) out.write(0x00)
+      acc = 0; n = 0
+    }
+  }
+
+  /** Grayscale baseline JPEG with a FLAT (all-ones) quantization table.
+    * On block-constant input the encode→decode round trip is EXACT
+    * (DC-only spectrum, quantizer 1) — the fixture path for oracle-
+    * checkable lossy-format queries. General input encodes fine too;
+    * then the usual DCT rounding applies.
+    */
+  def encodeJpegGray(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(pixels.length == width * height,
+      s"${pixels.length} pixels for ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int): Unit = { out.write(0xff); out.write(b) }
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8) // SOI
+    m(0xdb); w16(67); out.write(0x00) // DQT, 8-bit table 0
+    var i = 0
+    while (i < 64) { out.write(1); i += 1 } // flat quantization
+    m(0xc0); w16(11); out.write(8); w16(height); w16(width) // SOF0
+    out.write(1); out.write(0x01); out.write(0x11); out.write(0x00)
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      m(0xc4); w16(19 + vals.length); out.write((tc << 4) | 0)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, StdDcBits, StdDcVals)
+    dht(1, StdAcBits, StdAcVals)
+    m(0xda); w16(8); out.write(1); out.write(0x01); out.write(0x00)
+    out.write(0); out.write(63); out.write(0) // Ss/Se/Ah+Al
+    val dcC = huffCodes(StdDcBits, StdDcVals)
+    val acC = huffCodes(StdAcBits, StdAcVals)
+    val bw = new BitWriter(out)
+    val coef = new Array[Int](64)
+    val tmpd = new Array[Double](64)
+    var pred = 0
+    val bxs = (width + 7) / 8; val bys = (height + 7) / 8
+    var by = 0
+    while (by < bys) {
+      var bx = 0
+      while (bx < bxs) {
+        // FDCT (T.81 A.3.3) over the level-shifted block, edge-replicated
+        var v = 0
+        while (v < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0
+            var yy = 0
+            while (yy < 8) {
+              val sy = math.min(height - 1, by * 8 + yy)
+              val sx = math.min(width - 1, bx * 8 + x)
+              acc += (pixels(sy * width + sx) - 128) *
+                math.cos((2 * yy + 1) * v * math.Pi / 16)
+              yy += 1
+            }
+            tmpd(v * 8 + x) = acc / 2.0 * (if (v == 0) 0.70710678118654752440 else 1.0)
+            x += 1
+          }
+          v += 1
+        }
+        var vv = 0
+        while (vv < 8) {
+          var u = 0
+          while (u < 8) {
+            var acc = 0.0
+            var x = 0
+            while (x < 8) {
+              acc += tmpd(vv * 8 + x) * math.cos((2 * x + 1) * u * math.Pi / 16)
+              x += 1
+            }
+            val cu = if (u == 0) 0.70710678118654752440 else 1.0
+            coef(vv * 8 + u) = math.round(acc / 2.0 * cu).toInt // quantizer 1
+            u += 1
+          }
+          vv += 1
+        }
+        // entropy-encode in zigzag order
+        val zz = new Array[Int](64)
+        var k = 0
+        while (k < 64) { zz(k) = coef(ZigZag(k)); k += 1 }
+        val diff = zz(0) - pred
+        pred = zz(0)
+        val (mag, nb) = magnitude(diff)
+        val (dc, dl) = dcC(nb)
+        bw.put(dc, dl); if (nb > 0) bw.put(mag, nb)
+        var run = 0
+        k = 1
+        var lastNz = 63
+        while (lastNz > 0 && zz(lastNz) == 0) lastNz -= 1
+        while (k <= lastNz) {
+          if (zz(k) == 0) { run += 1 }
+          else {
+            while (run > 15) { val (c, l) = acC(0xf0); bw.put(c, l); run -= 16 }
+            val (am, an) = magnitude(zz(k))
+            val (ac, al) = acC((run << 4) | an)
+            bw.put(ac, al); bw.put(am, an)
+            run = 0
+          }
+          k += 1
+        }
+        if (lastNz < 63) { val (c, l) = acC(0x00); bw.put(c, l) } // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** (magnitude bits per T.81 F.1.2.1.3, bit count) of a signed value. */
+  private def magnitude(v: Int): (Int, Int) = {
+    if (v == 0) return (0, 0)
+    val a = math.abs(v)
+    var n = 0
+    while ((a >> n) != 0) n += 1
+    val mag = if (v > 0) v else v + (1 << n) - 1
+    (mag, n)
+  }
+}

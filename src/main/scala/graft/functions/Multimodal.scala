@@ -68,11 +68,18 @@ object Multimodal {
     media.mapPartitions(_.map { m =>
       val s = TiffIO.decode(m.bytes)
       val n = s.pixels.length
+      // aHash is defined over an 8x8 raster; silently fingerprinting only
+      // the first 64 pixels of a larger image would weaken the near-dup
+      // guarantee the banded join relies on (ADVICE r13) — resize first
+      // (resizeImages) for anything bigger
+      require(n == 64,
+        s"imagePHash expects an 8x8 raster (64 pixels), got $n (id=${m.id}); " +
+          "resize to 8x8 before hashing")
       var sum = 0L; var i = 0
       while (i < n) { sum += s.pixels(i); i += 1 }
       val bands = new Array[Int](4)
       i = 0
-      while (i < n && i < 64) {
+      while (i < 64) {
         if (n.toLong * s.pixels(i) >= sum) bands(i / 16) |= (1 << (i % 16))
         i += 1
       }
@@ -156,6 +163,85 @@ object Multimodal {
           s"embedding dim ${px.length} is not a perfect square (vec_id=$id)")
         MediaRow(id, "image/tiff", TiffIO.encode(side, side, px, 8))
       })
+  }
+
+  // ------------------------------------------------------------------
+  // PNG / JPEG (functions.ImageCodecs) — the crawl-native image formats.
+
+  /** Embeddings → 8-bit grayscale 8×8 PNG bytes (same deterministic
+    * pixel mapping as [[embeddingsAsImages]]). The row filter rotates
+    * through all five PNG filter types, so the decode side of every
+    * query over this corpus exercises Sub/Up/Average/Paeth unfiltering
+    * on real bytes, not just the None path.
+    */
+  def embeddingsAsPng(embeddings: DataFrame): Dataset[MediaRow] = {
+    import embeddings.sparkSession.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val px = v.map(x =>
+          math.max(0, math.min(255, math.floor((x + 1.0) * 127.5).toInt)))
+        val side = math.sqrt(px.length).toInt
+        require(side * side == px.length,
+          s"embedding dim ${px.length} is not a perfect square (vec_id=$id)")
+        MediaRow(id, "image/png", ImageCodecs.encodePng(
+          ImageCodecs.Raster(side, side, 1, px), filterFor = y => y % 5))
+      })
+  }
+
+  /** Embeddings → BLOCK-CONSTANT grayscale JPEG: each embedding value
+    * becomes one constant 8×8 block (64 dims → a 64×64 image), encoded
+    * baseline with a flat quantizer. Constant blocks have a DC-only
+    * spectrum, so the lossy format round-trips EXACTLY here — which is
+    * what lets q203's DuckDB oracle replay the pixel arithmetic of a
+    * JPEG-decoding query (ImageCodecs doc).
+    */
+  def embeddingsAsJpeg(embeddings: DataFrame): Dataset[MediaRow] = {
+    import embeddings.sparkSession.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val blocks = v.map(x =>
+          math.max(0, math.min(255, math.floor((x + 1.0) * 127.5).toInt)))
+        val bside = math.sqrt(blocks.length).toInt
+        require(bside * bside == blocks.length,
+          s"embedding dim ${blocks.length} is not a perfect square (vec_id=$id)")
+        val side = bside * 8
+        val px = new Array[Int](side * side)
+        var i = 0
+        while (i < px.length) {
+          val bx = (i % side) / 8; val by = (i / side) / 8
+          px(i) = blocks(by * bside + bx)
+          i += 1
+        }
+        MediaRow(id, "image/jpeg", ImageCodecs.encodeJpegGray(side, side, px))
+      })
+  }
+
+  /** [[imageFeatures]] over PNG or JPEG bytes — REAL executor-side
+    * decode via [[ImageCodecs]]; multi-channel rasters aggregate over
+    * all samples.
+    */
+  def imageFeaturesCoded(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val r = m.media_type match {
+        case "image/png" => ImageCodecs.decodePng(m.bytes)
+        case "image/jpeg" => ImageCodecs.decodeJpeg(m.bytes)
+        case t => throw new IllegalArgumentException(
+          s"imageFeaturesCoded: unsupported media_type $t")
+      }
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < r.pixels.length) {
+        val v = r.pixels(i); sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      ImageFeatures(m.id, r.width, r.height,
+        sum.toDouble / r.pixels.length, mn, mx)
+    })
   }
 
   // ------------------------------------------------------------------

