@@ -81,6 +81,79 @@ object BlockCodec {
     }
   }
 
+  /** Decode one zarr v2 chunk into the N5 block shape contract. A zarr
+    * chunk has NO header: the payload is the FULL chunk (edge chunks are
+    * fill-padded by the writer), compressed whole, elements in C order of
+    * the declared shape — which after the metadata-side axis reversal is
+    * exactly N5's x-fastest order. This trims the padded payload down to
+    * `trimmedShape` (the attrs-derived edge shape), so downstream block
+    * consumers see the same edge-trimmed contract N5 blocks satisfy.
+    * `littleEndian` follows the .zarray dtype byte-order character.
+    */
+  def decodeZarr(
+      raw: Array[Byte], dtype: Dtype, comp: Compression,
+      chunkShape: Array[Int], trimmedShape: Array[Int],
+      littleEndian: Boolean): DecodedBlock = {
+    val full = chunkShape.product
+    val payload = decompress(raw, 0, comp, full * dtype.bytesPerElement)
+    require(payload.length >= full * dtype.bytesPerElement,
+      s"zarr chunk: ${payload.length} payload bytes < " +
+        s"$full x ${dtype.bytesPerElement} expected")
+    val buf = ByteBuffer.wrap(payload)
+      .order(if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    // full-chunk flat index of a trimmed flat index (x fastest)
+    val n = trimmedShape.product
+    val srcIdx = new Array[Int](n)
+    locally {
+      var i = 0
+      while (i < n) {
+        var rem = i; var stride = 1; var src = 0
+        var d = 0
+        while (d < trimmedShape.length) {
+          src += (rem % trimmedShape(d)) * stride
+          rem /= trimmedShape(d)
+          stride *= chunkShape(d)
+          d += 1
+        }
+        srcIdx(i) = src
+        i += 1
+      }
+    }
+    dtype match {
+      case Dtype.Float32 =>
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) { out(i) = buf.getFloat(srcIdx(i) * 4).toDouble; i += 1 }
+        DecodedBlock(null, trimmedShape, null, out)
+      case Dtype.Float64 =>
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) { out(i) = buf.getDouble(srcIdx(i) * 8); i += 1 }
+        DecodedBlock(null, trimmedShape, null, out)
+      case d =>
+        val out = new Array[Long](n)
+        var i = 0
+        d match {
+          case Dtype.UInt8 =>
+            while (i < n) { out(i) = buf.get(srcIdx(i)) & 0xffL; i += 1 }
+          case Dtype.Int8 =>
+            while (i < n) { out(i) = buf.get(srcIdx(i)).toLong; i += 1 }
+          case Dtype.UInt16 =>
+            while (i < n) { out(i) = buf.getShort(srcIdx(i) * 2) & 0xffffL; i += 1 }
+          case Dtype.Int16 =>
+            while (i < n) { out(i) = buf.getShort(srcIdx(i) * 2).toLong; i += 1 }
+          case Dtype.UInt32 =>
+            while (i < n) { out(i) = buf.getInt(srcIdx(i) * 4) & 0xffffffffL; i += 1 }
+          case Dtype.Int32 =>
+            while (i < n) { out(i) = buf.getInt(srcIdx(i) * 4).toLong; i += 1 }
+          case Dtype.UInt64 | Dtype.Int64 =>
+            while (i < n) { out(i) = buf.getLong(srcIdx(i) * 8); i += 1 }
+          case _ => throw new IllegalStateException(s"unreachable: $d")
+        }
+        DecodedBlock(null, trimmedShape, out, null)
+    }
+  }
+
   /** Encode a block to the N5 binary layout. Exactly one of longs/doubles
     * must be non-null, length == shape.product. `varlength` emits the
     * mode-1 header (an extra uint32 element count after the dims —

@@ -196,7 +196,7 @@ object N5 {
     val dsPath = new org.apache.hadoop.fs.Path(root, dataset)
     val fs = dsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val present = graft.sources.n5.N5GridWalk
-      .list(fs, dsPath, 3, (axis, v) => v >= g0(axis) && v <= g1(axis))
+      .listChunks(fs, dsPath, attrs, (axis, v) => v >= g0(axis) && v <= g1(axis))
       .map { case (g, _) => (g(0), g(1), g(2)) }.toSet
     // intersection boxes of the absent blocks with [start, end)
     val missingBoxes: Seq[(Long, Long, Long, Long, Long, Long)] = (for {
@@ -260,6 +260,9 @@ object N5 {
       spark: SparkSession, root: String, dataset: String,
       start: Array[Long], end: Array[Long], elems: DataFrame): Unit = {
     val attrs = N5Meta.datasetAttributes(root, dataset)
+    require(!attrs.isZarr,
+      "writeBox: zarr datasets are READ-ONLY in this engine — convert to " +
+        "N5 first (createDatasetLike + write reproduce the geometry)")
     require(attrs.ndim == 3, "writeBox expects a 3-D dataset")
     require(start.zip(end).forall { case (s, e) => s < e },
       s"empty box [${start.mkString(",")}, ${end.mkString(",")})")

@@ -92,7 +92,24 @@ final case class DatasetAttributes(
     blockSize: Array[Int],
     dataType: Dtype,
     compression: Compression,
-    extra: Map[String, String] = Map.empty) extends Serializable {
+    extra: Map[String, String] = Map.empty,
+    // zarr v2 container support (r14, read-only): format "n5" | "zarr".
+    // dimensions/blockSize are ALWAYS held in the engine's x-fastest
+    // order — zarr's C-order shape/chunks are reversed on parse, which
+    // also makes the chunk payload's element order identical to N5's
+    // (zarr's last axis varies fastest = the engine's x).
+    format: String = "n5",
+    zarrSeparator: String = ".",
+    zarrLittleEndian: Boolean = true) extends Serializable {
+
+  def isZarr: Boolean = format == "zarr"
+
+  /** Relative chunk/block file key under the dataset dir for grid `g`
+    * (engine x,y,z order): N5 nests directories x/y/z; zarr keys are the
+    * C-order (reversed) indices joined by the declared separator.
+    */
+  def chunkKey(g: Array[Int]): String =
+    if (isZarr) g.reverse.mkString(zarrSeparator) else g.mkString("/")
 
   def ndim: Int = dimensions.length
 
@@ -142,7 +159,11 @@ object N5Meta {
   }
 
   def datasetAttributes(root: String, dataset: String): DatasetAttributes = {
-    val j = readJson(new Path(root, s"$dataset/attributes.json"))
+    val n5Path = new Path(root, s"$dataset/attributes.json")
+    val zarrPath = new Path(root, s"$dataset/.zarray")
+    if (!fs(n5Path).exists(n5Path) && fs(zarrPath).exists(zarrPath))
+      return zarrArrayAttributes(zarrPath)
+    val j = readJson(n5Path)
     val dims = j.get("dimensions").elements().asScala.map(_.asLong()).toArray
     val bs = j.get("blockSize").elements().asScala.map(_.asInt()).toArray
     val dt = Dtype.fromName(j.get("dataType").asText())
@@ -161,11 +182,19 @@ object N5Meta {
           else if (c.has("blockSize")) c.get("blockSize").asInt()
           else if (c.has("preset")) c.get("preset").asInt() // n5-java xz
           else if (c.has("clevel")) { // blosc family
-            // clevel<=1 is the fast-compressor profile: map to the
-            // encoder's -1 fast path so our own writes round-trip (the
-            // write side serializes level -1 as clevel:1)
+            // clevel<=1 maps back to the encoder's -1 fast path so OUR
+            // OWN writes round-trip (the write side serializes level -1
+            // as clevel:1) — but only when the attributes match the
+            // engine's emitted interop profile exactly (cname lz4,
+            // shuffle 0). A foreign dataset legitimately declaring
+            // clevel 0/1 (e.g. LZ4-HC at clevel 1 is not "fast LZ4")
+            // must keep its metadata intact across a round trip
+            // (ADVICE r13).
             val cl = c.get("clevel").asInt()
-            if (declared == "blosc" && cl <= 1) -1 else cl
+            val ownProfile = declared == "blosc" &&
+              c.has("cname") && c.get("cname").asText() == "lz4" &&
+              c.has("shuffle") && c.get("shuffle").asInt() == 0
+            if (ownProfile && cl <= 1) -1 else cl
           }
           else Compression.defaultParam(codec)
         Compression(codec, param)
@@ -180,6 +209,86 @@ object N5Meta {
       .filterNot(e => structural(e.getKey))
       .map(e => e.getKey -> e.getValue.toString).toMap
     DatasetAttributes(dims, bs, dt, comp, extra)
+  }
+
+  /** Parse a zarr v2 `.zarray` (public spec: zarr-specs v2, the format
+    * the reference ecosystem's sibling datasets ship in — the reference
+    * itself reads N5 *through* zarr's N5Store, `n5_to_tif.py:25`).
+    * Read-only support, supported profile enforced LOUDLY:
+    * 8/16/32/64-bit ints, f4/f8, C order, no filters, compressor
+    * null/zlib/gzip/blosc. shape/chunks are reversed into the engine's
+    * x-fastest axis order (see [[DatasetAttributes.format]]).
+    */
+  private def zarrArrayAttributes(p: Path): DatasetAttributes = {
+    val j = readJson(p)
+    def req(k: String) = {
+      val n = j.get(k)
+      if (n == null) throw new IllegalArgumentException(s"zarr: .zarray missing '$k'")
+      n
+    }
+    val zf = req("zarr_format").asInt()
+    if (zf != 2) throw new IllegalArgumentException(s"zarr: format $zf (only v2)")
+    val order = req("order").asText()
+    if (order != "C") throw new IllegalArgumentException(
+      s"zarr: order '$order' unsupported (only C)")
+    if (j.has("filters") && !j.get("filters").isNull &&
+      j.get("filters").size() > 0)
+      throw new IllegalArgumentException("zarr: filters unsupported")
+    val dims = req("shape").elements().asScala.map(_.asLong()).toArray.reverse
+    val bs = req("chunks").elements().asScala.map(_.asInt()).toArray.reverse
+    if (dims.isEmpty || dims.length != bs.length)
+      throw new IllegalArgumentException(
+        s"zarr: shape/chunks rank mismatch (${dims.length} vs ${bs.length})")
+    val dstr = req("dtype").asText()
+    if (dstr.length < 3) throw new IllegalArgumentException(s"zarr: dtype '$dstr'")
+    val little = dstr.charAt(0) match {
+      case '<' | '|' => true
+      case '>' => false
+      case c => throw new IllegalArgumentException(s"zarr: byte order '$c'")
+    }
+    val dt = dstr.substring(1) match {
+      case "u1" => Dtype.UInt8
+      case "i1" => Dtype.Int8
+      case "u2" => Dtype.UInt16
+      case "i2" => Dtype.Int16
+      case "u4" => Dtype.UInt32
+      case "i4" => Dtype.Int32
+      case "u8" => Dtype.UInt64
+      case "i8" => Dtype.Int64
+      case "f4" => Dtype.Float32
+      case "f8" => Dtype.Float64
+      case t => throw new IllegalArgumentException(
+        s"zarr: dtype '$dstr' unsupported")
+    }
+    val comp =
+      if (!j.has("compressor") || j.get("compressor").isNull) Compression("raw")
+      else {
+        val c = j.get("compressor")
+        c.get("id").asText() match {
+          case "zlib" => Compression("zlib",
+            if (c.has("level")) c.get("level").asInt() else 1)
+          case "gzip" => Compression("gzip",
+            if (c.has("level")) c.get("level").asInt() else 1)
+          // blosc chunks are self-describing (16-byte header); the read
+          // side ignores the declared params
+          case "blosc" => Compression("blosc",
+            if (c.has("clevel")) c.get("clevel").asInt() else 5)
+          case id => throw new IllegalArgumentException(
+            s"zarr: compressor '$id' unsupported (null/zlib/gzip/blosc)")
+        }
+      }
+    val sep =
+      if (j.has("dimension_separator")) j.get("dimension_separator").asText()
+      else "."
+    if (sep != "." && sep != "/")
+      throw new IllegalArgumentException(s"zarr: separator '$sep'")
+    val structural = Set("zarr_format", "shape", "chunks", "dtype",
+      "compressor", "order", "filters", "dimension_separator")
+    val extra = j.properties().asScala
+      .filterNot(e => structural(e.getKey))
+      .map(e => e.getKey -> e.getValue.toString).toMap
+    DatasetAttributes(dims, bs, dt, comp, extra,
+      format = "zarr", zarrSeparator = sep, zarrLittleEndian = little)
   }
 
   def writeDatasetAttributes(

@@ -458,6 +458,65 @@ object N5Queries {
       Seq((bestT, nFg, e4((allSum - fgSum).toDouble / (total - nFg)),
           e4(fgSum.toDouble / nFg), e4(bestVar)))
         .toDF("threshold", "n_fg", "mu_bg_e4", "mu_fg_e4", "var_e4")
+    },
+
+    // ------------------------------------------------------------------
+    // ZARR v2 CONTAINER SCAN (q204, r14) — the sibling format of the
+    // reference's own ecosystem (it reads N5 *through* zarr's N5Store,
+    // n5_to_tif.py:25). The same DSv2 source auto-detects `.zarray`
+    // metadata and reads C-order, headerless, fill-padded chunks through
+    // the identical block contract: dims reversed into x-fastest order,
+    // edge chunks trimmed, pushed gx/gy/gz predicates pruning chunk
+    // FILES (one flat listing for "."-separated stores). The golden
+    // constants are from tools/gen_zarr_fixture.py — an INDEPENDENT
+    // writer of the public zarr spec (numpy + stdlib zlib, no zarr
+    // import), so this oracle crosses two implementations. ZarrSpec
+    // covers elements, pruning, the N5 re-encode round trip, "/"
+    // separators, sparse chunks, and loud unsupported-profile rejects.
+    QueryDef.sql(
+      "q204_zarr_scan",
+      """SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
+        |  CAST(gz AS INTEGER) AS gz, CAST(sx AS INTEGER) AS sx,
+        |  CAST(sy AS INTEGER) AS sy, CAST(sz AS INTEGER) AS sz,
+        |  CAST(n AS INTEGER) AS n, CAST(checksum AS BIGINT) AS checksum
+        |FROM (VALUES
+        |  (0, 0, 0, 4, 3, 2, 24, 13836),
+        |  (0, 0, 1, 4, 3, 2, 24, 61836),
+        |  (0, 0, 2, 4, 3, 1, 12, 48918),
+        |  (0, 1, 0, 4, 3, 2, 24, 17940),
+        |  (0, 1, 1, 4, 3, 2, 24, 65940),
+        |  (0, 1, 2, 4, 3, 1, 12, 50970),
+        |  (0, 2, 0, 4, 1, 2, 8, 6892),
+        |  (0, 2, 1, 4, 1, 2, 8, 22892),
+        |  (0, 2, 2, 4, 1, 1, 4, 17446),
+        |  (1, 0, 0, 4, 3, 2, 24, 15084),
+        |  (1, 0, 1, 4, 3, 2, 24, 63084),
+        |  (1, 0, 2, 4, 3, 1, 12, 49542),
+        |  (1, 1, 0, 4, 3, 2, 24, 19188),
+        |  (1, 1, 1, 4, 3, 2, 24, 67188),
+        |  (1, 1, 2, 4, 3, 1, 12, 51594),
+        |  (1, 2, 0, 4, 1, 2, 8, 7308),
+        |  (1, 2, 1, 4, 1, 2, 8, 23308),
+        |  (1, 2, 2, 4, 1, 1, 4, 17654),
+        |  (2, 0, 0, 3, 3, 2, 18, 12132),
+        |  (2, 0, 1, 3, 3, 2, 18, 48132),
+        |  (2, 0, 2, 3, 3, 1, 9, 37566),
+        |  (2, 1, 0, 3, 3, 2, 18, 15210),
+        |  (2, 1, 1, 3, 3, 2, 18, 51210),
+        |  (2, 1, 2, 3, 3, 1, 9, 39105),
+        |  (2, 2, 0, 3, 1, 2, 6, 5754),
+        |  (2, 2, 1, 3, 1, 2, 6, 17754),
+        |  (2, 2, 2, 3, 1, 1, 3, 13377))
+        |  t(gx, gy, gz, sx, sy, sz, n, checksum)
+        |ORDER BY gx, gy, gz""".stripMargin) { (s, _) =>
+      N5.read(s, "/root/repo/fixtures/zarr_golden", "vol")
+        .select(col("gx"), col("gy"), col("gz"),
+          element_at(col("shape"), 1).as("sx"),
+          element_at(col("shape"), 2).as("sy"),
+          element_at(col("shape"), 3).as("sz"),
+          size(col("data")).as("n"),
+          aggregate(col("data"), lit(0L), (a, x) => a + x).as("checksum"))
+        .orderBy(col("gx"), col("gy"), col("gz"))
     }
   )
 }

@@ -323,6 +323,57 @@ object N5GridWalk {
       }
     if (fs.exists(base)) walk(base, 0, Nil) else Nil
   }
+
+  /** Container-aware chunk enumeration: N5's nested x/y/z directories,
+    * zarr "/"-separated keys (same walk, axes reversed — zarr keys are
+    * C-order), or zarr "."-separated flat keys (ONE listing of the
+    * dataset dir). Grids return in the engine's x,y,z order either way;
+    * `axisOk` is always called with engine axes. Missing chunks simply
+    * don't list — the N5 sparse semantics carry over to zarr reads
+    * (zarr-side fill_value reconstruction is the reader's caller's
+    * choice, exactly as for absent N5 blocks).
+    */
+  def listChunks(
+      fs: FileSystem, base: HPath, attrs: DatasetAttributes,
+      axisOk: (Int, Int) => Boolean): Seq[(Array[Int], Long)] =
+    if (!attrs.isZarr) list(fs, base, attrs.ndim, axisOk)
+    else if (attrs.zarrSeparator == "/")
+      list(fs, base, attrs.ndim,
+        (axis, v) => axisOk(attrs.ndim - 1 - axis, v))
+        .map { case (g, m) => (g.reverse, m) }
+    else {
+      if (!fs.exists(base)) Nil
+      else fs.listStatus(base).toSeq.flatMap { st =>
+        val parts = st.getPath.getName.split('.')
+        if (!st.isFile || parts.length != attrs.ndim ||
+          !parts.forall(p => p.nonEmpty && p.forall(_.isDigit))) Nil
+        else {
+          val g = parts.map(_.toInt).reverse
+          if (g.indices.forall(i => axisOk(i, g(i))))
+            Seq((g, st.getModificationTime))
+          else Nil
+        }
+      }
+    }
+}
+
+/** Shared chunk-file read + decode, container-aware (N5 block header vs
+  * zarr headerless full chunk). Both DSv2 readers and the box paths go
+  * through here so zarr support is a property of the SOURCE, not of one
+  * view.
+  */
+object N5BlockIO {
+  def readDecode(
+      fs: FileSystem, root: String, dataset: String, g: Array[Int],
+      attrs: DatasetAttributes): DecodedBlock = {
+    val p = new HPath(root, s"$dataset/${attrs.chunkKey(g)}")
+    val in = fs.open(p)
+    val raw = try in.readAllBytes() finally in.close()
+    if (attrs.isZarr)
+      BlockCodec.decodeZarr(raw, attrs.dataType, attrs.compression,
+        attrs.blockSize, attrs.blockShape(g), attrs.zarrLittleEndian)
+    else BlockCodec.decode(raw, attrs.dataType, attrs.compression)
+  }
 }
 
 class N5Scan(
@@ -397,7 +448,7 @@ class N5Scan(
     val axisOk: (Int, Int) => Boolean =
       if (elementsView) N5GridFilters.elementAxisOk(filters, attrs.blockSize)
       else N5GridFilters.axisOk(filters)
-    N5GridWalk.list(fs, rootPath, attrs.ndim, axisOk).map(_._1)
+    N5GridWalk.listChunks(fs, rootPath, attrs, axisOk).map(_._1)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -432,17 +483,11 @@ class N5BlockReader(
     i += 1
     if (i >= part.grids.length) return false
     val g = part.grids(i)
-    val blockPath = new HPath(part.root, s"${part.dataset}/${g.mkString("/")}")
     val shape: Array[Int] = attrs.blockShape(g)
     val dataArr: org.apache.spark.sql.catalyst.util.ArrayData =
-      if (needsData) {
-        val in = fs.open(blockPath)
-        val raw =
-          try in.readAllBytes()
-          finally in.close()
-        val dec = BlockCodec.decode(raw, attrs.dataType, attrs.compression)
-        toSparkArray(dec)
-      } else null
+      if (needsData)
+        toSparkArray(N5BlockIO.readDecode(fs, part.root, part.dataset, g, attrs))
+      else null
     val values = required.fieldNames.map {
       case "gx" => g(0)
       case "gy" => if (g.length > 1) g(1) else 0
@@ -562,10 +607,7 @@ class N5ElementsReader(
     y0 = g(1).toLong * attrs.blockSize(1)
     z0 = g(2).toLong * attrs.blockSize(2)
     if (needV) {
-      val in = fs.open(
-        new HPath(part.root, s"${part.dataset}/${g.mkString("/")}"))
-      val raw = try in.readAllBytes() finally in.close()
-      dec = BlockCodec.decode(raw, attrs.dataType, attrs.compression)
+      dec = N5BlockIO.readDecode(fs, part.root, part.dataset, g, attrs)
       // the coordinate unravel trusts the attrs-derived trimmed shape; a
       // block file whose stored header disagrees (corrupt write, foreign
       // tool) would otherwise be silently misread as the wrong voxels
