@@ -66,12 +66,38 @@ object PageRank {
         else pr.join(broadcast(deg).withColumnRenamed("src", "node"),
             Seq("node"), "left_anti")
           .agg(coalesce(sum(col("pr")), lit(0.0))).collect()(0).getDouble(0)
-      val contrib = edges
-        .join(pr.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
-        .groupBy(col("dst"))
-        .agg(sum(col("pr") / col("outdeg")).as("m"))
-        .withColumnRenamed("dst", "node")
+      // With a lattice, the per-edge contribution is put on an INTEGER
+      // e(d+4) lattice and summed as longs: floor(pr_eD · 1e4 / outdeg).
+      // A double sum of pr/outdeg is association-order-dependent, and a
+      // result within 1 ulp of a .5·10^-d boundary then rounds
+      // differently between engines (observed r14: one q151 node at
+      // sf0.1 flipped at 1e-8 when the edge set changed). The integer
+      // sum is exact in ANY order, and the SQL oracle replays the same
+      // integer division, so the straddle class is gone by construction.
+      // (The double intermediates are exact: pr_eD·1e4 ≤ 10^(d+4) and
+      // the floor of the correctly-rounded division cannot misround —
+      // a non-divisible quotient sits ≥ 1/outdeg below the next
+      // integer, orders of magnitude beyond 1 ulp at this scale.)
+      val contrib = roundDecimals match {
+        case Some(d) =>
+          val unit = math.pow(10.0, d + 4)
+          edges
+            .join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy(col("dst"))
+            .agg((sum(org.apache.spark.sql.functions.floor(
+                round(col("pr") * math.pow(10.0, d)) * lit(1e4)
+                  / col("outdeg")).cast("long")).cast("double") / lit(unit))
+              .as("m"))
+            .withColumnRenamed("dst", "node")
+        case None =>
+          edges
+            .join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy(col("dst"))
+            .agg(sum(col("pr") / col("outdeg")).as("m"))
+            .withColumnRenamed("dst", "node")
+      }
       val next = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"), lattice(

@@ -241,11 +241,19 @@ object LlmPipeline {
     */
   private def pagerankCtes(iters: Int): String =
     (1 to iters).map { i =>
-      s"""it$i AS (SELECT k.nbr AS node, sum(p.pr / d.outdeg) AS m
+      // r14: per-edge contributions on the INTEGER e12 lattice
+      // (floor(pr_e8 · 1e4 / outdeg), summed as BIGINT) — an exact,
+      // association-order-independent sum, replaying PageRank.run's
+      // integer-lattice aggregate so no float-sum straddle can diverge
+      // the engines at an 8-decimal rounding boundary
+      s"""it$i AS (SELECT k.nbr AS node,
+         |    sum((CAST(round(p.pr * 100000000) AS BIGINT) * 10000)
+         |      // d.outdeg) AS m
          |  FROM knn k JOIN pr${i - 1} p ON p.node = k.src
          |  JOIN deg d ON d.src = k.src GROUP BY k.nbr),
          |pr$i AS (SELECT p.node,
-         |    round(0.15 / n.nn + 0.85 * coalesce(it$i.m, 0), 8) AS pr
+         |    round(0.15 / n.nn
+         |      + 0.85 * (coalesce(it$i.m, 0) / 1000000000000.0), 8) AS pr
          |  FROM pr${i - 1} p CROSS JOIN n
          |  LEFT JOIN it$i ON it$i.node = p.node)""".stripMargin
     }.mkString(",\n")
@@ -2204,14 +2212,14 @@ object LlmPipeline {
     // oracle replays IMI training (both half chains), top-2×top-1
     // product-cell assignment, thresholded pairing, and the recursive
     // closure CTE-for-CTE (q93 discipline). r14: the coarse quantizer is
-    // the O(√K) IMI chain (k=8 per half → 64 product cells at 16-cell
+    // the O(√K) IMI chain (k=16 per half → 256 product cells at 32-cell
     // assignment cost) instead of the flat k=32 trainer whose n·K Lloyd
     // assignment was the measured sf10 scale wall (270.9 s of the
     // capstone's 347.8 s; VERDICT r13 #1) — at 100 TB, k grows ∝ √n per
     // half while assignment work stays O(√K).
     QueryDef.sql(
       "q150_dedup_survivors_production_k",
-      s"""WITH RECURSIVE ${imiProdCtes(k = 8, iters = 3, sampleBuckets = 3, aProbe = 2)},
+      s"""WITH RECURSIVE ${imiProdCtes(k = 16, iters = 3, sampleBuckets = 3, aProbe = 2)},
          |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2231,7 +2239,7 @@ object LlmPipeline {
          |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 8, iters = 3,
+      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 16, iters = 3,
         sampleBuckets = 3)
       val edges = VS.imiDedupPairs(Tables.spread(s, e), cb1, cb2, half,
           aProbe = 2, threshold = 0.4)
@@ -2301,7 +2309,7 @@ object LlmPipeline {
     // clusters of each size? (Size-1 = unique; a heavy tail of large
     // clusters is the "one template stamped a million times" smell that
     // changes dedup strategy before it changes any query.) Exactly
-    // q150's production chain (IMI k=8-per-half training, 2-of-64
+    // q150's production chain (IMI k=16-per-half training, 2-of-256
     // product-cell assignment, threshold 0.4 pairs, closure) folded
     // twice more: component →
     // cluster size, size → (n_clusters, n_docs). Scale shape: both
@@ -2310,7 +2318,7 @@ object LlmPipeline {
     // the pair chain q150 already pays, nothing new shuffles.
     QueryDef.sql(
       "q163_dup_cluster_histogram",
-      s"""WITH RECURSIVE ${imiProdCtes(k = 8, iters = 3, sampleBuckets = 3, aProbe = 2)},
+      s"""WITH RECURSIVE ${imiProdCtes(k = 16, iters = 3, sampleBuckets = 3, aProbe = 2)},
          |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2333,7 +2341,7 @@ object LlmPipeline {
          |FROM cs GROUP BY sz ORDER BY cluster_size ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 8, iters = 3,
+      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 16, iters = 3,
         sampleBuckets = 3)
       val edges = VS.imiDedupPairs(Tables.spread(s, e), cb1, cb2, half,
           aProbe = 2, threshold = 0.4)
@@ -2351,7 +2359,7 @@ object LlmPipeline {
 
     // ------------------------------------------------------------------
     // PRODUCTION-k PAGERANK (r13; r14 quantizer swap) — q129's
-    // centrality propagation over the PRODUCTION kNN graph (64 IMI
+    // centrality propagation over the PRODUCTION kNN graph (256 IMI
     // product cells, 2 assignments per vector) instead of the frozen
     // quadratic k=8/nAssign=3 edge generation it inherited.
     // Same iteration discipline as q129 exactly: edges built once and
@@ -2362,11 +2370,16 @@ object LlmPipeline {
     // last frozen-k-only composites: every member of the cell-bucketed
     // family (pairs, survivors, graph, centrality) now has an
     // oracle-green face at the scale-lever setting. The oracle replays
-    // IMI training, 2-of-64 product-cell assignment, top-5 ranking, and
+    // IMI training, 2-of-256 product-cell assignment, top-5 ranking, and
     // the 5 PageRank rounds CTE-for-CTE.
+    // (k=16 per half became possible once PageRank's contribution sum
+    // moved to the integer e12 lattice: the k=16 edge set had pushed one
+    // node's 5th-iteration double-sum onto an 8-decimal rounding boundary
+    // where Spark and DuckDB float-sum association order disagreed; the
+    // integer sum is order-independent, so the straddle class is gone.)
     QueryDef.sql(
       "q151_pagerank_production_k",
-      s"""WITH ${imiProdCtes(k = 8, iters = 3, sampleBuckets = 3, aProbe = 2)},
+      s"""WITH ${imiProdCtes(k = 16, iters = 3, sampleBuckets = 3, aProbe = 2)},
          |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr,
          |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
          |  FROM assigned a JOIN assigned b
@@ -2385,7 +2398,7 @@ object LlmPipeline {
          |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 8, iters = 3,
+      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 16, iters = 3,
         sampleBuckets = 3)
       val edges = VS.imiKnnGraph(Tables.spread(s, e), cb1, cb2, half,
           aProbe = 2, k = 5)
@@ -2519,7 +2532,7 @@ object LlmPipeline {
     // gate (3 GD iterations, score >= 0.5 keeps), (2) exact dedup among
     // the quality survivors (canonical = min doc_id per normalized-text
     // digest), (3) semantic dedup survivors from q150's production IMI
-    // chain (2-of-64 product cells; docs without an embedding can't be
+    // chain (2-of-256 product cells; docs without an embedding can't be
     // semantic dups and keep), (4) q135's benchmark decontamination
     // (drop >= 2 shared 3-grams with the probe set, bloom pre-filter on
     // the Spark side, exact join in the oracle — the bloom cannot change
@@ -2545,7 +2558,7 @@ object LlmPipeline {
           .mkString(", ") + s" FROM f, $prev w)"
       QueryDef.sql(
         "q152_release_pipeline",
-        s"""WITH RECURSIVE ${imiProdCtes(k = 8, iters = 3, sampleBuckets = 3, aProbe = 2)},
+        s"""WITH RECURSIVE ${imiProdCtes(k = 16, iters = 3, sampleBuckets = 3, aProbe = 2)},
            |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            |  FROM assigned a JOIN assigned b
            |    ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2658,7 +2671,7 @@ object LlmPipeline {
         val (cb1, cb2, halfD) = graft.BenchProbes.time("q152.train_cells") {
           // r14: IMI replaces the flat k=32 trainer — the flat n·K Lloyd
           // assignment was 270.9 s of the sf10 capstone (VERDICT r13 #1)
-          VS.trainImiCodebooks(eTbl, k = 8, iters = 3, sampleBuckets = 3)
+          VS.trainImiCodebooks(eTbl, k = 16, iters = 3, sampleBuckets = 3)
         }
         val semDrop = graft.BenchProbes.time("q152.semantic") {
           val edges = VS.imiDedupPairs(Tables.spread(s, eTbl), cb1, cb2,
@@ -2782,7 +2795,7 @@ object LlmPipeline {
     // row count after soft dedup.
     QueryDef.sql(
       "q180_softdedup_weights",
-      s"""WITH RECURSIVE ${imiProdCtes(k = 8, iters = 3, sampleBuckets = 3, aProbe = 2)},
+      s"""WITH RECURSIVE ${imiProdCtes(k = 16, iters = 3, sampleBuckets = 3, aProbe = 2)},
          |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2807,7 +2820,7 @@ object LlmPipeline {
          |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 8, iters = 3,
+      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 16, iters = 3,
         sampleBuckets = 3)
       val edges = VS.imiDedupPairs(Tables.spread(s, e), cb1, cb2, half,
           aProbe = 2, threshold = 0.4)
