@@ -158,6 +158,18 @@ class VolumeCCSpec extends SparkSpec {
       s"got $top")
   }
 
+  test("labelVolume fails LOUDLY when the closure outgrows its broadcast " +
+      "cap (r14: pathological fragmentation must not OOM the driver)") {
+    // the fixture's threshold-128 segmentation has a closure well above 3
+    // entries, so a cap of 3 exercises the loud path on real stitching
+    val e = intercept[IllegalArgumentException] {
+      VolumeCC.labelVolume(N5.read(spark, root, ds), dimX, dimY, 128,
+        maxClosureEntries = 3).count()
+    }
+    assert(e.getMessage.contains("closure exceeds"),
+      s"expected the loud closure-cap message, got: ${e.getMessage}")
+  }
+
   test("components are chunking-invariant: 32-cube rechunk equals the " +
       "fixture chunking") {
     // rechunking multiplies the number of block boundaries ~4x per axis;
