@@ -453,9 +453,12 @@ object TrainingPipeline {
         sum(when(col("split") === "val", 1L).otherwise(0L)).cast("long")
           .as("n_val"),
         max(col("n_chars")).cast("long").as("max_chars"))
-      // ONE action: the release write; the metrics ride its tasks
-      val out = "/tmp/graft_observe/split_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      // ONE action: the release write; the metrics ride its tasks. A
+      // fresh per-invocation temp dir (the q193 discipline): a fixed
+      // hashCode-derived path raced concurrent runs on mode(overwrite)
+      // and collided across distinct dirs (ADVICE r13)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_observe_split").toString
       observed.write.mode("overwrite").parquet(out)
       val m = obs.get
       import s.implicits._
