@@ -503,6 +503,23 @@ class BlockCodecSpec extends AnyFunSuite {
     assert(shuf.slice(16, 21).toSeq == tailed.slice(16, 21).toSeq)
   }
 
+  test("bitshuffle kernels match an INDEPENDENT implementation's fixture " +
+      "(r14, ADVICE r13: numpy unpackbits/transpose/packbits — no shared " +
+      "code with the Scala loops; tools/gen_bitshuffle_fixture.py)") {
+    val dir = Paths.get("fixtures/bitshuffle")
+    val input = Files.readAllBytes(dir.resolve("input.bin"))
+    assert(input.length == 1021) // prime: every typesize has a verbatim tail
+    for (ts <- Seq(1, 2, 4, 8)) {
+      val expected = Files.readAllBytes(dir.resolve(s"shuffled_ts$ts.bin"))
+      assert(BloscCodec.bitShuffle(input, ts).toSeq == expected.toSeq,
+        s"forward bitshuffle diverges from the independent fixture at " +
+          s"typesize $ts")
+      assert(BloscCodec.bitUnshuffle(expected, ts).toSeq == input.toSeq,
+        s"bitUnshuffle of the independent fixture does not recover the " +
+          s"input at typesize $ts")
+    }
+  }
+
   test("blosclz and bit-shuffled blosc chunks decode end-to-end (r13)") {
     val data = Array.tabulate(4096)(i => ((i / 7) % 251).toByte)
     // blosclz, no shuffle, split (c-blosc splits blosclz like lz4)
