@@ -75,15 +75,62 @@ object Multimodal {
       require(n == 64,
         s"imagePHash expects an 8x8 raster (64 pixels), got $n (id=${m.id}); " +
           "resize to 8x8 before hashing")
-      var sum = 0L; var i = 0
-      while (i < n) { sum += s.pixels(i); i += 1 }
-      val bands = new Array[Int](4)
-      i = 0
-      while (i < 64) {
-        if (n.toLong * s.pixels(i) >= sum) bands(i / 16) |= (1 << (i % 16))
-        i += 1
+      aHash64(m.id, s.pixels)
+    })
+  }
+
+  /** The integer-exact 64-bit aHash over an 8x8 raster, packed into four
+    * 16-bit bands — shared by [[imagePHash]] (TIFF) and
+    * [[imagePHashCoded]] (PNG/JPEG) so the fingerprint is identical
+    * across container formats by construction.
+    */
+  private def aHash64(id: Long, px: Array[Int]): ImagePHash = {
+    var sum = 0L; var i = 0
+    while (i < 64) { sum += px(i); i += 1 }
+    val bands = new Array[Int](4)
+    i = 0
+    while (i < 64) {
+      if (64L * px(i) >= sum) bands(i / 16) |= (1 << (i % 16))
+      i += 1
+    }
+    ImagePHash(id, bands(0), bands(1), bands(2), bands(3))
+  }
+
+  /** [[imagePHash]] over PNG or JPEG bytes (r14) — REAL executor-side
+    * decode via [[ImageCodecs]], then a nearest-neighbour reduction to
+    * the 8x8 aHash raster (identity for an 8x8 input). Because the hash
+    * raster is format-independent, the SAME image stored as PNG and as
+    * JPEG hashes identically — the fingerprint that lets one banded join
+    * deduplicate a mixed-format crawl, where byte-level digests are
+    * blind to re-encoding (q205).
+    */
+  def imagePHashCoded(media: Dataset[MediaRow]): Dataset[ImagePHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val r = m.media_type match {
+        case "image/png" => ImageCodecs.decodePng(m.bytes)
+        case "image/jpeg" => ImageCodecs.decodeJpeg(m.bytes)
+        case t => throw new IllegalArgumentException(
+          s"imagePHashCoded: unsupported media_type $t")
       }
-      ImagePHash(m.id, bands(0), bands(1), bands(2), bands(3))
+      require(r.channels == 1,
+        s"imagePHashCoded expects grayscale, got ${r.channels} channels " +
+          s"(id=${m.id})")
+      require(r.width >= 8 && r.height >= 8,
+        s"imagePHashCoded needs at least 8x8 pixels, got " +
+          s"${r.width}x${r.height} (id=${m.id})")
+      val px = new Array[Int](64)
+      var y = 0
+      while (y < 8) {
+        val sy = y * r.height / 8
+        var x = 0
+        while (x < 8) {
+          px(y * 8 + x) = r.pixels(sy * r.width + x * r.width / 8)
+          x += 1
+        }
+        y += 1
+      }
+      aHash64(m.id, px)
     })
   }
 

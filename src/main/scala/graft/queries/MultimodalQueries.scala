@@ -341,6 +341,123 @@ object MultimodalQueries {
           col("min_intensity"), col("max_intensity"))
         .orderBy(col("id").asc)
         .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // CROSS-FORMAT PERCEPTUAL DEDUP (q205, r14) — the mixed-format crawl
+    // reality q188 abstracts away: the SAME image arrives once as PNG and
+    // once as JPEG, and a byte-level digest (q25/q40) is blind to the
+    // re-encode. The corpus alternates formats by id parity (even→PNG
+    // 8×8, odd→JPEG 64×64 block-constant); the q188 injection discipline
+    // keeps the dup path live with 10 exact copies stored in the
+    // OPPOSITE format of their original and 5 one-value perturbations
+    // (JPEG). Both decode paths land on the same 8×8 aHash raster
+    // (imagePHashCoded nearest-reduces the 64×64 JPEG to its block
+    // constants), so a cross-format duplicate is hamming 0 BY
+    // CONSTRUCTION of the fingerprint, not by luck — the result's
+    // cross_format flag shows exactly which survived a format change.
+    // Both encodings are pixel-exact here (PNG lossless; block-constant
+    // JPEG has a DC-only spectrum), so the oracle replays the pixel
+    // arithmetic straight off the embedding, format-independently.
+    // Scale shape: q188's — one narrow real-decode pass, lossless
+    // 4×16-bit pigeonhole banding (hamming ≤ 3 ⇒ ≥ 1 band equal), band
+    // equi-join, exact hamming verify on candidates only.
+    QueryDef.sql(
+      "q205_phash_crossformat_dedup",
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id < 10
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS vec_id,
+        |    list_transform(generate_series(1, len(embedding)),
+        |      i -> CASE WHEN i = 1 THEN CAST(1.0 AS FLOAT)
+        |           ELSE embedding[i] END) AS embedding
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 15),
+        |fmt AS (SELECT vec_id,
+        |    CASE WHEN vec_id >= 200000 THEN 1
+        |         WHEN vec_id >= 100000 THEN
+        |           CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END
+        |         ELSE CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END
+        |    END AS f
+        |  FROM corpus),
+        |px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |  FROM corpus),
+        |hs AS (SELECT vec_id, p,
+        |    list_reduce(list_prepend(0, p), (a, b) -> a + b) AS s
+        |  FROM px),
+        |bits AS (SELECT vec_id,
+        |    list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN 64 * p[i + 1] >= s THEN 1 ELSE 0 END) AS b
+        |  FROM hs),
+        |bands AS (SELECT vec_id,
+        |    list_transform(generate_series(0, 3), j ->
+        |      list_reduce(list_prepend(0,
+        |        list_transform(generate_series(0, 15),
+        |          k -> b[16 * j + k + 1] << k)), (a, c) -> a + c)) AS bd
+        |  FROM bits)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(bit_count(xor(CAST(a.bd[1] AS BIGINT), CAST(b.bd[1] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[2] AS BIGINT), CAST(b.bd[2] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[3] AS BIGINT), CAST(b.bd[3] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[4] AS BIGINT), CAST(b.bd[4] AS BIGINT)))
+        |    AS INTEGER) AS hamming,
+        |  CAST(fa.f <> fb.f AS INTEGER) AS cross_format
+        |FROM bands a JOIN bands b ON a.vec_id < b.vec_id
+        |JOIN fmt fa ON fa.vec_id = a.vec_id
+        |JOIN fmt fb ON fb.vec_id = b.vec_id
+        |WHERE bit_count(xor(CAST(a.bd[1] AS BIGINT), CAST(b.bd[1] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[2] AS BIGINT), CAST(b.bd[2] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[3] AS BIGINT), CAST(b.bd[3] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[4] AS BIGINT), CAST(b.bd[4] AS BIGINT)))
+        |    <= 3
+        |ORDER BY id_a ASC, id_b ASC""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val exact = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val perturbed = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, lit(1.0f)).otherwise(x)).as("embedding"))
+      val corpus = Tables.spread(s, e.unionAll(exact).unionAll(perturbed))
+      // fmt rule on the FINAL id (0 = PNG, 1 = JPEG): base alternates by
+      // parity; exact copies take the OPPOSITE of their original (same
+      // parity, inverted rule); perturbations are always JPEG
+      def fmtCol(c: org.apache.spark.sql.Column) =
+        when(c >= 200000L, 1)
+          .when(c >= 100000L, when(c % 2 === 0, 1).otherwise(0))
+          .otherwise(when(c % 2 === 0, 0).otherwise(1))
+      val media = Multimodal.embeddingsAsPng(corpus.filter(fmtCol(col("vec_id")) === 0))
+        .unionAll(Multimodal.embeddingsAsJpeg(corpus.filter(fmtCol(col("vec_id")) === 1)))
+      val ph = Multimodal.imagePHashCoded(media).toDF()
+      val bandCols = Seq("h0", "h1", "h2", "h3")
+      val exploded = ph.select(col("id"),
+          posexplode(array(bandCols.map(col): _*)))
+        .select(col("id"), col("pos").as("j"), col("col").as("h"))
+      val cand = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.j") === col("b.j") && col("a.h") === col("b.h") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val ha = bandCols.foldLeft(ph)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+        .withColumnRenamed("id", "id_a")
+      val hb = bandCols.foldLeft(ph)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+        .withColumnRenamed("id", "id_b")
+      val hamming = bandCols
+        .map(c => bit_count(col(s"a_$c").bitwiseXOR(col(s"b_$c"))))
+        .reduce(_ + _)
+      cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"),
+          (fmtCol(col("id_a")) =!= fmtCol(col("id_b"))).cast("int")
+            .as("cross_format"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("id_a").asc, col("id_b").asc)
     }
   )
 }

@@ -208,4 +208,46 @@ class MultimodalSpec extends SparkSpec {
         s"pair ($a,$b) shares no band — blocking argument violated")
     }
   }
+
+  test("imagePHashCoded is format-independent: TIFF, PNG, and 64x64 " +
+      "block-constant JPEG of the same image hash identically (r14)") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(20)
+    def hashes(ds: org.apache.spark.sql.Dataset[Multimodal.ImagePHash]) =
+      ds.collect().map(p => p.id -> ((p.h0, p.h1, p.h2, p.h3))).toMap
+    val viaTiff = hashes(Multimodal.imagePHash(Multimodal.embeddingsAsImages(e)))
+    val viaPng = hashes(Multimodal.imagePHashCoded(Multimodal.embeddingsAsPng(e)))
+    val viaJpeg = hashes(Multimodal.imagePHashCoded(Multimodal.embeddingsAsJpeg(e)))
+    assert(viaTiff.nonEmpty && viaTiff == viaPng,
+      "PNG path diverges from the TIFF aHash")
+    assert(viaTiff == viaJpeg,
+      "JPEG path diverges — the 64x64 nearest-reduction must recover the " +
+        "block constants exactly")
+    // unsupported media type is loud, not a silent skip
+    import spark.implicits._
+    val bad = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image/bmp", Array[Byte](1, 2, 3))))
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.imagePHashCoded(bad).collect()
+    }
+    assert(err.getMessage.contains("unsupported media_type") ||
+      String.valueOf(err.getCause).contains("unsupported media_type"))
+  }
+
+  test("q205 detects cross-format duplicates: every injected opposite-" +
+      "format copy surfaces at hamming 0 with cross_format=1") {
+    val rows = graft.Queries.byName("q205_phash_crossformat_dedup")
+      .build(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val exactCopies = rows.filter { case (a, b, _, _) => b == a + 100000L }
+    assert(exactCopies.length == 10, s"expected the 10 injected copies, " +
+      s"got ${exactCopies.length}")
+    exactCopies.foreach { case (a, b, ham, cf) =>
+      assert(ham == 0, s"copy pair ($a,$b) at hamming $ham")
+      assert(cf == 1, s"copy pair ($a,$b) not flagged cross-format — the " +
+        "injection stores every copy in the opposite container")
+    }
+  }
 }
