@@ -356,6 +356,46 @@ object VectorSearch {
       k: Int): DataFrame =
     knnWithinCells(imiAssignCells(vectors, cb1, cb2, half, aProbe), k)
 
+  /** PROBE-ONLY top-k against a PERSISTED product-cell-bucketed index
+    * (r14) — [[ivfTopKIndexed]] with the IMI coarse quantizer: probe
+    * cells are `aProbe` top cells on half 1 × top-1 on half 2 (k·dim
+    * assignment work spanning k² product cells — the O(√K) scaling that
+    * lets cell count grow with a 100 TB corpus), the probe relation is
+    * collected bounded and re-enters as a broadcast local relation, and
+    * the bucketed index scan is pruned to the probed cells with zero
+    * training jobs in the plan.
+    */
+  def imiTopKIndexed(
+      index: DataFrame, probes: DataFrame, k: Int,
+      cb1: Seq[(Int, Seq[Double])], cb2: Seq[(Int, Seq[Double])],
+      half: Int, aProbe: Int = 2): DataFrame = {
+    val v1 = graft.functions.VectorFunctions.toDoubles(
+      slice(col("pv"), 1, half))
+    val v2 = graft.functions.VectorFunctions.toDoubles(
+      slice(col("pv"), half + 1, half))
+    val k2 = cb2.size
+    val pcPlan = probes
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"))
+      .withColumn("c2", element_at(NE.ivfTopCells(v2, cb2, 1), 1))
+      .withColumn("c1", explode(NE.ivfTopCells(v1, cb1, aProbe)))
+      .withColumn("cell", col("c1") * k2 + col("c2"))
+      .drop("c1", "c2")
+    val rows = collectBounded(pcPlan)
+    val pc = probes.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), pcPlan.schema)
+    val cells = rows.map(_.getAs[Int]("cell")).distinct.sorted
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    index.filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(pc), Seq("cell"))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        round(NE.vectorCosine(col("embedding"), col("pv")), 4).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("pid"), col("rnk"), col("vec_id"), col("cosine"))
+  }
+
   /** The join/rank half of [[knnGraph]], shared with the IMI variant:
     * expects one row per (cell, vec_id, embedding) assignment.
     */

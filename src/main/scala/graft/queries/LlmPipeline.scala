@@ -2474,6 +2474,57 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
+    // PROBE-ONLY SEARCH AGAINST THE PERSISTED IMI CATALOG (q206, r14) —
+    // q105's build/probe lifecycle split with the O(√K) coarse quantizer:
+    // AnnIndex.ensureImi trains the two half-codebooks ONCE (marker-
+    // certified generation, fresh-session recovery, fingerprint-gated
+    // rebuild — the flat catalog's durability discipline) and persists
+    // the corpus bucketed by its single top-1×top-1 PRODUCT cell; every
+    // later probe loads the 2k-row codebook table and runs only the
+    // bucket-pruned scan. This closes the last flat-only lifecycle gap
+    // VERDICT r13 #1 names: at 100 TB the cell count grows ∝ corpus but
+    // both the persisted layout (k² buckets) and the probe work (k·dim
+    // assignment, aProbe·1 cells probed) scale at √K. The oracle cannot
+    // read the catalog, so it replays BOTH half Lloyd chains, the
+    // corpus's top-1×top-1 assignment, the probes' top-2×top-1 cells,
+    // and the pruned-cell exact ranking CTE-for-CTE.
+    QueryDef.sql(
+      "q206_ann_imi_probe",
+      s"""WITH ${imiProdCtes(k = 8, iters = 3, sampleBuckets = 3, aProbe = 1)},
+         |p1 AS (SELECT vec_id, cid AS c1 FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM s1 WHERE vec_id >= 5 AND vec_id < 10) WHERE rn <= 2),
+         |p2 AS (SELECT vec_id, cid AS c2 FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM s2 WHERE vec_id >= 5 AND vec_id < 10) WHERE rn = 1),
+         |pcells AS (SELECT p1.vec_id AS pid, p1.c1 * 8 + p2.c2 AS cell
+         |  FROM p1 JOIN p2 ON p2.vec_id = p1.vec_id),
+         |p AS (SELECT vec_id AS pid, v AS pv FROM e
+         |  WHERE vec_id >= 5 AND vec_id < 10),
+         |cand AS (SELECT pc.pid, a.vec_id,
+         |    round(list_cosine_similarity(a.v, p.pv), 4) AS cosine
+         |  FROM assigned a JOIN pcells pc ON a.cell = pc.cell
+         |  JOIN p ON p.pid = pc.pid AND a.vec_id <> p.pid),
+         |ranked AS (SELECT pid, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY pid
+         |      ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |  FROM cand)
+         |SELECT pid, rnk, vec_id, cosine FROM ranked WHERE rnk <= 3
+         |ORDER BY pid ASC, rnk ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{AnnIndex, VectorSearch => VS}
+      val db = AnnIndex.ensureImi(s, dir)
+      val (cb1, cb2, half) = AnnIndex.imiCodebooks(s, db)
+      VS.imiTopKIndexed(s.table(s"$db.vectors"),
+          emb(s, dir).filter(col("vec_id") >= 5 && col("vec_id") < 10),
+          k = 3, cb1, cb2, half, aProbe = 2)
+        .orderBy(col("pid").asc, col("rnk").asc)
+    },
+
+    // ------------------------------------------------------------------
     // TRUNCATED-DIMENSION TWO-STAGE SEARCH (q158, r13) — the matryoshka
     // serving pattern: coarse-rank ALL candidates on a 32-dim PREFIX of
     // the embedding (half the bytes moved — with MRL-trained embeddings

@@ -116,6 +116,58 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.pqCodebook(spark, db) eq AnnIndex.pqCodebook(spark, db))
   }
 
+  test("ensureImi builds once, is a no-op while registered, and the " +
+      "persisted product cells agree with the persisted half-codebooks (r14)") {
+    val db = AnnIndex.ensureImi(spark, dir)
+    assert(spark.catalog.tableExists(s"$db.vectors"))
+    assert(spark.catalog.tableExists(s"$db.imi_codebook"))
+    val stamp = Files.getLastModifiedTime(markerOf(db))
+    assert(AnnIndex.ensureImi(spark, dir) == db)
+    assert(Files.getLastModifiedTime(markerOf(db)) == stamp,
+      "second ensureImi must not rebuild")
+    val (cb1, cb2, half) = AnnIndex.imiCodebooks(spark, db)
+    assert(cb1.size == AnnIndex.ImiKHalf && cb2.size == AnnIndex.ImiKHalf)
+    assert(half == 32)
+    val re = VectorSearch.imiAssignCells(
+        spark.table(s"$db.vectors").select(col("vec_id"), col("embedding")),
+        cb1, cb2, half, aProbe = 1)
+      .select(col("vec_id"), col("cell").as("re"))
+    val mismatch = spark.table(s"$db.vectors")
+      .join(re, "vec_id").filter(col("cell") =!= col("re")).count()
+    assert(mismatch == 0,
+      s"$mismatch vectors disagree with the persisted half-codebooks")
+    assert(AnnIndex.imiCodebooks(spark, db)._1
+      eq AnnIndex.imiCodebooks(spark, db)._1, "codebooks must be memoized")
+  }
+
+  test("a matching fingerprint recovers the IMI catalog without rebuild; " +
+      "probes serve off the recovered bucketed tables (r14)") {
+    val db = AnnIndex.ensureImi(spark, dir)
+    val dir2 = Files.createTempDirectory("annimi-recover").toString
+    Files.copy(Paths.get(s"$dir/embeddings.parquet"),
+      Paths.get(s"$dir2/embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.COPY_ATTRIBUTES)
+    val db2 = AnnIndex.imiDbFor(dir2)
+    assert(db2 != db)
+    cloneCatalogTo(db, db2)
+    val stamp = Files.getLastModifiedTime(markerOf(db2))
+    assert(AnnIndex.ensureImi(spark, dir2) == db2)
+    assert(Files.getLastModifiedTime(markerOf(db2)) == stamp,
+      "matching fingerprint must recover, not rebuild")
+    assert(spark.table(s"$db2.vectors").count()
+      == spark.table(s"$db.vectors").count())
+    val (cb1, cb2, half) = AnnIndex.imiCodebooks(spark, db2)
+    assert((cb1, cb2) == (AnnIndex.imiCodebooks(spark, db)._1,
+      AnnIndex.imiCodebooks(spark, db)._2))
+    val probes = spark.table(s"$db2.vectors")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 3)
+    val got = VectorSearch.imiTopKIndexed(
+      spark.table(s"$db2.vectors"), probes, k = 3, cb1, cb2, half, aProbe = 2)
+    assert(got.count() > 0, "probe over the recovered catalog must serve")
+    assert(got.groupBy(col("pid")).count()
+      .filter(col("count") > 3).count() == 0, "top-k bound violated")
+  }
+
   private def tmp = System.getProperty("java.io.tmpdir")
 
   /** Write `df` as a single parquet FILE at `dest` (the dataset-dir
