@@ -265,6 +265,39 @@ object Streams {
       .start()
   }
 
+  /** [[annServe]] over the persisted IMI catalog (r14) — the O(√K)
+    * serving face: each micro-batch assigns its probes aProbe×1 product
+    * cells against the memoized 2k-row half-codebooks and runs the
+    * bucket-pruned exact scan of `AnnIndex.ensureImi`'s product-cell-
+    * bucketed vectors (the q206 plan). Same per-batch discipline as
+    * [[annServe]]: probes collected once (bounded by contract — the
+    * probe path collects them anyway for the literal-IN pruning), table
+    * re-resolved per batch so the stream survives rebuilds.
+    */
+  def imiServe(
+      spark: SparkSession, probes: DataFrame, db: String,
+      k: Int, aProbe: Int,
+      trigger: Trigger = Trigger.AvailableNow())(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.{AnnIndex, VectorSearch}
+    probes.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sel = batch.select(col("vec_id"), col("embedding"))
+        val rows = sel.collect()
+        if (rows.nonEmpty) {
+          val local = spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), sel.schema)
+          val (cb1, cb2, half) = AnnIndex.imiCodebooks(spark, db)
+          sink(VectorSearch.imiTopKIndexed(
+            spark.table(s"$db.vectors"), local, k,
+            cb1, cb2, half, aProbe), id)
+        }
+      }
+      .start()
+  }
+
   /** Streaming incremental index maintenance — the ingest-side
     * counterpart of [[annServe]]: micro-batches of newly arrived
     * embeddings (vec_id, embedding) are APPENDED to the persisted

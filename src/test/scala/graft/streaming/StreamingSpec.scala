@@ -268,6 +268,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == batch.length)
   }
 
+  test("streaming IMI probes against the persisted IMI catalog equal " +
+      "the batch run (r14)") {
+    import graft.functions.{AnnIndex, VectorSearch}
+    val db = AnnIndex.ensureImi(spark, sfDir)
+    val (cb1, cb2, half) = AnnIndex.imiCodebooks(spark, db)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+    val d = Files.createTempDirectory("imiprobes").toString
+    probes.filter(col("vec_id") < 25).coalesce(1).write.mode("append").parquet(d)
+    probes.filter(col("vec_id") >= 25).coalesce(1).write.mode("append").parquet(d)
+    val stream = spark.readStream.schema(probes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.imiServe(spark, stream, db, k = 3, aProbe = 2) {
+      (out, id) =>
+        got.synchronized {
+          got ++= out.collect().map(_.mkString("|"))
+          batches += id
+        }
+    }
+    q.awaitTermination()
+    assert(batches.size == 2, s"expected two probe micro-batches, got $batches")
+    val batch = VectorSearch.imiTopKIndexed(
+        spark.table(s"$db.vectors"), probes, k = 3, cb1, cb2, half,
+        aProbe = 2)
+      .collect().map(_.mkString("|"))
+    assert(got.toSet == batch.toSet,
+      s"stream vs batch IMI mismatch: stream=${got.size} batch=${batch.length}")
+    assert(got.size == batch.length)
+  }
+
   test("annServe picks up an index append on the next micro-batch") {
     import graft.functions.AnnIndex
     val tmp = System.getProperty("java.io.tmpdir")
