@@ -1423,6 +1423,111 @@ object CorpusOps {
         .select(col("user_id"), col("session_no").cast("long"),
           col("session_start"), col("n_events"), col("duration_s"))
         .orderBy(col("user_id").asc, col("session_no").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // GOPHER-STYLE RULE GATE (q207, r14) — the published hand-heuristic
+    // quality rules (Rae et al. 2021 Appendix A, the standard pre-filter
+    // every web-scale corpus runs BEFORE the q142 trained classifier):
+    // word count in [50, 100k], mean word length in [3, 10], ≥ 80 % of
+    // words containing an alphabetic character, ≥ 2 stopwords, symbol-
+    // to-word ratio ('#' chars + '…'-as-'...') ≤ 0.1. Every rule is
+    // evaluated in INTEGER arithmetic (totlen ≥ 3n, 5·alpha ≥ 4n,
+    // 10·symbols ≤ n — no ratio ever materializes), so both engines walk
+    // the same lattice with no rounding surface at the thresholds. The
+    // per-rule violation paths are kept live by two injected docs (the
+    // q40/q99 liveness discipline): a symbol-soup doc that trips
+    // meanlen/alpha/stop/symbol at once and a 20-word stopword-rich doc
+    // that trips ONLY word count (its mean length sits exactly on the
+    // ≥ 3 boundary — an intentional edge pin). Output is the one-row
+    // release-card audit: per-rule violation counts, kept docs, keep
+    // rate. Scale shape: ONE narrow codegen pass (split + three
+    // higher-order folds + two replaces) into a single map-side-combined
+    // aggregate — no shuffle of anything document-sized.
+    QueryDef.sql(
+      "q207_gopher_rules",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT 900001, repeat('# ', 60)
+        |  UNION ALL SELECT 900002, repeat('the cat ', 10)),
+        |t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM corpus),
+        |m AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n,
+        |    list_reduce(list_transform(toks,
+        |      x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS totlen,
+        |    CAST(len(list_filter(toks,
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_toks,
+        |    CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+        |      AS BIGINT) AS stops,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS symbols
+        |  FROM t),
+        |v AS (SELECT doc_id,
+        |    CASE WHEN n >= 50 AND n <= 100000 THEN 0 ELSE 1 END AS v_words,
+        |    CASE WHEN totlen >= 3 * n AND totlen <= 10 * n
+        |      THEN 0 ELSE 1 END AS v_meanlen,
+        |    CASE WHEN 5 * alpha_toks >= 4 * n THEN 0 ELSE 1 END AS v_alpha,
+        |    CASE WHEN stops >= 2 THEN 0 ELSE 1 END AS v_stop,
+        |    CASE WHEN 10 * symbols <= n THEN 0 ELSE 1 END AS v_symbol
+        |  FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(v_words) AS BIGINT) AS viol_words,
+        |  CAST(sum(v_meanlen) AS BIGINT) AS viol_meanlen,
+        |  CAST(sum(v_alpha) AS BIGINT) AS viol_alpha,
+        |  CAST(sum(v_stop) AS BIGINT) AS viol_stop,
+        |  CAST(sum(v_symbol) AS BIGINT) AS viol_symbol,
+        |  CAST(sum(CASE WHEN v_words + v_meanlen + v_alpha + v_stop
+        |      + v_symbol = 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  round(CAST(sum(CASE WHEN v_words + v_meanlen + v_alpha + v_stop
+        |      + v_symbol = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+        |    AS keep_rate
+        |FROM v""".stripMargin) { (s, dir) =>
+      val inj = s.range(1).select(
+          lit(900001L).as("doc_id"), lit("# " * 60).as("text"))
+        .unionAll(s.range(1).select(
+          lit(900002L).as("doc_id"), lit("the cat " * 10).as("text")))
+      val corpus = Tables.spread(s,
+        docs(s, dir).select(col("doc_id"), col("text")).unionAll(inj))
+      val toks = split(trim(col("text")), "\\s+")
+      val m = corpus.select(
+        size(toks).cast("long").as("n"),
+        aggregate(transform(toks, x => length(x).cast("long")),
+          lit(0L), (a, b) => a + b).as("totlen"),
+        size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+          .as("alpha_toks"),
+        size(filter(transform(toks, x => lower(x)),
+          x => x.isin("the", "a", "an", "and", "or", "of", "to", "in",
+            "is", "it"))).cast("long").as("stops"),
+        (length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+          + (length(col("text"))
+            - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+          .cast("long").as("symbols"))
+      val vWords = when(col("n") >= 50 && col("n") <= 100000, 0L).otherwise(1L)
+      val vMeanlen = when(col("totlen") >= lit(3) * col("n")
+        && col("totlen") <= lit(10) * col("n"), 0L).otherwise(1L)
+      val vAlpha = when(lit(5) * col("alpha_toks") >= lit(4) * col("n"), 0L)
+        .otherwise(1L)
+      val vStop = when(col("stops") >= 2, 0L).otherwise(1L)
+      val vSymbol = when(lit(10) * col("symbols") <= col("n"), 0L).otherwise(1L)
+      m.select(vWords.as("v_words"), vMeanlen.as("v_meanlen"),
+          vAlpha.as("v_alpha"), vStop.as("v_stop"), vSymbol.as("v_symbol"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("v_words")).cast("long").as("viol_words"),
+          sum(col("v_meanlen")).cast("long").as("viol_meanlen"),
+          sum(col("v_alpha")).cast("long").as("viol_alpha"),
+          sum(col("v_stop")).cast("long").as("viol_stop"),
+          sum(col("v_symbol")).cast("long").as("viol_symbol"),
+          sum(when(col("v_words") + col("v_meanlen") + col("v_alpha")
+            + col("v_stop") + col("v_symbol") === 0, 1L).otherwise(0L))
+            .cast("long").as("kept"),
+          round(sum(when(col("v_words") + col("v_meanlen") + col("v_alpha")
+            + col("v_stop") + col("v_symbol") === 0, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 4).as("keep_rate"))
     }
   )
 }
