@@ -393,6 +393,37 @@ object Multimodal {
       })
   }
 
+  final case class AudioFp(id: Long, h0: Int, h1: Int, h2: Int, h3: Int)
+
+  /** Delta-sign acoustic fingerprint of a decoded PCM16 clip (r14) —
+    * bit_i = sample[i+1] > sample[i] (wraparound for the last bit),
+    * packed into four 16-bit bands. The sign of a sample DELTA is
+    * invariant under any strictly monotone gain, so a re-levelled copy
+    * of the same audio fingerprints identically — the property byte
+    * digests lack; the 4-band packing reuses the q188 pigeonhole:
+    * hamming ≤ 3 ⇒ at least one band equal, so a band equi-join is a
+    * LOSSLESS candidate blocker. REAL container decode on executors;
+    * bytes never shuffle.
+    */
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val (_, smp) = decodeWav(m.bytes)
+      val n = smp.length
+      require(n == 64,
+        s"audioFingerprint expects 64 samples, got $n (id=${m.id}); " +
+          "window longer clips to 64 frames first")
+      val bands = new Array[Int](4)
+      var i = 0
+      while (i < 64) {
+        val bit = if (i < 63) smp(i + 1) > smp(i) else smp(0) > smp(63)
+        if (bit) bands(i / 16) |= (1 << (i % 16))
+        i += 1
+      }
+      AudioFp(m.id, bands(0), bands(1), bands(2), bands(3))
+    })
+  }
+
   /** REAL audio decode: parse the WAV container, then RMS + peak over the
     * PCM16 samples. Narrow (no shuffle); bytes never leave the task.
     */

@@ -458,6 +458,99 @@ object MultimodalQueries {
             .as("cross_format"))
         .filter(col("hamming") <= 3)
         .orderBy(col("id_a").asc, col("id_b").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // ACOUSTIC FINGERPRINT DEDUP (q208, r14) — near-dup detection for an
+    // AUDIO corpus, the third modality to get the banded-hamming
+    // treatment (q188 images, q205 cross-format images). The fingerprint
+    // is the delta-sign sequence of the REAL decoded PCM16 samples
+    // (bit_i = s[i+1] > s[i], wraparound last bit) — invariant under any
+    // strictly monotone re-levelling, which is how the same recording
+    // re-encoded at a different gain evades byte digests; packed into
+    // four 16-bit bands whose pigeonhole makes the band equi-join a
+    // LOSSLESS blocker for hamming ≤ 3. Dup paths live by injection
+    // (q40/q99 discipline): 10 exact copies (hamming 0) and 5 one-sample
+    // perturbations (≤ 2 delta bits move). The WAV round trip is the
+    // identity on quantized samples, so the oracle replays quantization,
+    // deltas, banding, and the all-pairs hamming scan — which the banded
+    // join must reproduce exactly BECAUSE the blocking is lossless.
+    QueryDef.sql(
+      "q208_audio_fingerprint_dedup",
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id < 10
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS vec_id,
+        |    list_transform(generate_series(1, len(embedding)),
+        |      i -> CASE WHEN i = 1 THEN CAST(1.0 AS FLOAT)
+        |           ELSE embedding[i] END) AS embedding
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 15),
+        |smps AS (SELECT vec_id,
+        |    list_transform(embedding, v ->
+        |      greatest(-32768, least(32767,
+        |        CAST(floor(CAST(v AS DOUBLE) * 32767.0) AS BIGINT)))) AS smp
+        |  FROM corpus),
+        |bits AS (SELECT vec_id,
+        |    list_transform(generate_series(0, 63), i ->
+        |      CASE WHEN i < 63 THEN
+        |          CASE WHEN smp[i + 2] > smp[i + 1] THEN 1 ELSE 0 END
+        |        ELSE CASE WHEN smp[1] > smp[64] THEN 1 ELSE 0 END
+        |      END) AS b
+        |  FROM smps),
+        |bands AS (SELECT vec_id,
+        |    list_transform(generate_series(0, 3), j ->
+        |      list_reduce(list_prepend(0,
+        |        list_transform(generate_series(0, 15),
+        |          k -> b[16 * j + k + 1] << k)), (a, c) -> a + c)) AS bd
+        |  FROM bits)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(bit_count(xor(CAST(a.bd[1] AS BIGINT), CAST(b.bd[1] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[2] AS BIGINT), CAST(b.bd[2] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[3] AS BIGINT), CAST(b.bd[3] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[4] AS BIGINT), CAST(b.bd[4] AS BIGINT)))
+        |    AS INTEGER) AS hamming
+        |FROM bands a JOIN bands b ON a.vec_id < b.vec_id
+        |WHERE bit_count(xor(CAST(a.bd[1] AS BIGINT), CAST(b.bd[1] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[2] AS BIGINT), CAST(b.bd[2] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[3] AS BIGINT), CAST(b.bd[3] AS BIGINT)))
+        |    + bit_count(xor(CAST(a.bd[4] AS BIGINT), CAST(b.bd[4] AS BIGINT)))
+        |    <= 3
+        |ORDER BY id_a ASC, id_b ASC""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val exact = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val perturbed = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, lit(1.0f)).otherwise(x)).as("embedding"))
+      val corpus = Tables.spread(s, e.unionAll(exact).unionAll(perturbed))
+      val fp = Multimodal.audioFingerprint(
+        Multimodal.embeddingsAsWav(corpus)).toDF()
+      val bandCols = Seq("h0", "h1", "h2", "h3")
+      val exploded = fp.select(col("id"),
+          posexplode(array(bandCols.map(col): _*)))
+        .select(col("id"), col("pos").as("j"), col("col").as("h"))
+      val cand = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.j") === col("b.j") && col("a.h") === col("b.h") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val ha = bandCols.foldLeft(fp)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+        .withColumnRenamed("id", "id_a")
+      val hb = bandCols.foldLeft(fp)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+        .withColumnRenamed("id", "id_b")
+      val hamming = bandCols
+        .map(c => bit_count(col(s"a_$c").bitwiseXOR(col(s"b_$c"))))
+        .reduce(_ + _)
+      cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("id_a").asc, col("id_b").asc)
     }
   )
 }

@@ -235,6 +235,37 @@ class MultimodalSpec extends SparkSpec {
       String.valueOf(err.getCause).contains("unsupported media_type"))
   }
 
+  test("audioFingerprint is gain-invariant: a clip re-levelled by an " +
+      "exact monotone gain fingerprints identically (r14)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(64)((rng.nextInt(2000) - 1000).toShort)
+    val doubled = base.map(s => (s * 2).toShort) // exact, no clipping
+    val shifted = base.map(s => (s + 100).toShort) // monotone offset
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio/wav", Multimodal.encodeWav(base, 16000)),
+      Multimodal.MediaRow(2L, "audio/wav", Multimodal.encodeWav(doubled, 16000)),
+      Multimodal.MediaRow(3L, "audio/wav", Multimodal.encodeWav(shifted, 16000))))
+    val fps = Multimodal.audioFingerprint(media).collect()
+      .map(f => f.id -> ((f.h0, f.h1, f.h2, f.h3))).toMap
+    assert(fps(1L) == fps(2L), "2x gain changed the delta-sign fingerprint")
+    assert(fps(1L) == fps(3L), "+100 offset changed the fingerprint")
+    // a genuinely different clip does NOT collide
+    val other = Array.fill(64)((rng.nextInt(2000) - 1000).toShort)
+    val fpOther = Multimodal.audioFingerprint(spark.createDataset(Seq(
+        Multimodal.MediaRow(4L, "audio/wav", Multimodal.encodeWav(other, 16000)))))
+      .collect().head
+    assert(fps(1L) != ((fpOther.h0, fpOther.h1, fpOther.h2, fpOther.h3)))
+    // wrong sample count is loud
+    val bad = spark.createDataset(Seq(Multimodal.MediaRow(5L, "audio/wav",
+      Multimodal.encodeWav(Array.fill(32)(1.toShort), 16000))))
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFingerprint(bad).collect()
+    }
+    assert(err.getMessage.contains("expects 64 samples") ||
+      String.valueOf(err.getCause).contains("expects 64 samples"))
+  }
+
   test("q205 detects cross-format duplicates: every injected opposite-" +
       "format copy surfaces at hamming 0 with cross_format=1") {
     val rows = graft.Queries.byName("q205_phash_crossformat_dedup")
