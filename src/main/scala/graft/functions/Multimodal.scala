@@ -544,4 +544,36 @@ object Multimodal {
       }
     }
   }
+
+  final case class SceneCuts(
+      id: Long, n_frames: Int, n_cuts: Long, max_delta: Long)
+
+  /** Scene-cut detection over a decoded clip (r14): a cut between
+    * consecutive frames is declared when the absolute difference of
+    * their luma SUMS reaches `sumDeltaThreshold` — integer-exact (no
+    * mean ever materializes, so any engine replays the verdicts
+    * bit-for-bit). Cuts are intra-clip by definition, so the whole pass
+    * is one narrow mapPartitions: frames never shuffle, one bounded row
+    * out per clip — the shape that holds at any corpus size.
+    */
+  def videoSceneCuts(
+      media: Dataset[MediaRow], sumDeltaThreshold: Long): Dataset[SceneCuts] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val (_, _, frames) = decodeY4m(m.bytes)
+      val sums = frames.map { f =>
+        var s = 0L; var j = 0
+        while (j < f.length) { s += f(j); j += 1 }
+        s
+      }
+      var cuts = 0L; var mx = 0L; var i = 1
+      while (i < sums.length) {
+        val d = math.abs(sums(i) - sums(i - 1))
+        if (d >= sumDeltaThreshold) cuts += 1
+        if (d > mx) mx = d
+        i += 1
+      }
+      SceneCuts(m.id, frames.size, cuts, mx)
+    })
+  }
 }

@@ -551,6 +551,48 @@ object MultimodalQueries {
         .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy(col("id_a").asc, col("id_b").asc)
+    },
+
+    // ------------------------------------------------------------------
+    // VIDEO SCENE-CUT DETECTION (q209, r14) — the frame-segmentation
+    // pass a video-curation pipeline runs before sampling training
+    // frames (cutting at scene boundaries instead of blindly every Nth
+    // frame). A cut between consecutive frames is |Σluma_i − Σluma_{i−1}|
+    // ≥ threshold over the REAL decoded Y4M frames — integer SUMS, never
+    // a mean, so the verdicts have no rounding surface and the oracle
+    // replays them exactly off the quantized pixels (the y4m round trip
+    // is the identity, q102's discipline). Threshold 120 (7.5 luma
+    // levels over a 16-pixel frame) was chosen off the MEASURED
+    // max-delta distribution (median 113 at sf0.01), so the corpus
+    // splits into genuinely mixed cut counts — both 0-cut and multi-cut
+    // clips are live, not a vacuous all-zero column. Scale shape: cuts are intra-clip by definition, so the whole
+    // pass is ONE narrow mapPartitions emitting one bounded row per
+    // clip; frames never shuffle, the only exchange is the final
+    // order's TakeOrdered.
+    QueryDef.sql(
+      "q209_video_scene_cuts",
+      """WITH px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS BIGINT)))) AS p
+        |  FROM embeddings),
+        |sums AS (SELECT vec_id,
+        |    list_transform(generate_series(0, 3), f ->
+        |      list_reduce(list_transform(generate_series(1, 16),
+        |        i -> p[16 * f + i]), (a, b) -> a + b)) AS fs
+        |  FROM px)
+        |SELECT vec_id AS id, CAST(4 AS INTEGER) AS n_frames,
+        |  CAST(len(list_filter(generate_series(1, 3),
+        |    f -> abs(fs[f + 1] - fs[f]) >= 120)) AS BIGINT) AS n_cuts,
+        |  CAST(greatest(abs(fs[2] - fs[1]), abs(fs[3] - fs[2]),
+        |    abs(fs[4] - fs[3])) AS BIGINT) AS max_delta
+        |FROM sums ORDER BY id ASC LIMIT 200""".stripMargin) { (s, dir) =>
+      val media = Multimodal.embeddingsAsVideo(
+        Tables.spread(s, Tables.load(s, dir, "embeddings")))
+      Multimodal.videoSceneCuts(media, sumDeltaThreshold = 120L).toDF()
+        .select(col("id"), col("n_frames"), col("n_cuts"), col("max_delta"))
+        .orderBy(col("id").asc)
+        .limit(200)
     }
   )
 }
