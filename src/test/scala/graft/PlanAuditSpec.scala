@@ -267,6 +267,21 @@ class PlanAuditSpec extends SparkSpec {
       s"probe-only IVF-PQ scan reads raw vectors: $readSchema")
   }
 
+  test("q206: the persisted-IMI probe plan has zero training stages and a " +
+      "pruned bucketed scan (r14)") {
+    // build (or recover) the IMI catalog FIRST — constructing the probe
+    // plan below must do no training work
+    graft.functions.AnnIndex.ensureImi(spark, sf)
+    val p = formatted("q206_ann_imi_probe")
+    assert(!p.contains("HashAggregate"),
+      s"q206 probe plan contains an aggregation — training leaked in:\n$p")
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(p)
+      .getOrElse(fail(s"q206 index scan is not bucketed:\n$p"))
+    assert(sel.group(1).toInt < sel.group(2).toInt,
+      s"q206 selected ${sel.group(1)} of ${sel.group(2)} buckets — no pruning")
+  }
+
   test("q106: probe-only execution schedules no training- or write-shaped jobs") {
     graft.functions.AnnIndex.ensure(spark, sf)
     // job-level pin of the lifecycle split, keyed to job CONTENT rather
