@@ -2991,6 +2991,130 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
+    // INCREMENTAL IMAGE NEAR-DUP vs a PERSISTED pHASH STORE (q210, r14) —
+    // q189's standing-artifact economics applied to the IMAGE corpus:
+    // the history's aHash BANDS live in a store bucketed by band key
+    // (md5(band_idx | band_value) — one column is the complete join
+    // identity), each row carrying the full 4×16-bit hash so the probe
+    // can confirm exactly; an incoming delta computes its own bands (one
+    // narrow real-decode pass) and LEFT-joins the store co-bucketed —
+    // the history never reshuffles, the join input is delta-sized, and
+    // each incoming image leaves with its candidate count (band
+    // collisions), CONFIRMED near-dup count (hamming ≤ 3 on the carried
+    // hashes), and first match. Incoming includes one-pixel REPLAYS of
+    // history images (digest-distinct; byte digests see nothing), per
+    // the q40/q99 liveness discipline — at sf0.01 ten of them confirm at
+    // hamming ≤ 3 while others drift past it (aHash bits threshold
+    // against the MEAN, so one pixel can move several bits — the honest
+    // reason the exact confirm exists at all), and chance 16-bit band
+    // collisions keep the candidate-vs-confirmed distinction itself
+    // live (7 incoming docs carry candidates that FAIL the confirm). At 100 TB
+    // the store is the standing artifact; each day pays its delta's
+    // decode + a band-bucket-pruned probe.
+    QueryDef.sql(
+      "q210_phash_incremental_store",
+      """WITH base AS (SELECT vec_id, embedding,
+        |    ('0x' || substr(md5('ph' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS g
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, embedding, g FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 500000 AS vec_id,
+        |    list_transform(generate_series(1, len(embedding)),
+        |      i -> CASE WHEN i = 1 THEN CAST(1.0 AS FLOAT)
+        |           ELSE embedding[i] END) AS embedding,
+        |    9 AS g
+        |  FROM base WHERE g < 8 AND vec_id % 25 = 0),
+        |px AS (SELECT vec_id, g,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |  FROM corpus),
+        |hs AS (SELECT vec_id, g, p,
+        |    list_reduce(list_prepend(0, p), (a, b) -> a + b) AS s
+        |  FROM px),
+        |bits AS (SELECT vec_id, g,
+        |    list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN 64 * p[i + 1] >= s THEN 1 ELSE 0 END) AS b
+        |  FROM hs),
+        |bands AS (SELECT vec_id, g,
+        |    list_transform(generate_series(0, 3), j ->
+        |      list_reduce(list_prepend(0,
+        |        list_transform(generate_series(0, 15),
+        |          k -> b[16 * j + k + 1] << k)), (a, c) -> a + c)) AS bd
+        |  FROM bits),
+        |keys AS (SELECT vec_id, g, bd,
+        |    md5(CAST(j AS VARCHAR) || '|' || CAST(bd[j + 1] AS VARCHAR)) AS bk
+        |  FROM bands, generate_series(0, 3) t(j)),
+        |hist AS (SELECT DISTINCT bk, vec_id AS hist_id, bd AS hbd
+        |  FROM keys WHERE g < 8),
+        |inc AS (SELECT DISTINCT vec_id, bk, bd FROM keys WHERE g >= 8),
+        |probe AS (SELECT i.vec_id, h.hist_id,
+        |    CASE WHEN h.hist_id IS NULL THEN NULL ELSE
+        |      bit_count(xor(CAST(i.bd[1] AS BIGINT), CAST(h.hbd[1] AS BIGINT)))
+        |      + bit_count(xor(CAST(i.bd[2] AS BIGINT), CAST(h.hbd[2] AS BIGINT)))
+        |      + bit_count(xor(CAST(i.bd[3] AS BIGINT), CAST(h.hbd[3] AS BIGINT)))
+        |      + bit_count(xor(CAST(i.bd[4] AS BIGINT), CAST(h.hbd[4] AS BIGINT)))
+        |    END AS ham
+        |  FROM inc i LEFT JOIN hist h ON i.bk = h.bk)
+        |SELECT vec_id,
+        |  CAST(count(DISTINCT hist_id) AS BIGINT) AS n_cand,
+        |  CAST(count(DISTINCT CASE WHEN ham <= 3 THEN hist_id END) AS BIGINT)
+        |    AS n_near,
+        |  CAST(coalesce(min(CASE WHEN ham <= 3 THEN hist_id END), -1)
+        |    AS BIGINT) AS first_near
+        |FROM probe GROUP BY vec_id
+        |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
+      import graft.operators.Layout
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"),
+        (conv(substring(md5(concat(lit("ph"), col("vec_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % 10).as("g"))
+      val corpus = base.unionAll(
+        base.filter(col("g") < 8 && col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 500000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, lit(1.0f)).otherwise(x)).as("embedding"),
+            lit(9L).as("g")))
+      val ph = graft.functions.Multimodal.imagePHash(
+          graft.functions.Multimodal.embeddingsAsImages(
+            Tables.spread(s, corpus))).toDF()
+        .join(corpus.select(col("vec_id").as("id"), col("g")), Seq("id"))
+      val bandCols = Seq("h0", "h1", "h2", "h3")
+      val withKeys = ph.select(
+          col("id") :: col("g") :: bandCols.map(col).toList: _*)
+        .withColumn("bk", explode(array((0 until 4).map(j =>
+          md5(concat(lit(j.toString), lit("|"),
+            col(bandCols(j)).cast("string")))): _*)))
+      val db = "graft_phash_store"
+      freshDb(s, db,
+        s"${System.getProperty("java.io.tmpdir")}/graft_phash_store_db")
+      Layout.writeBucketed(
+        withKeys.filter(col("g") < 8)
+          .select(col("bk") :: col("id").as("hist_id") ::
+            bandCols.map(c => col(c).as(s"h_$c")).toList: _*).distinct(),
+        s"$db.history_bands", "bk", 16, Seq("bk"))
+      Layout.writeBucketed(
+        withKeys.filter(col("g") >= 8)
+          .select(col("id").as("vec_id") :: col("bk") ::
+            bandCols.map(col).toList: _*).distinct(),
+        s"$db.incoming_bands", "bk", 16, Seq("bk"))
+      val ham = bandCols
+        .map(c => bit_count(col(c).bitwiseXOR(col(s"h_$c"))))
+        .reduce(_ + _)
+      s.table(s"$db.incoming_bands")
+        .join(s.table(s"$db.history_bands"), Seq("bk"), "left")
+        .select(col("vec_id"), col("hist_id"),
+          when(col("hist_id").isNull, lit(null)).otherwise(ham).as("ham"))
+        .groupBy(col("vec_id"))
+        .agg(
+          countDistinct(col("hist_id")).as("n_cand"),
+          countDistinct(when(col("ham") <= 3, col("hist_id"))).as("n_near"),
+          coalesce(min(when(col("ham") <= 3, col("hist_id"))), lit(-1L))
+            .cast("long").as("first_near"))
+        .orderBy(col("vec_id").asc)
+    },
+
+    // ------------------------------------------------------------------
     // TRIPLET MINING (q195, r13) — the full contrastive-training export:
     // for every anchor, its hardest POSITIVE (nearest same-label
     // neighbor — the pair the model must pull together) and hardest
