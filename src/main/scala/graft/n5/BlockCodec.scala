@@ -214,6 +214,76 @@ object BlockCodec {
     out.array()
   }
 
+  /** Encode one block as a zarr v2 chunk (r14, write support) — the
+    * inverse of [[decodeZarr]]: the trimmed block payload is scattered
+    * into a FULL fill-0 chunk buffer (zarr edge chunks are fill-padded,
+    * never trimmed), elements little-endian by default in C order of the
+    * reversed axes (= the engine's x-fastest order), compressed whole
+    * with no header. Same loud range check as the N5 [[encode]] path.
+    */
+  def encodeZarr(
+      trimmedShape: Array[Int], chunkShape: Array[Int],
+      longs: Array[Long], doubles: Array[Double],
+      dtype: Dtype, comp: Compression,
+      littleEndian: Boolean = true): Array[Byte] = {
+    val full = chunkShape.product
+    val n = trimmedShape.product
+    if (longs != null) dtype.integerRange.foreach { case (lo, hi) =>
+      var j = 0
+      while (j < n) {
+        if (longs(j) < lo || longs(j) > hi)
+          throw new IllegalArgumentException(
+            s"block value ${longs(j)} outside ${dtype.name} range [$lo, $hi]")
+        j += 1
+      }
+    }
+    val payload = ByteBuffer.allocate(full * dtype.bytesPerElement)
+      .order(if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    // full-chunk flat index of a trimmed flat index — decodeZarr's map
+    val dstIdx = new Array[Int](n)
+    locally {
+      var i = 0
+      while (i < n) {
+        var rem = i; var stride = 1; var dst = 0; var d = 0
+        while (d < trimmedShape.length) {
+          dst += (rem % trimmedShape(d)) * stride
+          rem /= trimmedShape(d)
+          stride *= chunkShape(d)
+          d += 1
+        }
+        dstIdx(i) = dst
+        i += 1
+      }
+    }
+    dtype match {
+      case Dtype.Float32 =>
+        var i = 0
+        while (i < n) { payload.putFloat(dstIdx(i) * 4, doubles(i).toFloat); i += 1 }
+      case Dtype.Float64 =>
+        var i = 0
+        while (i < n) { payload.putDouble(dstIdx(i) * 8, doubles(i)); i += 1 }
+      case d =>
+        var i = 0
+        d match {
+          case Dtype.UInt8 | Dtype.Int8 =>
+            while (i < n) { payload.put(dstIdx(i), (longs(i) & 0xffL).toByte); i += 1 }
+          case Dtype.UInt16 | Dtype.Int16 =>
+            while (i < n) { payload.putShort(dstIdx(i) * 2, (longs(i) & 0xffffL).toShort); i += 1 }
+          case Dtype.UInt32 | Dtype.Int32 =>
+            while (i < n) { payload.putInt(dstIdx(i) * 4, (longs(i) & 0xffffffffL).toInt); i += 1 }
+          case Dtype.UInt64 | Dtype.Int64 =>
+            while (i < n) { payload.putLong(dstIdx(i) * 8, longs(i)); i += 1 }
+          case _ => throw new IllegalStateException(s"unreachable: $d")
+        }
+    }
+    comp.codec match {
+      case "raw" | "zlib" | "gzip" | "blosc" => ()
+      case other => throw new IllegalArgumentException(
+        s"zarr write: compressor '$other' unsupported (raw | zlib | gzip | blosc)")
+    }
+    compress(payload.array(), comp)
+  }
+
   /** Wire formats match n5-java: gzip = GZIP stream, bzip2 = standard
     * bzip2 stream (commons-compress), lz4 = lz4-java LZ4BlockOutputStream
     * framing, zstd = zstd frame (n5-zstandard extension), xz = .xz

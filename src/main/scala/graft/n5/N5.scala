@@ -118,6 +118,31 @@ object N5 {
       .mode("append")
       .save(root)
 
+  /** Write a block table (gx,gy,gz,shape,data) as a zarr v2 container
+    * (r14): C-order fill-padded chunks under "."- or "/"-separated keys
+    * plus `.zarray` metadata committed AFTER the data — the same
+    * atomic-rename writer discipline as the N5 path, so zarr stores get
+    * torn-block-free, retry-idempotent writes too. Compressor profile
+    * raw/zlib/gzip/blosc (loud otherwise).
+    */
+  def writeZarr(
+      df: DataFrame, root: String, dataset: String, attrs: DatasetAttributes,
+      separator: String = ".",
+      extraAttrs: Map[String, String] = Map.empty): Unit =
+    df.write.format("n5")
+      .option("dataset", dataset)
+      .option("format", "zarr")
+      .option("zarrSeparator", separator)
+      .option("dimensions", attrs.dimensions.mkString(","))
+      .option("blockSize", attrs.blockSize.mkString(","))
+      .option("dataType", attrs.dataType.name)
+      .option("compression", attrs.compression.codec)
+      .option("compressionLevel", attrs.compression.level.toString)
+      .option("extraAttrs",
+        (attrs.extra ++ extraAttrs).map { case (k, v) => s"$k=$v" }.mkString(";;"))
+      .mode("append")
+      .save(root)
+
   /** Per-element view (x,y,z,v) of a block table. Lazy posexplode +
     * integer index math — only queries that genuinely need per-voxel rows
     * pay for the explosion (SURVEY §1.4). Flat index is x-fastest within
@@ -261,8 +286,9 @@ object N5 {
       start: Array[Long], end: Array[Long], elems: DataFrame): Unit = {
     val attrs = N5Meta.datasetAttributes(root, dataset)
     require(!attrs.isZarr,
-      "writeBox: zarr datasets are READ-ONLY in this engine — convert to " +
-        "N5 first (createDatasetLike + write reproduce the geometry)")
+      "writeBox: ranged upsert into zarr datasets is unsupported — write " +
+        "whole block tables via N5.writeZarr, or convert to N5 first " +
+        "(createDatasetLike + write reproduce the geometry)")
     require(attrs.ndim == 3, "writeBox expects a 3-D dataset")
     require(start.zip(end).forall { case (s, e) => s < e },
       s"empty box [${start.mkString(",")}, ${end.mkString(",")})")

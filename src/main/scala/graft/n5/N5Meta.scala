@@ -345,6 +345,65 @@ object N5Meta {
     writeJson(p, o)
   }
 
+  /** Emit a zarr v2 `.zarray` for the dataset (r14, write support): the
+    * inverse of [[zarrArrayAttributes]] — engine x-fastest dims/blocks
+    * reversed back into zarr's C order, dtype with the little-endian
+    * byte-order character, compressor in numcodecs id terms. Write
+    * profile kept deliberately narrow and LOUD: raw (null compressor),
+    * zlib, gzip, blosc (self-describing chunks in BloscCodec.encode's
+    * fixed interop profile) — the ids any zarr v2 reader ships.
+    */
+  def writeZarrAttributes(
+      root: String, dataset: String, a: DatasetAttributes): Unit = {
+    require(a.isZarr, "writeZarrAttributes: attributes are not format=zarr")
+    val o = mapper.createObjectNode()
+    o.put("zarr_format", 2)
+    val dims = o.putArray("shape"); a.dimensions.reverse.foreach(dims.add)
+    val bs = o.putArray("chunks"); a.blockSize.reverse.foreach(bs.add)
+    val code = a.dataType match {
+      case Dtype.UInt8 => "u1"
+      case Dtype.Int8 => "i1"
+      case Dtype.UInt16 => "u2"
+      case Dtype.Int16 => "i2"
+      case Dtype.UInt32 => "u4"
+      case Dtype.Int32 => "i4"
+      case Dtype.UInt64 => "u8"
+      case Dtype.Int64 => "i8"
+      case Dtype.Float32 => "f4"
+      case Dtype.Float64 => "f8"
+    }
+    o.put("dtype", (if (a.zarrLittleEndian) "<" else ">") + code)
+    a.compression.codec match {
+      case "raw" => o.putNull("compressor")
+      case "zlib" =>
+        val c = o.putObject("compressor")
+        c.put("id", "zlib")
+        c.put("level", if (a.compression.level > 0) a.compression.level else 1)
+      case "gzip" =>
+        val c = o.putObject("compressor")
+        c.put("id", "gzip")
+        c.put("level", if (a.compression.level > 0) a.compression.level else 1)
+      case "blosc" =>
+        val c = o.putObject("compressor")
+        c.put("id", "blosc")
+        c.put("cname", "lz4")
+        c.put("clevel", if (a.compression.level > 0) a.compression.level else 1)
+        c.put("shuffle", 0)
+        c.put("blocksize", 0)
+      case other => throw new IllegalArgumentException(
+        s"zarr write: compressor '$other' unsupported " +
+          "(raw | zlib | gzip | blosc)")
+    }
+    o.putNull("filters")
+    o.put("order", "C")
+    o.put("fill_value", 0)
+    o.put("dimension_separator", a.zarrSeparator)
+    a.extra.foreach { case (k, v) => o.set[ObjectNode](k, mapper.readTree(v)) }
+    val p = new Path(root, s"$dataset/.zarray")
+    fs(p).mkdirs(p.getParent)
+    writeJson(p, o)
+  }
+
   /** Read/merge arbitrary group attributes (e.g. multiscale `scales`). */
   def updateGroupAttributes(
       root: String, group: String, attrs: Map[String, String]): Unit = {

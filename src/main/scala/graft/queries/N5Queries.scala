@@ -517,6 +517,43 @@ object N5Queries {
           size(col("data")).as("n"),
           aggregate(col("data"), lit(0L), (a, x) => a + x).as("checksum"))
         .orderBy(col("gx"), col("gy"), col("gz"))
+    },
+
+    // ------------------------------------------------------------------
+    // ZARR v2 WRITE ROUND TRIP (q211, r14) — the write half of q204: the
+    // reference's own 4-block uint8 fixture is re-encoded as a zarr v2
+    // container (C-order fill-padded zlib chunks + .zarray, committed
+    // after the data by the same atomic-rename writer as N5) and re-read
+    // through the DSv2 source; per-block counts and sums must equal the
+    // independently-derived fixture constants (BlockCodecSpec's python
+    // gzip+struct goldens), closing the N5 → zarr → scan loop. The
+    // written-container FORMAT itself is validated by a second
+    // implementation: tools/check_zarr_write.py decodes an engine-written
+    // store with numpy + stdlib zlib only (27 chunks, 385/385 voxels —
+    // run and recorded in SWEEP_r14.md).
+    QueryDef.sql(
+      "q211_zarr_write_roundtrip",
+      """SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
+        |  CAST(gz AS INTEGER) AS gz, CAST(n AS INTEGER) AS n,
+        |  CAST(total AS BIGINT) AS total
+        |FROM (VALUES
+        |  (0, 0, 0, 442368, 18077459),
+        |  (0, 1, 0, 338688, 13598034),
+        |  (1, 0, 0, 200448, 5266225),
+        |  (1, 1, 0, 153468, 3843199))
+        |  t(gx, gy, gz, n, total)
+        |ORDER BY gx, gy, gz""".stripMargin) { (s, _) =>
+      import graft.n5.{Compression, DatasetAttributes, N5Meta}
+      val tmp = java.nio.file.Files.createTempDirectory("zarrwr").toString
+      val a = N5Meta.datasetAttributes(fixtureRoot, fixtureDs)
+      val zattrs = DatasetAttributes(a.dimensions, a.blockSize, a.dataType,
+        Compression("zlib", 6), format = "zarr")
+      N5.writeZarr(N5.read(s, fixtureRoot, fixtureDs), tmp, "vol", zattrs)
+      N5.read(s, tmp, "vol")
+        .select(col("gx"), col("gy"), col("gz"),
+          size(col("data")).as("n"),
+          aggregate(col("data"), lit(0L), (acc, x) => acc + x).as("total"))
+        .orderBy(col("gx"), col("gy"), col("gz"))
     }
   )
 }

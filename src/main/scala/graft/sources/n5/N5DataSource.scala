@@ -736,9 +736,19 @@ class N5WriteBuilder(
   }
 
   /** Attributes from writer options, falling back to an existing
-    * attributes.json (append to an existing dataset).
+    * attributes.json (append to an existing dataset). Option
+    * `format=zarr` (r14) writes the dataset as a zarr v2 container —
+    * C-order fill-padded chunks + `.zarray` metadata — with
+    * `zarrSeparator` ("." default | "/") picking the chunk-key layout;
+    * the compressor profile is raw/zlib/gzip/blosc, rejected loudly
+    * otherwise (the narrow set every zarr v2 reader ships).
     */
   private def writeAttrs(): DatasetAttributes = {
+    val fmt = options.getOrDefault("format", "n5") match {
+      case f @ ("n5" | "zarr") => f
+      case other => throw new IllegalArgumentException(
+        s"unknown container format '$other' (n5 | zarr)")
+    }
     if (options.containsKey("dimensions")) {
       DatasetAttributes(
         options.get("dimensions").split(",").map(_.trim.toLong),
@@ -748,7 +758,9 @@ class N5WriteBuilder(
         Compression(options.getOrDefault("compression", "gzip"),
           options.getOrDefault("compressionLevel", "-1").toInt),
         Option(options.get("extraAttrs"))
-          .map(parseExtra).getOrElse(Map.empty))
+          .map(parseExtra).getOrElse(Map.empty),
+        format = fmt,
+        zarrSeparator = options.getOrDefault("zarrSeparator", "."))
     } else N5Meta.datasetAttributes(root, dataset)
   }
 
@@ -772,7 +784,9 @@ class N5BatchWrite(
       val fs = p.getFileSystem(new Configuration())
       if (fs.exists(p)) fs.delete(p, true)
     }
-    N5Meta.ensureRoot(root)
+    // a zarr store has no N5 root marker; injecting attributes.json into
+    // a foreign container would corrupt it for strict zarr readers
+    if (!attrs.isZarr) N5Meta.ensureRoot(root)
     new N5WriterFactory(root, dataset, attrs, inputSchema, varlength)
   }
 
@@ -780,7 +794,8 @@ class N5BatchWrite(
     * every task has written its blocks.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    N5Meta.writeDatasetAttributes(root, dataset, attrs)
+    if (attrs.isZarr) N5Meta.writeZarrAttributes(root, dataset, attrs)
+    else N5Meta.writeDatasetAttributes(root, dataset, attrs)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -834,9 +849,18 @@ class N5BlockWriter(
       case DoubleType => (null, data.toDoubleArray())
       case other => throw new IllegalArgumentException(s"bad element type $other")
     }
-    val bytes = BlockCodec.encode(shape, longs, doubles, attrs.dataType,
-      attrs.compression, varlength)
-    val path = new HPath(root, s"$dataset/$gx/$gy/$gz")
+    val bytes =
+      if (attrs.isZarr) {
+        require(!varlength,
+          "zarr chunks have no header; blockMode=varlength is N5-only")
+        BlockCodec.encodeZarr(shape, attrs.blockSize, longs, doubles,
+          attrs.dataType, attrs.compression, attrs.zarrLittleEndian)
+      } else BlockCodec.encode(shape, longs, doubles, attrs.dataType,
+        attrs.compression, varlength)
+    val path =
+      if (attrs.isZarr)
+        new HPath(root, s"$dataset/${attrs.chunkKey(Array(gx, gy, gz))}")
+      else new HPath(root, s"$dataset/$gx/$gy/$gz")
     fs.mkdirs(path.getParent)
     // unique temp per attempt: concurrent speculative attempts must not
     // share a temp file (a truncate under a live fd would corrupt the
