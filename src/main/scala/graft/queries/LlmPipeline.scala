@@ -2398,17 +2398,26 @@ object LlmPipeline {
          |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 16, iters = 3,
-        sampleBuckets = 3)
-      val edges = VS.imiKnnGraph(Tables.spread(s, e), cb1, cb2, half,
-          aProbe = 2, k = 5)
-        .select(col("src"), col("nbr").as("dst")).localCheckpoint()
-      graft.operators.PageRank.run(
-          e.select(col("vec_id").as("node")), edges,
-          damping = 0.85, maxIters = 5,
-          redistributeDangling = false, tol = 0.0,
-          roundDecimals = Some(8))
-        .ranks
+      // per-phase probes (the q152 sub-map discipline): at sf10 this query
+      // is the heaviest composite, and the probes attribute the cost —
+      // training is O(√K)-cheap, the kNN candidate ranking over frozen-k
+      // cells and the 5 checkpointed PageRank rounds carry the rest
+      val (cb1, cb2, half) = graft.BenchProbes.time("q151.train") {
+        VS.trainImiCodebooks(e, k = 16, iters = 3, sampleBuckets = 3)
+      }
+      val edges = graft.BenchProbes.time("q151.knn_edges") {
+        VS.imiKnnGraph(Tables.spread(s, e), cb1, cb2, half,
+            aProbe = 2, k = 5)
+          .select(col("src"), col("nbr").as("dst")).localCheckpoint()
+      }
+      graft.BenchProbes.time("q151.pagerank") {
+        graft.operators.PageRank.run(
+            e.select(col("vec_id").as("node")), edges,
+            damping = 0.85, maxIters = 5,
+            redistributeDangling = false, tol = 0.0,
+            roundDecimals = Some(8))
+          .ranks
+      }
         .select(col("node").as("vec_id"), col("pr").as("pagerank"))
         .orderBy(col("vec_id").asc)
     },
