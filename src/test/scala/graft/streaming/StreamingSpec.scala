@@ -857,6 +857,34 @@ class StreamingSpec extends SparkSpec {
     assert(r.getLong(1) == 40784917L)
   }
 
+  test("writeStream.format(n5) with format=zarr: streaming sink commits " +
+      "zarr chunks + .zarray per epoch (r14)") {
+    val tmp = Files.createTempDirectory("zarrsink").toString
+    val blocks = N5.read(spark, "/root/reference/data/test.n5", "mri/c0/s0")
+    blocks.write.mode("overwrite").parquet(s"$tmp/rows")
+    val stream = spark.readStream.schema(blocks.schema).parquet(s"$tmp/rows")
+    val q = stream.writeStream
+      .format("n5")
+      .option("path", s"$tmp/out.zarr")
+      .option("dataset", "vol")
+      .option("format", "zarr")
+      .option("dimensions", "186,226,27")
+      .option("blockSize", "128,128,128")
+      .option("dataType", "uint8")
+      .option("compression", "zlib")
+      .option("compressionLevel", "6")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val a = graft.n5.N5Meta.datasetAttributes(s"$tmp/out.zarr", "vol")
+    assert(a.isZarr && a.zarrSeparator == ".")
+    val e = N5.elements(N5.read(spark, s"$tmp/out.zarr", "vol"))
+    val r = e.agg(count(lit(1)), sum(col("v"))).collect()(0)
+    assert(r.getLong(0) == 1134972L)
+    assert(r.getLong(1) == 40784917L)
+  }
+
   test("streaming TIFF slab ingest equals batch ingest (Phase 6)") {
     val tmp = Files.createTempDirectory("slab").toString
     // slices from the fixture
