@@ -2304,6 +2304,148 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
+    // CONTAINMENT DECONTAMINATION (q212, r14) — the third face of the
+    // eval-leak family, between q135's exact n-gram overlap and q166's
+    // semantic cosine: ASYMMETRIC minhash containment
+    // |shingles(eval) ∩ shingles(train)| / |shingles(eval)|. A training
+    // doc that embeds a whole eval doc plus extra prose has HIGH
+    // containment but diluted symmetric Jaccard — exactly the leak the
+    // injected copies here reproduce (eval docs re-inserted into
+    // training with appended tokens: containment ~1.0, flagged; the
+    // q40/q99 liveness discipline). Scale shape: candidates come from
+    // the q189 minhash band keys (eval-side bands are eval-set-sized —
+    // the delta; training bands are the q189 persisted-store shape at
+    // 100 TB), and the EXACT containment verify runs on candidates
+    // only — no all-pairs anywhere; the per-eval window is
+    // eval-set-sized.
+    QueryDef.sql(
+      "q212_decontamination_containment", {
+        val sigSelects = (0 until 16)
+          .map(j => s"min((${MinhashParams.a(j)} * h + ${MinhashParams.b(j)}) " +
+            s"% ${MinhashParams.p}) AS s$j").mkString(", ")
+        val bandSelects = (0 until 4).map { b =>
+          val cols = (0 until 4).map(i => s"s${b * 4 + i}").mkString(", ")
+          s"SELECT doc_id, md5(concat_ws('|', '$b', $cols)) AS bk FROM sig"
+        }.mkString("\nUNION ALL ")
+        s"""WITH base AS (SELECT doc_id, text,
+           |    ('0x' || substr(md5('ct' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS g
+           |  FROM documents),
+           |corpus AS (
+           |  SELECT doc_id, text, g FROM base
+           |  UNION ALL
+           |  SELECT doc_id + 700000 AS doc_id,
+           |    text || ' zz yy xx ww vv' AS text, 0 AS g
+           |  FROM base WHERE g = 9 AND doc_id % 20 = 0),
+           |t AS (SELECT doc_id, g,
+           |    string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS toks
+           |  FROM corpus),
+           |ex0 AS (SELECT doc_id, g,
+           |    unnest(list_transform(generate_series(0, greatest(len(toks) - 3, 0)),
+           |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
+           |  FROM t),
+           |ex AS (SELECT doc_id, g,
+           |    ('0x' || substr(md5(sh), 18, 15))::BIGINT % ${MinhashParams.p} AS h
+           |  FROM ex0),
+           |sig AS (SELECT doc_id, any_value(g) AS g, $sigSelects
+           |  FROM ex GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |ebands AS (SELECT DISTINCT b.doc_id, b.bk
+           |  FROM bands b JOIN sig s ON b.doc_id = s.doc_id WHERE s.g = 9),
+           |tbands AS (SELECT DISTINCT b.doc_id, b.bk
+           |  FROM bands b JOIN sig s ON b.doc_id = s.doc_id WHERE s.g <> 9),
+           |cand AS (SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id
+           |  FROM ebands e JOIN tbands t ON e.bk = t.bk),
+           |esh AS (SELECT DISTINCT doc_id AS eval_id, h FROM ex WHERE g = 9),
+           |tsh AS (SELECT DISTINCT doc_id AS train_id, h FROM ex WHERE g <> 9),
+           |ne AS (SELECT eval_id, count(*) AS n_sh FROM esh GROUP BY eval_id),
+           |inter AS (SELECT c.eval_id, c.train_id, count(*) AS i
+           |  FROM cand c JOIN esh e ON e.eval_id = c.eval_id
+           |  JOIN tsh t ON t.train_id = c.train_id AND t.h = e.h
+           |  GROUP BY c.eval_id, c.train_id),
+           |pp AS (SELECT i.eval_id, i.train_id,
+           |    round(CAST(i.i AS DOUBLE) / ne.n_sh, 4) AS containment
+           |  FROM inter i JOIN ne ON ne.eval_id = i.eval_id),
+           |best AS (SELECT eval_id, containment, train_id FROM (
+           |    SELECT eval_id, containment, train_id,
+           |      row_number() OVER (PARTITION BY eval_id
+           |        ORDER BY containment DESC, train_id ASC) AS rn
+           |    FROM pp) WHERE rn = 1),
+           |nc AS (SELECT eval_id, count(*) AS n_cand FROM cand GROUP BY eval_id),
+           |ev AS (SELECT doc_id AS eval_id FROM base WHERE g = 9)
+           |SELECT ev.eval_id AS eval_id,
+           |  CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+           |  coalesce(best.containment, 0.0) AS max_containment,
+           |  CAST(coalesce(best.train_id, -1) AS BIGINT) AS best_train,
+           |  CAST(CASE WHEN coalesce(best.containment, 0.0) >= 0.8
+           |    THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+           |FROM ev LEFT JOIN nc ON nc.eval_id = ev.eval_id
+           |LEFT JOIN best ON best.eval_id = ev.eval_id
+           |ORDER BY ev.eval_id ASC""".stripMargin
+      }) { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("text"),
+        (conv(substring(md5(concat(lit("ct"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % 10).as("g"))
+      val corpus = base.unionAll(
+        base.filter(col("g") === 9 && col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"),
+            concat(col("text"), lit(" zz yy xx ww vv")).as("text"),
+            lit(0L).as("g")))
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val withSh = Tables.spread(s, corpus).select(col("doc_id"), col("g"),
+        NE.wordNgrams(toks, 3).as("shs"),
+        NE.minhashSigs(toks, (0 until 16).map(MinhashParams.a),
+          (0 until 16).map(MinhashParams.b), MinhashParams.p).as("sig"))
+      val sigs = withSh.select(col("doc_id") :: col("g") :: (0 until 16)
+        .map(j => element_at(col("sig"), j + 1).as(s"s$j")).toList: _*)
+      val bandKeys = (0 until 4).map(b =>
+        md5(concat_ws("|", lit(b.toString) +:
+          (0 until 4).map(i => col(s"s${b * 4 + i}").cast("string")): _*)))
+      val withKeys = sigs.select(col("doc_id"), col("g"),
+        explode(array(bandKeys: _*)).as("bk"))
+      val evalB = withKeys.filter(col("g") === 9)
+        .select(col("doc_id").as("eval_id"), col("bk")).distinct()
+      val trainB = withKeys.filter(col("g") =!= 9)
+        .select(col("doc_id").as("train_id"), col("bk")).distinct()
+      val cand = evalB.join(trainB, Seq("bk"))
+        .select(col("eval_id"), col("train_id")).distinct()
+      val sh = withSh.select(col("doc_id"), col("g"),
+          explode(col("shs")).as("sh"))
+        .select(col("doc_id"), col("g"),
+          (conv(substring(md5(col("sh")), 18, 15), 16, 10).cast("long")
+            % MinhashParams.p).as("h"))
+        .distinct()
+      val eSh = sh.filter(col("g") === 9)
+        .select(col("doc_id").as("eval_id"), col("h"))
+      val tSh = sh.filter(col("g") =!= 9)
+        .select(col("doc_id").as("train_id"), col("h"))
+      val ne0 = eSh.groupBy(col("eval_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = cand.join(eSh, Seq("eval_id"))
+        .join(tSh, Seq("train_id", "h"))
+        .groupBy(col("eval_id"), col("train_id"))
+        .agg(count(lit(1)).as("i"))
+      val perPair = inter.join(ne0, Seq("eval_id"))
+        .select(col("eval_id"), col("train_id"),
+          round(col("i").cast("double") / col("n_sh"), 4).as("containment"))
+      val w = Window.partitionBy(col("eval_id"))
+        .orderBy(col("containment").desc, col("train_id").asc)
+      val best = perPair.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("eval_id"), col("containment"),
+          col("train_id").as("best_train"))
+      val nCand = cand.groupBy(col("eval_id")).agg(count(lit(1)).as("n_cand"))
+      base.filter(col("g") === 9).select(col("doc_id").as("eval_id"))
+        .join(nCand, Seq("eval_id"), "left")
+        .join(best, Seq("eval_id"), "left")
+        .select(col("eval_id"),
+          coalesce(col("n_cand"), lit(0L)).cast("long").as("n_cand"),
+          coalesce(col("containment"), lit(0.0)).as("max_containment"),
+          coalesce(col("best_train"), lit(-1L)).cast("long").as("best_train"),
+          (coalesce(col("containment"), lit(0.0)) >= 0.8).cast("int")
+            .as("contaminated"))
+        .orderBy(col("eval_id").asc)
+    },
+
+    // ------------------------------------------------------------------
     // DUP-CLUSTER SIZE HISTOGRAM (r13) — the release-card observability
     // face of semantic dedup: how much of the corpus sits in near-dup
     // clusters of each size? (Size-1 = unique; a heavy tail of large
