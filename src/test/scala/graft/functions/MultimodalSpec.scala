@@ -266,6 +266,41 @@ class MultimodalSpec extends SparkSpec {
       String.valueOf(err.getCause).contains("expects 64 samples"))
   }
 
+  test("audioFingerprintWindowed handles arbitrary clip lengths, is " +
+      "positive-gain-invariant, and refuses sub-64 clips (r14)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 640 samples -> 64 windows of 10; doubling gain scales every window
+    // energy linearly so the delta signs (and the fingerprint) hold
+    val clip = Array.fill(640)((rng.nextInt(4000) - 2000).toShort)
+    val doubled = clip.map(s => (s * 2).toShort)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio/wav", Multimodal.encodeWav(clip, 16000)),
+      Multimodal.MediaRow(2L, "audio/wav", Multimodal.encodeWav(doubled, 16000))))
+    val fps = Multimodal.audioFingerprintWindowed(media).collect()
+      .map(f => f.id -> ((f.h0, f.h1, f.h2, f.h3))).toMap
+    assert(fps(1L) == fps(2L), "2x gain changed the windowed fingerprint")
+    // a different clip of the same length does not collide
+    val other = Array.fill(640)((rng.nextInt(4000) - 2000).toShort)
+    val fpOther = Multimodal.audioFingerprintWindowed(spark.createDataset(Seq(
+        Multimodal.MediaRow(3L, "audio/wav",
+          Multimodal.encodeWav(other, 16000))))).collect().head
+    assert(fps(1L) != ((fpOther.h0, fpOther.h1, fpOther.h2, fpOther.h3)))
+    // a 64-sample clip degrades to per-sample |energies| (the production
+    // face of the fixed-64 contract), and sub-64 clips are loud
+    val exact64 = Array.fill(64)((rng.nextInt(4000) - 2000).toShort)
+    assert(Multimodal.audioFingerprintWindowed(spark.createDataset(Seq(
+      Multimodal.MediaRow(4L, "audio/wav",
+        Multimodal.encodeWav(exact64, 16000))))).collect().length == 1)
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFingerprintWindowed(spark.createDataset(Seq(
+        Multimodal.MediaRow(5L, "audio/wav",
+          Multimodal.encodeWav(Array.fill(10)(1.toShort), 16000))))).collect()
+    }
+    assert(err.getMessage.contains(">= 64 samples") ||
+      String.valueOf(err.getCause).contains(">= 64 samples"))
+  }
+
   test("q205 detects cross-format duplicates: every injected opposite-" +
       "format copy surfaces at hamming 0 with cross_format=1") {
     val rows = graft.Queries.byName("q205_phash_crossformat_dedup")
