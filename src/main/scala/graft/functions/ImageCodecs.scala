@@ -61,7 +61,9 @@ object ImageCodecs {
     while (o < bytes.length && !seenIend) {
       if (o + 8 > bytes.length) fail("PNG: truncated chunk header")
       val len = be32(bytes, o)
-      if (len < 0 || o + 12 + len > bytes.length)
+      // Long arithmetic: a hostile declared length near 2^31 overflows the
+      // Int sum and would bypass this reject (ADVICE r14)
+      if (len < 0 || o.toLong + 12L + len > bytes.length)
         fail(s"PNG: chunk length $len overruns file")
       val ctype = new String(bytes, o + 4, 4, "US-ASCII")
       val crc = new CRC32()
@@ -102,7 +104,14 @@ object ImageCodecs {
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, got, raw.length - got)
-      if (n == 0 && inf.needsInput()) fail("PNG: IDAT stream truncated")
+      // any zero-progress state that isn't normal completion must fail
+      // loudly: needsInput = truncated stream, needsDictionary (FDICT
+      // set) or any other stall would otherwise spin forever (ADVICE r14)
+      if (n == 0) {
+        if (inf.needsInput()) fail("PNG: IDAT stream truncated")
+        if (!inf.finished()) fail("PNG: IDAT zlib stream stalled " +
+          "(preset dictionary or malformed stream)")
+      }
       got += n
     }
     inf.end()

@@ -234,6 +234,17 @@ object N5Meta {
     if (j.has("filters") && !j.get("filters").isNull &&
       j.get("filters").size() > 0)
       throw new IllegalArgumentException("zarr: filters unsupported")
+    // fill_value participates in semantics: absent chunks reconstruct as
+    // the fill, and our readBox/elementsScan only ever reconstruct zeros —
+    // a foreign dataset declaring any other fill would be silently misread
+    // (ADVICE r14), so only 0/null pass the loud supported-profile gate
+    if (j.has("fill_value") && !j.get("fill_value").isNull) {
+      val fv = j.get("fill_value")
+      val isZero = fv.isNumber && fv.asDouble() == 0.0
+      if (!isZero) throw new IllegalArgumentException(
+        s"zarr: fill_value ${fv.toString} unsupported (only 0/null — " +
+          "missing-chunk reconstruction assumes a zero fill)")
+    }
     val dims = req("shape").elements().asScala.map(_.asLong()).toArray.reverse
     val bs = req("chunks").elements().asScala.map(_.asInt()).toArray.reverse
     if (dims.isEmpty || dims.length != bs.length)

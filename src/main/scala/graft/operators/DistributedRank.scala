@@ -101,7 +101,7 @@ object DistributedRank {
     def keyOf(r: Row, idx: Array[Int]): Seq[Any] = idx.toSeq.map(r.get)
 
     // ---- pass 1: per-partition group-fragment statistics --------------
-    val frags: Array[Frag] = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val fragsRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       val out = ArrayBuffer.empty[Frag]
       var pk: Seq[Any] = null
       var first: Seq[Any] = null
@@ -134,11 +134,18 @@ object DistributedRank {
       }
       flush()
       out.iterator
-    }.collect()
-    require(frags.length <= MaxFragments,
-      s"DistributedRank: ${frags.length} window-group fragments exceed the " +
+    }
+    // TOTAL pre-count BEFORE the collect: the per-partition guard above
+    // bounds each partition, but many partitions each under the cap could
+    // still OOM the driver inside collect() before the old post-collect
+    // require ever ran (ADVICE r14). The count job reuses the sort
+    // shuffle; only Frag stats flow, never payload rows.
+    val nFrags = fragsRdd.count()
+    require(nFrags <= MaxFragments,
+      s"DistributedRank: $nFrags window-group fragments exceed the " +
         s"$MaxFragments bound — partition key too high-cardinality for the " +
         "driver prefix-merge; use a stock Window.partitionBy instead")
+    val frags: Array[Frag] = fragsRdd.collect()
 
     // ---- driver prefix-merge per window group -------------------------
     val adjMap = scala.collection.mutable.HashMap.empty[(Int, Seq[Any]), Adj]

@@ -172,6 +172,42 @@ class ImageCodecsSpec extends AnyFunSuite {
     adam(31) = (cv >>> 8).toByte; adam(32) = cv.toByte
     assert(intercept[IllegalArgumentException](
       ImageCodecs.decodePng(adam)).getMessage.contains("Adam7"))
+    // hostile declared chunk length near 2^31: the bounds check must do
+    // Long arithmetic or the Int sum wraps negative, skips the reject,
+    // and the CRC update throws an uncontrolled AIOOBE (ADVICE r14)
+    val hostile = good.clone()
+    hostile(8) = 0x7f.toByte; hostile(9) = 0xff.toByte
+    hostile(10) = 0xff.toByte; hostile(11) = 0xf0.toByte
+    assert(intercept[IllegalArgumentException](
+      ImageCodecs.decodePng(hostile)).getMessage.contains("overruns"))
+  }
+
+  test("PNG: zlib FDICT stream fails loudly instead of spinning (ADVICE r14)") {
+    // hand-built container: valid IHDR/IEND, IDAT payload is a zlib
+    // header with the FDICT bit set (0x78 0x20 passes the %31 check) —
+    // Inflater stalls with needsDictionary, inflate() returns 0 with
+    // needsInput() false, and the old loop condition never exited
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val len = data.length
+      bos.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val body = ctype.getBytes("US-ASCII") ++ data
+      bos.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      val cv = crc.getValue.toInt
+      bos.write(Array[Byte]((cv >>> 24).toByte, (cv >>> 16).toByte,
+        (cv >>> 8).toByte, cv.toByte))
+      bos.toByteArray
+    }
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = chunk("IHDR", Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 8, 0, 0, 0, 0))
+    val fdictIdat = chunk("IDAT",
+      Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0, 0)) // header + dict adler + junk
+    val iend = chunk("IEND", Array.empty)
+    val ex = intercept[IllegalArgumentException](
+      ImageCodecs.decodePng(sig ++ ihdr ++ fdictIdat ++ iend))
+    assert(ex.getMessage.contains("stalled") || ex.getMessage.contains("truncated"))
   }
 
   // ==================================================================
