@@ -41,6 +41,43 @@ object ScaleK {
       (a, (System.nanoTime() - t0) / 1e9)
     }
     val spread = Tables.spread(spark, e)
+    // optional 4th arg "imimp" (r15): the margin-gated symmetric
+    // multi-probe face — k per half (0 = the production scaledKHalf
+    // formula), arg 3 is the per-half probe cap, arg 5 the margin; also
+    // reports the assignment expansion (rows per vector) and, when a 6th
+    // arg "flat" is given, the flat quantizer's pairs at the SAME cell
+    // count for the recall ratio the VERDICT r14 #2 pin needs
+    if (args.lift(3).contains("imimp")) {
+      val margin = args(4).toDouble
+      val kHalf = if (k == 0) VS.scaledKHalf(n) else k
+      val ((cb1, cb2, half), tTrain) =
+        timed(VS.trainImiCodebooks(e, k = kHalf, iters = 3, sampleBuckets = 3))
+      val nAssigned = VS.imiAssignCellsMp(
+        spread, cb1, cb2, half, cap = nAssign, margin = margin).count()
+      val (nPairs, tPairs) = timed(
+        VS.imiDedupPairsMp(spread, cb1, cb2, half, cap = nAssign,
+          margin = margin, threshold = 0.4).count())
+      val (nEdges, tGraph) = timed(
+        VS.imiKnnGraphMp(spread, cb1, cb2, half, cap = nAssign,
+          margin = margin, k = 5).count())
+      val flatPart = if (args.lift(5).contains("flat")) {
+        val (cents, tF) = timed(
+          VS.trainIvfCodebook(e, k = kHalf * kHalf, iters = 3, sampleBuckets = 3))
+        val (nF, tFp) = timed(
+          VS.semanticDedupPairs(spread, cents, nAssign = 2, threshold = 0.4)
+            .count())
+        s""","flat_pairs":$nF,"flat_train_sec":${f"$tF%.2f"}""" +
+          s""","flat_pairs_sec":${f"$tFp%.2f"}"""
+      } else ""
+      println(
+        s"""{"metric":"scale_k_imimp","sf":"$sfDir","n":$n,"kHalf":$kHalf,""" +
+          s""""cells":${kHalf * kHalf},"cap":$nAssign,"margin":$margin,""" +
+          s""""assigned":$nAssigned,"train_sec":${f"$tTrain%.2f"},""" +
+          s""""pairs":$nPairs,"pairs_sec":${f"$tPairs%.2f"},""" +
+          s""""knn_edges":$nEdges,"graph_sec":${f"$tGraph%.2f"}$flatPart}""")
+      spark.stop()
+      return
+    }
     // optional 4th arg "imi": k is the PER-HALF codebook size; the
     // product space spans k² cells at k-cost train+assign — the O(√K)
     // face measured against the flat runs at K = k²

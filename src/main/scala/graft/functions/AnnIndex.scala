@@ -825,9 +825,23 @@ object AnnIndex {
   // training geometry, marker-certified generations, fresh-session
   // recovery via external bucketed tables, session memo fast path.
 
-  val ImiKHalf = 8
+  /** kHalf = 0 means "derive from the corpus count" — the production
+    * default (r15, VERDICT r14 #1): kHalf = VectorSearch.scaledKHalf(n),
+    * so the persisted layout's k² buckets grow ∝ corpus and average
+    * bucket occupancy stays ~64 at any scale. The count is memoized per
+    * (dir, len, mtime) so the session probe fast path pays it once.
+    */
+  val ImiKHalf = 0
   val ImiIters = 3
   val ImiSampleBuckets = 3
+
+  private val countMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def corpusCount(
+      s: SparkSession, dir: String, len: Long, mtime: Long): Long =
+    countMemo.getOrElseUpdate(s"$dir $len $mtime",
+      Tables.load(s, dir, "embeddings").count())
 
   /** Catalog database name for the IMI face over a dataset dir. */
   def imiDbFor(dir: String): String = s"graft_ann_imi_${md5hex(dir).take(8)}"
@@ -852,17 +866,22 @@ object AnnIndex {
     val registered = s.catalog.databaseExists(db) &&
       s.catalog.tableExists(s"$db.vectors") &&
       s.catalog.tableExists(s"$db.imi_codebook")
-    val want = {
+    val (kEff, want) = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
       val dfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       val st = dfs.getFileStatus(p)
-      s"graft-ann-imi-v1 ${st.getLen} ${st.getModificationTime} " +
-        s"k$kHalf i$iters sb$sampleBuckets"
+      // resolve the corpus-scaled k BEFORE fingerprinting: corpus growth
+      // that moves the derived k must re-fingerprint and rebuild
+      val k = if (kHalf > 0) kHalf
+        else VectorSearch.scaledKHalf(
+          corpusCount(s, dir, st.getLen, st.getModificationTime))
+      (k, s"graft-ann-imi-v1 ${st.getLen} ${st.getModificationTime} " +
+        s"k$k i$iters sb$sampleBuckets")
     }
     if (registered && fpMemo.get(db).contains(want)) return db
     readMarker(fs, marker) match {
       case Some((gen, fp)) if fp == want =>
-        registerImi(s, db, loc, gen, kHalf)
+        registerImi(s, db, loc, gen, kEff)
       case prior =>
         val gen = prior.map(_._1 + 1).getOrElse(0)
         val e = Tables.load(s, dir, "embeddings")
@@ -870,7 +889,7 @@ object AnnIndex {
         val scratch = scratchDb(db, gen)
         val g = genLoc(loc, gen)
         val (cb1, cb2, half) =
-          VectorSearch.trainImiCodebooks(e, kHalf, iters, sampleBuckets)
+          VectorSearch.trainImiCodebooks(e, kEff, iters, sampleBuckets)
         s.sql(s"DROP DATABASE IF EXISTS $scratch CASCADE")
         val gp = new org.apache.hadoop.fs.Path(g)
         if (fs.exists(gp)) fs.delete(gp, true)
@@ -878,7 +897,7 @@ object AnnIndex {
         Layout.writeBucketedAt(
           VectorSearch.imiAssignCells(e, cb1, cb2, half, aProbe = 1)
             .select(col("vec_id"), col("embedding"), col("cell")),
-          s"$scratch.vectors", "cell", kHalf * kHalf, s"$g/vectors")
+          s"$scratch.vectors", "cell", kEff * kEff, s"$g/vectors")
         import scala.jdk.CollectionConverters._
         val cbRows =
           cb1.map { case (cid, cv) => Row(1, cid, cv) } ++
@@ -893,7 +912,7 @@ object AnnIndex {
           .option("path", s"$g/imi_codebook")
           .saveAsTable(s"$scratch.imi_codebook")
         writeMarker(fs, marker, gen, want, expect = prior)
-        registerImi(s, db, loc, gen, kHalf)
+        registerImi(s, db, loc, gen, kEff)
         dropOldGenerations(s, db, loc, fs, keepFrom = gen - 1)
     }
     fpMemo(db) = want

@@ -265,6 +265,24 @@ final class IvfCodebookRef(
   }
 
   def topCells(v: ArrayData, n: Int): ArrayData = {
+    val (topC, _, filled) = selectTop(v, n)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topC, filled))
+  }
+
+  /** [[topCells]] with the data-adaptive margin gate (r15): rank-1
+    * always, ranks 2..cap only while best - sim <= margin — the exact
+    * subtraction the DuckDB oracle replays ([[IvfTopCellsMargin]]).
+    */
+  def topCellsMargin(v: ArrayData, cap: Int, margin: Double): ArrayData = {
+    val (topC, topS, filled) = selectTop(v, cap)
+    var keep = 1
+    while (keep < filled && topS(0) - topS(keep) <= margin) keep += 1
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topC, math.min(keep, filled)))
+  }
+
+  private def selectTop(v: ArrayData, n: Int): (Array[Int], Array[Double], Int) = {
     val len = v.numElements()
     val a = new Array[Double](len)
     var i = 0
@@ -309,9 +327,48 @@ final class IvfCodebookRef(
       }
       c += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      java.util.Arrays.copyOf(topC, filled))
+    (topC, topS, filled)
   }
+}
+
+/** Margin-gated multi-probe IVF assignment (r15) — [[IvfTopCells]] with
+  * the probe count made DATA-ADAPTIVE: always the top-1 cell, plus cells
+  * ranked 2..`cap` only while `best_sim - sim <= margin` (all sims on the
+  * round-4 lattice, ties to the lowest cid — the family discipline). This
+  * is the near-boundary multi-probe the IMI recall compensation needs: a
+  * vector safely inside its cell assigns ONCE (cheaper than the old
+  * unconditional top-2), while a vector near a quantizer boundary — the
+  * only place product-cell dedup loses pairs — also lands in the
+  * boundary's other cell. The margin comparison is `best - sim <= margin`
+  * VERBATIM on both engines (the DuckDB oracle replays the same
+  * subtraction), so no float-boundary straddle is possible.
+  */
+case class IvfTopCellsMargin(
+    child: Expression, codebook: IvfCodebookRef, cap: Int, margin: Double)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_top_cells_margin requires ARRAY<DOUBLE>, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_top_cells_margin"
+
+  override protected def nullSafeEval(input: Any): Any =
+    codebook.topCellsMargin(input.asInstanceOf[ArrayData], cap, margin)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCodebook", codebook,
+      "graft.functions.IvfCodebookRef")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = $ref.topCellsMargin($c, $cap, $margin);"
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IvfTopCellsMargin = copy(child = newChild)
 }
 
 /** Per-document MinHash signatures as a native expression: token array →
@@ -571,5 +628,17 @@ object NativeExpressions {
       cents.map(_._1).toArray, cents.map(_._2.toArray).toArray)
     GraftSqlBridge.column(
       IvfTopCells(GraftSqlBridge.expression(vecD), ref, nAssign))
+  }
+
+  /** Margin-gated multi-probe cells (see [[IvfTopCellsMargin]]): top-1
+    * always, ranks 2..`cap` while best - sim <= margin.
+    */
+  def ivfTopCellsMargin(
+      vecD: Column, cents: Seq[(Int, Seq[Double])], cap: Int,
+      margin: Double): Column = {
+    val ref = new IvfCodebookRef(
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray)
+    GraftSqlBridge.column(
+      IvfTopCellsMargin(GraftSqlBridge.expression(vecD), ref, cap, margin))
   }
 }

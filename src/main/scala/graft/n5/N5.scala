@@ -102,10 +102,23 @@ object N5 {
       expr(s"id div ${dx * dy} + ${start(2)}").as("z"))
   }
 
-  /** Write a block table (gx,gy,gz,shape,data) as a dataset. */
+  /** Write a block table (gx,gy,gz,shape,data) as a dataset. Dispatches
+    * on the attrs' declared container format (r15): `format = "zarr"`
+    * attrs — e.g. a pyramid level derived from a zarr s0 — route through
+    * [[writeZarr]] with their own separator, so derivation operators
+    * (Multiscale, Regroup) stay format-agnostic and never write N5
+    * metadata into a zarr store.
+    */
   def write(
       df: DataFrame, root: String, dataset: String, attrs: DatasetAttributes,
       extraAttrs: Map[String, String] = Map.empty): Unit =
+    if (attrs.isZarr)
+      writeZarr(df, root, dataset, attrs, attrs.zarrSeparator, extraAttrs)
+    else writeN5(df, root, dataset, attrs, extraAttrs)
+
+  private def writeN5(
+      df: DataFrame, root: String, dataset: String, attrs: DatasetAttributes,
+      extraAttrs: Map[String, String]): Unit =
     df.write.format("n5")
       .option("dataset", dataset)
       .option("dimensions", attrs.dimensions.mkString(","))

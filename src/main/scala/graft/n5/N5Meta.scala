@@ -295,10 +295,19 @@ object N5Meta {
       throw new IllegalArgumentException(s"zarr: separator '$sep'")
     val structural = Set("zarr_format", "shape", "chunks", "dtype",
       "compressor", "order", "filters", "dimension_separator")
-    val extra = j.properties().asScala
+    val inline = j.properties().asScala
       .filterNot(e => structural(e.getKey))
       .map(e => e.getKey -> e.getValue.toString).toMap
-    DatasetAttributes(dims, bs, dt, comp, extra,
+    // user attributes live in the sibling `.zattrs` (zarr v2); merge them
+    // into `extra` so downsamplingFactors / pixelResolution round-trip
+    // across the two container formats (r15)
+    val zattrsP = new Path(p.getParent, ".zattrs")
+    val zattrs =
+      if (fs(zattrsP).exists(zattrsP))
+        readJson(zattrsP).properties().asScala
+          .map(e => e.getKey -> e.getValue.toString).toMap
+      else Map.empty[String, String]
+    DatasetAttributes(dims, bs, dt, comp, inline ++ zattrs,
       format = "zarr", zarrSeparator = sep, zarrLittleEndian = little)
   }
 
@@ -409,10 +418,55 @@ object N5Meta {
     o.put("order", "C")
     o.put("fill_value", 0)
     o.put("dimension_separator", a.zarrSeparator)
-    a.extra.foreach { case (k, v) => o.set[ObjectNode](k, mapper.readTree(v)) }
     val p = new Path(root, s"$dataset/.zarray")
     fs(p).mkdirs(p.getParent)
     writeJson(p, o)
+    // user attributes (downsamplingFactors, pixelResolution, …) belong in
+    // the sibling `.zattrs`, not in `.zarray` — zarr v2 keeps array
+    // metadata and user attributes in separate documents (r15; the r14
+    // writer had no extra-attr callers so the distinction never arose)
+    if (a.extra.nonEmpty)
+      mergeJsonAttrs(new Path(root, s"$dataset/.zattrs"), a.extra)
+  }
+
+  /** Merge attribute JSON fragments into an existing (or new) JSON doc. */
+  private def mergeJsonAttrs(p: Path, attrs: Map[String, String]): Unit = {
+    val f = fs(p)
+    f.mkdirs(p.getParent)
+    val base =
+      if (f.exists(p)) readJson(p).asInstanceOf[ObjectNode]
+      else mapper.createObjectNode()
+    attrs.foreach { case (k, v) => base.set[ObjectNode](k, mapper.readTree(v)) }
+    writeJson(p, base)
+  }
+
+  /** Merge GROUP-level zarr user attributes (`.zattrs`) and stamp the
+    * `.zgroup` markers that make the hierarchy discoverable by zarr
+    * readers — the zarr-side face of [[updateGroupAttributes]] (r15,
+    * OME-NGFF multiscales land here).
+    */
+  def updateZarrGroupAttributes(
+      root: String, group: String, attrs: Map[String, String]): Unit = {
+    val dir = if (group.isEmpty) root else s"$root/$group"
+    // .zgroup at the root and at every level down to the group
+    val marks = scala.collection.mutable.ArrayBuffer(new Path(root, ".zgroup"))
+    if (group.nonEmpty) {
+      var acc = root
+      group.split("/").foreach { seg =>
+        acc = s"$acc/$seg"
+        marks += new Path(acc, ".zgroup")
+      }
+    }
+    marks.foreach { p =>
+      val f = fs(p)
+      f.mkdirs(p.getParent)
+      if (!f.exists(p)) {
+        val o = mapper.createObjectNode()
+        o.put("zarr_format", 2)
+        writeJson(p, o)
+      }
+    }
+    mergeJsonAttrs(new Path(dir, ".zattrs"), attrs)
   }
 
   /** Read/merge arbitrary group attributes (e.g. multiscale `scales`). */

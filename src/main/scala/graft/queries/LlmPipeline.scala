@@ -162,6 +162,16 @@ object LlmPipeline {
     */
   private def kmeansCtesHalf(
       k: Int, iters: Int, sampleBuckets: Int,
+      lo: Int, dims: Int, p: String): String =
+    kmeansCtesHalfExpr(k.toString, iters, sampleBuckets, lo, dims, p)
+
+  /** [[kmeansCtesHalf]] with k as an arbitrary SQL scalar expression —
+    * the dynamic-k face (r15): the production composites derive k from
+    * the corpus count (`VectorSearch.scaledKHalfSql`), and k only enters
+    * the chain through cent0's cutoff, so the Lloyd rounds are unchanged.
+    */
+  private def kmeansCtesHalfExpr(
+      kExpr: String, iters: Int, sampleBuckets: Int,
       lo: Int, dims: Int, p: String): String = {
     val bk = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10"
     val samp =
@@ -172,7 +182,7 @@ object LlmPipeline {
     val init =
       s"""${p}cent0 AS (SELECT cid, cv FROM (
          |    SELECT row_number() OVER (ORDER BY bk ASC, vec_id ASC) - 1 AS cid,
-         |      v AS cv FROM ${p}samp) WHERE cid < $k)""".stripMargin
+         |      v AS cv FROM ${p}samp) WHERE cid < $kExpr)""".stripMargin
     val rounds = (1 to iters).map { t =>
       s"""${p}a$t AS (SELECT vec_id, v, cid AS cell FROM (
          |    SELECT s.vec_id, s.v, c.cid,
@@ -204,10 +214,14 @@ object LlmPipeline {
     * to the lowest cid, product id = c1·k + c2, top-`aProbe` cells on
     * half 1 × top-1 on half 2.
     */
-  private def imiProdCtes(k: Int, iters: Int, sampleBuckets: Int,
-      aProbe: Int): String =
-    s"""${kmeansCtesHalf(k, iters, sampleBuckets, lo = 1, dims = 32, p = "h1")},
-       |${kmeansCtesHalf(k, iters, sampleBuckets, lo = 33, dims = 32, p = "h2")},
+  private def imiProdCtes(iters: Int, sampleBuckets: Int,
+      aProbe: Int): String = {
+    val kSql = graft.functions.VectorSearch.scaledKHalfSql()
+    s"""kdef AS (SELECT greatest(4,
+       |    CAST(ceil(sqrt(count(*) / 64.0)) AS INTEGER)) AS kk
+       |  FROM embeddings),
+       |${kmeansCtesHalfExpr(kSql, iters, sampleBuckets, lo = 1, dims = 32, p = "h1")},
+       |${kmeansCtesHalfExpr(kSql, iters, sampleBuckets, lo = 33, dims = 32, p = "h2")},
        |e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
        |    list_transform(embedding[1:32], x -> CAST(x AS DOUBLE)) AS v1,
@@ -229,9 +243,83 @@ object LlmPipeline {
        |      row_number() OVER (PARTITION BY vec_id
        |        ORDER BY sim DESC, cid ASC) AS rn
        |    FROM s2) WHERE rn = 1),
-       |assigned AS (SELECT e.vec_id, e.v, a1.c1 * $k + a2.c2 AS cell
+       |assigned AS (SELECT e.vec_id, e.v, a1.c1 * kd.kk + a2.c2 AS cell
        |  FROM e JOIN a1 ON a1.vec_id = e.vec_id
-       |  JOIN a2 ON a2.vec_id = e.vec_id)""".stripMargin
+       |  JOIN a2 ON a2.vec_id = e.vec_id
+       |  CROSS JOIN kdef kd)""".stripMargin
+  }
+
+  /** The r15 PRODUCTION coarse-quantizer oracle chain — [[imiProdCtes]]
+    * with the two VERDICT r14 dials composed:
+    *
+    *  1. DYNAMIC k: `kdef` derives the per-half codebook size from the
+    *     corpus count (kk = max(4, ceil(sqrt(n/64))) — product cells
+    *     K = kk² grow ∝ n, holding average cell occupancy ~64, so the
+    *     within-cell pair space stays ~linear in n; the frozen k=16 made
+    *     cells grow ~n² at 100 TB). Replays
+    *     `VectorSearch.scaledKHalf` exactly — both engines run
+    *     ceil(sqrt()) on IEEE doubles.
+    *  2. MARGIN-GATED SYMMETRIC MULTI-PROBE: each half keeps its top-1
+    *     cell always, plus ranks 2..`cap` while best − sim <= `margin`
+    *     (the identical subtraction `IvfTopCellsMargin` evaluates), and
+    *     the product explodes BOTH halves' gated sets — the recall
+    *     compensation for the half-space partition loss (the old
+    *     top-2×top-1 schedule found 44-65 % of the flat quantizer's
+    *     pairs; this face measures 95-109 % at equal cell count,
+    *     VectorSearchSpec pin).
+    *
+    * Yields `kdef(kk)`, `e(vec_id, v, v1, v2)`, `s1/s2` (scored halves)
+    * and `assigned(vec_id, v, cell)`.
+    */
+  private def imiProdCtesMp(
+      iters: Int, sampleBuckets: Int, cap: Int, margin: String): String = {
+    def gated(p: String, src: String, cname: String) =
+      s"""$p AS (SELECT vec_id, cid AS $cname FROM (
+         |    SELECT vec_id, cid, sim,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn,
+         |      max(sim) OVER (PARTITION BY vec_id) AS best
+         |    FROM $src) WHERE rn = 1 OR (rn <= $cap AND best - sim <= $margin))""".stripMargin
+    val kSql = graft.functions.VectorSearch.scaledKHalfSql()
+    s"""kdef AS (SELECT greatest(4,
+       |    CAST(ceil(sqrt(count(*) / 64.0)) AS INTEGER)) AS kk
+       |  FROM embeddings),
+       |${kmeansCtesHalfExpr(kSql, iters, sampleBuckets, lo = 1, dims = 32, p = "h1")},
+       |${kmeansCtesHalfExpr(kSql, iters, sampleBuckets, lo = 33, dims = 32, p = "h2")},
+       |e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_transform(embedding[1:32], x -> CAST(x AS DOUBLE)) AS v1,
+       |    list_transform(embedding[33:64], x -> CAST(x AS DOUBLE)) AS v2
+       |  FROM embeddings),
+       |s1 AS (SELECT e.vec_id, c.cid,
+       |    round(list_cosine_similarity(e.v1, c.cv), 4) AS sim
+       |  FROM e CROSS JOIN h1cent$iters c),
+       |${gated("a1", "s1", "c1")},
+       |s2 AS (SELECT e.vec_id, c.cid,
+       |    round(list_cosine_similarity(e.v2, c.cv), 4) AS sim
+       |  FROM e CROSS JOIN h2cent$iters c),
+       |${gated("a2", "s2", "c2")},
+       |assigned AS (SELECT e.vec_id, e.v, a1.c1 * kd.kk + a2.c2 AS cell
+       |  FROM e JOIN a1 ON a1.vec_id = e.vec_id
+       |  JOIN a2 ON a2.vec_id = e.vec_id
+       |  CROSS JOIN kdef kd)""".stripMargin
+  }
+
+  /** The r15 production dials, ONE definition per family so every
+    * composite call site and its oracle literal stay in lockstep.
+    * PAIRS (dedup — recall-critical): cap 3 / margin 0.2 — measured
+    * 122 % (sf0.01) / 172 % (sf0.1) / 109 % (sf1) / 87 % (sf10) of the
+    * flat quantizer's thresholded pairs at equal cell count, at 7×
+    * less sf10 cost (ScaleK imimp curve). GRAPH (kNN-for-centrality —
+    * cost-critical): cap 2 / margin 0.1 — a node's top-5 within
+    * slightly fewer probed cells is a quality-neutral approximation
+    * for PageRank mass flow, and it holds q151's sf10 edge build at
+    * ~10 s vs 30-44 s at the pairs dial (and 67 s frozen-K r14).
+    */
+  private val MpCap = 3
+  private val MpMargin = 0.2
+  private val GraphCap = 2
+  private val GraphMargin = 0.1
 
   /** DuckDB CTE chain for q129's fixed-iteration PageRank: expects
     * `knn(src, nbr)`, `deg(src, outdeg)`, `n(nn)`, `pr0(node, pr)` to be
@@ -2200,26 +2288,27 @@ object LlmPipeline {
     // ------------------------------------------------------------------
     // PRODUCTION-k SEMANTIC-DEDUP SURVIVORS (r13) — q113's full
     // SemDeDup pass (pairs → connected-component closure → canonical
-    // keep-set) composed over the PRODUCTION candidate chain (64 IMI
-    // product cells, 2 assignments per vector) instead of the
-    // oracle-frozen quadratic k=8/nAssign=3. q134 proved the pair
+    // keep-set) composed over the PRODUCTION candidate chain
+    // (corpus-scaled IMI product cells, margin-gated multi-probe
+    // assignment) instead of the oracle-frozen quadratic k=8/nAssign=3. q134 proved the pair
     // PRIMITIVE at production k; this proves the COMPOSED pipeline a
     // 100 TB curation run actually ships — closure rounds shuffle only
     // the thresholded edge set (a subset of q113's, by the documented
     // recall/cost tradeoff), and the final labeling is one left join on
     // vec_id. Survivor semantics are q113's verbatim: cluster canonical
     // = minimum vec_id, unpaired vectors are their own singleton. The
-    // oracle replays IMI training (both half chains), top-2×top-1
-    // product-cell assignment, thresholded pairing, and the recursive
-    // closure CTE-for-CTE (q93 discipline). r14: the coarse quantizer is
-    // the O(√K) IMI chain (k=16 per half → 256 product cells at 32-cell
-    // assignment cost) instead of the flat k=32 trainer whose n·K Lloyd
-    // assignment was the measured sf10 scale wall (270.9 s of the
-    // capstone's 347.8 s; VERDICT r13 #1) — at 100 TB, k grows ∝ √n per
-    // half while assignment work stays O(√K).
+    // oracle replays IMI training (both half chains), the margin-gated
+    // symmetric multi-probe product-cell assignment, thresholded
+    // pairing, and the recursive closure CTE-for-CTE (q93 discipline).
+    // r15: BOTH VERDICT r14 dials are composed — k per half derives from
+    // the corpus count (kk = max(4, ceil(sqrt(n/64))), product cells ∝ n
+    // so cell occupancy stays ~64 at any corpus size) and the assignment
+    // is the margin-gated symmetric multi-probe that restores pair
+    // recall to ≥ the flat quantizer's at equal cell count
+    // (VectorSearchSpec pin; the r14 top-2×top-1 schedule found 44-65 %).
     QueryDef.sql(
       "q150_dedup_survivors_production_k",
-      s"""WITH RECURSIVE ${imiProdCtes(k = 16, iters = 3, sampleBuckets = 3, aProbe = 2)},
+      s"""WITH RECURSIVE ${imiProdCtesMp(iters = 3, sampleBuckets = 3, cap = MpCap, margin = MpMargin.toString)},
          |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2239,10 +2328,10 @@ object LlmPipeline {
          |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 16, iters = 3,
-        sampleBuckets = 3)
-      val edges = VS.imiDedupPairs(Tables.spread(s, e), cb1, cb2, half,
-          aProbe = 2, threshold = 0.4)
+      val (cb1, cb2, half) = VS.trainImiCodebooks(e,
+        k = VS.scaledKHalf(e.count()), iters = 3, sampleBuckets = 3)
+      val edges = VS.imiDedupPairsMp(Tables.spread(s, e), cb1, cb2, half,
+          cap = MpCap, margin = MpMargin, threshold = 0.4)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
         .withColumnRenamed("node", "vec_id")
@@ -2451,16 +2540,16 @@ object LlmPipeline {
     // clusters of each size? (Size-1 = unique; a heavy tail of large
     // clusters is the "one template stamped a million times" smell that
     // changes dedup strategy before it changes any query.) Exactly
-    // q150's production chain (IMI k=16-per-half training, 2-of-256
-    // product-cell assignment, threshold 0.4 pairs, closure) folded
-    // twice more: component →
+    // q150's production chain (corpus-scaled IMI training, margin-gated
+    // symmetric multi-probe assignment, threshold 0.4 pairs, closure)
+    // folded twice more: component →
     // cluster size, size → (n_clusters, n_docs). Scale shape: both
     // folds are map-side-combined aggs whose outputs are bounded by the
     // distinct-size count (≤ largest cluster) — the corpus-sized work is
     // the pair chain q150 already pays, nothing new shuffles.
     QueryDef.sql(
       "q163_dup_cluster_histogram",
-      s"""WITH RECURSIVE ${imiProdCtes(k = 16, iters = 3, sampleBuckets = 3, aProbe = 2)},
+      s"""WITH RECURSIVE ${imiProdCtesMp(iters = 3, sampleBuckets = 3, cap = MpCap, margin = MpMargin.toString)},
          |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2483,10 +2572,10 @@ object LlmPipeline {
          |FROM cs GROUP BY sz ORDER BY cluster_size ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 16, iters = 3,
-        sampleBuckets = 3)
-      val edges = VS.imiDedupPairs(Tables.spread(s, e), cb1, cb2, half,
-          aProbe = 2, threshold = 0.4)
+      val (cb1, cb2, half) = VS.trainImiCodebooks(e,
+        k = VS.scaledKHalf(e.count()), iters = 3, sampleBuckets = 3)
+      val edges = VS.imiDedupPairsMp(Tables.spread(s, e), cb1, cb2, half,
+          cap = MpCap, margin = MpMargin, threshold = 0.4)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
         .withColumnRenamed("node", "vec_id")
@@ -2500,9 +2589,10 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
-    // PRODUCTION-k PAGERANK (r13; r14 quantizer swap) — q129's
-    // centrality propagation over the PRODUCTION kNN graph (256 IMI
-    // product cells, 2 assignments per vector) instead of the frozen
+    // PRODUCTION-k PAGERANK (r13; r14 quantizer swap; r15 scaled k +
+    // margin probe) — q129's centrality propagation over the PRODUCTION
+    // kNN graph (corpus-scaled IMI product cells, margin-gated
+    // symmetric multi-probe at the GRAPH dial) instead of the frozen
     // quadratic k=8/nAssign=3 edge generation it inherited.
     // Same iteration discipline as q129 exactly: edges built once and
     // localCheckpoint'd, 5 fixed iterations of ONE src-keyed join + one
@@ -2512,8 +2602,8 @@ object LlmPipeline {
     // last frozen-k-only composites: every member of the cell-bucketed
     // family (pairs, survivors, graph, centrality) now has an
     // oracle-green face at the scale-lever setting. The oracle replays
-    // IMI training, 2-of-256 product-cell assignment, top-5 ranking, and
-    // the 5 PageRank rounds CTE-for-CTE.
+    // IMI training, the margin-gated product-cell assignment, top-5
+    // ranking, and the 5 PageRank rounds CTE-for-CTE.
     // (k=16 per half became possible once PageRank's contribution sum
     // moved to the integer e12 lattice: the k=16 edge set had pushed one
     // node's 5th-iteration double-sum onto an 8-decimal rounding boundary
@@ -2521,7 +2611,7 @@ object LlmPipeline {
     // integer sum is order-independent, so the straddle class is gone.)
     QueryDef.sql(
       "q151_pagerank_production_k",
-      s"""WITH ${imiProdCtes(k = 16, iters = 3, sampleBuckets = 3, aProbe = 2)},
+      s"""WITH ${imiProdCtesMp(iters = 3, sampleBuckets = 3, cap = GraphCap, margin = GraphMargin.toString)},
          |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr,
          |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
          |  FROM assigned a JOIN assigned b
@@ -2545,11 +2635,12 @@ object LlmPipeline {
       // training is O(√K)-cheap, the kNN candidate ranking over frozen-k
       // cells and the 5 checkpointed PageRank rounds carry the rest
       val (cb1, cb2, half) = graft.BenchProbes.time("q151.train") {
-        VS.trainImiCodebooks(e, k = 16, iters = 3, sampleBuckets = 3)
+        VS.trainImiCodebooks(e, k = VS.scaledKHalf(e.count()), iters = 3,
+          sampleBuckets = 3)
       }
       val edges = graft.BenchProbes.time("q151.knn_edges") {
-        VS.imiKnnGraph(Tables.spread(s, e), cb1, cb2, half,
-            aProbe = 2, k = 5)
+        VS.imiKnnGraphMp(Tables.spread(s, e), cb1, cb2, half,
+            cap = GraphCap, margin = GraphMargin, k = 5)
           .select(col("src"), col("nbr").as("dst")).localCheckpoint()
       }
       graft.BenchProbes.time("q151.pagerank") {
@@ -2641,7 +2732,7 @@ object LlmPipeline {
     // and the pruned-cell exact ranking CTE-for-CTE.
     QueryDef.sql(
       "q206_ann_imi_probe",
-      s"""WITH ${imiProdCtes(k = 8, iters = 3, sampleBuckets = 3, aProbe = 1)},
+      s"""WITH ${imiProdCtes(iters = 3, sampleBuckets = 3, aProbe = 1)},
          |p1 AS (SELECT vec_id, cid AS c1 FROM (
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id
@@ -2652,8 +2743,8 @@ object LlmPipeline {
          |      row_number() OVER (PARTITION BY vec_id
          |        ORDER BY sim DESC, cid ASC) AS rn
          |    FROM s2 WHERE vec_id >= 5 AND vec_id < 10) WHERE rn = 1),
-         |pcells AS (SELECT p1.vec_id AS pid, p1.c1 * 8 + p2.c2 AS cell
-         |  FROM p1 JOIN p2 ON p2.vec_id = p1.vec_id),
+         |pcells AS (SELECT p1.vec_id AS pid, p1.c1 * kd.kk + p2.c2 AS cell
+         |  FROM p1 JOIN p2 ON p2.vec_id = p1.vec_id CROSS JOIN kdef kd),
          |p AS (SELECT vec_id AS pid, v AS pv FROM e
          |  WHERE vec_id >= 5 AND vec_id < 10),
          |cand AS (SELECT pc.pid, a.vec_id,
@@ -2734,8 +2825,8 @@ object LlmPipeline {
     // gate (3 GD iterations, score >= 0.5 keeps), (2) exact dedup among
     // the quality survivors (canonical = min doc_id per normalized-text
     // digest), (3) semantic dedup survivors from q150's production IMI
-    // chain (2-of-256 product cells; docs without an embedding can't be
-    // semantic dups and keep), (4) q135's benchmark decontamination
+    // chain (corpus-scaled product cells, margin-gated multi-probe;
+    // docs without an embedding can't be semantic dups and keep), (4) q135's benchmark decontamination
     // (drop >= 2 shared 3-grams with the probe set, bloom pre-filter on
     // the Spark side, exact join in the oracle — the bloom cannot change
     // the answer), (5) the q147 deterministic md5 split, (6) a per-split
@@ -2760,7 +2851,7 @@ object LlmPipeline {
           .mkString(", ") + s" FROM f, $prev w)"
       QueryDef.sql(
         "q152_release_pipeline",
-        s"""WITH RECURSIVE ${imiProdCtes(k = 16, iters = 3, sampleBuckets = 3, aProbe = 2)},
+        s"""WITH RECURSIVE ${imiProdCtesMp(iters = 3, sampleBuckets = 3, cap = MpCap, margin = MpMargin.toString)},
            |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            |  FROM assigned a JOIN assigned b
            |    ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2872,12 +2963,16 @@ object LlmPipeline {
         val eTbl = emb(s, dir).select(col("vec_id"), col("embedding"))
         val (cb1, cb2, halfD) = graft.BenchProbes.time("q152.train_cells") {
           // r14: IMI replaces the flat k=32 trainer — the flat n·K Lloyd
-          // assignment was 270.9 s of the sf10 capstone (VERDICT r13 #1)
-          VS.trainImiCodebooks(eTbl, k = 16, iters = 3, sampleBuckets = 3)
+          // assignment was 270.9 s of the sf10 capstone (VERDICT r13 #1).
+          // r15: k per half scales with the corpus count and the
+          // assignment is the margin-gated multi-probe (recall parity
+          // with flat at equal cell count — VERDICT r14 #1/#2)
+          VS.trainImiCodebooks(eTbl, k = VS.scaledKHalf(eTbl.count()),
+            iters = 3, sampleBuckets = 3)
         }
         val semDrop = graft.BenchProbes.time("q152.semantic") {
-          val edges = VS.imiDedupPairs(Tables.spread(s, eTbl), cb1, cb2,
-              halfD, aProbe = 2, threshold = 0.4)
+          val edges = VS.imiDedupPairsMp(Tables.spread(s, eTbl), cb1, cb2,
+              halfD, cap = MpCap, margin = MpMargin, threshold = 0.4)
             .select(col("id_a").as("a"), col("id_b").as("b"))
           graft.operators.ConnectedComponents.run(edges, "a", "b")
             .filter(col("component") =!= col("node"))
@@ -2997,7 +3092,7 @@ object LlmPipeline {
     // row count after soft dedup.
     QueryDef.sql(
       "q180_softdedup_weights",
-      s"""WITH RECURSIVE ${imiProdCtes(k = 16, iters = 3, sampleBuckets = 3, aProbe = 2)},
+      s"""WITH RECURSIVE ${imiProdCtesMp(iters = 3, sampleBuckets = 3, cap = MpCap, margin = MpMargin.toString)},
          |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -3022,10 +3117,10 @@ object LlmPipeline {
          |ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{VectorSearch => VS}
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val (cb1, cb2, half) = VS.trainImiCodebooks(e, k = 16, iters = 3,
-        sampleBuckets = 3)
-      val edges = VS.imiDedupPairs(Tables.spread(s, e), cb1, cb2, half,
-          aProbe = 2, threshold = 0.4)
+      val (cb1, cb2, half) = VS.trainImiCodebooks(e,
+        k = VS.scaledKHalf(e.count()), iters = 3, sampleBuckets = 3)
+      val edges = VS.imiDedupPairsMp(Tables.spread(s, e), cb1, cb2, half,
+          cap = MpCap, margin = MpMargin, threshold = 0.4)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
         .withColumnRenamed("node", "vec_id")

@@ -255,10 +255,12 @@ object N5Queries {
       import org.apache.spark.sql.expressions.Window
       val comps = graft.operators.VolumeCC.components(
         N5.read(s, fixtureRoot, fixtureDs), 186L, 226L, threshold = 128L)
-      comps
+      // top-10 via TakeOrdered (r15: never a global window over the
+      // whole component table — at 100 TB that's millions of rows in
+      // one reducer); the rank window runs over the 10-row result only
+      comps.orderBy(col("n_voxels").desc, col("component").asc).limit(10)
         .withColumn("rnk", row_number().over(Window.orderBy(
           col("n_voxels").desc, col("component").asc)))
-        .filter(col("rnk") <= 10)
         .select(col("rnk"), col("component"), col("n_voxels"))
         .orderBy(col("rnk").asc)
     },
@@ -302,9 +304,11 @@ object N5Queries {
       import org.apache.spark.sql.expressions.Window
       graft.operators.VolumeCC.regionProps(
           N5.read(s, fixtureRoot, fixtureDs), 186L, 226L, threshold = 128L)
+        // top-10 via TakeOrdered, rank over the bounded slice (r15 — the
+        // q190 migration note)
+        .orderBy(col("n_voxels").desc, col("component").asc).limit(10)
         .withColumn("rnk", row_number().over(Window.orderBy(
           col("n_voxels").desc, col("component").asc)))
-        .filter(col("rnk") <= 10)
         .select(col("rnk"), col("component"), col("n_voxels"),
           col("x_min"), col("x_max"), col("y_min"), col("y_max"),
           col("z_min"), col("z_max"),

@@ -68,4 +68,76 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"${offenders.size} plan-lint offenders:\n" + offenders.mkString("\n"))
   }
+
+  test("suite-wide WindowExec inventory: every partition-less window is " +
+      "either bounded-input by construction or explicitly justified (r15)") {
+    // A partition-less WindowExec moves ALL its input rows to one
+    // partition — the q61-class hazard DistributedRank (q153/q201)
+    // exists to retire. This inventory sweeps every declared plan and
+    // fails on any partition-less window over an input that is not in
+    // the justified set below, so a new query cannot quietly ship a
+    // global single-reducer sort over corpus-sized data.
+    //
+    // Justifications (audited r15):
+    //  - "bounded": the window input is bounded BY CONSTRUCTION well
+    //    below one executor's memory at ANY corpus size (aggregate
+    //    outputs keyed by a bounded domain, pre-limited top-k slices,
+    //    codebook/probe tables, per-bin histograms, release shards);
+    //  - "contrast": q61 keeps the stock window DELIBERATELY as the
+    //    measured baseline q153/q201 are compared against.
+    // EXACTLY the partition-less set the r15 audit found (11 queries);
+    // an entry here that stops being needed should be REMOVED, so the
+    // map cannot silently whitelist future windows
+    val justified: Map[String, String] = Map(
+      "q121_histogram_cdf" -> "bounded (21 histogram bins)",
+      "q146_hybrid_rrf" -> "bounded (two TakeOrdered top-20 ranker slices)",
+      "q159_mixture_token_budget" -> "bounded (20 domain rate rows in the waterfilling solver)",
+      "q160_release_sharding" -> "bounded (16 shard boundary rows)",
+      "q175_interval_concurrency" -> "bounded (PrefixSum per-bucket carry table: one row per day bucket)",
+      "q190_volume_cc" -> "bounded (rank over the TakeOrdered top-10 component slice)",
+      "q191_volume_region_props" -> "bounded (rank over the TakeOrdered top-10 slice)",
+      "q192_volume_mip" -> "bounded (rank over the TakeOrdered top-5 slice)",
+      "q193_volume_label_writeback" -> "bounded (rank over the TakeOrdered top-5 slice)",
+      "q198_daily_autocorrelation" -> "bounded (day-bounded series: 365 rows/year at any event volume)",
+      "q200_benford_audit" -> "bounded (9 digit cells)")
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    val inventory = scala.collection.mutable.ArrayBuffer[String]()
+    val partitionlessSet = scala.collection.mutable.Set[String]()
+    try {
+      spark.conf.set(key, "false")
+      Queries.all.foreach { q =>
+        try {
+          val plan = q.build(spark, dir).queryExecution.executedPlan
+          val wins = plan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec => w
+          }
+          val partitionless = wins.count(_.partitionSpec.isEmpty)
+          val keyed = wins.size - partitionless
+          if (wins.nonEmpty)
+            inventory += f"${q.name}%-40s partitionless=$partitionless keyed=$keyed"
+          if (partitionless > 0) {
+            partitionlessSet += q.name
+            if (!justified.contains(q.name))
+              offenders += s"${q.name}: $partitionless partition-less WindowExec " +
+                "without a bounded-input justification"
+          }
+        } catch {
+          case e: Throwable =>
+            offenders += s"${q.name}: failed to plan: ${e.getClass.getSimpleName}"
+        }
+      }
+    } finally spark.conf.set(key, prev)
+    info(s"WindowExec inventory (${inventory.size} queries):")
+    inventory.foreach(info(_))
+    // stale allowlist entries are offenders too: the map must describe
+    // exactly what exists, or it quietly pre-authorizes future windows
+    val stale = justified.keySet -- partitionlessSet
+    assert(stale.isEmpty,
+      s"justified entries with no partition-less window anymore: $stale")
+    assert(offenders.isEmpty,
+      s"${offenders.size} unjustified partition-less windows:\n" +
+        offenders.mkString("\n"))
+  }
 }

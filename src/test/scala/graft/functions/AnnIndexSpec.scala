@@ -126,7 +126,12 @@ class AnnIndexSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(markerOf(db)) == stamp,
       "second ensureImi must not rebuild")
     val (cb1, cb2, half) = AnnIndex.imiCodebooks(spark, db)
-    assert(cb1.size == AnnIndex.ImiKHalf && cb2.size == AnnIndex.ImiKHalf)
+    // the default is the corpus-scaled k (r15): kHalf = scaledKHalf(n)
+    val kWant = VectorSearch.scaledKHalf(
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+    assert(cb1.size == kWant && cb2.size == kWant,
+      s"default ensureImi must train the corpus-scaled kHalf=$kWant, " +
+        s"got ${cb1.size}/${cb2.size}")
     assert(half == 32)
     val re = VectorSearch.imiAssignCells(
         spark.table(s"$db.vectors").select(col("vec_id"), col("embedding")),

@@ -210,6 +210,168 @@ class ImageCodecsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("stalled") || ex.getMessage.contains("truncated"))
   }
 
+  private def pngChunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val len = data.length
+    bos.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+      (len >>> 8).toByte, len.toByte))
+    val body = ctype.getBytes("US-ASCII") ++ data
+    bos.write(body)
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    val cv = crc.getValue.toInt
+    bos.write(Array[Byte]((cv >>> 24).toByte, (cv >>> 16).toByte,
+      (cv >>> 8).toByte, cv.toByte))
+    bos.toByteArray
+  }
+
+  test("palette PNG: round trip at depths 1/2/4/8, with and without tRNS (r15)") {
+    for (depth <- Seq(1, 2, 4, 8)) {
+      val nColors = math.min(1 << depth, 7) // non-power-of-two palette
+      val palette = Array.tabulate(nColors)(i =>
+        (((i * 37 + 11) % 256) << 16) | (((i * 59 + 3) % 256) << 8) |
+          ((i * 83 + 29) % 256))
+      val w = 13; val h = 5 // odd width: sub-byte rows have slack bits
+      val idx = Array.tabulate(w * h)(i => pix(i, depth) % nColors)
+      val back = ImageCodecs.decodePng(
+        ImageCodecs.encodePngPalette(w, h, idx, palette, None, depth))
+      assert(back.width == w && back.height == h && back.channels == 3,
+        s"depth=$depth")
+      idx.zipWithIndex.foreach { case (pi, i) =>
+        val p = palette(pi)
+        assert(back.pixels(3 * i) == ((p >> 16) & 0xff) &&
+          back.pixels(3 * i + 1) == ((p >> 8) & 0xff) &&
+          back.pixels(3 * i + 2) == (p & 0xff),
+          s"depth=$depth pixel $i: palette entry $pi misdecoded")
+      }
+      // tRNS: alpha per entry, shorter than the palette (tail = opaque)
+      val trns = Array.tabulate(math.min(3, nColors))(i => 40 * i)
+      val withA = ImageCodecs.decodePng(
+        ImageCodecs.encodePngPalette(w, h, idx, palette, Some(trns), depth))
+      assert(withA.channels == 4, s"depth=$depth: tRNS must yield RGBA")
+      idx.zipWithIndex.foreach { case (pi, i) =>
+        val want = if (pi < trns.length) trns(pi) else 255
+        assert(withA.pixels(4 * i + 3) == want,
+          s"depth=$depth pixel $i: alpha ${withA.pixels(4 * i + 3)} != $want")
+      }
+    }
+  }
+
+  test("palette PNG: ImageIO agrees in both directions (r15)") {
+    // ours -> ImageIO
+    val palette = Array.tabulate(16)(i =>
+      (((i * 17) % 256) << 16) | (((i * 29) % 256) << 8) | ((i * 43) % 256))
+    val w = 9; val h = 7
+    val idx = Array.tabulate(w * h)(i => pix(i, 61) % palette.length)
+    val bytes = ImageCodecs.encodePngPalette(w, h, idx, palette, None, 4)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected our palette PNG")
+    idx.zipWithIndex.foreach { case (pi, i) =>
+      val got = img.getRGB(i % w, i / w) & 0xffffff
+      assert(got == palette(pi), s"pixel $i: ImageIO read ${got.toHexString}")
+    }
+    // ImageIO -> ours: TYPE_BYTE_INDEXED writes a PLTE container
+    val src = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until h; x <- 0 until w)
+      src.setRGB(x, y, palette(idx(y * w + x)) | 0xff000000)
+    val ioBytes = imageIoBytes(src, "png")
+    val ours = ImageCodecs.decodePng(ioBytes)
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = src.getRGB(x, y)
+      val o = (y * w + x) * ours.channels
+      assert(ours.pixels(o) == ((want >> 16) & 0xff) &&
+        ours.pixels(o + 1) == ((want >> 8) & 0xff) &&
+        ours.pixels(o + 2) == (want & 0xff),
+        s"($x,$y): our decode of ImageIO palette PNG diverged")
+    }
+  }
+
+  test("16-bit PNG: high-byte downconvert, ImageIO sample agreement (r15)") {
+    val w = 11; val h = 6
+    val s16 = Array.tabulate(w * h)(i => (pix(i, 71) << 8) | pix(i, 72))
+    val bytes = ImageCodecs.encodePngGray16(w, h, s16)
+    val back = ImageCodecs.decodePng(bytes)
+    assert(back.width == w && back.height == h && back.channels == 1)
+    s16.zipWithIndex.foreach { case (v, i) =>
+      assert(back.pixels(i) == (v >> 8),
+        s"pixel $i: ${back.pixels(i)} != high byte ${v >> 8}")
+    }
+    // ImageIO reads the same container as TYPE_USHORT_GRAY; its 16-bit
+    // samples must equal ours pre-downconvert
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected our 16-bit PNG")
+    s16.zipWithIndex.foreach { case (v, i) =>
+      assert(img.getRaster.getSample(i % w, i / w, 0) == v,
+        s"pixel $i: ImageIO 16-bit sample diverged")
+    }
+  }
+
+  test("sub-byte grayscale + gray-alpha PNG profiles decode (r15)") {
+    // 2-bit gray, hand-built container: samples scale v*255/3
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    def gray2(w: Int, h: Int, vals: Array[Int]): Array[Byte] = {
+      val stride = (w * 2 + 7) / 8
+      val raw = new Array[Byte]((stride + 1) * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val bitPos = x * 2
+        val at = y * (stride + 1) + 1 + (bitPos >> 3)
+        raw(at) = (raw(at) | (vals(y * w + x) << (8 - 2 - (bitPos & 7)))).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val defl = new java.util.zip.Deflater(); defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](4096)
+      while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(2.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      sig ++ pngChunk("IHDR", ihdr.array()) ++
+        pngChunk("IDAT", bos.toByteArray) ++ pngChunk("IEND", Array.empty)
+    }
+    val vals = Array(0, 1, 2, 3, 3, 2, 1, 0, 1, 3)
+    val r = ImageCodecs.decodePng(gray2(5, 2, vals))
+    assert(r.channels == 1)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(r.pixels(i) == v * 255 / 3, s"2-bit gray pixel $i")
+    }
+    // gray+alpha (color type 4): decodes to RGBA with r=g=b
+    def grayAlpha(w: Int, h: Int, ga: Array[(Int, Int)]): Array[Byte] = {
+      val stride = w * 2
+      val raw = new Array[Byte]((stride + 1) * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        raw(y * (stride + 1) + 1 + 2 * x) = ga(y * w + x)._1.toByte
+        raw(y * (stride + 1) + 2 + 2 * x) = ga(y * w + x)._2.toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val defl = new java.util.zip.Deflater(); defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](4096)
+      while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(4.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      sig ++ pngChunk("IHDR", ihdr.array()) ++
+        pngChunk("IDAT", bos.toByteArray) ++ pngChunk("IEND", Array.empty)
+    }
+    val ga = Array.tabulate(6)(i => (pix(i, 81), pix(i, 82)))
+    val g = ImageCodecs.decodePng(grayAlpha(3, 2, ga))
+    assert(g.channels == 4)
+    ga.zipWithIndex.foreach { case ((gv, av), i) =>
+      assert(g.pixels(4 * i) == gv && g.pixels(4 * i + 1) == gv &&
+        g.pixels(4 * i + 2) == gv && g.pixels(4 * i + 3) == av,
+        s"gray-alpha pixel $i")
+    }
+    // ImageIO agreement on the gray-alpha container — via raster
+    // samples, not getRGB (which routes gray through sRGB gamma and
+    // distorts values, the toBuffered caveat)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(
+      grayAlpha(3, 2, ga)))
+    assert(img != null, "ImageIO rejected the gray-alpha container")
+    ga.zipWithIndex.foreach { case ((gv, av), i) =>
+      val rs = img.getRaster
+      assert(rs.getSample(i % 3, i / 3, 0) == gv &&
+        rs.getSample(i % 3, i / 3, 1) == av,
+        s"gray-alpha pixel $i vs ImageIO raster samples")
+    }
+  }
+
   // ==================================================================
   // JPEG
   // ==================================================================
@@ -296,12 +458,137 @@ class ImageCodecsSpec extends AnyFunSuite {
       ImageCodecs.decodeJpeg(good.drop(2))).getMessage.contains("SOI"))
     assert(intercept[IllegalArgumentException](
       ImageCodecs.decodeJpeg(good.take(good.length / 2))).getMessage.nonEmpty)
-    // progressive must be rejected by NAME, not misdecoded: flip SOF0->SOF2
+    // SOF2 is SUPPORTED since r15, so flipping SOF0->SOF2 produces a
+    // stream whose scan header is invalid FOR progressive (a full
+    // 0..63 band on a DC scan) — still a loud reject, not a misdecode
     val prog = good.clone()
     val sofAt = prog.sliding(2).indexWhere(s =>
       (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc0)
     prog(sofAt + 1) = 0xc2.toByte
     assert(intercept[IllegalArgumentException](
       ImageCodecs.decodeJpeg(prog)).getMessage.contains("progressive"))
+  }
+
+  // ==================================================================
+  // Progressive JPEG (SOF2, r15)
+  // ==================================================================
+
+  private def imageIoProgressive(img: BufferedImage): Array[Byte] = {
+    import javax.imageio.ImageWriteParam
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  private def isSof2(bytes: Array[Byte]): Boolean =
+    bytes.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2)
+
+  test("progressive JPEG: our SOF2 encode decodes identically to the " +
+      "baseline encode of the same pixels; block-constant is EXACT (r15)") {
+    // general pixels: both fixture encoders share the flat-quantizer FDCT,
+    // so the two scan layouts must reconstruct the same raster
+    val w = 37; val h = 21
+    val px = gradient(w, h, 1)
+    val progBytes = ImageCodecs.encodeJpegGrayProgressive(w, h, px)
+    assert(isSof2(progBytes), "fixture encoder must emit SOF2")
+    val prog = ImageCodecs.decodeJpeg(progBytes)
+    val base = ImageCodecs.decodeJpeg(ImageCodecs.encodeJpegGray(w, h, px))
+    assert(prog.width == w && prog.height == h && prog.channels == 1)
+    assert(prog.pixels.sameElements(base.pixels),
+      "progressive and baseline scans of identical coefficients diverged")
+    // block-constant: DC-only spectrum + quantizer 1 -> exact round trip,
+    // and the whole AC scan is one EOB-run chain (the eobrun decode path)
+    val side = 40
+    val bc = Array.tabulate(side * side) { i =>
+      val bx = (i % side) / 8; val by = (i / side) / 8
+      pix(by * 5 + bx, 41)
+    }
+    val bcDecoded = ImageCodecs.decodeJpeg(
+      ImageCodecs.encodeJpegGrayProgressive(side, side, bc))
+    assert(bcDecoded.pixels.sameElements(bc),
+      "block-constant progressive round trip must be exact")
+  }
+
+  test("progressive JPEG: ImageIO decodes our SOF2 bytes within ±1") {
+    val w = 24; val h = 16
+    val px = gradient(w, h, 1)
+    val bytes = ImageCodecs.encodeJpegGrayProgressive(w, h, px)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected our progressive JPEG")
+    val got = fromBuffered(img, 1)
+    val maxDiff = got.zip(px).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 1,
+      s"ImageIO read our progressive JPEG with max diff $maxDiff (>1)")
+  }
+
+  test("progressive JPEG: we decode the JDK writer's successive-" +
+      "approximation scan script; grayscale within ±1 of ImageIO") {
+    // the JDK's default progressive script uses spectral selection AND
+    // successive approximation (DC first/refine, AC first at Al>0, AC
+    // refine) — decoding its output exercises every G.1.2 path
+    val w = 37; val h = 21
+    val px = gradient(w, h, 1)
+    val bytes = imageIoProgressive(toBuffered(Raster(w, h, 1, px)))
+    assert(isSof2(bytes), "JDK writer did not emit SOF2 — test is vacuous")
+    val ours = ImageCodecs.decodeJpeg(bytes)
+    assert(ours.width == w && ours.height == h && ours.channels == 1)
+    val ref = fromBuffered(
+      ImageIO.read(new java.io.ByteArrayInputStream(bytes)), 1)
+    val maxDiff = ours.pixels.zip(ref).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 1,
+      s"progressive decode diverges from ImageIO by $maxDiff (>1)")
+  }
+
+  test("progressive JPEG: JDK-written subsampled color agrees with " +
+      "ImageIO on luma within ±2") {
+    val w = 40; val h = 24
+    val px = gradient(w, h, 3)
+    val bytes = imageIoProgressive(toBuffered(Raster(w, h, 3, px)))
+    assert(isSof2(bytes), "JDK writer did not emit SOF2 — test is vacuous")
+    val ours = ImageCodecs.decodeJpeg(bytes)
+    assert(ours.width == w && ours.height == h && ours.channels == 3)
+    val ref = fromBuffered(
+      ImageIO.read(new java.io.ByteArrayInputStream(bytes)), 3)
+    def luma(p: Array[Int], o: Int): Double =
+      0.299 * p(o) + 0.587 * p(o + 1) + 0.114 * p(o + 2)
+    var maxY = 0.0; var i = 0
+    while (i < w * h) {
+      maxY = math.max(maxY,
+        math.abs(luma(ours.pixels, 3 * i) - luma(ref, 3 * i)))
+      i += 1
+    }
+    assert(maxY <= 2.0, s"progressive color luma diverges by $maxY (>2)")
+  }
+
+  test("progressive JPEG: malformed scans fail loudly") {
+    val px = Array.tabulate(24 * 24)(pix(_, 51))
+    val good = ImageCodecs.encodeJpegGrayProgressive(24, 24, px)
+    // truncated mid-scan
+    assert(intercept[IllegalArgumentException](
+      ImageCodecs.decodeJpeg(good.take(good.length / 2))).getMessage.nonEmpty)
+    // an AC scan declaring 3 components is out of spec: craft by patching
+    // the second SOS's component count (byte after the SOS length)
+    val sosOffsets = good.indices.dropRight(1).filter(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda)
+    assert(sosOffsets.length == 2, "fixture must carry DC + AC scans")
+    val bad = good.clone()
+    bad(sosOffsets(1) + 4) = 3.toByte
+    assert(intercept[IllegalArgumentException](
+      ImageCodecs.decodeJpeg(bad)).getMessage.nonEmpty)
+    // spectral selection out of range (Se > 63)
+    val badSe = good.clone()
+    // AC SOS payload: len(2) ns(1) comp(2) Ss Se AhAl -> Se at +8
+    badSe(sosOffsets(1) + 8) = 77.toByte
+    assert(intercept[IllegalArgumentException](
+      ImageCodecs.decodeJpeg(badSe)).getMessage.contains("spectral"))
   }
 }
