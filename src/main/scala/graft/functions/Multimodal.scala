@@ -558,6 +558,98 @@ object Multimodal {
     })
   }
 
+  /** WIDE fingerprint — the widen-bands-with-n lever the q188/q208/q210
+    * notes promise (r15, VERDICT r14 #7): with B = 4 bands the pigeonhole
+    * radius stays 3, but the BAND SPACE grows from 2^16 to 2^(nBits/4),
+    * so random band collisions — the saturation term that grows ~n²/2^W
+    * as the corpus scales on a fixed 16-bit space — shrink by the widened
+    * width. The fingerprint itself must carry more signal to fill wider
+    * bands, so the production recipe is: longer clips / larger hash
+    * rasters → more delta bits → wider bands at the same band count.
+    */
+  final case class WideFp(id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** [[audioFingerprintWindowed]] generalized to `nBits` energy windows
+    * (nBits divisible by 4, nBits/4 ≤ 64 — four Long bands): delta-sign
+    * bits over nBits windows, gain-invariant exactly as the 64-bit face.
+    */
+  def audioFingerprintWide(
+      media: Dataset[MediaRow], nBits: Int): Dataset[WideFp] = {
+    require(nBits % 4 == 0 && nBits / 4 <= 64 && nBits >= 8,
+      s"audioFingerprintWide: nBits=$nBits (need multiple of 4, band <= 64 bits)")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val (_, smp) = decodeWav(m.bytes)
+      val n = smp.length
+      require(n >= nBits,
+        s"audioFingerprintWide needs >= $nBits samples, got $n (id=${m.id})")
+      val en = new Array[Long](nBits)
+      var w = 0
+      while (w < nBits) {
+        var i = w * n / nBits
+        val end = (w + 1) * n / nBits
+        var s = 0L
+        while (i < end) { s += math.abs(smp(i).toLong); i += 1 }
+        en(w) = s
+        w += 1
+      }
+      val bw = nBits / 4
+      val bands = new Array[Long](4)
+      var i = 0
+      while (i < nBits) {
+        val bit = if (i < nBits - 1) en(i + 1) > en(i) else en(0) > en(nBits - 1)
+        if (bit) bands(i / bw) |= (1L << (i % bw))
+        i += 1
+      }
+      WideFp(m.id, bands(0), bands(1), bands(2), bands(3))
+    })
+  }
+
+  /** aHash over a side×side raster (side² bits, four Long bands; side²/4
+    * ≤ 64 → side ≤ 16) — the image face of the widen-bands lever: a
+    * 16×16 hash raster yields 256 delta bits and 64-bit bands.
+    */
+  def imageAHashWide(media: Dataset[MediaRow], side: Int): Dataset[WideFp] = {
+    require(side >= 4 && side <= 16 && side * side % 4 == 0,
+      s"imageAHashWide: side=$side (4..16, side² divisible by 4)")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val r = m.media_type match {
+        case "image/png" => ImageCodecs.decodePng(m.bytes)
+        case "image/jpeg" => ImageCodecs.decodeJpeg(m.bytes)
+        case t => throw new IllegalArgumentException(
+          s"imageAHashWide: unsupported media_type $t")
+      }
+      require(r.channels == 1,
+        s"imageAHashWide expects grayscale, got ${r.channels} (id=${m.id})")
+      require(r.width >= side && r.height >= side,
+        s"imageAHashWide needs >= ${side}x$side pixels, got " +
+          s"${r.width}x${r.height} (id=${m.id})")
+      val n = side * side
+      val px = new Array[Int](n)
+      var y = 0
+      while (y < side) {
+        val sy = y * r.height / side
+        var x = 0
+        while (x < side) {
+          px(y * side + x) = r.pixels(sy * r.width + x * r.width / side)
+          x += 1
+        }
+        y += 1
+      }
+      var sum = 0L; var i = 0
+      while (i < n) { sum += px(i); i += 1 }
+      val bw = n / 4
+      val bands = new Array[Long](4)
+      i = 0
+      while (i < n) {
+        if (n.toLong * px(i) >= sum) bands(i / bw) |= (1L << (i % bw))
+        i += 1
+      }
+      WideFp(m.id, bands(0), bands(1), bands(2), bands(3))
+    })
+  }
+
   /** REAL audio decode: parse the WAV container, then RMS + peak over the
     * PCM16 samples. Narrow (no shuffle); bytes never leave the task.
     */

@@ -301,6 +301,53 @@ class MultimodalSpec extends SparkSpec {
       String.valueOf(err.getCause).contains(">= 64 samples"))
   }
 
+  test("widen-bands lever: wide fingerprints keep exact copies at " +
+      "hamming 0 and carry strictly more band entropy (r15)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    // three distinct 256-sample clips + one exact copy of the first
+    val clips = Seq.tabulate(3)(_ =>
+      Array.fill(256)((rng.nextInt(8000) - 4000).toShort))
+    val media = spark.createDataset(
+      clips.zipWithIndex.map { case (c, i) =>
+        Multimodal.MediaRow(i.toLong, "audio/wav",
+          Multimodal.encodeWav(c, 8000))
+      } :+ Multimodal.MediaRow(100L, "audio/wav",
+        Multimodal.encodeWav(clips.head, 8000)))
+    val wide = Multimodal.audioFingerprintWide(media, nBits = 256)
+      .collect().map(f => f.id -> ((f.b0, f.b1, f.b2, f.b3))).toMap
+    assert(wide(0L) == wide(100L), "exact copy must fingerprint identically")
+    assert(wide(0L) != wide(1L) && wide(1L) != wide(2L))
+    // gain invariance carries to the wide face
+    val gained = Multimodal.audioFingerprintWide(spark.createDataset(Seq(
+      Multimodal.MediaRow(7L, "audio/wav", Multimodal.encodeWav(
+        clips.head.map(s => (s * 3).toShort), 8000)))), nBits = 256)
+      .collect().head
+    assert(wide(0L) == ((gained.b0, gained.b1, gained.b2, gained.b3)),
+      "3x gain changed the wide fingerprint")
+    // image face: exact copies collide, distinct images don't, and the
+    // wide hash refuses rasters smaller than its grid
+    val img = Array.tabulate(256)(i => (i * 37 + 11) % 256)
+    val img2 = img.map(v => 255 - v)
+    val pngs = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image/png", graft.functions.ImageCodecs
+        .encodePng(graft.functions.ImageCodecs.Raster(16, 16, 1, img))),
+      Multimodal.MediaRow(2L, "image/png", graft.functions.ImageCodecs
+        .encodePng(graft.functions.ImageCodecs.Raster(16, 16, 1, img))),
+      Multimodal.MediaRow(3L, "image/png", graft.functions.ImageCodecs
+        .encodePng(graft.functions.ImageCodecs.Raster(16, 16, 1, img2)))))
+    val ih = Multimodal.imageAHashWide(pngs, side = 16)
+      .collect().map(f => f.id -> ((f.b0, f.b1, f.b2, f.b3))).toMap
+    assert(ih(1L) == ih(2L) && ih(1L) != ih(3L))
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.imageAHashWide(spark.createDataset(Seq(
+        Multimodal.MediaRow(9L, "image/png", graft.functions.ImageCodecs
+          .encodePng(graft.functions.ImageCodecs.Raster(8, 8, 1,
+            Array.fill(64)(5)))))), side = 16).collect()
+    }
+    assert(String.valueOf(err.getCause).contains("needs >= 16x16"))
+  }
+
   test("q205 detects cross-format duplicates: every injected opposite-" +
       "format copy surfaces at hamming 0 with cross_format=1") {
     val rows = graft.Queries.byName("q205_phash_crossformat_dedup")
