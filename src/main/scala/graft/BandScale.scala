@@ -84,32 +84,9 @@ object BandScale {
   }
   private val Multimodal = graft.functions.Multimodal
 
-  /** Deterministic 16×16 grayscale PNGs: each 8×8 embedding cell expands
-    * to a 2×2 block with a fixed jitter pattern.
-    */
-  private def images16(e: DataFrame) = {
-    import e.sparkSession.implicits._
-    val jit = Array(0, 9, -7, 4)
-    e.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (id, v) =>
-        val px = new Array[Int](256)
-        var y = 0
-        while (y < 16) {
-          var x = 0
-          while (x < 16) {
-            val base = math.floor((v((y / 2) * 8 + x / 2) + 1.0) * 127.5).toInt
-            val p = base + jit((y % 2) * 2 + x % 2)
-            px(y * 16 + x) = math.max(0, math.min(255, p))
-            x += 1
-          }
-          y += 1
-        }
-        graft.functions.Multimodal.MediaRow(id, "image/png",
-          graft.functions.ImageCodecs.encodePng(
-            graft.functions.ImageCodecs.Raster(16, 16, 1, px)))
-      })
-  }
+  /** Deterministic 16×16 grayscale PNGs — the shared q215 generator. */
+  private def images16(e: DataFrame) =
+    graft.functions.Multimodal.embeddingsAsPng16(e)
 
   /** Candidate + confirmed counts for one (modality, banding) pair. */
   private def counts(fp: DataFrame): (Long, Long, Double) = {

@@ -23,14 +23,21 @@ import org.apache.spark.sql.types._
   *     bytes (the ≪ claim).
   *   - labelVolume + uint32 write-back + re-read (the q193 path).
   *
-  * Usage: graft.VolumeScale <workDir> <dim> — dim 1024 ⇒ 1.07 GB raw.
+  * Usage: graft.VolumeScale <workDir> <dim> [blockSize] — dim 1024 ⇒
+  * 1.07 GB raw; blockSize defaults to 128 and is the documented 100 TB
+  * lever (r15, VERDICT r14 #8): the stitch exchange is face area, so
+  * doubling the block edge halves the face share — measure 256³ blocks
+  * against the frozen 128³ curve.
   * Prints ONE JSON line; BASELINE.md records the curve across dims.
   */
 object VolumeScale {
   def main(args: Array[String]): Unit = {
     val Array(workDir, dimS) = args.take(2)
     val dim = dimS.toInt
+    val bsArg = args.lift(2).map(_.toInt).getOrElse(128)
     require(dim % 128 == 0, s"dim must be a multiple of 128, got $dim")
+    require(bsArg > 0 && dim % bsArg == 0,
+      s"blockSize $bsArg must divide dim $dim")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,7 +47,7 @@ object VolumeScale {
     spark.sparkContext.setLogLevel("WARN")
     import graft.n5.{Compression, DatasetAttributes, Dtype, N5}
 
-    val bs = 128
+    val bs = bsArg
     val g = dim / bs
     val attrs = DatasetAttributes(
       Array(dim.toLong, dim.toLong, dim.toLong), Array(bs, bs, bs),
@@ -77,7 +84,7 @@ object VolumeScale {
           Row(gx, gy, gz, gx.toLong * bs, gy.toLong * bs, gz.toLong * bs,
             Seq(bs, bs, bs), data.toSeq)
         }, schema)
-    val root = s"$workDir/vol_$dim.n5"
+    val root = s"$workDir/vol_${dim}_b$bs.n5"
     val hp = new org.apache.hadoop.fs.Path(root)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(hp)) fs.delete(hp, true)
@@ -117,7 +124,7 @@ object VolumeScale {
     val stitchBytes = faceRows * 56L
     def f2(v: Double) = f"$v%.2f"
     println(
-      s"""{"metric":"volume_scale","dim":$dim,"vol_bytes":$volBytes,""" +
+      s"""{"metric":"volume_scale","dim":$dim,"block":$bs,"vol_bytes":$volBytes,""" +
         s""""gen_sec":${f2(tGen)},"cc_sec":${f2(tCc)},""" +
         s""""components":$nComp,"expected":$expComp,"fg":$nFg,""" +
         s""""face_rows":$faceRows,"stitch_bytes":$stitchBytes,""" +

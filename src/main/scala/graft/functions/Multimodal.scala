@@ -322,6 +322,41 @@ object Multimodal {
       }
   }
 
+  /** Embeddings → 16×16 grayscale PNG (r15): each 8×8 embedding cell
+    * expands to a 2×2 pixel block with the fixed jitter pattern
+    * [0, 9, −7, 4] (clamped 0-255) — a pure function of the EMBEDDING,
+    * so exact copies produce identical rasters, and the 256-pixel grid
+    * carries enough signal to fill the 4×64-bit wide-band aHash
+    * ([[imageAHashWide]], the q215 saturation lever). Deterministic and
+    * integer-exact end to end, so a DuckDB oracle replays the pixels,
+    * the hash bits, and the band values.
+    */
+  def embeddingsAsPng16(embeddings: DataFrame): Dataset[MediaRow] = {
+    import embeddings.sparkSession.implicits._
+    val jit = Array(0, 9, -7, 4)
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        require(v.length == 64,
+          s"embeddingsAsPng16 expects 64 dims, got ${v.length} (vec_id=$id)")
+        val px = new Array[Int](256)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val base = math.max(0, math.min(255,
+              math.floor((v((y / 2) * 8 + x / 2) + 1.0) * 127.5).toInt))
+            px(y * 16 + x) = math.max(0, math.min(255,
+              base + jit((y % 2) * 2 + x % 2)))
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(id, "image/png", ImageCodecs.encodePng(
+          ImageCodecs.Raster(16, 16, 1, px)))
+      })
+  }
+
   /** [[imageFeatures]] over PNG or JPEG bytes — REAL executor-side
     * decode via [[ImageCodecs]]; multi-channel rasters aggregate over
     * all samples.

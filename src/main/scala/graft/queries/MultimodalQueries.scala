@@ -432,6 +432,94 @@ object MultimodalQueries {
     },
 
     // ------------------------------------------------------------------
+    // WIDE-BAND IMAGE NEAR-DUP DEDUP (q215, r15) — the widen-bands-with-n
+    // saturation lever as a FIRST-CLASS query: q188/q205/q210's 4×16-bit
+    // banding holds a constant ~1.6e-4 share of the QUADRATIC pair space
+    // as the corpus grows (measured, graft.BandScale: 122 → 33k → 3.1M
+    // candidates at n = 2k/20k/200k), because the 16-bit band space
+    // saturates; this query runs the same pigeonhole discipline over a
+    // 256-bit aHash (16×16 raster) packed into four 64-BIT bands — same
+    // band count, same hamming≤3 radius, band space 2^64 — which cuts
+    // sf10 candidates ~620× while every injected exact copy still
+    // collides in all four bands. Fixtures are REAL 16×16 PNGs decoded
+    // executor-side (embeddingsAsPng16's deterministic 2×2-jitter
+    // expansion); the oracle replays pixels, hash bits (integer-exact
+    // 256·px ≥ sum), band packing (HUGEINT shifts folded to signed
+    // BIGINT two's complement), the band join, and the xor/bit_count
+    // hamming verify. Ten injected exact copies keep the dup path live.
+    QueryDef.sql(
+      "q215_phash_wideband_dedup",
+      """WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id < 10),
+        |px AS (SELECT vec_id,
+        |    list_transform(generate_series(0, 255), i ->
+        |      greatest(0, least(255,
+        |        greatest(0, least(255,
+        |          CAST(floor((CAST(embedding[((i // 16) // 2) * 8
+        |            + ((i % 16) // 2) + 1] AS DOUBLE) + 1.0) * 127.5)
+        |            AS INTEGER)))
+        |        + CASE ((i // 16) % 2) * 2 + ((i % 16) % 2)
+        |            WHEN 0 THEN 0 WHEN 1 THEN 9 WHEN 2 THEN -7
+        |            ELSE 4 END))) AS p
+        |  FROM corpus),
+        |hs AS (SELECT vec_id, p, list_reduce(p, (a, b) -> a + b) AS s
+        |  FROM px),
+        |bands AS (SELECT vec_id, j,
+        |    CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
+        |      THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+        |      AS BIGINT) AS b
+        |  FROM (SELECT vec_id, j,
+        |      list_reduce(list_transform(generate_series(0, 63), t ->
+        |        CASE WHEN 256 * p[64*j + t + 1] >= s
+        |          THEN (1::HUGEINT << t) ELSE 0::HUGEINT END),
+        |        (a, x) -> a + x) AS u
+        |    FROM hs CROSS JOIN generate_series(0, 3) g(j))),
+        |wf AS (SELECT vec_id, list(b ORDER BY j ASC) AS bl
+        |  FROM bands GROUP BY vec_id),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.j = b.j AND a.b = b.b AND a.vec_id < b.vec_id),
+        |ham AS (SELECT c.id_a, c.id_b,
+        |    bit_count(xor(wa.bl[1], wb.bl[1]))
+        |    + bit_count(xor(wa.bl[2], wb.bl[2]))
+        |    + bit_count(xor(wa.bl[3], wb.bl[3]))
+        |    + bit_count(xor(wa.bl[4], wb.bl[4])) AS hamming
+        |  FROM cand c JOIN wf wa ON wa.vec_id = c.id_a
+        |  JOIN wf wb ON wb.vec_id = c.id_b)
+        |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+        |FROM ham WHERE hamming <= 3
+        |ORDER BY id_a ASC, id_b ASC""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = e.unionAll(e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val media = Multimodal.embeddingsAsPng16(Tables.spread(s, corpus))
+      val fp = Multimodal.imageAHashWide(media, side = 16).toDF()
+      val bands = fp.select(col("id"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .select(col("id"), col("pos"), col("col").as("b"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.pos") === col("b.pos") && col("a.b") === col("b.b") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val ha = fp.select(col("id").as("id_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+      val hb = fp.select(col("id").as("id_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+      val hamming = (bit_count(col("a0").bitwiseXOR(col("c0")))
+        + bit_count(col("a1").bitwiseXOR(col("c1")))
+        + bit_count(col("a2").bitwiseXOR(col("c2")))
+        + bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int")
+      cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    },
+
+    // ------------------------------------------------------------------
     // CROSS-FORMAT PERCEPTUAL DEDUP (q205, r14) — the mixed-format crawl
     // reality q188 abstracts away: the SAME image arrives once as PNG and
     // once as JPEG, and a byte-level digest (q25/q40) is blind to the
