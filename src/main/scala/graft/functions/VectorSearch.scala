@@ -420,18 +420,22 @@ object VectorSearch {
     knnWithinCells(imiAssignCells(vectors, cb1, cb2, half, aProbe), k)
 
   /** PROBE-ONLY top-k against a PERSISTED product-cell-bucketed index
-    * (r14) — [[ivfTopKIndexed]] with the IMI coarse quantizer: probe
-    * cells are `aProbe` top cells on half 1 × top-1 on half 2 (k·dim
-    * assignment work spanning k² product cells — the O(√K) scaling that
-    * lets cell count grow with a 100 TB corpus), the probe relation is
-    * collected bounded and re-enters as a broadcast local relation, and
-    * the bucketed index scan is pruned to the probed cells with zero
-    * training jobs in the plan.
+    * (r14; r15 margin probe) — [[ivfTopKIndexed]] with the IMI coarse
+    * quantizer: probe cells are the margin-gated multi-probe on BOTH
+    * halves (top-1 always, ranks 2..`cap` within `margin` of the best —
+    * the same boundary-recall compensation the dedup composites use;
+    * the r14 top-aProbe×top-1 schedule missed every neighbor whose
+    * SECOND half straddled a cell boundary), k·dim assignment work
+    * spanning k² product cells — the O(√K) scaling that lets cell count
+    * grow with a 100 TB corpus. The probe relation is collected bounded
+    * and re-enters as a broadcast local relation, and the bucketed
+    * index scan is pruned to the probed cells with zero training jobs
+    * in the plan.
     */
   def imiTopKIndexed(
       index: DataFrame, probes: DataFrame, k: Int,
       cb1: Seq[(Int, Seq[Double])], cb2: Seq[(Int, Seq[Double])],
-      half: Int, aProbe: Int = 2): DataFrame = {
+      half: Int, cap: Int = 2, margin: Double = 0.1): DataFrame = {
     val v1 = graft.functions.VectorFunctions.toDoubles(
       slice(col("pv"), 1, half))
     val v2 = graft.functions.VectorFunctions.toDoubles(
@@ -439,8 +443,8 @@ object VectorSearch {
     val k2 = cb2.size
     val pcPlan = probes
       .select(col("vec_id").as("pid"), col("embedding").as("pv"))
-      .withColumn("c2", element_at(NE.ivfTopCells(v2, cb2, 1), 1))
-      .withColumn("c1", explode(NE.ivfTopCells(v1, cb1, aProbe)))
+      .withColumn("c2", explode(NE.ivfTopCellsMargin(v2, cb2, cap, margin)))
+      .withColumn("c1", explode(NE.ivfTopCellsMargin(v1, cb1, cap, margin)))
       .withColumn("cell", col("c1") * k2 + col("c2"))
       .drop("c1", "c2")
     val rows = collectBounded(pcPlan)

@@ -2726,23 +2726,31 @@ object LlmPipeline {
     // bucket-pruned scan. This closes the last flat-only lifecycle gap
     // VERDICT r13 #1 names: at 100 TB the cell count grows ∝ corpus but
     // both the persisted layout (k² buckets) and the probe work (k·dim
-    // assignment, aProbe·1 cells probed) scale at √K. The oracle cannot
-    // read the catalog, so it replays BOTH half Lloyd chains, the
-    // corpus's top-1×top-1 assignment, the probes' top-2×top-1 cells,
-    // and the pruned-cell exact ranking CTE-for-CTE.
+    // assignment, margin-gated cells probed) scale at √K. r15: probe
+    // cells use the margin-gated multi-probe on BOTH halves (top-1
+    // always, rank-2 within 0.1 of best — the boundary-recall schedule
+    // the dedup composites use; r14's top-2×top-1 missed neighbors
+    // whose SECOND half straddled a boundary). The oracle cannot read
+    // the catalog, so it replays BOTH half Lloyd chains, the corpus's
+    // top-1×top-1 assignment, the probes' margin-gated cells, and the
+    // pruned-cell exact ranking CTE-for-CTE.
     QueryDef.sql(
       "q206_ann_imi_probe",
       s"""WITH ${imiProdCtes(iters = 3, sampleBuckets = 3, aProbe = 1)},
          |p1 AS (SELECT vec_id, cid AS c1 FROM (
-         |    SELECT vec_id, cid,
+         |    SELECT vec_id, cid, sim,
          |      row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY sim DESC, cid ASC) AS rn
-         |    FROM s1 WHERE vec_id >= 5 AND vec_id < 10) WHERE rn <= 2),
+         |        ORDER BY sim DESC, cid ASC) AS rn,
+         |      max(sim) OVER (PARTITION BY vec_id) AS best
+         |    FROM s1 WHERE vec_id >= 5 AND vec_id < 10)
+         |  WHERE rn = 1 OR (rn <= 2 AND best - sim <= 0.1)),
          |p2 AS (SELECT vec_id, cid AS c2 FROM (
-         |    SELECT vec_id, cid,
+         |    SELECT vec_id, cid, sim,
          |      row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY sim DESC, cid ASC) AS rn
-         |    FROM s2 WHERE vec_id >= 5 AND vec_id < 10) WHERE rn = 1),
+         |        ORDER BY sim DESC, cid ASC) AS rn,
+         |      max(sim) OVER (PARTITION BY vec_id) AS best
+         |    FROM s2 WHERE vec_id >= 5 AND vec_id < 10)
+         |  WHERE rn = 1 OR (rn <= 2 AND best - sim <= 0.1)),
          |pcells AS (SELECT p1.vec_id AS pid, p1.c1 * kd.kk + p2.c2 AS cell
          |  FROM p1 JOIN p2 ON p2.vec_id = p1.vec_id CROSS JOIN kdef kd),
          |p AS (SELECT vec_id AS pid, v AS pv FROM e
@@ -2762,7 +2770,7 @@ object LlmPipeline {
       val (cb1, cb2, half) = AnnIndex.imiCodebooks(s, db)
       VS.imiTopKIndexed(s.table(s"$db.vectors"),
           emb(s, dir).filter(col("vec_id") >= 5 && col("vec_id") < 10),
-          k = 3, cb1, cb2, half, aProbe = 2)
+          k = 3, cb1, cb2, half)
         .orderBy(col("pid").asc, col("rnk").asc)
     },
 

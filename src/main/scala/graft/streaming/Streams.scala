@@ -265,9 +265,12 @@ object Streams {
       .start()
   }
 
-  /** [[annServe]] over the persisted IMI catalog (r14) — the O(√K)
-    * serving face: each micro-batch assigns its probes aProbe×1 product
-    * cells against the memoized 2k-row half-codebooks and runs the
+  /** [[annServe]] over the persisted IMI catalog (r14; r15 margin
+    * probe) — the O(√K) serving face: each micro-batch assigns its
+    * probes margin-gated product cells on BOTH halves (top-1 always,
+    * rank-2 within `margin` of the best, up to `cap` per half — the
+    * boundary-recall schedule the dedup composites use) against the
+    * memoized 2k-row half-codebooks and runs the
     * bucket-pruned exact scan of `AnnIndex.ensureImi`'s product-cell-
     * bucketed vectors (the q206 plan). Same per-batch discipline as
     * [[annServe]]: probes collected once (bounded by contract — the
@@ -276,7 +279,7 @@ object Streams {
     */
   def imiServe(
       spark: SparkSession, probes: DataFrame, db: String,
-      k: Int, aProbe: Int,
+      k: Int, cap: Int = 2, margin: Double = 0.1,
       trigger: Trigger = Trigger.AvailableNow())(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.{AnnIndex, VectorSearch}
@@ -292,7 +295,7 @@ object Streams {
           val (cb1, cb2, half) = AnnIndex.imiCodebooks(spark, db)
           sink(VectorSearch.imiTopKIndexed(
             spark.table(s"$db.vectors"), local, k,
-            cb1, cb2, half, aProbe), id)
+            cb1, cb2, half, cap, margin), id)
         }
       }
       .start()

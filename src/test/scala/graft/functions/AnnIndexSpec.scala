@@ -167,7 +167,7 @@ class AnnIndexSpec extends SparkSpec {
     val probes = spark.table(s"$db2.vectors")
       .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 3)
     val got = VectorSearch.imiTopKIndexed(
-      spark.table(s"$db2.vectors"), probes, k = 3, cb1, cb2, half, aProbe = 2)
+      spark.table(s"$db2.vectors"), probes, k = 3, cb1, cb2, half)
     assert(got.count() > 0, "probe over the recovered catalog must serve")
     assert(got.groupBy(col("pid")).count()
       .filter(col("count") > 3).count() == 0, "top-k bound violated")

@@ -283,7 +283,7 @@ class StreamingSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1").parquet(d)
     val got = scala.collection.mutable.ArrayBuffer.empty[String]
     val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val q = Streams.imiServe(spark, stream, db, k = 3, aProbe = 2) {
+    val q = Streams.imiServe(spark, stream, db, k = 3) {
       (out, id) =>
         got.synchronized {
           got ++= out.collect().map(_.mkString("|"))
@@ -293,8 +293,7 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
     assert(batches.size == 2, s"expected two probe micro-batches, got $batches")
     val batch = VectorSearch.imiTopKIndexed(
-        spark.table(s"$db.vectors"), probes, k = 3, cb1, cb2, half,
-        aProbe = 2)
+        spark.table(s"$db.vectors"), probes, k = 3, cb1, cb2, half)
       .collect().map(_.mkString("|"))
     assert(got.toSet == batch.toSet,
       s"stream vs batch IMI mismatch: stream=${got.size} batch=${batch.length}")
