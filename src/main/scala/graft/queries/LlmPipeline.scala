@@ -310,7 +310,11 @@ object LlmPipeline {
     * PAIRS (dedup — recall-critical): cap 3 / margin 0.2 — measured
     * 122 % (sf0.01) / 172 % (sf0.1) / 109 % (sf1) / 87 % (sf10) of the
     * flat quantizer's thresholded pairs at equal cell count, at 7×
-    * less sf10 cost (ScaleK imimp curve). GRAPH (kNN-for-centrality —
+    * less sf10 cost (ScaleK imimp curve). The full-parity dial is one
+    * notch up: cap 4 / margin 0.2 measures 99.2 % of flat at sf10
+    * (13.10M/13.2M pairs, 74 s total vs flat's 290 — 3.9×); cap 3 is
+    * the production default because the marginal 12 points of recall
+    * cost 2.3× the pair stage. GRAPH (kNN-for-centrality —
     * cost-critical): cap 2 / margin 0.1 — a node's top-5 within
     * slightly fewer probed cells is a quality-neutral approximation
     * for PageRank mass flow, and it holds q151's sf10 edge build at
