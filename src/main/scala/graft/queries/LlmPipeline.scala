@@ -2347,6 +2347,69 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
+    // QUALITY-RANKED SURVIVOR SELECTION (q217, r15) — q150 picks each
+    // near-dup cluster's canonical by MIN ID (deterministic but
+    // arbitrary); a real curation run keeps the BEST member. Here the
+    // quality signal is document length (keep-the-longest — the CCNet/
+    // Dolma-style heuristic for near-duplicate variants, where the
+    // longest copy usually carries the least truncation), ties to the
+    // lowest id. Composes q150's production chain (corpus-scaled IMI,
+    // margin-gated multi-probe, threshold 0.4 pairs, closure) with one
+    // vec_id-keyed join to the documents table and a per-COMPONENT rank
+    // — a high-cardinality keyed window (components ~ corpus-sized, so
+    // no single-reducer hazard; the per-group input is cluster-sized).
+    // The oracle replays chain + join + rank CTE-for-CTE.
+    QueryDef.sql(
+      "q217_survivor_selection_longest",
+      s"""WITH RECURSIVE ${imiProdCtesMp(iters = 3, sampleBuckets = 3, cap = MpCap, margin = MpMargin.toString)},
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b AS a, id_a AS b FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT a AS node, a AS lbl FROM und
+         |  UNION
+         |  SELECT u.a AS node, r.lbl FROM und u JOIN reach r ON u.b = r.node),
+         |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+         |lab AS (SELECT ev.vec_id,
+         |    coalesce(c.component, ev.vec_id) AS component
+         |  FROM (SELECT vec_id FROM embeddings) ev
+         |  LEFT JOIN comp c ON ev.vec_id = c.node),
+         |scored AS (SELECT l.vec_id, l.component, d.n_chars
+         |  FROM lab l JOIN documents d ON d.doc_id = l.vec_id),
+         |ranked AS (SELECT vec_id, component, n_chars,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY n_chars DESC, vec_id ASC) AS rn
+         |  FROM scored)
+         |SELECT vec_id, CAST(component AS BIGINT) AS component,
+         |  CAST(n_chars AS BIGINT) AS n_chars, (rn = 1) AS keep
+         |FROM ranked ORDER BY vec_id ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val (cb1, cb2, half) = VS.trainImiCodebooks(e,
+        k = VS.scaledKHalf(e.count()), iters = 3, sampleBuckets = 3)
+      val edges = VS.imiDedupPairsMp(Tables.spread(s, e), cb1, cb2, half,
+          cap = MpCap, margin = MpMargin, threshold = 0.4)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
+        .withColumnRenamed("node", "vec_id")
+      val lab = e.select(col("vec_id")).join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"))
+      val scored = lab.join(
+        docs(s, dir).select(col("doc_id").as("vec_id"), col("n_chars")),
+        Seq("vec_id"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("n_chars").desc, col("vec_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .select(col("vec_id"), col("component"), col("n_chars"),
+          (col("rn") === 1).as("keep"))
+        .orderBy(col("vec_id").asc)
+    },
+
+    // ------------------------------------------------------------------
     // SEMANTIC DECONTAMINATION (r13) — the embedding-level face of
     // q135's benchmark decontamination: n-gram overlap cannot see a
     // PARAPHRASED eval leak, but its embedding can still sit next to a

@@ -324,6 +324,73 @@ object TrainingPipeline {
     },
 
     // ------------------------------------------------------------------
+    // TEMPERATURE-SCALED DOMAIN RESAMPLING (q216, r15) — the multilingual
+    // sampling classic (mT5/XLM-R style): sampling share q_i ∝ p_i^α
+    // flattens the domain distribution between uniform (α=0) and natural
+    // (α=1), UPSAMPLING rare domains (repeat > 1 epoch) and DOWNSAMPLING
+    // dominant ones — where q114 only downsamples to uniform. α = 0.5
+    // here, deliberately: sqrt is IEEE-correctly-rounded in every engine
+    // while pow(x, 0.3) is not, so the shares are reproducible
+    // bit-for-bit. Determinism discipline: the per-domain repeat factor
+    // is computed ONCE from the ≤|domains|-row count table (driver-side,
+    // domain-ordered left-fold sum — the oracle replays it with an
+    // ORDER BY lang list_reduce, same association), frozen on the e4
+    // integer lattice, and rides into the corpus pass as a broadcast
+    // literal table; per-doc emission = floor(r) epochs + 1 more iff the
+    // salted-md5 fraction clears frac(r) (the q159 epoch discipline —
+    // rand()-free, rerun-stable, nested under growth). Scale shape: one
+    // tiny agg + one narrow broadcast-joined corpus pass; text never
+    // shuffles.
+    QueryDef.sql(
+      "q216_temperature_mixture",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |tot AS (SELECT
+        |    list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang ASC),
+        |      (a, b) -> a + b) AS t,
+        |    CAST(sum(n) AS DOUBLE) AS total FROM c),
+        |r AS (SELECT c.lang, c.n,
+        |    CAST(floor(sqrt(CAST(c.n AS DOUBLE)) / tot.t * tot.total / c.n
+        |      * 10000.0 + 0.5) AS BIGINT) AS repeat_e4
+        |  FROM c CROSS JOIN tot),
+        |em AS (SELECT d.lang,
+        |    sum(r.repeat_e4 // 10000
+        |      + CASE WHEN ('0x' || substr(md5('tsamp' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |          % 10000 < r.repeat_e4 % 10000 THEN 1 ELSE 0 END) AS n_emitted
+        |  FROM documents d JOIN r ON r.lang = d.lang
+        |  GROUP BY d.lang)
+        |SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs, r.repeat_e4,
+        |  CAST(coalesce(em.n_emitted, 0) AS BIGINT) AS n_emitted
+        |FROM r LEFT JOIN em ON em.lang = r.lang
+        |ORDER BY r.lang ASC""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      // domain table is ≤|langs| rows: resolve the temperature shares on
+      // the driver with a DOMAIN-ORDERED left-fold (the oracle's
+      // list_reduce association), freeze on the e4 lattice
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val total = counts.map(_._2).sum.toDouble
+      val t = counts.foldLeft(0.0)((a, c) => a + math.sqrt(c._2.toDouble))
+      val rTbl = broadcast(s.createDataFrame(counts.map { case (lang, n) =>
+        val r4 = math.floor(
+          math.sqrt(n.toDouble) / t * total / n * 10000.0 + 0.5).toLong
+        (lang, n, r4, r4 / 10000L, r4 % 10000L)
+      }.toSeq).toDF("lang", "n_docs", "repeat_e4", "base", "fr"))
+      val frac = conv(substring(
+        md5(concat(lit("tsamp"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long") % 10000
+      val emitted = d.select(col("lang"), col("doc_id"))
+        .join(rTbl, Seq("lang"))
+        .select(col("lang"),
+          (col("base") + when(frac < col("fr"), 1L).otherwise(0L))
+            .as("em"))
+        .groupBy(col("lang")).agg(sum(col("em")).as("n_emitted"))
+      rTbl.join(emitted, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("repeat_e4"),
+          coalesce(col("n_emitted"), lit(0L)).as("n_emitted"))
+        .orderBy(col("lang").asc)
+    },
+
+    // ------------------------------------------------------------------
     // EXACT-k reproducible global sample (r11) — "carve out exactly 200
     // eval documents, the same 200 every run, on any cluster size."
     // q55/q56's hash-bucket predicates give a reproducible ~fraction;
