@@ -368,6 +368,12 @@ object TrainingPipeline {
       // list_reduce association), freeze on the e4 lattice
       val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      // the driver-side solve is |domains|-bounded BY CONTRACT (language
+      // codes); a mistaken high-cardinality column must fail loudly, not
+      // grow the collect
+      require(counts.length <= 100000,
+        s"q216: ${counts.length} domains exceed the driver-solve bound — " +
+          "the mixture table must be domain-sized, not corpus-sized")
       val total = counts.map(_._2).sum.toDouble
       val t = counts.foldLeft(0.0)((a, c) => a + math.sqrt(c._2.toDouble))
       val rTbl = broadcast(s.createDataFrame(counts.map { case (lang, n) =>
