@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scaled-k scale probe for the cell-bucketed vector family (r13).
@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
   * generate semantic-dedup pairs and the kNN graph, and report candidate
   * counts + wall seconds as ONE JSON line.
   *
-  * Usage: graft.ScaleK <sfDir> <k> <nAssign> — run with k ∝ corpus size
-  * (e.g. 32 @ sf0.1, 128 @ sf1, 512 @ sf10) and compare rows/sec across
-  * the three points; BASELINE.md records the resulting curve.
+  * Usage (positional; mode rides in arg 3):
+  *   graft.ScaleK <sfDir> <k> <nAssign>                 — flat IVF curve
+  *   graft.ScaleK <sfDir> <kHalf> <aProbe> imi          — IMI product cells
+  *   graft.ScaleK <sfDir> <kHalf> <cap> imimp <margin> [flat]
+  *                                                       — margin multi-probe
+  *   graft.ScaleK <sfDir> <kHalf> <cap> assign <margin> — flat-scan vs
+  *                                       two-level-descent assignment cost
+  * Run with k ∝ corpus size (e.g. 32 @ sf0.1, 128 @ sf1, 512 @ sf10) and
+  * compare rows/sec across the points; BASELINE.md records the curves.
   */
 object ScaleK {
   def main(args: Array[String]): Unit = {
@@ -41,12 +47,74 @@ object ScaleK {
       (a, (System.nanoTime() - t0) / 1e9)
     }
     val spread = Tables.spread(spark, e)
-    // optional 4th arg "imimp" (r15): the margin-gated symmetric
-    // multi-probe face — k per half (0 = the production scaledKHalf
-    // formula), arg 3 is the per-half probe cap, arg 5 the margin; also
-    // reports the assignment expansion (rows per vector) and, when a 6th
-    // arg "flat" is given, the flat quantizer's pairs at the SAME cell
-    // count for the recall ratio the VERDICT r14 #2 pin needs
+    // "assign" mode (r16, VERDICT r15 #2 done-criterion): positional
+    // args <sfDir> <kHalf> <cap> assign <margin> — trains the IMI
+    // half-codebooks at the FORCED kHalf, then times the corpus
+    // assignment twice: the flat O(kHalf·dim)-per-vector centroid scan
+    // vs the two-level O(√kHalf·dim) descent, reporting per-vector µs
+    // for both plus the cell-set agreement (how many (vec_id, cell)
+    // assignments the descent reproduces) — run at sf1 and sf10 with
+    // the same forced kHalf to show the descent's per-vector cost stays
+    // ~flat while the flat scan's grows with kHalf
+    if (args.lift(3).contains("assign")) {
+      import graft.functions.{NativeExpressions => NEx, VectorFunctions => VFx}
+      val margin = args(4).toDouble
+      val cap = nAssign
+      val kHalf = if (k == 0) VS.scaledKHalf(n) else k
+      val ((cb1, cb2, half), tTrain) =
+        timed(VS.trainImiCodebooks(e, k = kHalf, iters = 3, sampleBuckets = 3))
+      val v1 = VFx.toDoubles(slice(col("embedding"), 1, half))
+      val v2 = VFx.toDoubles(slice(col("embedding"), half + 1, half))
+      def assignWith(c1: Column, c2: Column) = spread
+        .withColumn("c2", explode(c2)).withColumn("c1", explode(c1))
+        .select(col("vec_id"), (col("c1") * cb2.size + col("c2")).as("cell"))
+      val flatA = assignWith(
+        NEx.ivfTopCellsMargin(v1, cb1, cap, margin),
+        NEx.ivfTopCellsMargin(v2, cb2, cap, margin))
+      // optional args(5)/args(6): the super-level dial (default = the
+      // cell-level cap/margin — the production choice being measured)
+      val sCap = args.lift(5).map(_.toInt).getOrElse(cap)
+      val sMargin = args.lift(6).map(_.toDouble).getOrElse(margin)
+      val (g1, g2) = (VS.superCluster(cb1), VS.superCluster(cb2))
+      val hierA = assignWith(
+        NEx.ivfTopCellsMarginHier(v1, g1, cap, margin, sCap, sMargin),
+        NEx.ivfTopCellsMarginHier(v2, g2, cap, margin, sCap, sMargin))
+      val (nFlat, tFlat) = timed(flatA.count())
+      val (nHier, tHier) = timed(hierA.count())
+      val (nCommon, _) = timed(
+        hierA.intersect(flatA).count())
+      // downstream recall — what the dedup composites actually consume:
+      // thresholded pairs from each assignment (pair recall survives
+      // assignment divergence because near-dup members descend alike)
+      def pairsOf(a: org.apache.spark.sql.DataFrame) = {
+        val withV = a.join(spread, Seq("vec_id"))
+          .select(col("cell"), col("vec_id"), col("embedding"))
+        VS.pairsWithinCells(withV, 0.4)
+      }
+      val (pFlat, tpF) = timed(pairsOf(flatA).count())
+      val (pHier, tpH) = timed(pairsOf(hierA).count())
+      println(
+        s"""{"metric":"scale_k_assign","sf":"$sfDir","n":$n,"kHalf":$kHalf,""" +
+          s""""cap":$cap,"margin":$margin,"superCap":$sCap,""" +
+          s""""superMargin":$sMargin,"train_sec":${f"$tTrain%.2f"},""" +
+          s""""flat_assigned":$nFlat,"flat_sec":${f"$tFlat%.2f"},""" +
+          s""""flat_us_per_vec":${f"${tFlat * 1e6 / n}%.2f"},""" +
+          s""""hier_assigned":$nHier,"hier_sec":${f"$tHier%.2f"},""" +
+          s""""hier_us_per_vec":${f"${tHier * 1e6 / n}%.2f"},""" +
+          s""""common_assignments":$nCommon,""" +
+          s""""flat_pairs":$pFlat,"flat_pairs_sec":${f"$tpF%.2f"},""" +
+          s""""hier_pairs":$pHier,"hier_pairs_sec":${f"$tpH%.2f"}}""")
+      spark.stop()
+      return
+    }
+    // "imimp" mode (r15): the margin-gated symmetric multi-probe face —
+    // positional args <sfDir> <k> <cap> imimp <margin> [flat]: arg 1 is
+    // kHalf (0 = the production scaledKHalf formula), arg 2 the per-half
+    // probe cap (it rides in the nAssign slot), args(3) the mode flag,
+    // args(4) the margin, and an optional args(5)="flat" also runs the
+    // flat quantizer at the SAME cell count for the recall ratio the
+    // VERDICT r14 #2 pin needs; reports the assignment expansion
+    // (rows per vector) alongside pairs/graph timings
     if (args.lift(3).contains("imimp")) {
       val margin = args(4).toDouble
       val kHalf = if (k == 0) VS.scaledKHalf(n) else k

@@ -236,6 +236,31 @@ object Multimodal {
       })
   }
 
+  /** [[embeddingsAsPng]] with ODD ids stored Adam7-INTERLACED (rotating
+    * row filters over the global pass-row counter) and even ids
+    * sequential (r16, VERDICT r15 #4): interlacing is a lossless
+    * container rearrangement, so one query over this mixed corpus
+    * proves the seven-pass decode lands on the identical raster — the
+    * old-web-crawl reality where both layouts arrive interleaved.
+    */
+  def embeddingsAsPngMixedInterlace(embeddings: DataFrame): Dataset[MediaRow] = {
+    import embeddings.sparkSession.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val px = v.map(x =>
+          math.max(0, math.min(255, math.floor((x + 1.0) * 127.5).toInt)))
+        val side = math.sqrt(px.length).toInt
+        require(side * side == px.length,
+          s"embedding dim ${px.length} is not a perfect square (vec_id=$id)")
+        val r = ImageCodecs.Raster(side, side, 1, px)
+        val bytes =
+          if (id % 2 == 1) ImageCodecs.encodePngInterlaced(r, i => i % 5)
+          else ImageCodecs.encodePng(r, filterFor = y => y % 5)
+        MediaRow(id, "image/png", bytes)
+      })
+  }
+
   /** Embeddings → BLOCK-CONSTANT grayscale JPEG: each embedding value
     * becomes one constant 8×8 block (64 dims → a 64×64 image), encoded
     * baseline with a flat quantizer. Constant blocks have a DC-only
@@ -354,6 +379,63 @@ object Multimodal {
         }
         MediaRow(id, "image/png", ImageCodecs.encodePng(
           ImageCodecs.Raster(16, 16, 1, px)))
+      })
+  }
+
+  /** [[embeddingsAsPng16]]'s deterministic 2×2-jitter expansion with a
+    * TIFF container (r16) — the 16×16 media source that lets q188 keep
+    * its TIFF-decode identity while hashing at the 256-bit width
+    * ([[imageAHashWide]]): pixel lattice identical to the PNG16 face by
+    * construction, so the DuckDB oracle's pixel CTE is shared.
+    */
+  def embeddingsAsTiff16(embeddings: DataFrame): Dataset[MediaRow] = {
+    import embeddings.sparkSession.implicits._
+    val jit = Array(0, 9, -7, 4)
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        require(v.length == 64,
+          s"embeddingsAsTiff16 expects 64 dims, got ${v.length} (vec_id=$id)")
+        val px = new Array[Int](256)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val base = math.max(0, math.min(255,
+              math.floor((v((y / 2) * 8 + x / 2) + 1.0) * 127.5).toInt))
+            px(y * 16 + x) = math.max(0, math.min(255,
+              base + jit((y % 2) * 2 + x % 2)))
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(id, "image/tiff", TiffIO.encode(16, 16, px, 8))
+      })
+  }
+
+  /** Embeddings → BLOCK-CONSTANT Adobe CMYK JPEG (r16, VERDICT r15 #5):
+    * four 64×64 planes, each 8×8 block constant, drawn from the standard
+    * pixel quantization of the embedding with per-plane rotations
+    * (c' = px[i], m' = px[(i+16)%64], y' = px[(i+32)%64],
+    * k' = px[(i+48)%64] — stored Adobe-inverted by definition, APP14
+    * transform 0). Constant blocks under the flat quantizer round-trip
+    * exactly, so the decoder's CMYK composite is oracle-replayable.
+    */
+  def embeddingsAsCmykJpeg(embeddings: DataFrame): Dataset[MediaRow] = {
+    import embeddings.sparkSession.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        require(v.length == 64,
+          s"embeddingsAsCmykJpeg expects 64 dims, got ${v.length} (vec_id=$id)")
+        val px = v.map(x =>
+          math.max(0, math.min(255, math.floor((x + 1.0) * 127.5).toInt)))
+        def plane(rot: Int): Array[Int] = Array.tabulate(64 * 64) { p =>
+          val bi = ((p / 64) / 8) * 8 + (p % 64) / 8
+          px((bi + rot) % 64)
+        }
+        MediaRow(id, "image/jpeg", ImageCodecs.encodeJpegAdobe(64, 64,
+          Seq(plane(0), plane(16), plane(32), plane(48)), transform = 0))
       })
   }
 
@@ -523,6 +605,37 @@ object Multimodal {
       })
   }
 
+  /** [[embeddingsAsWav]]'s 4×-jitter expansion (r16) — the 256-sample
+    * clip source that lets q208 fingerprint at the 256-bit width
+    * ([[audioFingerprintWide]]): sample 4i+j = clamp(clamp(floor(v_i ·
+    * 32767)) + jit_j) with jit = (0, 900, −700, 400) — deterministic,
+    * integer-exact, oracle-replayable (the audio analogue of the PNG16
+    * pixel lattice).
+    */
+  def embeddingsAsWavLong(
+      embeddings: DataFrame, sampleRate: Int = 16000): Dataset[MediaRow] = {
+    import embeddings.sparkSession.implicits._
+    val jit = Array(0, 900, -700, 400)
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val smp = new Array[Short](v.length * 4)
+        var i = 0
+        while (i < v.length) {
+          val base = math.max(-32768L, math.min(32767L,
+            math.floor(v(i).toDouble * 32767.0).toLong))
+          var j = 0
+          while (j < 4) {
+            smp(i * 4 + j) = math.max(-32768L,
+              math.min(32767L, base + jit(j))).toShort
+            j += 1
+          }
+          i += 1
+        }
+        MediaRow(id, "audio/wav", encodeWav(smp, sampleRate))
+      })
+  }
+
   final case class AudioFp(id: Long, h0: Int, h1: Int, h2: Int, h3: Int)
 
   /** Delta-sign acoustic fingerprint of a decoded PCM16 clip (r14) —
@@ -652,6 +765,9 @@ object Multimodal {
       val r = m.media_type match {
         case "image/png" => ImageCodecs.decodePng(m.bytes)
         case "image/jpeg" => ImageCodecs.decodeJpeg(m.bytes)
+        case "image/tiff" =>
+          val t = TiffIO.decode(m.bytes)
+          ImageCodecs.Raster(t.width, t.height, 1, t.pixels)
         case t => throw new IllegalArgumentException(
           s"imageAHashWide: unsupported media_type $t")
       }

@@ -371,6 +371,181 @@ case class IvfTopCellsMargin(
       newChild: Expression): IvfTopCellsMargin = copy(child = newChild)
 }
 
+/** Two-level coarse-assignment kernel (r16, VERDICT r15 #2) — the
+  * sub-linear replacement for [[IvfCodebookRef]]'s flat centroid scan.
+  * With the corpus-scaled codebook (kHalf = √(n/64)) a flat scan costs
+  * O(kHalf·dim) per vector, i.e. total assignment work ∝ n^1.5 — the
+  * dominant term at 100 TB (kHalf ~10⁵). Here the kHalf centroids are
+  * pre-grouped (driver-side, deterministically — see
+  * `VectorSearch.superCluster`) into g ≈ √kHalf super-cells; a vector
+  * first ranks the g super-centroids, keeps the top-1 plus ranks
+  * 2..`superCap` within `superMargin` of the best (the same
+  * data-adaptive gate [[IvfTopCellsMargin]] applies to cells), and only
+  * the MEMBER centroids of those probed supers are scanned with the
+  * ordinary (round-4 sim desc, cid asc) margin gate. Per-vector work
+  * drops to O((g + probed·kHalf/g)·dim) ≈ O(√kHalf·dim) — total ∝
+  * n^1.25. Because the final gate is a total order over the scanned set,
+  * scan order cannot affect the result, and the whole descent (super
+  * training included) is replayed CTE-for-CTE by the DuckDB oracle
+  * (q218). Recall loss vs the flat scan is only a vector whose true
+  * top cell hides in an unprobed super — exactly the boundary case the
+  * super-level margin gate is there to catch; ScaleK's `assign` mode
+  * measures the residual.
+  */
+final class IvfHierRef(
+    val superSids: Array[Int],
+    val superVecs: Array[Array[Double]],
+    val memberCids: Array[Array[Int]],
+    val memberVecs: Array[Array[Array[Double]]],
+    val superCap: Int, val superMargin: Double) extends Serializable {
+  // `superSids` are the ORIGINAL super ids (ties in the stage-1 ranking
+  // break to the lowest ORIGINAL sid, so dropping empty supers at
+  // construction cannot renumber the tie order the oracle replays);
+  // member/vec arrays are positional against this compacted list.
+  require(superSids.length == superVecs.length &&
+    superVecs.length == memberCids.length &&
+    memberCids.length == memberVecs.length,
+    "ivf hier: ragged super arrays")
+
+  private def l2(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+  @transient private lazy val superNorms: Array[Double] = superVecs.map(l2)
+  @transient private lazy val memberNorms: Array[Array[Double]] =
+    memberVecs.map(_.map(l2))
+  @transient private lazy val posOfSid: java.util.HashMap[Int, Int] = {
+    val m = new java.util.HashMap[Int, Int](superSids.length * 2)
+    var i = 0
+    while (i < superSids.length) { m.put(superSids(i), i); i += 1 }
+    m
+  }
+
+  /** round(x, 4) on the family lattice (BigDecimal HALF_UP; NaN/Inf pass
+    * through) — bit-identical to [[IvfCodebookRef]]'s rounding.
+    */
+  private def round4(cos: Double): Double =
+    if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
+    else java.math.BigDecimal.valueOf(cos)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Offer every (cid, vec) of one centroid group into the shared
+    * insertion-sorted top-`cap` accumulator ordered by (sim desc, cid
+    * asc) — the identical loop body to `IvfCodebookRef.selectTop`, made
+    * group-appendable so stage 2 can fold several member groups into one
+    * total-order selection.
+    */
+  private def scanGroup(
+      a: Array[Double], na: Double, cids: Array[Int],
+      vecs: Array[Array[Double]], norms: Array[Double],
+      topC: Array[Int], topS: Array[Double], cap: Int,
+      filled0: Int): Int = {
+    var filled = filled0
+    var c = 0
+    val k = cids.length
+    val len = a.length
+    while (c < k) {
+      val cv = vecs(c)
+      require(cv.length == len,
+        s"ivf_top_cells_hier: ${len}-dim vector vs ${cv.length}-dim centroid")
+      var dot = 0.0
+      var j = 0
+      while (j < len) { dot += a(j) * cv(j); j += 1 }
+      val s = round4(dot / (na * norms(c)))
+      val cid = cids(c)
+      var pos = filled
+      while (pos > 0 && {
+        val cmp = java.lang.Double.compare(s, topS(pos - 1))
+        cmp > 0 || (cmp == 0 && cid < topC(pos - 1))
+      }) pos -= 1
+      if (pos < cap) {
+        var m = math.min(filled, cap - 1)
+        while (m > pos) { topS(m) = topS(m - 1); topC(m) = topC(m - 1); m -= 1 }
+        topS(pos) = s
+        topC(pos) = cid
+        if (filled < cap) filled += 1
+      }
+      c += 1
+    }
+    filled
+  }
+
+  /** The two-stage descent: margin-gated supers, then the ordinary
+    * margin gate over the probed supers' member centroids.
+    */
+  def topCellsMargin(v: ArrayData, cap: Int, margin: Double): ArrayData = {
+    val len = v.numElements()
+    val a = new Array[Double](len)
+    var i = 0
+    while (i < len) { a(i) = v.getDouble(i); i += 1 }
+    var sa = 0.0
+    i = 0
+    while (i < len) { sa += a(i) * a(i); i += 1 }
+    val na = math.sqrt(sa)
+    // stage 1: super-cell gate (ranked by sim desc, ORIGINAL sid asc)
+    val sCap = math.min(superCap, superVecs.length)
+    val supC = new Array[Int](sCap)
+    val supS = new Array[Double](sCap)
+    val supF = scanGroup(a, na, superSids, superVecs, superNorms,
+      supC, supS, sCap, 0)
+    var keepSup = 1
+    while (keepSup < supF && supS(0) - supS(keepSup) <= superMargin)
+      keepSup += 1
+    // stage 2: one total-order margin gate over the scanned members
+    val topC = new Array[Int](cap)
+    val topS = new Array[Double](cap)
+    var filled = 0
+    i = 0
+    while (i < keepSup) {
+      val pos = posOfSid.get(supC(i))
+      filled = scanGroup(a, na, memberCids(pos), memberVecs(pos),
+        memberNorms(pos), topC, topS, cap, filled)
+      i += 1
+    }
+    var keep = 1
+    while (keep < filled && topS(0) - topS(keep) <= margin) keep += 1
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topC, math.max(math.min(keep, filled), 0)))
+  }
+}
+
+/** [[IvfTopCellsMargin]] over a two-level centroid hierarchy (r16) —
+  * identical output contract (gated cell ids by sim desc / cid asc),
+  * O(√kHalf·dim) per-vector work instead of O(kHalf·dim). The hierarchy
+  * rides along as a reference object exactly like the flat codebook —
+  * shipped once per executor with the task binary, O(1) codegen size in
+  * kHalf.
+  */
+case class IvfTopCellsMarginHier(
+    child: Expression, hier: IvfHierRef, cap: Int, margin: Double)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_top_cells_hier requires ARRAY<DOUBLE>, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_top_cells_hier"
+
+  override protected def nullSafeEval(input: Any): Any =
+    hier.topCellsMargin(input.asInstanceOf[ArrayData], cap, margin)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfHier", hier,
+      "graft.functions.IvfHierRef")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = $ref.topCellsMargin($c, $cap, $margin);"
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IvfTopCellsMarginHier = copy(child = newChild)
+}
+
 /** Per-document MinHash signatures as a native expression: token array →
   * ARRAY<LONG> of `as.length` signature mins. Replicates the declared
   * q42 arithmetic exactly — word-3-shingles with concat_ws null-skipping
@@ -640,5 +815,25 @@ object NativeExpressions {
       cents.map(_._1).toArray, cents.map(_._2.toArray).toArray)
     GraftSqlBridge.column(
       IvfTopCellsMargin(GraftSqlBridge.expression(vecD), ref, cap, margin))
+  }
+
+  /** Margin-gated cells via the two-level descent (see [[IvfHierRef]]):
+    * `groups` is the compacted (sid, superVec, members) hierarchy —
+    * members as (cid, centroidVec), supers with no members already
+    * dropped. Same output contract as [[ivfTopCellsMargin]].
+    */
+  def ivfTopCellsMarginHier(
+      vecD: Column,
+      groups: Seq[(Int, Seq[Double], Seq[(Int, Seq[Double])])],
+      cap: Int, margin: Double, superCap: Int,
+      superMargin: Double): Column = {
+    val ref = new IvfHierRef(
+      groups.map(_._1).toArray,
+      groups.map(_._2.toArray).toArray,
+      groups.map(_._3.map(_._1).toArray).toArray,
+      groups.map(_._3.map(_._2.toArray).toArray).toArray,
+      superCap, superMargin)
+    GraftSqlBridge.column(
+      IvfTopCellsMarginHier(GraftSqlBridge.expression(vecD), ref, cap, margin))
   }
 }

@@ -155,6 +155,28 @@ object LlmPipeline {
     (init +: rounds).mkString(",\n")
   }
 
+  /** One super-level Lloyd round for the q218 hierarchical-descent
+    * oracle: assign every centroid row of `src(cid, cv)` to its best
+    * super in `from(sid, sv)` (round-4 argmax, ties to the lowest sid),
+    * then emit `sup$t` as the 1e-6-quantized per-dim means with empty
+    * supers carrying their previous vector —
+    * `VectorSearch.superCluster`'s update rule verbatim, so the oracle
+    * and the driver-side construction walk the same value lattice.
+    */
+  private def superLloydCtes(src: String, from: String, t: Int): String =
+    s"""sa$t AS (SELECT cid, cv, sid FROM (
+       |    SELECT c.cid, c.cv, s.sid,
+       |      row_number() OVER (PARTITION BY c.cid
+       |        ORDER BY round(list_cosine_similarity(c.cv, s.sv), 4) DESC,
+       |          s.sid ASC) AS rn
+       |    FROM $src c CROSS JOIN $from s) WHERE rn = 1),
+       |sm$t AS (SELECT sid, list(mq ORDER BY i) AS sv FROM (
+       |    SELECT sid, i, floor(avg(cv[i]) * 1000000.0 + 0.5) / 1000000.0 AS mq
+       |    FROM sa$t CROSS JOIN generate_series(1, 64) g$t(i)
+       |    GROUP BY sid, i) GROUP BY sid),
+       |sup$t AS (SELECT p.sid, coalesce(m.sv, p.sv) AS sv
+       |  FROM $from p LEFT JOIN sm$t m ON m.sid = p.sid)""".stripMargin
+
   /** Half-vector k-means chain for the IMI oracle (q156): the
     * [[kmeansCtes]] arithmetic verbatim, parameterized by the slice
     * window and a CTE-name prefix so two independent chains coexist in
@@ -305,22 +327,23 @@ object LlmPipeline {
        |  CROSS JOIN kdef kd)""".stripMargin
   }
 
-  /** The r15 production dials, ONE definition per family so every
+  /** The production dials, ONE definition per family so every
     * composite call site and its oracle literal stay in lockstep.
-    * PAIRS (dedup — recall-critical): cap 3 / margin 0.2 — measured
-    * 122 % (sf0.01) / 172 % (sf0.1) / 109 % (sf1) / 87 % (sf10) of the
-    * flat quantizer's thresholded pairs at equal cell count, at 7×
-    * less sf10 cost (ScaleK imimp curve). The full-parity dial is one
-    * notch up: cap 4 / margin 0.2 measures 99.2 % of flat at sf10
-    * (13.10M/13.2M pairs, 74 s total vs flat's 290 — 3.9×); cap 3 is
-    * the production default because the marginal 12 points of recall
-    * cost 2.3× the pair stage. GRAPH (kNN-for-centrality —
-    * cost-critical): cap 2 / margin 0.1 — a node's top-5 within
-    * slightly fewer probed cells is a quality-neutral approximation
-    * for PageRank mass flow, and it holds q151's sf10 edge build at
-    * ~10 s vs 30-44 s at the pairs dial (and 67 s frozen-K r14).
+    * PAIRS (dedup — recall-critical): cap 4 / margin 0.2 (r16, VERDICT
+    * r15 #1) — measured 99.2 % of the flat quantizer's thresholded
+    * pairs at sf10 at equal cell count (13.10M/13.2M pairs, 74 s total
+    * vs flat's 290 — 3.9× cheaper), vs 87 % at the r15 cap-3 dial,
+    * which sat under the ≥~90 % done-criterion and silently kept ~13 %
+    * of near-dups in every release built on the capstone. Recall is the
+    * product these composites sell; the 2.3× pair-stage premium over
+    * cap 3 is the price of not shipping under-deduped releases. GRAPH
+    * (kNN-for-centrality — cost-critical): cap 2 / margin 0.1 — a
+    * node's top-5 within slightly fewer probed cells is a
+    * quality-neutral approximation for PageRank mass flow, and it holds
+    * q151's sf10 edge build at ~10 s vs 30-44 s at the pairs dial (and
+    * 67 s frozen-K r14).
     */
-  private val MpCap = 3
+  private val MpCap = 4
   private val MpMargin = 0.2
   private val GraphCap = 2
   private val GraphMargin = 0.1
@@ -2842,6 +2865,75 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
+    // TWO-LEVEL COARSE ASSIGNMENT (q218, r16 — VERDICT r15 #2): with the
+    // corpus-scaled codebook (kHalf = √(n/64)) the flat centroid scan
+    // costs O(kHalf·dim) per vector — total assignment work ∝ n^1.5, the
+    // dominant term at 100 TB (kHalf ~10⁵). The fix is a two-level
+    // descent: the k centroids are deterministically grouped into
+    // g = ⌈√k⌉ super-cells (same Lloyd discipline as the codebook itself
+    // — init from the first g centroids in cid order, argmax of
+    // round(cosine, 4) with ties to the lowest sid, 1e-6-quantized mean
+    // updates, empty supers carry then drop); a vector ranks the g
+    // super-centroids with the SAME margin gate the cells use, then
+    // scans only the probed supers' members — O(√k·dim) per vector,
+    // total ∝ n^1.25. The production composites engage this path
+    // automatically at kHalf >= 64 (VectorSearch.HierKThreshold), which
+    // no gate SF reaches, so THIS query forces k = 64 on the gate corpus
+    // to hash-check the descent itself: the oracle replays the codebook
+    // training, the super-level Lloyd rounds, the live-super membership,
+    // and both margin gates CTE-for-CTE, and the full (vec_id, cell)
+    // assignment must match row-for-row.
+    QueryDef.sql(
+      "q218_hier_coarse_assign",
+      s"""WITH ${kmeansCtes(64, 2, 3)},
+         |sup0 AS (SELECT cid AS sid, cv AS sv FROM cent2 WHERE cid < 8),
+         |${superLloydCtes(src = "cent2", from = "sup0", t = 1)},
+         |${superLloydCtes(src = "cent2", from = "sup1", t = 2)},
+         |mem AS (SELECT cid, sid FROM (
+         |    SELECT c.cid, s.sid,
+         |      row_number() OVER (PARTITION BY c.cid
+         |        ORDER BY round(list_cosine_similarity(c.cv, s.sv), 4) DESC,
+         |          s.sid ASC) AS rn
+         |    FROM cent2 c CROSS JOIN sup2 s) WHERE rn = 1),
+         |live AS (SELECT s.sid, s.sv FROM sup2 s
+         |  WHERE EXISTS (SELECT 1 FROM mem m WHERE m.sid = s.sid)),
+         |ev AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |ss AS (SELECT e.vec_id, l.sid,
+         |    round(list_cosine_similarity(e.v, l.sv), 4) AS sim
+         |  FROM ev e CROSS JOIN live l),
+         |ps AS (SELECT vec_id, sid FROM (
+         |    SELECT vec_id, sid, sim,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, sid ASC) AS rn,
+         |      max(sim) OVER (PARTITION BY vec_id) AS best
+         |    FROM ss) WHERE rn = 1 OR (rn <= 3 AND best - sim <= 0.2)),
+         |sc AS (SELECT e.vec_id, m.cid,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+         |  FROM ev e JOIN ps p ON p.vec_id = e.vec_id
+         |  JOIN mem m ON m.sid = p.sid JOIN cent2 c ON c.cid = m.cid),
+         |gate AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, sim,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn,
+         |      max(sim) OVER (PARTITION BY vec_id) AS best
+         |    FROM sc) WHERE rn = 1 OR (rn <= 3 AND best - sim <= 0.2))
+         |SELECT vec_id, cid AS cell FROM gate
+         |ORDER BY vec_id ASC, cell ASC""".stripMargin) { (s, dir) =>
+      import graft.functions.{VectorSearch => VS}
+      val cents = VS.trainIvfCodebook(emb(s, dir), k = 64, iters = 2,
+        sampleBuckets = 3)
+      val groups = VS.superCluster(cents)
+      emb(s, dir).select(col("vec_id"),
+          explode(NE.ivfTopCellsMarginHier(
+            VF.toDoubles(col("embedding")), groups,
+            cap = 3, margin = 0.2, superCap = 3, superMargin = 0.2))
+            .as("cell"))
+        .orderBy(col("vec_id").asc, col("cell").asc)
+    },
+
+    // ------------------------------------------------------------------
     // TRUNCATED-DIMENSION TWO-STAGE SEARCH (q158, r13) — the matryoshka
     // serving pattern: coarse-rank ALL candidates on a 32-dim PREFIX of
     // the embedding (half the bytes moved — with MRL-trained embeddings
@@ -3312,26 +3404,28 @@ object LlmPipeline {
     },
 
     // ------------------------------------------------------------------
-    // INCREMENTAL IMAGE NEAR-DUP vs a PERSISTED pHASH STORE (q210, r14) —
-    // q189's standing-artifact economics applied to the IMAGE corpus:
-    // the history's aHash BANDS live in a store bucketed by band key
-    // (md5(band_idx | band_value) — one column is the complete join
-    // identity), each row carrying the full 4×16-bit hash so the probe
-    // can confirm exactly; an incoming delta computes its own bands (one
-    // narrow real-decode pass) and LEFT-joins the store co-bucketed —
-    // the history never reshuffles, the join input is delta-sized, and
-    // each incoming image leaves with its candidate count (band
-    // collisions), CONFIRMED near-dup count (hamming ≤ 3 on the carried
-    // hashes), and first match. Incoming includes one-pixel REPLAYS of
-    // history images (digest-distinct; byte digests see nothing), per
-    // the q40/q99 liveness discipline — at sf0.01 ten of them confirm at
-    // hamming ≤ 3 while others drift past it (aHash bits threshold
-    // against the MEAN, so one pixel can move several bits — the honest
-    // reason the exact confirm exists at all), and chance 16-bit band
-    // collisions keep the candidate-vs-confirmed distinction itself
-    // live (7 incoming docs carry candidates that FAIL the confirm). At 100 TB
-    // the store is the standing artifact; each day pays its delta's
-    // decode + a band-bucket-pruned probe.
+    // INCREMENTAL IMAGE NEAR-DUP vs a PERSISTED pHASH STORE (q210, r14;
+    // r16 wide bands — VERDICT r15 #6) — q189's standing-artifact
+    // economics applied to the IMAGE corpus: the history's aHash BANDS
+    // live in a store bucketed by band key (md5(band_idx | band_value) —
+    // one column is the complete join identity), each row carrying the
+    // full 4×64-bit hash so the probe can confirm exactly; an incoming
+    // delta computes its own bands (one narrow real-decode pass) and
+    // LEFT-joins the store co-bucketed — the history never reshuffles,
+    // the join input is delta-sized, and each incoming image leaves with
+    // its candidate count (band collisions), CONFIRMED near-dup count
+    // (hamming ≤ 3 on the carried hashes), and first match. r16 moves
+    // the STORE to the 256-bit hash in four 64-bit bands (q215's lever,
+    // now the default): on the retired 2^16 band space chance collisions
+    // grow ~n²/2^16 and the store probe pays them forever; on 2^64 the
+    // candidate set is true-dup-sized at any corpus. Incoming includes
+    // one-value REPLAYS of history images (digest-distinct; byte digests
+    // see nothing), per the q40/q99 liveness discipline — the
+    // perturbation moves one 2×2 pixel block AND the global mean, so
+    // some replays confirm at hamming ≤ 3 while others drift past it
+    // (the honest reason the exact confirm exists at all). At 100 TB the
+    // store is the standing artifact; each day pays its delta's decode +
+    // a band-bucket-pruned probe.
     QueryDef.sql(
       "q210_phash_incremental_store",
       """WITH base AS (SELECT vec_id, embedding,
@@ -3341,29 +3435,38 @@ object LlmPipeline {
         |  SELECT vec_id, embedding, g FROM base
         |  UNION ALL
         |  SELECT vec_id + 500000 AS vec_id,
-        |    list_transform(generate_series(1, len(embedding)),
-        |      i -> CASE WHEN i = 1 THEN CAST(1.0 AS FLOAT)
-        |           ELSE embedding[i] END) AS embedding,
+        |    CASE WHEN vec_id % 50 = 0 THEN embedding
+        |      ELSE list_transform(generate_series(1, len(embedding)),
+        |        i -> CASE WHEN i = 1 THEN CAST(1.0 AS FLOAT)
+        |             ELSE embedding[i] END) END AS embedding,
         |    9 AS g
         |  FROM base WHERE g < 8 AND vec_id % 25 = 0),
         |px AS (SELECT vec_id, g,
-        |    list_transform(embedding, x ->
+        |    list_transform(generate_series(0, 255), i ->
         |      greatest(0, least(255,
-        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |        greatest(0, least(255,
+        |          CAST(floor((CAST(embedding[((i // 16) // 2) * 8
+        |            + ((i % 16) // 2) + 1] AS DOUBLE) + 1.0) * 127.5)
+        |            AS INTEGER)))
+        |        + CASE ((i // 16) % 2) * 2 + ((i % 16) % 2)
+        |            WHEN 0 THEN 0 WHEN 1 THEN 9 WHEN 2 THEN -7
+        |            ELSE 4 END))) AS p
         |  FROM corpus),
-        |hs AS (SELECT vec_id, g, p,
-        |    list_reduce(list_prepend(0, p), (a, b) -> a + b) AS s
+        |hs AS (SELECT vec_id, g, p, list_reduce(p, (a, b) -> a + b) AS s
         |  FROM px),
-        |bits AS (SELECT vec_id, g,
-        |    list_transform(generate_series(0, 63),
-        |      i -> CASE WHEN 64 * p[i + 1] >= s THEN 1 ELSE 0 END) AS b
-        |  FROM hs),
-        |bands AS (SELECT vec_id, g,
-        |    list_transform(generate_series(0, 3), j ->
-        |      list_reduce(list_prepend(0,
-        |        list_transform(generate_series(0, 15),
-        |          k -> b[16 * j + k + 1] << k)), (a, c) -> a + c)) AS bd
-        |  FROM bits),
+        |bjs AS (SELECT vec_id, g, j,
+        |    CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
+        |      THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+        |      AS BIGINT) AS b
+        |  FROM (SELECT vec_id, g, j,
+        |      list_reduce(list_transform(generate_series(0, 63), t ->
+        |        CASE WHEN 256 * p[64*j + t + 1] >= s
+        |          THEN (1::HUGEINT << t) ELSE 0::HUGEINT END),
+        |        (a, x) -> a + x) AS u
+        |    FROM hs CROSS JOIN generate_series(0, 3) gs(j))),
+        |bands AS (SELECT vec_id, any_value(g) AS g,
+        |    list(b ORDER BY j ASC) AS bd
+        |  FROM bjs GROUP BY vec_id),
         |keys AS (SELECT vec_id, g, bd,
         |    md5(CAST(j AS VARCHAR) || '|' || CAST(bd[j + 1] AS VARCHAR)) AS bk
         |  FROM bands, generate_series(0, 3) t(j)),
@@ -3390,17 +3493,23 @@ object LlmPipeline {
       val base = emb(s, dir).select(col("vec_id"), col("embedding"),
         (conv(substring(md5(concat(lit("ph"), col("vec_id").cast("string"))),
           1, 8), 16, 10).cast("long") % 10).as("g"))
+      // replays: every 50th history image re-arrives EXACT (hamming 0 —
+      // the always-confirmable face), the others one-value perturbed
+      // (some confirm at <= 3, some drift past — the candidate-vs-
+      // confirmed distinction stays live on the 256-bit hash)
       val corpus = base.unionAll(
         base.filter(col("g") < 8 && col("vec_id") % 25 === 0)
           .select((col("vec_id") + 500000L).as("vec_id"),
-            transform(col("embedding"),
-              (x, i) => when(i === 0, lit(1.0f)).otherwise(x)).as("embedding"),
+            when(col("vec_id") % 50 === 0, col("embedding"))
+              .otherwise(transform(col("embedding"),
+                (x, i) => when(i === 0, lit(1.0f)).otherwise(x)))
+              .as("embedding"),
             lit(9L).as("g")))
-      val ph = graft.functions.Multimodal.imagePHash(
-          graft.functions.Multimodal.embeddingsAsImages(
-            Tables.spread(s, corpus))).toDF()
+      val ph = graft.functions.Multimodal.imageAHashWide(
+          graft.functions.Multimodal.embeddingsAsTiff16(
+            Tables.spread(s, corpus)), side = 16).toDF()
         .join(corpus.select(col("vec_id").as("id"), col("g")), Seq("id"))
-      val bandCols = Seq("h0", "h1", "h2", "h3")
+      val bandCols = Seq("b0", "b1", "b2", "b3")
       val withKeys = ph.select(
           col("id") :: col("g") :: bandCols.map(col).toList: _*)
         .withColumn("bk", explode(array((0 until 4).map(j =>

@@ -174,22 +174,28 @@ object MultimodalQueries {
     },
 
     // ------------------------------------------------------------------
-    // PERCEPTUAL-HASH IMAGE DEDUP (q188, r13) — near-dup detection for
-    // the IMAGE modality: every image's average-hash (aHash — integer-
-    // exact mean threshold, the public perceptual-fingerprint baseline)
-    // packed into four 16-bit bands, then pairs at hamming distance ≤ 3
-    // found via a LOSSLESS banded equi-join: hamming ≤ 3 over 64 bits
+    // PERCEPTUAL-HASH IMAGE DEDUP (q188, r13; r16 wide bands — VERDICT
+    // r15 #6) — near-dup detection for the IMAGE modality: every image's
+    // average-hash (aHash — integer-exact mean threshold, the public
+    // perceptual-fingerprint baseline) over a 16×16 raster (256 bits)
+    // packed into four 64-BIT bands, then pairs at hamming distance ≤ 3
+    // found via a LOSSLESS banded equi-join: hamming ≤ 3 over the hash
     // means at least one of the 4 bands matches exactly (pigeonhole), so
     // candidate generation is a keyed join on (band_idx, band_value) —
     // never all-pairs — and the exact hamming verify runs only on
-    // band-colliding candidates. The q177/q170 lossless-blocking
-    // discipline in hamming space, over the REAL image path (embedding →
-    // TIFF encode → executor-side decode → hash). The corpus's natural
-    // hash distances sit ≥ 15 (measured), so the dup path is kept LIVE
-    // by injected replays per the q40/q99 discipline: 10 exact copies
-    // (hamming 0) and 5 one-pixel perturbations; the oracle replays the
-    // injection, the hash, and an all-pairs hamming scan — which the
-    // banded join must reproduce exactly BECAUSE the blocking is
+    // band-colliding candidates. r16 retires the original 4×16-bit
+    // packing as the production default: on a 2^16 band space random
+    // collisions grow ~n²/2^16 (the measured BandScale curve paid 5.68 M
+    // sf10 candidates), while the 2^64 space keeps candidates
+    // true-dup-sized at any realistic corpus — the q215 lever, now THE
+    // default. Same REAL image path (embedding → TIFF encode →
+    // executor-side decode → hash; 16×16 via the PNG16 jitter lattice in
+    // a TIFF container). Dup path kept LIVE by injected replays per the
+    // q40/q99 discipline: 10 exact copies (hamming 0) and 5 one-value
+    // perturbations; the oracle replays the injection, the pixel
+    // expansion, the hash, band packing (HUGEINT shifts folded to signed
+    // BIGINT two's complement), and an all-pairs hamming scan — which
+    // the banded join must reproduce exactly BECAUSE the blocking is
     // lossless.
     QueryDef.sql(
       "q188_phash_dedup",
@@ -205,35 +211,42 @@ object MultimodalQueries {
         |           ELSE embedding[i] END) AS embedding
         |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 15),
         |px AS (SELECT vec_id,
-        |    list_transform(embedding, x ->
+        |    list_transform(generate_series(0, 255), i ->
         |      greatest(0, least(255,
-        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |        greatest(0, least(255,
+        |          CAST(floor((CAST(embedding[((i // 16) // 2) * 8
+        |            + ((i % 16) // 2) + 1] AS DOUBLE) + 1.0) * 127.5)
+        |            AS INTEGER)))
+        |        + CASE ((i // 16) % 2) * 2 + ((i % 16) % 2)
+        |            WHEN 0 THEN 0 WHEN 1 THEN 9 WHEN 2 THEN -7
+        |            ELSE 4 END))) AS p
         |  FROM corpus),
-        |hs AS (SELECT vec_id, p,
-        |    list_reduce(list_prepend(0, p), (a, b) -> a + b) AS s
+        |hs AS (SELECT vec_id, p, list_reduce(p, (a, b) -> a + b) AS s
         |  FROM px),
-        |bits AS (SELECT vec_id,
-        |    list_transform(generate_series(0, 63),
-        |      i -> CASE WHEN 64 * p[i + 1] >= s THEN 1 ELSE 0 END) AS b
-        |  FROM hs),
-        |bands AS (SELECT vec_id,
-        |    list_transform(generate_series(0, 3), j ->
-        |      list_reduce(list_prepend(0,
-        |        list_transform(generate_series(0, 15),
-        |          k -> b[16 * j + k + 1] << k)), (a, c) -> a + c)) AS bd
-        |  FROM bits)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  CAST(bit_count(xor(CAST(a.bd[1] AS BIGINT), CAST(b.bd[1] AS BIGINT)))
-        |    + bit_count(xor(CAST(a.bd[2] AS BIGINT), CAST(b.bd[2] AS BIGINT)))
-        |    + bit_count(xor(CAST(a.bd[3] AS BIGINT), CAST(b.bd[3] AS BIGINT)))
-        |    + bit_count(xor(CAST(a.bd[4] AS BIGINT), CAST(b.bd[4] AS BIGINT)))
-        |    AS INTEGER) AS hamming
-        |FROM bands a JOIN bands b ON a.vec_id < b.vec_id
-        |WHERE bit_count(xor(CAST(a.bd[1] AS BIGINT), CAST(b.bd[1] AS BIGINT)))
-        |    + bit_count(xor(CAST(a.bd[2] AS BIGINT), CAST(b.bd[2] AS BIGINT)))
-        |    + bit_count(xor(CAST(a.bd[3] AS BIGINT), CAST(b.bd[3] AS BIGINT)))
-        |    + bit_count(xor(CAST(a.bd[4] AS BIGINT), CAST(b.bd[4] AS BIGINT)))
-        |    <= 3
+        |bands AS (SELECT vec_id, j,
+        |    CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
+        |      THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+        |      AS BIGINT) AS b
+        |  FROM (SELECT vec_id, j,
+        |      list_reduce(list_transform(generate_series(0, 63), t ->
+        |        CASE WHEN 256 * p[64*j + t + 1] >= s
+        |          THEN (1::HUGEINT << t) ELSE 0::HUGEINT END),
+        |        (a, x) -> a + x) AS u
+        |    FROM hs CROSS JOIN generate_series(0, 3) g(j))),
+        |wf AS (SELECT vec_id, list(b ORDER BY j ASC) AS bl
+        |  FROM bands GROUP BY vec_id),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.j = b.j AND a.b = b.b AND a.vec_id < b.vec_id),
+        |ham AS (SELECT c.id_a, c.id_b,
+        |    bit_count(xor(wa.bl[1], wb.bl[1]))
+        |    + bit_count(xor(wa.bl[2], wb.bl[2]))
+        |    + bit_count(xor(wa.bl[3], wb.bl[3]))
+        |    + bit_count(xor(wa.bl[4], wb.bl[4])) AS hamming
+        |  FROM cand c JOIN wf wa ON wa.vec_id = c.id_a
+        |  JOIN wf wb ON wb.vec_id = c.id_b)
+        |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+        |FROM ham WHERE hamming <= 3
         |ORDER BY id_a ASC, id_b ASC""".stripMargin) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
@@ -244,10 +257,11 @@ object MultimodalQueries {
           transform(col("embedding"),
             (x, i) => when(i === 0, lit(1.0f)).otherwise(x)).as("embedding"))
       val corpus = e.unionAll(exact).unionAll(perturbed)
-      val ph = Multimodal.imagePHash(
-          Multimodal.embeddingsAsImages(Tables.spread(s, corpus))).toDF()
-      val bandCols = Seq("h0", "h1", "h2", "h3")
-      val exploded = ph.select(col("id"),
+      val fp = Multimodal.imageAHashWide(
+          Multimodal.embeddingsAsTiff16(Tables.spread(s, corpus)),
+          side = 16).toDF()
+      val bandCols = Seq("b0", "b1", "b2", "b3")
+      val exploded = fp.select(col("id"),
           posexplode(array(bandCols.map(col): _*)))
         .select(col("id"), col("pos").as("j"), col("col").as("h"))
       val cand = exploded.as("a")
@@ -256,9 +270,9 @@ object MultimodalQueries {
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
-      val ha = bandCols.foldLeft(ph)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+      val ha = bandCols.foldLeft(fp)((d, c) => d.withColumnRenamed(c, s"a_$c"))
         .withColumnRenamed("id", "id_a")
-      val hb = bandCols.foldLeft(ph)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+      val hb = bandCols.foldLeft(fp)((d, c) => d.withColumnRenamed(c, s"b_$c"))
         .withColumnRenamed("id", "id_b")
       val hamming = bandCols
         .map(c => bit_count(col(s"a_$c").bitwiseXOR(col(s"b_$c"))))
@@ -297,6 +311,90 @@ object MultimodalQueries {
         |  CAST(list_aggregate(p, 'max') AS INTEGER) AS max_intensity
         |FROM px ORDER BY id ASC LIMIT 100""".stripMargin) { (s, dir) =>
       val media = Multimodal.embeddingsAsPng(
+        Tables.spread(s, Tables.load(s, dir, "embeddings")))
+      Multimodal.imageFeaturesCoded(media).toDF()
+        .select(col("id"), col("width"), col("height"),
+          round(col("mean_intensity"), 4).as("mean_intensity"),
+          col("min_intensity"), col("max_intensity"))
+        .orderBy(col("id").asc)
+        .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // ADAM7-INTERLACED PNG DECODE (q219, r16 — VERDICT r15 #4): old-web
+    // crawls carry interlaced PNGs, which r15's decoder rejected loudly
+    // and every image query error-tagged. The corpus here alternates
+    // container layouts by id parity — even ids sequential, odd ids
+    // Adam7 (seven independent reduction-pass scanline streams, each
+    // filtered against its own zero prior row, rotating row filters
+    // across the global pass-row counter) — and ONE feature query runs
+    // over both. Interlacing is a lossless rearrangement, so the oracle
+    // replays the pixel arithmetic straight off the embedding exactly as
+    // q202 does; a seven-pass decode that scattered, unfiltered, or
+    // sized any pass wrongly would hash-diverge on every odd id. The
+    // codec itself is cross-pinned against ImageIO in ImageCodecsSpec
+    // (both directions, empty/edge passes, malformed-pass rejects).
+    QueryDef.sql(
+      "q219_png_interlaced_features",
+      """WITH px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |  FROM embeddings)
+        |SELECT vec_id AS id,
+        |  CAST(vec_id % 2 = 1 AS BOOLEAN) AS interlaced,
+        |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  round(CAST(list_reduce(p, (a, b) -> a + b) AS DOUBLE) / len(p), 4)
+        |    AS mean_intensity,
+        |  CAST(list_aggregate(p, 'min') AS INTEGER) AS min_intensity,
+        |  CAST(list_aggregate(p, 'max') AS INTEGER) AS max_intensity
+        |FROM px ORDER BY id ASC LIMIT 100""".stripMargin) { (s, dir) =>
+      val media = Multimodal.embeddingsAsPngMixedInterlace(
+        Tables.spread(s, Tables.load(s, dir, "embeddings")))
+      Multimodal.imageFeaturesCoded(media).toDF()
+        .select(col("id"), (col("id") % 2 === 1).as("interlaced"),
+          col("width"), col("height"),
+          round(col("mean_intensity"), 4).as("mean_intensity"),
+          col("min_intensity"), col("max_intensity"))
+        .orderBy(col("id").asc)
+        .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // CMYK (4-COMPONENT) JPEG DECODE (q220, r16 — VERDICT r15 #5):
+    // print-origin images are a steady share of real crawls, and r15's
+    // decoder rejected nc=4 loudly. Fixtures are BLOCK-CONSTANT Adobe
+    // CMYK JPEGs (APP14 transform 0; four planes drawn from the
+    // embedding's pixel quantization at per-plane rotations), so the
+    // lossy format round-trips exactly and the oracle can replay the
+    // whole decode: stored inverted planes, then the documented
+    // composite v = (c'·k' + 127) // 255 per channel — integer
+    // round-half-up, identical on both engines. The entropy/DCT path is
+    // independently pinned in ImageCodecsSpec via the JDK reader's raw
+    // 4-band raster of our bytes; YCCK (transform 2) and the Adobe-RGB
+    // 3-component face are spec-pinned too.
+    QueryDef.sql(
+      "q220_multimodal_cmyk_features",
+      """WITH px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |  FROM embeddings),
+        |rgb AS (SELECT vec_id,
+        |    flatten(list_transform(generate_series(0, 63), i -> [
+        |      (p[i + 1] * p[(i + 48) % 64 + 1] + 127) // 255,
+        |      (p[(i + 16) % 64 + 1] * p[(i + 48) % 64 + 1] + 127) // 255,
+        |      (p[(i + 32) % 64 + 1] * p[(i + 48) % 64 + 1] + 127) // 255
+        |    ])) AS v
+        |  FROM px)
+        |SELECT vec_id AS id,
+        |  CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+        |  round(CAST(list_reduce(v, (a, b) -> a + b) AS DOUBLE) / len(v), 4)
+        |    AS mean_intensity,
+        |  CAST(list_aggregate(v, 'min') AS INTEGER) AS min_intensity,
+        |  CAST(list_aggregate(v, 'max') AS INTEGER) AS max_intensity
+        |FROM rgb ORDER BY id ASC LIMIT 100""".stripMargin) { (s, dir) =>
+      val media = Multimodal.embeddingsAsCmykJpeg(
         Tables.spread(s, Tables.load(s, dir, "embeddings")))
       Multimodal.imageFeaturesCoded(media).toDF()
         .select(col("id"), col("width"), col("height"),
@@ -637,20 +735,27 @@ object MultimodalQueries {
     },
 
     // ------------------------------------------------------------------
-    // ACOUSTIC FINGERPRINT DEDUP (q208, r14) — near-dup detection for an
-    // AUDIO corpus, the third modality to get the banded-hamming
-    // treatment (q188 images, q205 cross-format images). The fingerprint
-    // is the delta-sign sequence of the REAL decoded PCM16 samples
-    // (bit_i = s[i+1] > s[i], wraparound last bit) — invariant under any
-    // strictly monotone re-levelling, which is how the same recording
-    // re-encoded at a different gain evades byte digests; packed into
-    // four 16-bit bands whose pigeonhole makes the band equi-join a
-    // LOSSLESS blocker for hamming ≤ 3. Dup paths live by injection
-    // (q40/q99 discipline): 10 exact copies (hamming 0) and 5 one-sample
-    // perturbations (≤ 2 delta bits move). The WAV round trip is the
-    // identity on quantized samples, so the oracle replays quantization,
-    // deltas, banding, and the all-pairs hamming scan — which the banded
-    // join must reproduce exactly BECAUSE the blocking is lossless.
+    // ACOUSTIC FINGERPRINT DEDUP (q208, r14; r16 wide bands — VERDICT
+    // r15 #6) — near-dup detection for an AUDIO corpus, the third
+    // modality to get the banded-hamming treatment (q188 images, q205
+    // cross-format images). The fingerprint is the delta-sign sequence
+    // of the REAL decoded PCM16 sample ENERGIES over a 256-sample clip
+    // (bit_i = |s[i+1]| > |s[i]|, wraparound last bit) — energy deltas
+    // are invariant under any positive gain, which is how the same
+    // recording re-encoded at a different level evades byte digests;
+    // 256 bits packed into four 64-BIT bands whose pigeonhole makes the
+    // band equi-join a LOSSLESS blocker for hamming ≤ 3. r16 retires
+    // the 4×16-bit packing as the default: 2^16-band-space random
+    // collisions grow ~n²/2^16 (the BandScale saturation), 2^64 keeps
+    // candidates true-dup-sized at any corpus. Clips come from the
+    // deterministic 4×-jitter expansion (embeddingsAsWavLong). Dup
+    // paths live by injection (q40/q99 discipline): 10 exact copies
+    // (hamming 0) and 5 one-value perturbations. The WAV round trip is
+    // the identity on quantized samples, so the oracle replays the
+    // expansion, energies, deltas, band packing (HUGEINT shifts folded
+    // to signed BIGINT), and the all-pairs hamming scan — which the
+    // banded join must reproduce exactly BECAUSE the blocking is
+    // lossless.
     QueryDef.sql(
       "q208_audio_fingerprint_dedup",
       """WITH corpus AS (
@@ -664,36 +769,41 @@ object MultimodalQueries {
         |      i -> CASE WHEN i = 1 THEN CAST(1.0 AS FLOAT)
         |           ELSE embedding[i] END) AS embedding
         |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 15),
-        |smps AS (SELECT vec_id,
-        |    list_transform(embedding, v ->
-        |      greatest(-32768, least(32767,
-        |        CAST(floor(CAST(v AS DOUBLE) * 32767.0) AS BIGINT)))) AS smp
+        |en AS (SELECT vec_id,
+        |    list_transform(generate_series(0, 255), k ->
+        |      abs(greatest(-32768, least(32767,
+        |        greatest(-32768, least(32767,
+        |          CAST(floor(CAST(embedding[k // 4 + 1] AS DOUBLE)
+        |            * 32767.0) AS BIGINT)))
+        |        + CASE k % 4 WHEN 0 THEN 0 WHEN 1 THEN 900
+        |            WHEN 2 THEN -700 ELSE 400 END)))) AS e
         |  FROM corpus),
-        |bits AS (SELECT vec_id,
-        |    list_transform(generate_series(0, 63), i ->
-        |      CASE WHEN i < 63 THEN
-        |          CASE WHEN smp[i + 2] > smp[i + 1] THEN 1 ELSE 0 END
-        |        ELSE CASE WHEN smp[1] > smp[64] THEN 1 ELSE 0 END
-        |      END) AS b
-        |  FROM smps),
-        |bands AS (SELECT vec_id,
-        |    list_transform(generate_series(0, 3), j ->
-        |      list_reduce(list_prepend(0,
-        |        list_transform(generate_series(0, 15),
-        |          k -> b[16 * j + k + 1] << k)), (a, c) -> a + c)) AS bd
-        |  FROM bits)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  CAST(bit_count(xor(CAST(a.bd[1] AS BIGINT), CAST(b.bd[1] AS BIGINT)))
-        |    + bit_count(xor(CAST(a.bd[2] AS BIGINT), CAST(b.bd[2] AS BIGINT)))
-        |    + bit_count(xor(CAST(a.bd[3] AS BIGINT), CAST(b.bd[3] AS BIGINT)))
-        |    + bit_count(xor(CAST(a.bd[4] AS BIGINT), CAST(b.bd[4] AS BIGINT)))
-        |    AS INTEGER) AS hamming
-        |FROM bands a JOIN bands b ON a.vec_id < b.vec_id
-        |WHERE bit_count(xor(CAST(a.bd[1] AS BIGINT), CAST(b.bd[1] AS BIGINT)))
-        |    + bit_count(xor(CAST(a.bd[2] AS BIGINT), CAST(b.bd[2] AS BIGINT)))
-        |    + bit_count(xor(CAST(a.bd[3] AS BIGINT), CAST(b.bd[3] AS BIGINT)))
-        |    + bit_count(xor(CAST(a.bd[4] AS BIGINT), CAST(b.bd[4] AS BIGINT)))
-        |    <= 3
+        |bands AS (SELECT vec_id, j,
+        |    CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
+        |      THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+        |      AS BIGINT) AS b
+        |  FROM (SELECT vec_id, j,
+        |      list_reduce(list_transform(generate_series(0, 63), t ->
+        |        CASE WHEN (CASE WHEN 64*j + t < 255
+        |            THEN e[64*j + t + 2] > e[64*j + t + 1]
+        |            ELSE e[1] > e[256] END)
+        |          THEN (1::HUGEINT << t) ELSE 0::HUGEINT END),
+        |        (a, x) -> a + x) AS u
+        |    FROM en CROSS JOIN generate_series(0, 3) g(j))),
+        |wf AS (SELECT vec_id, list(b ORDER BY j ASC) AS bl
+        |  FROM bands GROUP BY vec_id),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.j = b.j AND a.b = b.b AND a.vec_id < b.vec_id),
+        |ham AS (SELECT c.id_a, c.id_b,
+        |    bit_count(xor(wa.bl[1], wb.bl[1]))
+        |    + bit_count(xor(wa.bl[2], wb.bl[2]))
+        |    + bit_count(xor(wa.bl[3], wb.bl[3]))
+        |    + bit_count(xor(wa.bl[4], wb.bl[4])) AS hamming
+        |  FROM cand c JOIN wf wa ON wa.vec_id = c.id_a
+        |  JOIN wf wb ON wb.vec_id = c.id_b)
+        |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+        |FROM ham WHERE hamming <= 3
         |ORDER BY id_a ASC, id_b ASC""".stripMargin) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
@@ -704,9 +814,9 @@ object MultimodalQueries {
           transform(col("embedding"),
             (x, i) => when(i === 0, lit(1.0f)).otherwise(x)).as("embedding"))
       val corpus = Tables.spread(s, e.unionAll(exact).unionAll(perturbed))
-      val fp = Multimodal.audioFingerprint(
-        Multimodal.embeddingsAsWav(corpus)).toDF()
-      val bandCols = Seq("h0", "h1", "h2", "h3")
+      val fp = Multimodal.audioFingerprintWide(
+        Multimodal.embeddingsAsWavLong(corpus), nBits = 256).toDF()
+      val bandCols = Seq("b0", "b1", "b2", "b3")
       val exploded = fp.select(col("id"),
           posexplode(array(bandCols.map(col): _*)))
         .select(col("id"), col("pos").as("j"), col("col").as("h"))

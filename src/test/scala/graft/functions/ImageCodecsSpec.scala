@@ -162,16 +162,17 @@ class ImageCodecsSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       ImageCodecs.decodePng(good.take(good.length - 10)))
       .getMessage.nonEmpty)
-    // Adam7 announced in IHDR -> loud reject (flip byte + fix CRC)
+    // unknown interlace method announced in IHDR -> loud reject (flip
+    // byte + fix CRC); Adam7 (method 1) itself decodes since r16
     val adam = good.clone()
-    adam(8 + 4 + 4 + 12) = 1 // IHDR interlace byte
+    adam(8 + 4 + 4 + 12) = 2 // IHDR interlace byte: no such method
     val crc = new java.util.zip.CRC32()
     crc.update(adam, 12, 17) // chunk type + 13 data bytes
     val cv = crc.getValue.toInt
     adam(29) = (cv >>> 24).toByte; adam(30) = (cv >>> 16).toByte
     adam(31) = (cv >>> 8).toByte; adam(32) = cv.toByte
     assert(intercept[IllegalArgumentException](
-      ImageCodecs.decodePng(adam)).getMessage.contains("Adam7"))
+      ImageCodecs.decodePng(adam)).getMessage.contains("interlace"))
     // hostile declared chunk length near 2^31: the bounds check must do
     // Long arithmetic or the Int sum wraps negative, skips the reject,
     // and the CRC update throws an uncontrolled AIOOBE (ADVICE r14)
@@ -590,5 +591,282 @@ class ImageCodecsSpec extends AnyFunSuite {
     badSe(sosOffsets(1) + 8) = 77.toByte
     assert(intercept[IllegalArgumentException](
       ImageCodecs.decodeJpeg(badSe)).getMessage.contains("spectral"))
+  }
+
+  // ==================================================================
+  // Adam7 interlace + keyed transparency (r16)
+  // ==================================================================
+
+  test("Adam7 PNG: round trip is exact for gray/RGB/RGBA at sizes that " +
+      "exercise empty and edge passes (r16)") {
+    for {
+      ch <- Seq(1, 3, 4)
+      (w, h) <- Seq((1, 1), (2, 2), (3, 3), (5, 1), (1, 5), (8, 8),
+        (13, 7), (16, 16), (17, 19))
+    } {
+      val px = gradient(w, h, ch)
+      // rotating filter across the GLOBAL pass-row counter exercises all
+      // five unfilter branches against pass-local prior rows
+      val bytes = ImageCodecs.encodePngInterlaced(
+        Raster(w, h, ch, px), filterFor = i => i % 5)
+      val got = ImageCodecs.decodePng(bytes)
+      assert(got.width == w && got.height == h && got.channels == ch)
+      assert(got.pixels.sameElements(px),
+        s"ch=$ch ${w}x$h: Adam7 round trip diverged")
+    }
+  }
+
+  test("Adam7 PNG: ImageIO decodes our interlaced bytes exactly (r16)") {
+    for (ch <- Seq(1, 3, 4)) {
+      val (w, h) = (13, 11)
+      val px = gradient(w, h, ch)
+      val bytes = ImageCodecs.encodePngInterlaced(
+        Raster(w, h, ch, px), filterFor = i => (i + 2) % 5)
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, "ImageIO rejected our interlaced PNG")
+      assert(fromBuffered(img, ch).sameElements(px),
+        s"ch=$ch: ImageIO read different pixels from our Adam7 PNG")
+    }
+  }
+
+  test("Adam7 PNG: malformed interlace fields and short pass streams " +
+      "fail loudly (r16)") {
+    val good = ImageCodecs.encodePngInterlaced(
+      Raster(8, 8, 1, gradient(8, 8, 1)))
+    // IHDR interlace byte = 2 (unknown method): find IHDR data offset —
+    // signature(8) + len(4) + type(4) + 13 bytes; interlace is the last
+    val bad = good.clone()
+    bad(8 + 8 + 12) = 2.toByte
+    // fix the IHDR CRC so the reject is the interlace check, not the CRC
+    val crc = new java.util.zip.CRC32()
+    crc.update(bad, 12, 4 + 13)
+    val cv = crc.getValue.toInt
+    bad(8 + 8 + 13) = (cv >>> 24).toByte
+    bad(8 + 8 + 14) = (cv >>> 16).toByte
+    bad(8 + 8 + 15) = (cv >>> 8).toByte
+    bad(8 + 8 + 16) = cv.toByte
+    assert(intercept[IllegalArgumentException](
+      ImageCodecs.decodePng(bad)).getMessage.contains("interlace"))
+    // a sequential stream declared interlaced is SHORTER than the seven
+    // passes need (interlaced rasters carry extra filter bytes) — the
+    // inflate length check must reject it, not misread pixel geometry
+    val seq = ImageCodecs.encodePng(Raster(8, 8, 1, gradient(8, 8, 1)))
+    val lie = seq.clone()
+    lie(8 + 8 + 12) = 1.toByte
+    val crc2 = new java.util.zip.CRC32()
+    crc2.update(lie, 12, 4 + 13)
+    val cv2 = crc2.getValue.toInt
+    lie(8 + 8 + 13) = (cv2 >>> 24).toByte
+    lie(8 + 8 + 14) = (cv2 >>> 16).toByte
+    lie(8 + 8 + 15) = (cv2 >>> 8).toByte
+    lie(8 + 8 + 16) = cv2.toByte
+    val lieMsg = intercept[IllegalArgumentException](
+      ImageCodecs.decodePng(lie)).getMessage
+    assert(lieMsg.contains("truncated") || lieMsg.contains("decompressed"),
+      s"short interlaced stream must fail on length, got: $lieMsg")
+  }
+
+  // ==================================================================
+  // CMYK / YCCK JPEG (r16)
+  // ==================================================================
+
+  test("CMYK JPEG: block-constant 4-component round trip is exact, " +
+      "composite matches the documented integer formula (r16)") {
+    // 16x16 = 4 blocks; stored planes are Adobe-INVERTED values
+    val (w, h) = (16, 16)
+    def blockPlane(vals: Array[Int]): Array[Int] =
+      Array.tabulate(w * h)(i => vals(((i / w) / 8) * 2 + (i % w) / 8))
+    val cP = blockPlane(Array(255, 128, 0, 77))
+    val mP = blockPlane(Array(200, 255, 10, 150))
+    val yP = blockPlane(Array(50, 0, 255, 230))
+    val kP = blockPlane(Array(255, 255, 128, 40))
+    val bytes = ImageCodecs.encodeJpegAdobe(w, h, Seq(cP, mP, yP, kP),
+      transform = 0)
+    val r = ImageCodecs.decodeJpeg(bytes)
+    assert(r.width == w && r.height == h && r.channels == 3,
+      "CMYK must composite to RGB")
+    var i = 0
+    while (i < w * h) {
+      assert(r.pixels(i * 3) == (cP(i) * kP(i) + 127) / 255 &&
+        r.pixels(i * 3 + 1) == (mP(i) * kP(i) + 127) / 255 &&
+        r.pixels(i * 3 + 2) == (yP(i) * kP(i) + 127) / 255,
+        s"pixel $i: CMYK composite diverged")
+      i += 1
+    }
+  }
+
+  test("CMYK JPEG: ImageIO's raster of our bytes returns the stored " +
+      "planes (independent entropy/DCT pin) (r16)") {
+    val (w, h) = (8, 8)
+    val planes = Seq(
+      Array.fill(64)(210), Array.fill(64)(99),
+      Array.fill(64)(3), Array.fill(64)(180))
+    val bytes = ImageCodecs.encodeJpegAdobe(w, h, planes, transform = 0)
+    // the JDK JPEG reader cannot color-manage CMYK but reads the RAW
+    // raster — an independent decode of our entropy coding and DCT
+    val it = ImageIO.getImageReadersByFormatName("jpeg")
+    assert(it.hasNext, "no JDK JPEG reader")
+    val reader = it.next()
+    reader.setInput(ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val raster = reader.readRaster(0, null)
+    assert(raster.getNumBands == 4, "JDK must see 4 bands")
+    for (b <- 0 until 4; y <- 0 until h; x <- 0 until w)
+      assert(raster.getSample(x, y, b) == planes(b)(y * w + x),
+        s"band $b ($x,$y): JDK raster diverged from the stored plane")
+  }
+
+  test("YCCK JPEG: decodes through the inverse matrix to the CMYK " +
+      "composite within IDCT/matrix rounding (r16)") {
+    val (w, h) = (8, 8)
+    // desired stored-CMYK (inverted) values, one constant block
+    val (c, m, yv, k) = (180, 90, 30, 200)
+    // forward BT.601 of (c', m', y') — what a YCCK writer stores
+    def clamp(v: Double) = math.max(0, math.min(255, v.round.toInt))
+    val lum = clamp(0.299 * c + 0.587 * m + 0.114 * yv)
+    val cb = clamp(128 - 0.168736 * c - 0.331264 * m + 0.5 * yv)
+    val cr = clamp(128 + 0.5 * c - 0.418688 * m - 0.081312 * yv)
+    val bytes = ImageCodecs.encodeJpegAdobe(w, h,
+      Seq(Array.fill(64)(lum), Array.fill(64)(cb), Array.fill(64)(cr),
+        Array.fill(64)(k)), transform = 2)
+    val r = ImageCodecs.decodeJpeg(bytes)
+    assert(r.channels == 3)
+    val want = Seq((c * k + 127) / 255, (m * k + 127) / 255,
+      (yv * k + 127) / 255)
+    (0 until 3).foreach { ch =>
+      assert(math.abs(r.pixels(ch) - want(ch)) <= 3,
+        s"channel $ch: YCCK ${r.pixels(ch)} vs CMYK-direct ${want(ch)} " +
+          "(forward+inverse matrix rounding must stay within 3)")
+    }
+  }
+
+  test("4-component JPEG: transform-1 APP14 rejected, missing APP14 " +
+      "decodes as raw CMYK (r16)") {
+    val planes = Seq(Array.fill(64)(100), Array.fill(64)(100),
+      Array.fill(64)(100), Array.fill(64)(255))
+    val good = ImageCodecs.encodeJpegAdobe(8, 8, planes, transform = 0)
+    // flip the APP14 transform byte to 1 (YCbCr): illegal with 4 comps
+    val bad = good.clone()
+    // APP14 data starts after SOI(2) + marker(2) + len(2): transform is
+    // the last byte of the 14-byte segment payload
+    val trOff = 2 + 2 + 2 + 11
+    assert((bad(trOff) & 0xff) == 0, "fixture layout changed")
+    bad(trOff) = 1
+    assert(intercept[IllegalArgumentException](
+      ImageCodecs.decodeJpeg(bad)).getMessage.contains("transform 1"))
+    // strip APP14 entirely (marker 2 + len-covered 14 bytes): 4
+    // components default to raw CMYK
+    val stripped = good.take(2) ++ good.drop(2 + 16)
+    val r = ImageCodecs.decodeJpeg(stripped)
+    assert(r.pixels(0) == (100 * 255 + 127) / 255,
+      "APP14-less 4-component stream must composite as raw CMYK")
+  }
+
+  test("gray/truecolor tRNS: keyed transparency decodes to an alpha " +
+      "channel, ImageIO agrees on 8-bit (r16, ADVICE r15)") {
+    // 8-bit gray, key = 7: scanlines are (filter 0, then w samples)
+    val gvals = Array(7, 8, 9, 7)
+    val gScan = Array[Byte](0, 7, 8, 0, 9, 7)
+    val gBytes = ImageCodecs.pngContainer(2, 2, 8, 0,
+      Seq(("tRNS", Array[Byte](0, 7))), gScan)
+    val g = ImageCodecs.decodePng(gBytes)
+    assert(g.channels == 4, "gray+tRNS must widen to RGBA")
+    gvals.zipWithIndex.foreach { case (v, i) =>
+      assert(g.pixels(i * 4) == v && g.pixels(i * 4 + 1) == v &&
+        g.pixels(i * 4 + 2) == v, s"pixel $i gray value")
+      assert(g.pixels(i * 4 + 3) == (if (v == 7) 0 else 255),
+        s"pixel $i alpha vs key")
+    }
+    val gImg = ImageIO.read(new java.io.ByteArrayInputStream(gBytes))
+    assert(gImg != null && gImg.getColorModel.hasAlpha,
+      "ImageIO must see the gray tRNS alpha")
+    gvals.zipWithIndex.foreach { case (v, i) =>
+      val argb = gImg.getRGB(i % 2, i / 2)
+      assert(((argb >>> 24) & 0xff) == (if (v == 7) 0 else 255),
+        s"pixel $i: ImageIO alpha diverged")
+    }
+    // 8-bit truecolor, key = (1, 2, 3): only the EXACT triple is keyed
+    val tScan = Array[Byte](0, 1, 2, 3, 1, 2, 4, 0, 1, 2, 3, 9, 9, 9)
+    val tBytes = ImageCodecs.pngContainer(2, 2, 8, 2,
+      Seq(("tRNS", Array[Byte](0, 1, 0, 2, 0, 3))), tScan)
+    val t = ImageCodecs.decodePng(tBytes)
+    assert(t.channels == 4)
+    val wantAlpha = Seq(0, 255, 0, 255)
+    wantAlpha.zipWithIndex.foreach { case (a, i) =>
+      assert(t.pixels(i * 4 + 3) == a, s"truecolor pixel $i alpha")
+    }
+    val tImg = ImageIO.read(new java.io.ByteArrayInputStream(tBytes))
+    assert(tImg != null && tImg.getColorModel.hasAlpha)
+    wantAlpha.zipWithIndex.foreach { case (a, i) =>
+      assert(((tImg.getRGB(i % 2, i / 2) >>> 24) & 0xff) == a,
+        s"truecolor pixel $i: ImageIO alpha diverged")
+    }
+    // 16-bit gray: the key compares at FULL stored precision — samples
+    // 0x0102 (== key -> transparent) and 0x0103 (high byte equal, low
+    // byte differs -> opaque) must differ in alpha
+    val g16Scan = Array[Byte](0, 1, 2, 1, 3)
+    val g16 = ImageCodecs.decodePng(ImageCodecs.pngContainer(2, 1, 16, 0,
+      Seq(("tRNS", Array[Byte](1, 2))), g16Scan))
+    assert(g16.channels == 4)
+    assert(g16.pixels(0) == 1 && g16.pixels(4) == 1,
+      "16-bit gray downconverts to the high byte")
+    assert(g16.pixels(3) == 0, "exact 16-bit key match must be transparent")
+    assert(g16.pixels(7) == 255,
+      "low-byte mismatch must stay opaque — the key compares at full " +
+        "precision, not on the downconverted byte")
+    // tRNS on an alpha-bearing color type stays loudly illegal
+    val gaScan = Array[Byte](0, 5, 200.toByte)
+    val bad = intercept[IllegalArgumentException](ImageCodecs.decodePng(
+      ImageCodecs.pngContainer(1, 1, 8, 4,
+        Seq(("tRNS", Array[Byte](0, 5))), gaScan)))
+    assert(bad.getMessage.contains("spec-illegal"))
+  }
+
+  test("Adam7 PNG: interlaced palette and sub-byte profiles decode " +
+      "against the sequential reference (r16)") {
+    // build a 9x5 depth-4 gray image both ways from the same samples:
+    // the interlaced container must land on the identical raster
+    val (w, h) = (9, 5)
+    val vals = Array.tabulate(w * h)(i => pix(i, 77) & 0xf)
+    def pack4(row: Array[Int]): Array[Byte] = {
+      val out = new Array[Byte]((row.length + 1) / 2)
+      row.zipWithIndex.foreach { case (v, i) =>
+        out(i / 2) = (out(i / 2) | (v << (if (i % 2 == 0) 4 else 0))).toByte
+      }
+      out
+    }
+    val seqScan = new java.io.ByteArrayOutputStream()
+    (0 until h).foreach { y =>
+      seqScan.write(0)
+      seqScan.write(pack4(vals.slice(y * w, (y + 1) * w)))
+    }
+    val seqPng = ImageCodecs.pngContainer(w, h, 4, 0, Nil,
+      seqScan.toByteArray)
+    val ref = ImageCodecs.decodePng(seqPng)
+    // Adam7: emit the seven passes' packed sub-rows from the same grid
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val intScan = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (xs, ys, xd, yd) =>
+      val pw = math.max(0, (w - xs + xd - 1) / xd)
+      val ph = math.max(0, (h - ys + yd - 1) / yd)
+      if (pw > 0 && ph > 0) (0 until ph).foreach { py =>
+        intScan.write(0)
+        intScan.write(pack4(Array.tabulate(pw)(px =>
+          vals((ys + py * yd) * w + (xs + px * xd)))))
+      }
+    }
+    val intPng = ImageCodecs.pngContainer(w, h, 4, 0, Nil,
+      intScan.toByteArray, interlace = 1)
+    val got = ImageCodecs.decodePng(intPng)
+    assert(got.channels == ref.channels && got.pixels.sameElements(ref.pixels),
+      "interlaced sub-byte decode diverged from the sequential reference")
+    // and ImageIO agrees with both
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(intPng))
+    assert(img != null, "ImageIO rejected the interlaced depth-4 PNG")
+    (0 until w * h).foreach { i =>
+      assert(img.getRaster.getSample(i % w, i / w, 0) * 255 / 15 ==
+        ref.pixels(i), s"pixel $i: ImageIO sub-byte interlace diverged")
+    }
   }
 }

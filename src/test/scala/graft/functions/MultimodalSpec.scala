@@ -174,13 +174,14 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("q188 banded pHash blocking is LOSSLESS: equals brute-force " +
-      "all-pairs hamming at sf0.001") {
+      "all-pairs hamming at sf0.001 (r16 wide bands)") {
     import org.apache.spark.sql.functions._
     val q = graft.Queries.byName("q188_phash_dedup")
       .build(spark, "/root/testdata/sf0.001")
     val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       .toSet
     // brute force over the SAME injected corpus, via the same real path
+    // (16×16 TIFF → 256-bit aHash in four 64-bit bands — the r16 default)
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val exact = e.filter(col("vec_id") < 10)
@@ -189,13 +190,13 @@ class MultimodalSpec extends SparkSpec {
       .select((col("vec_id") + 200000L).as("vec_id"),
         transform(col("embedding"),
           (x, i) => when(i === 0, lit(1.0f)).otherwise(x)).as("embedding"))
-    val ph = Multimodal.imagePHash(Multimodal.embeddingsAsImages(
-        e.unionAll(exact).unionAll(pert)))
-      .collect().map(p => (p.id, Seq(p.h0, p.h1, p.h2, p.h3)))
+    val ph = Multimodal.imageAHashWide(Multimodal.embeddingsAsTiff16(
+        e.unionAll(exact).unionAll(pert)), side = 16)
+      .collect().map(p => (p.id, Seq(p.b0, p.b1, p.b2, p.b3)))
     val brute = (for {
       (ia, ba) <- ph; (ib, bb) <- ph if ia < ib
       ham = ba.zip(bb).map { case (x, y) =>
-        java.lang.Integer.bitCount(x ^ y) }.sum
+        java.lang.Long.bitCount(x ^ y) }.sum
       if ham <= 3
     } yield (ia, ib, ham)).toSet
     assert(brute.nonEmpty, "injected replays must produce live pairs")

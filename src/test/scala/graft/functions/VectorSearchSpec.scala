@@ -104,7 +104,8 @@ class VectorSearchSpec extends SparkSpec {
   }
 
   test("margin multi-probe IMI: native kernel matches the declarative " +
-      "gate, pairs are sound, recall >= 0.9x flat at equal cell count (r15)") {
+      "gate, pairs are sound, recall >= 0.95x flat at equal cell count " +
+      "(r16 parity dial)") {
     import graft.functions.{NativeExpressions => NE, VectorFunctions => VF}
     // the production geometry at this corpus: scaledKHalf(500) = 4 ->
     // 16 product cells; flat comparison trains 16 cells, nAssign=2
@@ -113,7 +114,10 @@ class VectorSearchSpec extends SparkSpec {
     assert(kHalf == 4, s"scaledKHalf(500) must be 4, got $kHalf")
     val (cb1, cb2, half) = VectorSearch.trainImiCodebooks(emb, k = kHalf,
       iters = 3, sampleBuckets = 3)
-    val (cap, margin) = (3, 0.2)
+    // the r16 production PAIRS dial (cap 4 / margin 0.2 — the parity
+    // dial VERDICT r15 #1 shipped: 99.2 % of flat's sf10 pairs at 3.9×
+    // less cost; the r15 cap-3 default measured 87 %, under criterion)
+    val (cap, margin) = (4, 0.2)
     // (1) kernel equivalence: ivfTopCellsMargin == the declarative
     // formulation (rank by round4 sim desc/cid asc; keep rank 1 plus
     // ranks 2..cap while best - sim <= margin)
@@ -136,8 +140,9 @@ class VectorSearchSpec extends SparkSpec {
       s"margin kernel diverged for vec ${r.getLong(0)}: " +
         s"${r.getSeq[Int](1)} vs ${r.getSeq[Int](2)}"))
     // (2) soundness + recall vs the flat quantizer at EQUAL cell count —
-    // the VERDICT r14 #2 pin: the old top-2x-top-1 schedule found 44-65%
-    // of flat's pairs; the margin probe must restore >= 90%
+    // the VERDICT r15 #1 pin: the production cap-4 dial must hold >= 95%
+    // of flat's pairs (the r14 top-2x-top-1 schedule found 44-65%, the
+    // r15 cap-3 dial 87% at sf10)
     val vecs = emb.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
@@ -157,8 +162,8 @@ class VectorSearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     info(s"margin-probe pairs=${mp.length} flat pairs=${flat.length} " +
       s"at ${kHalf * kHalf} cells (measured 49 vs 40 on this corpus)")
-    assert(mp.length >= math.ceil(0.9 * flat.length).toInt,
-      s"margin-probe recall ${mp.length}/${flat.length} below 0.9x flat")
+    assert(mp.length >= math.ceil(0.95 * flat.length).toInt,
+      s"margin-probe recall ${mp.length}/${flat.length} below 0.95x flat")
     // (3) bounded expansion: <= cap^2 assignments per vector, and the
     // data-adaptive gate stays well under the worst case on real data
     val assigned = VectorSearch.imiAssignCellsMp(emb, cb1, cb2, half,
@@ -650,5 +655,64 @@ class VectorSearchSpec extends SparkSpec {
     }.sum.toDouble / probeBuckets.length
     info(f"avg candidates = $avgCand%.0f of $total%.0f (${avgCand / total * 100}%.1f%%)")
     assert(avgCand / total < 0.5, "LSH must scan well under half the corpus")
+  }
+
+  test("two-level descent == flat margin gate when every super is probed " +
+      "(r16 hier exactness pin)") {
+    import graft.functions.{NativeExpressions => NE, VectorFunctions => VF}
+    val cents = VectorSearch.trainIvfCodebook(emb, k = 16, iters = 2,
+      sampleBuckets = 3)
+    val groups = VectorSearch.superCluster(cents)
+    // membership must partition the codebook: every cid exactly once
+    val memberCids = groups.flatMap(_._3.map(_._1))
+    assert(memberCids.sorted == cents.map(_._1).sorted,
+      "superCluster membership must cover every centroid exactly once")
+    val v = VF.toDoubles(col("embedding"))
+    // superMargin = 2.0 >= the full cosine range, superCap = #supers →
+    // every live super is probed, the scanned set is the WHOLE codebook,
+    // and the descent must reproduce the flat gate bit-for-bit
+    val flat = emb.select(col("vec_id"),
+        NE.ivfTopCellsMargin(v, cents, 3, 0.2).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hier = emb.select(col("vec_id"),
+        NE.ivfTopCellsMarginHier(v, groups, 3, 0.2,
+          superCap = groups.size, superMargin = 2.0).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(hier == flat,
+      s"exhaustive descent diverged from the flat gate on " +
+        s"${hier.count { case (id, cs) => flat(id) != cs }} vectors")
+  }
+
+  test("codebook plan size is O(1) in k: kernels carry reference objects, " +
+      "not per-centroid literals (r16, VERDICT r15 #3)") {
+    import graft.functions.{NativeExpressions => NE}
+    def planLen(k: Int): Int = {
+      val cents = (0 until k).map(i => (i, Seq.tabulate(8)(d =>
+        (i * 8 + d + 1).toDouble / (k * 8))))
+      spark.range(1)
+        .select(
+          NE.ivfTopCells(typedlit(Seq.fill(8)(0.5)), cents, 2).as("c"),
+          NE.ivfTopCellsMargin(typedlit(Seq.fill(8)(0.5)), cents, 2, 0.1)
+            .as("m"))
+        .queryExecution.executedPlan.treeString.length
+    }
+    val small = planLen(16)
+    val big = planLen(1024)
+    info(s"plan treeString length: k=16 -> $small chars, k=1024 -> $big")
+    assert(big <= small * 3 / 2,
+      s"plan string grew with k ($small -> $big): centroid literals leaked " +
+        "back into the plan")
+  }
+
+  test("trainIvfCodebook rejects k beyond the driver Lloyd-update ceiling " +
+      "loudly (r16, VERDICT r15 #3)") {
+    val e = intercept[IllegalArgumentException] {
+      VectorSearch.trainIvfCodebook(emb,
+        k = VectorSearch.MaxDriverCodebookK + 1, iters = 1)
+    }
+    assert(e.getMessage.contains("MaxDriverCodebookK"),
+      s"cap must name itself and the shard story: ${e.getMessage}")
+    assert(e.getMessage.contains("shard"),
+      s"cap message must point at the shard alternative: ${e.getMessage}")
   }
 }
