@@ -715,6 +715,12 @@ object ImageCodecs {
     var bwPad: Array[Int] = null
     var seenScan = false
     var eoi = false
+    // progressive scan-ordering state (ADVICE r15): per-component DC
+    // approximation level (-1 = no DC scan yet) and per-coefficient AC
+    // level, so out-of-order or inconsistent successive-approximation
+    // scans fail loudly instead of silently decoding with DC = 0
+    var dcAl: Array[Int] = null
+    var acAl: Array[Array[Int]] = null
 
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
 
@@ -742,6 +748,8 @@ object ImageCodecs {
       bwPad = comps.map(c => mcusX * c.h)
       coefs = comps.indices
         .map(i => new Array[Int](bwPad(i) * mcusY * comps(i).v * 64)).toArray
+      dcAl = Array.fill(comps.length)(-1)
+      acAl = Array.fill(comps.length)(Array.fill(64)(-1))
     }
 
     // ---- per-scan block decoders over the coefficient planes ----------
@@ -893,6 +901,34 @@ object ImageCodecs {
           fail("JPEG: progressive AC scan must be single-component")
         if (se > 63 || ss > se) fail("JPEG: bad spectral selection")
         if (ah < 0 || al > 13) fail("JPEG: bad successive approximation")
+        // T.81 G.1.1.1.1 ordering (ADVICE r15): the first scan of a band
+        // has Ah = 0; every refinement's Ah must equal the band's prior
+        // Al; a component's AC bands may only arrive after its DC
+        if (ss == 0) scanComps.foreach { ci =>
+          if (ah == 0) {
+            if (dcAl(ci) != -1)
+              fail(s"JPEG: duplicate DC first scan for component ${comps(ci).id}")
+          } else if (dcAl(ci) != ah)
+            fail(s"JPEG: DC refinement Ah=$ah but component " +
+              s"${comps(ci).id}'s prior Al was ${dcAl(ci)}")
+          dcAl(ci) = al
+        } else {
+          val ci = scanComps(0)
+          if (dcAl(ci) == -1)
+            fail(s"JPEG: AC scan before DC for component ${comps(ci).id}")
+          var k = ss
+          while (k <= se) {
+            if (ah == 0) {
+              if (acAl(ci)(k) != -1)
+                fail(s"JPEG: duplicate first AC scan covering k=$k of " +
+                  s"component ${comps(ci).id}")
+            } else if (acAl(ci)(k) != ah)
+              fail(s"JPEG: AC refinement Ah=$ah at k=$k but prior Al was " +
+                s"${acAl(ci)(k)} (component ${comps(ci).id})")
+            acAl(ci)(k) = al
+            k += 1
+          }
+        }
       }
       val br = new BitReader(bytes, o + 2 + len)
       val pred = new Array[Int](comps.length)
@@ -1316,6 +1352,42 @@ object ImageCodecs {
     bw.flush()
     m(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** True iff the stream's SOF marker is SOF2 (progressive) — found by
+    * WALKING the marker/segment structure (each segment skipped by its
+    * declared length), never by scanning raw bytes: APPn/COM payloads
+    * (EXIF thumbnails, ICC profiles) can contain FF C2 and must not
+    * raise the flag (ADVICE r15). Stops at the frame header or SOS;
+    * malformed streams fail loudly like the decoder would.
+    */
+  def jpegIsProgressive(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+      (bytes(1) & 0xff) != 0xd8) fail("JPEG: missing SOI")
+    var o = 2
+    while (o + 1 < bytes.length) {
+      if ((bytes(o) & 0xff) != 0xff) fail(f"JPEG: expected marker at $o")
+      var marker = bytes(o + 1) & 0xff
+      while (marker == 0xff && o + 2 < bytes.length) {
+        o += 1; marker = bytes(o + 1) & 0xff // fill bytes
+      }
+      marker match {
+        case 0xc2 => return true
+        case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 &&
+          m != 0xcc => return false // any other frame header
+        case 0xda => fail("JPEG: SOS before SOF") // frame must come first
+        case 0xd9 => fail("JPEG: EOI before SOF")
+        case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+          o += 2 // standalone markers carry no length
+        case _ =>
+          if (o + 4 > bytes.length) fail("JPEG: truncated segment header")
+          val len = ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+          if (len < 2 || o + 2 + len > bytes.length)
+            fail(f"JPEG: segment FF$marker%02x overruns")
+          o += 2 + len
+      }
+    }
+    fail("JPEG: no frame header found")
   }
 
   /** Four-component (Adobe CMYK / YCCK) baseline JPEG with a FLAT

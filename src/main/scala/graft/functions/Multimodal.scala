@@ -483,15 +483,13 @@ object Multimodal {
         case t => throw new IllegalArgumentException(
           s"imageFeaturesCodedFmt: unsupported media_type $t")
       }
-      var sof2 = false
-      var i = 0
-      while (i + 1 < m.bytes.length && !sof2) {
-        if ((m.bytes(i) & 0xff) == 0xff && (m.bytes(i + 1) & 0xff) == 0xc2)
-          sof2 = true
-        i += 1
-      }
+      // walk the MARKER structure, not the raw bytes (ADVICE r15):
+      // APPn/COM payloads (EXIF thumbnails, ICC profiles) can contain
+      // FF C2, so only a genuine SOF2 segment header may set the flag
+      val sof2 = m.media_type == "image/jpeg" &&
+        ImageCodecs.jpegIsProgressive(m.bytes)
       var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
-      i = 0
+      var i = 0
       while (i < r.pixels.length) {
         val v = r.pixels(i); sum += v
         if (v < mn) mn = v

@@ -546,6 +546,82 @@ case class IvfTopCellsMarginHier(
       newChild: Expression): IvfTopCellsMarginHier = copy(child = newChild)
 }
 
+/** One-pass character-entropy kernel (r16, VERDICT r15 #8): q173's
+  * 27-term fold restated without the 27 `translate` string copies per
+  * row that cost it 0.68 s of GC in a 4 s query. Counts every alphabet
+  * byte in ONE scan of the UTF8 payload (the alphabet is ASCII, so a
+  * byte compare is exact in valid UTF-8), then reproduces the
+  * declarative tree's arithmetic BIT-FOR-BIT: l is the sum of exact
+  * integer counts (any order — all partials are exact doubles), and the
+  * entropy accumulates the per-character −(p·ln p) terms LEFT-TO-RIGHT
+  * in alphabet order with StrictMath.log (what Spark's Log expression
+  * evaluates), exactly the left-associative shape the DuckDB oracle
+  * replays. Returns struct(l DOUBLE, ent DOUBLE).
+  */
+final class CharEntropyKernel(val alphabet: Array[Byte]) extends Serializable {
+  def eval(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = u.numBytes()
+    val counts = new Array[Long](alphabet.length)
+    var i = 0
+    while (i < n) {
+      val b = u.getByte(i)
+      var j = 0
+      while (j < alphabet.length) {
+        if (b == alphabet(j)) { counts(j) += 1; j = alphabet.length }
+        else j += 1
+      }
+      i += 1
+    }
+    var l = 0.0
+    var j = 0
+    while (j < counts.length) { l += counts(j).toDouble; j += 1 }
+    var ent = 0.0
+    j = 0
+    while (j < counts.length) {
+      if (counts(j) > 0) {
+        val p = counts(j).toDouble / l
+        // StrictMath, not Math: Spark's Log expression evaluates
+        // StrictMath.log, and the bit-identity contract is against the
+        // declarative tree (Math.log diverges by 1 ulp on real inputs)
+        ent += -(p * StrictMath.log(p))
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](l, ent))
+  }
+}
+
+case class CharEntropy(child: Expression, kernel: CharEntropyKernel)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy requires STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("l", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("ent", DoubleType,
+      nullable = false)))
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.eval(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charEntropyKernel", kernel,
+      "graft.functions.CharEntropyKernel")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = $ref.eval($c);"
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharEntropy = copy(child = newChild)
+}
+
 /** Per-document MinHash signatures as a native expression: token array →
   * ARRAY<LONG> of `as.length` signature mins. Replicates the declared
   * q42 arithmetic exactly — word-3-shingles with concat_ws null-skipping
@@ -815,6 +891,17 @@ object NativeExpressions {
       cents.map(_._1).toArray, cents.map(_._2.toArray).toArray)
     GraftSqlBridge.column(
       IvfTopCellsMargin(GraftSqlBridge.expression(vecD), ref, cap, margin))
+  }
+
+  /** struct(l, ent) of the one-pass character-entropy kernel (see
+    * [[CharEntropy]]); `alphabet` must be ASCII.
+    */
+  def charEntropy(nt: Column, alphabet: String): Column = {
+    val bytes = alphabet.getBytes("US-ASCII")
+    require(bytes.forall(b => (b & 0x80) == 0),
+      s"char_entropy alphabet must be ASCII, got '$alphabet'")
+    GraftSqlBridge.column(CharEntropy(GraftSqlBridge.expression(nt),
+      new CharEntropyKernel(bytes)))
   }
 
   /** Margin-gated cells via the two-level descent (see [[IvfHierRef]]):

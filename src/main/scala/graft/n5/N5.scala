@@ -70,9 +70,19 @@ object N5 {
         .sortBy(_._2)
       require(ls.map(_._2).distinct.size == ls.size,
         s"$path has duplicate level ids: " + ls.map(_._3).mkString(", "))
-      ls
+      if (ls.nonEmpty) ls
+      else {
+        // no s* convention — a FOREIGN OME-NGFF pyramid may still
+        // declare its levels (with arbitrary names like "0", "1") in the
+        // group .zattrs multiscales metadata; level = declared position
+        // (r16, VERDICT r15 #7; the engine writes this metadata since
+        // r15, now it also discovers by it)
+        N5Meta.ngffMultiscaleDatasets(root, path).zipWithIndex
+          .map { case (rel, l) => (c, l, s"$path/$rel") }
+      }
     }
-    require(datasets.nonEmpty, s"group $group has no c*/s* datasets")
+    require(datasets.nonEmpty,
+      s"group $group has no c*/s* datasets and no NGFF multiscales metadata")
     val dtypes = datasets
       .map { case (_, _, ds) => N5Meta.datasetAttributes(root, ds).dataType }
       .distinct

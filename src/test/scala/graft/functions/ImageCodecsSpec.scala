@@ -591,6 +591,40 @@ class ImageCodecsSpec extends AnyFunSuite {
     badSe(sosOffsets(1) + 8) = 77.toByte
     assert(intercept[IllegalArgumentException](
       ImageCodecs.decodeJpeg(badSe)).getMessage.contains("spectral"))
+    // AC scan arriving before the component's DC scan (r16, ADVICE r15):
+    // swap the two scan segments wholesale — the decoder must fail
+    // loudly, not decode with DC = 0
+    val eoiOff = good.length - 2
+    assert((good(eoiOff) & 0xff) == 0xff && (good(eoiOff + 1) & 0xff) == 0xd9)
+    val head = good.take(sosOffsets(0))
+    val scan1 = good.slice(sosOffsets(0), sosOffsets(1))
+    val scan2 = good.slice(sosOffsets(1), eoiOff)
+    val swapped = head ++ scan2 ++ scan1 ++ good.drop(eoiOff)
+    assert(intercept[IllegalArgumentException](
+      ImageCodecs.decodeJpeg(swapped)).getMessage.contains("AC scan before DC"))
+    // a repeated DC first scan must also be loud
+    val dupDc = head ++ scan1 ++ scan1 ++ scan2 ++ good.drop(eoiOff)
+    assert(intercept[IllegalArgumentException](
+      ImageCodecs.decodeJpeg(dupDc)).getMessage.contains("duplicate DC"))
+  }
+
+  test("SOF2 flag comes from the marker walk: FF C2 inside an APPn " +
+      "payload must not mark a baseline stream progressive (r16, ADVICE r15)") {
+    val base = ImageCodecs.encodeJpegGray(8, 8, Array.tabulate(64)(pix(_, 3)))
+    assert(!ImageCodecs.jpegIsProgressive(base))
+    // inject an APP1 segment whose payload contains FF C2 right after SOI
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte, 0, 8,
+      0xff.toByte, 0xc2.toByte, 1, 2, 3, 4)
+    val poisoned = base.take(2) ++ app1 ++ base.drop(2)
+    assert(!ImageCodecs.jpegIsProgressive(poisoned),
+      "APPn payload bytes must not raise the SOF2 flag")
+    // the decode itself still works (APP1 is skipped by length)
+    assert(ImageCodecs.decodeJpeg(poisoned).pixels
+      .sameElements(ImageCodecs.decodeJpeg(base).pixels))
+    // and a REAL progressive stream still flags
+    val prog = ImageCodecs.encodeJpegGrayProgressive(8, 8,
+      Array.tabulate(64)(pix(_, 3)))
+    assert(ImageCodecs.jpegIsProgressive(prog))
   }
 
   // ==================================================================
