@@ -107,6 +107,48 @@ object ScaleK {
       spark.stop()
       return
     }
+    // "asym" mode (r16 exploration): ASYMMETRIC candidate generation —
+    // every vector is STORED once under its top-1×top-1 product cell,
+    // and only the PROBE side explodes through the margin-gated
+    // multi-probe; candidates are probe ⋈ stored on cell. Pair work is
+    // n·expansion·occupancy instead of Σ_cells (n_c·expansion)² — ~an
+    // order of magnitude less at the cap-4 dial — at the price of the
+    // boundary-boundary pairs only a SHARED SECONDARY cell finds (both
+    // members probe a cell neither owns). This mode measures that recall
+    // delta vs the symmetric join and vs the flat quantizer before any
+    // production rewiring: <sfDir> <kHalf> <cap> asym <margin>.
+    if (args.lift(3).contains("asym")) {
+      import graft.functions.{NativeExpressions => NEx}
+      val margin = args(4).toDouble
+      val cap = nAssign
+      val kHalf = if (k == 0) VS.scaledKHalf(n) else k
+      val ((cb1, cb2, half), tTrain) =
+        timed(VS.trainImiCodebooks(e, k = kHalf, iters = 3, sampleBuckets = 3))
+      val stored = VS.imiAssignCells(spread, cb1, cb2, half, aProbe = 1)
+      val probes = VS.imiAssignCellsMp(spread, cb1, cb2, half, cap, margin)
+      def side(d: org.apache.spark.sql.DataFrame, tag: String) =
+        d.select(col("cell"), col("vec_id").as(s"id_$tag"),
+          col("embedding").as(s"v$tag"),
+          NEx.vectorL2Norm(col("embedding")).as(s"n$tag"))
+      val asym = side(probes, "a").join(side(stored, "b"), Seq("cell"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("lo"),
+          greatest(col("id_a"), col("id_b")).as("hi"),
+          round(NEx.vectorDot(col("va"), col("vb"))
+            / (col("na") * col("nb")), 4).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .distinct()
+      val (nAsym, tAsym) = timed(asym.count())
+      val (nSym, tSym) = timed(VS.imiDedupPairsMp(
+        spread, cb1, cb2, half, cap, margin, threshold = 0.4).count())
+      println(
+        s"""{"metric":"scale_k_asym","sf":"$sfDir","n":$n,"kHalf":$kHalf,""" +
+          s""""cap":$cap,"margin":$margin,"train_sec":${f"$tTrain%.2f"},""" +
+          s""""asym_pairs":$nAsym,"asym_sec":${f"$tAsym%.2f"},""" +
+          s""""sym_pairs":$nSym,"sym_sec":${f"$tSym%.2f"}}""")
+      spark.stop()
+      return
+    }
     // "imimp" mode (r15): the margin-gated symmetric multi-probe face —
     // positional args <sfDir> <k> <cap> imimp <margin> [flat]: arg 1 is
     // kHalf (0 = the production scaledKHalf formula), arg 2 the per-half

@@ -386,7 +386,10 @@ object Multimodal {
     * TIFF container (r16) — the 16×16 media source that lets q188 keep
     * its TIFF-decode identity while hashing at the 256-bit width
     * ([[imageAHashWide]]): pixel lattice identical to the PNG16 face by
-    * construction, so the DuckDB oracle's pixel CTE is shared.
+    * construction, so the DuckDB oracle's pixel CTE is shared. The
+    * container is native BigTIFF (TiffIO.encodeBigTiffGray → the repo's
+    * own BigTiff reader): the classic-TIFF path's javax ImageIO overhead
+    * dominates 200k-image hash passes (see encodeBigTiffGray's note).
     */
   def embeddingsAsTiff16(embeddings: DataFrame): Dataset[MediaRow] = {
     import embeddings.sparkSession.implicits._
@@ -409,7 +412,7 @@ object Multimodal {
           }
           y += 1
         }
-        MediaRow(id, "image/tiff", TiffIO.encode(16, 16, px, 8))
+        MediaRow(id, "image/tiff", TiffIO.encodeBigTiffGray(16, 16, px))
       })
   }
 

@@ -3505,10 +3505,14 @@ object LlmPipeline {
                 (x, i) => when(i === 0, lit(1.0f)).otherwise(x)))
               .as("embedding"),
             lit(9L).as("g")))
+      // checkpoint before the fan-out (history write + incoming write
+      // each re-reference the hash table): the 200k ImageIO TIFF decodes
+      // must run once, not once per consumer (~40 s -> ~12 s at sf10)
       val ph = graft.functions.Multimodal.imageAHashWide(
           graft.functions.Multimodal.embeddingsAsTiff16(
             Tables.spread(s, corpus)), side = 16).toDF()
         .join(corpus.select(col("vec_id").as("id"), col("g")), Seq("id"))
+        .localCheckpoint()
       val bandCols = Seq("b0", "b1", "b2", "b3")
       val withKeys = ph.select(
           col("id") :: col("g") :: bandCols.map(col).toList: _*)

@@ -257,9 +257,14 @@ object MultimodalQueries {
           transform(col("embedding"),
             (x, i) => when(i === 0, lit(1.0f)).otherwise(x)).as("embedding"))
       val corpus = e.unionAll(exact).unionAll(perturbed)
+      // the fingerprint table is referenced four times downstream (both
+      // self-join sides + both hamming-confirm sides); without a
+      // materialization the 200k ImageIO TIFF decodes re-run per
+      // reference (~45 s at sf10 vs ~12 s checkpointed) — the table
+      // itself is ~5 B/row-scale, trivially checkpointable
       val fp = Multimodal.imageAHashWide(
           Multimodal.embeddingsAsTiff16(Tables.spread(s, corpus)),
-          side = 16).toDF()
+          side = 16).toDF().localCheckpoint()
       val bandCols = Seq("b0", "b1", "b2", "b3")
       val exploded = fp.select(col("id"),
           posexplode(array(bandCols.map(col): _*)))

@@ -161,7 +161,8 @@ class VectorSearchSpec extends SparkSpec {
         nAssign = 2, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     info(s"margin-probe pairs=${mp.length} flat pairs=${flat.length} " +
-      s"at ${kHalf * kHalf} cells (measured 49 vs 40 on this corpus)")
+      s"at ${kHalf * kHalf} cells (cap-3 measured 49 vs 40 here; cap 4 " +
+      "can only widen the probe set)")
     assert(mp.length >= math.ceil(0.95 * flat.length).toInt,
       s"margin-probe recall ${mp.length}/${flat.length} below 0.95x flat")
     // (3) bounded expansion: <= cap^2 assignments per vector, and the

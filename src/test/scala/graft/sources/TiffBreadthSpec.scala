@@ -237,4 +237,24 @@ class TiffBreadthSpec extends SparkSpec {
     assert(bands.head.bits == 16)
     assert(bands.head.pixels.toSeq == px.toSeq)
   }
+
+  test("native BigTIFF gray encoder round-trips through the native " +
+      "reader and matches the ImageIO classic path pixel-for-pixel (r16)") {
+    for ((w, h) <- Seq((1, 1), (4, 3), (16, 16), (23, 7))) {
+      val px = Array.tabulate(w * h)(i => (i * 37 + 11) % 256)
+      val big = TiffIO.encodeBigTiffGray(w, h, px)
+      assert(BigTiff.isBigTiff(big), "encoder must emit the 0x2B magic")
+      val s = TiffIO.decode(big) // routes to the native BigTiff reader
+      assert(s.width == w && s.height == h && s.bits == 8)
+      assert(s.pixels.toSeq == px.toSeq, s"${w}x$h BigTIFF diverged")
+      // same pixels as the ImageIO classic container — the two TIFF
+      // flavors are interchangeable sources for the hash queries
+      val classic = TiffIO.decode(TiffIO.encode(w, h, px, 8))
+      assert(classic.pixels.toSeq == s.pixels.toSeq)
+    }
+    // geometry guards stay loud
+    assert(intercept[IllegalArgumentException](
+      TiffIO.encodeBigTiffGray(2, 2, Array(1, 2, 3)))
+      .getMessage.contains("geometry"))
+  }
 }
