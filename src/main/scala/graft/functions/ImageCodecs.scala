@@ -1094,8 +1094,40 @@ object ImageCodecs {
       var b = 0
       while (b < nBlocks) {
         val off = b * 64
+        val bx = b % bwPad(ci); val by = b / bwPad(ci)
+        // DC-only fast path (r16): when every AC coefficient is zero the
+        // full separable IDCT below reduces, TERM FOR TERM, to the DC
+        // chain alone — each zero coefficient contributes cu·0·cos = ±0.0
+        // and x + ±0.0 == x in IEEE round-to-nearest, while the DC term's
+        // cos((2x+1)·0·π/16) = cos(0.0) is exactly 1.0 — so computing
+        // just that chain is BIT-IDENTICAL to the full loop, at 1/64th
+        // the work. Real-world JPEGs hit this on flat regions; the
+        // engine's block-constant oracle fixtures (q203/q213/q220) hit
+        // it on every block, which is what holds the 4-plane CMYK decode
+        // at a linear-scan cost.
+        var dcOnly = true
+        var k = 1
+        while (k < 64 && dcOnly) {
+          if (cf(off + k) != 0) dcOnly = false
+          k += 1
+        }
+        if (dcOnly) {
+          val blk0 = (cf(off) * q(0)).toDouble
+          val t = 0.70710678118654752440 * blk0 * 1.0
+          val acc = 0.70710678118654752440 * (t / 2.0) * 1.0
+          val px = (acc / 2.0 + 128.0).round.toInt
+          val v = math.max(0, math.min(255, px))
+          var yb = 0
+          while (yb < 8) {
+            java.util.Arrays.fill(planes(ci),
+              (by * 8 + yb) * pw + bx * 8,
+              (by * 8 + yb) * pw + bx * 8 + 8, v)
+            yb += 1
+          }
+          b += 1
+        } else {
         java.util.Arrays.fill(blk, 0)
-        var k = 0
+        k = 0
         while (k < 64) { blk(ZigZag(k)) = cf(off + k) * q(k); k += 1 }
         // separable double IDCT with the T.81 normalization
         var i = 0
@@ -1115,7 +1147,6 @@ object ImageCodecs {
           }
           i += 1
         }
-        val bx = b % bwPad(ci); val by = b / bwPad(ci)
         var yb = 0
         while (yb < 8) {
           var x = 0
@@ -1136,6 +1167,7 @@ object ImageCodecs {
           yb += 1
         }
         b += 1
+        }
       }
       ci += 1
     }
