@@ -1512,8 +1512,42 @@ object ImageCodecs {
     * quantizer 1, returned in ZIGZAG order — shared by the baseline and
     * progressive fixture encoders.
     */
+  /** Per-thread memo for CONSTANT blocks (r16): a block whose 64
+    * (edge-replicated) samples share one value always produces the same
+    * coefficient vector, and the fixture encoders (block-constant by
+    * construction) hit this on every block — compute it ONCE per
+    * distinct value through the ordinary loop below (bit-identical by
+    * construction, no re-derivation of the rounding chain) and copy.
+    * ≤256 entries per thread.
+    */
+  private val fdctConstMemo =
+    new ThreadLocal[java.util.HashMap[Int, Array[Int]]] {
+      override def initialValue() = new java.util.HashMap[Int, Array[Int]]()
+    }
+
   private def fdctZigzag(
       pixels: Array[Int], width: Int, height: Int, bx: Int, by: Int): Array[Int] = {
+    // constant-block detect over the same edge-replicated sample window
+    // the loops below read
+    val p00 = pixels(math.min(height - 1, by * 8) * width +
+      math.min(width - 1, bx * 8))
+    var isConst = true
+    var cy = 0
+    while (cy < 8 && isConst) {
+      val sy = math.min(height - 1, by * 8 + cy)
+      var cx = 0
+      while (cx < 8 && isConst) {
+        if (pixels(sy * width + math.min(width - 1, bx * 8 + cx)) != p00)
+          isConst = false
+        cx += 1
+      }
+      cy += 1
+    }
+    if (isConst) {
+      val memo = fdctConstMemo.get()
+      val hit = memo.get(p00)
+      if (hit != null) return hit.clone()
+    }
     val tmpd = new Array[Double](64)
     val coef = new Array[Int](64)
     var v = 0
@@ -1553,6 +1587,7 @@ object ImageCodecs {
     val zz = new Array[Int](64)
     var k = 0
     while (k < 64) { zz(k) = coef(ZigZag(k)); k += 1 }
+    if (isConst) fdctConstMemo.get().put(p00, zz.clone())
     zz
   }
 

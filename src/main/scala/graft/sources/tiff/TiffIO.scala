@@ -57,7 +57,8 @@ object TiffIO {
     */
   def encodeBigTiffGray(
       width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
-    require(width > 0 && height > 0 && pixels.length == width * height,
+    require(width > 0 && height > 0 &&
+      width.toLong * height == pixels.length,
       s"bad BigTIFF geometry ${width}x$height for ${pixels.length} px")
     val n = width * height
     val dataOff = 16L
