@@ -264,25 +264,84 @@ object VectorSearch {
       nAssign: Int, threshold: Double): DataFrame =
     pairsWithinCells(assignCells(vectors, cents, nAssign), threshold)
 
-  /** Thresholded cosine pairs within shared `cell` values — the join
+  /** Thresholded cosine pairs within shared `cell` values — the pairing
     * half of [[semanticDedupPairs]], shared with the IMI variant (the
     * assignment strategy is orthogonal to the pairing).
+    *
+    * GROUPED BLOCK KERNEL (r16): the old formulation self-joined the
+    * assignment table on `cell` and computed the cosine per candidate
+    * ROW — at the cap-4 sf10 dial that materializes ~1.6e9 join rows
+    * each carrying TWO 64-float vectors through the join operator, and
+    * the row plumbing (not the ~2e11 flops of dot products, which are
+    * ~2 s of machine work) held the stage at ~50 s. Here each cell's
+    * members are collected once (bounded: cell occupancy is held ~64 by
+    * the corpus-scaled codebook, times the ≤cap² probe expansion) and
+    * all within-cell pairs are scored in one primitive loop, emitting
+    * only the survivors. The arithmetic is BIT-IDENTICAL to the
+    * declarative tree the DuckDB oracle replays: dot = Σ (double)aᵢ·bᵢ
+    * left-to-right (VectorDotF's loop), norms = √Σx² (VectorL2Norm),
+    * cosine = round(dot/(na·nb), 4) on the HALF_UP lattice, and the
+    * threshold keeps NaN-greatest ordering exactly like Spark's `>=`
+    * on doubles (VectorSearchSpec pins kernel ≡ join formulation).
     */
   private[graft] def pairsWithinCells(
       assignedIn: DataFrame, threshold: Double): DataFrame = {
-    val assigned = assignedIn
-      .select(col("cell"), col("vec_id"), col("embedding"),
-        NE.vectorL2Norm(col("embedding")).as("nrm"))
-    val a = assigned.select(col("cell").as("cell_a"),
-      col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
-    val b = assigned.select(col("cell").as("cell_b"),
-      col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(NE.vectorDot(col("va"), col("vb"))
-          / (col("na") * col("nb")), 4).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .distinct()
+    val s = assignedIn.sparkSession
+    import s.implicits._
+    val grouped = assignedIn
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id").as("_1"),
+        col("embedding").as("_2"))).as("m"))
+      .select(col("m").as[Seq[(Long, Array[Float])]])
+    grouped.flatMap { m =>
+      val n = m.length
+      val ids = new Array[Long](n)
+      val vs = new Array[Array[Float]](n)
+      val norms = new Array[Double](n)
+      var i = 0
+      m.foreach { case (id, v) =>
+        ids(i) = id
+        vs(i) = v
+        var acc = 0.0
+        var d = 0
+        while (d < v.length) { val x = v(d).toDouble; acc += x * x; d += 1 }
+        norms(i) = math.sqrt(acc)
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      i = 0
+      while (i < n) {
+        val a = vs(i)
+        var j = i + 1
+        while (j < n) {
+          if (ids(i) != ids(j)) {
+            val b = vs(j)
+            if (a.length != b.length) throw new IllegalArgumentException(
+              s"vector_dot: mismatched lengths ${a.length} vs ${b.length}")
+            var dot = 0.0
+            var d = 0
+            while (d < a.length) {
+              dot += a(d).toDouble * b(d).toDouble
+              d += 1
+            }
+            val cos = dot / (norms(i) * norms(j))
+            val r4 =
+              if (java.lang.Double.isNaN(cos) ||
+                java.lang.Double.isInfinite(cos)) cos
+              else java.math.BigDecimal.valueOf(cos)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            // Spark's `>=` on doubles ranks NaN greatest — mirror it
+            if (java.lang.Double.compare(r4, threshold) >= 0) {
+              out += (if (ids(i) < ids(j)) (ids(i), ids(j), r4)
+                else (ids(j), ids(i), r4))
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }.toDF("id_a", "id_b", "cosine").distinct()
   }
 
   /** Two-level IMI (inverted multi-index) coarse quantization (r13) —

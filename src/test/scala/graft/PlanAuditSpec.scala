@@ -123,9 +123,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "cell-restricted pairing must plan as an equi-join on cell — " +
         "a product would silently reintroduce the n² q45 shape")
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+    // r16: the pairing is the grouped block kernel (one cell-keyed
+    // aggregate feeding a MapPartitions pair loop) — the candidate space
+    // is still Σ n_c², never n², but no join node remains; accept either
+    // the kernel shape or the legacy keyed join
+    assert((p.contains("HashAggregate") && p.contains("MapPartitions"))
+        || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
         || p.contains("ShuffledHashJoin"),
-      "expected a keyed join for intra-cell pair generation")
+      "expected the cell-keyed grouped pair kernel (or a keyed join) " +
+        "for intra-cell pair generation")
   }
 
   test("q112: outer stream-stream join keeps the q110 pushed-filter equi-join shape") {

@@ -658,6 +658,41 @@ class VectorSearchSpec extends SparkSpec {
     assert(avgCand / total < 0.5, "LSH must scan well under half the corpus")
   }
 
+  test("grouped pair kernel == declarative cell self-join, bit-for-bit " +
+      "(r16 pairsWithinCells restatement pin)") {
+    import graft.functions.{NativeExpressions => NE, VectorFunctions => VF}
+    val cents = VectorSearch.trainIvfCodebook(emb, k = 16, iters = 2,
+      sampleBuckets = 3)
+    val assigned = emb.withColumn("cell",
+      explode(NE.ivfTopCells(VF.toDoubles(col("embedding")), cents, 2)))
+    // the kernel (production path)
+    val got = VectorSearch.pairsWithinCells(assigned, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // the pre-r16 declarative formulation, verbatim
+    val withNorm = assigned.select(col("cell"), col("vec_id"),
+      col("embedding"), NE.vectorL2Norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("cell").as("cell_a"),
+      col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = withNorm.select(col("cell").as("cell_b"),
+      col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    val want = a.join(b,
+        col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(NE.vectorDot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(want.nonEmpty, "pin needs live pairs")
+    assert(got == want,
+      s"grouped kernel diverged: ${got.size} vs ${want.size} pairs, " +
+        s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+  }
+
   test("two-level descent == flat margin gate when every super is probed " +
       "(r16 hier exactness pin)") {
     import graft.functions.{NativeExpressions => NE, VectorFunctions => VF}
