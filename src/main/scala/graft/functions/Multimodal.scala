@@ -110,6 +110,25 @@ object Multimodal {
       val r = m.media_type match {
         case "image/png" => ImageCodecs.decodePng(m.bytes)
         case "image/jpeg" => ImageCodecs.decodeJpeg(m.bytes)
+        case "image/gif" =>
+          // GIF is palette-RGB by construction; a grayscale palette
+          // decodes to equal channels, which collapse EXACTLY to the
+          // gray raster the other formats hash — verified per pixel, so
+          // a genuinely colored GIF fails loudly instead of silently
+          // hashing its red plane
+          val c = GifCodec.decodeGif(m.bytes)
+          require(c.channels == 3,
+            s"imagePHashCoded: GIF decoded to ${c.channels} channels (id=${m.id})")
+          val g = new Array[Int](c.width * c.height)
+          var i = 0
+          while (i < g.length) {
+            val o = i * 3
+            require(c.pixels(o) == c.pixels(o + 1) && c.pixels(o) == c.pixels(o + 2),
+              s"imagePHashCoded: non-grayscale GIF pixel at $i (id=${m.id})")
+            g(i) = c.pixels(o)
+            i += 1
+          }
+          ImageCodecs.Raster(c.width, c.height, 1, g)
         case t => throw new IllegalArgumentException(
           s"imagePHashCoded: unsupported media_type $t")
       }
@@ -442,6 +461,123 @@ object Multimodal {
       })
   }
 
+  /** Embeddings → 8×8 grayscale GIF89a bytes (r16): same deterministic
+    * pixel mapping as [[embeddingsAsPng]], real LZW wire format, ODD ids
+    * stored four-pass INTERLACED and even ids sequential — the q219
+    * mixed-layout discipline on the GIF container. GIF is lossless, so
+    * the oracle replays the pixel arithmetic off the embedding.
+    */
+  def embeddingsAsGifMixedInterlace(embeddings: DataFrame): Dataset[MediaRow] = {
+    import embeddings.sparkSession.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val px = v.map(x =>
+          math.max(0, math.min(255, math.floor((x + 1.0) * 127.5).toInt)))
+        val side = math.sqrt(px.length).toInt
+        require(side * side == px.length,
+          s"embedding dim ${px.length} is not a perfect square (vec_id=$id)")
+        MediaRow(id, "image/gif",
+          GifCodec.encodeGifGray(side, side, px, interlaced = id % 2 == 1))
+      })
+  }
+
+  /** Embeddings → ANIMATED grayscale GIF89a (r16): one full 4×4 base
+    * frame (pixels 0-15) followed by three PARTIAL 2×2 patch frames at
+    * fixed offsets (0,0)/(2,0)/(0,2) drawing pixels 16-27, disposal 1
+    * (accumulate), behind a NETSCAPE2.0 loop extension — the animated
+    * face of the crawl's GIF share, exercising exactly what the format
+    * adds over raw frame streams: sub-rect frames composited onto the
+    * logical screen. Lossless, so composited-canvas statistics are
+    * oracle-replayable off embedding slices by replaying the composite
+    * arithmetic (canvas sum after patch f = previous sum − covered base
+    * pixels + patch pixels).
+    */
+  def embeddingsAsAnimatedGif(embeddings: DataFrame): Dataset[MediaRow] = {
+    import embeddings.sparkSession.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        require(v.length >= 28,
+          s"embeddingsAsAnimatedGif needs >=28 dims, got ${v.length} (vec_id=$id)")
+        val px = v.map(x =>
+          math.max(0, math.min(255, math.floor((x + 1.0) * 127.5).toInt)))
+        val offs = Seq((0, 0), (2, 0), (0, 2))
+        val frames = GifCodec.GifFrameSpec(0, 0, 4, 4, px.slice(0, 16)) +:
+          offs.zipWithIndex.map { case ((l, t), f) =>
+            GifCodec.GifFrameSpec(l, t, 2, 2, px.slice(16 + 4 * f, 20 + 4 * f))
+          }
+        MediaRow(id, "image/gif", GifCodec.encodeGifAnimated(4, 4, frames))
+      })
+  }
+
+  final case class GifFeatures(
+      id: Long, width: Int, height: Int, mean_intensity: Double,
+      min_intensity: Int, max_intensity: Int, interlaced: Boolean)
+
+  /** [[imageFeaturesCoded]] over GIF bytes, plus the WIRE-FORMAT fact:
+    * whether the image block is four-pass interlaced. The flag comes
+    * from the parsed image descriptor, so a q221 result alternating
+    * true/false proves the plan consumed both container layouts (the
+    * q213 sof2 discipline). One parse serves the flag and the pixels.
+    */
+  def gifFeatures(media: Dataset[MediaRow]): Dataset[GifFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      require(m.media_type == "image/gif",
+        s"gifFeatures: unsupported media_type ${m.media_type}")
+      val g = GifCodec.parseGif(m.bytes)
+      require(g.frames.size == 1,
+        s"gifFeatures: ${g.frames.size} frames (id=${m.id}) — animations " +
+          "go through gifAnimationStats")
+      val r = GifCodec.render(g).head
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < r.pixels.length) {
+        val v = r.pixels(i); sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      GifFeatures(m.id, r.width, r.height, sum.toDouble / r.pixels.length,
+        mn, mx, g.frames.head.interlaced)
+    })
+  }
+
+  final case class GifAnimStats(
+      id: Long, n_frames: Int, n_cuts: Int, last_sum: Long)
+
+  /** Scene-cut statistics over ANIMATED GIFs (the q209 video-cut shape
+    * on the GIF container, which here means COMPOSITED sub-rect frames,
+    * not raw full-frame streams): per-frame channel-0 sum over the
+    * composited logical screen (for a grayscale palette this is the
+    * exact gray sum — INTEGER, no rounding surface, q209's discipline),
+    * a cut wherever consecutive canvas sums jump by ≥ `cutThreshold`,
+    * plus the final canvas sum — which is only right if every partial
+    * frame landed at its offset over the preserved prior canvas. Scale
+    * shape: narrow per-row decode kernel, media bytes never shuffle.
+    */
+  def gifAnimationStats(
+      media: Dataset[MediaRow], cutThreshold: Long): Dataset[GifAnimStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      require(m.media_type == "image/gif",
+        s"gifAnimationStats: unsupported media_type ${m.media_type}")
+      val frames = GifCodec.decodeGifFrames(m.bytes)
+      val sums = frames.map { r =>
+        var sum = 0L; var i = 0
+        while (i < r.pixels.length) { sum += r.pixels(i); i += r.channels }
+        sum
+      }
+      var cuts = 0; var i = 1
+      while (i < sums.length) {
+        if (math.abs(sums(i) - sums(i - 1)) >= cutThreshold) cuts += 1
+        i += 1
+      }
+      GifAnimStats(m.id, sums.length, cuts, sums.last)
+    })
+  }
+
   /** [[imageFeatures]] over PNG or JPEG bytes — REAL executor-side
     * decode via [[ImageCodecs]]; multi-channel rasters aggregate over
     * all samples.
@@ -452,6 +588,7 @@ object Multimodal {
       val r = m.media_type match {
         case "image/png" => ImageCodecs.decodePng(m.bytes)
         case "image/jpeg" => ImageCodecs.decodeJpeg(m.bytes)
+        case "image/gif" => GifCodec.decodeGif(m.bytes)
         case t => throw new IllegalArgumentException(
           s"imageFeaturesCoded: unsupported media_type $t")
       }
@@ -483,6 +620,7 @@ object Multimodal {
       val r = m.media_type match {
         case "image/png" => ImageCodecs.decodePng(m.bytes)
         case "image/jpeg" => ImageCodecs.decodeJpeg(m.bytes)
+        case "image/gif" => GifCodec.decodeGif(m.bytes)
         case t => throw new IllegalArgumentException(
           s"imageFeaturesCodedFmt: unsupported media_type $t")
       }

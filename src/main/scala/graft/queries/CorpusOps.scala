@@ -1528,6 +1528,48 @@ object CorpusOps {
           round(sum(when(col("v_words") + col("v_meanlen") + col("v_alpha")
             + col("v_stop") + col("v_symbol") === 0, 1L).otherwise(0L))
             .cast("double") / count(lit(1)), 4).as("keep_rate"))
+    },
+
+    // ------------------------------------------------------------------
+    // HTML -> TEXT EXTRACTION (q223, r16) — the pass every web-crawl
+    // training pipeline runs FIRST (trafilatura/jusText-style
+    // boilerplate removal), which the corpus family until now assumed
+    // had already happened. Each document is wrapped executor-side into
+    // a REAL page (head with style/script whose bodies contain '<',
+    // quotes and a literal "</p>"; a 2-link nav, odd ids an extra
+    // 2-link pager nav; the text as <div><p> content with every
+    // (i%7==3)-rd word's first letter numeric-entity-escaped and messy
+    // whitespace joints; an &copy; footer) and extracted back through
+    // functions.HtmlText: body isolation, opaque script/style skip,
+    // comment skip, nested-aware nav/header/footer/aside removal, tag
+    // separation, entity decode, whitespace collapse. The clean text
+    // must equal the ORIGINAL document text exactly, so the oracle
+    // replays the whole extraction as `text AS clean_text` plus length
+    // arithmetic for the page metrics (link density over the FULL page
+    // including boilerplate — the navigation-heaviness signal a quality
+    // gate feeds on). Scale shape: one narrow mapPartitions pass,
+    // bounded one-row output per document, TakeOrdered at the end —
+    // HTML bytes never shuffle.
+    QueryDef.sql(
+      "q223_html_extract",
+      """SELECT doc_id AS id, text AS clean_text,
+        |  CAST(2 + 2 * (doc_id % 2) AS INTEGER) AS n_links,
+        |  CAST(12 + 6 * (doc_id % 2) AS INTEGER) AS tag_count,
+        |  CAST(length(text) + 41 + 10 * (doc_id % 2) AS INTEGER)
+        |    AS visible_chars,
+        |  round(CAST(20 + 10 * (doc_id % 2) AS DOUBLE) /
+        |        (length(text) + 41 + 10 * (doc_id % 2)), 4) AS link_density
+        |FROM documents ORDER BY id ASC LIMIT 200""".stripMargin) { (s, dir) =>
+      val docs = Tables.spread(s, Tables.load(s, dir, "documents"))
+      val extracted = graft.functions.HtmlText.extractAll(
+        graft.functions.HtmlText.documentsAsHtml(docs))
+      extracted.toDF()
+        .select(col("doc_id").as("id"), col("clean_text"), col("n_links"),
+          col("tag_count"), col("visible_chars"),
+          round(col("link_chars").cast("double") / col("visible_chars"), 4)
+            .as("link_density"))
+        .orderBy(col("id").asc)
+        .limit(200)
     }
   )
 }

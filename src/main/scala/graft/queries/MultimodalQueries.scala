@@ -623,21 +623,25 @@ object MultimodalQueries {
     },
 
     // ------------------------------------------------------------------
-    // CROSS-FORMAT PERCEPTUAL DEDUP (q205, r14) — the mixed-format crawl
-    // reality q188 abstracts away: the SAME image arrives once as PNG and
-    // once as JPEG, and a byte-level digest (q25/q40) is blind to the
-    // re-encode. The corpus alternates formats by id parity (even→PNG
-    // 8×8, odd→JPEG 64×64 block-constant); the q188 injection discipline
-    // keeps the dup path live with 10 exact copies stored in the
-    // OPPOSITE format of their original and 5 one-value perturbations
-    // (JPEG). Both decode paths land on the same 8×8 aHash raster
-    // (imagePHashCoded nearest-reduces the 64×64 JPEG to its block
-    // constants), so a cross-format duplicate is hamming 0 BY
-    // CONSTRUCTION of the fingerprint, not by luck — the result's
-    // cross_format flag shows exactly which survived a format change.
-    // Both encodings are pixel-exact here (PNG lossless; block-constant
-    // JPEG has a DC-only spectrum), so the oracle replays the pixel
-    // arithmetic straight off the embedding, format-independently.
+    // CROSS-FORMAT PERCEPTUAL DEDUP (q205, r14; r16 adds GIF) — the
+    // mixed-format crawl reality q188 abstracts away: the SAME image
+    // arrives re-encoded across containers, and a byte-level digest
+    // (q25/q40) is blind to the re-encode. The corpus alternates formats
+    // by id parity (even→PNG 8×8, odd→JPEG 64×64 block-constant); the
+    // q188 injection discipline keeps the dup path live with 10 exact
+    // copies stored in the OPPOSITE format of their original and 5
+    // one-value perturbations, which since r16 arrive as GIF (mixed
+    // sequential/interlaced LZW — the third wire format, so their
+    // near-dup pairs against the JPEG originals are now cross-format
+    // survivals too). All three decode paths land on the same 8×8 aHash
+    // raster (imagePHashCoded nearest-reduces the 64×64 JPEG to its
+    // block constants and collapses the GIF's verified-gray palette
+    // RGB), so a cross-format duplicate is hamming 0 BY CONSTRUCTION of
+    // the fingerprint, not by luck — the result's cross_format flag
+    // shows exactly which survived a format change. All three encodings
+    // are pixel-exact here (PNG/GIF lossless; block-constant JPEG has a
+    // DC-only spectrum), so the oracle replays the pixel arithmetic
+    // straight off the embedding, format-independently.
     // Scale shape: q188's — one narrow real-decode pass, lossless
     // 4×16-bit pigeonhole banding (hamming ≤ 3 ⇒ ≥ 1 band equal), band
     // equi-join, exact hamming verify on candidates only.
@@ -655,7 +659,7 @@ object MultimodalQueries {
         |           ELSE embedding[i] END) AS embedding
         |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 15),
         |fmt AS (SELECT vec_id,
-        |    CASE WHEN vec_id >= 200000 THEN 1
+        |    CASE WHEN vec_id >= 200000 THEN 2
         |         WHEN vec_id >= 100000 THEN
         |           CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END
         |         ELSE CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END
@@ -708,11 +712,13 @@ object MultimodalQueries {
       // parity; exact copies take the OPPOSITE of their original (same
       // parity, inverted rule); perturbations are always JPEG
       def fmtCol(c: org.apache.spark.sql.Column) =
-        when(c >= 200000L, 1)
+        when(c >= 200000L, 2)
           .when(c >= 100000L, when(c % 2 === 0, 1).otherwise(0))
           .otherwise(when(c % 2 === 0, 0).otherwise(1))
       val media = Multimodal.embeddingsAsPng(corpus.filter(fmtCol(col("vec_id")) === 0))
         .unionAll(Multimodal.embeddingsAsJpeg(corpus.filter(fmtCol(col("vec_id")) === 1)))
+        .unionAll(Multimodal.embeddingsAsGifMixedInterlace(
+          corpus.filter(fmtCol(col("vec_id")) === 2)))
       val ph = Multimodal.imagePHashCoded(media).toDF()
       val bandCols = Seq("h0", "h1", "h2", "h3")
       val exploded = ph.select(col("id"),
@@ -882,6 +888,89 @@ object MultimodalQueries {
         Tables.spread(s, Tables.load(s, dir, "embeddings")))
       Multimodal.videoSceneCuts(media, sumDeltaThreshold = 120L).toDF()
         .select(col("id"), col("n_frames"), col("n_cuts"), col("max_delta"))
+        .orderBy(col("id").asc)
+        .limit(200)
+    },
+
+    // ------------------------------------------------------------------
+    // GIF DECODE (q221, r16) — the remaining first-class image wire
+    // format a real crawl ships that the image family error-tagged:
+    // GIF89a with REAL LZW (growing code width, clear/reset, sub-block
+    // framing), palette resolution, and BOTH row layouts — even ids
+    // sequential, odd ids four-pass interlaced (the q219 mixed-layout
+    // discipline on the GIF container). GIF is lossless, so the oracle
+    // replays the pixel arithmetic straight off the embedding; the
+    // `interlaced` column is read from the ACTUAL image descriptor (the
+    // q213 sof2 discipline), so its alternation proves the plan consumed
+    // both layouts. The codec is cross-pinned against the JDK's
+    // independent ImageIO GIF implementation in GifCodecSpec (both
+    // directions, LZW table overflow, disposal semantics). Scale shape:
+    // one narrow mapPartitions decode pass — media bytes never shuffle.
+    QueryDef.sql(
+      "q221_gif_features",
+      """WITH px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |  FROM embeddings)
+        |SELECT vec_id AS id,
+        |  CAST(vec_id % 2 = 1 AS BOOLEAN) AS interlaced,
+        |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  round(CAST(list_reduce(p, (a, b) -> a + b) AS DOUBLE) / len(p), 4)
+        |    AS mean_intensity,
+        |  CAST(list_aggregate(p, 'min') AS INTEGER) AS min_intensity,
+        |  CAST(list_aggregate(p, 'max') AS INTEGER) AS max_intensity
+        |FROM px ORDER BY id ASC LIMIT 100""".stripMargin) { (s, dir) =>
+      val media = Multimodal.embeddingsAsGifMixedInterlace(
+        Tables.spread(s, Tables.load(s, dir, "embeddings")))
+      Multimodal.gifFeatures(media).toDF()
+        .select(col("id"), col("interlaced"), col("width"), col("height"),
+          round(col("mean_intensity"), 4).as("mean_intensity"),
+          col("min_intensity"), col("max_intensity"))
+        .orderBy(col("id").asc)
+        .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // ANIMATED-GIF COMPOSITED SCENE CUTS (q222, r16) — q209's cut
+    // detection on the container feature raw frame streams don't have:
+    // GIF animations are SUB-RECT frames composited onto the logical
+    // screen under disposal rules. Each clip is one full 4×4 base frame
+    // plus three partial 2×2 patches at (0,0)/(2,0)/(0,2) with disposal
+    // 1, so every per-frame canvas sum (INTEGER, channel-0 plane — the
+    // exact gray sum, q209's no-rounding discipline) depends on the
+    // patch landing at its offset over the PRESERVED prior canvas. The
+    // oracle replays the composite arithmetic off the embedding: sum
+    // after patch f = previous sum − covered base pixels + patch
+    // pixels. A cut is a canvas-sum jump ≥ 30 (measured median |Δ| is
+    // 31 at sf0.01, so the corpus splits into genuinely mixed 0-3 cut
+    // counts at both gate SFs); `last_sum` pins the full composite
+    // chain. Scale shape: q209's — one narrow per-clip decode kernel,
+    // bounded one-row output per clip, TakeOrdered at the end.
+    QueryDef.sql(
+      "q222_gif_animation_cuts",
+      """WITH px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS BIGINT)))) AS p
+        |  FROM embeddings),
+        |sums AS (SELECT vec_id,
+        |  list_reduce(list_transform(generate_series(1, 16), i -> p[i]),
+        |    (a, b) -> a + b) AS s0,
+        |  (p[17]+p[18]+p[19]+p[20]) - (p[1]+p[2]+p[5]+p[6]) AS d1,
+        |  (p[21]+p[22]+p[23]+p[24]) - (p[3]+p[4]+p[7]+p[8]) AS d2,
+        |  (p[25]+p[26]+p[27]+p[28]) - (p[9]+p[10]+p[13]+p[14]) AS d3
+        |  FROM px)
+        |SELECT vec_id AS id, CAST(4 AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN abs(d1) >= 30 THEN 1 ELSE 0 END +
+        |       CASE WHEN abs(d2) >= 30 THEN 1 ELSE 0 END +
+        |       CASE WHEN abs(d3) >= 30 THEN 1 ELSE 0 END AS INTEGER) AS n_cuts,
+        |  CAST(s0 + d1 + d2 + d3 AS BIGINT) AS last_sum
+        |FROM sums ORDER BY id ASC LIMIT 200""".stripMargin) { (s, dir) =>
+      val media = Multimodal.embeddingsAsAnimatedGif(
+        Tables.spread(s, Tables.load(s, dir, "embeddings")))
+      Multimodal.gifAnimationStats(media, cutThreshold = 30L).toDF()
+        .select(col("id"), col("n_frames"), col("n_cuts"), col("last_sum"))
         .orderBy(col("id").asc)
         .limit(200)
     }
