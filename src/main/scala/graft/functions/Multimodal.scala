@@ -668,8 +668,35 @@ object Multimodal {
     buf.array()
   }
 
+  /** G.711 µ-law expansion table (ITU-T G.711 / the CCITT tables): byte →
+    * PCM16. Decode of the COMPLEMENTED byte: mag = (((mant<<3)+132)<<exp)
+    * −132, sign bit 0x80 (post-complement) negative. Cross-pinned against
+    * the JDK's independent javax.sound.sampled µ-law codec in
+    * MultimodalSpec.
+    */
+  private[functions] val UlawTable: Array[Short] = Array.tabulate(256) { i =>
+    val u = ~i & 0xff
+    val mag = ((((u & 0x0f) << 3) + 132) << ((u >> 4) & 7)) - 132
+    (if ((u & 0x80) != 0) -mag else mag).toShort
+  }
+
+  /** G.711 A-law expansion table: byte XOR 0x55, mag = (mant<<4)+8 for
+    * segment 0 else ((mant<<4)+264)<<(segment−1), sign bit 0x80 POSITIVE
+    * (A-law's inverted sign convention vs µ-law).
+    */
+  private[functions] val AlawTable: Array[Short] = Array.tabulate(256) { i =>
+    val a = i ^ 0x55
+    val seg = (a >> 4) & 7
+    val m = (a & 0x0f) << 4
+    val mag = if (seg == 0) m + 8 else (m + 264) << (seg - 1)
+    (if ((a & 0x80) != 0) mag else -mag).toShort
+  }
+
   /** Decode a WAV file: walk RIFF chunks (skipping unknown ones, odd
-    * sizes padded per spec), require PCM format 1 / 16-bit / mono, return
+    * sizes padded per spec), accept mono PCM16 (format 1 / 16-bit) or
+    * the G.711 telephony formats (6 = A-law, 7 = µ-law, 8-bit — r16;
+    * expanded through the ITU tables to PCM16, so every downstream
+    * feature/fingerprint kernel consumes them transparently), return
     * (sampleRate, samples). Fails loudly on malformed or unsupported
     * input rather than guessing.
     */
@@ -686,6 +713,7 @@ object Multimodal {
     buf.getInt() // declared riff size; trust actual length instead
     if (fourcc() != "WAVE") fail("missing WAVE form type")
     var sampleRate = -1
+    var format = -1
     var data: Array[Short] = null
     while (buf.remaining() >= 8 && data == null) {
       val id = fourcc()
@@ -700,22 +728,36 @@ object Multimodal {
           sampleRate = buf.getInt()
           buf.getInt(); buf.getShort() // byte rate, block align
           val bits = buf.getShort()
-          if (fmt != 1) fail(s"unsupported audio format $fmt (want PCM=1)")
+          if (fmt != 1 && fmt != 6 && fmt != 7)
+            fail(s"unsupported audio format $fmt (want PCM=1, A-law=6, u-law=7)")
           if (channels != 1) fail(s"unsupported channel count $channels")
-          if (bits != 16) fail(s"unsupported bit depth $bits")
+          if (fmt == 1 && bits != 16)
+            fail(s"unsupported bit depth $bits for PCM (want 16)")
+          if (fmt != 1 && bits != 8)
+            fail(s"unsupported bit depth $bits for G.711 format $fmt (want 8)")
+          format = fmt
           // skip any fmt extension + RIFF pad byte for odd sizes; clamp —
           // a final chunk may legally omit the pad at EOF
           buf.position(math.min(
             buf.position() + (size - 16) + (size & 1), buf.limit()))
         case "data" =>
           if (sampleRate < 0) fail("data chunk before fmt chunk")
-          // block-align 2 (mono PCM16) makes an odd data size malformed;
-          // silently dropping the trailing byte would break the parser's
-          // fail-loudly contract
-          if ((size & 1) != 0) fail(s"odd data chunk size $size for PCM16")
-          data = new Array[Short](size / 2)
-          var i = 0
-          while (i < data.length) { data(i) = buf.getShort(); i += 1 }
+          if (format == 1) {
+            // block-align 2 (mono PCM16) makes an odd data size malformed;
+            // silently dropping the trailing byte would break the parser's
+            // fail-loudly contract
+            if ((size & 1) != 0) fail(s"odd data chunk size $size for PCM16")
+            data = new Array[Short](size / 2)
+            var i = 0
+            while (i < data.length) { data(i) = buf.getShort(); i += 1 }
+          } else {
+            val table = if (format == 7) UlawTable else AlawTable
+            data = new Array[Short](size)
+            var i = 0
+            while (i < data.length) { data(i) = table(buf.get() & 0xff); i += 1 }
+            // pad byte for odd 8-bit data sizes, clamped at EOF
+            buf.position(math.min(buf.position() + (size & 1), buf.limit()))
+          }
         case _ =>
           // pad byte for odd sizes, clamped: encoders commonly omit the
           // pad when the odd chunk is the last thing in the file
@@ -725,6 +767,53 @@ object Multimodal {
     }
     if (data == null) fail("no data chunk")
     (sampleRate, data)
+  }
+
+  /** Encode raw G.711 code bytes as a WAV file (format 6 = A-law, 7 =
+    * µ-law, 8-bit mono) — the fixture path for the telephony-format
+    * decode face.
+    */
+  def encodeWavG711(
+      codes: Array[Byte], uLaw: Boolean, sampleRate: Int): Array[Byte] = {
+    require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+    val dataLen = codes.length
+    val pad = dataLen & 1
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen + pad)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(if (uLaw) 7 else 6)
+    buf.putShort(1)               // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate)        // byte rate (1 byte per sample)
+    buf.putShort(1)               // block align
+    buf.putShort(8)               // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    buf.put(codes)
+    if (pad == 1) buf.put(0.toByte) // RIFF pad for odd data size
+    buf.array()
+  }
+
+  /** Embeddings → G.711 telephony WAV: the byte code is the standard
+    * pixel-style quantization clamp(floor((v+1)·127.5), 0..255); even
+    * ids encode as µ-law, odd ids as A-law — the q219/q221 mixed-layout
+    * discipline on the audio container, so ONE query proves both
+    * expansion tables on real wire bytes. The oracle replays the ITU
+    * expansion formulas off the same quantization.
+    */
+  def embeddingsAsG711Wav(
+      embeddings: DataFrame, sampleRate: Int = 8000): Dataset[MediaRow] = {
+    import embeddings.sparkSession.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val codes = v.map(x =>
+          math.max(0, math.min(255,
+            math.floor((x + 1.0) * 127.5).toInt)).toByte)
+        MediaRow(id, "audio/wav",
+          encodeWavG711(codes, uLaw = id % 2 == 0, sampleRate))
+      })
   }
 
   /** Render embeddings as real WAV files — the audio analogue of

@@ -1570,6 +1570,56 @@ object CorpusOps {
             .as("link_density"))
         .orderBy(col("id").asc)
         .limit(200)
+    },
+
+    // ------------------------------------------------------------------
+    // BOILERPLATE-INVARIANT PAGE DEDUP (q225, r16) — WHY a crawl
+    // pipeline extracts before deduplicating: the same article served
+    // under different page chrome (different nav blocks, different
+    // titles) is invisible to raw-byte digests (q25/q40) but groups
+    // exactly after extraction. The corpus re-serves each doc_id < 10
+    // under a flipped-parity id (+100001), which by the q223 fixture
+    // rule changes the page's boilerplate (the extra pager nav) and its
+    // title — a DIFFERENT raw page, same content. The plan extracts
+    // every page through functions.HtmlText and groups on
+    // md5(clean_text) — the digest-grouped exact-dedup shape (q25's
+    // 100 TB discipline: the shuffle key is 128 bits, never the text) —
+    // so the injected cross-chrome copies land in their originals'
+    // groups ONLY if extraction reproduced the content identically
+    // through both templates; genuine corpus-internal text dups
+    // surface in the same pass. Scale shape: narrow extraction, one
+    // digest-keyed exchange with map-side combine, TakeOrdered.
+    QueryDef.sql(
+      "q225_html_dedup_boilerplate",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100001 AS doc_id, text
+        |  FROM documents WHERE doc_id < 10),
+        |g AS (SELECT md5(text) AS d, min(doc_id) AS canonical_id,
+        |    count(*) AS n_copies,
+        |    max(CASE WHEN doc_id >= 100001 THEN 1 ELSE 0 END) AS cross_chrome
+        |  FROM corpus GROUP BY md5(text))
+        |SELECT canonical_id, CAST(n_copies AS BIGINT) AS n_copies,
+        |  CAST(cross_chrome AS INTEGER) AS cross_chrome
+        |FROM g WHERE n_copies >= 2
+        |ORDER BY canonical_id ASC""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100001L).as("doc_id"), col("text")))
+      val pages = graft.functions.HtmlText.documentsAsHtml(
+        Tables.spread(s, corpus))
+      graft.functions.HtmlText.extractAll(pages).toDF()
+        .groupBy(md5(col("clean_text")))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"),
+          max(when(col("doc_id") >= 100001L, 1).otherwise(0))
+            .as("cross_chrome"))
+        .filter(col("n_copies") >= 2)
+        .select(col("canonical_id"), col("n_copies"),
+          col("cross_chrome").cast("int").as("cross_chrome"))
+        .orderBy(col("canonical_id").asc)
     }
   )
 }

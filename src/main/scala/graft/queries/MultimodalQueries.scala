@@ -973,6 +973,62 @@ object MultimodalQueries {
         .select(col("id"), col("n_frames"), col("n_cuts"), col("last_sum"))
         .orderBy(col("id").asc)
         .limit(200)
+    },
+
+    // ------------------------------------------------------------------
+    // G.711 TELEPHONY WAV DECODE (q224, r16) — µ-law/A-law 8-bit WAV,
+    // the wire format call-center and telephony audio arrives in, which
+    // the PCM16-only decoder rejected loudly. The corpus alternates laws
+    // by id parity (even→µ-law format 7, odd→A-law format 6 — the q221
+    // mixed-layout discipline on the audio container), and decodeWav
+    // expands each code byte through the ITU G.711 tables to PCM16, so
+    // the EXISTING feature kernel (wavFeatures) consumes both formats
+    // transparently. The expansion is pure integer arithmetic, so the
+    // oracle replays it formula-for-formula off the byte quantization:
+    // µ-law mag = ((m·8+132)<<e)−132 on the complemented byte (sign bit
+    // negative), A-law mag = (m·16+8 | (m·16+264)<<(e−1)) on byte⊕0x55
+    // (sign bit POSITIVE — the inverted convention). Both tables are
+    // cross-pinned against the JDK's independent javax.sound.sampled
+    // G.711 codecs on all 256 code points (MultimodalSpec). Scale
+    // shape: q98's — one narrow decode pass, TakeOrdered only.
+    QueryDef.sql(
+      "q224_wav_g711_features",
+      """WITH c AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS b
+        |  FROM embeddings),
+        |s AS (SELECT vec_id,
+        |  CASE WHEN vec_id % 2 = 0 THEN
+        |    list_transform(b, v ->
+        |      CASE WHEN (255 - v) >= 128 THEN -1 ELSE 1 END *
+        |      (((((255 - v) % 16) * 8 + 132) << (((255 - v) // 16) % 8)) - 132))
+        |  ELSE
+        |    list_transform(b, v ->
+        |      CASE WHEN xor(v, 85) >= 128 THEN 1 ELSE -1 END *
+        |      CASE WHEN ((xor(v, 85) // 16) % 8) = 0
+        |        THEN (xor(v, 85) % 16) * 16 + 8
+        |        ELSE ((xor(v, 85) % 16) * 16 + 264)
+        |          << (((xor(v, 85) // 16) % 8) - 1) END)
+        |  END AS smp
+        |  FROM c)
+        |SELECT vec_id AS id,
+        |  CAST(vec_id % 2 = 0 AS BOOLEAN) AS ulaw,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(len(smp) AS INTEGER) AS n_samples,
+        |  round(sqrt(list_reduce(list_transform(smp, v -> CAST(v AS DOUBLE) * v),
+        |    (a, b) -> a + b) / len(smp)), 4) AS rms,
+        |  CAST(list_reduce(list_transform(smp, v -> abs(v)),
+        |    (a, b) -> greatest(a, b)) AS INTEGER) AS peak
+        |FROM s ORDER BY id ASC LIMIT 200""".stripMargin) { (s, dir) =>
+      val media = Multimodal.embeddingsAsG711Wav(
+        Tables.spread(s, Tables.load(s, dir, "embeddings")))
+      Multimodal.wavFeatures(media).toDF()
+        .select(col("id"), (col("id") % 2 === 0).as("ulaw"),
+          col("sample_rate"), col("n_samples"),
+          round(col("rms"), 4).as("rms"), col("peak"))
+        .orderBy(col("id").asc)
+        .limit(200)
     }
   )
 }

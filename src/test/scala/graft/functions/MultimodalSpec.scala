@@ -99,10 +99,44 @@ class MultimodalSpec extends SparkSpec {
     boom(good.take(44), "declares") // data chunk truncated
     val stereo = good.clone(); stereo(22) = 2 // channel count field
     boom(stereo, "channel count 2")
-    val alaw = good.clone(); alaw(20) = 6 // audio format field
-    boom(alaw, "unsupported audio format 6")
+    val alaw = good.clone(); alaw(20) = 6 // G.711 now accepted, but only 8-bit
+    boom(alaw, "bit depth 16 for G.711 format 6")
+    val adpcm = good.clone(); adpcm(20) = 2 // audio format field
+    boom(adpcm, "unsupported audio format 2")
     val wide = good.clone(); wide(34) = 24 // bits per sample field
     boom(wide, "bit depth 24")
+  }
+
+  test("G.711 u-law/A-law expansion matches the JDK's independent codec") {
+    import javax.sound.sampled._
+    val codes = Array.tabulate(256)(_.toByte) // every code point once
+    for (uLaw <- Seq(true, false)) {
+      val enc = if (uLaw) AudioFormat.Encoding.ULAW else AudioFormat.Encoding.ALAW
+      val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val dst = new AudioFormat(8000f, 16, 1, true, false) // PCM16 LE
+      val ais = AudioSystem.getAudioInputStream(dst,
+        new AudioInputStream(
+          new java.io.ByteArrayInputStream(codes), src, codes.length))
+      val pcm = ais.readAllBytes()
+      assert(pcm.length == 512, s"JDK emitted ${pcm.length} bytes")
+      val table = if (uLaw) Multimodal.UlawTable else Multimodal.AlawTable
+      for (i <- 0 until 256) {
+        val want = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
+        assert(table(i) == want,
+          s"${if (uLaw) "u" else "A"}-law code $i: table ${table(i)}, JDK $want")
+      }
+    }
+  }
+
+  test("G.711 WAV round trip: container walk + expansion, odd-size pad") {
+    val codes = Array[Byte](0, 1, 127, -128, -1, 85, -86) // 7 bytes (odd)
+    for (uLaw <- Seq(true, false)) {
+      val bytes = Multimodal.encodeWavG711(codes, uLaw, 8000)
+      val (rate, smp) = Multimodal.decodeWav(bytes)
+      assert(rate == 8000 && smp.length == 7)
+      val table = if (uLaw) Multimodal.UlawTable else Multimodal.AlawTable
+      assert(smp.toSeq == codes.toSeq.map(c => table(c & 0xff)))
+    }
   }
 
   test("embeddingsAsWav quantization matches the oracle formula") {
