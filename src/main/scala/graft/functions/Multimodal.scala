@@ -511,6 +511,30 @@ object Multimodal {
       })
   }
 
+  /** Embeddings → 8×8 grayscale BMP bytes (r16): even ids as the 8-bit
+    * palette profile (identity gray BGRA table), odd ids as 24-bit BGR —
+    * one query over the mixed corpus proves both pixel layouts, the
+    * bottom-up row order, and the 4-byte row padding (8 px × 1 B and
+    * × 3 B both land off-stride). Uncompressed, so the oracle replays
+    * the pixel arithmetic off the embedding.
+    */
+  def embeddingsAsBmpMixedDepth(embeddings: DataFrame): Dataset[MediaRow] = {
+    import embeddings.sparkSession.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val px = v.map(x =>
+          math.max(0, math.min(255, math.floor((x + 1.0) * 127.5).toInt)))
+        val side = math.sqrt(px.length).toInt
+        require(side * side == px.length,
+          s"embedding dim ${px.length} is not a perfect square (vec_id=$id)")
+        val bytes =
+          if (id % 2 == 0) BmpCodec.encodeBmpGray(side, side, px)
+          else BmpCodec.encodeBmpGray24(side, side, px)
+        MediaRow(id, "image/bmp", bytes)
+      })
+  }
+
   final case class GifFeatures(
       id: Long, width: Int, height: Int, mean_intensity: Double,
       min_intensity: Int, max_intensity: Int, interlaced: Boolean)
@@ -589,6 +613,7 @@ object Multimodal {
         case "image/png" => ImageCodecs.decodePng(m.bytes)
         case "image/jpeg" => ImageCodecs.decodeJpeg(m.bytes)
         case "image/gif" => GifCodec.decodeGif(m.bytes)
+        case "image/bmp" => BmpCodec.decodeBmp(m.bytes)
         case t => throw new IllegalArgumentException(
           s"imageFeaturesCoded: unsupported media_type $t")
       }

@@ -1029,6 +1029,45 @@ object MultimodalQueries {
           round(col("rms"), 4).as("rms"), col("peak"))
         .orderBy(col("id").asc)
         .limit(200)
+    },
+
+    // ------------------------------------------------------------------
+    // BMP DECODE (q226, r16) — the remaining uncompressed raster format
+    // a real crawl carries (screenshots, scans, legacy galleries). The
+    // corpus alternates profiles by id parity: even ids 8-bit palette
+    // (identity-gray BGRA table), odd ids 24-bit BGR — one query proves
+    // both pixel layouts plus the decode hazards the format is made of
+    // (bottom-up row order, 4-byte row stride padding: 8 px rows land
+    // off-stride at BOTH depths, BGR sample order). BMP is
+    // uncompressed, so the oracle replays the pixel arithmetic straight
+    // off the embedding; the codec is cross-pinned against the JDK's
+    // independent ImageIO BMP implementation in BmpCodecSpec (both
+    // directions, top-down variant, malformed rejects). Scale shape:
+    // one narrow mapPartitions decode pass — media bytes never shuffle.
+    QueryDef.sql(
+      "q226_bmp_features",
+      """WITH px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |  FROM embeddings)
+        |SELECT vec_id AS id,
+        |  CAST(vec_id % 2 = 0 AS BOOLEAN) AS palette,
+        |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  round(CAST(list_reduce(p, (a, b) -> a + b) AS DOUBLE) / len(p), 4)
+        |    AS mean_intensity,
+        |  CAST(list_aggregate(p, 'min') AS INTEGER) AS min_intensity,
+        |  CAST(list_aggregate(p, 'max') AS INTEGER) AS max_intensity
+        |FROM px ORDER BY id ASC LIMIT 100""".stripMargin) { (s, dir) =>
+      val media = Multimodal.embeddingsAsBmpMixedDepth(
+        Tables.spread(s, Tables.load(s, dir, "embeddings")))
+      Multimodal.imageFeaturesCoded(media).toDF()
+        .select(col("id"), (col("id") % 2 === 0).as("palette"),
+          col("width"), col("height"),
+          round(col("mean_intensity"), 4).as("mean_intensity"),
+          col("min_intensity"), col("max_intensity"))
+        .orderBy(col("id").asc)
+        .limit(100)
     }
   )
 }

@@ -574,6 +574,28 @@ object Streams {
     docs.withColumn("score", score).filter(col("score") >= threshold)
   }
 
+  /** Streaming HTML-extraction gate (r16) — q223's extraction pointed at
+    * the ingest direction, which is where a real crawl runs it: raw
+    * pages arrive as a stream, each is extracted (boilerplate removal,
+    * entity decode, whitespace collapse — functions.HtmlText) and
+    * navigation-heavy pages are dropped on their link density, all
+    * BEFORE anything downstream (dedup stores, quality gates, shard
+    * writers) sees a byte. The kernel is one narrow mapPartitions —
+    * no state, no join, no shuffle — so serving cost is the scan and
+    * the gate composes with every other ingest stream in this file.
+    */
+  def extractGate(pages: DataFrame, maxLinkDensity: Double): DataFrame = {
+    import pages.sparkSession.implicits._
+    val extracted = graft.functions.HtmlText.extractAll(
+      pages.select(col("doc_id"), col("html"))
+        .as[graft.functions.HtmlText.HtmlRow])
+    extracted.toDF()
+      .withColumn("link_density",
+        round(col("link_chars").cast("double") / col("visible_chars"), 4))
+      .filter(col("link_density") <= maxLinkDensity)
+      .select(col("doc_id"), col("clean_text"), col("link_density"))
+  }
+
   /** Streaming SEMANTIC gate (r13) — q166's embedding-level
     * decontamination pointed at the ingest direction: incoming TRAINING
     * candidates are flagged when their embedding sits too close to any

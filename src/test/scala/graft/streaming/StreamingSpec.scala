@@ -581,6 +581,37 @@ class StreamingSpec extends SparkSpec {
       "gate should filter some but not all docs at these weights")
   }
 
+  test("streaming HTML extraction gate equals the batch extraction " +
+      "(crawl-ingest shape)") {
+    val tmp = Files.createTempDirectory("hgate").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    graft.functions.HtmlText.documentsAsHtml(docs).toDF()
+      .write.mode("overwrite").parquet(tmp)
+    val pages = spark.read.parquet(tmp)
+    val stream = spark.readStream.schema(pages.schema).parquet(tmp)
+    val q = Streams.extractGate(stream, maxLinkDensity = 0.15)
+      .writeStream.format("memory").queryName("hgate_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("hgate_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val batch = Streams.extractGate(pages, maxLinkDensity = 0.15).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed == batch,
+      s"stream extraction diverged: ${streamed.size} vs ${batch.size} rows")
+    assert(batch.nonEmpty && batch.size < docs.count(),
+      "link-density gate should drop some but not all pages")
+    // the extraction itself must reproduce the source text exactly —
+    // the q223 identity, here on the streamed path
+    val src = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    streamed.foreach { case (id, clean, _) =>
+      assert(clean == src(id), s"doc $id text diverged through the stream")
+    }
+  }
+
   test("streaming mixture gate equals the q159 batch materialization per domain") {
     // solver offline over the corpus snapshot; rates become literals
     val rates = graft.queries.TrainingPipeline.mixtureRates(spark, sfDir)
