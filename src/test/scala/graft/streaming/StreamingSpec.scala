@@ -612,6 +612,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming WARC ingest: .warc.gz files arrive as a stream, records " +
+      "walk + extract equal the batch run (the live-crawl shape)") {
+    import graft.sources.warc.WarcIO
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("warcstream").toString
+    val docsDf = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val docs = docsDf.collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val htmlById = graft.functions.HtmlText.documentsAsHtml(docsDf)
+      .collect().map(h => h.doc_id -> h.html).toMap
+    // four real .warc.gz files, each with a warcinfo record up front
+    docs.grouped((docs.length + 3) / 4).zipWithIndex.foreach { case (grp, i) =>
+      val pages = grp.map { case (id, _) =>
+        (s"http://example.test/doc/$id", htmlById(id))
+      }
+      Files.write(java.nio.file.Paths.get(tmp, s"part-$i.warc.gz"),
+        WarcIO.writeWarcGz(pages.toSeq))
+    }
+    def walk(df: DataFrame): DataFrame =
+      df.select(col("content")).as[Array[Byte]]
+        .flatMap(bytes => WarcIO.readWarcGz(bytes).iterator
+          .filter(_.warcType == "response")
+          .map { r =>
+            val (code, body) = WarcIO.httpBody(r.payload)
+            assert(code == 200)
+            val uri = r.targetUri.get
+            (uri.substring(uri.lastIndexOf('/') + 1).toLong,
+              graft.functions.HtmlText.extract(
+                new String(body, "UTF-8")).clean_text)
+          })
+        .toDF("id", "clean_text")
+    val stream = spark.readStream.format("binaryFile")
+      .schema(spark.read.format("binaryFile").load(tmp).schema)
+      .load(tmp)
+    val q = walk(stream)
+      .writeStream.format("memory").queryName("warc_stream_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("warc_stream_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = walk(spark.read.format("binaryFile").load(tmp)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch, s"${streamed.size} vs ${batch.size}")
+    // text identity through gzip + WARC + HTTP + HTML, on the stream
+    assert(streamed == docs.toSet, "streamed extraction diverged from source")
+  }
+
   test("streaming mixture gate equals the q159 batch materialization per domain") {
     // solver offline over the corpus snapshot; rates become literals
     val rates = graft.queries.TrainingPipeline.mixtureRates(spark, sfDir)
