@@ -1068,6 +1068,101 @@ object MultimodalQueries {
           col("min_intensity"), col("max_intensity"))
         .orderBy(col("id").asc)
         .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // WEBDATASET SHARD INGEST (q228, r16) — multimodal training sets
+    // ship as plain `.tar` shards of ADJACENT members per sample
+    // ({key}.jpg + {key}.json), streamed sequentially at training time
+    // (the WebDataset convention). The fixture builds 8 real USTAR
+    // shards via sources.warc.TarIO (checksummed headers; the format is
+    // cross-validated against Python's independent stdlib tarfile both
+    // directions, TarIOSpec + tools/gen_tar_fixture.py); the MEASURED
+    // path is the training-side ingest: binaryFile scan → per-shard
+    // member walk → adjacent-pair association (stem equality enforced
+    // loudly) → REAL JPEG decode of the .jpg member + declarative JSON
+    // field extraction from the .json member. Block-constant JPEG
+    // round-trips exactly (q203), so the oracle replays pixels off the
+    // embedding and the label off id arithmetic. Scale shape: shards
+    // are the scan unit, one narrow flatMap, payloads never shuffle,
+    // TakeOrdered only.
+    QueryDef.sql(
+      "q228_webdataset_shard_ingest",
+      """WITH px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS INTEGER)))) AS p
+        |  FROM embeddings)
+        |SELECT vec_id AS id,
+        |  'c' || CAST(vec_id % 10 AS VARCHAR) AS label,
+        |  CAST(64 AS INTEGER) AS width,
+        |  round(CAST(list_reduce(p, (a, b) -> a + b) AS DOUBLE) / len(p), 4)
+        |    AS mean_intensity
+        |FROM px ORDER BY id ASC LIMIT 200""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.warc.TarIO
+      // ---- fixture construction (not the measured path): 8 real USTAR
+      // shards, rebuilt deterministically each run
+      val fixDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_wds_fixture")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      if (fixDir.exists) rm(fixDir)
+      fixDir.mkdirs()
+      val fixPath = fixDir.getAbsolutePath
+      Multimodal.embeddingsAsJpeg(
+          Tables.spread(s, Tables.load(s, dir, "embeddings"))).toDF()
+        .withColumn("g", col("id") % 8)
+        .repartition(8, col("g"))
+        .sortWithinPartitions(col("g"), col("id"))
+        .select(col("g"), col("id"), col("bytes"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val byG = scala.collection.mutable.LinkedHashMap
+            .empty[Long, scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]]
+          it.foreach { r =>
+            val id = r.getLong(1)
+            val stem = f"$id%012d"
+            val buf = byG.getOrElseUpdate(r.getLong(0),
+              scala.collection.mutable.ArrayBuffer.empty)
+            buf += ((s"$stem.jpg", r.getAs[Array[Byte]](2)))
+            buf += ((s"$stem.json",
+              s"""{"id":$id,"label":"c${id % 10}"}""".getBytes("UTF-8")))
+          }
+          byG.foreach { case (g, entries) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(fixPath, s"part-$g.tar"),
+              TarIO.writeTar(entries.toSeq))
+          }
+        }
+      // ---- the measured path: scan shards, walk members, pair, decode
+      s.read.format("binaryFile").load(fixPath)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { bytes =>
+          TarIO.readTar(bytes).grouped(2).map { pair =>
+            require(pair.size == 2, "odd member count in shard")
+            val Seq(img, meta) = pair
+            val stem = img.name.stripSuffix(".jpg")
+            require(img.name.endsWith(".jpg") &&
+              meta.name == s"$stem.json",
+              s"unpaired members ${img.name} / ${meta.name}")
+            val r = graft.functions.ImageCodecs.decodeJpeg(img.bytes)
+            var sum = 0L; var i = 0
+            while (i < r.pixels.length) { sum += r.pixels(i); i += 1 }
+            (stem.toLong, new String(meta.bytes, "UTF-8"), r.width,
+              sum.toDouble / r.pixels.length)
+          }
+        }
+        .toDF("sid", "meta", "width", "mean_raw")
+        // loud cross-check: the json member's id must match the stem
+        .filter(get_json_object(col("meta"), "$.id").cast("long") === col("sid")
+          || raise_error(lit("webdataset: json id diverges from member stem")))
+        .select(col("sid").as("id"),
+          get_json_object(col("meta"), "$.label").as("label"),
+          col("width"), round(col("mean_raw"), 4).as("mean_intensity"))
+        .orderBy(col("id").asc)
+        .limit(200)
     }
   )
 }

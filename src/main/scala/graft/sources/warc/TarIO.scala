@@ -1,0 +1,139 @@
+package graft.sources.warc
+
+import scala.collection.mutable.ArrayBuffer
+
+/** USTAR (POSIX.1-1988 tar) reader/writer — the shard container
+  * multimodal training sets actually ship in: the WebDataset convention
+  * stores a sample as adjacent members `{key}.jpg` + `{key}.json`
+  * inside plain `.tar` shards, streamed sequentially at training time.
+  * Executor-side, JDK-only, loud failures, the [[WarcIO]] discipline on
+  * the 512-byte-block format: header checksums are VERIFIED, octal size
+  * fields parsed strictly, data padded to block boundaries, the
+  * two-zero-block terminator required; directories and pax/GNU
+  * extension members are skipped as containers require, unknown type
+  * flags fail loudly.
+  *
+  * Scale shape: shards are SCAN INPUT (one binaryFile row per shard);
+  * the member walk is a narrow per-shard kernel and payloads never
+  * shuffle.
+  */
+object TarIO {
+
+  final case class TarEntry(name: String, bytes: Array[Byte])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"malformed tar: $msg")
+
+  private def octal(b: Array[Byte], off: Int, len: Int, what: String): Long = {
+    var i = off
+    val end = off + len
+    // leading spaces/NULs tolerated, terminated by space or NUL
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    var v = 0L
+    var any = false
+    while (i < end && b(i) != ' ' && b(i) != 0) {
+      val c = b(i)
+      if (c < '0' || c > '7') fail(s"non-octal $what field")
+      v = v * 8 + (c - '0')
+      any = true
+      i += 1
+    }
+    if (!any) fail(s"empty $what field")
+    v
+  }
+
+  private def headerChecksum(h: Array[Byte], off: Int): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < 512) {
+      // the checksum field itself (148-155) counts as spaces
+      sum += (if (i >= 148 && i < 156) ' ' else h(off + i) & 0xff)
+      i += 1
+    }
+    sum
+  }
+
+  /** Walk a tar stream into its regular-file entries. Verifies every
+    * header checksum; skips directories (type '5') and pax/GNU
+    * metadata members ('x', 'g'); rejects other special types loudly.
+    */
+  def readTar(bytes: Array[Byte]): Seq[TarEntry] = {
+    val out = ArrayBuffer.empty[TarEntry]
+    var p = 0
+    var done = false
+    while (!done) {
+      if (p + 512 > bytes.length) fail("truncated header block")
+      // terminator: a zero block (spec asks for two; require both)
+      if ((0 until 512).forall(i => bytes(p + i) == 0)) {
+        if (p + 1024 > bytes.length ||
+            !(512 until 1024).forall(i => bytes(p + i) == 0))
+          fail("single zero block — tar requires two terminator blocks")
+        done = true
+      } else {
+        val stored = octal(bytes, p + 148, 8, "checksum")
+        val actual = headerChecksum(bytes, p)
+        if (stored != actual)
+          fail(s"header checksum mismatch at offset $p ($stored != $actual)")
+        var nameEnd = p
+        while (nameEnd < p + 100 && bytes(nameEnd) != 0) nameEnd += 1
+        val name = new String(bytes, p, nameEnd - p, "US-ASCII")
+        val size = octal(bytes, p + 124, 12, "size")
+        if (size > Int.MaxValue) fail(s"entry '$name' too large ($size)")
+        val tf = bytes(p + 156)
+        p += 512
+        val dataEnd = p + size.toInt
+        if (dataEnd > bytes.length) fail(s"entry '$name' data truncated")
+        tf match {
+          case 0 | '0' =>
+            out += TarEntry(name,
+              java.util.Arrays.copyOfRange(bytes, p, dataEnd))
+          case '5' | 'x' | 'g' => () // dir / pax member: skip content
+          case other =>
+            fail(s"unsupported tar entry type '${other.toChar}' for '$name'")
+        }
+        p = dataEnd + ((512 - size.toInt % 512) % 512)
+      }
+    }
+    out.toSeq
+  }
+
+  /** Write a plain USTAR archive of regular files (the WebDataset shard
+    * layout: adjacent members per sample key, two-zero-block
+    * terminator).
+    */
+  def writeTar(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for ((name, data) <- entries) {
+      require(name.getBytes("US-ASCII").length <= 100,
+        s"tar entry name too long: $name")
+      val h = new Array[Byte](512)
+      val nb = name.getBytes("US-ASCII")
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      def putOctal(off: Int, len: Int, v: Long): Unit = {
+        val s = s"%0${len - 1}o".format(v)
+        System.arraycopy(s.getBytes("US-ASCII"), 0, h, off, s.length)
+        h(off + len - 1) = 0
+      }
+      putOctal(100, 8, 420) // mode 0644
+      putOctal(108, 8, 0); putOctal(116, 8, 0) // uid/gid
+      putOctal(124, 12, data.length.toLong)
+      putOctal(136, 12, 0L) // mtime: fixed for determinism
+      h(156) = '0'
+      // POSIX magic "ustar" NUL + version "00"
+      System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+      h(262) = 0; h(263) = '0'; h(264) = '0'
+      // checksum last: field as spaces during the sum
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      val sum = headerChecksum(h, 0)
+      val cs = "%06o".format(sum)
+      System.arraycopy(cs.getBytes("US-ASCII"), 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+      out.write(data)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Golden tar fixture for TarIO — written by Python's INDEPENDENT stdlib
+tarfile implementation (the gen_zarr_fixture/gen_ngff_fixture discipline:
+the engine's reader is checked against bytes it did not produce). Emits a
+USTAR shard in the WebDataset layout (adjacent {key}.jpg/{key}.json
+members, plus a directory member and a pax header the reader must SKIP)
+and a JSON manifest of (name, size, sha256) for the spec to pin.
+
+Also validates the OTHER direction when given a file argument: reads a
+TarIO-written archive with tarfile and prints its members — run manually
+or from the spec-side check to prove our writer's bytes parse under an
+independent implementation.
+
+Usage: python3 tools/gen_tar_fixture.py            # (re)write the fixture
+       python3 tools/gen_tar_fixture.py <file.tar> # validate foreign tar
+"""
+import hashlib
+import io
+import json
+import os
+import sys
+import tarfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(HERE, "..", "fixtures", "tar_golden")
+
+
+def deterministic_bytes(seed: int, n: int) -> bytes:
+    return bytes(((i * 2654435761 + seed * 40503) >> 16) & 0xFF
+                 for i in range(n))
+
+
+def gen() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    buf = io.BytesIO()
+    # USTAR format, fixed mtime for determinism
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        d = tarfile.TarInfo("samples/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        manifest = []
+        for key in range(5):
+            img = deterministic_bytes(key, 300 + 97 * key)  # off-block sizes
+            meta = json.dumps({"id": key, "label": f"c{key % 3}"}).encode()
+            for name, data in ((f"samples/{key:04d}.jpg", img),
+                               (f"samples/{key:04d}.json", meta)):
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                ti.mtime = 0
+                tf.addfile(ti, io.BytesIO(data))
+                manifest.append({"name": name, "size": len(data),
+                                 "sha256": hashlib.sha256(data).hexdigest()})
+    data = buf.getvalue()
+    with open(os.path.join(OUT, "shard.tar"), "wb") as f:
+        f.write(data)
+    # a PAX variant of the same content: the reader must skip 'x' members
+    buf2 = io.BytesIO()
+    with tarfile.open(fileobj=buf2, mode="w", format=tarfile.PAX_FORMAT) as tf:
+        ti = tarfile.TarInfo("samples/0000.jpg")
+        payload = deterministic_bytes(0, 300)
+        ti.size = len(payload)
+        ti.mtime = 0
+        ti.pax_headers = {"comment": "pax member precedes"}
+        tf.addfile(ti, io.BytesIO(payload))
+    with open(os.path.join(OUT, "shard_pax.tar"), "wb") as f:
+        f.write(buf2.getvalue())
+    with open(os.path.join(OUT, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(f"wrote {OUT}: shard.tar ({len(data)} B), shard_pax.tar, manifest")
+
+
+def validate(path: str) -> None:
+    with tarfile.open(path, mode="r:") as tf:
+        for m in tf.getmembers():
+            data = tf.extractfile(m).read() if m.isfile() else b""
+            print(m.name, m.size, hashlib.sha256(data).hexdigest())
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        validate(sys.argv[1])
+    else:
+        gen()
