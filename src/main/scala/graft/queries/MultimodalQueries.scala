@@ -1155,9 +1155,14 @@ object MultimodalQueries {
           }
         }
         .toDF("sid", "meta", "width", "mean_raw")
-        // loud cross-check: the json member's id must match the stem
-        .filter(get_json_object(col("meta"), "$.id").cast("long") === col("sid")
-          || raise_error(lit("webdataset: json id diverges from member stem")))
+        // loud cross-check: the json member's id must match the stem.
+        // when() guarantees the error branch only evaluates on mismatch
+        // (a bare `cond || raise_error` would rely on Or evaluation
+        // order, which the optimizer does not promise)
+        .filter(when(
+          get_json_object(col("meta"), "$.id").cast("long") === col("sid"),
+          lit(true)).otherwise(raise_error(
+            lit("webdataset: json id diverges from member stem"))))
         .select(col("sid").as("id"),
           get_json_object(col("meta"), "$.label").as("label"),
           col("width"), round(col("mean_raw"), 4).as("mean_intensity"))

@@ -76,7 +76,16 @@ object TarIO {
           fail(s"header checksum mismatch at offset $p ($stored != $actual)")
         var nameEnd = p
         while (nameEnd < p + 100 && bytes(nameEnd) != 0) nameEnd += 1
-        val name = new String(bytes, p, nameEnd - p, "US-ASCII")
+        var name = new String(bytes, p, nameEnd - p, "US-ASCII")
+        // USTAR prefix field (offset 345, 155 bytes): long paths store
+        // their leading directories here — ignoring it would silently
+        // truncate names
+        if (bytes(p + 345) != 0) {
+          var pe = p + 345
+          while (pe < p + 500 && bytes(pe) != 0) pe += 1
+          name = new String(bytes, p + 345, pe - (p + 345), "US-ASCII") +
+            "/" + name
+        }
         val size = octal(bytes, p + 124, 12, "size")
         if (size > Int.MaxValue) fail(s"entry '$name' too large ($size)")
         val tf = bytes(p + 156)

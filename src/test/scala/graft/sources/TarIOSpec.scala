@@ -41,6 +41,15 @@ class TarIOSpec extends AnyFunSuite {
     assert(entries.head.bytes.length == 300)
   }
 
+  test("long paths resolve through the USTAR prefix field") {
+    val entries = readTar(fixture("shard_prefix.tar"))
+    assert(entries.size == 1)
+    assert(entries.head.name ==
+      Seq.fill(18)("deeply").mkString("/") + "/sample.bin",
+      s"prefix-joined name wrong: ${entries.head.name}")
+    assert(entries.head.bytes.length == 64)
+  }
+
   test("round trip, incl. zero-length and block-boundary sizes") {
     val items = Seq(
       "a.bin" -> Array.tabulate[Byte](511)(_.toByte),

@@ -64,6 +64,19 @@ def gen() -> None:
         tf.addfile(ti, io.BytesIO(payload))
     with open(os.path.join(OUT, "shard_pax.tar"), "wb") as f:
         f.write(buf2.getvalue())
+    # a USTAR member whose path exceeds 100 chars: tarfile splits it into
+    # the prefix field (offset 345) — readers that ignore prefix silently
+    # truncate the name
+    buf3 = io.BytesIO()
+    with tarfile.open(fileobj=buf3, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        long_name = "/".join(["deeply"] * 18) + "/sample.bin"  # ~130 chars
+        ti = tarfile.TarInfo(long_name)
+        payload = deterministic_bytes(7, 64)
+        ti.size = len(payload)
+        ti.mtime = 0
+        tf.addfile(ti, io.BytesIO(payload))
+    with open(os.path.join(OUT, "shard_prefix.tar"), "wb") as f:
+        f.write(buf3.getvalue())
     with open(os.path.join(OUT, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     print(f"wrote {OUT}: shard.tar ({len(data)} B), shard_pax.tar, manifest")
