@@ -33,8 +33,25 @@ for name in sorted(os.listdir(out_dir)):
     try:
         duck_df = con.sql(oracle[name]).df()
     except Exception as e:
-        results[name] = f"ORACLE_SQL_ERROR: {str(e)[:200]}"
-        continue
+        # transient-allocator hardening: duckdb occasionally fails a
+        # tiny allocation on this host even with >100G free (observed
+        # on q151's iterative-CTE oracle; the same SQL over the same
+        # outputs verifies clean seconds later). Retry once on a FRESH
+        # connection before recording an error, so only persistent
+        # failures surface.
+        try:
+            con2 = duckdb.connect()
+            con2.execute("SET TimeZone='UTC'")
+            for t in ["region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents",
+                      "embeddings"]:
+                pth = f"{sf_dir}/{t}.parquet"
+                if os.path.exists(pth):
+                    con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pth}'")
+            duck_df = con2.sql(oracle[name]).df()
+        except Exception:
+            results[name] = f"ORACLE_SQL_ERROR: {str(e)[:200]}"
+            continue
     s = spark_df[sorted(spark_df.columns)]
     o = duck_df[sorted(duck_df.columns)]
     if list(s.columns) != list(o.columns):
