@@ -69,11 +69,19 @@ object BmpCodec {
             (bytes(base + 4 * i) & 0xff)
         }
       } else null
-    val rowBytes = (w * bpp / 8 + 3) & ~3
-    if (dataOff < 0 || dataOff.toLong + rowBytes.toLong * h > bytes.length)
-      fail(s"BMP: pixel data (offset $dataOff, ${rowBytes.toLong * h} bytes) " +
+    // size arithmetic in Long: a crafted header with a huge width would
+    // overflow Int (w*bpp negative), trivially passing the bounds check
+    // and dying later with a raw AIOOBE / oversized allocation instead
+    // of the codec's descriptive failure
+    val rowBytesL = (w.toLong * bpp / 8 + 3) & ~3L
+    val pxCountL = w.toLong * h * 3
+    if (pxCountL > (1L << 30))
+      fail(s"BMP: implausible dimensions ${w}x$h (${pxCountL / 3} pixels)")
+    val rowBytes = rowBytesL.toInt
+    if (dataOff < 0 || dataOff.toLong + rowBytesL * h > bytes.length)
+      fail(s"BMP: pixel data (offset $dataOff, ${rowBytesL * h} bytes) " +
         s"exceeds file size ${bytes.length}")
-    val px = new Array[Int](w * h * 3)
+    val px = new Array[Int](pxCountL.toInt)
     var y = 0
     while (y < h) {
       val srcRow = dataOff + (if (topDown) y else h - 1 - y) * rowBytes

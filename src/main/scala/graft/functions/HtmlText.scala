@@ -129,7 +129,13 @@ object HtmlText {
     */
   private def skipElement(s: String, from: Int, name: String): Int = {
     if (name == "script" || name == "style") {
-      val close = s.toLowerCase(java.util.Locale.ROOT).indexOf(s"</$name", from)
+      // scan forward case-insensitively in place — lowercasing the whole
+      // document here would be O(n·m) time and allocation on
+      // script-heavy pages (real crawl pages carry dozens of scripts)
+      val needle = s"</$name"
+      var close = s.indexOf('<', from)
+      while (close >= 0 && !s.regionMatches(true, close, needle, 0, needle.length))
+        close = s.indexOf('<', close + 1)
       if (close < 0) fail(s"HTML: unterminated <$name>")
       return tagEnd(s, close)
     }

@@ -1623,23 +1623,27 @@ object CorpusOps {
     },
 
     // ------------------------------------------------------------------
-    // WARC INGEST + EXTRACTION (q227, r16) — the crawl's OUTERMOST
-    // container: Common Crawl distributes the web as .warc.gz files
-    // (ISO 28500; one gzip member per record, concatenated), and a real
-    // ingest starts by walking those records, not by reading a tidy
-    // parquet of documents. The fixture builds 8 real .warc.gz files
-    // (doc_id % 8, records in doc_id order, each file led by a
-    // warcinfo record like a live crawl file) via sources.warc.WarcIO;
-    // the MEASURED path is then the production shape end to end:
-    // binaryFile scan → per-file record walk (multi-member gunzip,
-    // Content-Length framing) → skip non-response records → HTTP/1.1
-    // message split (status 200 enforced) → HtmlText extraction → one
-    // row per page. Extraction must reproduce the source text exactly
-    // through ALL the layers (gzip member, WARC framing, HTTP headers,
-    // HTML boilerplate), so the oracle replays the whole chain as
-    // documents-table arithmetic. Scale shape: files are the scan
-    // unit, the walk is one narrow flatMap, payloads never shuffle —
-    // the only exchange is the final TakeOrdered.
+    // WARC INGEST + EXTRACTION (q227, r16; r17 hardened) — the crawl's
+    // OUTERMOST container: Common Crawl distributes the web as .warc.gz
+    // files (ISO 28500; one gzip member per record, concatenated), and
+    // a real ingest starts by walking those records, not by reading a
+    // tidy parquet of documents. The fixture builds 8 real .warc.gz
+    // files (doc_id % 8, records in doc_id order, each file led by a
+    // warcinfo record like a live crawl file; pages cycle through the
+    // real-crawl entity layerings — plain / chunked / gzip'd /
+    // ISO-8859-1 charset) via sources.warc.WarcIO; the MEASURED path is
+    // then the production shape end to end: binaryFile scan →
+    // INCREMENTAL per-file record walk (one gzip member inflated per
+    // record — resident memory is the largest single record, never the
+    // decompressed file) → skip non-response records → HTTP/1.1 entity
+    // decode (status 200 enforced, chunked de-framed, gzip inflated,
+    // Content-Type charset honored) → HtmlText extraction → one row per
+    // page. Extraction must reproduce the source text exactly through
+    // ALL the layers (gzip member, WARC framing, HTTP transfer/content
+    // codings, charset, HTML boilerplate), so the oracle replays the
+    // whole chain as documents-table arithmetic. Scale shape: files are
+    // the scan unit, the walk is one narrow flatMap, payloads never
+    // shuffle — the only exchange is the final TakeOrdered.
     QueryDef.sql(
       "q227_warc_ingest_extract",
       """SELECT doc_id AS id,
@@ -1649,51 +1653,50 @@ object CorpusOps {
       import s.implicits._
       import graft.sources.warc.WarcIO
       // ---- fixture construction (not the measured path): 8 real
-      // .warc.gz files, rebuilt deterministically each run
-      val fixDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_warc_fixture")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(); ()
-      }
-      if (fixDir.exists) rm(fixDir)
-      fixDir.mkdirs()
-      val fixPath = fixDir.getAbsolutePath
-      graft.functions.HtmlText.documentsAsHtml(
+      // .warc.gz files in a UNIQUE per-run directory (concurrent runs —
+      // dual-SF verify, bench alongside verify — must not race on a
+      // shared path). Rows are collected to the DRIVER before writing
+      // so the build works when executors don't share the driver
+      // filesystem; the collect is fixture-only and bounded by the
+      // documents table (the measured path below never collects).
+      val fixPath = java.nio.file.Files
+        .createTempDirectory("graft_warc_fixture_").toString
+      val pagesById = graft.functions.HtmlText.documentsAsHtml(
           Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
         .toDF()
-        .withColumn("g", col("doc_id") % 8)
-        .repartition(8, col("g"))
-        .sortWithinPartitions(col("g"), col("doc_id"))
-        .select(col("g"), col("doc_id"), col("html"))
-        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-          val byG = scala.collection.mutable.LinkedHashMap
-            .empty[Long, scala.collection.mutable.ArrayBuffer[(String, String)]]
-          it.foreach { r =>
-            byG.getOrElseUpdate(r.getLong(0),
-                scala.collection.mutable.ArrayBuffer.empty) +=
-              ((s"http://example.test/doc/${r.getLong(1)}", r.getString(2)))
-          }
-          byG.foreach { case (g, ps) =>
+        .select(col("doc_id"), col("html"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val writes = pagesById.groupBy(_._1 % 8).toSeq.map { case (g, ps) =>
+          Future {
             java.nio.file.Files.write(
               java.nio.file.Paths.get(fixPath, s"part-$g.warc.gz"),
-              WarcIO.writeWarcGz(ps.toSeq))
+              WarcIO.writeWarcGz(ps.toSeq.map { case (id, html) =>
+                (s"http://example.test/doc/$id", html)
+              }))
           }
         }
+        Await.result(Future.sequence(writes), Duration.Inf)
+      }
       // ---- the measured path: scan files, walk records, extract
       s.read.format("binaryFile").load(fixPath)
         .select(col("content")).as[Array[Byte]]
         .flatMap { bytes =>
-          WarcIO.readWarcGz(bytes).iterator
+          WarcIO.readWarcGz(bytes)
             .filter(_.warcType == "response")
             .map { r =>
               val uri = r.targetUri.getOrElse(throw new IllegalArgumentException(
                 "response record without WARC-Target-URI"))
-              val (code, body) = WarcIO.httpBody(r.payload)
-              require(code == 200, s"unexpected HTTP status $code for $uri")
-              val html = new String(body, "UTF-8")
+              val entity = WarcIO.httpEntity(r.payload)
+              require(entity.status == 200,
+                s"unexpected HTTP status ${entity.status} for $uri")
               val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
-              (id, uri, graft.functions.HtmlText.extract(html).clean_text)
+              (id, uri, graft.functions.HtmlText.extract(entity.text).clean_text)
             }
         }
         .toDF("id", "uri", "clean_text")

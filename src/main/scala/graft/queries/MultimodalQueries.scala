@@ -1102,40 +1102,38 @@ object MultimodalQueries {
       import s.implicits._
       import graft.sources.warc.TarIO
       // ---- fixture construction (not the measured path): 8 real USTAR
-      // shards, rebuilt deterministically each run
-      val fixDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_wds_fixture")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(); ()
-      }
-      if (fixDir.exists) rm(fixDir)
-      fixDir.mkdirs()
-      val fixPath = fixDir.getAbsolutePath
-      Multimodal.embeddingsAsJpeg(
+      // shards in a UNIQUE per-run directory (concurrent runs must not
+      // race on a shared path), built on the DRIVER so the query is
+      // cluster-safe (executors need not share the driver filesystem).
+      // The collect is fixture-only and bounded by the embeddings table;
+      // the measured path below never collects.
+      val fixPath = java.nio.file.Files
+        .createTempDirectory("graft_wds_fixture_").toString
+      val jpegById = Multimodal.embeddingsAsJpeg(
           Tables.spread(s, Tables.load(s, dir, "embeddings"))).toDF()
-        .withColumn("g", col("id") % 8)
-        .repartition(8, col("g"))
-        .sortWithinPartitions(col("g"), col("id"))
-        .select(col("g"), col("id"), col("bytes"))
-        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-          val byG = scala.collection.mutable.LinkedHashMap
-            .empty[Long, scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]]
-          it.foreach { r =>
-            val id = r.getLong(1)
-            val stem = f"$id%012d"
-            val buf = byG.getOrElseUpdate(r.getLong(0),
-              scala.collection.mutable.ArrayBuffer.empty)
-            buf += ((s"$stem.jpg", r.getAs[Array[Byte]](2)))
-            buf += ((s"$stem.json",
-              s"""{"id":$id,"label":"c${id % 10}"}""".getBytes("UTF-8")))
-          }
-          byG.foreach { case (g, entries) =>
+        .select(col("id"), col("bytes"))
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .sortBy(_._1)
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val writes = jpegById.groupBy(_._1 % 8).toSeq.map { case (g, items) =>
+          Future {
+            val entries = items.toSeq.flatMap { case (id, jpg) =>
+              val stem = f"$id%012d"
+              Seq(s"$stem.jpg" -> jpg,
+                s"$stem.json" ->
+                  s"""{"id":$id,"label":"c${id % 10}"}""".getBytes("UTF-8"))
+            }
             java.nio.file.Files.write(
               java.nio.file.Paths.get(fixPath, s"part-$g.tar"),
-              TarIO.writeTar(entries.toSeq))
+              TarIO.writeTar(entries))
           }
         }
+        Await.result(Future.sequence(writes), Duration.Inf)
+      }
       // ---- the measured path: scan shards, walk members, pair, decode
       s.read.format("binaryFile").load(fixPath)
         .select(col("content")).as[Array[Byte]]

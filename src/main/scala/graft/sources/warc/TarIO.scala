@@ -1,21 +1,23 @@
 package graft.sources.warc
 
-import scala.collection.mutable.ArrayBuffer
-
-/** USTAR (POSIX.1-1988 tar) reader/writer — the shard container
-  * multimodal training sets actually ship in: the WebDataset convention
-  * stores a sample as adjacent members `{key}.jpg` + `{key}.json`
-  * inside plain `.tar` shards, streamed sequentially at training time.
-  * Executor-side, JDK-only, loud failures, the [[WarcIO]] discipline on
-  * the 512-byte-block format: header checksums are VERIFIED, octal size
+/** USTAR (POSIX.1-1988 tar) reader/writer with pax (POSIX.1-2001)
+  * long-name support — the shard container multimodal training sets
+  * actually ship in: the WebDataset convention stores a sample as
+  * adjacent members `{key}.jpg` + `{key}.json` inside plain `.tar`
+  * shards, streamed sequentially at training time. Executor-side,
+  * JDK-only, loud failures, the [[WarcIO]] discipline on the
+  * 512-byte-block format: header checksums are VERIFIED, octal size
   * fields parsed strictly, data padded to block boundaries, the
-  * two-zero-block terminator required; directories and pax/GNU
-  * extension members are skipped as containers require, unknown type
-  * flags fail loudly.
+  * two-zero-block terminator required. Pax `x` members are PARSED and
+  * their `path=` record overrides the next member's name (WebDataset
+  * keys routinely exceed USTAR's 100+155 name/prefix limits); global
+  * `g` members are parsed and rejected loudly if they try to set a
+  * path; other special types fail loudly.
   *
   * Scale shape: shards are SCAN INPUT (one binaryFile row per shard);
-  * the member walk is a narrow per-shard kernel and payloads never
-  * shuffle.
+  * the member walk is an INCREMENTAL per-shard iterator — one member's
+  * payload resident at a time, never the whole shard expanded — and
+  * payloads never shuffle.
   */
 object TarIO {
 
@@ -53,57 +55,116 @@ object TarIO {
     sum
   }
 
-  /** Walk a tar stream into its regular-file entries. Verifies every
-    * header checksum; skips directories (type '5') and pax/GNU
-    * metadata members ('x', 'g'); rejects other special types loudly.
+  /** Parse a pax extended-header payload: repeated `len key=value\n`
+    * records where `len` is the DECIMAL byte length of the whole
+    * record including itself and the newline, value UTF-8. Returns the
+    * `path` override when present; rejects a global (`g`) path loudly
+    * — a blanket rename of every following member is never what a
+    * shard reader should silently apply.
     */
-  def readTar(bytes: Array[Byte]): Seq[TarEntry] = {
-    val out = ArrayBuffer.empty[TarEntry]
-    var p = 0
-    var done = false
-    while (!done) {
-      if (p + 512 > bytes.length) fail("truncated header block")
-      // terminator: a zero block (spec asks for two; require both)
-      if ((0 until 512).forall(i => bytes(p + i) == 0)) {
-        if (p + 1024 > bytes.length ||
-            !(512 until 1024).forall(i => bytes(p + i) == 0))
-          fail("single zero block — tar requires two terminator blocks")
-        done = true
-      } else {
-        val stored = octal(bytes, p + 148, 8, "checksum")
-        val actual = headerChecksum(bytes, p)
-        if (stored != actual)
-          fail(s"header checksum mismatch at offset $p ($stored != $actual)")
-        var nameEnd = p
-        while (nameEnd < p + 100 && bytes(nameEnd) != 0) nameEnd += 1
-        var name = new String(bytes, p, nameEnd - p, "US-ASCII")
-        // USTAR prefix field (offset 345, 155 bytes): long paths store
-        // their leading directories here — ignoring it would silently
-        // truncate names
-        if (bytes(p + 345) != 0) {
-          var pe = p + 345
-          while (pe < p + 500 && bytes(pe) != 0) pe += 1
-          name = new String(bytes, p + 345, pe - (p + 345), "US-ASCII") +
-            "/" + name
+  private def paxPath(payload: Array[Byte], global: Boolean): Option[String] = {
+    var path: Option[String] = None
+    var i = 0
+    while (i < payload.length) {
+      var j = i
+      while (j < payload.length && payload(j) >= '0' && payload(j) <= '9') j += 1
+      if (j == i || j >= payload.length || payload(j) != ' ')
+        fail("bad pax record length")
+      val len = new String(payload, i, j - i, "US-ASCII").toInt
+      if (len <= j - i + 1 || i + len > payload.length ||
+          payload(i + len - 1) != '\n')
+        fail("bad pax record framing")
+      val body = new String(payload, j + 1, i + len - 1 - (j + 1), "UTF-8")
+      val eq = body.indexOf('=')
+      if (eq < 0) fail(s"bad pax record '$body' (no '=')")
+      if (body.substring(0, eq) == "path") {
+        if (global) fail("global pax 'path' override unsupported")
+        path = Some(body.substring(eq + 1))
+      }
+      i += len
+    }
+    path
+  }
+
+  /** Walk a tar stream into its regular-file entries, INCREMENTALLY:
+    * the iterator verifies each header checksum as it advances and
+    * holds one member payload at a time. Skips directories (type '5');
+    * parses pax 'x' members and applies their `path=` override to the
+    * next member; parses 'g' members (loud on a global path); rejects
+    * other special types loudly.
+    */
+  def readTar(bytes: Array[Byte]): Iterator[TarEntry] = new Iterator[TarEntry] {
+    private var p = 0
+    private var finished = false
+    private var pending: TarEntry = _
+    private var pathOverride: Option[String] = None
+
+    private def advance(): Unit = {
+      while (pending == null && !finished) {
+        if (p + 512 > bytes.length) fail("truncated header block")
+        // terminator: a zero block (spec asks for two; require both)
+        if ((0 until 512).forall(i => bytes(p + i) == 0)) {
+          if (p + 1024 > bytes.length ||
+              !(512 until 1024).forall(i => bytes(p + i) == 0))
+            fail("single zero block — tar requires two terminator blocks")
+          if (pathOverride.isDefined)
+            fail("pax path override with no following member")
+          finished = true
+        } else {
+          val stored = octal(bytes, p + 148, 8, "checksum")
+          val actual = headerChecksum(bytes, p)
+          if (stored != actual)
+            fail(s"header checksum mismatch at offset $p ($stored != $actual)")
+          var nameEnd = p
+          while (nameEnd < p + 100 && bytes(nameEnd) != 0) nameEnd += 1
+          var name = new String(bytes, p, nameEnd - p, "US-ASCII")
+          // USTAR prefix field (offset 345, 155 bytes): long paths store
+          // their leading directories here — ignoring it would silently
+          // truncate names
+          if (bytes(p + 345) != 0) {
+            var pe = p + 345
+            while (pe < p + 500 && bytes(pe) != 0) pe += 1
+            name = new String(bytes, p + 345, pe - (p + 345), "US-ASCII") +
+              "/" + name
+          }
+          val size = octal(bytes, p + 124, 12, "size")
+          if (size > Int.MaxValue) fail(s"entry '$name' too large ($size)")
+          val tf = bytes(p + 156)
+          p += 512
+          val dataEnd = p + size.toInt
+          if (dataEnd > bytes.length) fail(s"entry '$name' data truncated")
+          tf match {
+            case 0 | '0' =>
+              val resolved = pathOverride.getOrElse(name)
+              pathOverride = None
+              pending = TarEntry(resolved,
+                java.util.Arrays.copyOfRange(bytes, p, dataEnd))
+            case '5' =>
+              pathOverride = None // a pax override names the dir, not a file
+            case 'x' =>
+              paxPath(java.util.Arrays.copyOfRange(bytes, p, dataEnd),
+                global = false).foreach(v => pathOverride = Some(v))
+            case 'g' =>
+              paxPath(java.util.Arrays.copyOfRange(bytes, p, dataEnd),
+                global = true)
+            case other =>
+              fail(s"unsupported tar entry type '${other.toChar}' for '$name'")
+          }
+          p = dataEnd + ((512 - size.toInt % 512) % 512)
         }
-        val size = octal(bytes, p + 124, 12, "size")
-        if (size > Int.MaxValue) fail(s"entry '$name' too large ($size)")
-        val tf = bytes(p + 156)
-        p += 512
-        val dataEnd = p + size.toInt
-        if (dataEnd > bytes.length) fail(s"entry '$name' data truncated")
-        tf match {
-          case 0 | '0' =>
-            out += TarEntry(name,
-              java.util.Arrays.copyOfRange(bytes, p, dataEnd))
-          case '5' | 'x' | 'g' => () // dir / pax member: skip content
-          case other =>
-            fail(s"unsupported tar entry type '${other.toChar}' for '$name'")
-        }
-        p = dataEnd + ((512 - size.toInt % 512) % 512)
       }
     }
-    out.toSeq
+
+    override def hasNext: Boolean = {
+      if (pending == null && !finished) advance()
+      pending != null
+    }
+    override def next(): TarEntry = {
+      if (!hasNext) throw new NoSuchElementException("end of tar stream")
+      val e = pending
+      pending = null
+      e
+    }
   }
 
   /** Write a plain USTAR archive of regular files (the WebDataset shard

@@ -1,8 +1,8 @@
 package graft.sources.warc
 
-import java.io.ByteArrayOutputStream
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
-import scala.collection.mutable.ArrayBuffer
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream}
+import java.nio.charset.Charset
+import java.util.zip.{GZIPInputStream, GZIPOutputStream, InflaterInputStream}
 
 /** WARC (ISO 28500) reader/writer — the container an actual web crawl
   * ships in (Common Crawl's own distribution format). Executor-side,
@@ -13,13 +13,22 @@ import scala.collection.mutable.ArrayBuffer
   * CRLF CRLF record separator — and the standard `.warc.gz` convention
   * of one gzip MEMBER per record, concatenated (java's GZIPInputStream
   * walks concatenated members natively). `response` records carry an
-  * HTTP/1.1 message; [[httpBody]] splits its status line + headers from
-  * the entity body. Unknown record types (warcinfo, request, metadata)
-  * parse fine and are the CALLER's to skip — a reader that only
-  * tolerates response records would choke on every real crawl file.
+  * HTTP/1.1 message; [[httpEntity]] splits the status line + headers
+  * and DECODES the entity the way a browser would: `Transfer-Encoding:
+  * chunked` de-framed, `Content-Encoding: gzip/deflate` inflated, the
+  * `Content-Type` charset surfaced (real crawl records are dominated
+  * by chunked and/or gzip bodies and non-UTF-8 charsets). Unknown
+  * record types (warcinfo, request, metadata) parse fine and are the
+  * CALLER's to skip — a reader that only tolerates response records
+  * would choke on every real crawl file.
   *
   * Scale shape: WARC files are SCAN INPUT (one binaryFile row per
-  * file), the record walk is a narrow per-file kernel, and payloads
+  * file), and the record walk is INCREMENTAL — [[warcRecords]] returns
+  * an `Iterator` that inflates one gzip member / parses one record at
+  * a time, so resident memory is bounded by the LARGEST SINGLE RECORD,
+  * never the decompressed file. That bound is what lets the same
+  * kernel ingest a real ~1 GB `.warc.gz` (3-5 GB decompressed — past
+  * the 2 GB JVM array cap a whole-file inflate would need). Payloads
   * never shuffle — the media-decode discipline applied to the crawl's
   * outermost container.
   */
@@ -29,38 +38,83 @@ object WarcIO {
       warcType: String, targetUri: Option[String],
       headers: Map[String, String], payload: Array[Byte])
 
+  /** An HTTP/1.1 response entity with its framing and content codings
+    * removed: `body` is the actual document bytes and `charset` is the
+    * `Content-Type` charset parameter (UTF-8 when absent — the modern
+    * web's de-facto default).
+    */
+  final case class HttpEntity(
+      status: Int, headers: Map[String, String], body: Array[Byte],
+      charset: Charset) {
+    def text: String = new String(body, charset)
+  }
+
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"malformed WARC: $msg")
 
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
-  /** Read one CRLF-terminated ASCII line starting at `pos`; returns
-    * (line without terminator, next position).
+  // ------------------------------------------------------------------
+  // Incremental record walk
+  // ------------------------------------------------------------------
+
+  /** Read one CRLF-terminated ASCII line from the stream. The stream
+    * is consumed byte-at-a-time (callers hand in buffered streams:
+    * GZIPInputStream buffers internally, the uncompressed path wraps a
+    * ByteArrayInputStream), so no read-ahead ever crosses a record
+    * boundary. EOF before the terminator is a framing error.
     */
-  private def line(b: Array[Byte], pos: Int): (String, Int) = {
-    var p = pos
-    while (p + 1 < b.length && !(b(p) == '\r' && b(p + 1) == '\n')) p += 1
-    if (p + 1 >= b.length) fail(s"unterminated header line at offset $pos")
-    (new String(b, pos, p - pos, "US-ASCII"), p + 2)
+  private def line(in: InputStream): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var prev = -1
+    var c = in.read()
+    while (c >= 0) {
+      if (prev == '\r' && c == '\n') {
+        sb.setLength(sb.length - 1)
+        return sb.toString
+      }
+      sb.append(c.toChar)
+      prev = c
+      c = in.read()
+    }
+    fail(s"unterminated header line (EOF after '${sb.toString.take(40)}')")
   }
 
-  /** Parse an UNCOMPRESSED WARC stream into its records. Strict:
-    * version line, mandatory Content-Length, exact CRLF CRLF record
-    * separators, no trailing garbage.
+  private def readFully(in: InputStream, n: Int, what: String): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) fail(s"$what exceeds stream (${n - off} short)")
+      off += r
+    }
+    buf
+  }
+
+  /** Walk an (already decompressed) WARC stream record by record.
+    * Strict: version line, mandatory Content-Length, exact CRLF CRLF
+    * record separators, no trailing garbage. The iterator holds at
+    * most ONE record's payload at a time — the memory bound is the
+    * largest single record, independent of file size.
     */
-  def parseWarc(bytes: Array[Byte]): Seq[WarcRecord] = {
-    val out = ArrayBuffer.empty[WarcRecord]
-    var pos = 0
-    while (pos < bytes.length) {
-      val (version, afterVersion) = line(bytes, pos)
+  def warcRecords(in: InputStream): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private var nextRecord: WarcRecord = _
+    private var finished = false
+
+    private def advance(): Unit = {
+      val first = in.read()
+      if (first < 0) { finished = true; return }
+      // put the consumed byte back into the version-line parse
+      val version = {
+        val rest = line(in)
+        first.toChar.toString + rest
+      }
       if (version != "WARC/1.0" && version != "WARC/1.1")
-        fail(s"bad version line '$version' at offset $pos")
-      var p = afterVersion
+        fail(s"bad version line '$version'")
       val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
       var done = false
       while (!done) {
-        val (l, np) = line(bytes, p)
-        p = np
+        val l = line(in)
         if (l.isEmpty) done = true
         else {
           val colon = l.indexOf(':')
@@ -71,57 +125,178 @@ object WarcIO {
       }
       val len = headers.getOrElse("content-length", fail("missing Content-Length"))
         .toIntOption.getOrElse(fail("non-numeric Content-Length"))
-      if (len < 0 || p + len > bytes.length)
-        fail(s"Content-Length $len exceeds stream (${bytes.length - p} left)")
-      val payload = java.util.Arrays.copyOfRange(bytes, p, p + len)
-      p += len
+      if (len < 0) fail(s"negative Content-Length $len")
+      val payload = readFully(in, len, s"Content-Length $len")
       // the spec's record separator: exactly two CRLFs
-      for (_ <- 0 until 2) {
-        if (p + 1 >= bytes.length || bytes(p) != '\r' || bytes(p + 1) != '\n')
-          fail(s"missing record separator at offset $p")
-        p += 2
+      val sep = new Array[Byte](4)
+      var got = 0
+      while (got < 4) {
+        val r = in.read(sep, got, 4 - got)
+        if (r < 0) fail("missing record separator")
+        got += r
       }
-      out += WarcRecord(
+      if (!(sep(0) == '\r' && sep(1) == '\n' && sep(2) == '\r' && sep(3) == '\n'))
+        fail("missing record separator")
+      nextRecord = WarcRecord(
         headers.getOrElse("warc-type", fail("missing WARC-Type")),
         headers.get("warc-target-uri"), headers.toMap, payload)
-      pos = p
     }
-    out.toSeq
+
+    override def hasNext: Boolean = {
+      if (!finished && nextRecord == null) advance()
+      !finished && nextRecord != null
+    }
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException("end of WARC stream")
+      val r = nextRecord
+      nextRecord = null
+      r
+    }
   }
 
-  /** Parse a `.warc.gz` file (concatenated per-record gzip members). */
-  def readWarcGz(bytes: Array[Byte]): Seq[WarcRecord] = {
-    val in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-    val buf = new ByteArrayOutputStream()
-    val chunk = new Array[Byte](8192)
-    var n = in.read(chunk)
-    while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-    parseWarc(buf.toByteArray)
-  }
-
-  /** Split an HTTP/1.1 response payload into (status code, entity body).
-    * Strict on the status line and the blank-line boundary.
+  /** Parse an UNCOMPRESSED WARC byte array into its records (strict —
+    * eager convenience over [[warcRecords]]).
     */
-  def httpBody(payload: Array[Byte]): (Int, Array[Byte]) = {
-    val (status, afterStatus) = line(payload, 0)
+  def parseWarc(bytes: Array[Byte]): Seq[WarcRecord] =
+    warcRecords(new ByteArrayInputStream(bytes)).toSeq
+
+  /** Walk a `.warc.gz` file (concatenated per-record gzip members)
+    * INCREMENTALLY: one member is inflated per record as the iterator
+    * advances; the decompressed file is never materialized. Resident
+    * memory = compressed input (the scan row) + largest single record.
+    */
+  def readWarcGz(bytes: Array[Byte]): Iterator[WarcRecord] =
+    readWarcGzStream(new ByteArrayInputStream(bytes))
+
+  /** Same walk over any compressed stream (the streaming-ingest face
+    * can hand in a file/network stream and never hold the compressed
+    * bytes either).
+    */
+  def readWarcGzStream(in: InputStream): Iterator[WarcRecord] =
+    warcRecords(new GZIPInputStream(in, 64 << 10))
+
+  // ------------------------------------------------------------------
+  // HTTP entity decoding
+  // ------------------------------------------------------------------
+
+  private def gunzip(b: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(b), 64 << 10)
+    try in.readAllBytes()
+    catch { case e: java.io.IOException => fail(s"bad gzip entity: ${e.getMessage}") }
+  }
+
+  private def inflate(b: Array[Byte]): Array[Byte] = {
+    // HTTP 'deflate' is the zlib format; some legacy servers send raw
+    // deflate — accept both (zlib first, raw on a zlib header error)
+    def run(raw: Boolean): Array[Byte] = {
+      val in = new InflaterInputStream(
+        new ByteArrayInputStream(b), new java.util.zip.Inflater(raw))
+      in.readAllBytes()
+    }
+    try run(raw = false)
+    catch {
+      case _: java.io.IOException =>
+        try run(raw = true)
+        catch { case e: java.io.IOException => fail(s"bad deflate entity: ${e.getMessage}") }
+    }
+  }
+
+  /** De-frame a `Transfer-Encoding: chunked` body: hex-size line (with
+    * optional ;extensions), chunk bytes, CRLF, repeated to the 0-size
+    * chunk, then optional trailer headers to a blank line.
+    */
+  private def dechunk(b: Array[Byte]): Array[Byte] = {
+    val in = new ByteArrayInputStream(b)
+    val out = new ByteArrayOutputStream(b.length)
+    var done = false
+    while (!done) {
+      val sizeLine = line(in)
+      val semi = sizeLine.indexOf(';')
+      val hexStr = (if (semi >= 0) sizeLine.substring(0, semi) else sizeLine).trim
+      val size =
+        try Integer.parseInt(hexStr, 16)
+        catch { case _: NumberFormatException => fail(s"bad chunk size '$sizeLine'") }
+      if (size < 0) fail(s"negative chunk size $size")
+      if (size == 0) {
+        // trailers (rare) run to a blank line
+        var l = line(in)
+        while (l.nonEmpty) l = line(in)
+        done = true
+      } else {
+        out.write(readFully(in, size, s"chunk of $size"))
+        val crlf = readFully(in, 2, "chunk terminator")
+        if (!(crlf(0) == '\r' && crlf(1) == '\n')) fail("chunk missing CRLF")
+      }
+    }
+    if (in.available() != 0) fail(s"${in.available()} bytes after last chunk")
+    out.toByteArray
+  }
+
+  private val CharsetParam = "(?i)charset=\"?([A-Za-z0-9_:.+-]+)\"?".r.unanchored
+
+  /** Split and DECODE an HTTP/1.1 response payload: status line +
+    * headers parsed; `Transfer-Encoding: chunked` de-framed, then
+    * `Content-Encoding: gzip/x-gzip/deflate` inflated (the wire order,
+    * reversed); the `Content-Type` charset resolved (UTF-8 default).
+    * Anything else — another transfer coding, an unknown content
+    * coding, an unknown charset — fails loudly rather than leaking
+    * framing bytes into extracted text.
+    */
+  def httpEntity(payload: Array[Byte]): HttpEntity = {
+    val in = new ByteArrayInputStream(payload)
+    val status = line(in)
     if (!status.startsWith("HTTP/1.")) fail(s"bad HTTP status line '$status'")
     val parts = status.split(" ")
     if (parts.length < 2) fail(s"bad HTTP status line '$status'")
     val code = parts(1).toIntOption.getOrElse(fail(s"bad HTTP status '$status'"))
-    var p = afterStatus
+    val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var done = false
     while (!done) {
-      val (l, np) = line(payload, p)
-      p = np
+      val l = line(in)
       if (l.isEmpty) done = true
+      else {
+        val colon = l.indexOf(':')
+        if (colon <= 0) fail(s"bad HTTP header line '$l'")
+        headers(l.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)) =
+          l.substring(colon + 1).trim
+      }
     }
-    (code, java.util.Arrays.copyOfRange(payload, p, payload.length))
+    var body = in.readAllBytes()
+    headers.get("transfer-encoding").foreach { te =>
+      te.trim.toLowerCase(java.util.Locale.ROOT) match {
+        case "chunked"  => body = dechunk(body)
+        case "identity" => ()
+        case other      => fail(s"unsupported Transfer-Encoding '$other'")
+      }
+    }
+    headers.get("content-encoding").foreach { ce =>
+      ce.trim.toLowerCase(java.util.Locale.ROOT) match {
+        case "gzip" | "x-gzip" => body = gunzip(body)
+        case "deflate"         => body = inflate(body)
+        case "identity" | ""   => ()
+        case other             => fail(s"unsupported Content-Encoding '$other'")
+      }
+    }
+    val charset = headers.get("content-type") match {
+      case Some(CharsetParam(name)) =>
+        try Charset.forName(name)
+        catch {
+          case _: java.nio.charset.IllegalCharsetNameException |
+              _: java.nio.charset.UnsupportedCharsetException =>
+            fail(s"unsupported charset '$name'")
+        }
+      case _ => java.nio.charset.StandardCharsets.UTF_8
+    }
+    HttpEntity(code, headers.toMap, body, charset)
   }
 
   // ------------------------------------------------------------------
   // Writer (fixture path): the standard one-gzip-member-per-record
   // .warc.gz layout, with a leading warcinfo record like a real crawl
   // file — so every reader must prove it SKIPS non-response records.
+  // Pages cycle through the entity layerings a live crawl actually
+  // carries (plain, chunked, gzip'd, latin-1 charset) — so every
+  // reader must prove extraction survives ALL of them.
   // ------------------------------------------------------------------
 
   private def gzipMember(record: Array[Byte]): Array[Byte] = {
@@ -148,9 +323,61 @@ object WarcIO {
     bos.toByteArray
   }
 
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = gzipMember(b)
+
+  private def chunkBytes(b: Array[Byte], chunkSize: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length + 64)
+    var off = 0
+    while (off < b.length) {
+      val n = math.min(chunkSize, b.length - off)
+      out.write(s"${n.toHexString}\r\n".getBytes("US-ASCII"))
+      out.write(b, off, n)
+      out.write(Crlf)
+      off += n
+    }
+    out.write("0\r\n\r\n".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  private def latin1Encodable(s: String): Boolean =
+    java.nio.charset.StandardCharsets.ISO_8859_1.newEncoder().canEncode(s)
+
+  /** Build one HTTP/1.1 200 message for `html`, layered per `variant`:
+    * 0 plain UTF-8; 1 chunked; 2 gzip Content-Encoding; 3 ISO-8859-1
+    * charset when the page is encodable (else chunked + gzip stacked —
+    * both layers at once, decoded innermost-last on read).
+    */
+  private def httpMessage(html: String, variant: Int): Array[Byte] = {
+    val latin1 = variant == 3 && latin1Encodable(html)
+    val charsetName = if (latin1) "iso-8859-1" else "utf-8"
+    val raw = html.getBytes(if (latin1) "ISO-8859-1" else "UTF-8")
+    val headers = new StringBuilder("HTTP/1.1 200 OK\r\n")
+    headers ++= s"Content-Type: text/html; charset=$charsetName\r\n"
+    val body: Array[Byte] = variant match {
+      case 1 =>
+        headers ++= "Transfer-Encoding: chunked\r\n"
+        chunkBytes(raw, 300)
+      case 2 =>
+        val gz = gzipBytes(raw)
+        headers ++= s"Content-Encoding: gzip\r\nContent-Length: ${gz.length}\r\n"
+        gz
+      case 3 if !latin1 =>
+        headers ++= "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n"
+        chunkBytes(gzipBytes(raw), 300)
+      case _ =>
+        headers ++= s"Content-Length: ${raw.length}\r\n"
+        raw
+    }
+    val out = new ByteArrayOutputStream(body.length + 128)
+    out.write((headers.toString + "\r\n").getBytes("US-ASCII"))
+    out.write(body)
+    out.toByteArray
+  }
+
   /** Build one `.warc.gz` file: a warcinfo member followed by one
     * response member per (uri, html) page, each page wrapped in an
-    * HTTP/1.1 200 message.
+    * HTTP/1.1 200 message whose entity layering cycles through the
+    * real-crawl variants (see [[httpMessage]]).
     */
   def writeWarcGz(pages: Seq[(String, String)]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -158,16 +385,11 @@ object WarcIO {
       .getBytes("US-ASCII")
     out.write(gzipMember(record("warcinfo",
       Seq("Content-Type" -> "application/warc-fields"), info)))
-    for ((uri, html) <- pages) {
-      val body = html.getBytes("UTF-8")
-      val http = new ByteArrayOutputStream()
-      http.write(("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
-        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII"))
-      http.write(body)
+    for (((uri, html), i) <- pages.zipWithIndex) {
       out.write(gzipMember(record("response",
         Seq("WARC-Target-URI" -> uri,
           "Content-Type" -> "application/http; msgtype=response"),
-        http.toByteArray)))
+        httpMessage(html, i % 4))))
     }
     out.toByteArray
   }

@@ -7,29 +7,46 @@ import WarcIO._
 class WarcIOSpec extends AnyFunSuite {
 
   private val pages = Seq(
+    // four pages on purpose: writeWarcGz cycles the entity layerings
+    // (plain / chunked / gzip / latin-1-or-stacked) per page index, so
+    // this fixture exercises every variant
     "http://example.test/doc/0" -> "<html><body><p>hello world</p></body></html>",
     "http://example.test/doc/1" -> "<html><body><p>café ümläut</p></body></html>",
-    "http://example.test/doc/2" -> "<html><body><p>third</p></body></html>")
+    "http://example.test/doc/2" -> "<html><body><p>third page with some more text</p></body></html>",
+    "http://example.test/doc/3" -> "<html><body><p>vierte Seite: naïve café</p></body></html>")
 
-  test("warc.gz round trip: warcinfo + responses, uris and bodies intact") {
+  test("warc.gz round trip: warcinfo + responses, uris and bodies intact " +
+      "through chunked / gzip / charset layers") {
     val bytes = writeWarcGz(pages)
-    val records = readWarcGz(bytes)
-    assert(records.size == 4)
+    val records = readWarcGz(bytes).toSeq
+    assert(records.size == 5)
     assert(records.head.warcType == "warcinfo")
     val resp = records.tail
     assert(resp.forall(_.warcType == "response"))
     assert(resp.map(_.targetUri.get) == pages.map(_._1))
-    for ((r, (_, html)) <- resp.zip(pages)) {
-      val (code, body) = httpBody(r.payload)
-      assert(code == 200)
-      assert(new String(body, "UTF-8") == html, "UTF-8 body fidelity")
-    }
+    val entities = resp.map(r => httpEntity(r.payload))
+    assert(entities.forall(_.status == 200))
+    for ((e, (_, html)) <- entities.zip(pages))
+      assert(e.text == html, "text fidelity through the entity layers")
+    // the layers really are present on the wire: page 1 chunked, page 2
+    // gzip'd, page 3 latin-1 (it is ISO-8859-1 encodable)
+    assert(entities(1).headers.contains("transfer-encoding") ||
+      httpEntityRaw(resp(1)).contains("chunked"))
+    assert(httpEntityRaw(resp(2)).contains("Content-Encoding: gzip"))
+    assert(httpEntityRaw(resp(3)).contains("charset=iso-8859-1"))
+    assert(entities(3).charset == java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** The pre-decode header block of a response payload, for pinning
+    * what the WRITER put on the wire.
+    */
+  private def httpEntityRaw(r: WarcRecord): String = {
+    val s = new String(r.payload, "ISO-8859-1")
+    s.substring(0, s.indexOf("\r\n\r\n"))
   }
 
   test("the file is CONCATENATED gzip members, one per record") {
     val bytes = writeWarcGz(pages)
-    // count gzip member magics at member starts: every record boundary
-    // begins a fresh member (1f 8b 08)
     var members = 0
     var i = 0
     while (i + 2 < bytes.length) {
@@ -37,7 +54,80 @@ class WarcIOSpec extends AnyFunSuite {
           bytes(i + 2) == 8) members += 1
       i += 1
     }
-    assert(members >= 4, s"expected >=4 gzip members, found $members")
+    assert(members >= 5, s"expected >=5 gzip members, found $members")
+  }
+
+  // ------------------------------------------------------------------
+  // Incrementality: the walk must be bounded by the largest single
+  // record, never the decompressed file (a real ~1 GB .warc.gz
+  // decompresses past the 2 GB JVM array cap).
+  // ------------------------------------------------------------------
+
+  private def rawRecord(warcType: String, payload: Array[Byte],
+      extra: Seq[(String, String)] = Nil): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = bos.write((s + "\r\n").getBytes("US-ASCII"))
+    put("WARC/1.0"); put(s"WARC-Type: $warcType")
+    extra.foreach { case (k, v) => put(s"$k: $v") }
+    put(s"Content-Length: ${payload.length}"); put("")
+    bos.write(payload); put(""); put("")
+    bos.toByteArray
+  }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close(); bos.toByteArray
+  }
+
+  /** 150 members × 64 KiB of incompressible payload: total decompressed
+    * (~9.4 MiB) exceeds any one member by >100×.
+    */
+  private def bigWarcGz(nRecords: Int = 150): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for (k <- 0 until nRecords) {
+      // genuinely incompressible payload (seeded PRNG), so each gzip
+      // member stays ~64 KiB on the wire and the consumed-bytes pin
+      // below measures the WALK, not compression luck
+      val payload = new Array[Byte](64 << 10)
+      new java.util.Random(k.toLong).nextBytes(payload)
+      out.write(gz(rawRecord("resource", payload)))
+    }
+    out.toByteArray
+  }
+
+  test("the record walk is INCREMENTAL: emitting record 1 consumes ~one " +
+      "gzip member of input, not the whole file") {
+    val bytes = bigWarcGz()
+    var consumed = 0L
+    val counting = new java.io.FilterInputStream(
+        new java.io.ByteArrayInputStream(bytes)) {
+      override def read(): Int = {
+        val r = super.read(); if (r >= 0) consumed += 1; r
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val r = super.read(b, off, len); if (r > 0) consumed += r; r
+      }
+    }
+    val it = readWarcGzStream(counting)
+    val first = it.next()
+    assert(first.payload.length == 64 << 10)
+    // one ~64 KiB member + the inflater's 64 KiB read-ahead buffer —
+    // nowhere near the full compressed file
+    assert(consumed < bytes.length / 20,
+      s"consumed $consumed of ${bytes.length} compressed bytes for record 1")
+    assert(it.size == 149, "the rest of the walk still completes")
+  }
+
+  test("parsing is LAZY: records before a corrupt tail are served; the " +
+      "corruption only fails when the walk reaches it") {
+    val good = bigWarcGz(10)
+    val corrupt = good ++ gz("WARC/9.9\r\n\r\n\r\n\r\n".getBytes("US-ASCII"))
+    val it = readWarcGz(corrupt)
+    for (_ <- 0 until 10) assert(it.next().warcType == "resource",
+      "good prefix must parse (whole-file parsing would have thrown already)")
+    val e = intercept[IllegalArgumentException](it.hasNext)
+    assert(e.getMessage.contains("bad version line"))
   }
 
   test("uncompressed parse is strict about framing") {
@@ -60,11 +150,82 @@ class WarcIOSpec extends AnyFunSuite {
     bad(good ++ "XXXX/9.9\r\n\r\n\r\n".getBytes, "bad version line")
   }
 
-  test("httpBody is strict about the status line") {
+  // ------------------------------------------------------------------
+  // HTTP entity decoding
+  // ------------------------------------------------------------------
+
+  test("httpEntity is strict about the status line, parses headers, and " +
+      "passes identity bodies through") {
     intercept[IllegalArgumentException](
-      httpBody("FTP/1.0 200\r\n\r\n".getBytes("US-ASCII")))
-    val (code, body) =
-      httpBody("HTTP/1.1 404 Not Found\r\nX: y\r\n\r\ngone".getBytes("US-ASCII"))
-    assert(code == 404 && new String(body, "US-ASCII") == "gone")
+      httpEntity("FTP/1.0 200\r\n\r\n".getBytes("US-ASCII")))
+    val e = httpEntity(
+      "HTTP/1.1 404 Not Found\r\nX-Thing: y\r\n\r\ngone".getBytes("US-ASCII"))
+    assert(e.status == 404 && new String(e.body, "US-ASCII") == "gone")
+    assert(e.headers("x-thing") == "y")
+    assert(e.charset == java.nio.charset.StandardCharsets.UTF_8,
+      "UTF-8 default when no Content-Type charset")
+  }
+
+  test("chunked bodies are de-framed exactly (sizes in hex, extensions " +
+      "tolerated, trailers consumed, bad framing loud)") {
+    val body = "0005;ext=1\r\nhello\r\nb\r\n, chunked w\r\n4\r\norld\r\n" +
+      "0\r\nX-Trailer: t\r\n\r\n"
+    val msg = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body)
+      .getBytes("US-ASCII")
+    assert(new String(httpEntity(msg).body, "US-ASCII") == "hello, chunked world")
+    val badSize = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nhi\r\n0\r\n\r\n"
+    val e1 = intercept[IllegalArgumentException](
+      httpEntity(badSize.getBytes("US-ASCII")))
+    assert(e1.getMessage.contains("bad chunk size"))
+    val trailing = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n2\r\nhi\r\n0\r\n\r\nJUNK"
+    val e2 = intercept[IllegalArgumentException](
+      httpEntity(trailing.getBytes("US-ASCII")))
+    assert(e2.getMessage.contains("after last chunk"))
+  }
+
+  test("gzip and deflate content codings are inflated; unknown codings " +
+      "and charsets fail loudly") {
+    val text = "compressed entity body"
+    val gzMsgOut = new java.io.ByteArrayOutputStream()
+    gzMsgOut.write("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+      .getBytes("US-ASCII"))
+    gzMsgOut.write(gz(text.getBytes("UTF-8")))
+    assert(new String(httpEntity(gzMsgOut.toByteArray).body, "UTF-8") == text)
+
+    val deflated = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bos)
+      d.write(text.getBytes("UTF-8")); d.close(); bos.toByteArray
+    }
+    val dfMsgOut = new java.io.ByteArrayOutputStream()
+    dfMsgOut.write("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+      .getBytes("US-ASCII"))
+    dfMsgOut.write(deflated)
+    assert(new String(httpEntity(dfMsgOut.toByteArray).body, "UTF-8") == text)
+
+    val e1 = intercept[IllegalArgumentException](httpEntity(
+      "HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nx".getBytes("US-ASCII")))
+    assert(e1.getMessage.contains("unsupported Content-Encoding"))
+    val e2 = intercept[IllegalArgumentException](httpEntity(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\nx".getBytes("US-ASCII")))
+    assert(e2.getMessage.contains("unsupported Transfer-Encoding"))
+    val e3 = intercept[IllegalArgumentException](httpEntity(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=klingon-8\r\n\r\nx"
+        .getBytes("US-ASCII")))
+    assert(e3.getMessage.contains("unsupported charset"))
+  }
+
+  test("charset is honored: latin-1 bytes decode to the same text") {
+    val html = "<p>café ümläut</p>"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      "charset=ISO-8859-1\r\n\r\n").getBytes("US-ASCII"))
+    out.write(html.getBytes("ISO-8859-1"))
+    val e = httpEntity(out.toByteArray)
+    assert(e.charset == java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(e.text == html)
+    // and the bytes really differ from UTF-8 (é is ONE byte here)
+    assert(e.body.length == html.getBytes("ISO-8859-1").length)
+    assert(e.body.length < html.getBytes("UTF-8").length)
   }
 }

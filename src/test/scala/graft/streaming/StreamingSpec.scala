@@ -633,15 +633,14 @@ class StreamingSpec extends SparkSpec {
     }
     def walk(df: DataFrame): DataFrame =
       df.select(col("content")).as[Array[Byte]]
-        .flatMap(bytes => WarcIO.readWarcGz(bytes).iterator
+        .flatMap(bytes => WarcIO.readWarcGz(bytes)
           .filter(_.warcType == "response")
           .map { r =>
-            val (code, body) = WarcIO.httpBody(r.payload)
-            assert(code == 200)
+            val entity = WarcIO.httpEntity(r.payload)
+            assert(entity.status == 200)
             val uri = r.targetUri.get
             (uri.substring(uri.lastIndexOf('/') + 1).toLong,
-              graft.functions.HtmlText.extract(
-                new String(body, "UTF-8")).clean_text)
+              graft.functions.HtmlText.extract(entity.text).clean_text)
           })
         .toDF("id", "clean_text")
     val stream = spark.readStream.format("binaryFile")

@@ -77,6 +77,31 @@ def gen() -> None:
         tf.addfile(ti, io.BytesIO(payload))
     with open(os.path.join(OUT, "shard_prefix.tar"), "wb") as f:
         f.write(buf3.getvalue())
+    # a name that exceeds even USTAR's 100+155 name+prefix capacity:
+    # tarfile emits a pax 'x' member whose `path=` record carries the
+    # real name — readers that skip pax members silently surface the
+    # truncated placeholder instead
+    buf4 = io.BytesIO()
+    with tarfile.open(fileobj=buf4, mode="w", format=tarfile.PAX_FORMAT) as tf:
+        very_long = "/".join(["component%03d" % i for i in range(24)]) \
+            + "/really_long_webdataset_key_sample.bin"  # ~350 chars
+        assert len(very_long) > 255, len(very_long)
+        ti = tarfile.TarInfo(very_long)
+        payload = deterministic_bytes(11, 200)
+        ti.size = len(payload)
+        ti.mtime = 0
+        tf.addfile(ti, io.BytesIO(payload))
+        # a normal member AFTER it: the override must apply to exactly
+        # one member, not leak forward
+        ti2 = tarfile.TarInfo("after.bin")
+        payload2 = deterministic_bytes(13, 32)
+        ti2.size = len(payload2)
+        ti2.mtime = 0
+        tf.addfile(ti2, io.BytesIO(payload2))
+    with open(os.path.join(OUT, "shard_paxlong.tar"), "wb") as f:
+        f.write(buf4.getvalue())
+    with open(os.path.join(OUT, "paxlong_name.txt"), "w") as f:
+        f.write(very_long)
     with open(os.path.join(OUT, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     print(f"wrote {OUT}: shard.tar ({len(data)} B), shard_pax.tar, manifest")
