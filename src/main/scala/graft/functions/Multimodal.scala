@@ -1156,6 +1156,87 @@ object Multimodal {
       })
   }
 
+  /** Render each embedding as a real MP4/ISO-BMFF clip with MJPEG
+    * samples: dim 64 → four frames of 16 values each, every value one
+    * constant 8×8 JPEG block (4×4 blocks → a 32×32 frame), pixel = the
+    * q90 quantization clamp(floor((v+1)·127.5)). Block-constant JPEG
+    * round-trips exactly (the q203 discipline), so a decoded frame's
+    * luma SUM is exactly 64 × the sum of its 16 quantized values — an
+    * oracle can replay the whole container+codec chain off embedding
+    * arithmetic. Timescale 12800 / delta 512 = 25 fps.
+    */
+  def embeddingsAsMp4(embeddings: DataFrame): Dataset[MediaRow] = {
+    import embeddings.sparkSession.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        require(v.length == 64, s"need 64 dims for 4 32x32 frames, got ${v.length}")
+        val q = v.map(x =>
+          math.max(0, math.min(255, math.floor((x + 1.0) * 127.5).toInt)))
+        val frames = q.grouped(16).map { blocks =>
+          val side = 32
+          val px = new Array[Int](side * side)
+          var i = 0
+          while (i < px.length) {
+            val bx = (i % side) / 8; val by = (i / side) / 8
+            px(i) = blocks(by * 4 + bx)
+            i += 1
+          }
+          ImageCodecs.encodeJpegGray(side, side, px)
+        }.toSeq
+        MediaRow(id, "video/mp4",
+          graft.sources.video.Mp4IO.writeMp4Mjpeg(
+            frames, 32, 32, timescale = 12800, sampleDelta = 512))
+      })
+  }
+
+  final case class Mp4SceneCuts(
+      id: Long, width: Int, n_frames: Int, duration_s: Double,
+      n_cuts: Long, max_delta: Long)
+
+  /** Scene-cut detection over a REAL MP4 container (the q209 kernel on
+    * the crawl's actual video wire format): box walk → sample-table
+    * resolution → per-sample MJPEG decode → luma-SUM deltas, all
+    * integer-exact. The declared stsd geometry is cross-checked against
+    * every decoded frame (loud on divergence), and the clip duration
+    * comes from the stts/mdhd tables — so the output proves the plan
+    * consumed the container, not just the frames. One narrow
+    * mapPartitions; media bytes never shuffle.
+    */
+  def mp4SceneCuts(
+      media: Dataset[MediaRow], sumDeltaThreshold: Long): Dataset[Mp4SceneCuts] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      import graft.sources.video.Mp4IO
+      val tracks = Mp4IO.readMp4(m.bytes).filter(_.handler == "vide")
+      require(tracks.size == 1, s"clip ${m.id}: ${tracks.size} video tracks")
+      val t = tracks.head
+      require(t.codec == "jpeg",
+        s"clip ${m.id}: undecodable video codec '${t.codec}'")
+      val sums = Mp4IO.samples(m.bytes, t).map { case (_, frame) =>
+        val r = ImageCodecs.decodeJpeg(frame)
+        require(r.width == t.width && r.height == t.height,
+          s"clip ${m.id}: stsd ${t.width}x${t.height} vs decoded ${r.width}x${r.height}")
+        var s = 0L; var j = 0
+        while (j < r.pixels.length) { s += r.pixels(j); j += 1 }
+        s
+      }.toArray
+      val n = t.sampleSizes.length
+      val durationS =
+        (t.sampleTimes.lastOption.getOrElse(0L) +
+          (if (n > 1) t.sampleTimes(1) - t.sampleTimes(0) else 0L))
+          .toDouble / t.timescale
+      var cuts = 0L; var mx = 0L; var i = 1
+      while (i < sums.length) {
+        val d = math.abs(sums(i) - sums(i - 1))
+        if (d >= sumDeltaThreshold) cuts += 1
+        if (d > mx) mx = d
+        i += 1
+      }
+      Mp4SceneCuts(m.id, t.width, n, durationS, cuts, mx)
+    })
+  }
+
   /** REAL video decode: parse the y4m container and emit every `every`-th
     * frame's geometry + mean luma. Narrow; one output row per sampled
     * frame.

@@ -1166,6 +1166,53 @@ object MultimodalQueries {
           col("width"), round(col("mean_raw"), 4).as("mean_intensity"))
         .orderBy(col("id").asc)
         .limit(200)
+    },
+
+    // ------------------------------------------------------------------
+    // MP4 / ISO-BMFF CONTAINER WALK + MJPEG SCENE CUTS (q229, r17) —
+    // the real-world video container a crawl ships (the surface stopped
+    // at Y4M and animated GIF before; no user has crawl video in
+    // either). Each embedding renders as a REAL isom file — ftyp /
+    // mdat / moov with the full sample table — carrying four 32×32
+    // MJPEG frames (one constant 8×8 block per embedding value, the
+    // q203 block-constant exactness); the MEASURED path is the
+    // production ingest: box walk → stsd/stts/stsc/stsz/stco sample
+    // resolution → per-sample JPEG decode → the q209 scene-cut kernel
+    // on luma SUMS (integer-exact; threshold 7680 = q209's 120 × the
+    // 64 pixels per block, so the corpus splits into the same mixed
+    // cut counts). The stsd geometry is cross-checked against every
+    // decoded frame and the duration comes from stts/mdhd — columns
+    // that prove the CONTAINER was consumed, not just the frames.
+    // Container resolution is pinned against an independent
+    // python-struct golden in Mp4IOSpec. Scale shape: one narrow
+    // mapPartitions, media bytes never shuffle, TakeOrdered only.
+    QueryDef.sql(
+      "q229_mp4_mjpeg_scene_cuts",
+      """WITH px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS BIGINT)))) AS p
+        |  FROM embeddings),
+        |sums AS (SELECT vec_id,
+        |    list_transform(generate_series(0, 3), f ->
+        |      64 * list_reduce(list_transform(generate_series(1, 16),
+        |        i -> p[16 * f + i]), (a, b) -> a + b)) AS fs
+        |  FROM px)
+        |SELECT vec_id AS id, CAST(32 AS INTEGER) AS width,
+        |  CAST(4 AS INTEGER) AS n_frames,
+        |  CAST(0.16 AS DOUBLE) AS duration_s,
+        |  CAST(len(list_filter(generate_series(1, 3),
+        |    f -> abs(fs[f + 1] - fs[f]) >= 7680)) AS BIGINT) AS n_cuts,
+        |  CAST(greatest(abs(fs[2] - fs[1]), abs(fs[3] - fs[2]),
+        |    abs(fs[4] - fs[3])) AS BIGINT) AS max_delta
+        |FROM sums ORDER BY id ASC LIMIT 200""".stripMargin) { (s, dir) =>
+      val media = Multimodal.embeddingsAsMp4(
+        Tables.spread(s, Tables.load(s, dir, "embeddings")))
+      Multimodal.mp4SceneCuts(media, sumDeltaThreshold = 7680L).toDF()
+        .select(col("id"), col("width"), col("n_frames"), col("duration_s"),
+          col("n_cuts"), col("max_delta"))
+        .orderBy(col("id").asc)
+        .limit(200)
     }
   )
 }
