@@ -1702,6 +1702,51 @@ object CorpusOps {
         .toDF("id", "uri", "clean_text")
         .orderBy(col("id").asc)
         .limit(200)
+    },
+
+    // ------------------------------------------------------------------
+    // PDF TEXT EXTRACTION (q230, r17) — after HTML, the largest text
+    // modality in a real crawl; the extraction story stopped at HTML
+    // (q223/q227). Each document renders as a REAL two-page PDF —
+    // classic xref table, Flate-compressed content streams, Tj/TD text
+    // operators, lines laid out at single-space boundaries (every
+    // break replaces exactly one space, PdfText.layoutLines) — and the
+    // MEASURED path is the production ingest: per-document xref
+    // resolution → object/stream parse → FlateDecode → page-tree walk
+    // → operator-level text extraction → reassembly. Extraction must
+    // reproduce the source text exactly through ALL the layers (zlib,
+    // string escaping, operator framing, page/line splits), so the
+    // oracle replays the chain as documents-table identity; the page
+    // count is cross-checked in-engine (loud). The parser itself is
+    // pinned against an independent python-zlib golden (PdfTextSpec:
+    // nested page trees, TJ kerns, hex strings, cp1252 bytes, reject
+    // fixtures). Scale shape: one narrow mapPartitions — document
+    // bytes never shuffle; the only exchange is the final TakeOrdered.
+    QueryDef.sql(
+      "q230_pdf_text_extract",
+      """SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  text AS clean_text
+        |FROM documents ORDER BY id ASC LIMIT 200""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.PdfText
+      Tables.spread(s, Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          // render: the fixture layer (still executor-side and narrow)
+          val lines = PdfText.layoutLines(text, 60)
+          val pages = lines.grouped(math.max(1, (lines.size + 1) / 2)).toSeq
+          val pdf = PdfText.writePdf(pages)
+          // the measured extraction chain
+          val got = PdfText.extract(pdf)
+          require(PdfText.pageCount(pdf) == pages.size,
+            s"doc $id: page tree diverged")
+          (id, got.replace('\n', ' '))
+        })
+        .toDF("id", "clean_text")
+        .select(col("id"), length(col("clean_text")).cast("long").as("n_chars"),
+          col("clean_text"))
+        .orderBy(col("id").asc)
+        .limit(200)
     }
   )
 }

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PdfText pins. The golden fixtures under fixtures/pdf_golden are
+  * written INDEPENDENTLY by tools/gen_pdf_fixture.py (raw bytes +
+  * python zlib, not this code), so the extractor — xref resolution,
+  * object/stream parsing, FlateDecode, page-tree walk, text operators
+  * — is checked against bytes it did not produce. The writer's bytes
+  * round-trip through the extractor.
+  */
+class PdfTextSpec extends AnyFunSuite {
+
+  private def fixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/pdf_golden", name))
+
+  test("extracts the independent fixture: nested page tree, TJ kerns, " +
+      "quote shows, hex strings, escapes, split content streams, raw + " +
+      "indirect-/Length streams, cp1252 bytes") {
+    val txt = new String(fixture("manifest.json"), "UTF-8")
+    val m = """"text": "((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
+      .getOrElse(fail("manifest parse"))
+    val want = m.group(1).replace("\\n", "\n").replace("\\\"", "\"")
+    val bytes = fixture("rich.pdf")
+    assert(PdfText.pageCount(bytes) == 3)
+    assert(PdfText.extract(bytes) == want)
+  }
+
+  test("writer round trip: escapes, unicode, multi-line, multi-page") {
+    val pages = Seq(
+      Seq("plain first line", "second (with parens) and \\backslash",
+        "unicode: café — ümläut ✓"),
+      Seq("page two, single line"),
+      Seq("", "empty first line above"))
+    val pdf = PdfText.writePdf(pages)
+    assert(new String(pdf.take(8), "US-ASCII").startsWith("%PDF-"))
+    assert(PdfText.pageCount(pdf) == 3)
+    assert(PdfText.extract(pdf) == pages.map(_.mkString("\n")).mkString("\n"))
+  }
+
+  test("Flate really is on the wire (round trip is not a plain-text echo)") {
+    val pdf = PdfText.writePdf(Seq(Seq("the quick brown fox")))
+    val s = new String(pdf, "ISO-8859-1")
+    assert(s.contains("/FlateDecode"))
+    assert(!s.contains("the quick brown fox"),
+      "page text must not appear uncompressed in the file")
+  }
+
+  test("encrypted, xref-stream, and non-Flate files fail loudly") {
+    val e1 = intercept[IllegalArgumentException](
+      PdfText.extract(fixture("encrypted.pdf")))
+    assert(e1.getMessage.contains("encrypted"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      PdfText.extract(fixture("xrefstream.pdf")))
+    assert(e2.getMessage.contains("STREAMS are unsupported"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      PdfText.extract(fixture("badfilter.pdf")))
+    assert(e3.getMessage.contains("unsupported stream filter"), e3.getMessage)
+  }
+
+  test("layoutLines: breaks replace exactly one space — mkString(\" \") " +
+      "is the identity; runs of spaces are never broken") {
+    val texts = Seq(
+      "short",
+      "a b c d e f",
+      "word " * 40 + "tail",
+      "double  space  runs stay  intact plus a veryverylongwordthatexceedswidthentirely ok",
+      "")
+    for (t <- texts; w <- Seq(1, 7, 60)) {
+      val lines = PdfText.layoutLines(t, w)
+      assert(lines.mkString(" ") == t, s"identity broke for '$t' at width $w")
+    }
+    // width is honored when a single-space boundary exists in range
+    assert(PdfText.layoutLines("word " * 40 + "tail", 20)
+      .forall(_.length <= 20))
+  }
+
+  test("malformed files fail loudly") {
+    def bad(b: Array[Byte], msg: String): Unit = {
+      val e = intercept[IllegalArgumentException](PdfText.extract(b))
+      assert(e.getMessage.contains(msg), e.getMessage)
+    }
+    bad("not a pdf at all".getBytes("US-ASCII"), "missing %PDF- header")
+    bad("%PDF-1.4\nno tail".getBytes("US-ASCII"), "missing startxref")
+    val good = PdfText.writePdf(Seq(Seq("x")))
+    // corrupt the startxref offset to point into the void
+    val s = new String(good, "ISO-8859-1")
+    val at = s.lastIndexOf("startxref")
+    val mangled = (s.substring(0, at) + "startxref\n99999999\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    bad(mangled, "out of range")
+    // truncate the flate stream body
+    val zAt = s.indexOf("stream\n") + 7
+    val cut = good.take(zAt + 4) ++ good.drop(zAt + 12)
+    // (xref offsets now lie, but the header/startxref still parse; any
+    // loud failure is acceptable — pin the prefix)
+    val e = intercept[IllegalArgumentException](PdfText.extract(cut))
+    assert(e.getMessage.startsWith("malformed PDF"), e.getMessage)
+  }
+}
