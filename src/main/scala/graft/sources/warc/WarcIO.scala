@@ -234,6 +234,18 @@ object WarcIO {
 
   private val CharsetParam = "(?i)charset=\"?([A-Za-z0-9_:.+-]+)\"?".r.unanchored
 
+  private val MetaCharset =
+    """(?i)<meta[^>]{0,200}?charset\s*=\s*["']?([A-Za-z0-9_:.+-]+)""".r.unanchored
+
+  /** Browser-style fallback when the Content-Type header carries no
+    * charset: sniff a `<meta charset=…>` / http-equiv declaration in
+    * the first 1024 body bytes (the HTML5 prescan window).
+    */
+  private def sniffMetaCharset(body: Array[Byte]): Option[String] = {
+    val window = new String(body, 0, math.min(1024, body.length), "ISO-8859-1")
+    MetaCharset.findFirstMatchIn(window).map(_.group(1))
+  }
+
   /** Split and DECODE an HTTP/1.1 response payload: status line +
     * headers parsed; `Transfer-Encoding: chunked` de-framed, then
     * `Content-Encoding: gzip/x-gzip/deflate` inflated (the wire order,
@@ -277,15 +289,19 @@ object WarcIO {
         case other             => fail(s"unsupported Content-Encoding '$other'")
       }
     }
-    val charset = headers.get("content-type") match {
-      case Some(CharsetParam(name)) =>
+    val declared = headers.get("content-type") match {
+      case Some(CharsetParam(name)) => Some(name)
+      case _ => sniffMetaCharset(body)
+    }
+    val charset = declared match {
+      case Some(name) =>
         try Charset.forName(name)
         catch {
           case _: java.nio.charset.IllegalCharsetNameException |
               _: java.nio.charset.UnsupportedCharsetException =>
             fail(s"unsupported charset '$name'")
         }
-      case _ => java.nio.charset.StandardCharsets.UTF_8
+      case None => java.nio.charset.StandardCharsets.UTF_8
     }
     HttpEntity(code, headers.toMap, body, charset)
   }
@@ -344,15 +360,26 @@ object WarcIO {
 
   /** Build one HTTP/1.1 200 message for `html`, layered per `variant`:
     * 0 plain UTF-8; 1 chunked; 2 gzip Content-Encoding; 3 ISO-8859-1
-    * charset when the page is encodable (else chunked + gzip stacked —
-    * both layers at once, decoded innermost-last on read).
+    * header charset when the page is encodable (else chunked + gzip
+    * stacked — both layers at once, decoded innermost-last on read);
+    * 4 NO header charset, the page declaring itself via an injected
+    * `<meta charset>` tag (the HTML5 prescan path) when it has a head
+    * and is latin-1 encodable, else the bare no-charset UTF-8 default.
     */
   private def httpMessage(html: String, variant: Int): Array[Byte] = {
     val latin1 = variant == 3 && latin1Encodable(html)
+    val meta = variant == 4 && latin1Encodable(html) && html.contains("<head>")
+    val htmlOut =
+      if (meta)
+        html.replaceFirst("<head>",
+          "<head><meta charset=\"iso-8859-1\">")
+      else html
     val charsetName = if (latin1) "iso-8859-1" else "utf-8"
-    val raw = html.getBytes(if (latin1) "ISO-8859-1" else "UTF-8")
+    val raw = htmlOut.getBytes(
+      if (latin1 || meta) "ISO-8859-1" else "UTF-8")
     val headers = new StringBuilder("HTTP/1.1 200 OK\r\n")
-    headers ++= s"Content-Type: text/html; charset=$charsetName\r\n"
+    if (variant == 4) headers ++= "Content-Type: text/html\r\n"
+    else headers ++= s"Content-Type: text/html; charset=$charsetName\r\n"
     val body: Array[Byte] = variant match {
       case 1 =>
         headers ++= "Transfer-Encoding: chunked\r\n"
@@ -389,7 +416,7 @@ object WarcIO {
       out.write(gzipMember(record("response",
         Seq("WARC-Target-URI" -> uri,
           "Content-Type" -> "application/http; msgtype=response"),
-        httpMessage(html, i % 4))))
+        httpMessage(html, i % 5))))
     }
     out.toByteArray
   }

@@ -7,26 +7,27 @@ import WarcIO._
 class WarcIOSpec extends AnyFunSuite {
 
   private val pages = Seq(
-    // four pages on purpose: writeWarcGz cycles the entity layerings
-    // (plain / chunked / gzip / latin-1-or-stacked) per page index, so
-    // this fixture exercises every variant
+    // five pages on purpose: writeWarcGz cycles the entity layerings
+    // (plain / chunked / gzip / latin-1-header / meta-charset) per page
+    // index, so this fixture exercises every variant
     "http://example.test/doc/0" -> "<html><body><p>hello world</p></body></html>",
     "http://example.test/doc/1" -> "<html><body><p>café ümläut</p></body></html>",
     "http://example.test/doc/2" -> "<html><body><p>third page with some more text</p></body></html>",
-    "http://example.test/doc/3" -> "<html><body><p>vierte Seite: naïve café</p></body></html>")
+    "http://example.test/doc/3" -> "<html><body><p>vierte Seite: naïve café</p></body></html>",
+    "http://example.test/doc/4" -> "<html><head><title>T</title></head><body><p>pâge déclarée</p></body></html>")
 
   test("warc.gz round trip: warcinfo + responses, uris and bodies intact " +
-      "through chunked / gzip / charset layers") {
+      "through chunked / gzip / charset / meta-charset layers") {
     val bytes = writeWarcGz(pages)
     val records = readWarcGz(bytes).toSeq
-    assert(records.size == 5)
+    assert(records.size == 6)
     assert(records.head.warcType == "warcinfo")
     val resp = records.tail
     assert(resp.forall(_.warcType == "response"))
     assert(resp.map(_.targetUri.get) == pages.map(_._1))
     val entities = resp.map(r => httpEntity(r.payload))
     assert(entities.forall(_.status == 200))
-    for ((e, (_, html)) <- entities.zip(pages))
+    for (((e, (_, html)), i) <- entities.zip(pages).zipWithIndex if i != 4)
       assert(e.text == html, "text fidelity through the entity layers")
     // the layers really are present on the wire: page 1 chunked, page 2
     // gzip'd, page 3 latin-1 (it is ISO-8859-1 encodable)
@@ -35,6 +36,14 @@ class WarcIOSpec extends AnyFunSuite {
     assert(httpEntityRaw(resp(2)).contains("Content-Encoding: gzip"))
     assert(httpEntityRaw(resp(3)).contains("charset=iso-8859-1"))
     assert(entities(3).charset == java.nio.charset.StandardCharsets.ISO_8859_1)
+    // page 4: NO header charset — the body's injected <meta charset>
+    // declares ISO-8859-1 and the sniffer must honor it (the bytes are
+    // genuinely latin-1: the é is a single 0xE9)
+    assert(!httpEntityRaw(resp(4)).toLowerCase.contains("charset="))
+    assert(entities(4).charset == java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(entities(4).text ==
+      "<html><head><meta charset=\"iso-8859-1\"><title>T</title></head>" +
+        "<body><p>pâge déclarée</p></body></html>")
   }
 
   /** The pre-decode header block of a response payload, for pinning
