@@ -1661,6 +1661,9 @@ object CorpusOps {
       // documents table (the measured path below never collects).
       val fixPath = java.nio.file.Files
         .createTempDirectory("graft_warc_fixture_").toString
+      // JVM-exit cleanup (dir registered first = deleted last); the dir
+      // must outlive the query since the scan below reads it lazily
+      new java.io.File(fixPath).deleteOnExit()
       val pagesById = graft.functions.HtmlText.documentsAsHtml(
           Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
         .toDF()
@@ -1674,11 +1677,12 @@ object CorpusOps {
         import scala.concurrent.duration.Duration
         val writes = pagesById.groupBy(_._1 % 8).toSeq.map { case (g, ps) =>
           Future {
-            java.nio.file.Files.write(
+            val f = java.nio.file.Files.write(
               java.nio.file.Paths.get(fixPath, s"part-$g.warc.gz"),
               WarcIO.writeWarcGz(ps.toSeq.map { case (id, html) =>
                 (s"http://example.test/doc/$id", html)
               }))
+            f.toFile.deleteOnExit()
           }
         }
         Await.result(Future.sequence(writes), Duration.Inf)

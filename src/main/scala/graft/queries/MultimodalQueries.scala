@@ -1109,6 +1109,9 @@ object MultimodalQueries {
       // the measured path below never collects.
       val fixPath = java.nio.file.Files
         .createTempDirectory("graft_wds_fixture_").toString
+      // JVM-exit cleanup (dir registered first = deleted last); the dir
+      // must outlive the query since the scan below reads it lazily
+      new java.io.File(fixPath).deleteOnExit()
       val jpegById = Multimodal.embeddingsAsJpeg(
           Tables.spread(s, Tables.load(s, dir, "embeddings"))).toDF()
         .select(col("id"), col("bytes"))
@@ -1127,9 +1130,10 @@ object MultimodalQueries {
                 s"$stem.json" ->
                   s"""{"id":$id,"label":"c${id % 10}"}""".getBytes("UTF-8"))
             }
-            java.nio.file.Files.write(
+            val f = java.nio.file.Files.write(
               java.nio.file.Paths.get(fixPath, s"part-$g.tar"),
               TarIO.writeTar(entries))
+            f.toFile.deleteOnExit()
           }
         }
         Await.result(Future.sequence(writes), Duration.Inf)

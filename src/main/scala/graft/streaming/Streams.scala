@@ -596,6 +596,38 @@ object Streams {
       .select(col("doc_id"), col("clean_text"), col("link_density"))
   }
 
+  /** Streaming PDF-extraction face (r17) — q230's extraction pointed at
+    * the ingest direction: PDF documents arrive as a (doc_id, bytes)
+    * stream and each is extracted (xref walk, FlateDecode, operator-
+    * level text assembly — functions.PdfText) per micro-batch. One
+    * narrow stateless mapPartitions — document bytes never shuffle —
+    * so the face composes with [[extractGate]]'s link-density shape
+    * and every downstream dedup/quality consumer.
+    */
+  def pdfExtract(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val text = graft.functions.PdfText.extract(b)
+        (id, graft.functions.PdfText.pageCount(b), text)
+      })
+      .toDF("doc_id", "n_pages", "text")
+  }
+
+  /** Streaming MP4 scene-cut face (r17) — q229's container walk pointed
+    * at a live video ingest: MP4 clips arrive as an (id, bytes) stream
+    * and each is box-walked, sample-resolved, MJPEG-decoded, and
+    * scene-cut-scored (functions.Multimodal.mp4SceneCuts) per
+    * micro-batch. Stateless and narrow; clip bytes never shuffle.
+    */
+  def mp4CutGate(stream: DataFrame, sumDeltaThreshold: Long): DataFrame = {
+    import stream.sparkSession.implicits._
+    graft.functions.Multimodal.mp4SceneCuts(
+      stream.select(col("id"), col("media_type"), col("bytes"))
+        .as[graft.functions.Multimodal.MediaRow],
+      sumDeltaThreshold).toDF()
+  }
+
   /** Streaming SEMANTIC gate (r13) — q166's embedding-level
     * decontamination pointed at the ingest direction: incoming TRAINING
     * candidates are flagged when their embedding sits too close to any

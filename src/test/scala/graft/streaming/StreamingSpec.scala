@@ -661,6 +661,86 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == docs.toSet, "streamed extraction diverged from source")
   }
 
+  test("streaming PDF extraction: documents arrive as PDFs, per-batch " +
+      "extraction equals the batch run AND the source text (q230's " +
+      "identity on the streamed path)") {
+    import graft.functions.PdfText
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("pdfstream").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(60)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val lines = PdfText.layoutLines(text, 60)
+      val pages = lines.grouped(math.max(1, (lines.size + 1) / 2)).toSeq
+      Files.write(java.nio.file.Paths.get(tmp, f"$id%08d.pdf"),
+        PdfText.writePdf(pages))
+    }
+    def walk(df: DataFrame): DataFrame =
+      Streams.pdfExtract(
+        df.select(
+          regexp_extract(col("path"), "(\\d+)\\.pdf$", 1).cast("long")
+            .as("doc_id"),
+          col("content").as("bytes")))
+    val stream = spark.readStream.format("binaryFile")
+      .schema(spark.read.format("binaryFile").load(tmp).schema)
+      .load(tmp)
+    val q = walk(stream)
+      .writeStream.format("memory").queryName("pdf_stream_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("pdf_stream_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val batch = walk(spark.read.format("binaryFile").load(tmp)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamed == batch, s"${streamed.size} vs ${batch.size}")
+    // reassembled text identity through xref + Flate + operators
+    val bySrc = docs.toMap
+    streamed.foreach { case (id, _, text) =>
+      assert(text.replace('\n', ' ') == bySrc(id),
+        s"doc $id text diverged through the PDF stream")
+    }
+  }
+
+  test("streaming MP4 scene cuts: clips arrive as a stream, the container " +
+      "walk + MJPEG decode + cut kernel equal the batch run") {
+    import spark.implicits._
+    val media = graft.functions.Multimodal.embeddingsAsMp4(
+      Tables.load(spark, sfDir, "embeddings").limit(80)).toDF()
+    val tmp = Files.createTempDirectory("mp4stream").toString
+    media.collect().foreach { r =>
+      Files.write(
+        java.nio.file.Paths.get(tmp, f"${r.getLong(0)}%08d.mp4"),
+        r.getAs[Array[Byte]](2))
+    }
+    def walk(df: DataFrame): DataFrame =
+      Streams.mp4CutGate(
+        df.select(
+          regexp_extract(col("path"), "(\\d+)\\.mp4$", 1).cast("long")
+            .as("id"),
+          lit("video/mp4").as("media_type"),
+          col("content").as("bytes")),
+        sumDeltaThreshold = 7680L)
+    val stream = spark.readStream.format("binaryFile")
+      .schema(spark.read.format("binaryFile").load(tmp).schema)
+      .load(tmp)
+    val q = walk(stream)
+      .writeStream.format("memory").queryName("mp4_stream_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("mp4_stream_out").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5))).toSet
+    val batch = walk(spark.read.format("binaryFile").load(tmp)).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5))).toSet
+    assert(streamed == batch, s"${streamed.size} vs ${batch.size}")
+    assert(streamed.exists(_._2 > 0) && streamed.exists(_._2 == 0),
+      "cut counts should be genuinely mixed, not vacuous")
+  }
+
   test("streaming mixture gate equals the q159 batch materialization per domain") {
     // solver offline over the corpus snapshot; rates become literals
     val rates = graft.queries.TrainingPipeline.mixtureRates(spark, sfDir)
