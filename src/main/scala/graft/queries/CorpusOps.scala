@@ -1653,39 +1653,38 @@ object CorpusOps {
       import s.implicits._
       import graft.sources.warc.WarcIO
       // ---- fixture construction (not the measured path): 8 real
-      // .warc.gz files in a UNIQUE per-run directory (concurrent runs —
-      // dual-SF verify, bench alongside verify — must not race on a
-      // shared path). Rows are collected to the DRIVER before writing
+      // .warc.gz files in a UNIQUE per-JVM directory (concurrent
+      // processes — dual-SF verify, bench alongside verify — never
+      // share a path). Rows are collected to the DRIVER before writing
       // so the build works when executors don't share the driver
       // filesystem; the collect is fixture-only and bounded by the
-      // documents table (the measured path below never collects).
-      val fixPath = java.nio.file.Files
-        .createTempDirectory("graft_warc_fixture_").toString
-      // JVM-exit cleanup (dir registered first = deleted last); the dir
-      // must outlive the query since the scan below reads it lazily
-      new java.io.File(fixPath).deleteOnExit()
-      val pagesById = graft.functions.HtmlText.documentsAsHtml(
-          Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
-        .toDF()
-        .select(col("doc_id"), col("html"))
-        .collect()
-        .map(r => (r.getLong(0), r.getString(1)))
-        .sortBy(_._1)
-      locally {
+      // documents table (the measured path below never collects). The
+      // content is a pure function of `dir`, so FixtureCache builds it
+      // ONCE per JVM — repeated invocations (bench's two timed passes)
+      // measure the ingest, not the scaffolding rebuild.
+      val fixPath = FixtureCache.dir(s"warc|$dir") { fixPath =>
+        val pagesById = graft.functions.HtmlText.documentsAsHtml(
+            Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
+          .toDF()
+          .select(col("doc_id"), col("html"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+          .sortBy(_._1)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
         val writes = pagesById.groupBy(_._1 % 8).toSeq.map { case (g, ps) =>
           Future {
-            val f = java.nio.file.Files.write(
+            java.nio.file.Files.write(
               java.nio.file.Paths.get(fixPath, s"part-$g.warc.gz"),
               WarcIO.writeWarcGz(ps.toSeq.map { case (id, html) =>
                 (s"http://example.test/doc/$id", html)
               }))
-            f.toFile.deleteOnExit()
+            ()
           }
         }
         Await.result(Future.sequence(writes), Duration.Inf)
+        ()
       }
       // ---- the measured path: scan files, walk records, extract
       s.read.format("binaryFile").load(fixPath)

@@ -1102,23 +1102,20 @@ object MultimodalQueries {
       import s.implicits._
       import graft.sources.warc.TarIO
       // ---- fixture construction (not the measured path): 8 real USTAR
-      // shards in a UNIQUE per-run directory (concurrent runs must not
-      // race on a shared path), built on the DRIVER so the query is
-      // cluster-safe (executors need not share the driver filesystem).
-      // The collect is fixture-only and bounded by the embeddings table;
-      // the measured path below never collects.
-      val fixPath = java.nio.file.Files
-        .createTempDirectory("graft_wds_fixture_").toString
-      // JVM-exit cleanup (dir registered first = deleted last); the dir
-      // must outlive the query since the scan below reads it lazily
-      new java.io.File(fixPath).deleteOnExit()
-      val jpegById = Multimodal.embeddingsAsJpeg(
-          Tables.spread(s, Tables.load(s, dir, "embeddings"))).toDF()
-        .select(col("id"), col("bytes"))
-        .collect()
-        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
-        .sortBy(_._1)
-      locally {
+      // shards in a UNIQUE per-JVM directory (concurrent processes never
+      // share a path), built on the DRIVER so the query is cluster-safe
+      // (executors need not share the driver filesystem). The collect is
+      // fixture-only and bounded by the embeddings table; the measured
+      // path below never collects. Content is a pure function of `dir`,
+      // so graft.queries.FixtureCache builds it ONCE per JVM — bench's
+      // two timed passes measure the ingest, not the scaffolding.
+      val fixPath = graft.queries.FixtureCache.dir(s"wds|$dir") { fixPath =>
+        val jpegById = Multimodal.embeddingsAsJpeg(
+            Tables.spread(s, Tables.load(s, dir, "embeddings"))).toDF()
+          .select(col("id"), col("bytes"))
+          .collect()
+          .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+          .sortBy(_._1)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
@@ -1130,13 +1127,14 @@ object MultimodalQueries {
                 s"$stem.json" ->
                   s"""{"id":$id,"label":"c${id % 10}"}""".getBytes("UTF-8"))
             }
-            val f = java.nio.file.Files.write(
+            java.nio.file.Files.write(
               java.nio.file.Paths.get(fixPath, s"part-$g.tar"),
               TarIO.writeTar(entries))
-            f.toFile.deleteOnExit()
+            ()
           }
         }
         Await.result(Future.sequence(writes), Duration.Inf)
+        ()
       }
       // ---- the measured path: scan shards, walk members, pair, decode
       s.read.format("binaryFile").load(fixPath)
