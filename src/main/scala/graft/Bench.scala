@@ -60,6 +60,10 @@ object Bench {
       // collected DURING the next query's timed run, charging the pause
       // to the wrong query (observed 2-5x swings on sub-second queries)
       System.gc()
+      // timestamped stderr marker: log4j WARN lines (hint fallbacks,
+      // WindowExec complaints) carry timestamps but not query names —
+      // this makes them attributable from the captured log
+      System.err.println(s"[bench] ${java.time.LocalTime.now()} $name")
       // GC seconds spent INSIDE each timed pass: makes neighborhood
       // effects (a heavy neighbor's garbage collected during this query's
       // run — the q42/q96 bench-band swings) diagnosable from the

@@ -376,21 +376,26 @@ object TrainingPipeline {
           "the mixture table must be domain-sized, not corpus-sized")
       val total = counts.map(_._2).sum.toDouble
       val t = counts.foldLeft(0.0)((a, c) => a + math.sqrt(c._2.toDouble))
-      val rTbl = broadcast(s.createDataFrame(counts.map { case (lang, n) =>
+      val rTbl = s.createDataFrame(counts.map { case (lang, n) =>
         val r4 = math.floor(
           math.sqrt(n.toDouble) / t * total / n * 10000.0 + 0.5).toLong
         (lang, n, r4, r4 / 10000L, r4 % 10000L)
-      }.toSeq).toDF("lang", "n_docs", "repeat_e4", "base", "fr"))
+      }.toSeq).toDF("lang", "n_docs", "repeat_e4", "base", "fr")
       val frac = conv(substring(
         md5(concat(lit("tsamp"), col("doc_id").cast("string"))), 1, 8),
         16, 10).cast("long") % 10000
       val emitted = d.select(col("lang"), col("doc_id"))
-        .join(rTbl, Seq("lang"))
+        // the broadcast hint is scoped to the joins where the tiny side
+        // is a legal BUILD side: here (inner, rTbl right) and below
+        // (left outer, emitted right). Hinting rTbl itself would ride
+        // its lineage onto the LEFT of the outer join, where build-left
+        // is unsupported — Spark logs an ignored-hint warning per pass
+        .join(broadcast(rTbl), Seq("lang"))
         .select(col("lang"),
           (col("base") + when(frac < col("fr"), 1L).otherwise(0L))
             .as("em"))
         .groupBy(col("lang")).agg(sum(col("em")).as("n_emitted"))
-      rTbl.join(emitted, Seq("lang"), "left")
+      rTbl.join(broadcast(emitted), Seq("lang"), "left")
         .select(col("lang"), col("n_docs"), col("repeat_e4"),
           coalesce(col("n_emitted"), lit(0L)).as("n_emitted"))
         .orderBy(col("lang").asc)
