@@ -9,10 +9,11 @@ package graft.sources.warc
   * 512-byte-block format: header checksums are VERIFIED, octal size
   * fields parsed strictly, data padded to block boundaries, the
   * two-zero-block terminator required. Pax `x` members are PARSED and
-  * their `path=` record overrides the next member's name (WebDataset
-  * keys routinely exceed USTAR's 100+155 name/prefix limits); global
-  * `g` members are parsed and rejected loudly if they try to set a
-  * path; other special types fail loudly.
+  * their `path=` record overrides the next member's name, and GNU `L`
+  * longname members do the same (WebDataset keys routinely exceed
+  * USTAR's 100+155 name/prefix limits and real shards ship BOTH
+  * conventions); global `g` members are parsed and rejected loudly if
+  * they try to set a path; other special types fail loudly.
   *
   * Scale shape: shards are SCAN INPUT (one binaryFile row per shard);
   * the member walk is an INCREMENTAL per-shard iterator — one member's
@@ -108,7 +109,7 @@ object TarIO {
               !(512 until 1024).forall(i => bytes(p + i) == 0))
             fail("single zero block — tar requires two terminator blocks")
           if (pathOverride.isDefined)
-            fail("pax path override with no following member")
+            fail("pax/longname path override with no following member")
           finished = true
         } else {
           val stored = octal(bytes, p + 148, 8, "checksum")
@@ -147,6 +148,14 @@ object TarIO {
             case 'g' =>
               paxPath(java.util.Arrays.copyOfRange(bytes, p, dataEnd),
                 global = true)
+            case 'L' =>
+              // GNU longname: the payload is the NUL-terminated name of
+              // the next member (the other long-name convention real
+              // shards ship in, alongside pax)
+              var e = p
+              while (e < dataEnd && bytes(e) != 0) e += 1
+              if (e == p) fail("empty GNU longname payload")
+              pathOverride = Some(new String(bytes, p, e - p, "UTF-8"))
             case other =>
               fail(s"unsupported tar entry type '${other.toChar}' for '$name'")
           }

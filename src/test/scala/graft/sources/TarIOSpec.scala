@@ -61,6 +61,17 @@ class TarIOSpec extends AnyFunSuite {
     assert(entries(1).bytes.length == 32)
   }
 
+  test("GNU 'L' longname members resolve the next member's name, and " +
+      "apply to exactly ONE following member") {
+    val wantName = new String(fixture("gnulong_name.txt"), "UTF-8")
+    assert(wantName.length > 100, "fixture name must exceed the name field")
+    val entries = readTar(fixture("shard_gnulong.tar")).toSeq
+    assert(entries.map(_.name) == Seq(wantName, "short.bin"),
+      s"got ${entries.map(_.name.take(40))}")
+    assert(entries.head.bytes.length == 96)
+    assert(entries(1).bytes.length == 48)
+  }
+
   test("the walk is an ITERATOR: entries before a corrupt tail are " +
       "served lazily; the corruption only fails when reached") {
     val items = (0 until 6).map(i => s"m$i.bin" -> Array.fill[Byte](600)(i.toByte))

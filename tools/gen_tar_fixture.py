@@ -102,6 +102,27 @@ def gen() -> None:
         f.write(buf4.getvalue())
     with open(os.path.join(OUT, "paxlong_name.txt"), "w") as f:
         f.write(very_long)
+    # the GNU convention for the same problem: an 'L' member whose
+    # payload is the next member's full name
+    buf5 = io.BytesIO()
+    with tarfile.open(fileobj=buf5, mode="w", format=tarfile.GNU_FORMAT) as tf:
+        gnu_long = "gnu/" + "/".join("segment%02d" % i for i in range(14)) \
+            + "/gnu_longname_sample.bin"  # ~180 chars, > the 100-char name field
+        assert len(gnu_long) > 100, len(gnu_long)
+        ti = tarfile.TarInfo(gnu_long)
+        payload = deterministic_bytes(17, 96)
+        ti.size = len(payload)
+        ti.mtime = 0
+        tf.addfile(ti, io.BytesIO(payload))
+        ti2 = tarfile.TarInfo("short.bin")
+        payload2 = deterministic_bytes(19, 48)
+        ti2.size = len(payload2)
+        ti2.mtime = 0
+        tf.addfile(ti2, io.BytesIO(payload2))
+    with open(os.path.join(OUT, "shard_gnulong.tar"), "wb") as f:
+        f.write(buf5.getvalue())
+    with open(os.path.join(OUT, "gnulong_name.txt"), "w") as f:
+        f.write(gnu_long)
     with open(os.path.join(OUT, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     print(f"wrote {OUT}: shard.tar ({len(data)} B), shard_pax.tar, manifest")
