@@ -18,9 +18,18 @@ import java.util.zip.{Deflater, Inflater}
   * text operators: `BT`/`ET`, `Tj`, `TJ`, `'`, `"`, with `Td`/`TD`
   * (dy ≠ 0), `T*`, and `Tm` as line breaks. Shown bytes decode as
   * strict UTF-8 when valid, else Windows-1252 (the de-facto simple-
-  * font byte encoding). Encrypted files, xref STREAMS (/Type/XRef),
-  * non-Flate filters, predictors, and inline images fail loudly —
-  * silently-wrong text is worse than no text in a training corpus.
+  * font byte encoding).
+  *
+  * r18: the PDF 1.5+ layout — the default of every post-2005 writer —
+  * is first-class: cross-reference STREAMS (`/Type/XRef`, `/W` fields,
+  * `/Index` subsections, type-0/1/2 entries), object streams
+  * (`/Type/ObjStm`, `/N`+`/First` header pairs), FlateDecode
+  * PREDICTORS (PNG 10–15 incl. Sub/Up/Average/Paeth per-row filters,
+  * TIFF 2), and hybrid files (`/XRefStm` in a classic trailer).
+  * Newest-section-wins includes DELETIONS: a free entry in a newer
+  * section shadows any older in-use entry. Encrypted files, non-Flate
+  * filters, and inline images still fail loudly — silently-wrong text
+  * is worse than no text in a training corpus.
   *
   * Scale shape: PDFs are SCAN INPUT (binaryFile rows or a bytes
   * column); extraction is a narrow per-document kernel — document
@@ -238,11 +247,28 @@ object PdfText {
   // Document structure
   // ------------------------------------------------------------------
 
+  /** Where an object lives: at a byte offset in the file, or as entry
+    * `idx` of the object stream whose object number is `stm` (a PDF
+    * 1.5 type-2 cross-reference entry).
+    */
+  private sealed trait Loc
+  private final case class InFile(off: Long) extends Loc
+  private final case class InObjStm(stm: Int, idx: Int) extends Loc
+
   private final class Doc(bytes: Array[Byte]) {
     private val (offsets, trailer) = readXref()
     private val cache = scala.collection.mutable.Map.empty[Int, Any]
+    // decoded object streams, memoized per ObjStm object number:
+    // (payload, header pairs (objnum, relative offset), /First)
+    private val objStmCache =
+      scala.collection.mutable.Map.empty[Int, (Array[Byte], Vector[(Int, Int)], Int)]
 
-    private def readXref(): (Map[Int, Long], Map[String, Any]) = {
+    private def asLong(v: Any, what: String): Long = v match {
+      case n: Long => n
+      case o => fail(s"$what is not an integer: $o")
+    }
+
+    private def readXref(): (Map[Int, Loc], Map[String, Any]) = {
       if (!new String(bytes, 0, math.min(8, bytes.length), "US-ASCII")
           .startsWith("%PDF-")) fail("missing %PDF- header")
       val tailStart = math.max(0, bytes.length - 2048)
@@ -254,50 +280,72 @@ object PdfText {
         case n: Long => n
         case other => fail(s"bad startxref offset $other")
       }
-      var offs = Map.empty[Int, Long]
+      var offs = Map.empty[Int, Loc]
+      // every object number a NEWER section has spoken for — in-use OR
+      // free — so older sections can neither override nor resurrect
+      val seen = scala.collection.mutable.Set.empty[Int]
+      def add(num: Int, loc: Option[Loc]): Unit =
+        if (seen.add(num)) loc.foreach(l => offs += (num -> l))
+
       var trailerDict: Map[String, Any] = null
       var next = first
       var hops = 0
       while (next >= 0) {
         if (hops > 32) fail("xref /Prev chain too deep")
         hops += 1
-        if (next > Int.MaxValue || next >= bytes.length)
+        if (next > Int.MaxValue || next >= bytes.length || next < 0)
           fail(s"xref offset $next out of range")
         val l = new Lexer(bytes, next.toInt)
         l.ws()
-        if (!l.startsWith("xref"))
-          fail("cross-reference STREAMS are unsupported (classic xref table required)")
-        l.p += 4
-        var parsingSections = true
-        while (parsingSections) {
-          l.ws()
-          if (l.startsWith("trailer")) parsingSections = false
-          else {
-            val start = l.value() match {
-              case n: Long => n.toInt
-              case o => fail(s"bad xref subsection start $o")
-            }
-            val count = l.value() match {
-              case n: Long => n.toInt
-              case o => fail(s"bad xref subsection count $o")
-            }
+        val t: Map[String, Any] = if (l.startsWith("xref")) {
+          l.p += 4
+          // table entries buffer: in a HYBRID file the /XRefStm has
+          // precedence over this table's entries (ISO 32000 7.5.8.4 —
+          // the table typically marks ObjStm-compressed objects free),
+          // so the table applies only after the stream's entries
+          val section = scala.collection.mutable.ArrayBuffer.empty[(Int, Option[Loc])]
+          var parsingSections = true
+          while (parsingSections) {
             l.ws()
-            for (i <- 0 until count) {
-              val entry = new String(bytes, l.p, 20, "US-ASCII")
-              val off = entry.substring(0, 10).toLongOption
-                .getOrElse(fail(s"bad xref entry '$entry'"))
-              val kind = entry.charAt(17)
-              // older entries must not override newer ones
-              if (kind == 'n' && !offs.contains(start + i))
-                offs += ((start + i) -> off)
-              l.p += 20
+            if (l.startsWith("trailer")) parsingSections = false
+            else {
+              val start = l.value() match {
+                case n: Long => n.toInt
+                case o => fail(s"bad xref subsection start $o")
+              }
+              val count = l.value() match {
+                case n: Long => n.toInt
+                case o => fail(s"bad xref subsection count $o")
+              }
+              l.ws()
+              if (count < 0 || l.p + 20L * count > bytes.length)
+                fail(s"xref table truncated: $count entries at ${l.p}")
+              for (i <- 0 until count) {
+                val entry = new String(bytes, l.p, 20, "US-ASCII")
+                val off = entry.substring(0, 10).toLongOption
+                  .getOrElse(fail(s"bad xref entry '$entry'"))
+                val kind = entry.charAt(17)
+                section += ((start + i,
+                  if (kind == 'n') Some(InFile(off)) else None))
+                l.p += 20
+              }
             }
           }
-        }
-        l.expect("trailer")
-        val t = l.value() match {
-          case d: Map[String @unchecked, Any @unchecked] => d
-          case o => fail(s"trailer is not a dict: $o")
+          l.expect("trailer")
+          val td = l.value() match {
+            case d: Map[String @unchecked, Any @unchecked] => d
+            case o => fail(s"trailer is not a dict: $o")
+          }
+          td.get("XRefStm").foreach { v =>
+            val at = asLong(v, "/XRefStm")
+            if (at > Int.MaxValue || at >= bytes.length || at < 0)
+              fail(s"/XRefStm offset $at out of range")
+            readXrefStreamAt(at.toInt, add)
+          }
+          section.foreach { case (n, loc) => add(n, loc) }
+          td
+        } else {
+          readXrefStreamAt(next.toInt, add)
         }
         if (trailerDict == null) trailerDict = t
         if (t.contains("Encrypt")) fail("encrypted PDFs are unsupported")
@@ -310,13 +358,104 @@ object PdfText {
       (offs, trailerDict)
     }
 
+    /** Parse a `/Type/XRef` cross-reference STREAM object at `off`,
+      * feed its entries to `add`, return its dict (which doubles as the
+      * trailer in PDF 1.5+ files). All dict values an xref stream needs
+      * before the table exists (/Length, /W, /Index) must be direct.
+      */
+    private def readXrefStreamAt(off: Int, add: (Int, Option[Loc]) => Unit): Map[String, Any] = {
+      val l = new Lexer(bytes, off)
+      l.value() match {
+        case _: Long => ()
+        case o => fail(s"startxref target at $off is neither an xref table nor an xref stream: $o")
+      }
+      l.value() // generation
+      l.expect("obj")
+      val dict = l.value() match {
+        case d: Map[String @unchecked, Any @unchecked] => d
+        case o => fail(s"startxref target at $off is neither an xref table nor an xref stream: $o")
+      }
+      dict.get("Type") match {
+        case Some(PName("XRef")) => ()
+        case o => fail(s"object at startxref is not /Type/XRef (got $o)")
+      }
+      l.ws()
+      if (!l.startsWith("stream")) fail("xref stream object has no stream")
+      l.p += "stream".length
+      if (l.p < bytes.length && bytes(l.p) == '\r') l.p += 1
+      if (l.p < bytes.length && bytes(l.p) == '\n') l.p += 1
+      val len = dict.getOrElse("Length", fail("xref stream missing /Length")) match {
+        case n: Long => n
+        case _: PRef => fail("xref stream /Length must be direct")
+        case o => fail(s"bad xref stream /Length $o")
+      }
+      if (len < 0 || l.p + len > bytes.length) fail(s"xref stream of $len exceeds file")
+      val raw = java.util.Arrays.copyOfRange(bytes, l.p, l.p + len.toInt)
+      val data = decodeStreamPayload(dict, raw, {
+        case PRef(_) => fail("xref stream dict values must be direct")
+        case v => v
+      })
+      val w = dict.getOrElse("W", fail("xref stream missing /W")) match {
+        case arr: Vector[Any @unchecked] if arr.size == 3 =>
+          arr.map(asLong(_, "/W field").toInt)
+        case o => fail(s"bad /W $o")
+      }
+      if (w.exists(x => x < 0 || x > 8)) fail(s"bad /W widths $w")
+      val size = asLong(dict.getOrElse("Size", fail("xref stream missing /Size")), "/Size")
+      val index: Vector[Long] = dict.get("Index") match {
+        case None => Vector(0L, size)
+        case Some(arr: Vector[Any @unchecked]) if arr.size % 2 == 0 =>
+          arr.map(asLong(_, "/Index element"))
+        case Some(o) => fail(s"bad /Index $o")
+      }
+      val entryLen = w.sum
+      if (entryLen == 0) fail("/W is all-zero")
+      var pos = 0
+      def field(width: Int, dflt: Long): Long = {
+        if (width == 0) return dflt
+        var v = 0L
+        var i = 0
+        while (i < width) { v = (v << 8) | (data(pos + i) & 0xffL); i += 1 }
+        pos += width
+        v
+      }
+      index.grouped(2).foreach { pair =>
+        val (start, count) = (pair(0), pair(1))
+        if (count < 0 || pos + entryLen * count > data.length)
+          fail(s"xref stream truncated: $count entries of $entryLen B at $pos")
+        var i = 0L
+        while (i < count) {
+          val typ = field(w(0), 1L)
+          val f2 = field(w(1), 0L)
+          val f3 = field(w(2), 0L)
+          val num = (start + i).toInt
+          typ match {
+            case 0 => add(num, None) // free — shadows older sections
+            case 1 => add(num, Some(InFile(f2)))
+            case 2 => add(num, Some(InObjStm(f2.toInt, f3.toInt)))
+            case _ => () // ISO 32000 7.5.8.3: unknown types read as null
+          }
+          i += 1
+        }
+      }
+      dict
+    }
+
     def deref(v: Any): Any = v match {
       case PRef(num) => deref(load(num))
       case other => other
     }
 
     private def load(num: Int): Any = cache.getOrElseUpdate(num, {
-      val off = offsets.getOrElse(num, fail(s"object $num not in xref"))
+      offsets.getOrElse(num, fail(s"object $num not in xref")) match {
+        case InFile(off) => loadAt(num, off)
+        case InObjStm(stm, idx) => loadFromObjStm(num, stm, idx)
+      }
+    })
+
+    private def loadAt(num: Int, off: Long): Any = {
+      if (off < 0 || off > Int.MaxValue || off >= bytes.length)
+        fail(s"xref offset $off for object $num out of range")
       val l = new Lexer(bytes, off.toInt)
       val gotNum = l.value() match {
         case n: Long => n.toInt
@@ -339,24 +478,58 @@ object PdfText {
           case n: Long => n.toInt
           case o => fail(s"bad /Length $o")
         }
-        if (l.p + len > bytes.length) fail(s"stream of $len exceeds file")
+        if (len < 0 || l.p + len > bytes.length) fail(s"stream of $len exceeds file")
         val raw = java.util.Arrays.copyOfRange(bytes, l.p, l.p + len)
         l.p += len
         l.expect("endstream")
         PStream(dict, raw)
       } else v
-    })
+    }
+
+    /** Resolve entry `idx` of object stream `stm` (a type-2 xref
+      * entry). The ObjStm payload and its header pairs are decoded once
+      * per stream and memoized; contained objects are plain values (the
+      * spec forbids streams inside an ObjStm).
+      */
+    private def loadFromObjStm(num: Int, stm: Int, idx: Int): Any = {
+      val (payload, pairs, first) = objStmCache.getOrElseUpdate(stm, {
+        offsets.get(stm) match {
+          case Some(InObjStm(_, _)) => fail(s"ObjStm $stm nested inside another ObjStm")
+          case Some(InFile(off)) =>
+            loadAt(stm, off) match {
+              case PStream(d, raw) =>
+                d.get("Type") match {
+                  case Some(PName("ObjStm")) => ()
+                  case o => fail(s"type-2 xref entry names object $stm which is not /Type/ObjStm (got $o)")
+                }
+                val n = asLong(deref(d.getOrElse("N", fail("ObjStm missing /N"))), "/N").toInt
+                val fst = asLong(deref(d.getOrElse("First", fail("ObjStm missing /First"))), "/First").toInt
+                val data = decodeStreamPayload(d, raw, deref)
+                if (fst < 0 || fst > data.length) fail(s"ObjStm /First $fst out of range")
+                val hl = new Lexer(data, 0)
+                val ps = Vector.newBuilder[(Int, Int)]
+                for (_ <- 0 until n) {
+                  val on = asLong(hl.value(), "ObjStm header objnum").toInt
+                  val oo = asLong(hl.value(), "ObjStm header offset").toInt
+                  if (hl.p > fst) fail("ObjStm header overruns /First")
+                  ps += ((on, oo))
+                }
+                (data, ps.result(), fst)
+              case o => fail(s"object $stm is not a stream: $o")
+            }
+          case None => fail(s"ObjStm $stm not in xref")
+        }
+      })
+      if (idx < 0 || idx >= pairs.length)
+        fail(s"ObjStm $stm has ${pairs.length} objects; index $idx out of range")
+      val (onum, ooff) = pairs(idx)
+      if (onum != num) fail(s"ObjStm $stm entry $idx is object $onum, xref claims $num")
+      if (first.toLong + ooff > payload.length) fail(s"ObjStm offset $ooff out of range")
+      new Lexer(payload, first + ooff).value()
+    }
 
     def decodedStream(v: Any): Array[Byte] = deref(v) match {
-      case PStream(dict, raw) =>
-        if (dict.contains("DecodeParms"))
-          fail("stream predictors (/DecodeParms) are unsupported")
-        dict.get("Filter").map(deref) match {
-          case None => raw
-          case Some(PName("FlateDecode")) => inflate(raw)
-          case Some(Vector(PName("FlateDecode"))) => inflate(raw)
-          case Some(other) => fail(s"unsupported stream filter $other")
-        }
+      case PStream(dict, raw) => decodeStreamPayload(dict, raw, deref)
       case o => fail(s"not a stream: $o")
     }
 
@@ -398,6 +571,112 @@ object PdfText {
       walk(pagesRef)
       out.result()
     }
+  }
+
+  /** Filter + predictor pipeline for one stream: /Filter (none or
+    * FlateDecode, scalar or 1-element array) then /DecodeParms
+    * (Predictor 1 = none, 2 = TIFF horizontal, 10–15 = PNG per-row
+    * filters — the value ≥10 only declares "PNG"; each row's leading
+    * filter byte picks None/Sub/Up/Average/Paeth). Anything else is a
+    * loud reject.
+    */
+  private def decodeStreamPayload(dict: Map[String, Any], raw: Array[Byte],
+      deref: Any => Any): Array[Byte] = {
+    val parms: Option[Map[String, Any]] =
+      dict.get("DecodeParms").orElse(dict.get("DP")).map(deref) match {
+        case None | Some(null) => None
+        case Some(d: Map[String @unchecked, Any @unchecked]) => Some(d)
+        case Some(Vector(one)) => deref(one) match {
+          case null => None
+          case d: Map[String @unchecked, Any @unchecked] => Some(d)
+          case o => fail(s"bad /DecodeParms element $o")
+        }
+        case Some(o) => fail(s"bad /DecodeParms $o")
+      }
+    val inflated = dict.get("Filter").map(deref) match {
+      case None =>
+        if (parms.nonEmpty) fail("/DecodeParms without a /Filter")
+        return raw
+      case Some(PName("FlateDecode")) => inflate(raw)
+      case Some(Vector(f)) => deref(f) match {
+        case PName("FlateDecode") => inflate(raw)
+        case other => fail(s"unsupported stream filter $other")
+      }
+      case Some(other) => fail(s"unsupported stream filter $other")
+    }
+    parms match {
+      case None => inflated
+      case Some(p) => unpredict(p, inflated, deref)
+    }
+  }
+
+  private def unpredict(parms: Map[String, Any], data: Array[Byte],
+      deref: Any => Any): Array[Byte] = {
+    def intOf(key: String, dflt: Long): Int = deref(parms.getOrElse(key, dflt)) match {
+      case n: Long => n.toInt
+      case o => fail(s"bad /$key $o")
+    }
+    val pred = intOf("Predictor", 1L)
+    if (pred == 1) return data
+    val columns = intOf("Columns", 1L)
+    val colors = intOf("Colors", 1L)
+    val bpc = intOf("BitsPerComponent", 8L)
+    if (columns <= 0 || colors <= 0 || !Set(1, 2, 4, 8, 16).contains(bpc))
+      fail(s"bad predictor geometry: Columns=$columns Colors=$colors BitsPerComponent=$bpc")
+    val rowLen = (columns.toLong * colors * bpc + 7) / 8
+    if (rowLen > Int.MaxValue - 1) fail(s"predictor row of $rowLen B too large")
+    val bpp = math.max(1, colors * bpc / 8)
+    if (pred == 2) {
+      // TIFF horizontal differencing (byte-aligned samples only)
+      if (bpc != 8) fail(s"TIFF predictor with BitsPerComponent=$bpc is unsupported")
+      if (data.length % rowLen != 0) fail("TIFF-predicted data is not whole rows")
+      val out = data.clone()
+      var row = 0
+      while (row < out.length) {
+        var i = bpp
+        while (i < rowLen) {
+          out(row + i) = (out(row + i) + out(row + i - bpp)).toByte
+          i += 1
+        }
+        row += rowLen.toInt
+      }
+      out
+    } else if (pred >= 10 && pred <= 15) {
+      val stride = rowLen.toInt + 1 // +1: per-row filter byte
+      if (data.length % stride != 0)
+        fail(s"PNG-predicted data (${data.length} B) is not whole rows of $stride B")
+      val rows = data.length / stride
+      val out = new Array[Byte](rows * rowLen.toInt)
+      var r = 0
+      while (r < rows) {
+        val ft = data(r * stride) & 0xff
+        val src = r * stride + 1
+        val dst = r * rowLen.toInt
+        val prev = dst - rowLen.toInt
+        var i = 0
+        while (i < rowLen) {
+          val x = data(src + i) & 0xff
+          val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0 // left
+          val b = if (r > 0) out(prev + i) & 0xff else 0 // up
+          val c = if (r > 0 && i >= bpp) out(prev + i - bpp) & 0xff else 0 // up-left
+          val v = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 =>
+              val pa = math.abs(b - c); val pb = math.abs(a - c)
+              val pc = math.abs(a + b - 2 * c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case other => fail(s"bad PNG row filter $other")
+          }
+          out(dst + i) = v.toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
+    } else fail(s"unsupported /Predictor $pred")
   }
 
   private def inflate(raw: Array[Byte]): Array[Byte] = {
@@ -507,9 +786,16 @@ object PdfText {
     lines.result().mkString("\n")
   }
 
+  /** ONE parse, per-page texts — the API every caller that also wants
+    * the page count should use: `extract` + `pageCount` each rebuild
+    * the Doc (xref walk, FlateDecode, page tree), doubling the
+    * per-document cost (r17 ADVICE).
+    */
+  def extractPages(bytes: Array[Byte]): Seq[String] =
+    new Doc(bytes).pageContents().map(extractPageText)
+
   /** Whole-document text: pages joined with '\n'. */
-  def extract(bytes: Array[Byte]): String =
-    new Doc(bytes).pageContents().map(extractPageText).mkString("\n")
+  def extract(bytes: Array[Byte]): String = extractPages(bytes).mkString("\n")
 
   /** Number of pages (a cheap structural probe). */
   def pageCount(bytes: Array[Byte]): Int = new Doc(bytes).pageContents().size
@@ -626,6 +912,111 @@ object PdfText {
     }
     out.write((s"trailer\n<< /Size ${n + 1} /Root 1 0 R >>\n" +
       s"startxref\n$xrefAt\n%%EOF\n").getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** Build the SAME document in the PDF 1.5+ framing every modern
+    * writer emits by default: all non-stream objects (catalog, page
+    * tree, font, page dicts) packed into ONE Flate-compressed object
+    * stream, content streams file-resident, and a `/Type/XRef`
+    * cross-reference STREAM (W=[1 4 2], type-1/2 entries) compressed
+    * through the PNG-Up predictor (/DecodeParms /Predictor 12). Text
+    * identity with [[writePdf]]'s classic framing is the q230 fixture
+    * contract: extraction must survive BOTH layouts byte-for-byte.
+    *
+    * Object numbering: 1 = ObjStm, 2 = catalog, 3 = pages, 4 = font,
+    * 5..4+n = page dicts (all compressed, in that ObjStm order),
+    * 5+n..4+2n = content streams, 5+2n = the xref stream.
+    */
+  def writePdfXrefStream(pages: Seq[Seq[String]]): Array[Byte] = {
+    require(pages.nonEmpty, "PDF writer needs at least one page")
+    val out = new ByteArrayOutputStream()
+    out.write("%PDF-1.5\n%âãÏÓ\n".getBytes("ISO-8859-1"))
+    val nPages = pages.size
+    val contentNum = (i: Int) => 5 + nPages + i
+    val xrefNum = 5 + 2 * nPages
+
+    // --- the compressed objects, in ObjStm order (index = xref type-2 idx)
+    val compressed: Seq[(Int, String)] =
+      Seq(
+        2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+        3 -> (s"<< /Type /Pages /Count $nPages /Kids [" +
+          (0 until nPages).map(i => s"${5 + i} 0 R").mkString(" ") + "] >>"),
+        4 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+        (0 until nPages).map { i =>
+          (5 + i) -> (s"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] " +
+            s"/Resources << /Font << /F1 4 0 R >> >> " +
+            s"/Contents ${contentNum(i)} 0 R >>")
+        }
+    val bodies = compressed.map(_._2.getBytes("US-ASCII"))
+    val relOffs = bodies.scanLeft(0)(_ + _.length + 1).init
+    val header = compressed.map(_._1).zip(relOffs)
+      .map { case (n, o) => s"$n $o" }.mkString("", " ", "\n")
+    val objStmPayload = new ByteArrayOutputStream()
+    objStmPayload.write(header.getBytes("US-ASCII"))
+    val first = objStmPayload.size()
+    bodies.foreach { b => objStmPayload.write(b); objStmPayload.write('\n') }
+    val zStm = deflate(objStmPayload.toByteArray)
+
+    val fileOffsets = scala.collection.mutable.Map.empty[Int, Long]
+    def streamObj(num: Int, head: String, payload: Array[Byte]): Unit = {
+      fileOffsets(num) = out.size().toLong
+      out.write(s"$num 0 obj\n$head\nstream\n".getBytes("US-ASCII"))
+      out.write(payload)
+      out.write("\nendstream\nendobj\n".getBytes("US-ASCII"))
+    }
+    streamObj(1, s"<< /Type /ObjStm /N ${compressed.size} /First $first " +
+      s"/Length ${zStm.length} /Filter /FlateDecode >>", zStm)
+    for ((lines, i) <- pages.zipWithIndex) {
+      val content = new ByteArrayOutputStream()
+      content.write("BT /F1 12 Tf 72 720 Td\n".getBytes("US-ASCII"))
+      for ((line, j) <- lines.zipWithIndex) {
+        if (j > 0) content.write("0 -14 TD\n".getBytes("US-ASCII"))
+        content.write('(')
+        content.write(escapeString(line))
+        content.write(") Tj\n".getBytes("US-ASCII"))
+      }
+      content.write("ET".getBytes("US-ASCII"))
+      val z = deflate(content.toByteArray)
+      streamObj(contentNum(i),
+        s"<< /Length ${z.length} /Filter /FlateDecode >>", z)
+    }
+
+    // --- xref stream rows (W = [1 4 2]), PNG-Up predicted then deflated
+    val xrefAt = out.size().toLong
+    fileOffsets(xrefNum) = xrefAt
+    val size = xrefNum + 1
+    val rowLen = 7
+    def row(typ: Int, f2: Long, f3: Int): Array[Byte] = Array[Byte](
+      typ.toByte,
+      (f2 >>> 24).toByte, (f2 >>> 16).toByte, (f2 >>> 8).toByte, f2.toByte,
+      (f3 >>> 8).toByte, f3.toByte)
+    val rows: Seq[Array[Byte]] = (0 until size).map { n =>
+      if (n == 0) row(0, 0L, 0xffff)
+      else compressed.indexWhere(_._1 == n) match {
+        case -1 => row(1, fileOffsets(n), 0)
+        case idx => row(2, 1L, idx)
+      }
+    }
+    val predicted = new Array[Byte](size * (rowLen + 1))
+    val prev = new Array[Byte](rowLen)
+    for ((r, i) <- rows.zipWithIndex) {
+      predicted(i * (rowLen + 1)) = 2 // PNG Up
+      var j = 0
+      while (j < rowLen) {
+        predicted(i * (rowLen + 1) + 1 + j) = (r(j) - prev(j)).toByte
+        prev(j) = r(j)
+        j += 1
+      }
+    }
+    val zx = deflate(predicted)
+    out.write((s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] " +
+      s"/Root 2 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $rowLen >> " +
+      s"/Length ${zx.length} >>\nstream\n").getBytes("US-ASCII"))
+    out.write(zx)
+    out.write("\nendstream\nendobj\n".getBytes("US-ASCII"))
+    out.write(s"startxref\n$xrefAt\n%%EOF\n".getBytes("US-ASCII"))
     out.toByteArray
   }
 }

@@ -1631,7 +1631,8 @@ object CorpusOps {
     // files (doc_id % 8, records in doc_id order, each file led by a
     // warcinfo record like a live crawl file; pages cycle through the
     // real-crawl entity layerings — plain / chunked / gzip'd /
-    // ISO-8859-1 charset) via sources.warc.WarcIO; the MEASURED path is
+    // ISO-8859-1 charset / meta-charset / zstd / BOM'd UTF-16LE, r18)
+    // via sources.warc.WarcIO; the MEASURED path is
     // then the production shape end to end: binaryFile scan →
     // INCREMENTAL per-file record walk (one gzip member inflated per
     // record — resident memory is the largest single record, never the
@@ -1711,7 +1712,9 @@ object CorpusOps {
     // PDF TEXT EXTRACTION (q230, r17) — after HTML, the largest text
     // modality in a real crawl; the extraction story stopped at HTML
     // (q223/q227). Each document renders as a REAL two-page PDF —
-    // classic xref table, Flate-compressed content streams, Tj/TD text
+    // framings alternate per id between the classic-xref-table layout
+    // and the PDF 1.5 xref-stream + ObjStm + PNG-predictor layout
+    // (r18), Flate-compressed content streams, Tj/TD text
     // operators, lines laid out at single-space boundaries (every
     // break replaces exactly one space, PdfText.layoutLines) — and the
     // MEASURED path is the production ingest: per-document xref
@@ -1735,15 +1738,25 @@ object CorpusOps {
       Tables.spread(s, Tables.load(s, dir, "documents"))
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          // render: the fixture layer (still executor-side and narrow)
+          // the oracle replays `text` verbatim; a literal newline in the
+          // source would survive layout and then be folded to ' ' below,
+          // silently diverging — reject loudly instead (r17 ADVICE)
+          require(text.indexOf('\n') < 0 && text.indexOf('\r') < 0,
+            s"doc $id: source text contains a line break; q230's identity oracle assumes none")
+          // render: the fixture layer (still executor-side and narrow).
+          // Framings alternate by id: classic xref table vs the PDF 1.5
+          // xref-stream + ObjStm + PNG-Up-predictor layout (r18) — text
+          // identity must survive both.
           val lines = PdfText.layoutLines(text, 60)
           val pages = lines.grouped(math.max(1, (lines.size + 1) / 2)).toSeq
-          val pdf = PdfText.writePdf(pages)
-          // the measured extraction chain
-          val got = PdfText.extract(pdf)
-          require(PdfText.pageCount(pdf) == pages.size,
+          val pdf = if (id % 2 == 0) PdfText.writePdf(pages)
+                    else PdfText.writePdfXrefStream(pages)
+          // the measured extraction chain — ONE parse yields both the
+          // text and the page-count cross-check (r17 ADVICE)
+          val pageTexts = PdfText.extractPages(pdf)
+          require(pageTexts.size == pages.size,
             s"doc $id: page tree diverged")
-          (id, got.replace('\n', ' '))
+          (id, pageTexts.mkString("\n").replace('\n', ' '))
         })
         .toDF("id", "clean_text")
         .select(col("id"), length(col("clean_text")).cast("long").as("n_chars"),

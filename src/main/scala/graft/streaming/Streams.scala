@@ -608,8 +608,11 @@ object Streams {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
-        val text = graft.functions.PdfText.extract(b)
-        (id, graft.functions.PdfText.pageCount(b), text)
+        // ONE parse per document: extractPages yields both the page
+        // count and the text (extract+pageCount would re-walk the xref
+        // and re-inflate every stream — r17 ADVICE)
+        val pages = graft.functions.PdfText.extractPages(b)
+        (id, pages.size, pages.mkString("\n"))
       })
       .toDF("doc_id", "n_pages", "text")
   }

@@ -47,13 +47,57 @@ class PdfTextSpec extends AnyFunSuite {
       "page text must not appear uncompressed in the file")
   }
 
-  test("encrypted, xref-stream, and non-Flate files fail loudly") {
+  test("xref-STREAM golden (r18): /Type/XRef with W fields, /Index " +
+      "subsections, PNG-Up predictor, ObjStm-compressed page tree, and " +
+      "an indirect /Length resolved through a type-2 entry — text " +
+      "identity with the classic-table golden") {
+    val bytes = fixture("xrefstream.pdf")
+    val pages = PdfText.extractPages(bytes)
+    assert(pages.size == 3)
+    assert(pages.mkString("\n") == PdfText.extract(fixture("rich.pdf")),
+      "xref-stream framing must extract identically to the classic framing")
+    // the 1.5 machinery is really on the wire
+    val s = new String(bytes, "ISO-8859-1")
+    assert(s.contains("/ObjStm") && s.contains("/XRef") &&
+      s.contains("/Predictor 12"))
+    assert(!s.contains("trailer"), "pure 1.5 file has no classic trailer")
+  }
+
+  test("HYBRID golden (r18): classic table whose trailer /XRefStm " +
+      "supplies the type-2 entries (stream has precedence over the " +
+      "table's free marks); TIFF predictor 2 on the supplemental stream") {
+    val bytes = fixture("hybrid.pdf")
+    val pages = PdfText.extractPages(bytes)
+    assert(pages == Seq("hybrid xref resolved\nsecond line"))
+    val s = new String(bytes, "ISO-8859-1")
+    assert(s.contains("/XRefStm") && s.contains("/Predictor 2"))
+  }
+
+  test("writer round trip in the 1.5 framing: writePdfXrefStream is " +
+      "text-identical to writePdf and really emits ObjStm + predictor") {
+    val pages = Seq(
+      Seq("plain first line", "second (with parens) and \\backslash",
+        "unicode: café — ümläut ✓"),
+      Seq("page two, single line"),
+      Seq("", "empty first line above"))
+    val pdf = PdfText.writePdfXrefStream(pages)
+    assert(PdfText.extractPages(pdf).size == 3)
+    assert(PdfText.extract(pdf) == PdfText.extract(PdfText.writePdf(pages)))
+    val s = new String(pdf, "ISO-8859-1")
+    assert(s.contains("/ObjStm") && s.contains("/Predictor 12"))
+    assert(!s.contains("/Type /Catalog"),
+      "catalog must live inside the compressed ObjStm, not in the clear")
+  }
+
+  test("encrypted, mistyped-startxref, and non-Flate files fail loudly") {
     val e1 = intercept[IllegalArgumentException](
       PdfText.extract(fixture("encrypted.pdf")))
     assert(e1.getMessage.contains("encrypted"), e1.getMessage)
+    // startxref pointing at an object that is neither a table nor a
+    // /Type/XRef stream (pre-r18 this doubled as the xref-stream reject)
     val e2 = intercept[IllegalArgumentException](
-      PdfText.extract(fixture("xrefstream.pdf")))
-    assert(e2.getMessage.contains("STREAMS are unsupported"), e2.getMessage)
+      PdfText.extract(fixture("notxref.pdf")))
+    assert(e2.getMessage.contains("not /Type/XRef"), e2.getMessage)
     val e3 = intercept[IllegalArgumentException](
       PdfText.extract(fixture("badfilter.pdf")))
     assert(e3.getMessage.contains("unsupported stream filter"), e3.getMessage)

@@ -8,6 +8,41 @@ import sys, json, glob, os
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+
+# Flake-evident gate (r17: CORRECTNESS json arrived as `{}` while the
+# engine was green): a missing/empty verify dir or a verify run that never
+# reached its end-of-run manifest is a LOUD nonzero failure with a named
+# reason — never an empty result set.
+def die(reason):
+    print(f"CHECK_ABORT: {reason}", file=sys.stderr)
+    sys.exit(2)
+
+if not os.path.isdir(out_dir):
+    die(f"verify output dir missing: {out_dir}")
+_subdirs = [d for d in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, d))]
+if not _subdirs:
+    die(f"verify output dir has no query outputs: {out_dir}")
+if not os.path.exists(f"{out_dir}/oracle_sql.json"):
+    die(f"oracle_sql.json missing from {out_dir} (verify run incomplete)")
+if os.path.exists(f"{out_dir}/_manifest.json"):
+    _mf = json.load(open(f"{out_dir}/_manifest.json"))
+    _declared = {k for k in _mf if not k.startswith("_")}
+    _errored = sorted(k for k in _declared
+                      if str(_mf[k]).startswith("error"))
+    if _errored:
+        print(f"CHECK_WARN: verify recorded errors for {_errored}",
+              file=sys.stderr)
+    # an errored query legitimately has no output dir; anything else
+    # declared-but-absent means the artifact was truncated after the run
+    _missing = sorted(_declared - set(_subdirs) - set(_errored))
+    if _missing:
+        die(f"manifest declares {len(_declared)} queries but outputs are "
+            f"missing for {_missing[:10]}")
+else:
+    print("CHECK_WARN: no _manifest.json — verify run may be from an "
+          "older build or was interrupted", file=sys.stderr)
+
 con = duckdb.connect()
 con.execute("SET TimeZone='UTC'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",

@@ -134,16 +134,191 @@ def gen():
     with open(os.path.join(OUT, "encrypted.pdf"), "wb") as f:
         f.write(enc)
 
-    # ---- xrefstream.pdf: startxref points at an OBJECT (xref stream
-    # layout) -> loud reject
+    # ---- notxref.pdf: startxref points at an object that is NEITHER an
+    # xref table NOR a /Type/XRef stream -> loud reject (r18: real xref
+    # streams now parse, so the reject is the mistyped target)
     x = PdfBuilder()
     x.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
     x.obj(2, b"<< /Type /Pages /Count 0 /Kids [] >>")
     raw = bytes(x.buf)
     obj1_at = x.offsets[1]
     xs = raw + (b"startxref\n%d\n%%%%EOF\n" % obj1_at)
-    with open(os.path.join(OUT, "xrefstream.pdf"), "wb") as f:
+    with open(os.path.join(OUT, "notxref.pdf"), "wb") as f:
         f.write(xs)
+
+    # ---- xrefstream.pdf (r18): the SAME three pages as rich.pdf in the
+    # PDF 1.5+ framing — non-stream objects inside a /Type/ObjStm,
+    # cross-reference STREAM with W=[1 3 2], an /Index with TWO
+    # subsections, and the xref stream compressed through the PNG-Up
+    # predictor (/DecodeParms /Predictor 12). Written independently with
+    # struct + zlib; extraction must be text-identical to rich.pdf.
+    #
+    # numbering: 1=ObjStm  2=catalog 3=pages-root 4=nested-pages 5=font
+    # 6/7/8=page dicts (2..8 all compressed, ObjStm order below)
+    # 9,10,11,12=content streams (page2 has TWO: 10a=10,10b=11 wait —
+    # keep it simple: 9=p1, 10=p2a, 11=p2b, 12=p3-raw, 13=p3 /Length obj
+    # lives IN the ObjStm (an indirect /Length resolved through a
+    # type-2 entry), 14=xref stream.
+    import struct
+
+    def u24(v):
+        return struct.pack(">I", v)[1:]
+
+    xb = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    c3_raw_len = len(c3)
+    objstm_members = [
+        (2, b"<< /Type /Catalog /Pages 3 0 R >>"),
+        (3, b"<< /Type /Pages /Count 3 /Kids [4 0 R 8 0 R] >>"),
+        (4, b"<< /Type /Pages /Parent 3 0 R /Count 2 /Kids [6 0 R 7 0 R] >>"),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (6, b"<< /Type /Page /Parent 4 0 R /Contents 9 0 R" +
+            res.replace(b"4 0 R", b"5 0 R") + b" >>"),
+        (7, b"<< /Type /Page /Parent 4 0 R /Contents [10 0 R 11 0 R]" +
+            res.replace(b"4 0 R", b"5 0 R") + b" >>"),
+        (8, b"<< /Type /Page /Parent 3 0 R /Contents 12 0 R" +
+            res.replace(b"4 0 R", b"5 0 R") + b" >>"),
+        (13, b"%d" % c3_raw_len),
+    ]
+    header = b""
+    body = b""
+    for num, objbytes in objstm_members:
+        header += b"%d %d " % (num, len(body))
+        body += objbytes + b"\n"
+    header = header[:-1] + b"\n"
+    payload = header + body
+    zpay = zlib.compress(payload)
+    offsets[1] = len(xb)
+    xb += (b"1 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+           b"/Filter /FlateDecode >>\nstream\n"
+           % (len(objstm_members), len(header), len(zpay)))
+    xb += zpay
+    xb += b"\nendstream\nendobj\n"
+
+    def file_stream(num, data, flate=True, length_ref=None):
+        pay = zlib.compress(data) if flate else data
+        if length_ref is None:
+            head = b"<< /Length %d%s >>" % (
+                len(pay), b" /Filter /FlateDecode" if flate else b"")
+        else:
+            head = b"<< /Length %d 0 R%s >>" % (
+                length_ref, b" /Filter /FlateDecode" if flate else b"")
+        offsets[num] = len(xb)
+        xb.extend(b"%d 0 obj\n" % num + head + b"\nstream\n" + pay +
+                  b"\nendstream\nendobj\n")
+
+    file_stream(9, c1)
+    file_stream(10, c2a)
+    file_stream(11, c2b)
+    # page-3 content raw (uncompressed) with its /Length an INDIRECT ref
+    # into the ObjStm — resolving it forces a type-2 lookup mid-stream
+    file_stream(12, c3, flate=False, length_ref=13)
+
+    # xref stream: W=[1 3 2]; /Index [0 2  6 9] exercises subsection
+    # gaps (objects 2..5 are NOT listed in the first subsection — they
+    # arrive via the second? No: keep every live object covered with
+    # two subsections [0 6) and [6 15).)
+    size = 15
+    rows = {}
+    rows[0] = b"\x00" + u24(0) + struct.pack(">H", 0xFFFF)
+    rows[1] = b"\x01" + u24(offsets[1]) + struct.pack(">H", 0)
+    for idx, (num, _) in enumerate(objstm_members):
+        rows[num] = b"\x02" + u24(1) + struct.pack(">H", idx)
+    for num in (9, 10, 11, 12):
+        rows[num] = b"\x01" + u24(offsets[num]) + struct.pack(">H", 0)
+    xref_at = len(xb)
+    rows[14] = b"\x01" + u24(xref_at) + struct.pack(">H", 0)
+    index = [(0, 6), (6, 9)]
+    table = b"".join(rows[n] for s, c in index for n in range(s, s + c))
+    # PNG-Up predictor over 6-byte rows
+    rowlen = 6
+    pred = bytearray()
+    prev = bytes(rowlen)
+    for i in range(0, len(table), rowlen):
+        cur = table[i:i + rowlen]
+        pred += b"\x02" + bytes((cur[j] - prev[j]) & 0xFF
+                                for j in range(rowlen))
+        prev = cur
+    zx = zlib.compress(bytes(pred))
+    xb += (b"14 0 obj\n<< /Type /XRef /Size %d /W [1 3 2] "
+           b"/Index [0 6 6 9] /Root 2 0 R /Filter /FlateDecode "
+           b"/DecodeParms << /Predictor 12 /Columns %d >> /Length %d "
+           b">>\nstream\n" % (size, rowlen, len(zx)))
+    xb += zx
+    xb += b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    with open(os.path.join(OUT, "xrefstream.pdf"), "wb") as f:
+        f.write(bytes(xb))
+    manifest["xrefstream.pdf"] = {"pages": 3,
+                                  "text": "\n".join([p1, p2, p3])}
+
+    # ---- hybrid.pdf (r18): a classic xref TABLE whose trailer carries
+    # /XRefStm pointing at a supplemental xref STREAM that holds the
+    # type-2 entries for ObjStm-compressed objects — the Acrobat 6
+    # hybrid-reference layout. One page; catalog/pages/font/page dicts
+    # compressed; TIFF predictor 2 on the supplemental stream for
+    # coverage of the non-PNG predictor path.
+    hb = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    hoff = {}
+    members = [
+        (2, b"<< /Type /Catalog /Pages 3 0 R >>"),
+        (3, b"<< /Type /Pages /Count 1 /Kids [4 0 R] >>"),
+        (4, b"<< /Type /Page /Parent 3 0 R /Contents 6 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> /MediaBox [0 0 612 792] >>"),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    hheader = b""
+    hbody = b""
+    for num, ob in members:
+        hheader += b"%d %d " % (num, len(hbody))
+        hbody += ob + b"\n"
+    hheader = hheader[:-1] + b"\n"
+    hpay = hheader + hbody
+    hz = zlib.compress(hpay)
+    hoff[1] = len(hb)
+    hb += (b"1 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+           b"/Filter /FlateDecode >>\nstream\n"
+           % (len(members), len(hheader), len(hz)))
+    hb += hz + b"\nendstream\nendobj\n"
+    hc = (b"BT /F1 12 Tf 72 720 Td\n(hybrid xref resolved) Tj\n"
+          b"0 -14 TD\n(second line) Tj\nET")
+    hzc = zlib.compress(hc)
+    hoff[6] = len(hb)
+    hb += (b"6 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+           % len(hzc)) + hzc + b"\nendstream\nendobj\n"
+    # supplemental xref stream (type-2 entries), TIFF predictor 2
+    hrows = b""
+    for idx, (num, _) in enumerate(members):
+        hrows += b"\x02" + u24(1) + struct.pack(">H", idx)
+    rowlen = 6
+    tiffed = bytearray()
+    for i in range(0, len(hrows), rowlen):
+        cur = bytearray(hrows[i:i + rowlen])
+        for j in range(rowlen - 1, 0, -1):
+            cur[j] = (cur[j] - cur[j - 1]) & 0xFF
+        tiffed += cur
+    hzx = zlib.compress(bytes(tiffed))
+    hxs_at = len(hb)
+    hoff[7] = hxs_at
+    hb += (b"7 0 obj\n<< /Type /XRef /Size 8 /W [1 3 2] /Index [2 4] "
+           b"/Root 2 0 R /Filter /FlateDecode "
+           b"/DecodeParms << /Predictor 2 /Columns 6 >> /Length %d "
+           b">>\nstream\n" % len(hzx)) + hzx + b"\nendstream\nendobj\n"
+    # classic table: objects 1 (ObjStm), 6 (content), 7 (xref stream);
+    # compressed objects are FREE here — the /XRefStm supplies them
+    table_at = len(hb)
+    hb += b"xref\n0 8\n"
+    for i in range(8):
+        if i in hoff:
+            hb += b"%010d 00000 n \n" % hoff[i]
+        else:
+            hb += b"0000000000 65535 f \n"
+    hb += (b"trailer\n<< /Size 8 /Root 2 0 R /XRefStm %d >>\n"
+           b"startxref\n%d\n%%%%EOF\n" % (hxs_at, table_at))
+    with open(os.path.join(OUT, "hybrid.pdf"), "wb") as f:
+        f.write(bytes(hb))
+    manifest["hybrid.pdf"] = {"pages": 1,
+                              "text": "hybrid xref resolved\nsecond line"}
 
     # ---- badfilter.pdf: /LZWDecode content -> loud reject
     bf = PdfBuilder()
