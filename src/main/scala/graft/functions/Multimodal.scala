@@ -1184,15 +1184,24 @@ object Multimodal {
           }
           ImageCodecs.encodeJpegGray(side, side, px)
         }.toSeq
+        // framings alternate by id (r18): monolithic moov vs the
+        // fragmented moof/traf/trun layout real web video (DASH/HLS)
+        // ships in — downstream results must be identical except for
+        // the keyframe pattern (all-sync vs first-of-each-fragment)
         MediaRow(id, "video/mp4",
-          graft.sources.video.Mp4IO.writeMp4Mjpeg(
-            frames, 32, 32, timescale = 12800, sampleDelta = 512))
+          if (id % 2 == 0)
+            graft.sources.video.Mp4IO.writeMp4Mjpeg(
+              frames, 32, 32, timescale = 12800, sampleDelta = 512)
+          else
+            graft.sources.video.Mp4IO.writeMp4MjpegFragmented(
+              frames, 32, 32, timescale = 12800, sampleDelta = 512,
+              framesPerFragment = 2))
       })
   }
 
   final case class Mp4SceneCuts(
       id: Long, width: Int, n_frames: Int, duration_s: Double,
-      n_cuts: Long, max_delta: Long)
+      n_cuts: Long, max_delta: Long, n_sync: Long)
 
   /** Scene-cut detection over a REAL MP4 container (the q209 kernel on
     * the crawl's actual video wire format): box walk → sample-table
@@ -1233,7 +1242,10 @@ object Multimodal {
         if (d > mx) mx = d
         i += 1
       }
-      Mp4SceneCuts(m.id, t.width, n, durationS, cuts, mx)
+      // keyframe count proves the sync surface was consumed: stss (or
+      // its absence) on moov files, trun sample-flags on fragmented
+      val nSync = t.sampleSync.count(identity).toLong
+      Mp4SceneCuts(m.id, t.width, n, durationS, cuts, mx, nSync)
     })
   }
 

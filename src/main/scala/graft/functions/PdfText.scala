@@ -441,16 +441,34 @@ object PdfText {
       dict
     }
 
-    def deref(v: Any): Any = v match {
-      case PRef(num) => deref(load(num))
-      case other => other
+    def deref(v: Any): Any = {
+      // iterative with a seen-set: a ref→ref cycle (2 0 R ↔ 3 0 R) must
+      // fail loudly, not loop forever over cached PRefs
+      var cur = v
+      val seen = scala.collection.mutable.Set.empty[Int]
+      while (cur.isInstanceOf[PRef]) {
+        val num = cur.asInstanceOf[PRef].num
+        if (!seen.add(num)) fail(s"circular reference through object $num")
+        cur = load(num)
+      }
+      cur
     }
 
-    private def load(num: Int): Any = cache.getOrElseUpdate(num, {
-      offsets.getOrElse(num, fail(s"object $num not in xref")) match {
-        case InFile(off) => loadAt(num, off)
-        case InObjStm(stm, idx) => loadFromObjStm(num, stm, idx)
-      }
+    // objects currently being loaded: a hostile file with a reference
+    // cycle (A → B → A, or an ObjStm whose /Length resolves through
+    // itself) must fail LOUDLY, not recurse to StackOverflowError
+    private val loading = scala.collection.mutable.Set.empty[Int]
+
+    private def load(num: Int): Any = cache.getOrElse(num, {
+      if (!loading.add(num)) fail(s"circular reference through object $num")
+      try {
+        val v = offsets.getOrElse(num, fail(s"object $num not in xref")) match {
+          case InFile(off) => loadAt(num, off)
+          case InObjStm(stm, idx) => loadFromObjStm(num, stm, idx)
+        }
+        cache(num) = v
+        v
+      } finally loading.remove(num)
     })
 
     private def loadAt(num: Int, off: Long): Any = {

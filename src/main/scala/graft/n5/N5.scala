@@ -121,10 +121,15 @@ object N5 {
     */
   def write(
       df: DataFrame, root: String, dataset: String, attrs: DatasetAttributes,
-      extraAttrs: Map[String, String] = Map.empty): Unit =
+      extraAttrs: Map[String, String] = Map.empty): Unit = {
+    require(!attrs.isZarr3,
+      "zarr v3 stores are READ-ONLY (r18): writing would need the v3 " +
+        "codec-chain/sharding encoder — write zarr v2 (writeZarr) or N5, " +
+        "or convert via createDatasetLike + write")
     if (attrs.isZarr)
       writeZarr(df, root, dataset, attrs, attrs.zarrSeparator, extraAttrs)
     else writeN5(df, root, dataset, attrs, extraAttrs)
+  }
 
   private def writeN5(
       df: DataFrame, root: String, dataset: String, attrs: DatasetAttributes,
@@ -308,7 +313,7 @@ object N5 {
       spark: SparkSession, root: String, dataset: String,
       start: Array[Long], end: Array[Long], elems: DataFrame): Unit = {
     val attrs = N5Meta.datasetAttributes(root, dataset)
-    require(!attrs.isZarr,
+    require(!attrs.isZarrFamily,
       "writeBox: ranged upsert into zarr datasets is unsupported — write " +
         "whole block tables via N5.writeZarr, or convert to N5 first " +
         "(createDatasetLike + write reproduce the geometry)")

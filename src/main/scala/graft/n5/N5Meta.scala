@@ -82,6 +82,23 @@ object Compression {
   }
 }
 
+/** zarr v3 sharding_indexed layout (r18, read-only): a chunk FILE is a
+  * shard of inner chunks. `chunksPerShard` is outer/inner per axis in
+  * the ENGINE's x-fastest order; inner chunks decode through
+  * `innerCompression` at `innerLittleEndian`; the shard index (u64 LE
+  * offset/nbytes pairs, C-order over the shard's inner grid) sits at
+  * the start or end per `indexAtEnd`, with a trailing CRC32C when
+  * `indexCrc`. A chunk-level trailing CRC32C (`chunkCrc`) is verified
+  * and stripped before decompression.
+  */
+final case class ShardSpec(
+    chunksPerShard: Array[Int],
+    innerCompression: Compression,
+    innerLittleEndian: Boolean,
+    indexAtEnd: Boolean,
+    indexCrc: Boolean,
+    chunkCrc: Boolean) extends Serializable
+
 /** Dataset attributes (attributes.json of a dataset directory).
   * dimensions/blockSize are in N5's x,y,z order (x fastest-varying in the
   * block payload). `extra` carries domain metadata (pixelResolution,
@@ -100,16 +117,44 @@ final case class DatasetAttributes(
     // (zarr's last axis varies fastest = the engine's x).
     format: String = "n5",
     zarrSeparator: String = ".",
-    zarrLittleEndian: Boolean = true) extends Serializable {
+    zarrLittleEndian: Boolean = true,
+    // zarr v3 container support (r18, read-only): format "zarr3".
+    // zarr3ChunkPrefix marks the v3 "default" chunk-key encoding
+    // (keys are "c" + sep + C-order indices; the "v2" encoding keeps
+    // bare v2-style keys). When `shard` is set the store uses the
+    // sharding_indexed codec: blockSize is the INNER chunk shape (the
+    // engine grid is the inner grid) and chunk FILES are shards.
+    zarr3ChunkPrefix: Boolean = true,
+    // non-sharded v3 chunks with a trailing crc32c codec (verified and
+    // stripped before decompression)
+    zarr3Crc: Boolean = false,
+    shard: Option[ShardSpec] = None) extends Serializable {
 
   def isZarr: Boolean = format == "zarr"
+  def isZarr3: Boolean = format == "zarr3"
+  /** Any zarr container (v2 or v3): headerless fill-padded C-order
+    * chunks, reversed-axis metadata. */
+  def isZarrFamily: Boolean = isZarr || isZarr3
+
+  /** Shard grid position holding inner-chunk grid `g` (v3 sharded). */
+  def shardGrid(g: Array[Int]): Array[Int] = shard match {
+    case Some(sp) => g.indices.map(i => g(i) / sp.chunksPerShard(i)).toArray
+    case None => g
+  }
 
   /** Relative chunk/block file key under the dataset dir for grid `g`
     * (engine x,y,z order): N5 nests directories x/y/z; zarr keys are the
-    * C-order (reversed) indices joined by the declared separator.
+    * C-order (reversed) indices joined by the declared separator; zarr
+    * v3's default encoding prefixes "c"; sharded stores key the SHARD.
     */
   def chunkKey(g: Array[Int]): String =
-    if (isZarr) g.reverse.mkString(zarrSeparator) else g.mkString("/")
+    if (isZarr3) {
+      val fileGrid = shardGrid(g)
+      val base = fileGrid.reverse.mkString(zarrSeparator)
+      if (zarr3ChunkPrefix) s"c$zarrSeparator$base" else base
+    }
+    else if (isZarr) g.reverse.mkString(zarrSeparator)
+    else g.mkString("/")
 
   def ndim: Int = dimensions.length
 
@@ -161,6 +206,9 @@ object N5Meta {
   def datasetAttributes(root: String, dataset: String): DatasetAttributes = {
     val n5Path = new Path(root, s"$dataset/attributes.json")
     val zarrPath = new Path(root, s"$dataset/.zarray")
+    val zarr3Path = new Path(root, s"$dataset/zarr.json")
+    if (!fs(n5Path).exists(n5Path) && fs(zarr3Path).exists(zarr3Path))
+      return zarr3ArrayAttributes(zarr3Path)
     if (!fs(n5Path).exists(n5Path) && fs(zarrPath).exists(zarrPath))
       return zarrArrayAttributes(zarrPath)
     val j = readJson(n5Path)
@@ -309,6 +357,190 @@ object N5Meta {
       else Map.empty[String, String]
     DatasetAttributes(dims, bs, dt, comp, inline ++ zattrs,
       format = "zarr", zarrSeparator = sep, zarrLittleEndian = little)
+  }
+
+  /** One parsed zarr v3 codec chain: array→bytes endianness, at most
+    * one bytes→bytes compressor, optional trailing crc32c. */
+  private final case class V3Chain(
+      little: Boolean, comp: Compression, crc: Boolean)
+
+  /** Parse a v3 `codecs` list (the non-sharding profile): exactly one
+    * `bytes` codec, then optionally one of gzip/zstd/blosc, then
+    * optionally `crc32c` LAST. Everything else — `transpose`, unknown
+    * names, out-of-order chains — is a loud reject.
+    */
+  private def parseV3Chain(codecs: JsonNode, what: String): V3Chain = {
+    if (codecs == null || !codecs.isArray || codecs.size() == 0)
+      throw new IllegalArgumentException(s"zarr3: $what missing codecs")
+    var little: Option[Boolean] = None
+    var comp: Option[Compression] = None
+    var crc = false
+    codecs.elements().asScala.foreach { c =>
+      val name = c.get("name").asText()
+      val cfg = c.get("configuration")
+      if (crc) throw new IllegalArgumentException(
+        s"zarr3: $what has a codec after crc32c")
+      name match {
+        case "bytes" =>
+          if (little.nonEmpty) throw new IllegalArgumentException(
+            s"zarr3: $what declares 'bytes' twice")
+          if (comp.nonEmpty) throw new IllegalArgumentException(
+            s"zarr3: $what has 'bytes' after a compressor")
+          val endian =
+            if (cfg != null && cfg.has("endian")) cfg.get("endian").asText()
+            else "little"
+          endian match {
+            case "little" => little = Some(true)
+            case "big" => little = Some(false)
+            case e => throw new IllegalArgumentException(s"zarr3: endian '$e'")
+          }
+        case "gzip" | "zstd" =>
+          if (little.isEmpty) throw new IllegalArgumentException(
+            s"zarr3: $what compressor before the 'bytes' codec")
+          if (comp.nonEmpty) throw new IllegalArgumentException(
+            s"zarr3: $what declares two compressors")
+          val level =
+            if (cfg != null && cfg.has("level")) cfg.get("level").asInt()
+            else Compression.defaultParam(name)
+          comp = Some(Compression(name, level))
+        case "blosc" =>
+          if (little.isEmpty) throw new IllegalArgumentException(
+            s"zarr3: $what compressor before the 'bytes' codec")
+          if (comp.nonEmpty) throw new IllegalArgumentException(
+            s"zarr3: $what declares two compressors")
+          // blosc frames are self-describing; level only matters on write
+          comp = Some(Compression("blosc",
+            if (cfg != null && cfg.has("clevel")) cfg.get("clevel").asInt() else 5))
+        case "crc32c" => crc = true
+        case "transpose" => throw new IllegalArgumentException(
+          "zarr3: 'transpose' codec unsupported (only C-order layouts)")
+        case other => throw new IllegalArgumentException(
+          s"zarr3: codec '$other' unsupported " +
+            "(bytes | gzip | zstd | blosc | crc32c | sharding_indexed)")
+      }
+    }
+    V3Chain(
+      little.getOrElse(throw new IllegalArgumentException(
+        s"zarr3: $what has no 'bytes' codec")),
+      comp.getOrElse(Compression("raw")), crc)
+  }
+
+  /** Parse a zarr v3 `zarr.json` array document (public spec:
+    * zarr-specs v3 — the array ecosystem's current default format).
+    * Read-only; supported profile enforced LOUDLY: regular chunk grid,
+    * default/v2 chunk-key encodings, C-order `bytes` codec chains
+    * (gzip/zstd/blosc/crc32c), the `sharding_indexed` codec, fill 0.
+    * shape/chunks reverse into the engine's x-fastest order exactly as
+    * v2; for sharded stores `blockSize` is the INNER chunk shape.
+    */
+  private def zarr3ArrayAttributes(p: Path): DatasetAttributes = {
+    val j = readJson(p)
+    def req(k: String) = {
+      val n = j.get(k)
+      if (n == null) throw new IllegalArgumentException(s"zarr3: zarr.json missing '$k'")
+      n
+    }
+    val zf = req("zarr_format").asInt()
+    if (zf != 3) throw new IllegalArgumentException(s"zarr3: format $zf in zarr.json")
+    val nt = req("node_type").asText()
+    if (nt != "array") throw new IllegalArgumentException(
+      s"zarr3: node_type '$nt' (dataset path must name an array node)")
+    val dims = req("shape").elements().asScala.map(_.asLong()).toArray.reverse
+    val grid = req("chunk_grid")
+    if (grid.get("name").asText() != "regular")
+      throw new IllegalArgumentException(
+        s"zarr3: chunk_grid '${grid.get("name").asText()}' unsupported (only regular)")
+    val outer = grid.get("configuration").get("chunk_shape")
+      .elements().asScala.map(_.asInt()).toArray.reverse
+    if (dims.isEmpty || dims.length != outer.length)
+      throw new IllegalArgumentException(
+        s"zarr3: shape/chunk_shape rank mismatch (${dims.length} vs ${outer.length})")
+    val dt = req("data_type").asText() match {
+      case "uint8" => Dtype.UInt8
+      case "int8" => Dtype.Int8
+      case "uint16" => Dtype.UInt16
+      case "int16" => Dtype.Int16
+      case "uint32" => Dtype.UInt32
+      case "int32" => Dtype.Int32
+      case "uint64" => Dtype.UInt64
+      case "int64" => Dtype.Int64
+      case "float32" => Dtype.Float32
+      case "float64" => Dtype.Float64
+      case t => throw new IllegalArgumentException(s"zarr3: data_type '$t' unsupported")
+    }
+    if (j.has("fill_value") && !j.get("fill_value").isNull) {
+      val fv = j.get("fill_value")
+      if (!(fv.isNumber && fv.asDouble() == 0.0))
+        throw new IllegalArgumentException(
+          s"zarr3: fill_value ${fv.toString} unsupported (only 0 — " +
+            "missing-chunk reconstruction assumes a zero fill)")
+    }
+    val (sep, prefix) = j.get("chunk_key_encoding") match {
+      case null => ("/", true) // spec default: "default" encoding, sep "/"
+      case cke =>
+        val name = cke.get("name").asText()
+        val cfg = cke.get("configuration")
+        val s =
+          if (cfg != null && cfg.has("separator")) cfg.get("separator").asText()
+          else if (name == "default") "/" else "."
+        if (s != "." && s != "/")
+          throw new IllegalArgumentException(s"zarr3: separator '$s'")
+        name match {
+          case "default" => (s, true)
+          case "v2" => (s, false)
+          case o => throw new IllegalArgumentException(
+            s"zarr3: chunk_key_encoding '$o' unsupported")
+        }
+    }
+    // codec chain: either the plain bytes[+compressor][+crc32c] chain,
+    // or a single sharding_indexed codec wrapping an inner chain
+    val codecs = req("codecs")
+    val isSharded = codecs.isArray && codecs.size() == 1 &&
+      codecs.get(0).get("name").asText() == "sharding_indexed"
+    val (blockSize, chain, shardSpec) =
+      if (!isSharded) {
+        (outer, parseV3Chain(codecs, "chunk"), None)
+      } else {
+        val cfg = codecs.get(0).get("configuration")
+        val inner = cfg.get("chunk_shape")
+          .elements().asScala.map(_.asInt()).toArray.reverse
+        if (inner.length != outer.length)
+          throw new IllegalArgumentException("zarr3: shard inner/outer rank mismatch")
+        val cps = outer.indices.map { i =>
+          if (inner(i) <= 0 || outer(i) % inner(i) != 0)
+            throw new IllegalArgumentException(
+              s"zarr3: inner chunk ${inner.mkString("x")} does not divide " +
+                s"shard ${outer.mkString("x")}")
+          outer(i) / inner(i)
+        }.toArray
+        val innerChain = parseV3Chain(cfg.get("codecs"), "shard inner chunk")
+        val idxChain = parseV3Chain(cfg.get("index_codecs"), "shard index")
+        if (!idxChain.little || idxChain.comp.codec != "raw")
+          throw new IllegalArgumentException(
+            "zarr3: shard index_codecs must be little-endian bytes [+ crc32c]")
+        val atEnd = cfg.get("index_location") match {
+          case null => true
+          case loc => loc.asText() match {
+            case "end" => true
+            case "start" => false
+            case o => throw new IllegalArgumentException(s"zarr3: index_location '$o'")
+          }
+        }
+        // attrs.compression mirrors the inner chain for metadata
+        // consumers; the sharded DECODE path reads it from ShardSpec
+        (inner, V3Chain(innerChain.little, innerChain.comp, crc = false),
+          Some(ShardSpec(cps, innerChain.comp, innerChain.little,
+            indexAtEnd = atEnd, indexCrc = idxChain.crc,
+            chunkCrc = innerChain.crc)))
+      }
+    val extra: Map[String, String] = j.get("attributes") match {
+      case null => Map.empty
+      case a => a.properties().asScala
+        .map(e => e.getKey -> e.getValue.toString).toMap
+    }
+    DatasetAttributes(dims, blockSize, dt, chain.comp, extra,
+      format = "zarr3", zarrSeparator = sep, zarrLittleEndian = chain.little,
+      zarr3ChunkPrefix = prefix, zarr3Crc = chain.crc, shard = shardSpec)
   }
 
   def writeDatasetAttributes(

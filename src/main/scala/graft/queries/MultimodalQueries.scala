@@ -1177,9 +1177,15 @@ object MultimodalQueries {
     // either). Each embedding renders as a REAL isom file — ftyp /
     // mdat / moov with the full sample table — carrying four 32×32
     // MJPEG frames (one constant 8×8 block per embedding value, the
-    // q203 block-constant exactness); the MEASURED path is the
+    // q203 block-constant exactness); framings alternate per id (r18)
+    // between the monolithic-moov layout and the FRAGMENTED
+    // moof/traf/trun layout real web video ships in (trun per-sample
+    // sizes, trex default durations, tfdt decode times, keyframe flags
+    // surfaced as n_sync: all-sync on moov files vs first-of-each-
+    // fragment on fMP4); the MEASURED path is the
     // production ingest: box walk → stsd/stts/stsc/stsz/stco sample
-    // resolution → per-sample JPEG decode → the q209 scene-cut kernel
+    // resolution (or the fragment walk) → per-sample JPEG decode → the
+    // q209 scene-cut kernel
     // on luma SUMS (integer-exact; threshold 7680 = q209's 120 × the
     // 64 pixels per block, so the corpus splits into the same mixed
     // cut counts). The stsd geometry is cross-checked against every
@@ -1206,13 +1212,14 @@ object MultimodalQueries {
         |  CAST(len(list_filter(generate_series(1, 3),
         |    f -> abs(fs[f + 1] - fs[f]) >= 7680)) AS BIGINT) AS n_cuts,
         |  CAST(greatest(abs(fs[2] - fs[1]), abs(fs[3] - fs[2]),
-        |    abs(fs[4] - fs[3])) AS BIGINT) AS max_delta
+        |    abs(fs[4] - fs[3])) AS BIGINT) AS max_delta,
+        |  CAST(CASE WHEN vec_id % 2 = 0 THEN 4 ELSE 2 END AS BIGINT) AS n_sync
         |FROM sums ORDER BY id ASC LIMIT 200""".stripMargin) { (s, dir) =>
       val media = Multimodal.embeddingsAsMp4(
         Tables.spread(s, Tables.load(s, dir, "embeddings")))
       Multimodal.mp4SceneCuts(media, sumDeltaThreshold = 7680L).toDF()
         .select(col("id"), col("width"), col("n_frames"), col("duration_s"),
-          col("n_cuts"), col("max_delta"))
+          col("n_cuts"), col("max_delta"), col("n_sync"))
         .orderBy(col("id").asc)
         .limit(200)
     }

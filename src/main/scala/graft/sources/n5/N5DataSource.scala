@@ -336,7 +336,8 @@ object N5GridWalk {
   def listChunks(
       fs: FileSystem, base: HPath, attrs: DatasetAttributes,
       axisOk: (Int, Int) => Boolean): Seq[(Array[Int], Long)] =
-    if (!attrs.isZarr) list(fs, base, attrs.ndim, axisOk)
+    if (attrs.isZarr3) listZarr3(fs, base, attrs, axisOk)
+    else if (!attrs.isZarr) list(fs, base, attrs.ndim, axisOk)
     else if (attrs.zarrSeparator == "/")
       list(fs, base, attrs.ndim,
         (axis, v) => axisOk(attrs.ndim - 1 - axis, v))
@@ -355,6 +356,69 @@ object N5GridWalk {
         }
       }
     }
+
+  /** zarr v3 chunk enumeration (r18): walk the chunk FILES ("c"-prefixed
+    * nested keys for the default encoding, flat dotted keys otherwise),
+    * then — for sharded stores — expand each shard file into its
+    * in-bounds inner-chunk grids (the engine grid is the inner grid).
+    * Pushed per-axis predicates prune during the walk: for shards the
+    * axis test passes when ANY contained inner index passes, and the
+    * exact per-inner test re-applies after expansion.
+    */
+  private def listZarr3(
+      fs: FileSystem, base: HPath, attrs: DatasetAttributes,
+      axisOk: (Int, Int) => Boolean): Seq[(Array[Int], Long)] = {
+    val ndim = attrs.ndim
+    val cps = attrs.shard.map(_.chunksPerShard)
+    def fileAxisOk(axis: Int, v: Int): Boolean = cps match {
+      case None => axisOk(axis, v)
+      case Some(c) =>
+        (0 until c(axis)).exists(l => axisOk(axis, v * c(axis) + l))
+    }
+    val files: Seq[(Array[Int], Long)] =
+      if (attrs.zarrSeparator == "/") {
+        val walkBase =
+          if (attrs.zarr3ChunkPrefix) new HPath(base, "c") else base
+        list(fs, walkBase, ndim, (axis, v) => fileAxisOk(ndim - 1 - axis, v))
+          .map { case (g, m) => (g.reverse, m) }
+      } else {
+        if (!fs.exists(base)) Nil
+        else fs.listStatus(base).toSeq.flatMap { st =>
+          val partsAll = st.getPath.getName.split('.')
+          val parts =
+            if (attrs.zarr3ChunkPrefix) {
+              if (partsAll.length == ndim + 1 && partsAll.head == "c")
+                partsAll.tail
+              else Array.empty[String]
+            } else partsAll
+          if (!st.isFile || parts.length != ndim ||
+            !parts.forall(p => p.nonEmpty && p.forall(_.isDigit))) Nil
+          else {
+            val g = parts.map(_.toInt).reverse
+            if (g.indices.forall(i => fileAxisOk(i, g(i))))
+              Seq((g, st.getModificationTime))
+            else Nil
+          }
+        }
+      }
+    cps match {
+      case None => files
+      case Some(c) =>
+        val gd = attrs.gridDims
+        val locals = c.map(n => 0 until n)
+          .foldRight(Seq(List.empty[Int])) { (r, acc) =>
+            for (i <- r; rest <- acc) yield i :: rest
+          }
+        files.flatMap { case (sg, m) =>
+          locals.flatMap { loc =>
+            val inner = Array.tabulate(ndim)(i => sg(i) * c(i) + loc(i))
+            if (inner.indices.forall(i => inner(i) < gd(i) && axisOk(i, inner(i))))
+              Seq((inner, m))
+            else Nil
+          }
+        }
+    }
+  }
 }
 
 /** Shared chunk-file read + decode, container-aware (N5 block header vs
@@ -369,11 +433,87 @@ object N5BlockIO {
     val p = new HPath(root, s"$dataset/${attrs.chunkKey(g)}")
     val in = fs.open(p)
     val raw = try in.readAllBytes() finally in.close()
-    if (attrs.isZarr)
+    if (attrs.isZarr3) decodeZarr3(raw, g, attrs)
+    else if (attrs.isZarr)
       BlockCodec.decodeZarr(raw, attrs.dataType, attrs.compression,
         attrs.blockSize, attrs.blockShape(g), attrs.zarrLittleEndian)
     else BlockCodec.decode(raw, attrs.dataType, attrs.compression)
   }
+
+  /** Verify and strip a trailing crc32c codec's 4-byte LE checksum. */
+  private def stripCrc32c(b: Array[Byte], what: String): Array[Byte] = {
+    if (b.length < 4) throw new IllegalArgumentException(
+      s"zarr3: $what shorter than its crc32c (${b.length} B)")
+    val crc = new java.util.zip.CRC32C()
+    crc.update(b, 0, b.length - 4)
+    val stored = (b(b.length - 4) & 0xffL) | ((b(b.length - 3) & 0xffL) << 8) |
+      ((b(b.length - 2) & 0xffL) << 16) | ((b(b.length - 1) & 0xffL) << 24)
+    if (crc.getValue != stored) throw new IllegalArgumentException(
+      s"zarr3: $what crc32c mismatch (stored $stored, computed ${crc.getValue})")
+    java.util.Arrays.copyOfRange(b, 0, b.length - 4)
+  }
+
+  private def fillBlock(shape: Array[Int], attrs: DatasetAttributes): DecodedBlock = {
+    val n = shape.product
+    if (attrs.dataType == graft.n5.Dtype.Float32 ||
+        attrs.dataType == graft.n5.Dtype.Float64)
+      DecodedBlock(null, shape, null, new Array[Double](n))
+    else DecodedBlock(null, shape, new Array[Long](n), null)
+  }
+
+  /** Decode one engine block of a zarr v3 store from its chunk file
+    * `raw` (r18). Non-sharded: crc-strip then the v2-identical
+    * fill-padded C-order decode. Sharded: the file is a SHARD — parse
+    * the u64-pair index (C-order over the shard's inner grid, at the
+    * declared end/start, crc-verified), slice this block's inner chunk,
+    * decode through the inner chain; the all-ones index entry means the
+    * inner chunk was never written and reconstructs as fill (zeros) —
+    * zarr semantics at the INDEX level, while a wholly missing shard
+    * file keeps the engine's sparse no-row semantics at the FILE level.
+    */
+  private def decodeZarr3(
+      raw: Array[Byte], g: Array[Int], attrs: DatasetAttributes): DecodedBlock =
+    attrs.shard match {
+      case None =>
+        val body = if (attrs.zarr3Crc) stripCrc32c(raw, "chunk") else raw
+        BlockCodec.decodeZarr(body, attrs.dataType, attrs.compression,
+          attrs.blockSize, attrs.blockShape(g), attrs.zarrLittleEndian)
+      case Some(sp) =>
+        val nInner = sp.chunksPerShard.product
+        val idxSize = nInner * 16 + (if (sp.indexCrc) 4 else 0)
+        if (raw.length < idxSize) throw new IllegalArgumentException(
+          s"zarr3: shard of ${raw.length} B smaller than its $idxSize B index")
+        val idxRaw =
+          if (sp.indexAtEnd)
+            java.util.Arrays.copyOfRange(raw, raw.length - idxSize, raw.length)
+          else java.util.Arrays.copyOfRange(raw, 0, idxSize)
+        val idx = if (sp.indexCrc) stripCrc32c(idxRaw, "shard index") else idxRaw
+        // flat C-order index of this block within its shard: iterate
+        // engine axes in REVERSE (zarr's axis order)
+        var flat = 0
+        var d = g.length - 1
+        while (d >= 0) {
+          flat = flat * sp.chunksPerShard(d) + (g(d) % sp.chunksPerShard(d))
+          d -= 1
+        }
+        val bb = java.nio.ByteBuffer.wrap(idx, flat * 16, 16)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val off = bb.getLong
+        val nbytes = bb.getLong
+        if (off == -1L && nbytes == -1L)
+          fillBlock(attrs.blockShape(g), attrs) // never written: fill 0
+        else {
+          if (off < 0 || nbytes < 0 || off + nbytes > raw.length)
+            throw new IllegalArgumentException(
+              s"zarr3: shard index entry [$off, ${off + nbytes}) outside " +
+                s"the ${raw.length} B shard")
+          val chunk = java.util.Arrays.copyOfRange(
+            raw, off.toInt, (off + nbytes).toInt)
+          val body = if (sp.chunkCrc) stripCrc32c(chunk, "inner chunk") else chunk
+          BlockCodec.decodeZarr(body, attrs.dataType, sp.innerCompression,
+            attrs.blockSize, attrs.blockShape(g), sp.innerLittleEndian)
+        }
+    }
 }
 
 class N5Scan(
@@ -778,6 +918,9 @@ class N5BatchWrite(
     varlength: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    require(!attrs.isZarr3,
+      "zarr v3 stores are READ-ONLY (r18): the DSv2 writer emits N5 " +
+        "blocks or zarr v2 chunks, never v3 codec chains/shards")
     // driver-side prep: optional truncate, container root marker
     if (truncate) {
       val p = new HPath(root, dataset)

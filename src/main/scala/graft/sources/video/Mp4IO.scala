@@ -28,13 +28,17 @@ object Mp4IO {
 
   /** One resolved track: sample byte ranges are absolute file offsets
     * (chunk-resolved), `sampleTimes` are decode times in `timescale`
-    * units.
+    * units. `sampleSync` marks keyframes — from `stss` for
+    * moov-resident samples (absent table = all sync) and from the
+    * trun/tfhd/trex sample-flags non-sync bit for fragment samples —
+    * surfaced even for codecs the engine cannot decode, so
+    * fingerprint-dedup and cut heuristics can run on real crawl video.
     */
   final case class Mp4Track(
       trackId: Int, handler: String, codec: String,
       width: Int, height: Int, timescale: Long,
       sampleOffsets: Array[Long], sampleSizes: Array[Int],
-      sampleTimes: Array[Long])
+      sampleTimes: Array[Long], sampleSync: Array[Boolean])
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"malformed MP4: $msg")
@@ -52,11 +56,15 @@ object Mp4IO {
   private def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
 
-  /** Walk the direct children of [start, end): (type, payloadStart,
-    * payloadEnd) per box, strict on framing.
+  /** One walked box: [start, end) with the payload after the header.
+    * `start` matters for fragments: tfhd's default-base-is-moof
+    * measures data offsets from the enclosing moof's FIRST byte.
     */
-  private def children(b: Array[Byte], start: Long, end: Long): Seq[(String, Long, Long)] = {
-    val out = Vector.newBuilder[(String, Long, Long)]
+  private final case class Box(typ: String, start: Long, payload: Long, end: Long)
+
+  /** Walk the direct children of [start, end), strict on framing. */
+  private def children(b: Array[Byte], start: Long, end: Long): Seq[Box] = {
+    val out = Vector.newBuilder[Box]
     var p = start
     while (p < end) {
       if (p + 8 > end) fail(s"truncated box header at offset $p")
@@ -73,29 +81,169 @@ object Mp4IO {
         size = end - p // to end of enclosing container
       } else if (size < 8) fail(s"bad box size $size for '$typ' at $p")
       if (p + size > end) fail(s"box '$typ' (size $size at $p) exceeds container end $end")
-      out += ((typ, payload, p + size))
+      out += Box(typ, p, payload, p + size)
       p += size
     }
     out.result()
   }
 
-  private def child(b: Array[Byte], boxes: Seq[(String, Long, Long)],
+  private def child(b: Array[Byte], boxes: Seq[Box],
       typ: String, requiredIn: String): (Long, Long) =
-    boxes.find(_._1 == typ)
-      .map(t => (t._2, t._3))
+    boxes.find(_.typ == typ)
+      .map(t => (t.payload, t.end))
       .getOrElse(fail(s"missing '$typ' in '$requiredIn'"))
 
-  /** Parse the container and resolve every track's full sample table.
-    * The moov walk is metadata-sized; no sample payload is touched.
+  /** Per-track fragment defaults from moov/mvex/trex. */
+  private final case class Trex(defDur: Long, defSize: Long, defFlags: Long)
+
+  /** Parse the container and resolve every track's full sample table —
+    * moov-resident tables AND movie fragments (`moof/traf/tfhd/tfdt/
+    * trun`, r18): fragment sample runs are resolved to absolute byte
+    * ranges and appended in file order, decode times continuing via
+    * `tfdt` (or accumulation when absent). The walk is metadata-sized;
+    * no sample payload is touched.
     */
   def readMp4(bytes: Array[Byte]): Seq[Mp4Track] = {
     val top = children(bytes, 0, bytes.length.toLong)
-    if (!top.headOption.exists(_._1 == "ftyp"))
-      fail(s"first box must be 'ftyp', got '${top.headOption.map(_._1).getOrElse("<none>")}'")
+    if (!top.headOption.exists(_.typ == "ftyp"))
+      fail(s"first box must be 'ftyp', got '${top.headOption.map(_.typ).getOrElse("<none>")}'")
     val (moovS, moovE) = child(bytes, top, "moov", "file")
     val moovKids = children(bytes, moovS, moovE)
-    moovKids.filter(_._1 == "trak").map { case (_, trakS, trakE) =>
-      parseTrak(bytes, trakS, trakE)
+    val tracks = moovKids.filter(_.typ == "trak").map { k =>
+      parseTrak(bytes, k.payload, k.end)
+    }
+    val moofs = top.filter(_.typ == "moof")
+    if (moofs.isEmpty) tracks
+    else {
+      // trex defaults (one per track) — required context for any traf
+      // that omits its own defaults
+      val trex: Map[Int, Trex] = moovKids.find(_.typ == "mvex") match {
+        case None => Map.empty
+        case Some(mvex) =>
+          children(bytes, mvex.payload, mvex.end).filter(_.typ == "trex").map { t =>
+            val o = t.payload.toInt
+            (u32(bytes, o + 4).toInt,
+              Trex(u32(bytes, o + 12), u32(bytes, o + 16), u32(bytes, o + 20)))
+          }.toMap
+      }
+      val frag = scala.collection.mutable.Map.empty[Int, FragAcc]
+      tracks.foreach { t =>
+        frag(t.trackId) = new FragAcc(
+          t.sampleTimes.lastOption.map(_ + sttsLastDelta(t)).getOrElse(0L))
+      }
+      moofs.foreach(m => parseMoof(bytes, m, trex, frag))
+      tracks.map { t =>
+        val a = frag(t.trackId)
+        if (a.sizes.isEmpty) t
+        else t.copy(
+          sampleOffsets = t.sampleOffsets ++ a.offsets,
+          sampleSizes = t.sampleSizes ++ a.sizes,
+          sampleTimes = t.sampleTimes ++ a.times,
+          sampleSync = t.sampleSync ++ a.syncs)
+      }
+    }
+  }
+
+  /** Continuation delta for a track whose moov samples end mid-stream:
+    * the duration of the LAST moov sample (uniform-delta tracks: any).
+    */
+  private def sttsLastDelta(t: Mp4Track): Long =
+    if (t.sampleTimes.length >= 2)
+      t.sampleTimes(t.sampleTimes.length - 1) - t.sampleTimes(t.sampleTimes.length - 2)
+    else 0L
+
+  private final class FragAcc(var nextTime: Long) {
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val times = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val syncs = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+  }
+
+  /** One movie fragment: every traf's sample runs resolve to absolute
+    * offsets against its base (explicit `base_data_offset`, or the
+    * moof's first byte under default-base-is-moof / the first-traf
+    * default).
+    */
+  private def parseMoof(b: Array[Byte], moof: Box,
+      trex: Map[Int, Trex], frag: scala.collection.mutable.Map[Int, FragAcc]): Unit = {
+    val kids = children(b, moof.payload, moof.end)
+    var trafIdx = 0
+    kids.filter(_.typ == "traf").foreach { traf =>
+      val tkids = children(b, traf.payload, traf.end)
+      val (tfhdS, _) = child(b, tkids, "tfhd", "traf")
+      val tf = u32(b, tfhdS.toInt).toInt & 0xffffff
+      val trackId = u32(b, tfhdS.toInt + 4).toInt
+      var pos = tfhdS.toInt + 8
+      val baseDataOffset: Option[Long] =
+        if ((tf & 0x1) != 0) { val v = u64(b, pos); pos += 8; Some(v) } else None
+      if ((tf & 0x2) != 0) pos += 4 // sample_description_index
+      val d = trex.get(trackId)
+      val defDur: Option[Long] =
+        if ((tf & 0x8) != 0) { val v = u32(b, pos); pos += 4; Some(v) }
+        else d.map(_.defDur)
+      val defSize: Option[Long] =
+        if ((tf & 0x10) != 0) { val v = u32(b, pos); pos += 4; Some(v) }
+        else d.map(_.defSize)
+      val defFlags: Option[Long] =
+        if ((tf & 0x20) != 0) { val v = u32(b, pos); pos += 4; Some(v) }
+        else d.map(_.defFlags)
+      val base: Long = baseDataOffset.getOrElse {
+        if ((tf & 0x20000) != 0) moof.start // default-base-is-moof
+        else if (trafIdx == 0) moof.start // spec default for the first traf
+        else fail(s"traf #$trafIdx for track $trackId has neither " +
+          "base_data_offset nor default-base-is-moof")
+      }
+      val acc = frag.getOrElse(trackId,
+        fail(s"moof references track $trackId with no moov trak"))
+      // tfdt overrides accumulated time when present
+      tkids.find(_.typ == "tfdt").foreach { tfdt =>
+        val ver = b(tfdt.payload.toInt) & 0xff
+        acc.nextTime =
+          if (ver == 1) u64(b, tfdt.payload.toInt + 4)
+          else u32(b, tfdt.payload.toInt + 4)
+      }
+      // data cursor: truns without an explicit data_offset continue
+      // where the previous run in this traf ended
+      var cursor = base
+      tkids.filter(_.typ == "trun").foreach { trun =>
+        val rf = u32(b, trun.payload.toInt).toInt & 0xffffff
+        val n = u32(b, trun.payload.toInt + 4).toInt
+        if (n < 0 || n > (1 << 24)) fail(s"implausible trun sample count $n")
+        var rp = trun.payload.toInt + 8
+        if ((rf & 0x1) != 0) {
+          // signed 32-bit, relative to the traf base
+          cursor = base + u32(b, rp).toInt
+          rp += 4
+        }
+        val firstFlags: Option[Long] =
+          if ((rf & 0x4) != 0) { val v = u32(b, rp); rp += 4; Some(v) } else None
+        for (i <- 0 until n) {
+          val dur =
+            if ((rf & 0x100) != 0) { val v = u32(b, rp); rp += 4; v }
+            else defDur.getOrElse(fail(s"track $trackId: no sample duration " +
+              "(trun, tfhd, and trex all silent)"))
+          val size =
+            if ((rf & 0x200) != 0) { val v = u32(b, rp); rp += 4; v }
+            else defSize.getOrElse(fail(s"track $trackId: no sample size"))
+          // first_sample_flags overrides sample 0 when per-sample flags
+          // are absent; the sample_is_non_sync_sample bit is 1<<16
+          val flags =
+            if ((rf & 0x400) != 0) { val v = u32(b, rp); rp += 4; v }
+            else if (i == 0 && firstFlags.nonEmpty) firstFlags.get
+            else defFlags.getOrElse(fail(s"track $trackId: no sample flags"))
+          if ((rf & 0x800) != 0) rp += 4 // composition-time offset: unused
+          if (size > Int.MaxValue || cursor + size > b.length)
+            fail(s"track $trackId: fragment sample [$cursor, ${cursor + size}) " +
+              s"exceeds file ${b.length}")
+          acc.offsets += cursor
+          acc.sizes += size.toInt
+          acc.times += acc.nextTime
+          acc.syncs += ((flags & 0x10000L) == 0L)
+          acc.nextTime += dur
+          cursor += size
+        }
+      }
+      trafIdx += 1
     }
   }
 
@@ -143,8 +291,9 @@ object Mp4IO {
     }
 
     // stco/co64: chunk offsets
-    val chunkOffsets: Array[Long] = stbl.find(_._1 == "stco") match {
-      case Some((_, s, _)) =>
+    val chunkOffsets: Array[Long] = stbl.find(_.typ == "stco") match {
+      case Some(box) =>
+        val s = box.payload
         val n = u32(b, s.toInt + 4).toInt
         Array.tabulate(n)(i => u32(b, s.toInt + 8 + 4 * i))
       case None =>
@@ -186,7 +335,10 @@ object Mp4IO {
       chunk += 1
     }
 
-    // stts: decode-time deltas → absolute decode times
+    // stts: decode-time deltas → absolute decode times. Over-coverage
+    // is as loud as under-coverage, and the cursor (not the hostile u32
+    // count) bounds the loop — a malformed entry cannot drive a long
+    // no-op walk (r17 ADVICE).
     val (sttsS, _) = child(b, stbl, "stts", "stbl")
     val nTt = u32(b, sttsS.toInt + 4).toInt
     val times = new Array[Long](nSamples)
@@ -194,17 +346,33 @@ object Mp4IO {
     var si = 0
     for (i <- 0 until nTt) {
       val o = sttsS.toInt + 8 + 8 * i
-      val count = u32(b, o).toInt
+      val count = u32(b, o)
       val delta = u32(b, o + 4)
-      for (_ <- 0 until count) {
-        if (si < nSamples) { times(si) = t; t += delta; si += 1 }
-      }
+      if (count < 0 || si + count > nSamples)
+        fail(s"track $trackId: stts covers ${si + count} of $nSamples samples")
+      var k = 0L
+      while (k < count) { times(si) = t; t += delta; si += 1; k += 1 }
     }
     if (si != nSamples)
       fail(s"track $trackId: stts covers $si of $nSamples samples")
 
+    // stss: sync-sample table (1-based sample numbers); absent = every
+    // sample is a keyframe (ISO 14496-12 8.6.2)
+    val sync = Array.fill(nSamples)(stbl.forall(_.typ != "stss"))
+    stbl.find(_.typ == "stss").foreach { box =>
+      val s = box.payload.toInt
+      val n = u32(b, s + 4).toInt
+      if (n < 0 || s + 8 + 4L * n > box.end) fail(s"track $trackId: stss truncated")
+      for (i <- 0 until n) {
+        val sampleNum = u32(b, s + 8 + 4 * i)
+        if (sampleNum < 1 || sampleNum > nSamples)
+          fail(s"track $trackId: stss names sample $sampleNum of $nSamples")
+        sync(sampleNum.toInt - 1) = true
+      }
+    }
+
     Mp4Track(trackId, handler, codec, width, height, timescale,
-      offsets, sizes, times)
+      offsets, sizes, times, sync)
   }
 
   /** Iterate a track's samples as (decodeTime, bytes) — per-sample
@@ -250,11 +418,14 @@ object Mp4IO {
 
   /** Write a one-track MJPEG MP4: each frame is one sample in its own
     * chunk, constant duration `sampleDelta` in `timescale` units.
+    * `syncEvery` > 1 writes an `stss` sync table marking samples
+    * 1, 1+syncEvery, … as keyframes (1 = all-sync, no table).
     */
   def writeMp4Mjpeg(
       frames: Seq[Array[Byte]], width: Int, height: Int,
-      timescale: Long, sampleDelta: Long): Array[Byte] = {
+      timescale: Long, sampleDelta: Long, syncEvery: Int = 1): Array[Byte] = {
     require(frames.nonEmpty, "MP4 writer needs at least one frame")
+    require(syncEvery >= 1, s"syncEvery must be >= 1, got $syncEvery")
     val ftyp = box("ftyp", bytesOf { o =>
       o.write("isom".getBytes("US-ASCII")); w32(o, 0x200)
       o.write("isom".getBytes("US-ASCII")); o.write("iso2".getBytes("US-ASCII"))
@@ -333,11 +504,138 @@ object Mp4IO {
       w32(o, 0); w32(o, offsets.length.toLong)
       offsets.foreach(w32(o, _))
     })
-    val stbl = container("stbl", stsd, stts, stsc, stsz, stco)
+    val syncSamples = (1 to frames.length by syncEvery).toSeq
+    val stblKids = Seq(stsd, stts, stsc, stsz, stco) ++
+      (if (syncEvery > 1) Seq(box("stss", bytesOf { o =>
+        w32(o, 0); w32(o, syncSamples.length.toLong)
+        syncSamples.foreach(s => w32(o, s.toLong))
+      })) else Nil)
+    val stbl = container("stbl", stblKids: _*)
     val minf = container("minf", vmhd, dinf, stbl)
     val mdia = container("mdia", mdhd, hdlr, minf)
     val trak = container("trak", tkhd, mdia)
     val moov = container("moov", mvhd, trak)
     ftyp ++ mdat ++ moov
+  }
+
+  /** Write the SAME one-track MJPEG stream as a FRAGMENTED MP4 (the
+    * DASH/HLS shape real web video ships in): an empty-table moov with
+    * `mvex/trex` carrying the default sample duration/flags, then one
+    * `moof`+`mdat` pair per `framesPerFragment` frames. Each traf uses
+    * default-base-is-moof, a version-1 `tfdt`, and a trun with
+    * per-sample sizes; durations come from TREX (deliberately omitted
+    * from tfhd/trun so the default-inheritance chain is exercised).
+    * The first sample of each fragment is sync, the rest are not —
+    * readers must surface the keyframe pattern from sample flags.
+    */
+  def writeMp4MjpegFragmented(
+      frames: Seq[Array[Byte]], width: Int, height: Int,
+      timescale: Long, sampleDelta: Long, framesPerFragment: Int): Array[Byte] = {
+    require(frames.nonEmpty, "MP4 writer needs at least one frame")
+    require(framesPerFragment >= 1, s"framesPerFragment must be >= 1")
+    val ftyp = box("ftyp", bytesOf { o =>
+      o.write("iso5".getBytes("US-ASCII")); w32(o, 0x200)
+      o.write("iso5".getBytes("US-ASCII")); o.write("isom".getBytes("US-ASCII"))
+    })
+    // moov shell: full headers, EMPTY sample tables, mvex/trex defaults
+    val mvhd = box("mvhd", bytesOf { o =>
+      w32(o, 0); w32(o, 0); w32(o, 0)
+      w32(o, timescale); w32(o, 0) // duration unknown up front
+      w32(o, 0x10000); w16(o, 0x100); w16(o, 0)
+      w32(o, 0); w32(o, 0)
+      Seq(0x10000L, 0, 0, 0, 0x10000L, 0, 0, 0, 0x40000000L).foreach(w32(o, _))
+      for (_ <- 0 until 6) w32(o, 0)
+      w32(o, 2)
+    })
+    val tkhd = box("tkhd", bytesOf { o =>
+      w32(o, 7); w32(o, 0); w32(o, 0); w32(o, 1); w32(o, 0); w32(o, 0)
+      w32(o, 0); w32(o, 0)
+      w16(o, 0); w16(o, 0); w16(o, 0); w16(o, 0)
+      Seq(0x10000L, 0, 0, 0, 0x10000L, 0, 0, 0, 0x40000000L).foreach(w32(o, _))
+      w32(o, width.toLong << 16); w32(o, height.toLong << 16)
+    })
+    val mdhd = box("mdhd", bytesOf { o =>
+      w32(o, 0); w32(o, 0); w32(o, 0)
+      w32(o, timescale); w32(o, 0)
+      w16(o, 0x55c4); w16(o, 0)
+    })
+    val hdlr = box("hdlr", bytesOf { o =>
+      w32(o, 0); w32(o, 0)
+      o.write("vide".getBytes("US-ASCII"))
+      w32(o, 0); w32(o, 0); w32(o, 0)
+      o.write("graft".getBytes("US-ASCII")); o.write(0)
+    })
+    val vmhd = box("vmhd", bytesOf { o =>
+      w32(o, 1); w16(o, 0); w16(o, 0); w16(o, 0); w16(o, 0)
+    })
+    val dinf = container("dinf", box("dref", bytesOf { o =>
+      w32(o, 0); w32(o, 1)
+      w32(o, 12); o.write("url ".getBytes("US-ASCII")); w32(o, 1)
+    }))
+    val stsd = box("stsd", bytesOf { o =>
+      w32(o, 0); w32(o, 1)
+      w32(o, 86); o.write("jpeg".getBytes("US-ASCII"))
+      for (_ <- 0 until 6) o.write(0)
+      w16(o, 1); w16(o, 0); w16(o, 0)
+      w32(o, 0); w32(o, 0); w32(o, 0)
+      w16(o, width); w16(o, height)
+      w32(o, 0x480000); w32(o, 0x480000)
+      w32(o, 0); w16(o, 1)
+      for (_ <- 0 until 32) o.write(0)
+      w16(o, 24); w16(o, 0xffff)
+    })
+    val emptyTables = Seq(
+      box("stts", bytesOf { o => w32(o, 0); w32(o, 0) }),
+      box("stsc", bytesOf { o => w32(o, 0); w32(o, 0) }),
+      box("stsz", bytesOf { o => w32(o, 0); w32(o, 0); w32(o, 0) }),
+      box("stco", bytesOf { o => w32(o, 0); w32(o, 0) }))
+    val stbl = container("stbl", (stsd +: emptyTables): _*)
+    val minf = container("minf", vmhd, dinf, stbl)
+    val mdia = container("mdia", mdhd, hdlr, minf)
+    val trak = container("trak", tkhd, mdia)
+    val trexFlags = 0x01010000L // depends-on-other + non-sync default
+    val mvex = container("mvex", box("trex", bytesOf { o =>
+      w32(o, 0) // version+flags
+      w32(o, 1) // track_ID
+      w32(o, 1) // default_sample_description_index
+      w32(o, sampleDelta) // default_sample_duration (truns omit it)
+      w32(o, 0) // default_sample_size (truns carry sizes)
+      w32(o, trexFlags)
+    }))
+    val moov = container("moov", mvhd, trak, mvex)
+
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov)
+    var seq = 1
+    var baseTime = 0L
+    frames.grouped(framesPerFragment).foreach { group =>
+      def buildMoof(dataOffset: Long): Array[Byte] = {
+        val mfhd = box("mfhd", bytesOf { o => w32(o, 0); w32(o, seq.toLong) })
+        val tfhd = box("tfhd", bytesOf { o =>
+          w32(o, 0x020000) // version 0, flags: default-base-is-moof
+          w32(o, 1) // track_ID
+        })
+        val tfdt = box("tfdt", bytesOf { o =>
+          o.write(1); o.write(0); o.write(0); o.write(0) // version 1
+          w32(o, baseTime >>> 32); w32(o, baseTime & 0xffffffffL)
+        })
+        // trun flags: data-offset + first-sample-flags + sample-size
+        val trun = box("trun", bytesOf { o =>
+          w32(o, 0x000205)
+          w32(o, group.length.toLong)
+          w32(o, dataOffset)
+          w32(o, 0x02000000L) // first sample: sync (depends-on-none)
+          group.foreach(f => w32(o, f.length.toLong))
+        })
+        container("moof", mfhd, container("traf", tfhd, tfdt, trun))
+      }
+      val moofSize = buildMoof(0L).length
+      out.write(buildMoof(moofSize + 8L)) // data starts after mdat header
+      val mdatPayload = group.reduce(_ ++ _)
+      out.write(box("mdat", mdatPayload))
+      baseTime += sampleDelta * group.length
+      seq += 1
+    }
+    out.toByteArray
   }
 }

@@ -143,8 +143,15 @@ object TarIO {
             case '5' =>
               pathOverride = None // a pax override names the dir, not a file
             case 'x' =>
-              paxPath(java.util.Arrays.copyOfRange(bytes, p, dataEnd),
-                global = false).foreach(v => pathOverride = Some(v))
+              // precedence is explicit (r17 ADVICE): a metadata member
+              // whose override is still pending when another metadata
+              // member arrives is ambiguous — whose name applies to the
+              // next file? Fail loudly rather than keep a stale 'L'/'x'
+              // override across a pathless 'x'.
+              if (pathOverride.isDefined)
+                fail("pax 'x' member while a path override is already pending")
+              pathOverride = paxPath(
+                java.util.Arrays.copyOfRange(bytes, p, dataEnd), global = false)
             case 'g' =>
               paxPath(java.util.Arrays.copyOfRange(bytes, p, dataEnd),
                 global = true)
@@ -152,6 +159,8 @@ object TarIO {
               // GNU longname: the payload is the NUL-terminated name of
               // the next member (the other long-name convention real
               // shards ship in, alongside pax)
+              if (pathOverride.isDefined)
+                fail("GNU 'L' member while a path override is already pending")
               var e = p
               while (e < dataEnd && bytes(e) != 0) e += 1
               if (e == p) fail("empty GNU longname payload")

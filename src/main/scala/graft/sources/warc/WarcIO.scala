@@ -15,9 +15,11 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream, InflaterInputStream}
   * walks concatenated members natively). `response` records carry an
   * HTTP/1.1 message; [[httpEntity]] splits the status line + headers
   * and DECODES the entity the way a browser would: `Transfer-Encoding:
-  * chunked` de-framed, `Content-Encoding: gzip/deflate` inflated, the
-  * `Content-Type` charset surfaced (real crawl records are dominated
-  * by chunked and/or gzip bodies and non-UTF-8 charsets). Unknown
+  * chunked` de-framed, `Content-Encoding: gzip/deflate/zstd` decoded
+  * (brotli rejects by name), the charset resolved in the WHATWG order
+  * — BOM first (UTF-8/16LE/16BE), then the `Content-Type` header, then
+  * the HTML5 meta prescan (real crawl records are dominated by chunked
+  * and/or compressed bodies and non-UTF-8 charsets). Unknown
   * record types (warcinfo, request, metadata) parse fine and are the
   * CALLER's to skip — a reader that only tolerates response records
   * would choke on every real crawl file.
@@ -185,6 +187,18 @@ object WarcIO {
     catch { case e: java.io.IOException => fail(s"bad gzip entity: ${e.getMessage}") }
   }
 
+  private def unzstd(b: Array[Byte]): Array[Byte] = {
+    // zstd-jni ships with Spark itself (spark uses it for shuffle/event
+    // -log compression), so the live web's third content coding costs
+    // no new dependency. Streaming API: the decompressed size is not
+    // trusted from the frame header.
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new ByteArrayInputStream(b))
+    try in.readAllBytes()
+    catch { case e: java.io.IOException => fail(s"bad zstd entity: ${e.getMessage}") }
+    finally in.close()
+  }
+
   private def inflate(b: Array[Byte]): Array[Byte] = {
     // HTTP 'deflate' is the zlib format; some legacy servers send raw
     // deflate — accept both (zlib first, raw on a zlib header error)
@@ -285,23 +299,45 @@ object WarcIO {
       ce.trim.toLowerCase(java.util.Locale.ROOT) match {
         case "gzip" | "x-gzip" => body = gunzip(body)
         case "deflate"         => body = inflate(body)
+        case "zstd"            => body = unzstd(body)
+        case "br" => fail("Content-Encoding 'br' (brotli) is unsupported " +
+          "(no JDK/Spark-classpath decoder; reject rather than mis-decode)")
         case "identity" | ""   => ()
         case other             => fail(s"unsupported Content-Encoding '$other'")
       }
     }
-    val declared = headers.get("content-type") match {
-      case Some(CharsetParam(name)) => Some(name)
-      case _ => sniffMetaCharset(body)
-    }
-    val charset = declared match {
-      case Some(name) =>
-        try Charset.forName(name)
-        catch {
-          case _: java.nio.charset.IllegalCharsetNameException |
-              _: java.nio.charset.UnsupportedCharsetException =>
-            fail(s"unsupported charset '$name'")
+    // Charset precedence per the WHATWG sniffing order: a BOM wins over
+    // the transport header and the meta prescan (a BOM'd UTF-16 page
+    // would otherwise mis-sniff: the ASCII prescan can't see its meta
+    // tag). The BOM is framing — stripped from the document bytes.
+    val bom: Option[(Charset, Int)] =
+      if (body.length >= 3 && body(0) == 0xEF.toByte &&
+          body(1) == 0xBB.toByte && body(2) == 0xBF.toByte)
+        Some((java.nio.charset.StandardCharsets.UTF_8, 3))
+      else if (body.length >= 2 && body(0) == 0xFF.toByte && body(1) == 0xFE.toByte)
+        Some((java.nio.charset.StandardCharsets.UTF_16LE, 2))
+      else if (body.length >= 2 && body(0) == 0xFE.toByte && body(1) == 0xFF.toByte)
+        Some((java.nio.charset.StandardCharsets.UTF_16BE, 2))
+      else None
+    val charset = bom match {
+      case Some((cs, skip)) =>
+        body = java.util.Arrays.copyOfRange(body, skip, body.length)
+        cs
+      case None =>
+        val declared = headers.get("content-type") match {
+          case Some(CharsetParam(name)) => Some(name)
+          case _ => sniffMetaCharset(body)
         }
-      case None => java.nio.charset.StandardCharsets.UTF_8
+        declared match {
+          case Some(name) =>
+            try Charset.forName(name)
+            catch {
+              case _: java.nio.charset.IllegalCharsetNameException |
+                  _: java.nio.charset.UnsupportedCharsetException =>
+                fail(s"unsupported charset '$name'")
+            }
+          case None => java.nio.charset.StandardCharsets.UTF_8
+        }
     }
     HttpEntity(code, headers.toMap, body, charset)
   }
@@ -311,8 +347,9 @@ object WarcIO {
   // .warc.gz layout, with a leading warcinfo record like a real crawl
   // file — so every reader must prove it SKIPS non-response records.
   // Pages cycle through the entity layerings a live crawl actually
-  // carries (plain, chunked, gzip'd, latin-1 charset) — so every
-  // reader must prove extraction survives ALL of them.
+  // carries (plain, chunked, gzip'd, latin-1 charset, meta-charset,
+  // zstd, BOM'd UTF-16LE) — so every reader must prove extraction
+  // survives ALL of them.
   // ------------------------------------------------------------------
 
   private def gzipMember(record: Array[Byte]): Array[Byte] = {
@@ -364,7 +401,10 @@ object WarcIO {
     * stacked — both layers at once, decoded innermost-last on read);
     * 4 NO header charset, the page declaring itself via an injected
     * `<meta charset>` tag (the HTML5 prescan path) when it has a head
-    * and is latin-1 encodable, else the bare no-charset UTF-8 default.
+    * and is latin-1 encodable, else the bare no-charset UTF-8 default;
+    * 5 (r18) zstd Content-Encoding — the live web's third coding;
+    * 6 (r18) BOM'd UTF-16LE body with NO header charset — only the BOM
+    * identifies the encoding (the WHATWG sniff order's first step).
     */
   private def httpMessage(html: String, variant: Int): Array[Byte] = {
     val latin1 = variant == 3 && latin1Encodable(html)
@@ -375,10 +415,15 @@ object WarcIO {
           "<head><meta charset=\"iso-8859-1\">")
       else html
     val charsetName = if (latin1) "iso-8859-1" else "utf-8"
-    val raw = htmlOut.getBytes(
-      if (latin1 || meta) "ISO-8859-1" else "UTF-8")
+    val raw =
+      if (variant == 6)
+        // BOM then UTF-16LE code units — the body's only encoding signal
+        Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+          htmlOut.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      else htmlOut.getBytes(
+        if (latin1 || meta) "ISO-8859-1" else "UTF-8")
     val headers = new StringBuilder("HTTP/1.1 200 OK\r\n")
-    if (variant == 4) headers ++= "Content-Type: text/html\r\n"
+    if (variant == 4 || variant == 6) headers ++= "Content-Type: text/html\r\n"
     else headers ++= s"Content-Type: text/html; charset=$charsetName\r\n"
     val body: Array[Byte] = variant match {
       case 1 =>
@@ -391,6 +436,10 @@ object WarcIO {
       case 3 if !latin1 =>
         headers ++= "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n"
         chunkBytes(gzipBytes(raw), 300)
+      case 5 =>
+        val z = com.github.luben.zstd.Zstd.compress(raw)
+        headers ++= s"Content-Encoding: zstd\r\nContent-Length: ${z.length}\r\n"
+        z
       case _ =>
         headers ++= s"Content-Length: ${raw.length}\r\n"
         raw
@@ -416,7 +465,7 @@ object WarcIO {
       out.write(gzipMember(record("response",
         Seq("WARC-Target-URI" -> uri,
           "Content-Type" -> "application/http; msgtype=response"),
-        httpMessage(html, i % 5))))
+        httpMessage(html, i % 7))))
     }
     out.toByteArray
   }

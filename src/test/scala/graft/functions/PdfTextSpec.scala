@@ -120,6 +120,24 @@ class PdfTextSpec extends AnyFunSuite {
       .forall(_.length <= 20))
   }
 
+  test("a reference CYCLE fails loudly, not with a stack overflow (r18)") {
+    // hand-built file: object 1 (catalog) points /Pages at 2; 2 and 3
+    // reference each other in a loop
+    val body = new StringBuilder("%PDF-1.4\n")
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(s: String): Unit = { offs += body.length; body ++= s }
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj("2 0 obj\n3 0 R\nendobj\n")
+    obj("3 0 obj\n2 0 R\nendobj\n")
+    val xrefAt = body.length
+    body ++= s"xref\n0 4\n0000000000 65535 f \n"
+    offs.foreach(o => body ++= f"$o%010d 00000 n \n")
+    body ++= s"trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n"
+    val e = intercept[IllegalArgumentException](
+      PdfText.extract(body.toString.getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("circular reference"), e.getMessage)
+  }
+
   test("malformed files fail loudly") {
     def bad(b: Array[Byte], msg: String): Unit = {
       val e = intercept[IllegalArgumentException](PdfText.extract(b))

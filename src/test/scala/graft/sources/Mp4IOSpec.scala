@@ -38,7 +38,8 @@ class Mp4IOSpec extends AnyFunSuite {
   }
 
   test("resolves the independent fixture's video track: geometry, " +
-      "timescale, and the full sample table through TWO stsc runs") {
+      "timescale, the full sample table through TWO stsc runs, and the " +
+      "stss sync table") {
     val bytes = fixture("clip.mp4")
     val tracks = readMp4(bytes)
     assert(tracks.map(_.handler) == Seq("vide", "soun"),
@@ -53,6 +54,63 @@ class Mp4IOSpec extends AnyFunSuite {
       (v.sampleOffsets(i), b.length, t, sha256(b))
     }.toSeq
     assert(got == want, s"sample table diverged:\n$got\nvs\n$want")
+    assert(v.sampleSync.toSeq == Seq(true, false, false, true, false),
+      "stss sync table (samples 1 and 4)")
+    // absent stss = all sync (the co64 clip has no stss)
+    assert(readMp4(fixture("clip_co64.mp4")).head.sampleSync.forall(identity))
+  }
+
+  test("FRAGMENTED golden (r18): empty-table moov + trex, explicit " +
+      "base_data_offset vs default-base-is-moof, per-sample trun rows " +
+      "vs tfhd/trex defaults, first-sample-flags, and a v1 tfdt that " +
+      "jumps decode time") {
+    val bytes = fixture("clip_frag.mp4")
+    val tracks = readMp4(bytes)
+    assert(tracks.size == 1)
+    val v = tracks.head
+    assert(v.trackId == 1 && v.handler == "vide" && v.codec == "jpeg")
+    assert(v.width == 32 && v.height == 32 && v.timescale == 12800)
+    val want = manifestSamples("clip_frag.mp4", 0)
+    val got = samples(bytes, v).zipWithIndex.map { case ((t, b), i) =>
+      (v.sampleOffsets(i), b.length, t, sha256(b))
+    }.toSeq
+    assert(got == want, s"fragment sample table diverged:\n$got\nvs\n$want")
+    assert(v.sampleSync.toSeq == Seq(true, false, false, true, false),
+      "trun flags + first-sample-flags override + trex default")
+  }
+
+  test("fragmented writer round trip: bytes, times, and the " +
+      "first-of-each-fragment keyframe pattern survive") {
+    val frames = (0 until 5).map { i =>
+      val b = new Array[Byte](80 + 13 * i)
+      new java.util.Random(100L + i).nextBytes(b)
+      b
+    }
+    val mp4 = writeMp4MjpegFragmented(frames, width = 32, height = 32,
+      timescale = 12800, sampleDelta = 512, framesPerFragment = 2)
+    val tracks = readMp4(mp4)
+    assert(tracks.size == 1)
+    val v = tracks.head
+    assert(v.handler == "vide" && v.codec == "jpeg")
+    assert(v.width == 32 && v.height == 32 && v.timescale == 12800)
+    val got = samples(mp4, v).toSeq
+    assert(got.map(_._1) == Seq(0L, 512L, 1024L, 1536L, 2048L))
+    for ((g, w) <- got.map(_._2).zip(frames))
+      assert(g.sameElements(w), "frame bytes diverged")
+    assert(v.sampleSync.toSeq == Seq(true, false, true, false, true))
+    // identical content to the monolithic framing, modulo keyframes
+    val mono = readMp4(writeMp4Mjpeg(frames, 32, 32, 12800, 512)).head
+    assert(samples(mp4, v).map(_._2.toSeq).toSeq ==
+      samples(writeMp4Mjpeg(frames, 32, 32, 12800, 512), mono).map(_._2.toSeq).toSeq)
+    assert(mono.sampleSync.forall(identity), "no stss = all sync")
+  }
+
+  test("stss via the writer's syncEvery surfaces (every 3rd a keyframe)") {
+    val frames = (0 until 7).map(i => Array.fill[Byte](64)(i.toByte))
+    val mp4 = writeMp4Mjpeg(frames, 8, 8, 1000, 40, syncEvery = 3)
+    val v = readMp4(mp4).head
+    assert(v.sampleSync.toSeq ==
+      Seq(true, false, false, true, false, false, true))
   }
 
   test("the non-video track's table resolves too (callers skip by handler)") {

@@ -7,20 +7,23 @@ import WarcIO._
 class WarcIOSpec extends AnyFunSuite {
 
   private val pages = Seq(
-    // five pages on purpose: writeWarcGz cycles the entity layerings
-    // (plain / chunked / gzip / latin-1-header / meta-charset) per page
-    // index, so this fixture exercises every variant
+    // seven pages on purpose: writeWarcGz cycles the entity layerings
+    // (plain / chunked / gzip / latin-1-header / meta-charset / zstd /
+    // BOM'd UTF-16LE) per page index, so this fixture exercises every
+    // variant
     "http://example.test/doc/0" -> "<html><body><p>hello world</p></body></html>",
     "http://example.test/doc/1" -> "<html><body><p>café ümläut</p></body></html>",
     "http://example.test/doc/2" -> "<html><body><p>third page with some more text</p></body></html>",
     "http://example.test/doc/3" -> "<html><body><p>vierte Seite: naïve café</p></body></html>",
-    "http://example.test/doc/4" -> "<html><head><title>T</title></head><body><p>pâge déclarée</p></body></html>")
+    "http://example.test/doc/4" -> "<html><head><title>T</title></head><body><p>pâge déclarée</p></body></html>",
+    "http://example.test/doc/5" -> "<html><body><p>zstd compressed sixth page</p></body></html>",
+    "http://example.test/doc/6" -> "<html><body><p>UTF-16 seventh: ✓ काफी 页面</p></body></html>")
 
   test("warc.gz round trip: warcinfo + responses, uris and bodies intact " +
-      "through chunked / gzip / charset / meta-charset layers") {
+      "through chunked / gzip / charset / meta-charset / zstd / BOM layers") {
     val bytes = writeWarcGz(pages)
     val records = readWarcGz(bytes).toSeq
-    assert(records.size == 6)
+    assert(records.size == 8)
     assert(records.head.warcType == "warcinfo")
     val resp = records.tail
     assert(resp.forall(_.warcType == "response"))
@@ -28,7 +31,7 @@ class WarcIOSpec extends AnyFunSuite {
     val entities = resp.map(r => httpEntity(r.payload))
     assert(entities.forall(_.status == 200))
     for (((e, (_, html)), i) <- entities.zip(pages).zipWithIndex if i != 4)
-      assert(e.text == html, "text fidelity through the entity layers")
+      assert(e.text == html, s"text fidelity through the entity layers (page $i)")
     // the layers really are present on the wire: page 1 chunked, page 2
     // gzip'd, page 3 latin-1 (it is ISO-8859-1 encodable)
     assert(entities(1).headers.contains("transfer-encoding") ||
@@ -44,6 +47,12 @@ class WarcIOSpec extends AnyFunSuite {
     assert(entities(4).text ==
       "<html><head><meta charset=\"iso-8859-1\"><title>T</title></head>" +
         "<body><p>pâge déclarée</p></body></html>")
+    // page 5 (r18): zstd content coding really on the wire
+    assert(httpEntityRaw(resp(5)).contains("Content-Encoding: zstd"))
+    // page 6 (r18): no header charset, no (visible) meta — the BOM is
+    // the only encoding signal, and the body on the wire is 16-bit
+    assert(!httpEntityRaw(resp(6)).toLowerCase.contains("charset="))
+    assert(entities(6).charset == java.nio.charset.StandardCharsets.UTF_16LE)
   }
 
   /** The pre-decode header block of a response payload, for pinning
@@ -212,9 +221,14 @@ class WarcIOSpec extends AnyFunSuite {
     dfMsgOut.write(deflated)
     assert(new String(httpEntity(dfMsgOut.toByteArray).body, "UTF-8") == text)
 
+    // brotli rejects BY NAME (r18): common on the live web, no
+    // JDK/Spark-classpath decoder — the reason must say what it is
     val e1 = intercept[IllegalArgumentException](httpEntity(
       "HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nx".getBytes("US-ASCII")))
-    assert(e1.getMessage.contains("unsupported Content-Encoding"))
+    assert(e1.getMessage.contains("brotli"), e1.getMessage)
+    val e0 = intercept[IllegalArgumentException](httpEntity(
+      "HTTP/1.1 200 OK\r\nContent-Encoding: lzma\r\n\r\nx".getBytes("US-ASCII")))
+    assert(e0.getMessage.contains("unsupported Content-Encoding"))
     val e2 = intercept[IllegalArgumentException](httpEntity(
       "HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\nx".getBytes("US-ASCII")))
     assert(e2.getMessage.contains("unsupported Transfer-Encoding"))
@@ -222,6 +236,52 @@ class WarcIOSpec extends AnyFunSuite {
       "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=klingon-8\r\n\r\nx"
         .getBytes("US-ASCII")))
     assert(e3.getMessage.contains("unsupported charset"))
+  }
+
+  test("zstd content coding decodes (r18: the live web's third coding, " +
+      "via the Spark-classpath zstd) and a corrupt frame fails loudly") {
+    val text = "zstd entity body: repeated repeated repeated payload"
+    val z = com.github.luben.zstd.Zstd.compress(text.getBytes("UTF-8"))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\n"
+      .getBytes("US-ASCII"))
+    out.write(z)
+    assert(new String(httpEntity(out.toByteArray).body, "UTF-8") == text)
+    val e = intercept[IllegalArgumentException](httpEntity(
+      "HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\nnot a zstd frame"
+        .getBytes("US-ASCII")))
+    assert(e.getMessage.contains("bad zstd entity"), e.getMessage)
+  }
+
+  test("BOM wins the charset-sniff order (r18): UTF-16LE/BE/UTF-8 BOMs " +
+      "beat the header charset and the meta prescan; the BOM is stripped") {
+    val html = "<html><body><p>BOM page: ✓ काफी</p></body></html>"
+    def msg(headers: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"HTTP/1.1 200 OK\r\n$headers\r\n".getBytes("US-ASCII"))
+      out.write(body)
+      out.toByteArray
+    }
+    // UTF-16LE BOM, NO header charset: the ASCII meta prescan cannot
+    // see a 16-bit page — only the BOM identifies it
+    val le = httpEntity(msg("Content-Type: text/html\r\n",
+      Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)))
+    assert(le.charset == java.nio.charset.StandardCharsets.UTF_16LE)
+    assert(le.text == html)
+    // UTF-16BE BOM beats a WRONG header charset (WHATWG order)
+    val be = httpEntity(msg(
+      "Content-Type: text/html; charset=iso-8859-1\r\n",
+      Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)))
+    assert(be.charset == java.nio.charset.StandardCharsets.UTF_16BE)
+    assert(be.text == html)
+    // UTF-8 BOM: stripped, not decoded as a leading U+FEFF
+    val u8 = httpEntity(msg("Content-Type: text/html\r\n",
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        html.getBytes("UTF-8")))
+    assert(u8.charset == java.nio.charset.StandardCharsets.UTF_8)
+    assert(u8.text == html)
   }
 
   test("charset is honored: latin-1 bytes decode to the same text") {
