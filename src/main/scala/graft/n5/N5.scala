@@ -121,14 +121,38 @@ object N5 {
     */
   def write(
       df: DataFrame, root: String, dataset: String, attrs: DatasetAttributes,
-      extraAttrs: Map[String, String] = Map.empty): Unit = {
-    require(!attrs.isZarr3,
-      "zarr v3 stores are READ-ONLY (r18): writing would need the v3 " +
-        "codec-chain/sharding encoder — write zarr v2 (writeZarr) or N5, " +
-        "or convert via createDatasetLike + write")
-    if (attrs.isZarr)
+      extraAttrs: Map[String, String] = Map.empty): Unit =
+    if (attrs.isZarr3)
+      writeZarr3(df, root, dataset, attrs, extraAttrs)
+    else if (attrs.isZarr)
       writeZarr(df, root, dataset, attrs, attrs.zarrSeparator, extraAttrs)
     else writeN5(df, root, dataset, attrs, extraAttrs)
+
+  /** Write a block table as a zarr v3 container (r18): non-sharded
+    * profile only — fill-padded C-order chunks through
+    * `[bytes <endian>, compressor?, crc32c]`, default "c/"-prefixed
+    * chunk keys, one `zarr.json` committed AFTER the data. Sharded
+    * attrs reject loudly (sharding_indexed is read-side).
+    */
+  def writeZarr3(
+      df: DataFrame, root: String, dataset: String, attrs: DatasetAttributes,
+      extraAttrs: Map[String, String] = Map.empty): Unit = {
+    require(attrs.shard.isEmpty,
+      "SHARDED zarr v3 write is unsupported (sharding_indexed is " +
+        "read-side only) — write the non-sharded v3 profile, zarr v2, or N5")
+    df.write.format("n5")
+      .option("dataset", dataset)
+      .option("format", "zarr3")
+      .option("zarrSeparator", attrs.zarrSeparator)
+      .option("dimensions", attrs.dimensions.mkString(","))
+      .option("blockSize", attrs.blockSize.mkString(","))
+      .option("dataType", attrs.dataType.name)
+      .option("compression", attrs.compression.codec)
+      .option("compressionLevel", attrs.compression.level.toString)
+      .option("extraAttrs",
+        (attrs.extra ++ extraAttrs).map { case (k, v) => s"$k=$v" }.mkString(";;"))
+      .mode("append")
+      .save(root)
   }
 
   private def writeN5(

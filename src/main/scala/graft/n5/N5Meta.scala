@@ -661,6 +661,67 @@ object N5Meta {
       mergeJsonAttrs(new Path(root, s"$dataset/.zattrs"), a.extra)
   }
 
+  /** Emit a zarr v3 `zarr.json` for the dataset (r18, non-sharded write
+    * profile): regular chunk grid in reversed (C) order, the default
+    * "c/"-style chunk-key encoding with the attrs' separator, codecs
+    * `[bytes <endian>, <compressor>?, crc32c?]`, fill 0, user attributes
+    * inline under `attributes` (v3 keeps ONE metadata document — no
+    * sibling .zattrs). Sharded attrs reject: the engine reads shards but
+    * never writes them.
+    */
+  def writeZarr3Attributes(
+      root: String, dataset: String, a: DatasetAttributes): Unit = {
+    require(a.isZarr3, "writeZarr3Attributes: attributes are not format=zarr3")
+    require(a.shard.isEmpty,
+      "zarr v3 WRITE is non-sharded only (sharding_indexed is read-side)")
+    val o = mapper.createObjectNode()
+    o.put("zarr_format", 3)
+    o.put("node_type", "array")
+    val dims = o.putArray("shape"); a.dimensions.reverse.foreach(dims.add)
+    o.put("data_type", a.dataType.name)
+    val grid = o.putObject("chunk_grid")
+    grid.put("name", "regular")
+    val gcfg = grid.putObject("configuration")
+    val cs = gcfg.putArray("chunk_shape"); a.blockSize.reverse.foreach(cs.add)
+    val cke = o.putObject("chunk_key_encoding")
+    cke.put("name", if (a.zarr3ChunkPrefix) "default" else "v2")
+    cke.putObject("configuration").put("separator", a.zarrSeparator)
+    o.put("fill_value", 0)
+    val codecs = o.putArray("codecs")
+    val bytesC = codecs.addObject()
+    bytesC.put("name", "bytes")
+    bytesC.putObject("configuration")
+      .put("endian", if (a.zarrLittleEndian) "little" else "big")
+    a.compression.codec match {
+      case "raw" => ()
+      case c @ ("gzip" | "zstd") =>
+        val cc = codecs.addObject()
+        cc.put("name", c)
+        cc.putObject("configuration")
+          .put("level", if (a.compression.level > 0) a.compression.level
+            else (if (c == "zstd") 3 else 6))
+      case "blosc" =>
+        val cc = codecs.addObject()
+        cc.put("name", "blosc")
+        val bcfg = cc.putObject("configuration")
+        bcfg.put("cname", "lz4")
+        bcfg.put("clevel", if (a.compression.level > 0) a.compression.level else 1)
+        bcfg.put("shuffle", "noshuffle")
+        bcfg.put("blocksize", 0)
+      case other => throw new IllegalArgumentException(
+        s"zarr3 write: compressor '$other' is not a v3 codec " +
+          "(raw | gzip | zstd | blosc — zlib/bzip2/lz4/xz are N5/v2-only)")
+    }
+    if (a.zarr3Crc) codecs.addObject().put("name", "crc32c")
+    val attrsNode = o.putObject("attributes")
+    a.extra.foreach { case (k, v) =>
+      attrsNode.set[ObjectNode](k, mapper.readTree(v))
+    }
+    val p = new Path(root, s"$dataset/zarr.json")
+    fs(p).mkdirs(p.getParent)
+    writeJson(p, o)
+  }
+
   /** Merge attribute JSON fragments into an existing (or new) JSON doc. */
   private def mergeJsonAttrs(p: Path, attrs: Map[String, String]): Unit = {
     val f = fs(p)

@@ -619,6 +619,105 @@ object N5Queries {
     },
 
     // ------------------------------------------------------------------
+    // ZARR v3 WRITE ROUND TRIP (q232, r18) -- the write half of q231:
+    // the sharded v3 golden re-encodes as a NON-sharded v3 container
+    // (fill-padded little-endian gzip chunks, each with a trailing
+    // crc32c the reader verifies and strips, default "c/"-prefixed
+    // keys, one zarr.json committed AFTER the data by the same
+    // atomic-rename writer) and re-reads through the DSv2 source; the
+    // result must equal q231's independently-derived golden rows --
+    // the source's index-missing fill chunk writes as a zeros chunk
+    // (checksum-0 row) and the missing shard's grids stay absent.
+    // The written container FORMAT is validated by a second
+    // implementation: tools/check_zarr3_write.py decodes an engine-
+    // written store with numpy + stdlib gzip + its own CRC32C (run in
+    // Zarr3Spec). Sharded v3 writes and non-v3 compressors reject
+    // loudly (also pinned there).
+    QueryDef.sql(
+      "q232_zarr3_write_roundtrip",
+      """SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
+        |  CAST(gz AS INTEGER) AS gz, CAST(sx AS INTEGER) AS sx,
+        |  CAST(sy AS INTEGER) AS sy, CAST(sz AS INTEGER) AS sz,
+        |  CAST(n AS INTEGER) AS n, CAST(checksum AS BIGINT) AS checksum
+        |FROM (VALUES
+        |  (0, 0, 0, 2, 2, 1, 4, 68),
+        |  (0, 0, 1, 2, 2, 1, 4, 0),
+        |  (0, 0, 2, 2, 2, 1, 4, 868),
+        |  (0, 0, 3, 2, 2, 1, 4, 1268),
+        |  (0, 0, 4, 2, 2, 1, 4, 1668),
+        |  (0, 1, 0, 2, 2, 1, 4, 204),
+        |  (0, 1, 1, 2, 2, 1, 4, 604),
+        |  (0, 1, 2, 2, 2, 1, 4, 1004),
+        |  (0, 1, 3, 2, 2, 1, 4, 1404),
+        |  (0, 1, 4, 2, 2, 1, 4, 1804),
+        |  (0, 2, 0, 2, 2, 1, 4, 340),
+        |  (0, 2, 1, 2, 2, 1, 4, 740),
+        |  (0, 2, 2, 2, 2, 1, 4, 1140),
+        |  (0, 2, 3, 2, 2, 1, 4, 1540),
+        |  (0, 2, 4, 2, 2, 1, 4, 1940),
+        |  (1, 0, 0, 2, 2, 1, 4, 92),
+        |  (1, 0, 1, 2, 2, 1, 4, 492),
+        |  (1, 0, 2, 2, 2, 1, 4, 892),
+        |  (1, 0, 3, 2, 2, 1, 4, 1292),
+        |  (1, 0, 4, 2, 2, 1, 4, 1692),
+        |  (1, 1, 0, 2, 2, 1, 4, 228),
+        |  (1, 1, 1, 2, 2, 1, 4, 628),
+        |  (1, 1, 2, 2, 2, 1, 4, 1028),
+        |  (1, 1, 3, 2, 2, 1, 4, 1428),
+        |  (1, 1, 4, 2, 2, 1, 4, 1828),
+        |  (1, 2, 0, 2, 2, 1, 4, 364),
+        |  (1, 2, 1, 2, 2, 1, 4, 764),
+        |  (1, 2, 2, 2, 2, 1, 4, 1164),
+        |  (1, 2, 3, 2, 2, 1, 4, 1564),
+        |  (1, 2, 4, 2, 2, 1, 4, 1964),
+        |  (2, 0, 0, 2, 2, 1, 4, 116),
+        |  (2, 0, 1, 2, 2, 1, 4, 516),
+        |  (2, 0, 2, 2, 2, 1, 4, 916),
+        |  (2, 0, 3, 2, 2, 1, 4, 1316),
+        |  (2, 0, 4, 2, 2, 1, 4, 1716),
+        |  (2, 1, 0, 2, 2, 1, 4, 252),
+        |  (2, 1, 1, 2, 2, 1, 4, 652),
+        |  (2, 1, 2, 2, 2, 1, 4, 1052),
+        |  (2, 1, 3, 2, 2, 1, 4, 1452),
+        |  (2, 1, 4, 2, 2, 1, 4, 1852),
+        |  (2, 2, 0, 2, 2, 1, 4, 388),
+        |  (2, 2, 1, 2, 2, 1, 4, 788),
+        |  (2, 2, 2, 2, 2, 1, 4, 1188),
+        |  (2, 2, 3, 2, 2, 1, 4, 1588),
+        |  (3, 0, 0, 2, 2, 1, 4, 140),
+        |  (3, 0, 1, 2, 2, 1, 4, 540),
+        |  (3, 0, 2, 2, 2, 1, 4, 940),
+        |  (3, 0, 3, 2, 2, 1, 4, 1340),
+        |  (3, 0, 4, 2, 2, 1, 4, 1740),
+        |  (3, 1, 0, 2, 2, 1, 4, 276),
+        |  (3, 1, 1, 2, 2, 1, 4, 676),
+        |  (3, 1, 2, 2, 2, 1, 4, 1076),
+        |  (3, 1, 3, 2, 2, 1, 4, 1476),
+        |  (3, 1, 4, 2, 2, 1, 4, 1876),
+        |  (3, 2, 0, 2, 2, 1, 4, 412),
+        |  (3, 2, 1, 2, 2, 1, 4, 812),
+        |  (3, 2, 2, 2, 2, 1, 4, 1212),
+        |  (3, 2, 3, 2, 2, 1, 4, 1612))
+        |  t(gx, gy, gz, sx, sy, sz, n, checksum)
+        |ORDER BY gx, gy, gz""".stripMargin) { (s, _) =>
+      import graft.n5.{Compression, N5Meta}
+      val tmp = java.nio.file.Files.createTempDirectory("zarr3wr").toString
+      val src = N5Meta.datasetAttributes("/root/repo/fixtures/zarr3_golden", "vol")
+      val out = src.copy(compression = Compression("gzip", 6), shard = None,
+        zarr3Crc = true, zarr3ChunkPrefix = true, zarrSeparator = "/")
+      N5.writeZarr3(N5.read(s, "/root/repo/fixtures/zarr3_golden", "vol"),
+        tmp, "copy", out)
+      N5.read(s, tmp, "copy")
+        .select(col("gx"), col("gy"), col("gz"),
+          element_at(col("shape"), 1).as("sx"),
+          element_at(col("shape"), 2).as("sy"),
+          element_at(col("shape"), 3).as("sz"),
+          size(col("data")).as("n"),
+          aggregate(col("data"), lit(0L), (a, x) => a + x).as("checksum"))
+        .orderBy(col("gx"), col("gy"), col("gz"))
+    },
+
+    // ------------------------------------------------------------------
     // ZARR v2 WRITE ROUND TRIP (q211, r14) — the write half of q204: the
     // reference's own 4-block uint8 fixture is re-encoded as a zarr v2
     // container (C-order fill-padded zlib chunks + .zarray, committed

@@ -885,9 +885,9 @@ class N5WriteBuilder(
     */
   private def writeAttrs(): DatasetAttributes = {
     val fmt = options.getOrDefault("format", "n5") match {
-      case f @ ("n5" | "zarr") => f
+      case f @ ("n5" | "zarr" | "zarr3") => f
       case other => throw new IllegalArgumentException(
-        s"unknown container format '$other' (n5 | zarr)")
+        s"unknown container format '$other' (n5 | zarr | zarr3)")
     }
     if (options.containsKey("dimensions")) {
       DatasetAttributes(
@@ -900,7 +900,11 @@ class N5WriteBuilder(
         Option(options.get("extraAttrs"))
           .map(parseExtra).getOrElse(Map.empty),
         format = fmt,
-        zarrSeparator = options.getOrDefault("zarrSeparator", "."))
+        // v3 writes use the spec-default "/"-separated "c/" key
+        // encoding unless told otherwise, and always stamp crc32c
+        zarrSeparator = options.getOrDefault("zarrSeparator",
+          if (fmt == "zarr3") "/" else "."),
+        zarr3Crc = fmt == "zarr3")
     } else N5Meta.datasetAttributes(root, dataset)
   }
 
@@ -918,9 +922,9 @@ class N5BatchWrite(
     varlength: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    require(!attrs.isZarr3,
-      "zarr v3 stores are READ-ONLY (r18): the DSv2 writer emits N5 " +
-        "blocks or zarr v2 chunks, never v3 codec chains/shards")
+    require(!attrs.isZarr3 || attrs.shard.isEmpty,
+      "SHARDED zarr v3 write is unsupported (sharding_indexed is " +
+        "read-side only) — write the non-sharded v3 profile, zarr v2, or N5")
     // driver-side prep: optional truncate, container root marker
     if (truncate) {
       val p = new HPath(root, dataset)
@@ -929,7 +933,7 @@ class N5BatchWrite(
     }
     // a zarr store has no N5 root marker; injecting attributes.json into
     // a foreign container would corrupt it for strict zarr readers
-    if (!attrs.isZarr) N5Meta.ensureRoot(root)
+    if (!attrs.isZarrFamily) N5Meta.ensureRoot(root)
     new N5WriterFactory(root, dataset, attrs, inputSchema, varlength)
   }
 
@@ -937,7 +941,8 @@ class N5BatchWrite(
     * every task has written its blocks.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    if (attrs.isZarr) N5Meta.writeZarrAttributes(root, dataset, attrs)
+    if (attrs.isZarr3) N5Meta.writeZarr3Attributes(root, dataset, attrs)
+    else if (attrs.isZarr) N5Meta.writeZarrAttributes(root, dataset, attrs)
     else N5Meta.writeDatasetAttributes(root, dataset, attrs)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -993,15 +998,24 @@ class N5BlockWriter(
       case other => throw new IllegalArgumentException(s"bad element type $other")
     }
     val bytes =
-      if (attrs.isZarr) {
+      if (attrs.isZarrFamily) {
         require(!varlength,
           "zarr chunks have no header; blockMode=varlength is N5-only")
-        BlockCodec.encodeZarr(shape, attrs.blockSize, longs, doubles,
-          attrs.dataType, attrs.compression, attrs.zarrLittleEndian)
+        val chunk = BlockCodec.encodeZarr(shape, attrs.blockSize, longs,
+          doubles, attrs.dataType, attrs.compression, attrs.zarrLittleEndian)
+        // v3 chains end with crc32c: checksum of the compressed chunk,
+        // 4 bytes little-endian (verified+stripped on read)
+        if (attrs.isZarr3 && attrs.zarr3Crc) {
+          val crc = new java.util.zip.CRC32C()
+          crc.update(chunk, 0, chunk.length)
+          val v = crc.getValue
+          chunk ++ Array[Byte](v.toByte, (v >>> 8).toByte,
+            (v >>> 16).toByte, (v >>> 24).toByte)
+        } else chunk
       } else BlockCodec.encode(shape, longs, doubles, attrs.dataType,
         attrs.compression, varlength)
     val path =
-      if (attrs.isZarr)
+      if (attrs.isZarrFamily)
         new HPath(root, s"$dataset/${attrs.chunkKey(Array(gx, gy, gz))}")
       else new HPath(root, s"$dataset/$gx/$gy/$gz")
     fs.mkdirs(path.getParent)
