@@ -27,9 +27,12 @@ import java.util.zip.{Deflater, Inflater}
   * PREDICTORS (PNG 10–15 incl. Sub/Up/Average/Paeth per-row filters,
   * TIFF 2), and hybrid files (`/XRefStm` in a classic trailer).
   * Newest-section-wins includes DELETIONS: a free entry in a newer
-  * section shadows any older in-use entry. Encrypted files, non-Flate
-  * filters, and inline images still fail loudly — silently-wrong text
-  * is worse than no text in a training corpus.
+  * section shadows any older in-use entry. `/Filter` arrays chain in
+  * order (legacy PDFs routinely stack `[ASCII85Decode, FlateDecode]`);
+  * ASCIIHexDecode and ASCII85Decode decode natively. Encrypted files,
+  * other filters (LZW/DCT/JBIG2/…), and inline images still fail
+  * loudly — silently-wrong text is worse than no text in a training
+  * corpus.
   *
   * Scale shape: PDFs are SCAN INPUT (binaryFile rows or a bytes
   * column); extraction is a narrow per-document kernel — document
@@ -591,41 +594,127 @@ object PdfText {
     }
   }
 
-  /** Filter + predictor pipeline for one stream: /Filter (none or
-    * FlateDecode, scalar or 1-element array) then /DecodeParms
-    * (Predictor 1 = none, 2 = TIFF horizontal, 10–15 = PNG per-row
-    * filters — the value ≥10 only declares "PNG"; each row's leading
-    * filter byte picks None/Sub/Up/Average/Paeth). Anything else is a
-    * loud reject.
+  /** Filter pipeline for one stream: /Filter is a name or an ARRAY of
+    * names applied in order (r18 — legacy PDFs routinely chain
+    * `[ASCII85Decode, FlateDecode]`), /DecodeParms a matching scalar or
+    * array. Supported filters: FlateDecode (with Predictor 1 = none,
+    * 2 = TIFF horizontal, 10–15 = PNG per-row filters — the value ≥10
+    * only declares "PNG"; each row's leading filter byte picks
+    * None/Sub/Up/Average/Paeth), ASCIIHexDecode, ASCII85Decode.
+    * Anything else is a loud reject.
     */
   private def decodeStreamPayload(dict: Map[String, Any], raw: Array[Byte],
       deref: Any => Any): Array[Byte] = {
-    val parms: Option[Map[String, Any]] =
+    val filters: Vector[String] = dict.get("Filter").map(deref) match {
+      case None => Vector.empty
+      case Some(PName(n)) => Vector(n)
+      case Some(v: Vector[Any @unchecked]) => v.map(deref).map {
+        case PName(n) => n
+        case o => fail(s"bad /Filter element $o")
+      }
+      case Some(o) => fail(s"bad /Filter $o")
+    }
+    val parms: Vector[Option[Map[String, Any]]] =
       dict.get("DecodeParms").orElse(dict.get("DP")).map(deref) match {
-        case None | Some(null) => None
-        case Some(d: Map[String @unchecked, Any @unchecked]) => Some(d)
-        case Some(Vector(one)) => deref(one) match {
-          case null => None
-          case d: Map[String @unchecked, Any @unchecked] => Some(d)
-          case o => fail(s"bad /DecodeParms element $o")
-        }
+        case None | Some(null) => Vector.fill(filters.size)(None)
+        case Some(d: Map[String @unchecked, Any @unchecked]) =>
+          if (filters.size != 1)
+            fail(s"scalar /DecodeParms with ${filters.size} filters")
+          Vector(Some(d))
+        case Some(v: Vector[Any @unchecked]) =>
+          if (v.size != filters.size)
+            fail(s"/DecodeParms length ${v.size} != /Filter length ${filters.size}")
+          v.map(deref).map {
+            case null => None
+            case d: Map[String @unchecked, Any @unchecked] => Some(d)
+            case o => fail(s"bad /DecodeParms element $o")
+          }
         case Some(o) => fail(s"bad /DecodeParms $o")
       }
-    val inflated = dict.get("Filter").map(deref) match {
-      case None =>
-        if (parms.nonEmpty) fail("/DecodeParms without a /Filter")
-        return raw
-      case Some(PName("FlateDecode")) => inflate(raw)
-      case Some(Vector(f)) => deref(f) match {
-        case PName("FlateDecode") => inflate(raw)
-        case other => fail(s"unsupported stream filter $other")
+    if (filters.isEmpty && dict.get("DecodeParms").exists(_ != null))
+      fail("/DecodeParms without a /Filter")
+    var data = raw
+    filters.zip(parms).foreach {
+      case ("FlateDecode", p) =>
+        data = inflate(data)
+        p.foreach(pp => data = unpredict(pp, data, deref))
+      case ("ASCIIHexDecode", p) =>
+        if (p.nonEmpty) fail("ASCIIHexDecode takes no /DecodeParms")
+        data = asciiHexDecode(data)
+      case ("ASCII85Decode", p) =>
+        if (p.nonEmpty) fail("ASCII85Decode takes no /DecodeParms")
+        data = ascii85Decode(data)
+      case (other, _) => fail(s"unsupported stream filter PName($other)")
+    }
+    data
+  }
+
+  /** ASCIIHexDecode: hex pairs to the `>` EOD marker, whitespace
+    * ignored, odd final digit padded with 0 (ISO 32000 7.4.2).
+    */
+  private def asciiHexDecode(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length / 2)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < b.length && !done) {
+      val c = b(i)
+      if (c == '>') done = true
+      else if (c == ' ' || c == '\n' || c == '\r' || c == '\t' ||
+          c == '\f' || c == 0) ()
+      else {
+        val v = Character.digit(c.toChar, 16)
+        if (v < 0) fail(s"bad ASCIIHex char '${c.toChar}'")
+        if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
       }
-      case Some(other) => fail(s"unsupported stream filter $other")
+      i += 1
     }
-    parms match {
-      case None => inflated
-      case Some(p) => unpredict(p, inflated, deref)
+    if (!done) fail("ASCIIHex stream missing '>' EOD")
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode: 5 chars `!`..`u` per 4 bytes base-85 big-endian,
+    * `z` for a zero group, whitespace ignored, `~>` EOD; a final
+    * partial group of n chars yields n-1 bytes (ISO 32000 7.4.3).
+    */
+  private def ascii85Decode(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length * 4 / 5 + 4)
+    val group = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(count: Int): Unit = {
+      // pad the partial group with 'u' (84), emit count-1 bytes
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < count) group(k) else 84); k += 1 }
+      if (v > 0xffffffffL) fail("ASCII85 group overflows 32 bits")
+      val bytes = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(bytes, 0, count - 1)
     }
+    while (i < b.length && !done) {
+      val c = b(i)
+      if (c == '~') {
+        if (i + 1 >= b.length || b(i + 1) != '>') fail("ASCII85 bad EOD")
+        done = true
+      } else if (c == 'z') {
+        if (n != 0) fail("ASCII85 'z' inside a group")
+        out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      } else if (c == ' ' || c == '\n' || c == '\r' || c == '\t' ||
+          c == '\f' || c == 0) ()
+      else if (c >= '!' && c <= 'u') {
+        group(n) = c - '!'
+        n += 1
+        if (n == 5) { flush(5); n = 0 }
+      } else fail(s"bad ASCII85 char '${c.toChar}'")
+      i += 1
+    }
+    if (!done) fail("ASCII85 stream missing '~>' EOD")
+    if (n == 1) fail("ASCII85 final group of one char is invalid")
+    if (n > 1) flush(n)
+    out.toByteArray
   }
 
   private def unpredict(parms: Map[String, Any], data: Array[Byte],

@@ -335,6 +335,41 @@ def gen():
     with open(os.path.join(OUT, "badfilter.pdf"), "wb") as f:
         f.write(bad)
 
+    # ---- filters.pdf (r18): legacy encode chains — page 1's content is
+    # [ASCII85Decode, FlateDecode] (filters apply in array order: un-85
+    # THEN inflate), page 2's is bare ASCIIHexDecode. Written with
+    # python's independent stdlib base64.a85encode / hex.
+    import base64
+    fb2 = PdfBuilder()
+    fb2.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    fb2.obj(2, b"<< /Type /Pages /Count 2 /Kids [10 0 R 20 0 R] >>")
+    fb2.obj(4, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    fb2.obj(10, b"<< /Type /Page /Parent 2 0 R /Contents 11 0 R" + res + b" >>")
+    fc1 = (b"BT /F1 12 Tf 72 720 Td\n"
+           b"(ascii85 then flate survives) Tj\n"
+           b"0 -14 TD\n(with a zero\\000group maybe) Tj\nET")
+    pay1 = base64.a85encode(zlib.compress(fc1)) + b"~>"
+    fb2.offsets[11] = len(fb2.buf)
+    fb2.buf += (b"11 0 obj\n<< /Length %d /Filter [/ASCII85Decode "
+                b"/FlateDecode] >>\nstream\n" % len(pay1))
+    fb2.buf += pay1 + b"\nendstream\nendobj\n"
+    fb2.obj(20, b"<< /Type /Page /Parent 2 0 R /Contents 21 0 R" + res + b" >>")
+    fc2 = b"BT /F1 12 Tf 72 720 Td\n(hex page two) Tj\nET"
+    pay2 = fc2.hex().upper().encode("ascii")
+    # whitespace inside the hex stream must be skipped
+    pay2 = b"\n".join(pay2[i:i + 40] for i in range(0, len(pay2), 40)) + b">"
+    fb2.offsets[21] = len(fb2.buf)
+    fb2.buf += (b"21 0 obj\n<< /Length %d /Filter /ASCIIHexDecode >>"
+                b"\nstream\n" % len(pay2))
+    fb2.buf += pay2 + b"\nendstream\nendobj\n"
+    fdata = fb2.finish()
+    with open(os.path.join(OUT, "filters.pdf"), "wb") as f:
+        f.write(fdata)
+    manifest["filters.pdf"] = {
+        "pages": 2,
+        "text": ("ascii85 then flate survives\nwith a zero\x00group maybe\n"
+                 "hex page two")}
+
     with open(os.path.join(OUT, "manifest.json"), "w", encoding="utf-8") as f:
         json.dump(manifest, f, indent=1, ensure_ascii=False)
     print(f"wrote {OUT}: rich.pdf ({len(data)} B) + 3 reject fixtures")
