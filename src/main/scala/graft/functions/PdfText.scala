@@ -638,6 +638,19 @@ object PdfText {
       case ("FlateDecode", p) =>
         data = inflate(data)
         p.foreach(pp => data = unpredict(pp, data, deref))
+      case ("LZWDecode", p) =>
+        val early = p.flatMap(_.get("EarlyChange")).map(deref) match {
+          case None => 1
+          case Some(n: Long) if n == 0L || n == 1L => n.toInt
+          case Some(o) => fail(s"bad /EarlyChange $o")
+        }
+        data = lzwDecode(data, early)
+        p.foreach { pp =>
+          if (pp.contains("Predictor")) data = unpredict(pp, data, deref)
+        }
+      case ("RunLengthDecode", p) =>
+        if (p.nonEmpty) fail("RunLengthDecode takes no /DecodeParms")
+        data = runLengthDecode(data)
       case ("ASCIIHexDecode", p) =>
         if (p.nonEmpty) fail("ASCIIHexDecode takes no /DecodeParms")
         data = asciiHexDecode(data)
@@ -647,6 +660,89 @@ object PdfText {
       case (other, _) => fail(s"unsupported stream filter PName($other)")
     }
     data
+  }
+
+  /** LZWDecode (ISO 32000 7.4.4 — the TIFF variant): MSB-first codes of
+    * 9–12 bits, 256 = clear table, 257 = EOD, table entries added per
+    * emitted string; `EarlyChange` 1 (default) widens the code ONE
+    * entry before the table boundary. Distinct from GIF's LSB-first
+    * LZW ([[GifCodec]]) — the two bit orders are not interchangeable.
+    */
+  private def lzwDecode(b: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length * 3)
+    // table: entries 0-255 single bytes, 256/257 reserved
+    val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def resetTable(): Unit = {
+      table.clear()
+      for (i <- 0 until 256) table += Array(i.toByte)
+      table += null; table += null // 256 clear, 257 EOD
+    }
+    resetTable()
+    var width = 9
+    var acc = 0L
+    var nBits = 0
+    var pos = 0
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      while (nBits < width && pos < b.length) {
+        acc = (acc << 8) | (b(pos) & 0xffL); nBits += 8; pos += 1
+      }
+      if (nBits < width) fail("LZW stream ends without EOD")
+      val code = ((acc >>> (nBits - width)) & ((1 << width) - 1)).toInt
+      nBits -= width
+      if (code == 257) done = true
+      else if (code == 256) {
+        resetTable(); width = 9; prev = null
+      } else {
+        val entry: Array[Byte] =
+          if (code < table.length) {
+            if (table(code) == null) fail(s"LZW code $code is reserved")
+            table(code)
+          } else if (code == table.length && prev != null)
+            prev :+ prev(0) // the KwKwK case
+          else fail(s"LZW code $code beyond table of ${table.length}")
+        out.write(entry)
+        if (prev != null) {
+          if (table.length >= 4096) fail("LZW table overflow without clear")
+          table += (prev :+ entry(0))
+        }
+        prev = entry
+        // width bump: at table size 511/1023/2047 with EarlyChange 1,
+        // one later with 0 (capped at 12 bits)
+        if (width < 12 && table.length + earlyChange >= (1 << width))
+          width += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (ISO 32000 7.4.5): length byte 0–127 copies the
+    * next length+1 bytes, 129–255 repeats the next byte 257−length
+    * times, 128 is EOD.
+    */
+  private def runLengthDecode(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length * 2)
+    var i = 0
+    var done = false
+    while (!done) {
+      if (i >= b.length) fail("RunLength stream ends without EOD")
+      val len = b(i) & 0xff
+      i += 1
+      if (len == 128) done = true
+      else if (len < 128) {
+        if (i + len + 1 > b.length) fail("RunLength literal run truncated")
+        out.write(b, i, len + 1)
+        i += len + 1
+      } else {
+        if (i >= b.length) fail("RunLength repeat run truncated")
+        val n = 257 - len
+        val v = b(i)
+        i += 1
+        for (_ <- 0 until n) out.write(v)
+      }
+    }
+    out.toByteArray
   }
 
   /** ASCIIHexDecode: hex pairs to the `>` EOD marker, whitespace

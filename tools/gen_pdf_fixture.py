@@ -320,7 +320,9 @@ def gen():
     manifest["hybrid.pdf"] = {"pages": 1,
                               "text": "hybrid xref resolved\nsecond line"}
 
-    # ---- badfilter.pdf: /LZWDecode content -> loud reject
+    # ---- badfilter.pdf: /JBIG2Decode content -> loud reject (r18: LZW
+    # decodes now, so the unsupported-filter pin moved to a filter that
+    # stays out of scope)
     bf = PdfBuilder()
     bf.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
     bf.obj(2, b"<< /Type /Pages /Count 1 /Kids [5 0 R] >>")
@@ -328,7 +330,7 @@ def gen():
     bf.obj(5, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R" + res + b" >>")
     payload = b"\x80\x0b\x60\x50"
     bf.offsets[6] = len(bf.buf)
-    bf.buf += b"6 0 obj\n<< /Length %d /Filter /LZWDecode >>\nstream\n" % len(payload)
+    bf.buf += b"6 0 obj\n<< /Length %d /Filter /JBIG2Decode >>\nstream\n" % len(payload)
     bf.buf += payload
     bf.buf += b"\nendstream\nendobj\n"
     bad = bf.finish()
@@ -337,12 +339,95 @@ def gen():
 
     # ---- filters.pdf (r18): legacy encode chains — page 1's content is
     # [ASCII85Decode, FlateDecode] (filters apply in array order: un-85
-    # THEN inflate), page 2's is bare ASCIIHexDecode. Written with
-    # python's independent stdlib base64.a85encode / hex.
+    # THEN inflate), page 2's is bare ASCIIHexDecode, page 3 LZWDecode
+    # (MSB-first TIFF-variant codes, EarlyChange 1 — encoded by the
+    # from-scratch encoder below, long enough to force a width bump),
+    # page 4 RunLengthDecode. Written with python's independent stdlib
+    # base64.a85encode / hex and hand-rolled LZW/RLE encoders.
     import base64
+
+    def lzw_encode(data: bytes) -> bytes:
+        # MSB-first PDF/TIFF LZW with EarlyChange=1: ClearTable first,
+        # dictionary strings -> codes from 258, EOD 257. Width sync: the
+        # encoder's post-add next_code runs one AHEAD of the decoder's
+        # table size at the same emission index, so the early-change
+        # decoder bump (table size 511/1023/2047) corresponds to
+        # next_code >= 1 << width here.
+        out_bits = []
+        width = 9
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        out_bits.append((256, width))
+        w = b""
+        for ch in data:
+            c = bytes([ch])
+            if w + c in table:
+                w = w + c
+            else:
+                out_bits.append((table[w], width))
+                table[w + c] = next_code
+                next_code += 1
+                if next_code >= (1 << width) and width < 12:
+                    width += 1
+                w = c
+        if w:
+            out_bits.append((table[w], width))
+        out_bits.append((257, width))
+        buf = bytearray()
+        acc, nbits = 0, 0
+        for code, wd in out_bits:
+            acc = (acc << wd) | code
+            nbits += wd
+            while nbits >= 8:
+                buf.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            buf.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(buf)
+
+    def rle_encode(data: bytes) -> bytes:
+        # simple literal/repeat runs + EOD 128
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            # find a repeat run
+            j = i
+            while j + 1 < len(data) and data[j + 1] == data[i] and \
+                    j - i < 126:
+                j += 1
+            if j > i + 1:  # repeat of length >= 3 pays
+                out.append(257 - (j - i + 1))
+                out.append(data[i])
+                i = j + 1
+            else:
+                # literal run to the next repeat (or 128 cap)
+                k = i
+                while k < len(data) and k - i < 127:
+                    if k + 2 < len(data) and data[k] == data[k + 1] == data[k + 2]:
+                        break
+                    k += 1
+                out.append(k - i - 1)  # literal of n bytes: length n-1
+                out += data[i:k]
+                i = k
+        out.append(128)
+        return bytes(out)
+
+    def rle_decode_check(enc: bytes) -> bytes:
+        # pure-python inverse, to sanity-check the encoder itself
+        out = bytearray()
+        i = 0
+        while True:
+            n = enc[i]; i += 1
+            if n == 128:
+                return bytes(out)
+            if n < 128:
+                out += enc[i:i + n + 1]; i += n + 1
+            else:
+                out += bytes([enc[i]]) * (257 - n); i += 1
+
     fb2 = PdfBuilder()
     fb2.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
-    fb2.obj(2, b"<< /Type /Pages /Count 2 /Kids [10 0 R 20 0 R] >>")
+    fb2.obj(2, b"<< /Type /Pages /Count 4 /Kids [10 0 R 20 0 R 30 0 R 40 0 R] >>")
     fb2.obj(4, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     fb2.obj(10, b"<< /Type /Page /Parent 2 0 R /Contents 11 0 R" + res + b" >>")
     fc1 = (b"BT /F1 12 Tf 72 720 Td\n"
@@ -362,13 +447,44 @@ def gen():
     fb2.buf += (b"21 0 obj\n<< /Length %d /Filter /ASCIIHexDecode >>"
                 b"\nstream\n" % len(pay2))
     fb2.buf += pay2 + b"\nendstream\nendobj\n"
+    # page 3: LZWDecode, with enough distinct dictionary growth to force
+    # a 9->10-bit width bump (>253 added entries) — the text repeats
+    # varied words so the table genuinely grows
+    fb2.obj(30, b"<< /Type /Page /Parent 2 0 R /Contents 31 0 R" + res + b" >>")
+    lzw_lines = []
+    for i in range(40):
+        lzw_lines.append("(lzw line %02d: alpha%02d beta%02d gamma%02d) Tj"
+                         % (i, i, (i * 7) % 100, (i * 13) % 100))
+    fc3 = ("BT /F1 12 Tf 72 720 Td\n" +
+           "\n0 -14 TD\n".join(lzw_lines) + "\nET").encode("ascii")
+    pay3 = lzw_encode(fc3)
+    fb2.offsets[31] = len(fb2.buf)
+    fb2.buf += (b"31 0 obj\n<< /Length %d /Filter /LZWDecode >>"
+                b"\nstream\n" % len(pay3))
+    fb2.buf += pay3 + b"\nendstream\nendobj\n"
+    p3_text = "\n".join("lzw line %02d: alpha%02d beta%02d gamma%02d"
+                        % (i, i, (i * 7) % 100, (i * 13) % 100)
+                        for i in range(40))
+    # page 4: RunLengthDecode with literal and repeat runs
+    fb2.obj(40, b"<< /Type /Page /Parent 2 0 R /Contents 41 0 R" + res + b" >>")
+    fc4 = (b"BT /F1 12 Tf 72 720 Td\n"
+           b"(rle page: aaaaaaaaaaaaaaaaaaaaaa then text) Tj\nET")
+    pay4 = rle_encode(fc4)
+    assert any(b > 128 for b in pay4[:-1]), "RLE fixture must contain a repeat run"
+    fb2.offsets[41] = len(fb2.buf)
+    fb2.buf += (b"41 0 obj\n<< /Length %d /Filter /RunLengthDecode >>"
+                b"\nstream\n" % len(pay4))
+    fb2.buf += pay4 + b"\nendstream\nendobj\n"
     fdata = fb2.finish()
     with open(os.path.join(OUT, "filters.pdf"), "wb") as f:
         f.write(fdata)
     manifest["filters.pdf"] = {
-        "pages": 2,
+        "pages": 4,
         "text": ("ascii85 then flate survives\nwith a zero\x00group maybe\n"
-                 "hex page two")}
+                 "hex page two\n" + p3_text +
+                 "\nrle page: aaaaaaaaaaaaaaaaaaaaaa then text")}
+    # sanity: the python RLE encoder inverts correctly
+    assert rle_decode_check(pay4) == fc4
 
     with open(os.path.join(OUT, "manifest.json"), "w", encoding="utf-8") as f:
         json.dump(manifest, f, indent=1, ensure_ascii=False)
