@@ -905,8 +905,18 @@ object PdfText {
   // ------------------------------------------------------------------
 
   private def decodeShown(b: Array[Byte]): String = {
-    // strict UTF-8 when valid, else Windows-1252 (the de-facto
-    // simple-font single-byte encoding)
+    // ISO 32000 7.9.2.2: a text string opening with the FE FF BOM is
+    // UTF-16BE (PDF 2.0 adds the EF BB BF UTF-8 marker) — without this
+    // a UTF-16 string would silently mis-decode as cp1252 garbage.
+    // Otherwise: strict UTF-8 when valid, else Windows-1252 (the
+    // de-facto simple-font single-byte encoding).
+    if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
+      return new String(b, 2, b.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16BE)
+    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+        b(2) == 0xBF.toByte)
+      return new String(b, 3, b.length - 3,
+        java.nio.charset.StandardCharsets.UTF_8)
     val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
     try dec.decode(java.nio.ByteBuffer.wrap(b)).toString
     catch {

@@ -86,7 +86,7 @@ object Multiscale {
       prev = attrs
       level += 1
     }
-    if (s0.isZarr) {
+    if (s0.isZarrFamily) {
       // OME-NGFF multiscales (v0.4) — the group metadata the zarr
       // ecosystem's readers (ome-zarr, napari) discover pyramids by
       // (r15, VERDICT r14 missing #4). Axes and scale vectors are in the
@@ -98,10 +98,12 @@ object Multiscale {
         s"""{"path":"s$i","coordinateTransformations":[{"type":"scale",""" +
           s""""scale":${f.reverse.map(v => s"$v.0").mkString("[", ",", "]")}}]}"""
       }.mkString("[", ",", "]")
-      N5Meta.updateZarrGroupAttributes(root, group, Map(
+      val ngff = Map(
         "multiscales" ->
           (s"""[{"version":"0.4","name":"$group","axes":$ngffAxes,""" +
-            s""""datasets":$datasets}]""")))
+            s""""datasets":$datasets}]"""))
+      if (s0.isZarr3) N5Meta.updateZarr3GroupAttributes(root, group, ngff)
+      else N5Meta.updateZarrGroupAttributes(root, group, ngff)
     } else {
       N5Meta.updateGroupAttributes(root, group, Map(
         "scales" -> scales.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"),
@@ -147,7 +149,10 @@ object Multiscale {
     val Array(fx, fy, fz) = factors
     val dstDims = src.dimensions.zip(factors).map { case (d, f) => d / f }
     val dst = src.copy(dimensions = dstDims,
-      extra = levelExtra(src, factors, level))
+      extra = levelExtra(src, factors, level),
+      // a sharded v3 s0 derives NON-sharded levels (the engine reads
+      // shards but writes the plain v3 profile); no-op otherwise
+      shard = None)
     val Array(bx, by, bz) = src.blockSize
     val isFloat =
       src.dataType == Dtype.Float32 || src.dataType == Dtype.Float64
@@ -246,7 +251,10 @@ object Multiscale {
     val Array(fx, fy, fz) = factors
     val dstDims = src.dimensions.zip(factors).map { case (d, f) => d / f }
     val dst = src.copy(dimensions = dstDims,
-      extra = levelExtra(src, factors, level))
+      extra = levelExtra(src, factors, level),
+      // a sharded v3 s0 derives NON-sharded levels (the engine reads
+      // shards but writes the plain v3 profile); no-op otherwise
+      shard = None)
     val rebinned = N5.elementsScan(spark, root, s"$group/s${level - 1}")
       // trim: drop elements in partial windows at the high edge
       .filter(col("x") < dstDims(0) * fx

@@ -762,6 +762,46 @@ object N5Meta {
     mergeJsonAttrs(new Path(dir, ".zattrs"), attrs)
   }
 
+  /** zarr v3 group metadata (r18): one `zarr.json` per group level with
+    * `node_type: "group"` and the merged user attributes — v3 keeps no
+    * sibling `.zattrs`/`.zgroup` documents.
+    */
+  def updateZarr3GroupAttributes(
+      root: String, group: String, attrs: Map[String, String]): Unit = {
+    val dirs = scala.collection.mutable.ArrayBuffer(root)
+    if (group.nonEmpty) {
+      var acc = root
+      group.split("/").foreach { seg => acc = s"$acc/$seg"; dirs += acc }
+    }
+    dirs.foreach { d =>
+      val p = new Path(d, "zarr.json")
+      val f = fs(p)
+      f.mkdirs(p.getParent)
+      val base =
+        if (f.exists(p)) readJson(p).asInstanceOf[ObjectNode]
+        else {
+          val o = mapper.createObjectNode()
+          o.put("zarr_format", 3)
+          o.put("node_type", "group")
+          o
+        }
+      if (base.get("node_type") != null &&
+          base.get("node_type").asText() == "array")
+        throw new IllegalArgumentException(
+          s"zarr3: $d is an ARRAY node, cannot carry group attributes")
+      // only the leaf group carries the attribute payload; ancestors
+      // just need to exist as group nodes
+      if (d == dirs.last && attrs.nonEmpty) {
+        val a = base.get("attributes") match {
+          case o: ObjectNode => o
+          case _ => base.putObject("attributes")
+        }
+        attrs.foreach { case (k, v) => a.set[ObjectNode](k, mapper.readTree(v)) }
+      }
+      writeJson(p, base)
+    }
+  }
+
   /** The level dataset paths a foreign OME-NGFF pyramid declares in its
     * group `.zattrs` `multiscales[0].datasets[*].path`, in declared
     * order (r16, VERDICT r15 #7) — empty when the group has no `.zattrs`

@@ -165,6 +165,21 @@ class PdfTextSpec extends AnyFunSuite {
       .forall(_.length <= 20))
   }
 
+  test("shown strings with a FE FF BOM decode as UTF-16BE; EF BB BF " +
+      "as BOM'd UTF-8 (ISO 32000 7.9.2.2) — not cp1252 garbage (r18)") {
+    // hex string <FEFF 0412 0430> = UTF-16BE "\u0412\u0430"
+    val content = "BT <FEFF04120430> Tj ET".getBytes("US-ASCII")
+    assert(PdfText.extractPageText(content) == "\u0412\u0430")
+    val utf8 = "BT (".getBytes("US-ASCII") ++
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "caf\u00e9".getBytes("UTF-8") ++ ") Tj ET".getBytes("US-ASCII")
+    assert(PdfText.extractPageText(utf8) == "caf\u00e9")
+    // and a BOM-less latin-1 byte string still falls back to cp1252
+    assert(PdfText.extractPageText(
+      Array[Byte]('B', 'T', ' ', '(', 0xE9.toByte, ')', ' ', 'T', 'j',
+        ' ', 'E', 'T')) == "\u00e9")
+  }
+
   test("a reference CYCLE fails loudly, not with a stack overflow (r18)") {
     // hand-built file: object 1 (catalog) points /Pages at 2; 2 and 3
     // reference each other in a loop
