@@ -224,9 +224,34 @@ object N5Scan {
       attrs.blockSize.map(_.toLong).product * attrs.dataType.bytesPerElement)
     val perPartition = math.min(Int.MaxValue.toLong, math.max(1L,
       math.min(maxBlocksPerPartition, targetBytes / blockBytes))).toInt
-    grids.grouped(perPartition)
-      .map(gs => N5BlocksPartition(root, dataset, gs.toArray): InputPartition)
-      .toArray
+    attrs.shard match {
+      case Some(_) =>
+        // sharded v3 (r19): grids arrive shard-by-shard from the walk;
+        // cut partitions only at shard BOUNDARIES so a shard's inner
+        // chunks share one reader, whose ShardReadState then opens +
+        // index-reads each shard exactly once per scan
+        val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+        val cur = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+        var curShard: Seq[Int] = null
+        def flush(): Unit = if (cur.nonEmpty) {
+          parts += N5BlocksPartition(root, dataset, cur.toArray)
+          cur.clear()
+        }
+        grids.foreach { g =>
+          val sg = attrs.shardGrid(g).toSeq
+          if (sg != curShard) {
+            if (cur.length >= perPartition) flush()
+            curShard = sg
+          }
+          cur += g
+        }
+        flush()
+        parts.toArray
+      case None =>
+        grids.grouped(perPartition)
+          .map(gs => N5BlocksPartition(root, dataset, gs.toArray): InputPartition)
+          .toArray
+    }
   }
 }
 
@@ -427,17 +452,121 @@ object N5GridWalk {
   * view.
   */
 object N5BlockIO {
+  /** Per-partition-reader cache of the currently-OPEN shard: stream,
+    * length, parsed index (r19). Same-shard inner chunks arrive
+    * consecutively (the v3 walk emits shard-by-shard and partition
+    * grouping cuts only at shard boundaries), so one open + one
+    * positioned index read serves every inner chunk of a shard. Owned by
+    * a single PartitionReader — not thread-safe, closed with it.
+    */
+  final class ShardReadState extends AutoCloseable {
+    private[N5BlockIO] var path: String = null
+    private[N5BlockIO] var in: org.apache.hadoop.fs.FSDataInputStream = null
+    private[N5BlockIO] var fileLen: Long = 0L
+    private[N5BlockIO] var index: Array[Long] = null
+    override def close(): Unit = {
+      if (in != null) { in.close(); in = null }
+      path = null
+      index = null
+    }
+  }
+
   def readDecode(
       fs: FileSystem, root: String, dataset: String, g: Array[Int],
-      attrs: DatasetAttributes): DecodedBlock = {
+      attrs: DatasetAttributes,
+      shardState: ShardReadState = null): DecodedBlock = {
     val p = new HPath(root, s"$dataset/${attrs.chunkKey(g)}")
-    val in = fs.open(p)
-    val raw = try in.readAllBytes() finally in.close()
-    if (attrs.isZarr3) decodeZarr3(raw, g, attrs)
-    else if (attrs.isZarr)
-      BlockCodec.decodeZarr(raw, attrs.dataType, attrs.compression,
-        attrs.blockSize, attrs.blockShape(g), attrs.zarrLittleEndian)
-    else BlockCodec.decode(raw, attrs.dataType, attrs.compression)
+    attrs.shard match {
+      case Some(sp) if attrs.isZarr3 =>
+        readSharded(fs, p, g, attrs, sp, shardState)
+      case _ =>
+        val in = fs.open(p)
+        val raw = try in.readAllBytes() finally in.close()
+        if (attrs.isZarr3) {
+          val body = if (attrs.zarr3Crc) stripCrc32c(raw, "chunk") else raw
+          BlockCodec.decodeZarr(body, attrs.dataType, attrs.compression,
+            attrs.blockSize, attrs.blockShape(g), attrs.zarrLittleEndian)
+        } else if (attrs.isZarr)
+          BlockCodec.decodeZarr(raw, attrs.dataType, attrs.compression,
+            attrs.blockSize, attrs.blockShape(g), attrs.zarrLittleEndian)
+        else BlockCodec.decode(raw, attrs.dataType, attrs.compression)
+    }
+  }
+
+  /** Ranged sharded read (r19, closes the r18 whole-shard `weak`): never
+    * touch shard bytes beyond this block's inner chunk. The
+    * 16·nInner-byte index is positioned-read ONCE per shard — cached with
+    * the open stream in `shardState` across a partition's consecutive
+    * same-shard blocks — then each inner chunk is a positioned read of
+    * exactly [off, off+nbytes). Cost per block: O(chunk) bytes (+ one
+    * index per shard), vs r18's whole-file `readAllBytes` which was
+    * O(innerChunks × shardBytes) I/O and held a ≥shard-sized byte array
+    * per read (2 GB JVM array cap) — real shards are GBs by design.
+    * The all-ones index entry means the inner chunk was never written and
+    * reconstructs as fill (zeros) — zarr semantics at the INDEX level,
+    * while a wholly missing shard file keeps the engine's sparse no-row
+    * semantics at the FILE level (it never lists).
+    */
+  private def readSharded(
+      fs: FileSystem, p: HPath, g: Array[Int], attrs: DatasetAttributes,
+      sp: ShardSpec, shardState: ShardReadState): DecodedBlock = {
+    val st = if (shardState != null) shardState else new ShardReadState
+    try {
+      val key = p.toString
+      if (st.path != key) {
+        st.close()
+        st.fileLen = fs.getFileStatus(p).getLen
+        st.in = fs.open(p)
+        st.index = readShardIndex(st.in, st.fileLen, sp)
+        st.path = key
+      }
+      // flat C-order index of this block within its shard: iterate
+      // engine axes in REVERSE (zarr's axis order)
+      var flat = 0
+      var d = g.length - 1
+      while (d >= 0) {
+        flat = flat * sp.chunksPerShard(d) + (g(d) % sp.chunksPerShard(d))
+        d -= 1
+      }
+      val off = st.index(flat * 2)
+      val nbytes = st.index(flat * 2 + 1)
+      if (off == -1L && nbytes == -1L)
+        fillBlock(attrs.blockShape(g), attrs) // never written: fill 0
+      else {
+        if (off < 0 || nbytes < 0 || off + nbytes > st.fileLen)
+          throw new IllegalArgumentException(
+            s"zarr3: shard index entry [$off, ${off + nbytes}) outside " +
+              s"the ${st.fileLen} B shard")
+        if (nbytes > Int.MaxValue - 8) throw new IllegalArgumentException(
+          s"zarr3: inner chunk of $nbytes B exceeds the JVM array limit")
+        val chunk = new Array[Byte](nbytes.toInt)
+        st.in.readFully(off, chunk)
+        val body = if (sp.chunkCrc) stripCrc32c(chunk, "inner chunk") else chunk
+        BlockCodec.decodeZarr(body, attrs.dataType, sp.innerCompression,
+          attrs.blockSize, attrs.blockShape(g), sp.innerLittleEndian)
+      }
+    } finally if (shardState == null) st.close()
+  }
+
+  /** Positioned read + crc-verify + parse of a shard's u64-pair index
+    * (C-order over the shard's inner grid, at the declared end/start).
+    */
+  private def readShardIndex(
+      in: org.apache.hadoop.fs.FSDataInputStream, fileLen: Long,
+      sp: ShardSpec): Array[Long] = {
+    val nInner = sp.chunksPerShard.product
+    val idxSize = nInner * 16 + (if (sp.indexCrc) 4 else 0)
+    if (fileLen < idxSize) throw new IllegalArgumentException(
+      s"zarr3: shard of $fileLen B smaller than its $idxSize B index")
+    val idxRaw = new Array[Byte](idxSize)
+    in.readFully(if (sp.indexAtEnd) fileLen - idxSize else 0L, idxRaw)
+    val idx = if (sp.indexCrc) stripCrc32c(idxRaw, "shard index") else idxRaw
+    val bb = java.nio.ByteBuffer.wrap(idx)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Long](nInner * 2)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
   }
 
   /** Verify and strip a trailing crc32c codec's 4-byte LE checksum. */
@@ -461,59 +590,6 @@ object N5BlockIO {
     else DecodedBlock(null, shape, new Array[Long](n), null)
   }
 
-  /** Decode one engine block of a zarr v3 store from its chunk file
-    * `raw` (r18). Non-sharded: crc-strip then the v2-identical
-    * fill-padded C-order decode. Sharded: the file is a SHARD — parse
-    * the u64-pair index (C-order over the shard's inner grid, at the
-    * declared end/start, crc-verified), slice this block's inner chunk,
-    * decode through the inner chain; the all-ones index entry means the
-    * inner chunk was never written and reconstructs as fill (zeros) —
-    * zarr semantics at the INDEX level, while a wholly missing shard
-    * file keeps the engine's sparse no-row semantics at the FILE level.
-    */
-  private def decodeZarr3(
-      raw: Array[Byte], g: Array[Int], attrs: DatasetAttributes): DecodedBlock =
-    attrs.shard match {
-      case None =>
-        val body = if (attrs.zarr3Crc) stripCrc32c(raw, "chunk") else raw
-        BlockCodec.decodeZarr(body, attrs.dataType, attrs.compression,
-          attrs.blockSize, attrs.blockShape(g), attrs.zarrLittleEndian)
-      case Some(sp) =>
-        val nInner = sp.chunksPerShard.product
-        val idxSize = nInner * 16 + (if (sp.indexCrc) 4 else 0)
-        if (raw.length < idxSize) throw new IllegalArgumentException(
-          s"zarr3: shard of ${raw.length} B smaller than its $idxSize B index")
-        val idxRaw =
-          if (sp.indexAtEnd)
-            java.util.Arrays.copyOfRange(raw, raw.length - idxSize, raw.length)
-          else java.util.Arrays.copyOfRange(raw, 0, idxSize)
-        val idx = if (sp.indexCrc) stripCrc32c(idxRaw, "shard index") else idxRaw
-        // flat C-order index of this block within its shard: iterate
-        // engine axes in REVERSE (zarr's axis order)
-        var flat = 0
-        var d = g.length - 1
-        while (d >= 0) {
-          flat = flat * sp.chunksPerShard(d) + (g(d) % sp.chunksPerShard(d))
-          d -= 1
-        }
-        val bb = java.nio.ByteBuffer.wrap(idx, flat * 16, 16)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val off = bb.getLong
-        val nbytes = bb.getLong
-        if (off == -1L && nbytes == -1L)
-          fillBlock(attrs.blockShape(g), attrs) // never written: fill 0
-        else {
-          if (off < 0 || nbytes < 0 || off + nbytes > raw.length)
-            throw new IllegalArgumentException(
-              s"zarr3: shard index entry [$off, ${off + nbytes}) outside " +
-                s"the ${raw.length} B shard")
-          val chunk = java.util.Arrays.copyOfRange(
-            raw, off.toInt, (off + nbytes).toInt)
-          val body = if (sp.chunkCrc) stripCrc32c(chunk, "inner chunk") else chunk
-          BlockCodec.decodeZarr(body, attrs.dataType, sp.innerCompression,
-            attrs.blockSize, attrs.blockShape(g), sp.innerLittleEndian)
-        }
-    }
 }
 
 class N5Scan(
@@ -616,6 +692,7 @@ class N5BlockReader(
   private var row: InternalRow = _
   private val fs: FileSystem =
     new HPath(part.root).getFileSystem(new Configuration())
+  private val shardState = new N5BlockIO.ShardReadState
 
   private def needsData = required.fieldNames.contains("data")
 
@@ -626,7 +703,8 @@ class N5BlockReader(
     val shape: Array[Int] = attrs.blockShape(g)
     val dataArr: org.apache.spark.sql.catalyst.util.ArrayData =
       if (needsData)
-        toSparkArray(N5BlockIO.readDecode(fs, part.root, part.dataset, g, attrs))
+        toSparkArray(N5BlockIO.readDecode(fs, part.root, part.dataset, g,
+          attrs, shardState))
       else null
     val values = required.fieldNames.map {
       case "gx" => g(0)
@@ -682,7 +760,7 @@ class N5BlockReader(
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = ()
+  override def close(): Unit = shardState.close()
 }
 
 /** Columnar reader factory for the per-element view (r6 VERDICT #3): the
@@ -721,6 +799,7 @@ class N5ElementsReader(
 
   private val fs: FileSystem =
     new HPath(part.root).getFileSystem(new Configuration())
+  private val shardState = new N5BlockIO.ShardReadState
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(batchRows, required)
   private val batch =
@@ -747,7 +826,8 @@ class N5ElementsReader(
     y0 = g(1).toLong * attrs.blockSize(1)
     z0 = g(2).toLong * attrs.blockSize(2)
     if (needV) {
-      dec = N5BlockIO.readDecode(fs, part.root, part.dataset, g, attrs)
+      dec = N5BlockIO.readDecode(fs, part.root, part.dataset, g, attrs,
+        shardState)
       // the coordinate unravel trusts the attrs-derived trimmed shape; a
       // block file whose stored header disagrees (corrupt write, foreign
       // tool) would otherwise be silently misread as the wrong voxels
@@ -810,7 +890,7 @@ class N5ElementsReader(
   }
 
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
-  override def close(): Unit = batch.close()
+  override def close(): Unit = { batch.close(); shardState.close() }
 }
 
 // --------------------------------------------------------------- write path

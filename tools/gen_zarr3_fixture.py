@@ -227,5 +227,60 @@ def gen():
         print(f"  ({gx_}, {gy_}, {s}),")
 
 
+def gen_big(dest):
+    """Multi-MB-shard store for the r19 ranged-read pin (NOT checked in —
+    Zarr3Spec generates it into a temp dir). Two 8 MiB shards: uint16
+    [64,256,256] (z,y,x), shard [32,256,256], inner chunks [8,64,64]
+    (4x4x4 = 64 inner chunks of 64 KiB per shard). Inner codecs
+    [bytes LE] only (raw — on-disk shard size == raw size, so a
+    whole-shard read is unmistakable in a byte counter); index
+    [bytes LE, crc32c] at "end". v(z,y,x) = (131z + 17y + 3x + 5) % 65536.
+    """
+    shape = (64, 256, 256)
+    outer = (32, 256, 256)
+    inner = (8, 64, 64)
+    cps = tuple(o // i for o, i in zip(outer, inner))
+    z, y, x = np.meshgrid(np.arange(shape[0]), np.arange(shape[1]),
+                          np.arange(shape[2]), indexing="ij")
+    vol = ((131 * z + 17 * y + 3 * x + 5) % 65536).astype("<u2")
+    os.makedirs(dest, exist_ok=True)
+    meta = meta_common(
+        shape, "uint16", outer,
+        [{"name": "sharding_indexed",
+          "configuration": {
+              "chunk_shape": list(inner),
+              "codecs": [
+                  {"name": "bytes", "configuration": {"endian": "little"}}],
+              "index_codecs": [
+                  {"name": "bytes", "configuration": {"endian": "little"}},
+                  {"name": "crc32c"}],
+              "index_location": "end"}}],
+        {"name": "default", "configuration": {"separator": "/"}})
+    with open(os.path.join(dest, "zarr.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    for sg in itertools.product(*[range((s + o - 1) // o)
+                                  for s, o in zip(shape, outer)]):
+        chunks, index, offset = [], [], 0
+        for loc in itertools.product(*[range(c) for c in cps]):
+            ig = tuple(sg[d] * cps[d] + loc[d] for d in range(3))
+            z0, y0, x0 = (ig[d] * inner[d] for d in range(3))
+            enc = vol[z0:z0 + inner[0], y0:y0 + inner[1],
+                      x0:x0 + inner[2]].tobytes()
+            chunks.append(enc)
+            index.append((offset, len(enc)))
+            offset += len(enc)
+        idx_bytes = b"".join(struct.pack("<QQ", o, n) for o, n in index)
+        shard_bytes = b"".join(chunks) + with_crc(idx_bytes)
+        key_dir = os.path.join(dest, "c", str(sg[0]), str(sg[1]))
+        os.makedirs(key_dir, exist_ok=True)
+        with open(os.path.join(key_dir, str(sg[2])), "wb") as f:
+            f.write(shard_bytes)
+    print(f"wrote {dest}: 2 shards of "
+          f"{32 * 256 * 256 * 2 + 64 * 16 + 4} B each")
+
+
 if __name__ == "__main__":
-    gen()
+    if len(sys.argv) > 2 and sys.argv[1] == "--big":
+        gen_big(sys.argv[2])
+    else:
+        gen()
