@@ -128,22 +128,37 @@ object N5 {
       writeZarr(df, root, dataset, attrs, attrs.zarrSeparator, extraAttrs)
     else writeN5(df, root, dataset, attrs, extraAttrs)
 
-  /** Write a block table as a zarr v3 container (r18): non-sharded
-    * profile only — fill-padded C-order chunks through
+  /** Write a block table as a zarr v3 container: non-sharded profile
+    * (r18) — fill-padded C-order chunks through
     * `[bytes <endian>, compressor?, crc32c]`, default "c/"-prefixed
-    * chunk keys, one `zarr.json` committed AFTER the data. Sharded
-    * attrs reject loudly (sharding_indexed is read-side).
+    * chunk keys, one `zarr.json` committed AFTER the data — or the
+    * `sharding_indexed` profile (r19) when `attrs.shard` is set:
+    * blockSize is the INNER chunk shape, chunk files are shards of
+    * `blockSize·chunksPerShard` voxels with the u64-pair index (+
+    * crc32c) at the end, and absent inner chunks stamp all-ones index
+    * entries (fill). Sharded writes CLUSTER the block table on the
+    * shard grid and sort within partitions so each shard's inner
+    * chunks reach exactly one task consecutively — the shard then
+    * STREAMS to disk (O(chunk) writer memory however large the shard),
+    * which is what makes GB-scale shards writable at all.
     */
   def writeZarr3(
       df: DataFrame, root: String, dataset: String, attrs: DatasetAttributes,
       extraAttrs: Map[String, String] = Map.empty): Unit = {
-    require(attrs.shard.isEmpty,
-      "SHARDED zarr v3 write is unsupported (sharding_indexed is " +
-        "read-side only) — write the non-sharded v3 profile, zarr v2, or N5")
-    df.write.format("n5")
+    val clustered = attrs.shard match {
+      case Some(sp) =>
+        val shardCols = Seq("gx", "gy", "gz").take(attrs.ndim).zipWithIndex
+          .map { case (c, i) => expr(s"$c div ${sp.chunksPerShard(i)}") }
+        df.repartition(shardCols: _*).sortWithinPartitions(shardCols: _*)
+      case None => df
+    }
+    val base = clustered.write.format("n5")
       .option("dataset", dataset)
       .option("format", "zarr3")
       .option("zarrSeparator", attrs.zarrSeparator)
+      .option("zarrLittleEndian", attrs.zarrLittleEndian.toString)
+      .option("zarr3ChunkPrefix", attrs.zarr3ChunkPrefix.toString)
+      .option("zarr3Crc", attrs.zarr3Crc.toString)
       .option("dimensions", attrs.dimensions.mkString(","))
       .option("blockSize", attrs.blockSize.mkString(","))
       .option("dataType", attrs.dataType.name)
@@ -151,6 +166,18 @@ object N5 {
       .option("compressionLevel", attrs.compression.level.toString)
       .option("extraAttrs",
         (attrs.extra ++ extraAttrs).map { case (k, v) => s"$k=$v" }.mkString(";;"))
+    attrs.shard.fold(base) { sp =>
+      require(sp.indexAtEnd,
+        "sharded zarr v3 write streams chunks then the index — " +
+          "index_location=start attrs cannot be written")
+      base.option("shardChunks", sp.chunksPerShard.mkString(","))
+        // the inner chain IS the attrs-level mirror on a fresh write
+        .option("zarr3Crc", sp.chunkCrc.toString)
+        .option("zarrLittleEndian", sp.innerLittleEndian.toString)
+        .option("shardIndexCrc", sp.indexCrc.toString)
+        .option("compression", sp.innerCompression.codec)
+        .option("compressionLevel", sp.innerCompression.level.toString)
+    }
       .mode("append")
       .save(root)
   }

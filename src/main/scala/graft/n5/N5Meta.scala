@@ -97,7 +97,23 @@ final case class ShardSpec(
     innerLittleEndian: Boolean,
     indexAtEnd: Boolean,
     indexCrc: Boolean,
-    chunkCrc: Boolean) extends Serializable
+    chunkCrc: Boolean) extends Serializable {
+
+  /** Flat C-order slot of inner-chunk grid `g` (engine x,y,z order)
+    * within its shard — engine axes iterate in REVERSE (zarr's axis
+    * order, x fastest). Shared by the sharded read and write paths so
+    * the index layout can never drift between them.
+    */
+  def flatIndex(g: Array[Int]): Int = {
+    var flat = 0
+    var d = g.length - 1
+    while (d >= 0) {
+      flat = flat * chunksPerShard(d) + (g(d) % chunksPerShard(d))
+      d -= 1
+    }
+    flat
+  }
+}
 
 /** Dataset attributes (attributes.json of a dataset directory).
   * dimensions/blockSize are in N5's x,y,z order (x fastest-varying in the
@@ -661,19 +677,52 @@ object N5Meta {
       mergeJsonAttrs(new Path(root, s"$dataset/.zattrs"), a.extra)
   }
 
-  /** Emit a zarr v3 `zarr.json` for the dataset (r18, non-sharded write
-    * profile): regular chunk grid in reversed (C) order, the default
-    * "c/"-style chunk-key encoding with the attrs' separator, codecs
-    * `[bytes <endian>, <compressor>?, crc32c?]`, fill 0, user attributes
-    * inline under `attributes` (v3 keeps ONE metadata document — no
-    * sibling .zattrs). Sharded attrs reject: the engine reads shards but
-    * never writes them.
+  /** Emit one `[bytes <endian>, <compressor>?, crc32c?]` v3 codec chain
+    * into `codecs` — shared by the plain-chunk and shard-inner chains.
+    */
+  private def emitV3Chain(codecs: com.fasterxml.jackson.databind.node.ArrayNode,
+      little: Boolean, comp: Compression, crc: Boolean): Unit = {
+    val bytesC = codecs.addObject()
+    bytesC.put("name", "bytes")
+    bytesC.putObject("configuration")
+      .put("endian", if (little) "little" else "big")
+    comp.codec match {
+      case "raw" => ()
+      case c @ ("gzip" | "zstd") =>
+        val cc = codecs.addObject()
+        cc.put("name", c)
+        cc.putObject("configuration")
+          .put("level", if (comp.level > 0) comp.level
+            else (if (c == "zstd") 3 else 6))
+      case "blosc" =>
+        val cc = codecs.addObject()
+        cc.put("name", "blosc")
+        val bcfg = cc.putObject("configuration")
+        bcfg.put("cname", "lz4")
+        bcfg.put("clevel", if (comp.level > 0) comp.level else 1)
+        bcfg.put("shuffle", "noshuffle")
+        bcfg.put("blocksize", 0)
+      case other => throw new IllegalArgumentException(
+        s"zarr3 write: compressor '$other' is not a v3 codec " +
+          "(raw | gzip | zstd | blosc — zlib/bzip2/lz4/xz are N5/v2-only)")
+    }
+    if (crc) codecs.addObject().put("name", "crc32c")
+  }
+
+  /** Emit a zarr v3 `zarr.json` for the dataset: regular chunk grid in
+    * reversed (C) order, the default "c/"-style chunk-key encoding with
+    * the attrs' separator, fill 0, user attributes inline under
+    * `attributes` (v3 keeps ONE metadata document — no sibling
+    * .zattrs). Non-sharded attrs (r18) declare the plain
+    * `[bytes <endian>, <compressor>?, crc32c?]` chain over `blockSize`
+    * chunks; sharded attrs (r19) declare ONE `sharding_indexed` codec
+    * whose outer chunk_shape is `blockSize · chunksPerShard`, wrapping
+    * the inner chain plus `[bytes le, crc32c?]` index codecs at the
+    * spec'd index_location.
     */
   def writeZarr3Attributes(
       root: String, dataset: String, a: DatasetAttributes): Unit = {
     require(a.isZarr3, "writeZarr3Attributes: attributes are not format=zarr3")
-    require(a.shard.isEmpty,
-      "zarr v3 WRITE is non-sharded only (sharding_indexed is read-side)")
     val o = mapper.createObjectNode()
     o.put("zarr_format", 3)
     o.put("node_type", "array")
@@ -682,37 +731,33 @@ object N5Meta {
     val grid = o.putObject("chunk_grid")
     grid.put("name", "regular")
     val gcfg = grid.putObject("configuration")
-    val cs = gcfg.putArray("chunk_shape"); a.blockSize.reverse.foreach(cs.add)
+    val outer = a.shard match {
+      case Some(sp) => a.blockSize.zip(sp.chunksPerShard).map { case (b, c) => b * c }
+      case None => a.blockSize
+    }
+    val cs = gcfg.putArray("chunk_shape"); outer.reverse.foreach(cs.add)
     val cke = o.putObject("chunk_key_encoding")
     cke.put("name", if (a.zarr3ChunkPrefix) "default" else "v2")
     cke.putObject("configuration").put("separator", a.zarrSeparator)
     o.put("fill_value", 0)
     val codecs = o.putArray("codecs")
-    val bytesC = codecs.addObject()
-    bytesC.put("name", "bytes")
-    bytesC.putObject("configuration")
-      .put("endian", if (a.zarrLittleEndian) "little" else "big")
-    a.compression.codec match {
-      case "raw" => ()
-      case c @ ("gzip" | "zstd") =>
-        val cc = codecs.addObject()
-        cc.put("name", c)
-        cc.putObject("configuration")
-          .put("level", if (a.compression.level > 0) a.compression.level
-            else (if (c == "zstd") 3 else 6))
-      case "blosc" =>
-        val cc = codecs.addObject()
-        cc.put("name", "blosc")
-        val bcfg = cc.putObject("configuration")
-        bcfg.put("cname", "lz4")
-        bcfg.put("clevel", if (a.compression.level > 0) a.compression.level else 1)
-        bcfg.put("shuffle", "noshuffle")
-        bcfg.put("blocksize", 0)
-      case other => throw new IllegalArgumentException(
-        s"zarr3 write: compressor '$other' is not a v3 codec " +
-          "(raw | gzip | zstd | blosc — zlib/bzip2/lz4/xz are N5/v2-only)")
+    a.shard match {
+      case None =>
+        emitV3Chain(codecs, a.zarrLittleEndian, a.compression, a.zarr3Crc)
+      case Some(sp) =>
+        val sc = codecs.addObject()
+        sc.put("name", "sharding_indexed")
+        val scfg = sc.putObject("configuration")
+        val ics = scfg.putArray("chunk_shape")
+        a.blockSize.reverse.foreach(ics.add)
+        emitV3Chain(scfg.putArray("codecs"),
+          sp.innerLittleEndian, sp.innerCompression, sp.chunkCrc)
+        val idx = scfg.putArray("index_codecs")
+        idx.addObject().put("name", "bytes").putObject("configuration")
+          .put("endian", "little")
+        if (sp.indexCrc) idx.addObject().put("name", "crc32c")
+        scfg.put("index_location", if (sp.indexAtEnd) "end" else "start")
     }
-    if (a.zarr3Crc) codecs.addObject().put("name", "crc32c")
     val attrsNode = o.putObject("attributes")
     a.extra.foreach { case (k, v) =>
       attrsNode.set[ObjectNode](k, mapper.readTree(v))

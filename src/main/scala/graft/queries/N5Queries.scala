@@ -30,6 +30,76 @@ object N5Queries {
     p
   }
 
+  // the 58 inner-chunk golden rows shared by the zarr v3 scan and
+  // write-round-trip oracles (q231/q232/q233): 60 grids minus the
+  // missing shard's 2, fill chunk at (0,0,1) with checksum 0
+  private val zarr3GoldenSql: String =
+    """SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
+      |  CAST(gz AS INTEGER) AS gz, CAST(sx AS INTEGER) AS sx,
+      |  CAST(sy AS INTEGER) AS sy, CAST(sz AS INTEGER) AS sz,
+      |  CAST(n AS INTEGER) AS n, CAST(checksum AS BIGINT) AS checksum
+      |FROM (VALUES
+      |  (0, 0, 0, 2, 2, 1, 4, 68),
+      |  (0, 0, 1, 2, 2, 1, 4, 0),
+      |  (0, 0, 2, 2, 2, 1, 4, 868),
+      |  (0, 0, 3, 2, 2, 1, 4, 1268),
+      |  (0, 0, 4, 2, 2, 1, 4, 1668),
+      |  (0, 1, 0, 2, 2, 1, 4, 204),
+      |  (0, 1, 1, 2, 2, 1, 4, 604),
+      |  (0, 1, 2, 2, 2, 1, 4, 1004),
+      |  (0, 1, 3, 2, 2, 1, 4, 1404),
+      |  (0, 1, 4, 2, 2, 1, 4, 1804),
+      |  (0, 2, 0, 2, 2, 1, 4, 340),
+      |  (0, 2, 1, 2, 2, 1, 4, 740),
+      |  (0, 2, 2, 2, 2, 1, 4, 1140),
+      |  (0, 2, 3, 2, 2, 1, 4, 1540),
+      |  (0, 2, 4, 2, 2, 1, 4, 1940),
+      |  (1, 0, 0, 2, 2, 1, 4, 92),
+      |  (1, 0, 1, 2, 2, 1, 4, 492),
+      |  (1, 0, 2, 2, 2, 1, 4, 892),
+      |  (1, 0, 3, 2, 2, 1, 4, 1292),
+      |  (1, 0, 4, 2, 2, 1, 4, 1692),
+      |  (1, 1, 0, 2, 2, 1, 4, 228),
+      |  (1, 1, 1, 2, 2, 1, 4, 628),
+      |  (1, 1, 2, 2, 2, 1, 4, 1028),
+      |  (1, 1, 3, 2, 2, 1, 4, 1428),
+      |  (1, 1, 4, 2, 2, 1, 4, 1828),
+      |  (1, 2, 0, 2, 2, 1, 4, 364),
+      |  (1, 2, 1, 2, 2, 1, 4, 764),
+      |  (1, 2, 2, 2, 2, 1, 4, 1164),
+      |  (1, 2, 3, 2, 2, 1, 4, 1564),
+      |  (1, 2, 4, 2, 2, 1, 4, 1964),
+      |  (2, 0, 0, 2, 2, 1, 4, 116),
+      |  (2, 0, 1, 2, 2, 1, 4, 516),
+      |  (2, 0, 2, 2, 2, 1, 4, 916),
+      |  (2, 0, 3, 2, 2, 1, 4, 1316),
+      |  (2, 0, 4, 2, 2, 1, 4, 1716),
+      |  (2, 1, 0, 2, 2, 1, 4, 252),
+      |  (2, 1, 1, 2, 2, 1, 4, 652),
+      |  (2, 1, 2, 2, 2, 1, 4, 1052),
+      |  (2, 1, 3, 2, 2, 1, 4, 1452),
+      |  (2, 1, 4, 2, 2, 1, 4, 1852),
+      |  (2, 2, 0, 2, 2, 1, 4, 388),
+      |  (2, 2, 1, 2, 2, 1, 4, 788),
+      |  (2, 2, 2, 2, 2, 1, 4, 1188),
+      |  (2, 2, 3, 2, 2, 1, 4, 1588),
+      |  (3, 0, 0, 2, 2, 1, 4, 140),
+      |  (3, 0, 1, 2, 2, 1, 4, 540),
+      |  (3, 0, 2, 2, 2, 1, 4, 940),
+      |  (3, 0, 3, 2, 2, 1, 4, 1340),
+      |  (3, 0, 4, 2, 2, 1, 4, 1740),
+      |  (3, 1, 0, 2, 2, 1, 4, 276),
+      |  (3, 1, 1, 2, 2, 1, 4, 676),
+      |  (3, 1, 2, 2, 2, 1, 4, 1076),
+      |  (3, 1, 3, 2, 2, 1, 4, 1476),
+      |  (3, 1, 4, 2, 2, 1, 4, 1876),
+      |  (3, 2, 0, 2, 2, 1, 4, 412),
+      |  (3, 2, 1, 2, 2, 1, 4, 812),
+      |  (3, 2, 2, 2, 2, 1, 4, 1212),
+      |  (3, 2, 3, 2, 2, 1, 4, 1612))
+      |  t(gx, gy, gz, sx, sy, sz, n, checksum)
+      |ORDER BY gx, gy, gz""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Block-table scan (R1 surface): per-block shape + checksum.
@@ -543,71 +613,7 @@ object N5Queries {
     // transpose/fill/write rejects.
     QueryDef.sql(
       "q231_zarr3_sharded_scan",
-      """SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
-        |  CAST(gz AS INTEGER) AS gz, CAST(sx AS INTEGER) AS sx,
-        |  CAST(sy AS INTEGER) AS sy, CAST(sz AS INTEGER) AS sz,
-        |  CAST(n AS INTEGER) AS n, CAST(checksum AS BIGINT) AS checksum
-        |FROM (VALUES
-        |  (0, 0, 0, 2, 2, 1, 4, 68),
-        |  (0, 0, 1, 2, 2, 1, 4, 0),
-        |  (0, 0, 2, 2, 2, 1, 4, 868),
-        |  (0, 0, 3, 2, 2, 1, 4, 1268),
-        |  (0, 0, 4, 2, 2, 1, 4, 1668),
-        |  (0, 1, 0, 2, 2, 1, 4, 204),
-        |  (0, 1, 1, 2, 2, 1, 4, 604),
-        |  (0, 1, 2, 2, 2, 1, 4, 1004),
-        |  (0, 1, 3, 2, 2, 1, 4, 1404),
-        |  (0, 1, 4, 2, 2, 1, 4, 1804),
-        |  (0, 2, 0, 2, 2, 1, 4, 340),
-        |  (0, 2, 1, 2, 2, 1, 4, 740),
-        |  (0, 2, 2, 2, 2, 1, 4, 1140),
-        |  (0, 2, 3, 2, 2, 1, 4, 1540),
-        |  (0, 2, 4, 2, 2, 1, 4, 1940),
-        |  (1, 0, 0, 2, 2, 1, 4, 92),
-        |  (1, 0, 1, 2, 2, 1, 4, 492),
-        |  (1, 0, 2, 2, 2, 1, 4, 892),
-        |  (1, 0, 3, 2, 2, 1, 4, 1292),
-        |  (1, 0, 4, 2, 2, 1, 4, 1692),
-        |  (1, 1, 0, 2, 2, 1, 4, 228),
-        |  (1, 1, 1, 2, 2, 1, 4, 628),
-        |  (1, 1, 2, 2, 2, 1, 4, 1028),
-        |  (1, 1, 3, 2, 2, 1, 4, 1428),
-        |  (1, 1, 4, 2, 2, 1, 4, 1828),
-        |  (1, 2, 0, 2, 2, 1, 4, 364),
-        |  (1, 2, 1, 2, 2, 1, 4, 764),
-        |  (1, 2, 2, 2, 2, 1, 4, 1164),
-        |  (1, 2, 3, 2, 2, 1, 4, 1564),
-        |  (1, 2, 4, 2, 2, 1, 4, 1964),
-        |  (2, 0, 0, 2, 2, 1, 4, 116),
-        |  (2, 0, 1, 2, 2, 1, 4, 516),
-        |  (2, 0, 2, 2, 2, 1, 4, 916),
-        |  (2, 0, 3, 2, 2, 1, 4, 1316),
-        |  (2, 0, 4, 2, 2, 1, 4, 1716),
-        |  (2, 1, 0, 2, 2, 1, 4, 252),
-        |  (2, 1, 1, 2, 2, 1, 4, 652),
-        |  (2, 1, 2, 2, 2, 1, 4, 1052),
-        |  (2, 1, 3, 2, 2, 1, 4, 1452),
-        |  (2, 1, 4, 2, 2, 1, 4, 1852),
-        |  (2, 2, 0, 2, 2, 1, 4, 388),
-        |  (2, 2, 1, 2, 2, 1, 4, 788),
-        |  (2, 2, 2, 2, 2, 1, 4, 1188),
-        |  (2, 2, 3, 2, 2, 1, 4, 1588),
-        |  (3, 0, 0, 2, 2, 1, 4, 140),
-        |  (3, 0, 1, 2, 2, 1, 4, 540),
-        |  (3, 0, 2, 2, 2, 1, 4, 940),
-        |  (3, 0, 3, 2, 2, 1, 4, 1340),
-        |  (3, 0, 4, 2, 2, 1, 4, 1740),
-        |  (3, 1, 0, 2, 2, 1, 4, 276),
-        |  (3, 1, 1, 2, 2, 1, 4, 676),
-        |  (3, 1, 2, 2, 2, 1, 4, 1076),
-        |  (3, 1, 3, 2, 2, 1, 4, 1476),
-        |  (3, 1, 4, 2, 2, 1, 4, 1876),
-        |  (3, 2, 0, 2, 2, 1, 4, 412),
-        |  (3, 2, 1, 2, 2, 1, 4, 812),
-        |  (3, 2, 2, 2, 2, 1, 4, 1212),
-        |  (3, 2, 3, 2, 2, 1, 4, 1612))
-        |  t(gx, gy, gz, sx, sy, sz, n, checksum)
-        |ORDER BY gx, gy, gz""".stripMargin) { (s, _) =>
+      zarr3GoldenSql) { (s, _) =>
       N5.read(s, "/root/repo/fixtures/zarr3_golden", "vol")
         .select(col("gx"), col("gy"), col("gz"),
           element_at(col("shape"), 1).as("sx"),
@@ -635,71 +641,7 @@ object N5Queries {
     // loudly (also pinned there).
     QueryDef.sql(
       "q232_zarr3_write_roundtrip",
-      """SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
-        |  CAST(gz AS INTEGER) AS gz, CAST(sx AS INTEGER) AS sx,
-        |  CAST(sy AS INTEGER) AS sy, CAST(sz AS INTEGER) AS sz,
-        |  CAST(n AS INTEGER) AS n, CAST(checksum AS BIGINT) AS checksum
-        |FROM (VALUES
-        |  (0, 0, 0, 2, 2, 1, 4, 68),
-        |  (0, 0, 1, 2, 2, 1, 4, 0),
-        |  (0, 0, 2, 2, 2, 1, 4, 868),
-        |  (0, 0, 3, 2, 2, 1, 4, 1268),
-        |  (0, 0, 4, 2, 2, 1, 4, 1668),
-        |  (0, 1, 0, 2, 2, 1, 4, 204),
-        |  (0, 1, 1, 2, 2, 1, 4, 604),
-        |  (0, 1, 2, 2, 2, 1, 4, 1004),
-        |  (0, 1, 3, 2, 2, 1, 4, 1404),
-        |  (0, 1, 4, 2, 2, 1, 4, 1804),
-        |  (0, 2, 0, 2, 2, 1, 4, 340),
-        |  (0, 2, 1, 2, 2, 1, 4, 740),
-        |  (0, 2, 2, 2, 2, 1, 4, 1140),
-        |  (0, 2, 3, 2, 2, 1, 4, 1540),
-        |  (0, 2, 4, 2, 2, 1, 4, 1940),
-        |  (1, 0, 0, 2, 2, 1, 4, 92),
-        |  (1, 0, 1, 2, 2, 1, 4, 492),
-        |  (1, 0, 2, 2, 2, 1, 4, 892),
-        |  (1, 0, 3, 2, 2, 1, 4, 1292),
-        |  (1, 0, 4, 2, 2, 1, 4, 1692),
-        |  (1, 1, 0, 2, 2, 1, 4, 228),
-        |  (1, 1, 1, 2, 2, 1, 4, 628),
-        |  (1, 1, 2, 2, 2, 1, 4, 1028),
-        |  (1, 1, 3, 2, 2, 1, 4, 1428),
-        |  (1, 1, 4, 2, 2, 1, 4, 1828),
-        |  (1, 2, 0, 2, 2, 1, 4, 364),
-        |  (1, 2, 1, 2, 2, 1, 4, 764),
-        |  (1, 2, 2, 2, 2, 1, 4, 1164),
-        |  (1, 2, 3, 2, 2, 1, 4, 1564),
-        |  (1, 2, 4, 2, 2, 1, 4, 1964),
-        |  (2, 0, 0, 2, 2, 1, 4, 116),
-        |  (2, 0, 1, 2, 2, 1, 4, 516),
-        |  (2, 0, 2, 2, 2, 1, 4, 916),
-        |  (2, 0, 3, 2, 2, 1, 4, 1316),
-        |  (2, 0, 4, 2, 2, 1, 4, 1716),
-        |  (2, 1, 0, 2, 2, 1, 4, 252),
-        |  (2, 1, 1, 2, 2, 1, 4, 652),
-        |  (2, 1, 2, 2, 2, 1, 4, 1052),
-        |  (2, 1, 3, 2, 2, 1, 4, 1452),
-        |  (2, 1, 4, 2, 2, 1, 4, 1852),
-        |  (2, 2, 0, 2, 2, 1, 4, 388),
-        |  (2, 2, 1, 2, 2, 1, 4, 788),
-        |  (2, 2, 2, 2, 2, 1, 4, 1188),
-        |  (2, 2, 3, 2, 2, 1, 4, 1588),
-        |  (3, 0, 0, 2, 2, 1, 4, 140),
-        |  (3, 0, 1, 2, 2, 1, 4, 540),
-        |  (3, 0, 2, 2, 2, 1, 4, 940),
-        |  (3, 0, 3, 2, 2, 1, 4, 1340),
-        |  (3, 0, 4, 2, 2, 1, 4, 1740),
-        |  (3, 1, 0, 2, 2, 1, 4, 276),
-        |  (3, 1, 1, 2, 2, 1, 4, 676),
-        |  (3, 1, 2, 2, 2, 1, 4, 1076),
-        |  (3, 1, 3, 2, 2, 1, 4, 1476),
-        |  (3, 1, 4, 2, 2, 1, 4, 1876),
-        |  (3, 2, 0, 2, 2, 1, 4, 412),
-        |  (3, 2, 1, 2, 2, 1, 4, 812),
-        |  (3, 2, 2, 2, 2, 1, 4, 1212),
-        |  (3, 2, 3, 2, 2, 1, 4, 1612))
-        |  t(gx, gy, gz, sx, sy, sz, n, checksum)
-        |ORDER BY gx, gy, gz""".stripMargin) { (s, _) =>
+      zarr3GoldenSql) { (s, _) =>
       import graft.n5.{Compression, N5Meta}
       val tmp = java.nio.file.Files.createTempDirectory("zarr3wr").toString
       val src = N5Meta.datasetAttributes("/root/repo/fixtures/zarr3_golden", "vol")
@@ -707,6 +649,43 @@ object N5Queries {
         zarr3Crc = true, zarr3ChunkPrefix = true, zarrSeparator = "/")
       N5.writeZarr3(N5.read(s, "/root/repo/fixtures/zarr3_golden", "vol"),
         tmp, "copy", out)
+      N5.read(s, tmp, "copy")
+        .select(col("gx"), col("gy"), col("gz"),
+          element_at(col("shape"), 1).as("sx"),
+          element_at(col("shape"), 2).as("sy"),
+          element_at(col("shape"), 3).as("sz"),
+          size(col("data")).as("n"),
+          aggregate(col("data"), lit(0L), (a, x) => a + x).as("checksum"))
+        .orderBy(col("gx"), col("gy"), col("gz"))
+    },
+
+    // ------------------------------------------------------------------
+    // ZARR v3 SHARDED WRITE ROUND TRIP (q233, r19) -- completes the v3
+    // lifecycle q231/q232 opened: the sharded golden re-SHARDS through
+    // the engine's sharding_indexed writer and re-reads through the
+    // ranged-read scan. Scale story: N5.writeZarr3 CLUSTERS the block
+    // table on the shard grid (one shuffle keyed by shard, the same
+    // partitioning the read side consumes) and each task STREAMS its
+    // shards chunk-by-chunk with the u64-pair index (+crc32c) appended
+    // at the end -- O(one chunk + index) writer memory, so GB-scale
+    // shards (the format's whole point) never materialize in the JVM.
+    // Absent inner chunks stamp all-ones index entries (fill); a shard
+    // split across tasks is caught at commit BEFORE metadata publishes.
+    // The written shards are validated by a second implementation
+    // (tools/check_zarr3_write.py's sharded mode, run in Zarr3Spec);
+    // the oracle is the same independently-derived 58-row golden as
+    // q231 -- the source's index-missing fill chunk round-trips as a
+    // checksum-0 row and the missing shard's file stays absent.
+    QueryDef.sql(
+      "q233_zarr3_sharded_write_roundtrip",
+      zarr3GoldenSql) { (s, _) =>
+      import graft.n5.N5Meta
+      val tmp = java.nio.file.Files.createTempDirectory("zarr3shwr").toString
+      // the source profile IS the write profile: inner [bytes LE,
+      // gzip 6, crc32c], index [bytes LE, crc32c] at end, 2x2x2 cps
+      val src = N5Meta.datasetAttributes("/root/repo/fixtures/zarr3_golden", "vol")
+      N5.writeZarr3(N5.read(s, "/root/repo/fixtures/zarr3_golden", "vol"),
+        tmp, "copy", src)
       N5.read(s, tmp, "copy")
         .select(col("gx"), col("gy"), col("gz"),
           element_at(col("shape"), 1).as("sx"),

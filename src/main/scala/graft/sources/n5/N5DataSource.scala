@@ -520,14 +520,7 @@ object N5BlockIO {
         st.index = readShardIndex(st.in, st.fileLen, sp)
         st.path = key
       }
-      // flat C-order index of this block within its shard: iterate
-      // engine axes in REVERSE (zarr's axis order)
-      var flat = 0
-      var d = g.length - 1
-      while (d >= 0) {
-        flat = flat * sp.chunksPerShard(d) + (g(d) % sp.chunksPerShard(d))
-        d -= 1
-      }
+      val flat = sp.flatIndex(g)
       val off = st.index(flat * 2)
       val nbytes = st.index(flat * 2 + 1)
       if (off == -1L && nbytes == -1L)
@@ -970,21 +963,46 @@ class N5WriteBuilder(
         s"unknown container format '$other' (n5 | zarr | zarr3)")
     }
     if (options.containsKey("dimensions")) {
+      val blockSize = options.getOrDefault("blockSize",
+        options.get("dimensions")).split(",").map(_.trim.toInt)
+      val compression = Compression(options.getOrDefault("compression", "gzip"),
+        options.getOrDefault("compressionLevel", "-1").toInt)
+      val little = options.getOrDefault("zarrLittleEndian", "true").toBoolean
+      // v3 chunks stamp a trailing crc32c unless told otherwise
+      val crc = fmt == "zarr3" &&
+        options.getOrDefault("zarr3Crc", "true").toBoolean
+      // sharded v3 write (r19): `shardChunks` = chunks per shard per
+      // axis (engine order); blockSize is the INNER chunk shape and
+      // chunk FILES are shards of blockSize·shardChunks voxels
+      val shard = Option(options.get("shardChunks")).map { s =>
+        require(fmt == "zarr3",
+          "shardChunks: sharding_indexed is a zarr v3 codec " +
+            s"(container format is '$fmt')")
+        val cps = s.split(",").map(_.trim.toInt)
+        require(cps.length == blockSize.length && cps.forall(_ > 0),
+          s"shardChunks '${s}' must give a positive count per axis")
+        ShardSpec(cps, compression, little,
+          indexAtEnd = true,
+          indexCrc = options.getOrDefault("shardIndexCrc", "true").toBoolean,
+          chunkCrc = crc)
+      }
       DatasetAttributes(
         options.get("dimensions").split(",").map(_.trim.toLong),
-        options.getOrDefault("blockSize",
-          options.get("dimensions")).split(",").map(_.trim.toInt),
+        blockSize,
         Dtype.fromName(options.getOrDefault("dataType", "uint8")),
-        Compression(options.getOrDefault("compression", "gzip"),
-          options.getOrDefault("compressionLevel", "-1").toInt),
+        compression,
         Option(options.get("extraAttrs"))
           .map(parseExtra).getOrElse(Map.empty),
         format = fmt,
         // v3 writes use the spec-default "/"-separated "c/" key
-        // encoding unless told otherwise, and always stamp crc32c
+        // encoding unless told otherwise
         zarrSeparator = options.getOrDefault("zarrSeparator",
           if (fmt == "zarr3") "/" else "."),
-        zarr3Crc = fmt == "zarr3")
+        zarrLittleEndian = little,
+        zarr3ChunkPrefix =
+          options.getOrDefault("zarr3ChunkPrefix", "true").toBoolean,
+        zarr3Crc = crc,
+        shard = shard)
     } else N5Meta.datasetAttributes(root, dataset)
   }
 
@@ -1002,9 +1020,6 @@ class N5BatchWrite(
     varlength: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    require(!attrs.isZarr3 || attrs.shard.isEmpty,
-      "SHARDED zarr v3 write is unsupported (sharding_indexed is " +
-        "read-side only) — write the non-sharded v3 profile, zarr v2, or N5")
     // driver-side prep: optional truncate, container root marker
     if (truncate) {
       val p = new HPath(root, dataset)
@@ -1018,12 +1033,27 @@ class N5BatchWrite(
   }
 
   /** Metadata commit AFTER data: the dataset only becomes readable once
-    * every task has written its blocks.
+    * every task has written its blocks. For sharded v3 each task reports
+    * the shard FILES it published; a shard spanning two tasks means two
+    * partial files raced the same rename — detect it here and fail
+    * BEFORE the metadata commit (the store stays unreadable rather than
+    * silently half-written). `N5.writeZarr3` prevents it by clustering
+    * on the shard key; this guards direct DSv2 writes.
     */
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (attrs.shard.isDefined) {
+      val all = messages.collect { case ShardCommitMessage(keys) => keys }.flatten
+      val dups = all.groupBy(identity).filter(_._2.length > 1).keys
+      if (dups.nonEmpty) throw new IllegalStateException(
+        s"sharded zarr v3 write: shard(s) ${dups.mkString(", ")} received " +
+          "inner chunks from MORE than one task — the published files are " +
+          "partial. Cluster the input by shard (repartition on the shard " +
+          "grid, as N5.writeZarr3 does) and rewrite.")
+    }
     if (attrs.isZarr3) N5Meta.writeZarr3Attributes(root, dataset, attrs)
     else if (attrs.isZarr) N5Meta.writeZarrAttributes(root, dataset, attrs)
     else N5Meta.writeDatasetAttributes(root, dataset, attrs)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -1081,19 +1111,26 @@ class N5BlockWriter(
       if (attrs.isZarrFamily) {
         require(!varlength,
           "zarr chunks have no header; blockMode=varlength is N5-only")
+        // sharded inner chunks encode through the SHARD's inner chain
+        // (which can differ from the attrs-level mirror on appends)
+        val (comp, little, crc) = attrs.shard match {
+          case Some(sp) => (sp.innerCompression, sp.innerLittleEndian, sp.chunkCrc)
+          case None => (attrs.compression, attrs.zarrLittleEndian,
+            attrs.isZarr3 && attrs.zarr3Crc)
+        }
         val chunk = BlockCodec.encodeZarr(shape, attrs.blockSize, longs,
-          doubles, attrs.dataType, attrs.compression, attrs.zarrLittleEndian)
+          doubles, attrs.dataType, comp, little)
         // v3 chains end with crc32c: checksum of the compressed chunk,
         // 4 bytes little-endian (verified+stripped on read)
-        if (attrs.isZarr3 && attrs.zarr3Crc) {
-          val crc = new java.util.zip.CRC32C()
-          crc.update(chunk, 0, chunk.length)
-          val v = crc.getValue
-          chunk ++ Array[Byte](v.toByte, (v >>> 8).toByte,
-            (v >>> 16).toByte, (v >>> 24).toByte)
-        } else chunk
+        if (crc) withCrc32c(chunk) else chunk
       } else BlockCodec.encode(shape, longs, doubles, attrs.dataType,
         attrs.compression, varlength)
+    attrs.shard match {
+      case Some(sp) =>
+        writeSharded(Array(gx, gy, gz), sp, bytes)
+        return
+      case None => ()
+    }
     val path =
       if (attrs.isZarrFamily)
         new HPath(root, s"$dataset/${attrs.chunkKey(Array(gx, gy, gz))}")
@@ -1122,10 +1159,103 @@ class N5BlockWriter(
   // attempt must clean up after itself
   private var pending: HPath = null
 
-  override def commit(): WriterCommitMessage = N5CommitMessage
-  override def abort(): Unit =
+  // ---- sharded v3 write (r19): STREAM the open shard ----------------
+  // Inner chunks append to the shard temp file as rows arrive and the
+  // u64-pair index goes at the END (the write profile), so memory is
+  // O(one encoded chunk + 16·nInner index) however large the shard —
+  // GB-scale shards never materialize in the JVM. Requires same-shard
+  // rows to arrive consecutively within the task (N5.writeZarr3
+  // clusters + sorts to guarantee it; a shard key that REAPPEARS after
+  // its flush is a loud reject, and cross-task splits are caught at
+  // commit by the shard-key manifest).
+  private var shardKey: String = null
+  private var shardTmp: HPath = null
+  private var shardOut: org.apache.hadoop.fs.FSDataOutputStream = null
+  private var shardIndex: Array[Long] = null
+  private var shardPos: Long = 0L
+  private val publishedShards = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val publishedSet = scala.collection.mutable.HashSet.empty[String]
+
+  private def withCrc32c(b: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32C()
+    crc.update(b, 0, b.length)
+    val v = crc.getValue
+    b ++ Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+  }
+
+  private def writeSharded(g: Array[Int], sp: ShardSpec, bytes: Array[Byte]): Unit = {
+    val key = attrs.chunkKey(g) // sharded stores key the SHARD file
+    if (key != shardKey) {
+      flushShard(sp)
+      require(sp.indexAtEnd,
+        "sharded zarr v3 write streams chunks then the index — an " +
+          "index_location=start store cannot be appended to")
+      if (publishedSet.contains(key)) throw new IllegalArgumentException(
+        s"sharded zarr v3 write: inner chunks for shard $key arrived " +
+          "NON-consecutively — the shard was already published by this " +
+          "task. Cluster the input by shard (repartition on the shard " +
+          "grid + sortWithinPartitions, as N5.writeZarr3 does).")
+      val nInner = sp.chunksPerShard.map(_.toLong).product
+      require(nInner <= (Int.MaxValue - 8L) / 16L,
+        s"shard of $nInner inner chunks: index exceeds the JVM array limit")
+      val path = new HPath(root, s"$dataset/$key")
+      fs.mkdirs(path.getParent)
+      shardTmp = new HPath(path.getParent,
+        s".${path.getName}.tmp-${java.util.UUID.randomUUID()}")
+      pending = shardTmp
+      shardOut = fs.create(shardTmp, true)
+      shardIndex = Array.fill(2 * nInner.toInt)(-1L) // all-ones = fill
+      shardPos = 0L
+      shardKey = key
+    }
+    val flat = sp.flatIndex(g)
+    require(shardIndex(2 * flat) == -1L,
+      s"duplicate inner chunk (${g.mkString(",")}) in shard $key")
+    shardIndex(2 * flat) = shardPos
+    shardIndex(2 * flat + 1) = bytes.length.toLong
+    shardOut.write(bytes)
+    shardPos += bytes.length
+  }
+
+  /** Append the index (+ its crc32c), close, and atomically publish the
+    * open shard, if any.
+    */
+  private def flushShard(sp: ShardSpec): Unit = if (shardOut != null) {
+    val bb = java.nio.ByteBuffer.allocate(shardIndex.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    shardIndex.foreach(bb.putLong)
+    val idx = bb.array()
+    shardOut.write(if (sp.indexCrc) withCrc32c(idx) else idx)
+    shardOut.close()
+    shardOut = null
+    fs.setTimes(shardTmp, System.currentTimeMillis(), -1)
+    fc.rename(shardTmp, new HPath(root, s"$dataset/$shardKey"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    publishedShards += shardKey
+    publishedSet += shardKey
+    pending = null; shardTmp = null; shardKey = null
+    shardIndex = null; shardPos = 0L
+  }
+
+  override def commit(): WriterCommitMessage = attrs.shard match {
+    case Some(sp) =>
+      flushShard(sp)
+      ShardCommitMessage(publishedShards.toArray)
+    case None => N5CommitMessage
+  }
+  override def abort(): Unit = {
+    if (shardOut != null) { shardOut.close(); shardOut = null }
     if (pending != null) { fs.delete(pending, false); pending = null }
-  override def close(): Unit = ()
+  }
+  override def close(): Unit =
+    if (shardOut != null) { shardOut.close(); shardOut = null }
 }
 
 case object N5CommitMessage extends WriterCommitMessage
+
+/** Shard files this task published (sharded v3): the driver-side commit
+  * cross-checks global uniqueness before metadata commit.
+  */
+final case class ShardCommitMessage(shardKeys: Array[String])
+    extends WriterCommitMessage
