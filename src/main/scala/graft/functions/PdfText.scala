@@ -29,10 +29,29 @@ import java.util.zip.{Deflater, Inflater}
   * Newest-section-wins includes DELETIONS: a free entry in a newer
   * section shadows any older in-use entry. `/Filter` arrays chain in
   * order (legacy PDFs routinely stack `[ASCII85Decode, FlateDecode]`);
-  * ASCIIHexDecode and ASCII85Decode decode natively. Encrypted files,
-  * other filters (LZW/DCT/JBIG2/…), and inline images still fail
-  * loudly — silently-wrong text is worse than no text in a training
-  * corpus.
+  * ASCIIHexDecode, ASCII85Decode, LZWDecode, and RunLengthDecode all
+  * decode natively (r18). Image filters (DCT/JBIG2/JPX/CCITT) and
+  * inline images still fail loudly — silently-wrong text is worse
+  * than no text in a training corpus.
+  *
+  * r19: ENCRYPTED files with an empty user password decrypt through
+  * [[PdfCrypt]] (standard security handler: RC4-40/128, AES-128
+  * /AESV2 crypt filters, per-object keys); files needing a real user
+  * password, /V 5 (AES-256), and non-/Standard handlers reject by
+  * name.
+  *
+  * r19: show strings decode through the page's FONTS (ISO 32000 9.6–
+  * 9.10): `Tf` selects from the page (or inherited) `/Resources/Font`;
+  * a `/ToUnicode` CMap (bfchar/bfrange, incl. 2-byte CID codespaces)
+  * takes precedence; simple fonts map through `/Encoding` — the named
+  * Standard/WinAnsi/MacRoman tables or a `/BaseEncoding` +
+  * `//Differences` dict resolved via the Adobe Glyph List
+  * ([[PdfFonts]]); `Type0` requires `Identity-H/V` + `/ToUnicode`. A
+  * USED font whose codes carry no public mapping — a symbolic subset
+  * without `/Encoding`/`/ToUnicode`, an unmapped code, a private
+  * `gNN` glyph name — is a LOUD reject, not cp1252 guesswork; only
+  * encoding-less NONSYMBOLIC fonts (the standard-14 pattern) keep the
+  * UTF-8-else-cp1252 byte heuristic.
   *
   * Scale shape: PDFs are SCAN INPUT (binaryFile rows or a bytes
   * column); extraction is a narrow per-document kernel — document
@@ -261,6 +280,35 @@ object PdfText {
   private final class Doc(bytes: Array[Byte]) {
     private val (offsets, trailer) = readXref()
     private val cache = scala.collection.mutable.Map.empty[Int, Any]
+
+    // ---- decryption (r19): the newest trailer's /Encrypt governs ----
+    // Declared as vars and ASSIGNED by the init block at the END of the
+    // class body, after every helper structure exists: the setup derefs
+    // the (indirect) /Encrypt dict through the ordinary loader, and
+    // while it runs `decryptor` is still null, so the dict itself —
+    // whose /O //U strings are unencrypted by spec — loads untouched;
+    // `encryptNum` exempts it from later cache-less reloads.
+    private var encryptNum: Int = -1
+    private var decryptor: PdfCrypt.Decryptor = null
+
+    /** Decrypt every string and stream of a freshly-loaded top-level
+      * object with its own (num, gen) key — Algorithm 1's unit. Objects
+      * inside an ObjStm never come through here: the CONTAINER stream
+      * decrypted as one unit, per spec. Cross-reference streams are
+      * never encrypted and pass through.
+      */
+    private def decryptValue(num: Int, gen: Int, v: Any): Any = v match {
+      case PStream(d, raw) =>
+        if (d.get("Type").contains(PName("XRef"))) v
+        else PStream(
+          d.map { case (k, dv) => k -> decryptValue(num, gen, dv) },
+          decryptor.stream(num, gen, raw))
+      case b: Array[Byte] => decryptor.string(num, gen, b)
+      case m: Map[String @unchecked, Any @unchecked] =>
+        m.map { case (k, mv) => k -> decryptValue(num, gen, mv) }
+      case arr: Vector[Any @unchecked] => arr.map(decryptValue(num, gen, _))
+      case other => other
+    }
     // decoded object streams, memoized per ObjStm object number:
     // (payload, header pairs (objnum, relative offset), /First)
     private val objStmCache =
@@ -351,7 +399,6 @@ object PdfText {
           readXrefStreamAt(next.toInt, add)
         }
         if (trailerDict == null) trailerDict = t
-        if (t.contains("Encrypt")) fail("encrypted PDFs are unsupported")
         next = t.get("Prev") match {
           case Some(n: Long) => n
           case Some(o) => fail(s"bad /Prev $o")
@@ -483,8 +530,14 @@ object PdfText {
         case o => fail(s"bad object header at $off: $o")
       }
       if (gotNum != num) fail(s"xref points $num at object $gotNum")
-      l.value() // generation
+      val gen = l.value() match {
+        case n: Long => n.toInt
+        case o => fail(s"bad object generation at $off: $o")
+      }
       l.expect("obj")
+      def decrypted(v: Any): Any =
+        if (decryptor == null || num == encryptNum) v
+        else decryptValue(num, gen, v)
       val v = l.value()
       l.ws()
       if (l.startsWith("stream")) {
@@ -503,8 +556,8 @@ object PdfText {
         val raw = java.util.Arrays.copyOfRange(bytes, l.p, l.p + len)
         l.p += len
         l.expect("endstream")
-        PStream(dict, raw)
-      } else v
+        decrypted(PStream(dict, raw))
+      } else decrypted(v)
     }
 
     /** Resolve entry `idx` of object stream `stm` (a type-2 xref
@@ -554,27 +607,37 @@ object PdfText {
       case o => fail(s"not a stream: $o")
     }
 
-    /** Page content streams in document order. */
-    def pageContents(): Seq[Array[Byte]] = {
+    /** Pages in document order: decoded content stream + lazy font
+      * resolver over the page's (or an ancestor's — /Resources is
+      * inheritable, ISO 32000 7.7.3.4) /Font resources. Fonts resolve
+      * on first `Tf` USE, so a declared-but-unused unsupported font
+      * never rejects a document.
+      */
+    def pages(): Seq[PdfPage] = {
       val root = deref(trailer.getOrElse("Root", fail("trailer missing /Root"))) match {
         case d: Map[String @unchecked, Any @unchecked] => d
         case o => fail(s"/Root is not a dict: $o")
       }
       val pagesRef = root.getOrElse("Pages", fail("catalog missing /Pages"))
-      val out = Vector.newBuilder[Array[Byte]]
-      def walk(node: Any): Unit = deref(node) match {
+      val out = Vector.newBuilder[PdfPage]
+      def walk(node: Any, inherited: Option[Map[String, Any]]): Unit = deref(node) match {
         case d: Map[String @unchecked, Any @unchecked] =>
+          val res: Option[Map[String, Any]] = d.get("Resources").map(deref) match {
+            case Some(m: Map[String @unchecked, Any @unchecked]) => Some(m)
+            case Some(o) => fail(s"/Resources is not a dict: $o")
+            case None => inherited
+          }
           deref(d.getOrElse("Type", PName(""))) match {
             case PName("Pages") =>
               deref(d.getOrElse("Kids", fail("/Pages missing /Kids"))) match {
-                case kids: Vector[Any @unchecked] => kids.foreach(walk)
+                case kids: Vector[Any @unchecked] => kids.foreach(walk(_, res))
                 case o => fail(s"/Kids is not an array: $o")
               }
             case PName("Page") =>
-              d.get("Contents").map(deref) match {
-                case None => out += Array.emptyByteArray
+              val content = d.get("Contents").map(deref) match {
+                case None => Array.emptyByteArray
                 case Some(PStream(sd, raw)) =>
-                  out += decodedStream(PStream(sd, raw))
+                  decodedStream(PStream(sd, raw))
                 case Some(arr: Vector[Any @unchecked]) =>
                   // multiple content streams form ONE logical stream,
                   // separated by whitespace
@@ -582,16 +645,360 @@ object PdfText {
                   arr.foreach { s =>
                     joined.write(decodedStream(s)); joined.write('\n')
                   }
-                  out += joined.toByteArray
+                  joined.toByteArray
                 case Some(o) => fail(s"bad /Contents: $o")
               }
+              val fonts: Map[String, Any] =
+                res.flatMap(_.get("Font")).map(deref) match {
+                  case Some(m: Map[String @unchecked, Any @unchecked]) => m
+                  case Some(o) => fail(s"/Font resource is not a dict: $o")
+                  case None => Map.empty
+                }
+              out += PdfPage(content, name => fontDecoder(fonts, name))
             case o => fail(s"page-tree node of type $o")
           }
         case o => fail(s"page-tree node is not a dict: $o")
       }
-      walk(pagesRef)
+      walk(pagesRef, None)
       out.result()
     }
+
+    // ---------------------------------------------------------------
+    // Fonts (r19): Tf-name → show-string decoder
+    // ---------------------------------------------------------------
+
+    // keyed by the font OBJECT (ref number or direct dict) so the same
+    // font shared across pages builds once per document
+    private val fontCache = scala.collection.mutable.Map.empty[Any, Array[Byte] => String]
+
+    private def fontDecoder(fonts: Map[String, Any], res: String): Array[Byte] => String = {
+      val raw = fonts.getOrElse(res,
+        fail(s"content stream selects undefined font /$res"))
+      val key: Any = raw match { case PRef(n) => n; case other => other }
+      fontCache.getOrElseUpdate(key, buildFont(res, deref(raw)))
+    }
+
+    private def buildFont(res: String, v: Any): Array[Byte] => String = {
+      val d = v match {
+        case m: Map[String @unchecked, Any @unchecked] => m
+        case o => fail(s"font /$res is not a dict: $o")
+      }
+      val subtype = deref(d.getOrElse("Subtype", fail(s"font /$res missing /Subtype"))) match {
+        case PName(n) => n
+        case o => fail(s"font /$res: bad /Subtype $o")
+      }
+      val desc = s"font /$res ($subtype)"
+      // /ToUnicode wins for extraction whenever present (ISO 32000 9.10.2)
+      val toUni: Option[ToUnicode] = d.get("ToUnicode").map { s =>
+        parseToUnicode(decodedStream(s), desc,
+          defaultLen = if (subtype == "Type0") 2 else 1)
+      }
+      subtype match {
+        case "Type0" =>
+          deref(d.getOrElse("Encoding", fail(s"$desc missing /Encoding"))) match {
+            case PName("Identity-H") | PName("Identity-V") => ()
+            case o => fail(s"$desc: unsupported composite /Encoding $o " +
+              "(Identity-H | Identity-V)")
+          }
+          val cmap = toUni.getOrElse(fail(
+            s"$desc: Type0 without /ToUnicode — CID codes are unmappable"))
+          b => cmap.decode(b, desc)
+        case "Type1" | "MMType1" | "TrueType" | "Type3" =>
+          toUni match {
+            case Some(cmap) => b => cmap.decode(b, desc)
+            case None => d.get("Encoding").map(deref) match {
+              case Some(PName(encName)) =>
+                simpleDecoder(desc, encName, Map.empty)
+              case Some(ed: Map[String @unchecked, Any @unchecked]) =>
+                val base = deref(ed.getOrElse("BaseEncoding",
+                  PName("StandardEncoding"))) match {
+                  case PName(n) => n
+                  case o => fail(s"$desc: bad /BaseEncoding $o")
+                }
+                val diffs = ed.get("Differences").map(deref) match {
+                  case None => Map.empty[Int, String]
+                  case Some(arr: Vector[Any @unchecked]) =>
+                    parseDifferences(desc, arr)
+                  case Some(o) => fail(s"$desc: bad /Differences $o")
+                }
+                simpleDecoder(desc, base, diffs)
+              case Some(o) => fail(s"$desc: bad /Encoding $o")
+              case None =>
+                // no declared mapping: a NONSYMBOLIC font defaults to
+                // its standard (ASCII-compatible) built-in encoding —
+                // the byte heuristic reads it; a SYMBOLIC font's codes
+                // are font-program-internal, so guessing would emit
+                // silently wrong text
+                if (isSymbolic(d)) fail(s"$desc: symbolic font with " +
+                  "neither /Encoding nor /ToUnicode — codes are unmappable")
+                decodeShown _
+            }
+          }
+        case other => fail(s"font /$res: unsupported subtype /$other")
+      }
+    }
+
+    /** /Differences: [code name name ... code name ...] → code→Unicode
+      * via the Adobe Glyph List (uniXXXX/uXXXX conventions included).
+      * A glyph name with no public mapping rejects loudly — it denotes
+      * a subset-private glyph we cannot transcribe.
+      */
+    private def parseDifferences(desc: String, arr: Vector[Any]): Map[Int, String] = {
+      var code = -1
+      val m = Map.newBuilder[Int, String]
+      arr.map(deref).foreach {
+        case n: Long =>
+          if (n < 0 || n > 255) fail(s"$desc: /Differences code $n out of range")
+          code = n.toInt
+        case PName(g) =>
+          if (code < 0) fail(s"$desc: /Differences glyph name before any code")
+          if (code > 255) fail(s"$desc: /Differences runs past code 255")
+          val u = PdfFonts.glyphToUnicode(g).getOrElse {
+            if (g == ".notdef") "" else fail(s"$desc: glyph /$g in " +
+              "/Differences has no public Unicode mapping")
+          }
+          m += (code -> u)
+          code += 1
+        case o => fail(s"$desc: bad /Differences element $o")
+      }
+      m.result()
+    }
+
+    private def simpleDecoder(
+        desc: String, base: String, diffs: Map[Int, String]): Array[Byte] => String = {
+      base match {
+        case "StandardEncoding" | "WinAnsiEncoding" | "MacRomanEncoding" => ()
+        case other => fail(s"$desc: unsupported base encoding /$other")
+      }
+      val table = Array.tabulate[String](256)(c =>
+        diffs.getOrElse(c, PdfFonts.baseEncodingChar(base, c).orNull))
+      b => {
+        val sb = new java.lang.StringBuilder(b.length)
+        var i = 0
+        while (i < b.length) {
+          val s = table(b(i) & 0xff)
+          if (s == null) fail(f"$desc: code 0x${b(i) & 0xff}%02X is " +
+            s"unassigned in $base and /Differences")
+          sb.append(s)
+          i += 1
+        }
+        sb.toString
+      }
+    }
+
+    private def isSymbolic(d: Map[String, Any]): Boolean =
+      d.get("FontDescriptor").map(deref) match {
+        case Some(fd: Map[String @unchecked, Any @unchecked]) =>
+          deref(fd.getOrElse("Flags", 0L)) match {
+            case f: Long => (f & 4L) != 0L // bit 3 = Symbolic
+            case _ => false
+          }
+        case _ => false
+      }
+
+    // decryption setup — LAST in the body so `cache`/`loading`/
+    // `objStmCache` are initialized before the /Encrypt deref below
+    // exercises the loader (Scala initializes in declaration order)
+    trailer.get("Encrypt").foreach { encV =>
+      encryptNum = encV match {
+        case PRef(n) => n
+        case _ => -1
+      }
+      val enc = deref(encV) match {
+        case d: Map[String @unchecked, Any @unchecked] => d
+        case o => fail(s"/Encrypt is not a dict: $o")
+      }
+      val id0: Array[Byte] = trailer.get("ID").map(deref) match {
+        case Some(arr: Vector[Any @unchecked]) if arr.nonEmpty =>
+          deref(arr(0)) match {
+            case b: Array[Byte] => b
+            case o => fail(s"file /ID entry is not a string: $o")
+          }
+        case None => Array.emptyByteArray // some writers omit /ID
+        case Some(o) => fail(s"bad file /ID: $o")
+      }
+      decryptor = PdfCrypt.decryptor(enc, id0, deref)
+      // the Encrypt dict was cached UNdecrypted (correct) — but any
+      // object loaded through it (an indirect /O, say) was too; drop
+      // everything except the dict itself so later loads decrypt
+      cache.filterInPlace { case (k, _) => k == encryptNum }
+    }
+  }
+
+  /** One page, parsed: decoded content plus the Tf-name → show-string
+    * decoder over its /Resources/Font (fonts build lazily on first use).
+    */
+  private final case class PdfPage(
+      content: Array[Byte], fontFor: String => Array[Byte] => String)
+
+  // ------------------------------------------------------------------
+  // /ToUnicode CMaps (r19)
+  // ------------------------------------------------------------------
+
+  /** A parsed /ToUnicode CMap: codespace ranges fix the code byte
+    * LENGTHS (Identity-H CIDs are 2 bytes; simple fonts 1), bfchar +
+    * materialized bfranges map each code to its Unicode string. Decoding
+    * is total-or-loud: a code outside every codespace range, or inside
+    * one but unmapped, rejects with the code and font named.
+    */
+  private final class ToUnicode(
+      codeLens: Seq[Int],
+      spaces: Seq[(Int, Long, Long)],
+      map: java.util.HashMap[Long, String]) {
+
+    private def key(len: Int, code: Long): Long = (len.toLong << 56) | code
+
+    def decode(b: Array[Byte], desc: String): String = {
+      val sb = new java.lang.StringBuilder(b.length)
+      var i = 0
+      while (i < b.length) {
+        var matched = false
+        var li = 0
+        while (!matched && li < codeLens.length) {
+          val len = codeLens(li)
+          if (i + len <= b.length) {
+            var code = 0L
+            var k = 0
+            while (k < len) { code = (code << 8) | (b(i + k) & 0xffL); k += 1 }
+            if (spaces.isEmpty ||
+                spaces.exists { case (l, lo, hi) => l == len && code >= lo && code <= hi }) {
+              val s = map.get(key(len, code))
+              if (s == null) fail(
+                f"$desc%s: code 0x$code%X has no /ToUnicode mapping")
+              sb.append(s)
+              i += len
+              matched = true
+            }
+          }
+          li += 1
+        }
+        if (!matched) fail(
+          s"$desc: show-string byte at offset $i outside every /ToUnicode codespace range")
+      }
+      sb.toString
+    }
+  }
+
+  /** Parse a /ToUnicode CMap stream (ISO 32000 9.10.3 / Adobe CMap
+    * syntax): `begincodespacerange`, `beginbfchar` (src → UTF-16BE hex
+    * string), `beginbfrange` (lo hi dst, dst a hex string incremented
+    * per code or an array of hex strings). PostScript scaffolding
+    * (findresource, begin/end, def, the CIDSystemInfo dict) is skipped;
+    * `usecmap` rejects loudly (a composed CMap we did not load would
+    * silently drop mappings).
+    */
+  private def parseToUnicode(
+      data: Array[Byte], desc: String, defaultLen: Int): ToUnicode = {
+    val l = new Lexer(data, 0)
+    val operands = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val spaces = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val map = new java.util.HashMap[Long, String]()
+    def codeOf(b: Array[Byte]): Long = {
+      var v = 0L
+      var i = 0
+      while (i < b.length) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      v
+    }
+    def key(len: Int, code: Long): Long = (len.toLong << 56) | code
+    def utf16(b: Array[Byte]): String = {
+      if (b.length % 2 != 0) fail(s"$desc: odd-length UTF-16BE destination in CMap")
+      new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    def incremented(dst: Array[Byte], off: Long): String = {
+      if (off == 0) return utf16(dst)
+      if (dst.length < 2) fail(s"$desc: bfrange destination too short to increment")
+      val last = ((dst(dst.length - 2) & 0xff) << 8) | (dst(dst.length - 1) & 0xff)
+      val v = last + off
+      if (v > 0xFFFF) fail(s"$desc: bfrange increment overflows the final UTF-16 unit")
+      val b2 = dst.clone()
+      b2(dst.length - 2) = (v >> 8).toByte
+      b2(dst.length - 1) = v.toByte
+      utf16(b2)
+    }
+    def hexOperand(what: String): Array[Byte] = l.value() match {
+      case b: Array[Byte] => b
+      case o => fail(s"$desc: $what in CMap is not a hex string: $o")
+    }
+    while ({ l.ws(); l.p < data.length }) {
+      val c = data(l.p)
+      if (c == '/' || c == '(' || c == '<' || c == '[' ||
+          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        operands += l.value()
+      } else {
+        val kw = l.keywordAhead()
+        if (kw.isEmpty) fail(s"$desc: stray delimiter in CMap at ${l.p}")
+        l.p += kw.length
+        kw match {
+          case "begincodespacerange" =>
+            var done = false
+            while (!done) {
+              l.ws()
+              if (l.startsWith("endcodespacerange")) {
+                l.p += "endcodespacerange".length; done = true
+              } else {
+                val lo = hexOperand("codespace low")
+                val hi = hexOperand("codespace high")
+                if (lo.length != hi.length || lo.length < 1 || lo.length > 4)
+                  fail(s"$desc: bad codespace range widths ${lo.length}/${hi.length}")
+                spaces += ((lo.length, codeOf(lo), codeOf(hi)))
+              }
+            }
+          case "beginbfchar" =>
+            var done = false
+            while (!done) {
+              l.ws()
+              if (l.startsWith("endbfchar")) { l.p += "endbfchar".length; done = true }
+              else {
+                val src = hexOperand("bfchar source")
+                val dst = hexOperand("bfchar destination")
+                map.put(key(src.length, codeOf(src)), utf16(dst))
+              }
+            }
+          case "beginbfrange" =>
+            var done = false
+            while (!done) {
+              l.ws()
+              if (l.startsWith("endbfrange")) { l.p += "endbfrange".length; done = true }
+              else {
+                val lo = hexOperand("bfrange low")
+                val hi = hexOperand("bfrange high")
+                if (lo.length != hi.length)
+                  fail(s"$desc: bfrange endpoint widths differ")
+                val loC = codeOf(lo)
+                val hiC = codeOf(hi)
+                if (hiC < loC || hiC - loC >= 65536)
+                  fail(s"$desc: bfrange [$loC, $hiC] is invalid or oversized")
+                l.ws()
+                l.value() match {
+                  case dst: Array[Byte] =>
+                    var o = 0L
+                    while (loC + o <= hiC) {
+                      map.put(key(lo.length, loC + o), incremented(dst, o))
+                      o += 1
+                    }
+                  case arr: Vector[Any @unchecked] =>
+                    if (arr.size != (hiC - loC + 1))
+                      fail(s"$desc: bfrange array size ${arr.size} != range span")
+                    arr.zipWithIndex.foreach {
+                      case (d: Array[Byte], i) =>
+                        map.put(key(lo.length, loC + i), utf16(d))
+                      case (o, _) => fail(s"$desc: bad bfrange array element $o")
+                    }
+                  case o => fail(s"$desc: bad bfrange destination $o")
+                }
+              }
+            }
+          case "usecmap" => fail(
+            s"$desc: CMap composes another via usecmap — unsupported")
+          case _ => () // findresource/begin/def/endcmap/... scaffolding
+        }
+        operands.clear()
+      }
+    }
+    val lens =
+      if (spaces.isEmpty) Seq(defaultLen)
+      else spaces.map(_._1).distinct.sorted.toSeq
+    new ToUnicode(lens, spaces.toSeq, map)
   }
 
   /** Filter pipeline for one stream: /Filter is a name or an ARRAY of
@@ -908,11 +1315,18 @@ object PdfText {
     // ISO 32000 7.9.2.2: a text string opening with the FE FF BOM is
     // UTF-16BE (PDF 2.0 adds the EF BB BF UTF-8 marker) — without this
     // a UTF-16 string would silently mis-decode as cp1252 garbage.
-    // Otherwise: strict UTF-8 when valid, else Windows-1252 (the
-    // de-facto simple-font single-byte encoding).
-    if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
-      return new String(b, 2, b.length - 2,
-        java.nio.charset.StandardCharsets.UTF_16BE)
+    // Show strings are font-encoded rather than text strings, so the
+    // BOM here is a heuristic: commit to UTF-16BE only when the
+    // remainder is even-length and decodes STRICTLY (no unpaired
+    // surrogates), else fall through to the byte path — a cp1252
+    // string legitimately starting 'þÿ' stays cp1252 (r18 ADVICE).
+    if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte &&
+        (b.length - 2) % 2 == 0) {
+      val d16 = java.nio.charset.StandardCharsets.UTF_16BE.newDecoder()
+      try return d16.decode(
+        java.nio.ByteBuffer.wrap(b, 2, b.length - 2)).toString
+      catch { case _: java.nio.charset.CharacterCodingException => () }
+    }
     if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
         b(2) == 0xBF.toByte)
       return new String(b, 3, b.length - 3,
@@ -925,11 +1339,31 @@ object PdfText {
     }
   }
 
-  /** Extract the text of ONE page's content stream: shown strings in
-    * operator order, a '\n' at every line-break operator.
+  /** Extract the text of ONE page's content stream with NO font
+    * information: every shown string decodes through the byte heuristic
+    * (UTF-16BE-BOM / UTF-8 / cp1252). The document-level API
+    * ([[extractPages]]) decodes through the page's fonts instead.
     */
-  def extractPageText(content: Array[Byte]): String = {
+  def extractPageText(content: Array[Byte]): String =
+    extractText(content, None)
+
+  /** The operator walk. With `fontFor` present (the document path),
+    * `Tf` resolves the named font from the page resources and show
+    * strings decode through it — a show operator before any `Tf` is a
+    * loud reject (the spec requires a selected font). Without it (the
+    * raw-content API), shows fall back to the byte heuristic.
+    */
+  private def extractText(
+      content: Array[Byte],
+      fontFor: Option[String => Array[Byte] => String]): String = {
     val l = new Lexer(content, 0)
+    var curFont: Array[Byte] => String = null
+    def shown(b: Array[Byte]): String = fontFor match {
+      case None => decodeShown(b)
+      case Some(_) =>
+        if (curFont == null) fail("show operator before any Tf font selection")
+        curFont(b)
+    }
     val lines = Vector.newBuilder[String]
     val cur = new java.lang.StringBuilder()
     val operands = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -956,14 +1390,14 @@ object PdfText {
           case "BI" => fail("inline images (BI) are unsupported")
           case "Tj" if inText =>
             operands.lastOption match {
-              case Some(b: Array[Byte]) => cur.append(decodeShown(b)); any = true
+              case Some(b: Array[Byte]) => cur.append(shown(b)); any = true
               case o => fail(s"Tj without a string operand: $o")
             }
           case "TJ" if inText =>
             operands.lastOption match {
               case Some(arr: Vector[Any @unchecked]) =>
                 arr.foreach {
-                  case b: Array[Byte] => cur.append(decodeShown(b)); any = true
+                  case b: Array[Byte] => cur.append(shown(b)); any = true
                   case _: Long | _: Double => () // kerning adjustments
                   case o => fail(s"bad TJ element $o")
                 }
@@ -972,13 +1406,13 @@ object PdfText {
           case "'" if inText =>
             newline()
             operands.lastOption match {
-              case Some(b: Array[Byte]) => cur.append(decodeShown(b)); any = true
+              case Some(b: Array[Byte]) => cur.append(shown(b)); any = true
               case o => fail(s"' without a string operand: $o")
             }
           case "\"" if inText =>
             newline()
             operands.lastOption match {
-              case Some(b: Array[Byte]) => cur.append(decodeShown(b)); any = true
+              case Some(b: Array[Byte]) => cur.append(shown(b)); any = true
               case o => fail(s"\" without a string operand: $o")
             }
           case "Td" | "TD" if inText =>
@@ -990,6 +1424,16 @@ object PdfText {
             if (dy != 0.0) newline()
           case "T*" if inText => newline()
           case "Tm" if inText => newline()
+          case "Tf" =>
+            // font selection is graphics state — honored inside or
+            // outside BT (the spec allows Tf before BT)
+            fontFor.foreach { ff =>
+              if (operands.size < 2) fail("Tf needs a font name and size")
+              operands(operands.size - 2) match {
+                case PName(n) => curFont = ff(n)
+                case o => fail(s"Tf without a font name operand: $o")
+              }
+            }
           case _ => () // graphics/state operators: ignored
         }
         operands.clear()
@@ -1005,13 +1449,13 @@ object PdfText {
     * per-document cost (r17 ADVICE).
     */
   def extractPages(bytes: Array[Byte]): Seq[String] =
-    new Doc(bytes).pageContents().map(extractPageText)
+    new Doc(bytes).pages().map(p => extractText(p.content, Some(p.fontFor)))
 
   /** Whole-document text: pages joined with '\n'. */
   def extract(bytes: Array[Byte]): String = extractPages(bytes).mkString("\n")
 
   /** Number of pages (a cheap structural probe). */
-  def pageCount(bytes: Array[Byte]): Int = new Doc(bytes).pageContents().size
+  def pageCount(bytes: Array[Byte]): Int = new Doc(bytes).pages().size
 
   // ------------------------------------------------------------------
   // Writer (fixture path): a real two-object-tree PDF with
@@ -1230,6 +1674,106 @@ object PdfText {
     out.write(zx)
     out.write("\nendstream\nendobj\n".getBytes("US-ASCII"))
     out.write(s"startxref\n$xrefAt\n%%EOF\n".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** Build the SAME document with a Type0 (composite) font: show
+    * strings are 2-byte Identity-H CID codes (hex strings), and a
+    * generated `/ToUnicode` CMap (codespace `<0000><FFFF>`, bfchar
+    * blocks of ≤100 per the CMap spec's recommendation) maps each code
+    * back to its source code point — non-BMP text maps through
+    * surrogate-pair destinations. This is the layout every subset-
+    * embedded LaTeX/Word export uses; q230 alternates it with the
+    * classic and xref-stream framings so extraction-identity covers
+    * the font-decode path (r19) end to end at both SFs. Classic xref
+    * framing; numbering: 1 catalog, 2 pages, 3 font, 4 descendant
+    * CIDFont, 5 ToUnicode, then per page (page, contents).
+    */
+  def writePdfType0(pages: Seq[Seq[String]]): Array[Byte] = {
+    require(pages.nonEmpty, "PDF writer needs at least one page")
+    // code-point → CID, assigned in first-use order from 1
+    val cids = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    pages.foreach(_.foreach { line =>
+      line.codePoints().forEach { cp =>
+        if (!cids.contains(cp)) cids(cp) = cids.size + 1
+      }
+    })
+    require(cids.size <= 0xFFFE,
+      s"Type0 writer: ${cids.size} distinct code points exceed the 2-byte CID space")
+    val cmap = new StringBuilder()
+    cmap ++= "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+    cmap ++= "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def\n"
+    cmap ++= "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+    cmap ++= "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    cids.toSeq.grouped(100).foreach { block =>
+      cmap ++= s"${block.size} beginbfchar\n"
+      block.foreach { case (cp, cid) =>
+        val dst = new String(Character.toChars(cp))
+          .map(c => f"${c.toInt}%04X").mkString
+        cmap ++= f"<$cid%04X> <$dst>" + "\n"
+      }
+      cmap ++= "endbfchar\n"
+    }
+    cmap ++= "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    val zCmap = deflate(cmap.toString.getBytes("US-ASCII"))
+
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def obj(body: Array[Byte]): Unit = {
+      offsets += out.size().toLong
+      out.write(s"${offsets.size} 0 obj\n".getBytes("US-ASCII"))
+      out.write(body)
+      out.write("\nendobj\n".getBytes("US-ASCII"))
+    }
+    out.write("%PDF-1.4\n%âãÏÓ\n".getBytes("ISO-8859-1"))
+    val nPages = pages.size
+    val kidNums = (0 until nPages).map(i => 6 + 2 * i)
+    obj("<< /Type /Catalog /Pages 2 0 R >>".getBytes("US-ASCII"))
+    obj((s"<< /Type /Pages /Count $nPages /Kids [" +
+      kidNums.map(n => s"$n 0 R").mkString(" ") + "] >>").getBytes("US-ASCII"))
+    obj(("<< /Type /Font /Subtype /Type0 /BaseFont /GRAFTA+Synth " +
+      "/Encoding /Identity-H /DescendantFonts [4 0 R] " +
+      "/ToUnicode 5 0 R >>").getBytes("US-ASCII"))
+    obj(("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GRAFTA+Synth " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+      "/Supplement 0 >> /DW 500 >>").getBytes("US-ASCII"))
+    offsets += out.size().toLong
+    out.write((s"5 0 obj\n<< /Length ${zCmap.length} /Filter /FlateDecode " +
+      ">>\nstream\n").getBytes("US-ASCII"))
+    out.write(zCmap)
+    out.write("\nendstream\nendobj\n".getBytes("US-ASCII"))
+    for ((lines, i) <- pages.zipWithIndex) {
+      val contentNum = 6 + 2 * i + 1
+      obj((s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> " +
+        s"/Contents $contentNum 0 R >>").getBytes("US-ASCII"))
+      val content = new ByteArrayOutputStream()
+      content.write("BT /F1 12 Tf 72 720 Td\n".getBytes("US-ASCII"))
+      for ((line, j) <- lines.zipWithIndex) {
+        if (j > 0) content.write("0 -14 TD\n".getBytes("US-ASCII"))
+        content.write('<')
+        line.codePoints().forEach { cp =>
+          content.write(f"${cids(cp)}%04X".getBytes("US-ASCII"))
+        }
+        content.write("> Tj\n".getBytes("US-ASCII"))
+      }
+      content.write("ET".getBytes("US-ASCII"))
+      val z = deflate(content.toByteArray)
+      offsets += out.size().toLong
+      out.write((s"$contentNum 0 obj\n<< /Length ${z.length} " +
+        "/Filter /FlateDecode >>\nstream\n").getBytes("US-ASCII"))
+      out.write(z)
+      out.write("\nendstream\nendobj\n".getBytes("US-ASCII"))
+    }
+    val xrefAt = out.size()
+    val n = offsets.size
+    out.write(s"xref\n0 ${n + 1}\n".getBytes("US-ASCII"))
+    out.write("0000000000 65535 f \n".getBytes("US-ASCII"))
+    offsets.foreach { o =>
+      out.write(f"$o%010d 00000 n \n".getBytes("US-ASCII"))
+    }
+    out.write((s"trailer\n<< /Size ${n + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n").getBytes("US-ASCII"))
     out.toByteArray
   }
 }

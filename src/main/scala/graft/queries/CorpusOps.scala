@@ -1744,13 +1744,18 @@ object CorpusOps {
           require(text.indexOf('\n') < 0 && text.indexOf('\r') < 0,
             s"doc $id: source text contains a line break; q230's identity oracle assumes none")
           // render: the fixture layer (still executor-side and narrow).
-          // Framings alternate by id: classic xref table vs the PDF 1.5
-          // xref-stream + ObjStm + PNG-Up-predictor layout (r18) — text
-          // identity must survive both.
+          // Framings rotate by id: classic xref table, the PDF 1.5
+          // xref-stream + ObjStm + PNG-Up-predictor layout (r18), and
+          // the Type0/Identity-H + /ToUnicode subset-font layout (r19,
+          // 2-byte CID hex show strings) — text identity must survive
+          // all three.
           val lines = PdfText.layoutLines(text, 60)
           val pages = lines.grouped(math.max(1, (lines.size + 1) / 2)).toSeq
-          val pdf = if (id % 2 == 0) PdfText.writePdf(pages)
-                    else PdfText.writePdfXrefStream(pages)
+          val pdf = (id % 3) match {
+            case 0 => PdfText.writePdf(pages)
+            case 1 => PdfText.writePdfXrefStream(pages)
+            case _ => PdfText.writePdfType0(pages)
+          }
           // the measured extraction chain — ONE parse yields both the
           // text and the page-count cross-check (r17 ADVICE)
           val pageTexts = PdfText.extractPages(pdf)

@@ -134,10 +134,27 @@ class PdfTextSpec extends AnyFunSuite {
     badStream("LZWDecode", "\u0080\u004b\u0000", "beyond table")
   }
 
-  test("encrypted, mistyped-startxref, and non-Flate files fail loudly") {
+  test("ENCRYPTED golden (r19): the standard security handler with an " +
+      "EMPTY user password decrypts — RC4-40 (V1/R2), RC4-128 (V2/R3), " +
+      "AES-128-CBC (V4/R4 /AESV2 crypt filters), per-object keys over " +
+      "independent python RC4/MD5/AES fixtures (AES pinned to the " +
+      "FIPS-197 vector generator-side) — including an encrypted string " +
+      "in the page dict; a REAL user password rejects loudly") {
+    for ((f, label) <- Seq(("rc4_40.pdf", "rc4-40"),
+        ("rc4_128.pdf", "rc4-128"), ("aes128.pdf", "aes-128"))) {
+      val pages = PdfText.extractPages(fixture(f))
+      assert(pages == Seq(s"$label secret line\nsecond line"), f)
+    }
+    val e = intercept[IllegalArgumentException](
+      PdfText.extract(fixture("passworded.pdf")))
+    assert(e.getMessage.contains("requires a user password"), e.getMessage)
+  }
+
+  test("degenerate /Encrypt, mistyped-startxref, and non-Flate files fail loudly") {
+    // a bare << /Filter /Standard >> Encrypt dict has no key material
     val e1 = intercept[IllegalArgumentException](
       PdfText.extract(fixture("encrypted.pdf")))
-    assert(e1.getMessage.contains("encrypted"), e1.getMessage)
+    assert(e1.getMessage.contains("/Encrypt missing"), e1.getMessage)
     // startxref pointing at an object that is neither a table nor a
     // /Type/XRef stream (pre-r18 this doubled as the xref-stream reject)
     val e2 = intercept[IllegalArgumentException](
@@ -178,6 +195,60 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extractPageText(
       Array[Byte]('B', 'T', ' ', '(', 0xE9.toByte, ')', ' ', 'T', 'j',
         ' ', 'E', 'T')) == "\u00e9")
+  }
+
+  test("FONT golden (r19): /Differences over WinAnsi (AGL + uniXXXX/uXXXXX " +
+      "names, symbolic flag overridden by a declared /Encoding), named " +
+      "Standard/MacRoman encodings with a mid-page Tf switch, a simple-font " +
+      "/ToUnicode whose CMap WINS over the byte heuristic, and " +
+      "Type0/Identity-H 2-byte CIDs through bfchar + incrementing and " +
+      "ARRAY-form bfranges") {
+    val bytes = fixture("fonts.pdf")
+    val pages = PdfText.extractPages(bytes)
+    assert(pages.size == 4)
+    // /Differences: A->Eacute B->eacute a->uni0142 b->u1F600 (non-BMP);
+    // 0x80/0xE9 fall through to the WinAnsi base
+    assert(pages(0) == "Éé ł😀 €é")
+    // StandardEncoding: 0x27 quoteright, 0x60 quoteleft, 0xAE/0xAF fi/fl;
+    // then the SAME page switches fonts to MacRoman (0x8E = eacute)
+    assert(pages(1) == "’std‘ ﬁﬂ\ncafé")
+    // simple-font ToUnicode: bfchar 0x01 -> "Xy" (two-char destination),
+    // bfrange maps codes 'A'..'Z' to 'a'..'z' — proof the CMap is
+    // consulted instead of any byte heuristic
+    assert(pages(2) == "Xyabc")
+    // Type0: <0001>H, bfrange <0002>-<0004>->e.., array bfrange "ll"/"o"
+    assert(pages(3) == "Hello\nfg")
+  }
+
+  test("font rejects (r19): used fonts with no public mapping fail " +
+      "loudly instead of emitting cp1252 guesswork") {
+    val e1 = intercept[IllegalArgumentException](
+      PdfText.extract(fixture("badfont.pdf")))
+    assert(e1.getMessage.contains("symbolic font with neither"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      PdfText.extract(fixture("badglyph.pdf")))
+    assert(e2.getMessage.contains("no public Unicode mapping"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      PdfText.extract(fixture("notounicode.pdf")))
+    assert(e3.getMessage.contains("Type0 without /ToUnicode"), e3.getMessage)
+  }
+
+  test("writer round trip in the Type0 framing (r19): writePdfType0 is " +
+      "text-identical to writePdf — incl. non-BMP text through " +
+      "surrogate-pair /ToUnicode destinations — and the text is never " +
+      "in the clear (2-byte CID hex show strings)") {
+    val pages = Seq(
+      Seq("plain first line", "unicode: café — ümläut ✓",
+        "astral: 😀 ok"),
+      Seq("page two, single line"))
+    val pdf = PdfText.writePdfType0(pages)
+    assert(PdfText.pageCount(pdf) == 2)
+    assert(PdfText.extract(pdf) == PdfText.extract(PdfText.writePdf(pages)))
+    val s = new String(pdf, "ISO-8859-1")
+    assert(s.contains("/Identity-H") && s.contains("/ToUnicode") &&
+      s.contains("/CIDFontType2"))
+    assert(!s.contains("plain first line"),
+      "show strings are CID hex, so source text must not appear verbatim")
   }
 
   test("a reference CYCLE fails loudly, not with a stack overflow (r18)") {

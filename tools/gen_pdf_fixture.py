@@ -486,6 +486,345 @@ def gen():
     # sanity: the python RLE encoder inverts correctly
     assert rle_decode_check(pay4) == fc4
 
+    # ---- fonts.pdf (r19): show strings decode through FONTS.
+    # page 1: /Encoding dict — WinAnsi base + /Differences remapping
+    #   A->Eacute B->eacute a->uni0142 b->u1F600 (AGL name conventions,
+    #   incl. a non-BMP u-name); unremapped codes fall to WinAnsi
+    #   (0x80 euro, 0xE9 eacute). FontDescriptor /Flags 4 proves a
+    #   declared /Encoding wins even for a SYMBOLIC font.
+    # page 2: named /StandardEncoding (quoteright at 0x27, quoteleft at
+    #   0x60, fi/fl ligatures at 0xAE/0xAF) then a MID-PAGE Tf switch
+    #   to a /MacRomanEncoding font (0x8E = eacute).
+    # page 3: simple TrueType with /ToUnicode — bfchar to a TWO-char
+    #   destination and a bfrange mapping A..Z codes to a..z: the CMap
+    #   must win over any byte heuristic.
+    # page 4: Type0 /Identity-H + /ToUnicode with 2-byte CIDs — bfchar,
+    #   incrementing bfrange, and ARRAY-form bfrange destinations.
+    fo = PdfBuilder()
+    fo.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    fo.obj(2, b"<< /Type /Pages /Count 4 /Kids [10 0 R 20 0 R 30 0 R 40 0 R] >>")
+    fo.obj(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /GRAFTB+Custom"
+              b" /FontDescriptor 13 0 R /Encoding << /BaseEncoding"
+              b" /WinAnsiEncoding /Differences"
+              b" [65 /Eacute /eacute 97 /uni0142 /u1F600] >> >>")
+    fo.obj(13, b"<< /Type /FontDescriptor /Flags 4 /FontName /GRAFTB+Custom >>")
+    fo.obj(4, b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman"
+              b" /Encoding /StandardEncoding >>")
+    fo.obj(5, b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial"
+              b" /Encoding /MacRomanEncoding >>")
+    fo.obj(6, b"<< /Type /Font /Subtype /TrueType /BaseFont /GRAFTC+Sub"
+              b" /ToUnicode 7 0 R >>")
+    cmap1 = (b"/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+             b"begincmap\n/CMapName /GRAFTC-UCS def\n/CMapType 2 def\n"
+             b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+             b"1 beginbfchar\n<01> <00580079>\nendbfchar\n"
+             b"1 beginbfrange\n<41> <5A> <0061>\nendbfrange\n"
+             b"endcmap\nend\nend\n")
+    fo.stream_obj(7, cmap1)
+    fo.obj(8, b"<< /Type /Font /Subtype /Type0 /BaseFont /GRAFTD+CID"
+              b" /Encoding /Identity-H /DescendantFonts [9 0 R]"
+              b" /ToUnicode 12 0 R >>")
+    fo.obj(9, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GRAFTD+CID"
+              b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+              b" /Supplement 0 >> /DW 500 >>")
+    cmap2 = (b"/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+             b"begincmap\n/CIDSystemInfo << /Registry (Adobe)"
+             b" /Ordering (UCS) /Supplement 0 >> def\n"
+             b"/CMapName /GRAFTD-UCS def\n/CMapType 2 def\n"
+             b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+             b"1 beginbfchar\n<0001> <0048>\nendbfchar\n"
+             b"2 beginbfrange\n<0002> <0004> <0065>\n"
+             b"<0005> <0006> [<006C006C> <006F>]\nendbfrange\n"
+             b"endcmap\nend\nend\n")
+    fo.stream_obj(12, cmap2)
+    fo.obj(10, b"<< /Type /Page /Parent 2 0 R /Contents 11 0 R /Resources"
+               b" << /Font << /FD 3 0 R >> >> /MediaBox [0 0 612 792] >>")
+    fo.stream_obj(11, b"BT /FD 12 Tf 72 720 Td\n(AB ab \x80\xe9) Tj\nET")
+    fp1 = "Éé ł\U0001F600 €é"
+    fo.obj(20, b"<< /Type /Page /Parent 2 0 R /Contents 21 0 R /Resources"
+               b" << /Font << /FS 4 0 R /FM 5 0 R >> >> /MediaBox [0 0 612 792] >>")
+    fo.stream_obj(21, b"BT /FS 12 Tf 72 720 Td\n('std` \xae\xaf) Tj\n"
+                      b"0 -14 TD\n/FM 12 Tf\n(caf\x8e) Tj\nET")
+    fp2 = "’std‘ ﬁﬂ\ncafé"
+    fo.obj(30, b"<< /Type /Page /Parent 2 0 R /Contents 31 0 R /Resources"
+               b" << /Font << /FT 6 0 R >> >> /MediaBox [0 0 612 792] >>")
+    fo.stream_obj(31, b"BT /FT 12 Tf 72 720 Td\n(\x01ABC) Tj\nET")
+    fp3 = "Xyabc"
+    fo.obj(40, b"<< /Type /Page /Parent 2 0 R /Contents 41 0 R /Resources"
+               b" << /Font << /F0 8 0 R >> >> /MediaBox [0 0 612 792] >>")
+    fo.stream_obj(41, b"BT /F0 12 Tf 72 720 Td\n<0001000200050006> Tj\n"
+                      b"0 -14 TD\n<00030004> Tj\nET")
+    fp4 = "Hello\nfg"
+    with open(os.path.join(OUT, "fonts.pdf"), "wb") as f:
+        f.write(fo.finish())
+    manifest["fonts.pdf"] = {"pages": 4,
+                             "text": "\n".join([fp1, fp2, fp3, fp4])}
+
+    # ---- badfont.pdf: a USED symbolic font with neither /Encoding nor
+    # /ToUnicode — its codes are font-internal, so extraction must
+    # reject loudly instead of guessing cp1252
+    bfo = PdfBuilder()
+    bfo.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    bfo.obj(2, b"<< /Type /Pages /Count 1 /Kids [4 0 R] >>")
+    bfo.obj(3, b"<< /Type /Font /Subtype /TrueType /BaseFont /GRAFTE+Sym"
+               b" /FontDescriptor 6 0 R >>")
+    bfo.obj(6, b"<< /Type /FontDescriptor /Flags 4 /FontName /GRAFTE+Sym >>")
+    bfo.obj(4, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources"
+               b" << /Font << /F1 3 0 R >> >> /MediaBox [0 0 612 792] >>")
+    bfo.stream_obj(5, b"BT /F1 12 Tf 72 720 Td\n(abc) Tj\nET")
+    with open(os.path.join(OUT, "badfont.pdf"), "wb") as f:
+        f.write(bfo.finish())
+
+    # ---- badglyph.pdf: /Differences names a subset-PRIVATE glyph
+    # (/g123, no public Unicode mapping) -> loud reject on font use
+    bgo = PdfBuilder()
+    bgo.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    bgo.obj(2, b"<< /Type /Pages /Count 1 /Kids [4 0 R] >>")
+    bgo.obj(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /GRAFTF+Priv"
+               b" /Encoding << /Differences [65 /g123] >> >>")
+    bgo.obj(4, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources"
+               b" << /Font << /F1 3 0 R >> >> /MediaBox [0 0 612 792] >>")
+    bgo.stream_obj(5, b"BT /F1 12 Tf 72 720 Td\n(A) Tj\nET")
+    with open(os.path.join(OUT, "badglyph.pdf"), "wb") as f:
+        f.write(bgo.finish())
+
+    # ---- notounicode.pdf: Type0/Identity-H WITHOUT /ToUnicode — CID
+    # codes are unmappable -> loud reject on font use
+    nto = PdfBuilder()
+    nto.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    nto.obj(2, b"<< /Type /Pages /Count 1 /Kids [5 0 R] >>")
+    nto.obj(3, b"<< /Type /Font /Subtype /Type0 /BaseFont /GRAFTG+CID"
+               b" /Encoding /Identity-H /DescendantFonts [4 0 R] >>")
+    nto.obj(4, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GRAFTG+CID"
+               b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+               b" /Supplement 0 >> /DW 500 >>")
+    nto.obj(5, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R /Resources"
+               b" << /Font << /F1 3 0 R >> >> /MediaBox [0 0 612 792] >>")
+    nto.stream_obj(6, b"BT /F1 12 Tf 72 720 Td\n<0001> Tj\nET")
+    with open(os.path.join(OUT, "notounicode.pdf"), "wb") as f:
+        f.write(nto.finish())
+
+    # ---- encrypted fixtures (r19): standard security handler with an
+    # EMPTY user password — rc4_40.pdf (V1/R2), rc4_128.pdf (V2/R3/128),
+    # aes128.pdf (V4/R4 /AESV2) — plus passworded.pdf (real user
+    # password) which must reject loudly. All crypto below is
+    # INDEPENDENT pure python (hashlib MD5 + hand-rolled RC4 and
+    # AES-128, the latter checked against the FIPS-197 C.1 vector).
+    import hashlib
+    import struct as _st
+
+    PADB = bytes([
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+    def rc4(key, data):
+        s = list(range(256))
+        j = 0
+        for i in range(256):
+            j = (j + s[i] + key[i % len(key)]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+        out = bytearray()
+        i = j = 0
+        for b in data:
+            i = (i + 1) & 0xFF
+            j = (j + s[i]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+            out.append(b ^ s[(s[i] + s[j]) & 0xFF])
+        return bytes(out)
+
+    def pw_pad(pw):
+        return (pw + PADB)[:32]
+
+    def compute_O(owner_pw, user_pw, r, n):
+        d = hashlib.md5(pw_pad(owner_pw or user_pw)).digest()
+        if r >= 3:
+            for _ in range(50):
+                d = hashlib.md5(d).digest()
+        key = d[:n]
+        o = rc4(key, pw_pad(user_pw))
+        if r >= 3:
+            for i in range(1, 20):
+                o = rc4(bytes(b ^ i for b in key), o)
+        return o
+
+    def file_key(user_pw, o, p, id0, r, n):
+        h = hashlib.md5()
+        h.update(pw_pad(user_pw))
+        h.update(o)
+        h.update(_st.pack("<i", p))
+        h.update(id0)
+        key = h.digest()
+        if r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:n]).digest()
+        return key[:n]
+
+    def compute_U(key, id0, r):
+        if r == 2:
+            return rc4(key, PADB)
+        x = rc4(key, hashlib.md5(PADB + id0).digest())
+        for i in range(1, 20):
+            x = rc4(bytes(b ^ i for b in key), x)
+        return x + b"\x00" * 16
+
+    def obj_key(key, num, gen, aes):
+        h = hashlib.md5(key + _st.pack("<i", num)[:3] +
+                        _st.pack("<i", gen)[:2] + (b"sAlT" if aes else b""))
+        return h.digest()[:min(len(key) + 5, 16)]
+
+    # AES-128 encrypt, from FIPS-197 directly
+    SBOX = [0] * 256
+    SBOX[0] = 0x63
+    _p = _q = 1
+    while True:
+        _p = (_p ^ ((_p << 1) & 0xFF) ^ (0x1B if _p & 0x80 else 0)) & 0xFF
+        _q ^= (_q << 1) & 0xFF
+        _q ^= (_q << 2) & 0xFF
+        _q ^= (_q << 4) & 0xFF
+        _q &= 0xFF
+        if _q & 0x80:
+            _q ^= 0x09
+        _x = (_q ^ ((_q << 1) | (_q >> 7)) ^ ((_q << 2) | (_q >> 6)) ^
+              ((_q << 3) | (_q >> 5)) ^ ((_q << 4) | (_q >> 4)))
+        SBOX[_p] = (_x ^ 0x63) & 0xFF
+        if _p == 1:
+            break
+    RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+    def xtime(a):
+        return ((a << 1) ^ 0x1B) & 0xFF if a & 0x80 else (a << 1) & 0xFF
+
+    def key_expand(key):
+        w = [list(key[4 * i:4 * i + 4]) for i in range(4)]
+        for i in range(4, 44):
+            t = list(w[i - 1])
+            if i % 4 == 0:
+                t = t[1:] + t[:1]
+                t = [SBOX[b] for b in t]
+                t[0] ^= RCON[i // 4 - 1]
+            w.append([a ^ b for a, b in zip(w[i - 4], t)])
+        return w
+
+    def aes_block(w, block):
+        s = [[block[r + 4 * c] for c in range(4)] for r in range(4)]
+
+        def ark(rnd):
+            for c in range(4):
+                for r in range(4):
+                    s[r][c] ^= w[4 * rnd + c][r]
+        ark(0)
+        for rnd in range(1, 10):
+            for r in range(4):
+                for c in range(4):
+                    s[r][c] = SBOX[s[r][c]]
+            for r in range(1, 4):
+                s[r] = s[r][r:] + s[r][:r]
+            for c in range(4):
+                a = [s[r][c] for r in range(4)]
+                s[0][c] = xtime(a[0]) ^ xtime(a[1]) ^ a[1] ^ a[2] ^ a[3]
+                s[1][c] = a[0] ^ xtime(a[1]) ^ xtime(a[2]) ^ a[2] ^ a[3]
+                s[2][c] = a[0] ^ a[1] ^ xtime(a[2]) ^ xtime(a[3]) ^ a[3]
+                s[3][c] = xtime(a[0]) ^ a[0] ^ a[1] ^ a[2] ^ xtime(a[3])
+            ark(rnd)
+        for r in range(4):
+            for c in range(4):
+                s[r][c] = SBOX[s[r][c]]
+        for r in range(1, 4):
+            s[r] = s[r][r:] + s[r][:r]
+        ark(10)
+        return bytes(s[r][c] for c in range(4) for r in range(4))
+
+    # FIPS-197 appendix C.1 vector
+    assert aes_block(
+        key_expand(bytes(range(16))),
+        bytes(int(h, 16) for h in
+              ["00", "11", "22", "33", "44", "55", "66", "77",
+               "88", "99", "aa", "bb", "cc", "dd", "ee", "ff"])
+    ).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a", "AES self-test failed"
+
+    def aes_cbc_encrypt(key, iv, data):
+        padn = 16 - len(data) % 16
+        data = data + bytes([padn]) * padn
+        w = key_expand(key)
+        out = bytearray(iv)
+        prev = iv
+        for i in range(0, len(data), 16):
+            blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+            c = aes_block(w, blk)
+            out += c
+            prev = c
+        return bytes(out)
+
+    def gen_encrypted(fname, v, r, nbits, aes, user_pw=b"",
+                      label=""):
+        n = 5 if r == 2 else nbits // 8
+        p = -44
+        id0 = hashlib.md5(fname.encode()).digest()
+        owner_pw = b"owner-secret"
+        o_entry = compute_O(owner_pw, user_pw, r, n)
+        key = file_key(user_pw, o_entry, p, id0, r, n)
+        u_entry = compute_U(key, id0, r)
+
+        def enc_stream(num, data):
+            if aes:
+                iv = hashlib.md5(b"iv" + fname.encode() +
+                                 bytes([num])).digest()
+                return aes_cbc_encrypt(obj_key(key, num, 0, True), iv, data)
+            return rc4(obj_key(key, num, 0, False), data)
+
+        eb = PdfBuilder()
+        eb.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        eb.obj(2, b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+        # an encrypted STRING rides in the page dict: the reader must
+        # decrypt it to a parseable value while walking the page tree
+        check = enc_stream(3, b"graft-check")
+        check_hex = check.hex().upper().encode("ascii")
+        eb.obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+                  b" /GraftCheck <" + check_hex + b">"
+                  b" /Resources << /Font << /F1 5 0 R >> >>"
+                  b" /MediaBox [0 0 612 792] >>")
+        content = ("BT /F1 12 Tf 72 720 Td\n(%s secret line) Tj\n"
+                   "0 -14 TD\n(second line) Tj\nET" % label).encode("ascii")
+        payload = enc_stream(4, zlib.compress(content))
+        eb.offsets[4] = len(eb.buf)
+        eb.buf += (b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>"
+                   b"\nstream\n" % len(payload))
+        eb.buf += payload
+        eb.buf += b"\nendstream\nendobj\n"
+        eb.obj(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        edict = b"<< /Filter /Standard /V %d /R %d /Length %d /P %d" % (
+            v, r, nbits, p)
+        edict += b" /O <" + o_entry.hex().upper().encode() + b">"
+        edict += b" /U <" + u_entry.hex().upper().encode() + b">"
+        if v == 4:
+            edict += (b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+                      b" /Length %d >> >> /StmF /StdCF /StrF /StdCF"
+                      % (nbits // 8))
+        edict += b" >>"
+        eb.obj(6, edict)
+        idhex = id0.hex().upper().encode()
+        data = eb.finish(extra_trailer=b" /Encrypt 6 0 R /ID [<%s> <%s>]"
+                         % (idhex, idhex))
+        with open(os.path.join(OUT, fname), "wb") as f:
+            f.write(data)
+        return "%s secret line\nsecond line" % label
+
+    manifest["rc4_40.pdf"] = {
+        "pages": 1,
+        "text": gen_encrypted("rc4_40.pdf", 1, 2, 40, False, label="rc4-40")}
+    manifest["rc4_128.pdf"] = {
+        "pages": 1,
+        "text": gen_encrypted("rc4_128.pdf", 2, 3, 128, False,
+                              label="rc4-128")}
+    manifest["aes128.pdf"] = {
+        "pages": 1,
+        "text": gen_encrypted("aes128.pdf", 4, 4, 128, True,
+                              label="aes-128")}
+    gen_encrypted("passworded.pdf", 2, 3, 128, False,
+                  user_pw=b"hunter2", label="locked")
+
     with open(os.path.join(OUT, "manifest.json"), "w", encoding="utf-8") as f:
         json.dump(manifest, f, indent=1, ensure_ascii=False)
     print(f"wrote {OUT}: rich.pdf ({len(data)} B) + 3 reject fixtures")
