@@ -170,23 +170,36 @@ object Mp4IO {
     var trafIdx = 0
     kids.filter(_.typ == "traf").foreach { traf =>
       val tkids = children(b, traf.payload, traf.end)
-      val (tfhdS, _) = child(b, tkids, "tfhd", "traf")
+      val (tfhdS, tfhdE) = child(b, tkids, "tfhd", "traf")
+      // every optional-field cursor is bounded against its OWN box end
+      // before the read — a truncated/malformed tfhd or trun must fail
+      // loudly, not consume the following box's bytes as field values
+      // (the stts parser's hardening, mirrored)
+      def need(p: Long, nBytes: Int, endPos: Long, what: String): Unit =
+        if (p + nBytes > endPos)
+          fail(s"$what truncated: ${nBytes}B field at $p overruns box end $endPos")
+      need(tfhdS, 8, tfhdE, "tfhd")
       val tf = u32(b, tfhdS.toInt).toInt & 0xffffff
       val trackId = u32(b, tfhdS.toInt + 4).toInt
       var pos = tfhdS.toInt + 8
       val baseDataOffset: Option[Long] =
-        if ((tf & 0x1) != 0) { val v = u64(b, pos); pos += 8; Some(v) } else None
-      if ((tf & 0x2) != 0) pos += 4 // sample_description_index
+        if ((tf & 0x1) != 0) {
+          need(pos, 8, tfhdE, "tfhd base_data_offset")
+          val v = u64(b, pos); pos += 8; Some(v)
+        } else None
+      if ((tf & 0x2) != 0) {
+        need(pos, 4, tfhdE, "tfhd sample_description_index")
+        pos += 4
+      }
       val d = trex.get(trackId)
-      val defDur: Option[Long] =
-        if ((tf & 0x8) != 0) { val v = u32(b, pos); pos += 4; Some(v) }
-        else d.map(_.defDur)
-      val defSize: Option[Long] =
-        if ((tf & 0x10) != 0) { val v = u32(b, pos); pos += 4; Some(v) }
-        else d.map(_.defSize)
-      val defFlags: Option[Long] =
-        if ((tf & 0x20) != 0) { val v = u32(b, pos); pos += 4; Some(v) }
-        else d.map(_.defFlags)
+      def tfhdField(bit: Int, what: String, dflt: Trex => Long): Option[Long] =
+        if ((tf & bit) != 0) {
+          need(pos, 4, tfhdE, what)
+          val v = u32(b, pos); pos += 4; Some(v)
+        } else d.map(dflt)
+      val defDur = tfhdField(0x8, "tfhd default_sample_duration", _.defDur)
+      val defSize = tfhdField(0x10, "tfhd default_sample_size", _.defSize)
+      val defFlags = tfhdField(0x20, "tfhd default_sample_flags", _.defFlags)
       val base: Long = baseDataOffset.getOrElse {
         if ((tf & 0x20000) != 0) moof.start // default-base-is-moof
         else if (trafIdx == 0) moof.start // spec default for the first traf
@@ -197,7 +210,10 @@ object Mp4IO {
         fail(s"moof references track $trackId with no moov trak"))
       // tfdt overrides accumulated time when present
       tkids.find(_.typ == "tfdt").foreach { tfdt =>
+        need(tfdt.payload, 4, tfdt.end, "tfdt")
         val ver = b(tfdt.payload.toInt) & 0xff
+        need(tfdt.payload + 4, if (ver == 1) 8 else 4, tfdt.end,
+          "tfdt base_media_decode_time")
         acc.nextTime =
           if (ver == 1) u64(b, tfdt.payload.toInt + 4)
           else u32(b, tfdt.payload.toInt + 4)
@@ -206,32 +222,49 @@ object Mp4IO {
       // where the previous run in this traf ended
       var cursor = base
       tkids.filter(_.typ == "trun").foreach { trun =>
+        need(trun.payload, 8, trun.end, "trun")
         val rf = u32(b, trun.payload.toInt).toInt & 0xffffff
         val n = u32(b, trun.payload.toInt + 4).toInt
         if (n < 0 || n > (1 << 24)) fail(s"implausible trun sample count $n")
         var rp = trun.payload.toInt + 8
         if ((rf & 0x1) != 0) {
+          need(rp, 4, trun.end, "trun data_offset")
           // signed 32-bit, relative to the traf base
           cursor = base + u32(b, rp).toInt
           rp += 4
         }
         val firstFlags: Option[Long] =
-          if ((rf & 0x4) != 0) { val v = u32(b, rp); rp += 4; Some(v) } else None
+          if ((rf & 0x4) != 0) {
+            need(rp, 4, trun.end, "trun first_sample_flags")
+            val v = u32(b, rp); rp += 4; Some(v)
+          } else None
         for (i <- 0 until n) {
           val dur =
-            if ((rf & 0x100) != 0) { val v = u32(b, rp); rp += 4; v }
+            if ((rf & 0x100) != 0) {
+              need(rp, 4, trun.end, "trun sample_duration")
+              val v = u32(b, rp); rp += 4; v
+            }
             else defDur.getOrElse(fail(s"track $trackId: no sample duration " +
               "(trun, tfhd, and trex all silent)"))
           val size =
-            if ((rf & 0x200) != 0) { val v = u32(b, rp); rp += 4; v }
+            if ((rf & 0x200) != 0) {
+              need(rp, 4, trun.end, "trun sample_size")
+              val v = u32(b, rp); rp += 4; v
+            }
             else defSize.getOrElse(fail(s"track $trackId: no sample size"))
           // first_sample_flags overrides sample 0 when per-sample flags
           // are absent; the sample_is_non_sync_sample bit is 1<<16
           val flags =
-            if ((rf & 0x400) != 0) { val v = u32(b, rp); rp += 4; v }
+            if ((rf & 0x400) != 0) {
+              need(rp, 4, trun.end, "trun sample_flags")
+              val v = u32(b, rp); rp += 4; v
+            }
             else if (i == 0 && firstFlags.nonEmpty) firstFlags.get
             else defFlags.getOrElse(fail(s"track $trackId: no sample flags"))
-          if ((rf & 0x800) != 0) rp += 4 // composition-time offset: unused
+          if ((rf & 0x800) != 0) {
+            need(rp, 4, trun.end, "trun sample_composition_time_offset")
+            rp += 4 // composition-time offset: unused
+          }
           if (size > Int.MaxValue || cursor + size > b.length)
             fail(s"track $trackId: fragment sample [$cursor, ${cursor + size}) " +
               s"exceeds file ${b.length}")

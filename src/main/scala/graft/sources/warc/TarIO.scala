@@ -143,15 +143,20 @@ object TarIO {
             case '5' =>
               pathOverride = None // a pax override names the dir, not a file
             case 'x' =>
-              // precedence is explicit (r17 ADVICE): a metadata member
-              // whose override is still pending when another metadata
-              // member arrives is ambiguous — whose name applies to the
-              // next file? Fail loudly rather than keep a stale 'L'/'x'
-              // override across a pathless 'x'.
-              if (pathOverride.isDefined)
-                fail("pax 'x' member while a path override is already pending")
-              pathOverride = paxPath(
+              // precedence is explicit (r17 ADVICE, refined r19): TWO
+              // path records pending for one member is ambiguous —
+              // whose name applies? — and fails loudly. But an 'x'
+              // member carrying only NON-path records (mtime/uid —
+              // mixed producers pair GNU 'L' longnames with per-file
+              // pax metadata members) neither conflicts with nor
+              // clears a pending 'L'/'x' override.
+              val px = paxPath(
                 java.util.Arrays.copyOfRange(bytes, p, dataEnd), global = false)
+              if (px.isDefined) {
+                if (pathOverride.isDefined)
+                  fail("pax 'x' path record while a path override is already pending")
+                pathOverride = px
+              }
             case 'g' =>
               paxPath(java.util.Arrays.copyOfRange(bytes, p, dataEnd),
                 global = true)

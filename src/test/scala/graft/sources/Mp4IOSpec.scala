@@ -190,4 +190,25 @@ class Mp4IOSpec extends AnyFunSuite {
     bad(cut, "malformed MP4") // framing error — exact message depends on
     // which box the truncation mangles first
   }
+
+  test("a trun whose declared size cannot hold its per-sample fields " +
+      "fails loudly instead of reading the next box's bytes (r19)") {
+    val frames = (0 until 4).map(i => Array.fill[Byte](32)(i.toByte))
+    val mp4 = writeMp4MjpegFragmented(frames, width = 8, height = 8,
+      timescale = 1000, sampleDelta = 40, framesPerFragment = 2)
+    // find the first trun; its per-sample reads must be bounded by the
+    // box's own declared end, not the buffer
+    var at = -1
+    var p = 0
+    while (at < 0 && p + 8 <= mp4.length) {
+      if (new String(mp4, p + 4, 4, "US-ASCII") == "trun") at = p else p += 1
+    }
+    assert(at > 0, "fragmented writer emitted no trun")
+    // inflate sample_count (at payload+4) to 1000: the box framing stays
+    // intact, but the per-sample field reads run past the trun's end
+    val cut = mp4.clone()
+    cut(at + 12) = 0; cut(at + 13) = 0; cut(at + 14) = 3; cut(at + 15) = 0xE8.toByte
+    val e = intercept[IllegalArgumentException](readMp4(cut))
+    assert(e.getMessage.contains("overruns box end"), e.getMessage)
+  }
 }
