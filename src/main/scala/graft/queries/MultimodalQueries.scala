@@ -1222,6 +1222,72 @@ object MultimodalQueries {
           col("n_cuts"), col("max_delta"), col("n_sync"))
         .orderBy(col("id").asc)
         .limit(200)
+    },
+
+    // ------------------------------------------------------------------
+    // WEBM / MATROSKA (EBML) CONTAINER WALK (q234, r19) — real web
+    // video is fMP4 (q229) AND WebM: VP8/VP9 + Opus ship in EBML. Each
+    // embedding renders as a REAL webm file — EBML header, Info,
+    // Tracks (V_VP9 320x180), two Clusters of SimpleBlocks whose sizes
+    // and keyframe flags derive from the quantized embedding — and the
+    // MEASURED path is the metadata walk a crawl pipeline runs on
+    // video it cannot decode: VINT parse → Segment → track resolution
+    // → cluster-relative block times → keyframe table. Codec payloads
+    // are deterministic opaque bytes by design (no VP9 encoder
+    // exists here or in any crawl walker); what the oracle checks is
+    // that the CONTAINER round-trips every size/time/flag exactly.
+    // The parser itself is pinned against an independent python-EBML
+    // golden (WebmIOSpec: both keyframe conventions, unknown-size
+    // streaming Segments, lacing rejects). Scale shape: one narrow
+    // mapPartitions, media bytes never shuffle, TakeOrdered only.
+    QueryDef.sql(
+      "q234_webm_container_walk",
+      """WITH px AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      greatest(0, least(255,
+        |        CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS BIGINT)))) AS p
+        |  FROM embeddings)
+        |SELECT vec_id AS id, 'V_VP9' AS codec,
+        |  CAST(320 AS INTEGER) AS width,
+        |  CAST(4 AS BIGINT) AS n_blocks,
+        |  CAST(1 + len(list_filter([p[17], p[33], p[49]],
+        |    v -> v >= 128)) AS BIGINT) AS n_key,
+        |  CAST(256 + p[1] + p[17] + p[33] + p[49] AS BIGINT) AS video_bytes,
+        |  CAST(120 AS BIGINT) AS last_ts,
+        |  CAST(160.0 AS DOUBLE) AS duration_ticks
+        |FROM px ORDER BY id ASC LIMIT 200""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.video.WebmIO
+      import graft.sources.video.WebmIO.{WBlock, WTrack}
+      Tables.spread(s, Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .mapPartitions(_.map { case (id, emb) =>
+          val p = emb.map(x => math.max(0L, math.min(255L,
+            math.floor((x + 1.0) * 127.5).toLong)))
+          // block i: size 64 + p(16i), keyframe at 0 and wherever the
+          // frame's lead byte crosses the cut threshold
+          val blocks = (0 until 4).map { i =>
+            WBlock(1, i.toLong * 40, i == 0 || p(16 * i) >= 128L,
+              Array.fill[Byte]((64 + p(16 * i)).toInt)((i + 1).toByte))
+          }
+          val webm = WebmIO.writeWebm(
+            Seq(WTrack(1, 1, "V_VP9", width = 320, height = 180)),
+            blocks, durationTicks = 160.0, blocksPerCluster = 2)
+          // the measured walk: EBML parse back out of the real bytes
+          val doc = WebmIO.readWebm(webm)
+          val v = doc.tracks.head
+          require(doc.docType == "webm" && v.height == 180 &&
+            v.blockTimes.toSeq == Seq(0L, 40L, 80L, 120L),
+            s"vec $id: EBML walk diverged")
+          (id, v.codecId, v.width, v.blockSizes.length.toLong,
+            v.blockKey.count(identity).toLong,
+            v.blockSizes.map(_.toLong).sum, v.blockTimes.max,
+            doc.durationTicks)
+        })
+        .toDF("id", "codec", "width", "n_blocks", "n_key", "video_bytes",
+          "last_ts", "duration_ticks")
+        .orderBy(col("id").asc)
+        .limit(200)
     }
   )
 }
