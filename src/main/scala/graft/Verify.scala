@@ -27,6 +27,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // stderr marker BEFORE each query: any Spark warning in the log
+      // (HintErrorLogger, WindowExec) attributes to the query whose
+      // marker precedes it (r17's attribution trick, made permanent)
+      System.err.println(s"[verify] running $name")
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
