@@ -658,10 +658,132 @@ object VectorSearch {
       .select(col("pid"), col("rnk"), col("vec_id"), col("cosine"))
   }
 
-  /** The join/rank half of [[knnGraph]], shared with the IMI variant:
+  /** The per-cell/rank half of [[knnGraph]], shared with the IMI variant:
     * expects one row per (cell, vec_id, embedding) assignment.
+    *
+    * GROUPED BLOCK KERNEL (r19, same class as [[pairsWithinCells]]'s r16
+    * fix): the old formulation self-joined the assignment table on `cell`
+    * and ranked per (cell, src) with a window — at the frozen q115/q129
+    * dial (k=8 cells, nAssign=3) the candidate space is ~9n²/8, and the
+    * join materialized every candidate row carrying BOTH 64-float vectors
+    * through the join operator plus an m²-row window sort (measured: ONE
+    * 26.7 task-seconds stage at sf0.1, 1.4 s of it GC — the row plumbing,
+    * not the ~2·10⁸ flops, which are well under a second of machine
+    * work). Here each cell's members are collected once (bounded: cell
+    * occupancy is held by the corpus-scaled codebook), every unordered
+    * pair is scored ONCE (the join scored both directions), and each
+    * member keeps a bounded (cosine DESC, nbr ASC) top-k — O(m·k) state,
+    * never the m² candidate rows. Arithmetic is BIT-IDENTICAL to the
+    * join tree: dot = Σ (double)aᵢ·bᵢ left-to-right (VectorDotF's loop,
+    * symmetric in its operands), norms = √Σx² (VectorL2Norm), cosine =
+    * round(dot/(na·nb), 4) on the HALF_UP lattice, and the selection
+    * order replays the window's (round-4 cosine DESC, nbr ASC) total
+    * order with java.lang.Double.compare — NaN ranks first, exactly like
+    * Spark's DESC sort (VectorSearchSpec pins kernel ≡ join formulation
+    * on every declared dial). The global re-rank stays declarative: only
+    * the ≤ nAssign·k survivors per src reach it, as before.
     */
   private def knnWithinCells(assignedIn: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = assignedIn.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("nbr").asc)
+    val grouped = assignedIn
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id").as("_1"),
+        col("embedding").as("_2"))).as("m"))
+      .select(col("m").as[Seq[(Long, Array[Float])]])
+    grouped.flatMap { m => knnBlock(m, k) }
+      .toDF("src", "nbr", "cosine")
+      .distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** One cell's per-member top-`k` — the block kernel of
+    * [[knnWithinCells]]. Selection state per member is a best-first
+    * insertion list of ≤ k (cosine, nbr) entries under the window's
+    * (round-4 cosine DESC, nbr ASC) total order; each unordered pair is
+    * scored once and offered to both ends.
+    */
+  private[graft] def knnBlock(
+      m: Seq[(Long, Array[Float])], k: Int): Iterator[(Long, Long, Double)] = {
+    val n = m.length
+    val ids = new Array[Long](n)
+    val vs = new Array[Array[Float]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    m.foreach { case (id, v) =>
+      ids(i) = id
+      vs(i) = v
+      var acc = 0.0
+      var d = 0
+      while (d < v.length) { val x = v(d).toDouble; acc += x * x; d += 1 }
+      norms(i) = math.sqrt(acc)
+      i += 1
+    }
+    // per-member bounded top-k, kept sorted best-first; k is small
+    // (5-16), so O(k) insertion beats heap constant factors
+    val tkCos = Array.ofDim[Double](n, k)
+    val tkNbr = Array.ofDim[Long](n, k)
+    val tkLen = new Array[Int](n)
+    // the window's total order: round-4 cosine DESC (NaN greatest, like
+    // Spark's DESC on doubles), nbr ASC
+    def beats(c1: Double, n1: Long, c2: Double, n2: Long): Boolean = {
+      val cmp = java.lang.Double.compare(c1, c2)
+      if (cmp != 0) cmp > 0 else n1 < n2
+    }
+    def offer(at: Int, cos: Double, nbr: Long): Unit = {
+      val len = tkLen(at)
+      val cs = tkCos(at)
+      val ns = tkNbr(at)
+      if (len == k && !beats(cos, nbr, cs(len - 1), ns(len - 1))) return
+      var p = if (len == k) len - 1 else len
+      while (p > 0 && beats(cos, nbr, cs(p - 1), ns(p - 1))) {
+        cs(p) = cs(p - 1); ns(p) = ns(p - 1); p -= 1
+      }
+      cs(p) = cos; ns(p) = nbr
+      if (len < k) tkLen(at) = len + 1
+    }
+    i = 0
+    while (i < n) {
+      val a = vs(i)
+      var j = i + 1
+      while (j < n) {
+        if (ids(i) != ids(j)) {
+          val b = vs(j)
+          if (a.length != b.length) throw new IllegalArgumentException(
+            s"vector_dot: mismatched lengths ${a.length} vs ${b.length}")
+          var dot = 0.0
+          var d = 0
+          while (d < a.length) {
+            dot += a(d).toDouble * b(d).toDouble
+            d += 1
+          }
+          val cos = dot / (norms(i) * norms(j))
+          val r4 =
+            if (java.lang.Double.isNaN(cos) ||
+              java.lang.Double.isInfinite(cos)) cos
+            else java.math.BigDecimal.valueOf(cos)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          offer(i, r4, ids(j))
+          offer(j, r4, ids(i))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (0 until n).iterator.flatMap { at =>
+      (0 until tkLen(at)).iterator.map(p => (ids(at), tkNbr(at)(p), tkCos(at)(p)))
+    }
+  }
+
+  /** The pre-r19 cell self-join + per-(cell, src) window formulation,
+    * kept as the spec's reference semantics for [[knnWithinCells]]' block
+    * kernel (one definition, test-only consumer).
+    */
+  private[graft] def knnWithinCellsJoin(assignedIn: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assignedIn
       .select(col("cell"), col("vec_id"), col("embedding"),
@@ -716,6 +838,127 @@ object VectorSearch {
     * cases, so the two-stage top-k exactness argument is unchanged.
     */
   def labelNeighbors(
+      vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
+      nAssign: Int, k: Int, sameLabel: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // grouped block kernel (r19): [[knnWithinCells]]' per-cell top-k with
+    // the label predicate applied inside the pair loop — the same rows
+    // the old cell self-join + window produced (the predicate lived IN
+    // the join), without materializing the m² candidate rows. The label
+    // rides as a long through the kernel and is cast back to its source
+    // type on the way out, so the output schema is unchanged.
+    val s = vectors.sparkSession
+    import s.implicits._
+    val labelType = vectors.schema("label").dataType
+    require(Seq("tinyint", "smallint", "int", "bigint")
+        .contains(labelType.simpleString),
+      s"labelNeighbors kernel carries labels as LONG; got " +
+        s"${labelType.simpleString} — widen the kernel rather than let a " +
+        "lossy cast produce silently wrong neighbors")
+    val assigned = assignCells(vectors, cents, nAssign)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("nbr").asc)
+    val grouped = assigned
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id").as("_1"),
+        col("label").cast("long").as("_2"),
+        col("embedding").as("_3"))).as("m"))
+      .select(col("m").as[Seq[(Long, Long, Array[Float])]])
+    grouped.flatMap { m => labelKnnBlock(m, k, sameLabel) }
+      .toDF("src", "nbr", "nbr_label", "cosine")
+      .distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .withColumn("nbr_label", col("nbr_label").cast(labelType))
+      .select(col("src"), col("nbr"), col("nbr_label"), col("cosine"),
+        col("rnk"))
+  }
+
+  /** One cell's per-member label-filtered top-`k` — [[knnBlock]] with the
+    * same/different-label predicate applied per pair (both directions
+    * share one dot product; the predicate is symmetric for `!=` and `==`
+    * alike).
+    */
+  private[graft] def labelKnnBlock(
+      m: Seq[(Long, Long, Array[Float])], k: Int, sameLabel: Boolean)
+      : Iterator[(Long, Long, Long, Double)] = {
+    val n = m.length
+    val ids = new Array[Long](n)
+    val labels = new Array[Long](n)
+    val vs = new Array[Array[Float]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    m.foreach { case (id, lab, v) =>
+      ids(i) = id
+      labels(i) = lab
+      vs(i) = v
+      var acc = 0.0
+      var d = 0
+      while (d < v.length) { val x = v(d).toDouble; acc += x * x; d += 1 }
+      norms(i) = math.sqrt(acc)
+      i += 1
+    }
+    val tkCos = Array.ofDim[Double](n, k)
+    val tkNbr = Array.ofDim[Long](n, k)
+    val tkLab = Array.ofDim[Long](n, k)
+    val tkLen = new Array[Int](n)
+    def beats(c1: Double, n1: Long, c2: Double, n2: Long): Boolean = {
+      val cmp = java.lang.Double.compare(c1, c2)
+      if (cmp != 0) cmp > 0 else n1 < n2
+    }
+    def offer(at: Int, cos: Double, nbr: Long, lab: Long): Unit = {
+      val len = tkLen(at)
+      val cs = tkCos(at)
+      val ns = tkNbr(at)
+      val ls = tkLab(at)
+      if (len == k && !beats(cos, nbr, cs(len - 1), ns(len - 1))) return
+      var p = if (len == k) len - 1 else len
+      while (p > 0 && beats(cos, nbr, cs(p - 1), ns(p - 1))) {
+        cs(p) = cs(p - 1); ns(p) = ns(p - 1); ls(p) = ls(p - 1); p -= 1
+      }
+      cs(p) = cos; ns(p) = nbr; ls(p) = lab
+      if (len < k) tkLen(at) = len + 1
+    }
+    i = 0
+    while (i < n) {
+      val a = vs(i)
+      var j = i + 1
+      while (j < n) {
+        val labelOk =
+          if (sameLabel) labels(i) == labels(j) else labels(i) != labels(j)
+        if (labelOk && ids(i) != ids(j)) {
+          val b = vs(j)
+          if (a.length != b.length) throw new IllegalArgumentException(
+            s"vector_dot: mismatched lengths ${a.length} vs ${b.length}")
+          var dot = 0.0
+          var d = 0
+          while (d < a.length) {
+            dot += a(d).toDouble * b(d).toDouble
+            d += 1
+          }
+          val cos = dot / (norms(i) * norms(j))
+          val r4 =
+            if (java.lang.Double.isNaN(cos) ||
+              java.lang.Double.isInfinite(cos)) cos
+            else java.math.BigDecimal.valueOf(cos)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          offer(i, r4, ids(j), labels(j))
+          offer(j, r4, ids(i), labels(i))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (0 until n).iterator.flatMap { at =>
+      (0 until tkLen(at)).iterator.map(p =>
+        (ids(at), tkNbr(at)(p), tkLab(at)(p), tkCos(at)(p)))
+    }
+  }
+
+  /** The pre-r19 join + window formulation of [[labelNeighbors]], kept as
+    * the spec's reference semantics (test-only consumer).
+    */
+  private[graft] def labelNeighborsJoin(
       vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
       nAssign: Int, k: Int, sameLabel: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window

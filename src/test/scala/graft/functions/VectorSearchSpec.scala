@@ -414,6 +414,53 @@ class VectorSearchSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("knn block kernel == join + per-cell window formulation (r19)") {
+    // the r19 grouped kernel must reproduce the pre-r19 cell self-join +
+    // (cell, src) window EXACTLY — same rows, same round-4 cosines, same
+    // ranks — on both the flat and the IMI assignment, both k dials
+    val full = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = VectorSearch.trainIvfCodebook(full, k = 8, iters = 3,
+      sampleBuckets = 3)
+    for (k <- Seq(3, 5)) {
+      val kernel = VectorSearch.knnGraph(full, cents, nAssign = 3, k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      val join = VectorSearch.knnWithinCellsJoin(
+          VectorSearch.assignCells(full, cents, nAssign = 3), k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      assert(kernel == join,
+        s"k=$k: kernel diverged on ${(kernel diff join).size} + " +
+          s"${(join diff kernel).size} edges")
+    }
+  }
+
+  test("label-knn block kernel == join + per-cell window formulation (r19)") {
+    val full = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val cents = VectorSearch.trainIvfCodebook(
+      full.select(col("vec_id"), col("embedding")), k = 8, iters = 3,
+      sampleBuckets = 3)
+    for (sameLabel <- Seq(false, true)) {
+      val kernel = VectorSearch.labelNeighbors(full, cents, nAssign = 2,
+          k = 3, sameLabel = sameLabel)
+        .select(col("src"), col("nbr"), col("nbr_label").cast("long"),
+          col("cosine"), col("rnk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4))).toSet
+      val join = VectorSearch.labelNeighborsJoin(full, cents, nAssign = 2,
+          k = 3, sameLabel = sameLabel)
+        .select(col("src"), col("nbr"), col("nbr_label").cast("long"),
+          col("cosine"), col("rnk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4))).toSet
+      assert(kernel == join,
+        s"sameLabel=$sameLabel: kernel diverged on " +
+          s"${(kernel diff join).size} + ${(join diff kernel).size} edges")
+    }
+  }
+
   test("semantic-dedup cell count is the scale lever: k=32 shrinks the pair space ~8x") {
     // q111 freezes k=8/nAssign=3 for the oracle, where the pair space is
     // ~(nAssign²/k)·n²/2 ≈ n²/2 — no reduction, by design (8 cells can't
