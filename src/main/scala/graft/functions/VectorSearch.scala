@@ -261,8 +261,8 @@ object VectorSearch {
     */
   def semanticDedupPairs(
       vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
-      nAssign: Int, threshold: Double): DataFrame =
-    pairsWithinCells(assignCells(vectors, cents, nAssign), threshold)
+      nAssign: Int, threshold: Double, dedup: Boolean = true): DataFrame =
+    pairsWithinCells(assignCells(vectors, cents, nAssign), threshold, dedup)
 
   /** Thresholded cosine pairs within shared `cell` values — the pairing
     * half of [[semanticDedupPairs]], shared with the IMI variant (the
@@ -285,7 +285,8 @@ object VectorSearch {
     * on doubles (VectorSearchSpec pins kernel ≡ join formulation).
     */
   private[graft] def pairsWithinCells(
-      assignedIn: DataFrame, threshold: Double): DataFrame = {
+      assignedIn: DataFrame, threshold: Double,
+      dedup: Boolean = true): DataFrame = {
     val s = assignedIn.sparkSession
     import s.implicits._
     val grouped = assignedIn
@@ -293,7 +294,7 @@ object VectorSearch {
       .agg(collect_list(struct(col("vec_id").as("_1"),
         col("embedding").as("_2"))).as("m"))
       .select(col("m").as[Seq[(Long, Array[Float])]])
-    grouped.flatMap { m =>
+    val block = (m: Seq[(Long, Array[Float])]) => {
       val n = m.length
       val ids = new Array[Long](n)
       val vs = new Array[Array[Float]](n)
@@ -341,7 +342,13 @@ object VectorSearch {
         i += 1
       }
       out
-    }.toDF("id_a", "id_b", "cosine").distinct()
+    }
+    // dedup = false skips the final distinct for callers that feed the
+    // pairs straight into ConnectedComponents, whose symmetric-closure
+    // distinct subsumes it — one pair-set exchange saved per composite
+    // (r19); callers that EMIT the pairs keep the dedup.
+    val raw = grouped.flatMap(block).toDF("id_a", "id_b", "cosine")
+    if (dedup) raw.distinct() else raw
   }
 
   /** Two-level IMI (inverted multi-index) coarse quantization (r13) —
@@ -360,13 +367,62 @@ object VectorSearch {
   def trainImiCodebooks(
       emb: DataFrame, k: Int, iters: Int, sampleBuckets: Int = 3)
       : (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])], Int) = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // r19: both half chains share every Spark job. Training the halves
+    // as two independent trainIvfCodebook calls paid the whole job
+    // ladder twice — two sample caches, two init collects, and 2×iters
+    // Lloyd-update jobs over the SAME sample rows (~10 scheduling
+    // round-trips per composite query at gate scale; two extra sample
+    // passes per iteration at any scale). Here ONE cached full-vector
+    // sample seeds both halves from ONE ordered collect (which also
+    // supplies dim — the old separate head() job), and each Lloyd round
+    // computes both halves' per-(cell, dim) means in ONE union job.
+    // Values are unchanged by construction: slicing the collected
+    // doubles equals collecting the sliced floats' doubles elementwise,
+    // the per-half groups are disjoint (keyed by a half tag), and the
+    // 1e-6 mean quantization is the same lattice the per-half chains
+    // (and the DuckDB oracle CTEs) walk. VectorSearchSpec pins merged ≡
+    // per-half training.
+    require(k > 0 && iters >= 0, s"bad k=$k / iters=$iters")
+    require(k <= MaxDriverCodebookK,
+      s"k=$k exceeds MaxDriverCodebookK=$MaxDriverCodebookK: shard the " +
+        "corpus (hash-disjoint slices, one codebook per shard) instead " +
+        "of training one flat codebook this large")
+    val sample = bucketSample(emb, sampleBuckets).cache()
+    val initRows = sample.orderBy(col("bk").asc, col("vec_id").asc).limit(k)
+      .select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
+    require(initRows.size == k,
+      s"sample has only ${initRows.size} vectors, need $k")
+    val dim = initRows.head.length
     require(dim % 2 == 0, s"IMI needs an even dim, got $dim")
     val half = dim / 2
-    def sliced(lo: Int) = emb.select(col("vec_id"),
-      slice(col("embedding"), lo, half).as("embedding"))
-    val cb1 = trainIvfCodebook(sliced(1), k, iters, sampleBuckets)
-    val cb2 = trainIvfCodebook(sliced(half + 1), k, iters, sampleBuckets)
+    var cb1: Seq[(Int, Seq[Double])] =
+      initRows.zipWithIndex.map { case (v, i) => (i, v.take(half)) }
+    var cb2: Seq[(Int, Seq[Double])] =
+      initRows.zipWithIndex.map { case (v, i) => (i, v.drop(half)) }
+    val v1 = slice(col("v"), 1, half)
+    val v2 = slice(col("v"), half + 1, half)
+    for (_ <- 0 until iters) {
+      def halfMeans(h: Int, vh: Column, cents: Seq[(Int, Seq[Double])]) =
+        sample.select(lit(h).as("h"), ivfCellD(vh, cents).as("cell"),
+          posexplode(vh).as(Seq("i", "x")))
+      val byHalfCell = halfMeans(1, v1, cb1).union(halfMeans(2, v2, cb2))
+        .groupBy(col("h"), col("cell"), col("i"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      def update(h: Int, cents: Seq[(Int, Seq[Double])]) =
+        cents.map { case (cid, old) =>
+          byHalfCell.get((h, cid)) match {
+            case Some(rows) =>
+              (cid, rows.sortBy(_.getInt(2))
+                .map(r => math.floor(r.getDouble(3) * 1e6 + 0.5) / 1e6).toSeq)
+            case None => (cid, old)
+          }
+        }
+      cb1 = update(1, cb1)
+      cb2 = update(2, cb2)
+    }
+    sample.unpersist()
     (cb1, cb2, half)
   }
 
@@ -540,9 +596,10 @@ object VectorSearch {
   def imiDedupPairsMp(
       vectors: DataFrame, cb1: Seq[(Int, Seq[Double])],
       cb2: Seq[(Int, Seq[Double])], half: Int, cap: Int, margin: Double,
-      threshold: Double): DataFrame =
+      threshold: Double, dedup: Boolean = true): DataFrame =
     pairsWithinCells(
-      imiAssignCellsMp(vectors, cb1, cb2, half, cap, margin), threshold)
+      imiAssignCellsMp(vectors, cb1, cb2, half, cap, margin), threshold,
+      dedup)
 
   /** [[imiKnnGraph]] over margin-gated symmetric multi-probe cells. */
   def imiKnnGraphMp(

@@ -66,9 +66,14 @@ object ConnectedComponents {
     val e = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-    // symmetric closure, deduped once up front: every round reuses it
+    // symmetric closure, deduped once up front: every round reuses it.
+    // r19: hash-partitioned by the round-join key `b` before
+    // materializing — snap preserves the partitioning, so each round's
+    // neighbor join exchanges only the N-row label vector, never the
+    // edge set (guide §2.4; the PageRank r19 fix).
     val und = snap(e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct())
+      .distinct()
+      .repartition(col("b")))
 
     var labels = snap(und.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")))
@@ -97,10 +102,22 @@ object ConnectedComponents {
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"), max(col("prev")).as("prev"))
       // 2) pointer jump: labels are themselves node ids, so resolve one
-      // level of indirection — lbl := lbl(lbl)
+      // level of indirection. r19: jump through the PREVIOUS round's
+      // MATERIALIZED labels (lbl := labels_t(lbl)) instead of
+      // self-joining afterNbr — the self-join evaluated the whole
+      // union+agg subtree twice per round; the stale map is free
+      // (checkpointed blocks) and still only ever maps a label to a
+      // smaller id of the same component (labels_t(x) <= x and labels
+      // start at the identity), so monotone convergence to the
+      // component minimum — the property the convergence check below
+      // certifies — is untouched; only the number of rounds to get
+      // there can differ, and the converged fixpoint (every label equal
+      // to the min over Γ(node) ∪ {node}) is the same. The oracle
+      // replays a recursive-CTE closure, not the round schedule, so
+      // declared results cannot move.
       val stepped = snap(afterNbr
         .join(
-          afterNbr.select(col("node").as("pn"), col("lbl").as("pl")),
+          labels.select(col("node").as("pn"), col("lbl").as("pl")),
           col("lbl") === col("pn"), "left")
         .select(col("node"), col("prev"),
           coalesce(col("pl"), col("lbl")).as("lbl")))

@@ -42,8 +42,13 @@ object LabelPropagation {
     */
   def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // r19: hash-partition the symmetric edge set by src ONCE before
+    // materializing — localCheckpoint preserves the partitioning, so each
+    // round's join exchanges only the N-row label vector, never the edge
+    // set (guide §2.4; the PageRank r19 fix).
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()

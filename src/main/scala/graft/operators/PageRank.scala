@@ -49,11 +49,27 @@ object PageRank {
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     def lattice(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       roundDecimals.fold(c)(d => round(c, d))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // r19: join outdeg into the edge set ONCE and hash-partition it by
+    // src before materializing — localCheckpoint preserves the physical
+    // partitioning, so every iteration's contribution join reuses it and
+    // only the N-row rank vector is exchanged per round. The old loop
+    // re-shuffled the edge set AND re-joined deg every iteration: two
+    // edge-sized exchanges per round that at 100 TB dominate the whole
+    // computation (guide §2.4 — the edge set is the big side and it
+    // never changes).
+    val edgesWithDeg = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
       .localCheckpoint()
-    val n = nodes.count().toDouble
+    // distinct sources, only needed for the dangling-mass anti-join
+    lazy val srcNodes = edgesWithDeg.select(col("src")).distinct()
+      .localCheckpoint()
+    // the node set is re-read every round (left join) — materialize it
+    // once, partitioned on the join key
+    val nodeSet = nodes.repartition(col("node")).localCheckpoint()
+    val n = nodeSet.count().toDouble
     require(n > 0, "empty node set")
-    var pr = nodes
+    var pr = nodeSet
       .select(col("node"), lattice(lit(1.0 / n)).as("pr"))
       .localCheckpoint()
     var it = 0
@@ -63,7 +79,7 @@ object PageRank {
       // (rank of nodes with no out-edges), broadcast as a scalar
       val dangling =
         if (!redistributeDangling) 0.0
-        else pr.join(broadcast(deg).withColumnRenamed("src", "node"),
+        else pr.join(broadcast(srcNodes).withColumnRenamed("src", "node"),
             Seq("node"), "left_anti")
           .agg(coalesce(sum(col("pr")), lit(0.0))).collect()(0).getDouble(0)
       // With a lattice, the per-edge contribution is put on an INTEGER
@@ -81,9 +97,8 @@ object PageRank {
       val contrib = roundDecimals match {
         case Some(d) =>
           val unit = math.pow(10.0, d + 4)
-          edges
+          edgesWithDeg
             .join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
             .groupBy(col("dst"))
             .agg((sum(org.apache.spark.sql.functions.floor(
                 round(col("pr") * math.pow(10.0, d)) * lit(1e4)
@@ -91,14 +106,13 @@ object PageRank {
               .as("m"))
             .withColumnRenamed("dst", "node")
         case None =>
-          edges
+          edgesWithDeg
             .join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
             .groupBy(col("dst"))
             .agg(sum(col("pr") / col("outdeg")).as("m"))
             .withColumnRenamed("dst", "node")
       }
-      val next = nodes
+      val next = nodeSet
         .join(contrib, Seq("node"), "left")
         .select(col("node"), lattice(
           lit((1.0 - damping) / n)

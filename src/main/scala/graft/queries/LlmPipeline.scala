@@ -1847,7 +1847,7 @@ object LlmPipeline {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val cents = VS.trainIvfCodebook(e, k = 8, iters = 3, sampleBuckets = 3)
       val edges = VS.semanticDedupPairs(Tables.spread(s, e), cents,
-          nAssign = 3, threshold = 0.4)
+          nAssign = 3, threshold = 0.4, dedup = false)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
         .withColumnRenamed("node", "vec_id")
@@ -2358,7 +2358,7 @@ object LlmPipeline {
       val (cb1, cb2, half) = VS.trainImiCodebooks(e,
         k = VS.scaledKHalf(e.count()), iters = 3, sampleBuckets = 3)
       val edges = VS.imiDedupPairsMp(Tables.spread(s, e), cb1, cb2, half,
-          cap = MpCap, margin = MpMargin, threshold = 0.4)
+          cap = MpCap, margin = MpMargin, threshold = 0.4, dedup = false)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
         .withColumnRenamed("node", "vec_id")
@@ -2414,7 +2414,7 @@ object LlmPipeline {
       val (cb1, cb2, half) = VS.trainImiCodebooks(e,
         k = VS.scaledKHalf(e.count()), iters = 3, sampleBuckets = 3)
       val edges = VS.imiDedupPairsMp(Tables.spread(s, e), cb1, cb2, half,
-          cap = MpCap, margin = MpMargin, threshold = 0.4)
+          cap = MpCap, margin = MpMargin, threshold = 0.4, dedup = false)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
         .withColumnRenamed("node", "vec_id")
@@ -2665,7 +2665,7 @@ object LlmPipeline {
       val (cb1, cb2, half) = VS.trainImiCodebooks(e,
         k = VS.scaledKHalf(e.count()), iters = 3, sampleBuckets = 3)
       val edges = VS.imiDedupPairsMp(Tables.spread(s, e), cb1, cb2, half,
-          cap = MpCap, margin = MpMargin, threshold = 0.4)
+          cap = MpCap, margin = MpMargin, threshold = 0.4, dedup = false)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
         .withColumnRenamed("node", "vec_id")
@@ -3139,7 +3139,8 @@ object LlmPipeline {
         }
         val semDrop = graft.BenchProbes.time("q152.semantic") {
           val edges = VS.imiDedupPairsMp(Tables.spread(s, eTbl), cb1, cb2,
-              halfD, cap = MpCap, margin = MpMargin, threshold = 0.4)
+              halfD, cap = MpCap, margin = MpMargin, threshold = 0.4,
+              dedup = false)
             .select(col("id_a").as("a"), col("id_b").as("b"))
           graft.operators.ConnectedComponents.run(edges, "a", "b")
             .filter(col("component") =!= col("node"))
@@ -3287,7 +3288,7 @@ object LlmPipeline {
       val (cb1, cb2, half) = VS.trainImiCodebooks(e,
         k = VS.scaledKHalf(e.count()), iters = 3, sampleBuckets = 3)
       val edges = VS.imiDedupPairsMp(Tables.spread(s, e), cb1, cb2, half,
-          cap = MpCap, margin = MpMargin, threshold = 0.4)
+          cap = MpCap, margin = MpMargin, threshold = 0.4, dedup = false)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       val comp = graft.operators.ConnectedComponents.run(edges, "a", "b")
         .withColumnRenamed("node", "vec_id")

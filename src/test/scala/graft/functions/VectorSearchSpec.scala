@@ -414,6 +414,25 @@ class VectorSearchSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("merged IMI training == two independent per-half Lloyd chains (r19)") {
+    // the r19 shared-job trainer must land on the identical codebooks the
+    // old per-half trainIvfCodebook calls produced — the 1e-6 mean
+    // lattice both the oracle CTEs and the spec treat as the contract
+    val full = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    for (k <- Seq(4, 8)) {
+      val (cb1, cb2, half) = VectorSearch.trainImiCodebooks(full, k = k,
+        iters = 3, sampleBuckets = 3)
+      def sliced(lo: Int) = full.select(col("vec_id"),
+        slice(col("embedding"), lo, half).as("embedding"))
+      val ref1 = VectorSearch.trainIvfCodebook(sliced(1), k, 3, 3)
+      val ref2 = VectorSearch.trainIvfCodebook(sliced(half + 1), k, 3, 3)
+      assert(half == 32)
+      assert(cb1 == ref1, s"k=$k: half-1 codebook diverged")
+      assert(cb2 == ref2, s"k=$k: half-2 codebook diverged")
+    }
+  }
+
   test("knn block kernel == join + per-cell window formulation (r19)") {
     // the r19 grouped kernel must reproduce the pre-r19 cell self-join +
     // (cell, src) window EXACTLY — same rows, same round-4 cosines, same
