@@ -1201,23 +1201,32 @@ object CorpusOps {
         |ORDER BY tot.source ASC""".stripMargin) { (s, dir) =>
       import graft.functions.{NativeExpressions => NE}
       val toks = TF.tokens(TF.normalizeText(col("text")))
+      // r19: ONE (source, gram)-keyed agg with per-slice presence flags
+      // replaces the old distinct-then-anti-join shape. That shape read
+      // three ways off the shared distinct (A side, B side twice), and
+      // the slice filters legally pushed BELOW the aggregation — so the
+      // tokenize+ngram+partial-distinct map work ran THREE times
+      // (measured: 3 × ~9 task-seconds stages at sf0.1, the whole cost
+      // of the query). Here "gram in A" / "gram in B" are max() flags of
+      // one pass, the anti join becomes a flag predicate, and the gram
+      // text crosses exactly one exchange. Novelty per source is the
+      // same set arithmetic, row for row.
       val ex = graft.Tables.spread(s, docs(s, dir))
         .select(col("source"),
           (conv(substring(md5(concat(lit("nov"),
             col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2)
             .as("slice"),
           explode(NE.wordNgrams(toks, 3)).as("gram"))
-        .distinct()
-      val aS = ex.filter(col("slice") === 0).select(col("source"), col("gram"))
-      val bS = ex.filter(col("slice") === 1).select(col("source"), col("gram"))
-      val nov = bS.join(aS, Seq("source", "gram"), "left_anti")
-        .groupBy(col("source")).agg(count(lit(1)).as("n_new"))
-      val tot = bS.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-      tot.join(nov, Seq("source"), "left")
-        .select(col("source"),
-          coalesce(col("n_new"), lit(0L)).as("n_new"), col("n_grams"),
-          round(coalesce(col("n_new"), lit(0L)).cast("double")
-            / col("n_grams"), 4).as("novelty"))
+      val flags = ex.groupBy(col("source"), col("gram"))
+        .agg(max(when(col("slice") === 0, 1).otherwise(0)).as("in_a"),
+          max(when(col("slice") === 1, 1).otherwise(0)).as("in_b"))
+      flags.filter(col("in_b") === 1)
+        .groupBy(col("source"))
+        .agg(sum(when(col("in_a") === 0, 1L).otherwise(0L)).as("n_new"),
+          count(lit(1)).as("n_grams"))
+        .select(col("source"), col("n_new"), col("n_grams"),
+          round(col("n_new").cast("double") / col("n_grams"), 4)
+            .as("novelty"))
         .orderBy(col("source").asc)
     },
 

@@ -1174,8 +1174,13 @@ object LlmPipeline {
         |  SELECT 1 FROM d h WHERE h.doc_id % 2 = 0 AND h.digest = n.digest)
         |ORDER BY n.doc_id ASC""".stripMargin) { (s, dir) =>
       import graft.operators.Layout
+      // r19: materialized — the history write, and both union legs of the
+      // incoming write, each re-ran the normalize+sha2 pass over the
+      // corpus (3 evaluations of the same subtree)
       val d = Tables.spread(s, docs(s, dir))
         .withColumn("digest", sha2(TF.normalizeText(col("text")), 256))
+        .select(col("doc_id"), col("digest"))
+        .localCheckpoint()
       val db = "graft_dedup_store"
       freshDb(s, db,
         s"${System.getProperty("java.io.tmpdir")}/graft_dedup_store_db")
@@ -2570,10 +2575,16 @@ object LlmPipeline {
             concat(col("text"), lit(" zz yy xx ww vv")).as("text"),
             lit(0L).as("g")))
       val toks = TF.tokens(TF.normalizeText(col("text")))
+      // r19: materialized — five downstream consumers (band keys for the
+      // eval and train sides, shingle hashes for eval/train/intersect)
+      // each re-ran the tokenize+shingle+minhash pass when the g-filters
+      // pushed below it (the q164 duplicate-subtree class; this query's
+      // physical plan was 41 KB of repeated signature pipeline)
       val withSh = Tables.spread(s, corpus).select(col("doc_id"), col("g"),
         NE.wordNgrams(toks, 3).as("shs"),
         NE.minhashSigs(toks, (0 until 16).map(MinhashParams.a),
           (0 until 16).map(MinhashParams.b), MinhashParams.p).as("sig"))
+        .localCheckpoint()
       val sigs = withSh.select(col("doc_id") :: col("g") :: (0 until 16)
         .map(j => element_at(col("sig"), j + 1).as(s"s$j")).toList: _*)
       val bandKeys = (0 until 4).map(b =>
@@ -2587,12 +2598,15 @@ object LlmPipeline {
         .select(col("doc_id").as("train_id"), col("bk")).distinct()
       val cand = evalB.join(trainB, Seq("bk"))
         .select(col("eval_id"), col("train_id")).distinct()
+      // materialized for the same reason: the distinct (doc, h) set feeds
+      // the eval side twice (count + intersect) and the train side once
       val sh = withSh.select(col("doc_id"), col("g"),
           explode(col("shs")).as("sh"))
         .select(col("doc_id"), col("g"),
           (conv(substring(md5(col("sh")), 18, 15), 16, 10).cast("long")
             % MinhashParams.p).as("h"))
         .distinct()
+        .localCheckpoint()
       val eSh = sh.filter(col("g") === 9)
         .select(col("doc_id").as("eval_id"), col("h"))
       val tSh = sh.filter(col("g") =!= 9)
@@ -3381,8 +3395,12 @@ object LlmPipeline {
       val bandKeys = (0 until 4).map(b =>
         md5(concat_ws("|", lit(b.toString) +:
           (0 until 4).map(i => col(s"s${b * 4 + i}").cast("string")): _*)))
+      // r19: materialized — the history and incoming writes otherwise
+      // each re-ran the tokenize+minhash signature pass (the expensive
+      // half of the query) when their g-filters pushed below it
       val withKeys = sigs.select(col("doc_id"), col("g"),
         explode(array(bandKeys: _*)).as("bk"))
+        .localCheckpoint()
       val db = "graft_minhash_store"
       freshDb(s, db,
         s"${System.getProperty("java.io.tmpdir")}/graft_minhash_store_db")
