@@ -973,10 +973,11 @@ object AnnIndex {
       s: SparkSession, db: String, emb: org.apache.spark.sql.DataFrame,
       loc: String, params: AnnParams = AnnParams.Default): Unit = synchronized {
     val e = emb.select(col("vec_id"), col("embedding"))
-    val cents = VectorSearch.trainIvfCodebook(
-      e, params.coarseK, params.coarseIters, params.sampleBuckets)
-    val cb = VectorSearch.trainPqCodebook(
-      e, params.pqSubspaces, params.pqK, params.pqIters, params.sampleBuckets)
+    // r19: one cached sample, one init collect, shared Lloyd jobs —
+    // codebooks identical to the solo trainers (VectorSearchSpec pin)
+    val (cents, cb) = VectorSearch.trainIvfAndPq(
+      e, params.coarseK, params.coarseIters,
+      params.pqSubspaces, params.pqK, params.pqIters, params.sampleBuckets)
     s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     val hp = new org.apache.hadoop.fs.Path(loc)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)

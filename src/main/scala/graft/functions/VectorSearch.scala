@@ -1158,6 +1158,83 @@ object VectorSearch {
     cb
   }
 
+  /** r19: the coarse IVF codebook and the PQ codebook trained off ONE
+    * cached sample with shared jobs — [[trainIvfCodebook]] followed by
+    * [[trainPqCodebook]] paid two sample materializations, two init
+    * collects and coarseIters+pqIters Lloyd jobs over the SAME rows;
+    * every index build (q103/q104/q108/q109/q124, AnnIndex.ensure) runs
+    * the pair. One ordered collect of max(coarseK, pqK) rows seeds both
+    * (the solo inits are its prefixes), and each shared round computes
+    * the coarse (cell, i) means and the PQ (b, cell, i) means in one
+    * union job keyed by a source tag — groups are disjoint, so the
+    * per-branch means and their 1e-6 quantization are exactly the solo
+    * chains' (VectorSearchSpec pins merged ≡ solo pair).
+    */
+  def trainIvfAndPq(
+      emb: DataFrame, coarseK: Int, coarseIters: Int,
+      subspaces: Int, pqK: Int, pqIters: Int, sampleBuckets: Int = 3)
+      : (Seq[(Int, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
+    require(coarseK > 0 && coarseIters >= 0 && pqK > 0 && pqIters >= 0
+      && subspaces > 0,
+      s"bad coarseK=$coarseK/iters=$coarseIters pqK=$pqK/iters=$pqIters")
+    val sample = bucketSample(emb, sampleBuckets).cache()
+    val need = math.max(coarseK, pqK)
+    val initRows = sample.orderBy(col("bk").asc, col("vec_id").asc)
+      .limit(need).select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
+    require(initRows.size == need,
+      s"sample has only ${initRows.size} vectors, need $need")
+    val dim = initRows.head.length
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+    val w = dim / subspaces
+    var cents: Seq[(Int, Seq[Double])] =
+      initRows.take(coarseK).zipWithIndex.map { case (v, i) => (i, v) }
+    var cb: Seq[Seq[Seq[Double]]] = (0 until subspaces).map(b =>
+      initRows.take(pqK).map(_.slice(b * w, (b + 1) * w)))
+    for (it <- 0 until math.max(coarseIters, pqIters)) {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      if (it < coarseIters) {
+        parts += sample.select(lit(0).as("src"), lit(0).as("b"),
+          ivfCellD(col("v"), cents).as("cell"),
+          posexplode(col("v")).as(Seq("i", "x")))
+      }
+      if (it < pqIters) {
+        val cbNow = cb
+        val sliced = sample.select(col("v") +: cbNow.indices.map(b =>
+          slice(col("v"), b * w + 1, w).as(s"__s$b")): _*)
+        val cells = array(cbNow.indices.map { b =>
+          val entries = cbNow(b).zipWithIndex.map { case (c, j) =>
+            struct(round(l2sq(col(s"__s$b"), c), 4).as("d"), lit(j).as("j"))
+          }
+          array_min(array(entries: _*)).getField("j")
+        }: _*)
+        val bOf = (col("pos") / w).cast("int")
+        parts += sliced.select(col("v"), cells.as("cells"))
+          .select(posexplode(col("v")).as(Seq("pos", "x")), col("cells"))
+          .select(lit(1).as("src"), bOf.as("b"),
+            element_at(col("cells"), bOf + 1).as("cell"),
+            pmod(col("pos"), lit(w)).as("i"), col("x"))
+      }
+      val byKey = parts.reduce(_ union _)
+        .groupBy(col("src"), col("b"), col("cell"), col("i"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      def mean(rows: Array[org.apache.spark.sql.Row]): Seq[Double] =
+        rows.sortBy(_.getInt(3))
+          .map(r => math.floor(r.getDouble(4) * 1e6 + 0.5) / 1e6).toSeq
+      if (it < coarseIters) cents = cents.map { case (cid, old) =>
+        byKey.get((0, 0, cid)).map(r => (cid, mean(r))).getOrElse((cid, old))
+      }
+      if (it < pqIters) cb = cb.zipWithIndex.map { case (centers, b) =>
+        centers.zipWithIndex.map { case (old, j) =>
+          byKey.get((1, b, j)).map(mean).getOrElse(old)
+        }
+      }
+    }
+    sample.unpersist()
+    (cents, cb)
+  }
+
   /** Squared L2 between an array-column slice and a literal center —
     * sequential left fold, bit-identical to DuckDB's list_reduce.
     */

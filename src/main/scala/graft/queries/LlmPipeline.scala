@@ -1373,8 +1373,10 @@ object LlmPipeline {
       import graft.functions.{NativeExpressions => GNE, VectorSearch => VS}
       import graft.operators.Layout
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val cents = VS.trainIvfCodebook(e, k = 8, iters = 3, sampleBuckets = 3)
-      val cb = VS.trainPqCodebook(e, subspaces = 8, k = 16, iters = 2)
+      // r19: shared-sample dual training (codebooks identical to the
+      // solo trainers — VectorSearchSpec pin)
+      val (cents, cb) = VS.trainIvfAndPq(e, coarseK = 8, coarseIters = 3,
+        subspaces = 8, pqK = 16, pqIters = 2)
       val db = "graft_ivfpq_index"
       freshDb(s, db,
         s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_db")

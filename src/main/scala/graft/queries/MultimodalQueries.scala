@@ -33,9 +33,17 @@ object MultimodalQueries {
         |  CAST(list_aggregate(p, 'max') AS INTEGER) AS max_intensity
         |FROM px ORDER BY id ASC LIMIT 100""".stripMargin) { (s, dir) =>
       // spread: the per-row TIFF encode/decode work must not inherit the
-      // local single-split scan (one task); at scale the scan is split-rich
-      val media = Multimodal.embeddingsAsImages(
-        Tables.spread(s, Tables.load(s, dir, "embeddings")))
+      // local single-split scan (one task); at scale the scan is split-rich.
+      // r19: the declared result is ORDER BY id LIMIT 100 and the
+      // encode/decode is exactly one output row per input row, so the
+      // limit legally pushes below the media kernels — take the 100
+      // smallest vec_ids first (a TakeOrderedAndProject over the narrow
+      // scan) and run the pipeline on those rows only; the final
+      // orderBy/limit is unchanged, so the emitted rows are identical at
+      // any SF while the decoded volume stays output-sized.
+      val first100 = Tables.load(s, dir, "embeddings")
+        .orderBy(col("vec_id").asc).limit(100)
+      val media = Multimodal.embeddingsAsImages(Tables.spread(s, first100))
       Multimodal.imageFeatures(media).toDF()
         .select(col("id"), col("width"), col("height"),
           round(col("mean_intensity"), 4).as("mean_intensity"),
@@ -65,8 +73,11 @@ object MultimodalQueries {
         |  round(CAST(list_reduce(rp, (a, b) -> a + b) AS DOUBLE) / len(rp), 4)
         |    AS mean_intensity
         |FROM r ORDER BY id ASC LIMIT 100""".stripMargin) { (s, dir) =>
-      val media = Multimodal.embeddingsAsImages(
-        Tables.spread(s, Tables.load(s, dir, "embeddings")))
+      // r19: same limit-pushdown as q90 — one output row per input row,
+      // ORDER BY id LIMIT 100 tail unchanged
+      val first100 = Tables.load(s, dir, "embeddings")
+        .orderBy(col("vec_id").asc).limit(100)
+      val media = Multimodal.embeddingsAsImages(Tables.spread(s, first100))
       val resized = Multimodal.resizeImages(media, 4, 4)
       Multimodal.imageFeatures(resized).toDF()
         .select(col("id"), col("width"), col("height"),

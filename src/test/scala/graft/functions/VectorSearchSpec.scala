@@ -433,6 +433,19 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("shared-sample IVF+PQ training == the two solo trainers (r19)") {
+    val full = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (cents, cb) = VectorSearch.trainIvfAndPq(full, coarseK = 8,
+      coarseIters = 3, subspaces = 8, pqK = 16, pqIters = 2)
+    val refCents = VectorSearch.trainIvfCodebook(full, k = 8, iters = 3,
+      sampleBuckets = 3)
+    val refCb = VectorSearch.trainPqCodebook(full, subspaces = 8, k = 16,
+      iters = 2)
+    assert(cents == refCents, "coarse codebook diverged from solo trainer")
+    assert(cb == refCb, "PQ codebook diverged from solo trainer")
+  }
+
   test("knn block kernel == join + per-cell window formulation (r19)") {
     // the r19 grouped kernel must reproduce the pre-r19 cell self-join +
     // (cell, src) window EXACTLY — same rows, same round-4 cosines, same
