@@ -336,11 +336,15 @@ object AnnIndex {
       val e = deltaEmb.select(col("vec_id"), col("embedding"))
       val cell = VectorSearch.ivfCellD(
         VectorFunctions.toDoubles(col("embedding")), cents)
+      // r19: assign the delta once — the vectors and codes writes each
+      // re-ran the upstream scan + coarse argmax otherwise
+      val assigned = e.select(col("vec_id"), col("embedding"),
+        cell.as("cell")).localCheckpoint()
       Layout.appendBucketed(
-        e.select(col("vec_id"), col("embedding"), cell.as("cell")),
+        assigned.select(col("vec_id"), col("embedding"), col("cell")),
         s"$db.vectors", "cell", p.coarseK)
       Layout.appendBucketed(
-        e.select(col("vec_id"), cell.as("cell"),
+        assigned.select(col("vec_id"), col("cell"),
           NativeExpressions.pqEncode(col("embedding"), cb).as("codes")),
         s"$db.codes", "cell", p.coarseK)
     }
@@ -984,16 +988,21 @@ object AnnIndex {
     if (fs.exists(hp)) fs.delete(hp, true)
     s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
     val cell = VectorSearch.ivfCellD(VectorFunctions.toDoubles(col("embedding")), cents)
+    // r19: assign the corpus once — the vectors and codes writes each
+    // re-ran the full scan + coarse argmax otherwise (two corpus-sized
+    // assignment passes per build)
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      cell.as("cell")).localCheckpoint()
     // the two big index tables are EXTERNAL at their flat locations (same
     // physical layout as before — ensure's register() and compact's raw
     // reads depend on `$loc/vectors`): maintain's fold can then retire a
     // serving table with DROP TABLE without deleting the files a
     // concurrently-resolved snapshot already pinned
     Layout.writeBucketedAt(
-      e.select(col("vec_id"), col("embedding"), cell.as("cell")),
+      assigned.select(col("vec_id"), col("embedding"), col("cell")),
       s"$db.vectors", "cell", params.coarseK, s"$loc/vectors")
     Layout.writeBucketedAt(
-      e.select(col("vec_id"), cell.as("cell"),
+      assigned.select(col("vec_id"), col("cell"),
         NativeExpressions.pqEncode(col("embedding"), cb).as("codes")),
       s"$db.codes", "cell", params.coarseK, s"$loc/codes")
     import scala.jdk.CollectionConverters._

@@ -157,6 +157,13 @@ object VolumeCC {
       }
       out.iterator
     }.toDF("kx", "ky", "kz", "axis", "side", "a", "b", "label")
+      // r19: materialized — every caller self-joins this table on the
+      // face key (side 0 vs side 1), and without the checkpoint each
+      // join side re-ran the block decode + per-block union-find over
+      // the WHOLE volume (a third full pass on top of the caller's own
+      // partials pass). The face table is boundary-sized (O(n^(2/3)) of
+      // the volume), so materializing it is cheap at any volume size.
+      .localCheckpoint()
   }
 
   /** (component BIGINT, n_voxels BIGINT) of the thresholded volume.

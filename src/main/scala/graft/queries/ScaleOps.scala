@@ -451,18 +451,33 @@ object ScaleOps {
       "q184_hll_sketch_union",
       "SELECT CAST(1 AS INTEGER) AS within_tol") { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
-      val shard = li.groupBy(date_trunc("month", col("l_shipdate")).as("m"))
-        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"),
-          countDistinct(col("l_orderkey")).as("ex"))
+      // r19: ONE distinct pass over (month, orderkey) replaces the two
+      // independent countDistinct shuffles (per-shard exact + global
+      // exact) that each re-scanned lineitem. HLL insertion is
+      // idempotent, so sketching the distinct pairs yields the identical
+      // sketch state (and estimates) as sketching the raw rows; the
+      // per-shard exact count is a plain count over the distinct pairs
+      // and the global exact a distinct-orderkey count of the same
+      // materialized set — rows are touched exactly once, which is the
+      // pattern this query exists to demonstrate.
+      val pairs = li
+        .select(date_trunc("month", col("l_shipdate")).as("m"),
+          col("l_orderkey"))
+        .distinct()
         .localCheckpoint() // the persisted-artifact boundary: union reads
                            // sketches, never rows
+      val shard = pairs.groupBy(col("m"))
+        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"),
+          count(lit(1)).as("ex"))
+        .localCheckpoint()
       val shardOk = shard
         .select((abs(hll_sketch_estimate(col("sk")) - col("ex"))
           <= col("ex").cast("double") * 0.05).cast("int").as("ok"))
         .agg(min(col("ok")).as("shard_ok"))
       val global = shard
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("apx"))
-      val exact = li.agg(countDistinct(col("l_orderkey")).as("ex"))
+      val exact = pairs.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("ex"))
       global.crossJoin(exact).crossJoin(shardOk)
         .select((col("shard_ok") === 1 &&
           abs(col("apx") - col("ex")) <= col("ex").cast("double") * 0.05)

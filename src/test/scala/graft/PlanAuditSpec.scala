@@ -153,13 +153,16 @@ class PlanAuditSpec extends SparkSpec {
       "semantic-survivor pass must never plan a product")
   }
 
-  test("q115: knn-graph candidates form via a keyed cell join, never a product") {
+  test("q115: knn-graph candidates form cell-locally, never a product") {
     val p = formatted("q115_knn_graph")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "kNN-graph candidate generation must stay cell-keyed — a product is the n² shape")
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
-        || p.contains("ShuffledHashJoin"),
-      "expected a keyed join for intra-cell candidate generation")
+    // r19: the cell self-join gave way to the grouped block kernel — the
+    // candidate space forms inside a per-cell collect_list aggregation
+    // (one cell-keyed exchange), so the pin is the grouped-kernel shape
+    // rather than a join operator
+    assert(p.contains("collect_list"),
+      "expected the per-cell grouped kernel (collect_list over cell)")
   }
 
   test("q115: the full candidate set shuffles at most once (two-stage top-k)") {
@@ -203,8 +206,9 @@ class PlanAuditSpec extends SparkSpec {
     // the r5 regression: CollapseProject/filter-pushdown inlined the gram
     // array into every consumer, re-running tokenization ~6x per row. The
     // explode+agg shape evaluates the tokenize chain in exactly ONE
-    // Project node.
-    assert("regexp_replace".r.findAllIn(p).size == 1,
+    // Project node. (r19: the chain's tokenizer is the ws_tokens kernel,
+    // not regexp_replace+split — count the kernel.)
+    assert("ws_tokens".r.findAllIn(p).size == 1,
       "tokenize chain duplicated across plan nodes again")
     val shuffles = hashExchanges("q96_repetition_filter")
     assert(shuffles.size == 2,
