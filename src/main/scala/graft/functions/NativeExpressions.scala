@@ -331,6 +331,90 @@ final class IvfCodebookRef(
   }
 }
 
+
+/** Per-probe ADC lookup tables as ONE reference-object expression (r19).
+  *
+  * The declarative construction built `subspaces × k` independent
+  * `round(aggregate(zip_with(slice(pv, …), center, (x,y)→(x−y)²), 0,+),4)`
+  * towers — 128 interpreted higher-order folds per probe row at the
+  * default dials, and an expression tree that put ~60 KB into every
+  * IVF-PQ probe plan (planning + codegen time scaled with it). The
+  * kernel computes the same tables in one loop: per (b, j), acc =
+  * Σ_d (pv[b·w+d] − c[d])² accumulated d-ascending (the zip_with array
+  * is folded left-to-right, so the float sum order is identical), each
+  * entry rounded on the HALF_UP 4-decimal lattice like `round(_, 4)`.
+  * A dimension mismatch fails loudly instead of the declarative path's
+  * silent null padding (the repo's loud-over-wrong rule);
+  * VectorQuantSpec pins kernel ≡ declarative towers on the corpus.
+  */
+case class PqAdcTables(child: Expression, codebook: PqCodebookRef)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_tables requires ARRAY<DOUBLE>, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_adc_tables"
+
+  override protected def nullSafeEval(input: Any): Any =
+    codebook.adcTables(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", codebook,
+      "graft.functions.PqCodebookRef")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = $ref.adcTables($c);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcTables =
+    copy(child = newChild)
+}
+
+/** Codebook holder + eval kernel for [[PqAdcTables]]: centers(b)(j) is
+  * subspace b's j-th w-dim center.
+  */
+final class PqCodebookRef(
+    val centers: Array[Array[Array[Double]]]) extends Serializable {
+
+  def adcTables(v: ArrayData): ArrayData = {
+    val subspaces = centers.length
+    val w = centers(0)(0).length
+    if (v.numElements() != subspaces * w)
+      throw new IllegalArgumentException(
+        s"pq_adc_tables: ${v.numElements()}-dim probe vs " +
+          s"$subspaces×$w codebook")
+    val out = new Array[Any](subspaces)
+    var b = 0
+    while (b < subspaces) {
+      val cb = centers(b)
+      val tbl = new Array[Any](cb.length)
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)
+        var acc = 0.0
+        var d = 0
+        while (d < w) {
+          val x = v.getDouble(b * w + d) - c(d)
+          acc += x * x
+          d += 1
+        }
+        tbl(j) =
+          if (java.lang.Double.isNaN(acc) || java.lang.Double.isInfinite(acc)) acc
+          else java.math.BigDecimal.valueOf(acc)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        j += 1
+      }
+      out(b) = new org.apache.spark.sql.catalyst.util.GenericArrayData(tbl)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Margin-gated multi-probe IVF assignment (r15) — [[IvfTopCells]] with
   * the probe count made DATA-ADAPTIVE: always the top-1 cell, plus cells
   * ranked 2..`cap` only while `best_sim - sim <= margin` (all sims on the
@@ -891,6 +975,15 @@ object NativeExpressions {
       cents.map(_._1).toArray, cents.map(_._2.toArray).toArray)
     GraftSqlBridge.column(
       IvfTopCellsMargin(GraftSqlBridge.expression(vecD), ref, cap, margin))
+  }
+
+  /** ADC lookup tables (see [[PqAdcTables]]): one array of `subspaces`
+    * arrays of k round-4 L2² distances per probe row, O(1) plan size in
+    * the codebook.
+    */
+  def pqAdcTables(vecD: Column, codebook: Seq[Seq[Seq[Double]]]): Column = {
+    val ref = new PqCodebookRef(codebook.map(_.map(_.toArray).toArray).toArray)
+    GraftSqlBridge.column(PqAdcTables(GraftSqlBridge.expression(vecD), ref))
   }
 
   /** struct(l, ent) of the one-pass character-entropy kernel (see

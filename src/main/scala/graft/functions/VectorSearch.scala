@@ -1270,7 +1270,6 @@ object VectorSearch {
   def pqAdcTopK(
       emb: DataFrame, probes: DataFrame, k: Int,
       codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val w = codebook.head.head.length
     // native one-loop-per-row encoder: the declarative formulation pays
     // interpreted-fold dispatch per CENTER per row (~128x) — q103 went
     // 4.6s -> sub-second at sf0.1 on the native kernel. pqEncode (the
@@ -1282,17 +1281,20 @@ object VectorSearch {
     // referenced from the join output they would be recomputed per
     // (probe, corpus) pair, turning the 5-row table build into 1.3M
     // interpreted folds; as probe-row columns they are built once each
-    // and ride inside the broadcast relation
+    // and ride inside the broadcast relation. r19: the tables come from
+    // the ONE-loop reference-object kernel (NE.pqAdcTables) — the old
+    // per-center declarative towers put ~60 KB into the plan, and
+    // planning+codegen time scaled with it (VectorQuantSpec pins kernel
+    // ≡ towers).
     val p = broadcast(probes
       .select(col("vec_id").as("pid"),
         graft.functions.VectorFunctions.toDoubles(col("embedding")).as("pv"))
-      .select(col("pid") +: codebook.indices.map { b =>
-        array(codebook(b).map(c =>
-          round(l2sq(slice(col("pv"), b * w + 1, w), c), 4)): _*).as(s"__tbl$b")
-      }: _*))
+      .select(col("pid"),
+        NE.pqAdcTables(col("pv"), codebook).as("__tbls")))
     // per joined row the distance is `subspaces` array lookups + adds
     val dist = codebook.indices.map { b =>
-      element_at(col(s"__tbl$b"), element_at(col("codes"), b + 1) + 1)
+      element_at(element_at(col("__tbls"), b + 1),
+        element_at(col("codes"), b + 1) + 1)
     }.reduce(_ + _)
     val wnd = Window.partitionBy(col("pid"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
@@ -1331,16 +1333,14 @@ object VectorSearch {
   private def adcTopK(
       index: DataFrame, pc: DataFrame, cells: Array[Int], k: Int,
       codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val w = codebook.head.head.length
     // the per-probe ADC lookup tables are a projection over the local
-    // relation — built once per probe row when the broadcast materializes
-    val p = broadcast(pc.select(
-      Seq(col("pid"), col("cell")) ++ codebook.indices.map { b =>
-        array(codebook(b).map(c =>
-          round(l2sq(slice(col("pv"), b * w + 1, w), c), 4)): _*).as(s"__tbl$b")
-      }: _*))
+    // relation — built once per probe row when the broadcast
+    // materializes. r19: one-loop kernel tables (see pqAdcTopK).
+    val p = broadcast(pc.select(col("pid"), col("cell"),
+      NE.pqAdcTables(col("pv"), codebook).as("__tbls")))
     val dist = codebook.indices.map { b =>
-      element_at(col(s"__tbl$b"), element_at(col("codes"), b + 1) + 1)
+      element_at(element_at(col("__tbls"), b + 1),
+        element_at(col("codes"), b + 1) + 1)
     }.reduce(_ + _)
     val wnd = Window.partitionBy(col("pid"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)

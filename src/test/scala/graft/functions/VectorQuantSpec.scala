@@ -59,6 +59,28 @@ class VectorQuantSpec extends SparkSpec {
     assert(avg >= 0.8, s"int8 ranking diverged from float: $recalls")
   }
 
+  test("pq_adc_tables kernel == the declarative per-center l2sq towers (r19)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cb = VectorSearch.trainPqCodebook(emb, subspaces = 8, k = 16,
+      iters = 2)
+    val w = cb.head.head.length
+    def l2sqDecl(pv: org.apache.spark.sql.Column, b: Int, c: Seq[Double]) =
+      round(aggregate(
+        zip_with(slice(pv, b * w + 1, w), typedlit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 4)
+    val pv = VectorFunctions.toDoubles(col("embedding"))
+    val rows = emb.limit(50).select(col("vec_id"),
+        NativeExpressions.pqAdcTables(pv, cb).as("k"),
+        array(cb.indices.map(b =>
+          array(cb(b).map(c => l2sqDecl(pv, b, c)): _*)): _*).as("r"))
+      .collect()
+    val bad = rows.filter(r =>
+      r.getSeq[Seq[Double]](1) != r.getSeq[Seq[Double]](2))
+    assert(bad.isEmpty,
+      s"${bad.length} probe rows diverged; first: ${bad.headOption}")
+  }
+
   test("zero vector: scale 1.0, all-zero codes, zero error") {
     import spark.implicits._
     val df = Seq((1L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
