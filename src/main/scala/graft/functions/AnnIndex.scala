@@ -142,6 +142,32 @@ object AnnIndex {
   private val tableNames =
     Seq("vectors", "codes", "ivf_codebook", "pq_codebook", "tombstones", "params")
 
+  /** Run independent Spark writes concurrently (guide §2.6 — actions are
+    * only sequential because the driver calls them sequentially). A build
+    * writes six tables whose jobs share no state: issuing them from a
+    * small pool lets the tiny codebook/params writes back-fill executor
+    * slots freed by the big bucketed writes' tails, and the per-write
+    * driver commit tails overlap instead of summing. Exceptions
+    * propagate with their original cause; the pool never outlives the
+    * call.
+    */
+  private def inParallel(work: Seq[() => Unit]): Unit = {
+    if (work.isEmpty) return
+    if (work.size == 1) { work.head(); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+    try {
+      val futs = work.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = w()
+      }))
+      futs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      }
+    } finally pool.shutdownNow()
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -340,13 +366,16 @@ object AnnIndex {
       // re-ran the upstream scan + coarse argmax otherwise
       val assigned = e.select(col("vec_id"), col("embedding"),
         cell.as("cell")).localCheckpoint()
-      Layout.appendBucketed(
-        assigned.select(col("vec_id"), col("embedding"), col("cell")),
-        s"$db.vectors", "cell", p.coarseK)
-      Layout.appendBucketed(
-        assigned.select(col("vec_id"), col("cell"),
-          NativeExpressions.pqEncode(col("embedding"), cb).as("codes")),
-        s"$db.codes", "cell", p.coarseK)
+      // r20: the two bucketed appends are independent jobs off the same
+      // checkpointed assignment — overlap them (guide §2.6)
+      inParallel(Seq(
+        () => Layout.appendBucketed(
+          assigned.select(col("vec_id"), col("embedding"), col("cell")),
+          s"$db.vectors", "cell", p.coarseK),
+        () => Layout.appendBucketed(
+          assigned.select(col("vec_id"), col("cell"),
+            NativeExpressions.pqEncode(col("embedding"), cb).as("codes")),
+          s"$db.codes", "cell", p.coarseK)))
     }
 
   /** [[append]] for an `ensure`-managed dataset catalog: appends the delta
@@ -492,14 +521,16 @@ object AnnIndex {
       case Some(t) => df.join(broadcast(t), Seq("vec_id"), "left_anti")
       case None => df
     }
-    Layout.writeBucketed(fold(s.read.parquet(s"$g1/vectors")),
-      s"$scratch.vectors", "cell", pr.coarseK)
-    Layout.writeBucketed(fold(s.read.parquet(s"$g1/codes")),
-      s"$scratch.codes", "cell", pr.coarseK)
-    s.read.parquet(s"$g1/ivf_codebook").coalesce(1).write
-      .format("parquet").saveAsTable(s"$scratch.ivf_codebook")
-    s.read.parquet(s"$g1/pq_codebook").coalesce(1).write
-      .format("parquet").saveAsTable(s"$scratch.pq_codebook")
+    // r20: four independent rewrites — overlap them (guide §2.6)
+    inParallel(Seq(
+      () => Layout.writeBucketed(fold(s.read.parquet(s"$g1/vectors")),
+        s"$scratch.vectors", "cell", pr.coarseK),
+      () => Layout.writeBucketed(fold(s.read.parquet(s"$g1/codes")),
+        s"$scratch.codes", "cell", pr.coarseK),
+      () => s.read.parquet(s"$g1/ivf_codebook").coalesce(1).write
+        .format("parquet").saveAsTable(s"$scratch.ivf_codebook"),
+      () => s.read.parquet(s"$g1/pq_codebook").coalesce(1).write
+        .format("parquet").saveAsTable(s"$scratch.pq_codebook")))
     s.sql(s"CREATE TABLE $scratch.tombstones (vec_id BIGINT) USING parquet")
     writeParamsTable(s, scratch, pr)
     // marker once the generation's files are complete, compare-and-swap
@@ -592,11 +623,18 @@ object AnnIndex {
         val foldDir = s"$dbLoc/fold_g${nextFoldGen(fs, hp)}"
         val newLocs = Seq("vectors", "codes")
           .map(t => t -> s"$foldDir/$t").toMap
-        Seq("vectors", "codes").foreach { t =>
+        // r20: the two fold rewrites run concurrently (guide §2.6); the
+        // DROP→RENAME swaps stay serial and AFTER both writes, so the
+        // crash-window healing contract (healInterruptedFold) is
+        // unchanged — a _folding table only ever swaps once its files
+        // are complete.
+        inParallel(Seq("vectors", "codes").map(t => () => {
           val folded = s.read.parquet(oldLocs(t))
             .join(tomb, Seq("vec_id"), "left_anti")
           Layout.writeBucketedAt(
             folded, s"$db.${t}_folding", "cell", p.coarseK, newLocs(t))
+        }))
+        Seq("vectors", "codes").foreach { t =>
           s.sql(s"DROP TABLE $db.$t")
           s.sql(s"ALTER TABLE $db.${t}_folding RENAME TO $db.$t")
         }
@@ -998,37 +1036,43 @@ object AnnIndex {
     // reads depend on `$loc/vectors`): maintain's fold can then retire a
     // serving table with DROP TABLE without deleting the files a
     // concurrently-resolved snapshot already pinned
-    Layout.writeBucketedAt(
-      assigned.select(col("vec_id"), col("embedding"), col("cell")),
-      s"$db.vectors", "cell", params.coarseK, s"$loc/vectors")
-    Layout.writeBucketedAt(
-      assigned.select(col("vec_id"), col("cell"),
-        NativeExpressions.pqEncode(col("embedding"), cb).as("codes")),
-      s"$db.codes", "cell", params.coarseK, s"$loc/codes")
     import scala.jdk.CollectionConverters._
-    s.createDataFrame(
-      cents.map { case (cid, cv) => Row(cid, cv) }.asJava,
-      StructType(Seq(
-        StructField("cid", IntegerType, nullable = false),
-        StructField("cv", ArrayType(DoubleType, containsNull = false)))))
-      .coalesce(1).write.mode("overwrite").format("parquet")
-      .saveAsTable(s"$db.ivf_codebook")
+    // r20: the six artifact writes are independent jobs — issue them
+    // from a pool (inParallel) so the small codebook/params writes and
+    // the second bucketed write overlap the first's commit tail instead
+    // of queueing behind it (guide §2.6). Each job still writes its own
+    // table; nothing about the persisted layout changes.
     val pqRows = for {
       (centers, b) <- cb.zipWithIndex
       (cv8, j) <- centers.zipWithIndex
     } yield Row(b, j, cv8)
-    s.createDataFrame(
-      pqRows.asJava,
-      StructType(Seq(
-        StructField("b", IntegerType, nullable = false),
-        StructField("cid", IntegerType, nullable = false),
-        StructField("cv8", ArrayType(DoubleType, containsNull = false)))))
-      .coalesce(1).write.mode("overwrite").format("parquet")
-      .saveAsTable(s"$db.pq_codebook")
+    inParallel(Seq(
+      () => Layout.writeBucketedAt(
+        assigned.select(col("vec_id"), col("embedding"), col("cell")),
+        s"$db.vectors", "cell", params.coarseK, s"$loc/vectors"),
+      () => Layout.writeBucketedAt(
+        assigned.select(col("vec_id"), col("cell"),
+          NativeExpressions.pqEncode(col("embedding"), cb).as("codes")),
+        s"$db.codes", "cell", params.coarseK, s"$loc/codes"),
+      () => s.createDataFrame(
+          cents.map { case (cid, cv) => Row(cid, cv) }.asJava,
+          StructType(Seq(
+            StructField("cid", IntegerType, nullable = false),
+            StructField("cv", ArrayType(DoubleType, containsNull = false)))))
+        .coalesce(1).write.mode("overwrite").format("parquet")
+        .saveAsTable(s"$db.ivf_codebook"),
+      () => s.createDataFrame(
+          pqRows.asJava,
+          StructType(Seq(
+            StructField("b", IntegerType, nullable = false),
+            StructField("cid", IntegerType, nullable = false),
+            StructField("cv8", ArrayType(DoubleType, containsNull = false)))))
+        .coalesce(1).write.mode("overwrite").format("parquet")
+        .saveAsTable(s"$db.pq_codebook"),
+      () => writeParamsTable(s, db, params)))
     // an empty tombstone table completes the catalog: snapshot() can
     // always anti-join without probing for the table's existence
     s.sql(s"CREATE TABLE $db.tombstones (vec_id BIGINT) USING parquet")
-    writeParamsTable(s, db, params)
     // memo invalidation LAST (and the loaders below share this lock):
     // dropping the memo at build START would let a concurrent probe
     // re-cache the pre-rebuild codebooks mid-build and serve them

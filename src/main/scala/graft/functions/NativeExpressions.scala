@@ -7,6 +7,52 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
+/** round(x, 4) on the family's HALF_UP lattice — the single rounding
+  * every block kernel and codebook reference object goes through.
+  *
+  * Semantics are EXACTLY `BigDecimal.valueOf(x).setScale(4, HALF_UP)
+  * .doubleValue()` (what Spark's `round(col, 4)` computes on doubles and
+  * what every oracle CTE replays), but the common case runs in pure
+  * double arithmetic: `BigDecimal.valueOf` stringifies the double
+  * (Double.toString + a decimal parse, ~400 ns), which r20 profiling
+  * showed dominating the pair kernels — the 64-dim dot product under it
+  * is ~50 ns. The fast path is sound, not approximate:
+  *
+  *   - let D be the shortest-decimal value of x (|D − x| ≤ ulp(x)/2) and
+  *     T = |D|·1e4 + 0.5; HALF_UP at 4 decimals keeps sign(x)·floor(T)
+  *     (half away from zero), and `doubleValue()` of that 4-decimal
+  *     value is the nearest double — identical to `floor(T)/1e4` in
+  *     correctly-rounded double division;
+  *   - the computed z = |x·1e4| + 0.5 differs from T by at most the
+  *     multiply's half-ulp plus the representation gap, both ≤ 2·ulp(z);
+  *     when z is farther than `4·ulp(z) + 1e-12` from every integer,
+  *     floor(z) == floor(T) and the fast result is bit-identical;
+  *   - within that window (or |x·1e4| ≥ 2^45, where 4-decimal rounding
+  *     interacts with double granularity) it falls back to the
+  *     BigDecimal path — correctness never depends on the fast math.
+  *
+  * Round4Spec pins fast ≡ BigDecimal on adversarial boundary values and
+  * a dense random sweep.
+  */
+object Round4 {
+  private def slow(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def halfUp(x: Double): Double = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return x
+    val y = x * 1e4
+    val ay = math.abs(y)
+    if (ay >= 3.5e13) return slow(x) // 2^45: stay far from integer-granularity doubles
+    val z = ay + 0.5
+    val f = math.floor(z)
+    val eps = 4.0 * math.ulp(z) + 1e-12
+    if (z - f < eps || (f + 1.0) - z < eps) return slow(x)
+    // BigDecimal never yields a signed zero — neither may the fast path
+    if (f == 0.0) 0.0 else (if (y < 0.0) -f else f) / 1e4
+  }
+}
+
 /** L2 norm of an ARRAY<FLOAT> as a native Catalyst expression with full
   * whole-stage-codegen support — the preferred extension point when built-in
   * functions can't express an operator (builder guidance: native Expression
@@ -193,8 +239,7 @@ object PqEncodeVector {
           i += 1
         }
         // 4-decimal HALF_UP, identical to round(col, 4) on doubles
-        val dr = java.math.BigDecimal.valueOf(d)
-          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        val dr = Round4.halfUp(d)
         if (dr < bestD) { bestD = dr; best = j }
         j += 1
       }
@@ -308,10 +353,7 @@ final class IvfCodebookRef(
       // identical to round(col, 4): BigDecimal HALF_UP, NaN/Inf pass
       // through (java.lang.Double.compare then ranks NaN greatest,
       // matching Spark's struct ordering in the declarative path)
-      val s =
-        if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
-        else java.math.BigDecimal.valueOf(cos)
-          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      val s = Round4.halfUp(cos)
       val cid = cids(c)
       var pos = filled
       while (pos > 0 && {
@@ -402,10 +444,7 @@ final class PqCodebookRef(
           acc += x * x
           d += 1
         }
-        tbl(j) =
-          if (java.lang.Double.isNaN(acc) || java.lang.Double.isInfinite(acc)) acc
-          else java.math.BigDecimal.valueOf(acc)
-            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        tbl(j) = Round4.halfUp(acc)
         j += 1
       }
       out(b) = new org.apache.spark.sql.catalyst.util.GenericArrayData(tbl)
@@ -510,10 +549,7 @@ final class IvfHierRef(
   /** round(x, 4) on the family lattice (BigDecimal HALF_UP; NaN/Inf pass
     * through) — bit-identical to [[IvfCodebookRef]]'s rounding.
     */
-  private def round4(cos: Double): Double =
-    if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
-    else java.math.BigDecimal.valueOf(cos)
-      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def round4(cos: Double): Double = Round4.halfUp(cos)
 
   /** Offer every (cid, vec) of one centroid group into the shared
     * insertion-sorted top-`cap` accumulator ordered by (sim desc, cid

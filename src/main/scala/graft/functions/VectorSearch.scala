@@ -284,18 +284,93 @@ object VectorSearch {
     * threshold keeps NaN-greatest ordering exactly like Spark's `>=`
     * on doubles (VectorSearchSpec pins kernel ≡ join formulation).
     */
+  /** Rows one kernel task may collect for a single (cell[, salt block])
+    * before failing LOUDLY instead of OOMing (conf
+    * `graft.cell.maxKernelRows`). The corpus-scaled codebook holds the
+    * AVERAGE cell at ~64 members; this cap guards the pathological tail
+    * (millions of identical vectors piling into one cell — guide §2.5
+    * skew): 4M rows × ~280 B ≈ 1.1 GB of list, caught well before the
+    * heap dies, with the fix named in the message. AQE's skew handling
+    * cannot split aggregations, so the fix is the salt dial below.
+    */
+  private def maxKernelRows(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("graft.cell.maxKernelRows").map(_.toInt)
+      .getOrElse(4000000)
+
+  /** Salt factor for the pair kernels (conf `graft.cell.salts`, default
+    * 1 = off). At S > 1 every cell's members split into S hash blocks on
+    * vec_id and each unordered block pair (i ≤ j) is scored by its own
+    * task — identical pair arithmetic (VectorSearchSpec pins salted ≡
+    * join on a one-hot-cell fixture), task memory O(cellmax/S) instead
+    * of O(cellmax), at the standard salting price of an S× replicated
+    * kernel exchange (guide §2.5 — salt the key, explode the
+    * counterpart side). Production sets S from max-expected-cell /
+    * memory budget; the gate default keeps the exact unsalted plan, and
+    * a cell that outgrows the cap under S = 1 fails loudly pointing
+    * here rather than melting a task.
+    */
+  private def cellSalts(s: org.apache.spark.sql.SparkSession): Int = {
+    val n = s.conf.getOption("graft.cell.salts").map(_.toInt).getOrElse(1)
+    require(n >= 1, s"graft.cell.salts must be >= 1, got $n")
+    n
+  }
+
+  private def capMsg(n: Int, cap: Int): String =
+    s"cell block of $n rows exceeds graft.cell.maxKernelRows=$cap — a " +
+      "pathologically hot cell (duplicate-vector pileup). Raise " +
+      "graft.cell.salts to split cells into hash blocks (exact same " +
+      "pairs, O(cell/salts) task memory), run exact dedup first, or " +
+      "grow the codebook (k ~ sqrt(n) holds the average cell at ~64)."
+
   private[graft] def pairsWithinCells(
       assignedIn: DataFrame, threshold: Double,
       dedup: Boolean = true): DataFrame = {
     val s = assignedIn.sparkSession
     import s.implicits._
-    val grouped = assignedIn
-      .groupBy(col("cell"))
-      .agg(collect_list(struct(col("vec_id").as("_1"),
-        col("embedding").as("_2"))).as("m"))
-      .select(col("m").as[Seq[(Long, Array[Float])]])
-    val block = (m: Seq[(Long, Array[Float])]) => {
+    val cap = maxKernelRows(s)
+    val salts = cellSalts(s)
+    // the pair loop shared by the unsalted and salted paths: scores
+    // every admissible (i, j) pair once — `roles == null` admits all
+    // i < j (one cell block); with roles, only cross-role pairs (the
+    // same-salt pairs live in the (s, s) diagonal block)
+    def pairLoop(
+        ids: Array[Long], vs: Array[Array[Float]], norms: Array[Double],
+        roles: Array[Boolean]): Seq[(Long, Long, Double)] = {
+      val n = ids.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < n) {
+        val a = vs(i)
+        var j = i + 1
+        while (j < n) {
+          if (ids(i) != ids(j) && (roles == null || roles(i) != roles(j))) {
+            val b = vs(j)
+            if (a.length != b.length) throw new IllegalArgumentException(
+              s"vector_dot: mismatched lengths ${a.length} vs ${b.length}")
+            var dot = 0.0
+            var d = 0
+            while (d < a.length) {
+              dot += a(d).toDouble * b(d).toDouble
+              d += 1
+            }
+            val cos = dot / (norms(i) * norms(j))
+            val r4 = Round4.halfUp(cos)
+            // Spark's `>=` on doubles ranks NaN greatest — mirror it
+            if (java.lang.Double.compare(r4, threshold) >= 0) {
+              out += (if (ids(i) < ids(j)) (ids(i), ids(j), r4)
+                else (ids(j), ids(i), r4))
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    def unpack(m: Seq[(Long, Array[Float])])
+        : (Array[Long], Array[Array[Float]], Array[Double]) = {
       val n = m.length
+      require(n <= cap, capMsg(n, cap))
       val ids = new Array[Long](n)
       val vs = new Array[Array[Float]](n)
       val norms = new Array[Double](n)
@@ -309,45 +384,53 @@ object VectorSearch {
         norms(i) = math.sqrt(acc)
         i += 1
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      i = 0
-      while (i < n) {
-        val a = vs(i)
-        var j = i + 1
-        while (j < n) {
-          if (ids(i) != ids(j)) {
-            val b = vs(j)
-            if (a.length != b.length) throw new IllegalArgumentException(
-              s"vector_dot: mismatched lengths ${a.length} vs ${b.length}")
-            var dot = 0.0
-            var d = 0
-            while (d < a.length) {
-              dot += a(d).toDouble * b(d).toDouble
-              d += 1
-            }
-            val cos = dot / (norms(i) * norms(j))
-            val r4 =
-              if (java.lang.Double.isNaN(cos) ||
-                java.lang.Double.isInfinite(cos)) cos
-              else java.math.BigDecimal.valueOf(cos)
-                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-            // Spark's `>=` on doubles ranks NaN greatest — mirror it
-            if (java.lang.Double.compare(r4, threshold) >= 0) {
-              out += (if (ids(i) < ids(j)) (ids(i), ids(j), r4)
-                else (ids(j), ids(i), r4))
-            }
-          }
-          j += 1
-        }
-        i += 1
-      }
-      out
+      (ids, vs, norms)
     }
+    val raw =
+      if (salts == 1) {
+        val grouped = assignedIn
+          .groupBy(col("cell"))
+          .agg(collect_list(struct(col("vec_id").as("_1"),
+            col("embedding").as("_2"))).as("m"))
+          .select(col("m").as[Seq[(Long, Array[Float])]])
+        grouped.flatMap { m =>
+          val (ids, vs, norms) = unpack(m)
+          pairLoop(ids, vs, norms, null)
+        }.toDF("id_a", "id_b", "cosine")
+      } else {
+        // salted block pairing: member x (salt sx) replicates to every
+        // block (min(sx,t), max(sx,t)) for t in 0..S-1, tagged with its
+        // role (whether it is the block's i-side). Each unordered pair
+        // {x, y} is scored exactly once: same salt → the (s, s) diagonal
+        // block (one copy each, roles equal → admit i < j); different
+        // salts → the (min, max) block, cross-role only.
+        val withBlock = assignedIn
+          .withColumn("_s", pmod(xxhash64(col("vec_id")), lit(salts)).cast("int"))
+          .select(col("cell"), col("vec_id"), col("embedding"), col("_s"),
+            explode(sequence(lit(0), lit(salts - 1))).as("_t"))
+          .select(col("cell"),
+            least(col("_s"), col("_t")).as("_i"),
+            greatest(col("_s"), col("_t")).as("_j"),
+            (col("_s") <= col("_t")).as("_role"),
+            col("vec_id"), col("embedding"))
+        val grouped = withBlock
+          .groupBy(col("cell"), col("_i"), col("_j"))
+          .agg(collect_list(struct(col("vec_id").as("_1"),
+            col("embedding").as("_2"), col("_role").as("_3"))).as("m"))
+          .select((col("_i") === col("_j")).as("_1"), col("m").as("_2"))
+          .as[(Boolean, Seq[(Long, Array[Float], Boolean)])]
+        grouped.flatMap { case (diagonal, mm) =>
+          val (ids, vs, norms) = unpack(mm.map(t => (t._1, t._2)))
+          // the diagonal block holds one copy per member (role constant
+          // true) — admit all i < j; off-diagonal admits cross-role only
+          val roles = if (diagonal) null else mm.map(_._3).toArray
+          pairLoop(ids, vs, norms, roles)
+        }.toDF("id_a", "id_b", "cosine")
+      }
     // dedup = false skips the final distinct for callers that feed the
     // pairs straight into ConnectedComponents, whose symmetric-closure
     // distinct subsumes it — one pair-set exchange saved per composite
     // (r19); callers that EMIT the pairs keep the dedup.
-    val raw = grouped.flatMap(block).toDF("id_a", "id_b", "cosine")
     if (dedup) raw.distinct() else raw
   }
 
@@ -483,10 +566,7 @@ object VectorSearch {
     val vecs = byCid.map(_._2.toArray).toArray
     val cids = byCid.map(_._1).toArray
     val dim = vecs(0).length
-    def round4(x: Double): Double =
-      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
-      else java.math.BigDecimal.valueOf(x)
-        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def round4(x: Double): Double = Round4.halfUp(x)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
       while (i < dim) {
@@ -746,12 +826,15 @@ object VectorSearch {
     import s.implicits._
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cosine").desc, col("nbr").asc)
+    val cap = maxKernelRows(s)
     val grouped = assignedIn
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id").as("_1"),
         col("embedding").as("_2"))).as("m"))
       .select(col("m").as[Seq[(Long, Array[Float])]])
-    grouped.flatMap { m => knnBlock(m, k) }
+    grouped.flatMap { m =>
+      require(m.length <= cap, capMsg(m.length, cap))
+      knnBlock(m, k) }
       .toDF("src", "nbr", "cosine")
       .distinct()
       .withColumn("rnk", row_number().over(w))
@@ -819,11 +902,7 @@ object VectorSearch {
             d += 1
           }
           val cos = dot / (norms(i) * norms(j))
-          val r4 =
-            if (java.lang.Double.isNaN(cos) ||
-              java.lang.Double.isInfinite(cos)) cos
-            else java.math.BigDecimal.valueOf(cos)
-              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          val r4 = Round4.halfUp(cos)
           offer(i, r4, ids(j))
           offer(j, r4, ids(i))
         }
@@ -921,7 +1000,10 @@ object VectorSearch {
         col("label").cast("long").as("_2"),
         col("embedding").as("_3"))).as("m"))
       .select(col("m").as[Seq[(Long, Long, Array[Float])]])
-    grouped.flatMap { m => labelKnnBlock(m, k, sameLabel) }
+    val cap = maxKernelRows(s)
+    grouped.flatMap { m =>
+      require(m.length <= cap, capMsg(m.length, cap))
+      labelKnnBlock(m, k, sameLabel) }
       .toDF("src", "nbr", "nbr_label", "cosine")
       .distinct()
       .withColumn("rnk", row_number().over(w))
@@ -994,11 +1076,7 @@ object VectorSearch {
             d += 1
           }
           val cos = dot / (norms(i) * norms(j))
-          val r4 =
-            if (java.lang.Double.isNaN(cos) ||
-              java.lang.Double.isInfinite(cos)) cos
-            else java.math.BigDecimal.valueOf(cos)
-              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          val r4 = Round4.halfUp(cos)
           offer(i, r4, ids(j), labels(j))
           offer(j, r4, ids(i), labels(i))
         }

@@ -439,8 +439,7 @@ object N5 {
             root, s"$dataset/${grid.mkString("/")}")
           val fs = path.getFileSystem(taskConf)
           if (fs.exists(path)) {
-            val in = fs.open(path)
-            val raw = try in.readAllBytes() finally in.close()
+            val raw = graft.sources.n5.N5BlockIO.readAllBytes(fs, path)
             val dec = BlockCodec.decode(raw, attrs.dataType, attrs.compression)
             // same short-block discipline as N5ElementsReader /
             // N5BlockReader: a truncated varlength (mode-1) block must

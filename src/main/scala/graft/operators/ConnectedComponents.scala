@@ -57,6 +57,45 @@ object ConnectedComponents {
     *         id reachable from `node`; one row per distinct node that
     *         appears in `edges`
     */
+  /** Evaluate `f` with AQE disabled, restoring the previous setting.
+    * Used around the one-time materialization of loop-static relations:
+    * with AQE on, `localCheckpoint` captures UnknownPartitioning (the
+    * adaptive plan's partitioning is not final at capture time — measured
+    * r20), so every round's join silently re-exchanged the edge set the
+    * r19 repartition-once fix thought it had pinned. Checkpointing the
+    * static side under a non-adaptive plan preserves its HashPartitioning
+    * into the LogicalRDD, and the AQE-on round joins then exchange only
+    * the label/rank vector.
+    */
+  private[operators] def withAqeOff[T](
+      s: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Partition count for a materialized loop-static relation: derived
+    * from its ROW COUNT, never from spark.sql.shuffle.partitions — the
+    * fixed-partitioning checkpoint is outside AQE, so sizing it at the
+    * session's shuffle width would pin every subsequent round to (e.g.)
+    * 32-task stages however tiny the graph is (measured r20: q129 +1.2 s
+    * at sf0.1 from exactly that), while at 100 TB the same constant
+    * would under-partition. Rows are narrow (8-50 B edge/label tuples),
+    * so the default 2M rows/partition lands partitions in the guide's
+    * tens-of-MB band; override via `graft.iter.rowsPerPartition`.
+    */
+  private[operators] def sizedPartitions(
+      s: org.apache.spark.sql.SparkSession, rows: Long): Int = {
+    val perPart = s.conf.getOption("graft.iter.rowsPerPartition")
+      .map(_.toLong).getOrElse(2000000L)
+    math.max(1L, math.min(Int.MaxValue.toLong,
+      (rows + perPart - 1) / perPart)).toInt
+  }
+
   def run(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30, reliableCheckpoints: Boolean = false): DataFrame = {
@@ -67,16 +106,47 @@ object ConnectedComponents {
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
     // symmetric closure, deduped once up front: every round reuses it.
-    // r19: hash-partitioned by the round-join key `b` before
-    // materializing — snap preserves the partitioning, so each round's
-    // neighbor join exchanges only the N-row label vector, never the
-    // edge set (guide §2.4; the PageRank r19 fix).
-    val und = snap(e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .repartition(col("b")))
+    // r20, three pieces:
+    //  - ONE pass over the edge pipeline: the old e.union(e.reversed)
+    //    planned the upstream candidate generation TWICE (union branches
+    //    are separate subtrees; only exchanges are reused, and the pair
+    //    kernels sit above their exchange), so every composite paid its
+    //    pair-verify kernel twice. A per-row explode to (a,b)+(b,a)
+    //    evaluates the pipeline once, materialized as `raw`.
+    //  - SIZE-DERIVED partitioning: `raw`'s materialized row count picks
+    //    the partition count (sizedPartitions — scale-adaptive, never the
+    //    session shuffle width).
+    //  - AQE-OFF final checkpoint: the repartition lands BELOW the
+    //    distinct (hashpartitioning(b) already co-locates equal (a,b)
+    //    rows, so the distinct reuses that one exchange), and with AQE
+    //    off the LogicalRDD keeps hashpartitioning(b, n) — every round's
+    //    neighbor join then exchanges only the label vector, never the
+    //    edge set (guide §2.4; with AQE on the checkpoint captured
+    //    UnknownPartitioning and the r19 repartition was silently void).
+    val raw = e.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .localCheckpoint(true)
+    val nParts = sizedPartitions(edges.sparkSession, raw.count())
+    val und = withAqeOff(edges.sparkSession) {
+      snap(raw.repartition(nParts, col("b")).distinct())
+    }
 
-    var labels = snap(und.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl")))
+    // r20: labels seed at the FIRST round's neighbor minimum instead of
+    // the identity — min(Γ(node) ∪ {node}) is one aggregation over `und`
+    // that reuses its hashpartitioning(b) (zero exchanges, cheaper than
+    // the old distinct-node scan), and the descent starts one round
+    // further along. The fixpoint is unchanged: labels still start ≤
+    // node, descend monotonically, and the convergence check certifies
+    // the same stable point (every label equal to the min over
+    // Γ(node) ∪ {node}); only the round count moves. The oracle replays
+    // a recursive-CTE closure, not the schedule.
+    var labels = withAqeOff(edges.sparkSession) {
+      snap(und.groupBy(col("b"))
+        .agg(least(min(col("a")), col("b")).as("lbl"))
+        .select(col("b").as("node"), col("lbl")))
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {

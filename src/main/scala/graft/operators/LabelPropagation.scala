@@ -43,13 +43,25 @@ object LabelPropagation {
   def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     // r19: hash-partition the symmetric edge set by src ONCE before
-    // materializing — localCheckpoint preserves the partitioning, so each
-    // round's join exchanges only the N-row label vector, never the edge
-    // set (guide §2.4; the PageRank r19 fix).
-    val bidir = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
+    // materializing. r20: one explode pass instead of a self-union (the
+    // union planned the upstream edge pipeline twice — only exchanges are
+    // reused across branches), and the checkpoint runs under AQE-off so
+    // the LogicalRDD actually carries hashpartitioning(src) (with AQE on
+    // it captured UnknownPartitioning and every round re-exchanged the
+    // edge set — measured r20; guide §2.4).
+    val rawBidir = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .localCheckpoint()
+    // size-derived fixed partitioning (see ConnectedComponents.
+    // sizedPartitions): rounds reuse it; only the label vector exchanges
+    val bidir = ConnectedComponents.withAqeOff(nodes.sparkSession) {
+      rawBidir.repartition(
+          ConnectedComponents.sizedPartitions(nodes.sparkSession,
+            rawBidir.count()), col("src"))
+        .localCheckpoint()
+    }
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
     for (_ <- 0 until iters) {

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{abs, broadcast, coalesce, col, count, lit, round, sum}
+import org.apache.spark.sql.functions.{abs, coalesce, col, count, lit, round, sum}
 
 /** Result of a [[PageRank.run]]: the rank vector and how many iterations
   * actually ran (== maxIters under a fixed schedule; fewer when the
@@ -50,37 +50,63 @@ object PageRank {
     def lattice(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       roundDecimals.fold(c)(d => round(c, d))
     // r19: join outdeg into the edge set ONCE and hash-partition it by
-    // src before materializing — localCheckpoint preserves the physical
-    // partitioning, so every iteration's contribution join reuses it and
-    // only the N-row rank vector is exchanged per round. The old loop
-    // re-shuffled the edge set AND re-joined deg every iteration: two
-    // edge-sized exchanges per round that at 100 TB dominate the whole
-    // computation (guide §2.4 — the edge set is the big side and it
-    // never changes).
-    val edgesWithDeg = edges
+    // src before materializing. r20: the materialization runs under
+    // AQE-off (ConnectedComponents.withAqeOff) — with AQE on,
+    // localCheckpoint captured UnknownPartitioning and every iteration's
+    // contribution join silently re-exchanged the edge set; now the
+    // LogicalRDD carries hashpartitioning(src) and only the N-row rank
+    // vector is exchanged per round (guide §2.4 — the edge set is the
+    // big side and it never changes).
+    import ConnectedComponents.{withAqeOff, sizedPartitions}
+    val s = nodes.sparkSession
+    // two-step: materialize the deg-joined edge set once under the
+    // adaptive planner (one pass), size the fixed partitioning from its
+    // actual row count (scale-adaptive — a session-width constant would
+    // pin every round to 32-task stages at gate scale and under-
+    // partition at 100 TB), then pin hashpartitioning(src, n) with an
+    // AQE-off checkpoint the round joins can actually see.
+    val rawEdges = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-      .repartition(col("src"))
       .localCheckpoint()
-    // distinct sources, only needed for the dangling-mass anti-join
-    lazy val srcNodes = edgesWithDeg.select(col("src")).distinct()
-      .localCheckpoint()
+    val nE = sizedPartitions(s, rawEdges.count())
+    val edgesWithDeg = withAqeOff(s) {
+      rawEdges.repartition(nE, col("src")).localCheckpoint()
+    }
     // the node set is re-read every round (left join) — materialize it
-    // once, partitioned on the join key
-    val nodeSet = nodes.repartition(col("node")).localCheckpoint()
-    val n = nodeSet.count().toDouble
-    require(n > 0, "empty node set")
+    // once, partitioned on the join key. When dangling mass is
+    // redistributed, the set carries a has_out flag (computed ONCE by a
+    // node-keyed join against the distinct sources) so the per-round
+    // dangling aggregate is a bare filter+sum over the materialized rank
+    // vector — no per-round anti-join, and no broadcast of a
+    // node-cardinality relation (the r19 shape broadcast srcNodes every
+    // round: at 100 TB graph scale that is a driver OOM).
+    val rawNodes = (
+      if (!redistributeDangling) nodes
+      else nodes.join(
+          edgesWithDeg.select(col("src").as("node")).distinct()
+            .withColumn("has_out", lit(true)),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
+    ).localCheckpoint()
+    val nodeCount = rawNodes.count()
+    require(nodeCount > 0, "empty node set")
+    val nodeSet = withAqeOff(s) {
+      rawNodes.repartition(sizedPartitions(s, nodeCount), col("node"))
+        .localCheckpoint()
+    }
+    val n = nodeCount.toDouble
     var pr = nodeSet
-      .select(col("node"), lattice(lit(1.0 / n)).as("pr"))
+      .select(col("node") +: lattice(lit(1.0 / n)).as("pr") +:
+        (if (redistributeDangling) Seq(col("has_out")) else Nil): _*)
       .localCheckpoint()
     var it = 0
     var done = false
     while (it < maxIters && !done) {
-      // dangling mass: one tiny aggregate over the N-row rank vector
-      // (rank of nodes with no out-edges), broadcast as a scalar
+      // dangling mass: one tiny filter+sum over the materialized N-row
+      // rank vector (nodes with no out-edges), collected as a scalar
       val dangling =
         if (!redistributeDangling) 0.0
-        else pr.join(broadcast(srcNodes).withColumnRenamed("src", "node"),
-            Seq("node"), "left_anti")
+        else pr.filter(!col("has_out"))
           .agg(coalesce(sum(col("pr")), lit(0.0))).collect()(0).getDouble(0)
       // With a lattice, the per-edge contribution is put on an INTEGER
       // e(d+4) lattice and summed as longs: floor(pr_eD · 1e4 / outdeg).
@@ -94,11 +120,13 @@ object PageRank {
       // the floor of the correctly-rounded division cannot misround —
       // a non-divisible quotient sits ≥ 1/outdeg below the next
       // integer, orders of magnitude beyond 1 ulp at this scale.)
+      // the contribution join carries only (node, pr) of the rank vector
+      val prSlim = pr.select(col("node").as("src"), col("pr"))
       val contrib = roundDecimals match {
         case Some(d) =>
           val unit = math.pow(10.0, d + 4)
           edgesWithDeg
-            .join(pr.withColumnRenamed("node", "src"), "src")
+            .join(prSlim, "src")
             .groupBy(col("dst"))
             .agg((sum(org.apache.spark.sql.functions.floor(
                 round(col("pr") * math.pow(10.0, d)) * lit(1e4)
@@ -107,30 +135,31 @@ object PageRank {
             .withColumnRenamed("dst", "node")
         case None =>
           edgesWithDeg
-            .join(pr.withColumnRenamed("node", "src"), "src")
+            .join(prSlim, "src")
             .groupBy(col("dst"))
             .agg(sum(col("pr") / col("outdeg")).as("m"))
             .withColumnRenamed("dst", "node")
       }
       val next = nodeSet
         .join(contrib, Seq("node"), "left")
-        .select(col("node"), lattice(
+        .select(col("node") +: lattice(
           lit((1.0 - damping) / n)
             + lit(damping) * (coalesce(col("m"), lit(0.0))
-              + lit(damping_dangling(dangling, n)))).as("pr"))
+              + lit(damping_dangling(dangling, n)))).as("pr") +:
+          (if (redistributeDangling) Seq(col("has_out")) else Nil): _*)
         .localCheckpoint()
       it += 1
       if (tol > 0.0) {
         // one more tiny agg: L1 delta of consecutive N-row rank vectors
-        val delta = next.withColumnRenamed("pr", "pn")
-          .join(pr, Seq("node"))
+        val delta = next.select(col("node"), col("pr").as("pn"))
+          .join(pr.select(col("node"), col("pr")), Seq("node"))
           .agg(coalesce(sum(abs(col("pn") - col("pr"))), lit(0.0)))
           .collect()(0).getDouble(0)
         done = delta < tol
       }
       pr = next
     }
-    PageRankResult(pr, it)
+    PageRankResult(pr.select(col("node"), col("pr")), it)
   }
 
   /** Per-node share of the redistributed dangling mass (0 when the

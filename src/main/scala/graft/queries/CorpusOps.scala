@@ -274,22 +274,33 @@ object CorpusOps {
       // Guard the empty-doc edge: sequence(0, -1) would emit [0, -1]
       // (descending default step) — two phantom chunks DuckDB's range(0)
       // never produces. An empty token list has no passages; drop it.
-      val chunks = Tables.spread(s, docs(s, dir).select(col("doc_id"), tk.as("tk")))
+      val base = Tables.spread(s, docs(s, dir).select(col("doc_id"), tk.as("tk")))
         .filter(size(col("tk")) > 0)
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), nChunks - 1),
-            i => concat_ws(" ", slice(col("tk"), i * ChunkW + 1, lit(ChunkW))))))
-        .withColumnRenamed("pos", "chunk_idx")
-        .withColumnRenamed("col", "passage")
-      val w = Window.partitionBy(md5(col("passage")))
-        .orderBy(col("doc_id").asc, col("chunk_idx").asc)
-      chunks.withColumn("occ", row_number().over(w))
+      // r20 restructure (the q186 identity): exactly one occurrence per
+      // passage digest is occ = 1 and its owner is the MINIMUM doc_id
+      // containing the passage (chunk_idx only breaks ties within a
+      // doc). The digest-keyed window (exchange + sort over every chunk
+      // row) collapses to one map-side-combined min agg; the per-doc
+      // chunk count is a map-side-combined count over the SAME rows.
+      // The exploded (doc_id, digest) rows — 40 B per 120-token chunk,
+      // orders of magnitude below the corpus — are materialized once so
+      // the count and first-owner branches share one tokenize pass.
+      val ex = base.select(col("doc_id"),
+          explode(transform(sequence(lit(0), nChunks - 1),
+            i => md5(concat_ws(" ",
+              slice(col("tk"), i * ChunkW + 1, lit(ChunkW)))))).as("ph"))
+        .localCheckpoint()
+      val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      val firsts = ex
+        .groupBy(col("ph"))
+        .agg(min(col("doc_id")).as("doc_id"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup"))
-        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
-          round(col("n_dup") / col("n_chunks").cast("double"), 4)
-            .as("dup_frac"))
+        .agg(count(lit(1)).as("n_first"))
+      counts.join(firsts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          (col("n_chunks") - coalesce(col("n_first"), lit(0L))).as("n_dup"),
+          round((col("n_chunks") - coalesce(col("n_first"), lit(0L)))
+            / col("n_chunks").cast("double"), 4).as("dup_frac"))
         .orderBy(col("doc_id").asc)
     },
 
@@ -329,22 +340,35 @@ object CorpusOps {
         |FROM marked GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin) {
       (s, dir) =>
       val k = 40
-      val grams = Tables.spread(s,
+      // r20 restructure (same rows, proven identity): the gram-keyed
+      // WINDOW ranked every occurrence by (doc_id, pos) only to test
+      // occ > 1 — but exactly ONE occurrence per gram hash is occ = 1,
+      // and its owner is simply the MINIMUM doc_id containing the gram
+      // (pos only breaks ties within a doc, which cannot move the
+      // owner). So n_dup(doc) = n_grams(doc) − #grams first-owned by
+      // doc, n_grams(doc) = length − 39 by construction. The plan drops
+      // from [exchange+sort window over every gram row + second gram-
+      // sized exchange for the per-doc rollup] to ONE map-side-combined
+      // min agg keyed by gh (partial min collapses duplicate grams
+      // before the exchange, no sort) + a doc-sized count.
+      val base = Tables.spread(s,
           docs(s, dir).select(col("doc_id"), col("text")))
         .filter(length(col("text")) >= k)
+      val counts = base.select(col("doc_id"),
+        (length(col("text")) - (k - 1)).cast("long").as("n_grams"))
+      val firsts = base
         .select(col("doc_id"),
-          posexplode(transform(sequence(lit(1), length(col("text")) - (k - 1)),
-            i => md5(col("text").substr(i, lit(k))))))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
-      val w = Window.partitionBy(col("gh"))
-        .orderBy(col("doc_id").asc, col("pos").asc)
-      grams.withColumn("occ", row_number().over(w))
+          explode(transform(sequence(lit(1), length(col("text")) - (k - 1)),
+            i => md5(col("text").substr(i, lit(k))))).as("gh"))
+        .groupBy(col("gh"))
+        .agg(min(col("doc_id")).as("doc_id"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup"))
-        .select(col("doc_id"), col("n_grams"), col("n_dup"),
-          round(col("n_dup") / col("n_grams").cast("double"), 4)
-            .as("dup_frac"))
+        .agg(count(lit(1)).as("n_first"))
+      counts.join(firsts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          (col("n_grams") - coalesce(col("n_first"), lit(0L))).as("n_dup"),
+          round((col("n_grams") - coalesce(col("n_first"), lit(0L)))
+            / col("n_grams").cast("double"), 4).as("dup_frac"))
         .orderBy(col("doc_id").asc)
     },
 

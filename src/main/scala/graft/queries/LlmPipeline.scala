@@ -3105,8 +3105,17 @@ object LlmPipeline {
            |FROM final GROUP BY split ORDER BY split ASC""".stripMargin) { (s, dir) =>
         import graft.functions.{VectorSearch => VS, BloomRef}
         val d = docs(s, dir)
-        // (1) quality gate: the q142 training loop verbatim — three
-        // 4-scalar gradient aggregates off one localCheckpoint'd pass
+        // r20 FUSION: the pipeline used to make four tokenize/scan passes
+        // over the corpus — the quality-feature pass, the n-gram explode
+        // (decontamination), the digest pass, and the final card's token
+        // count each re-ran normalize/tokenize from the parquet scan.
+        // All four are per-row projections of the same scan, so ONE
+        // materialized base row now carries the features, the label, the
+        // dedup digest, the card's token count, and the normalized token
+        // array the n-gram stage explodes (guide §1.2/§3.3 — the q164
+        // duplicate-subtree cure applied to the whole capstone). Every
+        // value is the same expression over the same rows as before;
+        // only the number of corpus passes changes (4 → 1).
         val toksN = TF.tokens(TF.normalizeText(col("text")))
         val fTbl = Tables.spread(s, d).select(col("doc_id"),
             lit(1.0).as("f0"),
@@ -3117,7 +3126,10 @@ object LlmPipeline {
             round(when(size(toksN) === 0, 0.0)
               .otherwise(size(array_distinct(toksN)).cast("double")
                 / size(toksN)), 6).as("f3"),
-            when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"))
+            when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"),
+            md5(TF.normalizeText(col("text"))).as("digest"),
+            size(filter(TF.tokens(col("text")), t => length(t) > 0)).as("ntok"),
+            toksN.as("toks"))
           .localCheckpoint()
         val feats = Seq("f0", "f1", "f2", "f3")
         var w = Array.fill(4)(0.0)
@@ -3139,8 +3151,6 @@ object LlmPipeline {
         val zFinal = feats.zipWithIndex
           .map { case (c, i) => col(c) * lit(w(i)) }.reduce(_ + _)
         val scoreC = round(lit(1.0) / (lit(1.0) + exp(-zFinal)), 4)
-        val quality = fTbl.select(col("doc_id"), scoreC.as("score"))
-          .filter(col("score") >= 0.5)
         // (3) semantic non-survivors from the q150 production IMI chain;
         // the drop-set is cluster-member-sized, broadcast below
         val eTbl = emb(s, dir).select(col("vec_id"), col("embedding"))
@@ -3163,9 +3173,10 @@ object LlmPipeline {
             .select(col("node").as("doc_id"))
         }
         // (4) decontamination: q135's bloom pre-filter before any
-        // exchange, exact confirm join restores exactness
-        val exploded = Tables.spread(s, d.select(col("doc_id"), col("text")))
-          .select(col("doc_id"), explode(NE.wordNgrams(toksN, 3)).as("gram"))
+        // exchange, exact confirm join restores exactness; the n-grams
+        // explode the base's materialized token arrays — no re-tokenize
+        val exploded = fTbl
+          .select(col("doc_id"), explode(NE.wordNgrams(col("toks"), 3)).as("gram"))
         val probeGrams = exploded.filter(col("doc_id") < 10)
           .select(col("gram")).distinct()
         val bloom = graft.BenchProbes.time("q152.bloom") {
@@ -3179,20 +3190,24 @@ object LlmPipeline {
           .agg(countDistinct(col("gram")).as("n_shared"))
           .filter(col("n_shared") >= 2)
           .select(col("doc_id"))
-        // (2) exact dedup among quality survivors, then the keep-set
-        val corpus = d.filter(col("doc_id") >= 10)
-          .select(col("doc_id"), col("text"))
-          .join(quality, Seq("doc_id"))
-        val dg = corpus.withColumn("digest", md5(TF.normalizeText(col("text"))))
-        val minIds = dg.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
-        val kept = dg.join(minIds, Seq("digest", "doc_id"))
+        // (2) exact dedup among quality survivors, then the keep-set:
+        // the quality gate is a FILTER on the base (the old corpus-sized
+        // documents⨝quality join is gone — both sides were projections of
+        // the same base row), and keep-the-min-doc-per-digest is one
+        // struct-min aggregation instead of groupBy + join-back (doc_id
+        // is unique, so the lexicographic struct min IS the min-doc row)
+        val dg = fTbl.filter(col("doc_id") >= 10 && scoreC >= 0.5)
+          .select(col("digest"), col("doc_id"), scoreC.as("score"), col("ntok"))
+        val kept = dg.groupBy(col("digest"))
+          .agg(min(struct(col("doc_id"), col("score"), col("ntok"))).as("m"))
+          .select(col("m.doc_id").as("doc_id"), col("m.score").as("score"),
+            col("m.ntok").as("ntok"))
           .join(broadcast(semDrop), Seq("doc_id"), "left_anti")
           .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
         // (5) deterministic split + (6) the per-split release card
         val split = when(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
           16, 10).cast("long") % 10 < 8, "train").otherwise("val")
-        val ntok = size(filter(TF.tokens(col("text")), t => length(t) > 0))
-        kept.select(split.as("split"), col("score"), ntok.as("ntok"))
+        kept.select(split.as("split"), col("score"), col("ntok"))
           .groupBy(col("split"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("ntok")).cast("long").as("total_tokens"),

@@ -452,6 +452,31 @@ object N5GridWalk {
   * view.
   */
 object N5BlockIO {
+  /** java.nio fast path for `file://` (r20): the Hadoop local-FS stack
+    * (ProxyLocalFileSystem → ChecksumFileSystem) costs ~8 ms per create
+    * (checksum sibling + permission round-trips) and ~27 ms per
+    * FileContext rename (measured on this machine), so a 58-chunk zarr
+    * write spent 2.2 s of its 2.7 s in filesystem overhead. For the
+    * local scheme the same create-temp → write → set-mtime → atomic
+    * rename sequence runs through java.nio (~0.14 ms for write+move)
+    * with identical semantics: Files.move(ATOMIC_MOVE) is the POSIX
+    * rename(2) the Hadoop path used, overwrite included. Non-file
+    * schemes (HDFS, object stores) keep the Hadoop path untouched.
+    */
+  def localPath(fs: FileSystem, p: HPath): java.nio.file.Path =
+    if ("file" == fs.getScheme) java.nio.file.Paths.get(p.toUri.getPath)
+    else null
+
+  /** Whole-file read: nio for file://, Hadoop stream otherwise. */
+  def readAllBytes(fs: FileSystem, p: HPath): Array[Byte] = {
+    val lp = localPath(fs, p)
+    if (lp != null) java.nio.file.Files.readAllBytes(lp)
+    else {
+      val in = fs.open(p)
+      try in.readAllBytes() finally in.close()
+    }
+  }
+
   /** Per-partition-reader cache of the currently-OPEN shard: stream,
     * length, parsed index (r19). Same-shard inner chunks arrive
     * consecutively (the v3 walk emits shard-by-shard and partition
@@ -480,8 +505,7 @@ object N5BlockIO {
       case Some(sp) if attrs.isZarr3 =>
         readSharded(fs, p, g, attrs, sp, shardState)
       case _ =>
-        val in = fs.open(p)
-        val raw = try in.readAllBytes() finally in.close()
+        val raw = readAllBytes(fs, p)
         if (attrs.isZarr3) {
           val body = if (attrs.zarr3Crc) stripCrc32c(raw, "chunk") else raw
           BlockCodec.decodeZarr(body, attrs.dataType, attrs.compression,
@@ -1135,12 +1159,28 @@ class N5BlockWriter(
       if (attrs.isZarrFamily)
         new HPath(root, s"$dataset/${attrs.chunkKey(Array(gx, gy, gz))}")
       else new HPath(root, s"$dataset/$gx/$gy/$gz")
-    fs.mkdirs(path.getParent)
     // unique temp per attempt: concurrent speculative attempts must not
     // share a temp file (a truncate under a live fd would corrupt the
     // published inode on POSIX)
     val tmp = new HPath(path.getParent,
       s".${path.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val lp = N5BlockIO.localPath(fs, path)
+    if (lp != null) {
+      // file:// fast path (see N5BlockIO.localPath): same temp-write →
+      // publish-mtime → atomic-rename sequence through java.nio
+      java.nio.file.Files.createDirectories(lp.getParent)
+      val ltmp = lp.getParent.resolve(tmp.getName)
+      pending = tmp
+      java.nio.file.Files.write(ltmp, bytes)
+      java.nio.file.Files.setLastModifiedTime(ltmp,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      java.nio.file.Files.move(ltmp, lp,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      pending = null
+      return
+    }
+    fs.mkdirs(path.getParent)
     pending = tmp
     val out = fs.create(tmp, true)
     try { out.write(bytes); out.close() }
@@ -1170,7 +1210,7 @@ class N5BlockWriter(
   // commit by the shard-key manifest).
   private var shardKey: String = null
   private var shardTmp: HPath = null
-  private var shardOut: org.apache.hadoop.fs.FSDataOutputStream = null
+  private var shardOut: java.io.OutputStream = null
   private var shardIndex: Array[Long] = null
   private var shardPos: Long = 0L
   private val publishedShards = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1200,11 +1240,22 @@ class N5BlockWriter(
       require(nInner <= (Int.MaxValue - 8L) / 16L,
         s"shard of $nInner inner chunks: index exceeds the JVM array limit")
       val path = new HPath(root, s"$dataset/$key")
-      fs.mkdirs(path.getParent)
       shardTmp = new HPath(path.getParent,
         s".${path.getName}.tmp-${java.util.UUID.randomUUID()}")
+      val lp = N5BlockIO.localPath(fs, path)
       pending = shardTmp
-      shardOut = fs.create(shardTmp, true)
+      shardOut =
+        if (lp != null) {
+          // file:// fast path: stream the shard through java.nio (the
+          // Hadoop checksummed create costs ~8 ms per file; the shard
+          // keeps streaming semantics — O(chunk) memory — either way)
+          java.nio.file.Files.createDirectories(lp.getParent)
+          java.nio.file.Files.newOutputStream(
+            lp.getParent.resolve(shardTmp.getName))
+        } else {
+          fs.mkdirs(path.getParent)
+          fs.create(shardTmp, true)
+        }
       shardIndex = Array.fill(2 * nInner.toInt)(-1L) // all-ones = fill
       shardPos = 0L
       shardKey = key
@@ -1229,9 +1280,20 @@ class N5BlockWriter(
     shardOut.write(if (sp.indexCrc) withCrc32c(idx) else idx)
     shardOut.close()
     shardOut = null
-    fs.setTimes(shardTmp, System.currentTimeMillis(), -1)
-    fc.rename(shardTmp, new HPath(root, s"$dataset/$shardKey"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val dest = new HPath(root, s"$dataset/$shardKey")
+    val lp = N5BlockIO.localPath(fs, dest)
+    if (lp != null) {
+      val ltmp = lp.getParent.resolve(shardTmp.getName)
+      java.nio.file.Files.setLastModifiedTime(ltmp,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      java.nio.file.Files.move(ltmp, lp,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      fs.setTimes(shardTmp, System.currentTimeMillis(), -1)
+      fc.rename(shardTmp, dest,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     publishedShards += shardKey
     publishedSet += shardKey
     pending = null; shardTmp = null; shardKey = null
@@ -1246,7 +1308,12 @@ class N5BlockWriter(
   }
   override def abort(): Unit = {
     if (shardOut != null) { shardOut.close(); shardOut = null }
-    if (pending != null) { fs.delete(pending, false); pending = null }
+    if (pending != null) {
+      val lp = N5BlockIO.localPath(fs, pending)
+      if (lp != null) java.nio.file.Files.deleteIfExists(lp)
+      else fs.delete(pending, false)
+      pending = null
+    }
   }
   override def close(): Unit =
     if (shardOut != null) { shardOut.close(); shardOut = null }

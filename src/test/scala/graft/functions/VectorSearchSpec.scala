@@ -772,6 +772,61 @@ class VectorSearchSpec extends SparkSpec {
         s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
   }
 
+  test("salted block pairing == unsalted kernel == join, one-hot-cell " +
+      "skew fixture (r20 skew guard)") {
+    import graft.functions.{NativeExpressions => NE}
+    // every vector lands in ONE cell — the pathological hot cell the
+    // salt dial exists for (a corpus-scaled codebook cannot spread
+    // near-identical vectors)
+    val assigned = emb.limit(300).withColumn("cell", lit(0))
+    def run(salts: Int): Set[(Long, Long, Double)] = {
+      spark.conf.set("graft.cell.salts", salts.toString)
+      try VectorSearch.pairsWithinCells(assigned, 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      finally spark.conf.unset("graft.cell.salts")
+    }
+    val unsalted = run(1)
+    // the declarative join reference, verbatim (the r16 pin's formulation)
+    val withNorm = assigned.select(col("cell"), col("vec_id"),
+      col("embedding"), NE.vectorL2Norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("cell").as("cell_a"),
+      col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = withNorm.select(col("cell").as("cell_b"),
+      col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    val want = a.join(b,
+        col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(NE.vectorDot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(want.nonEmpty, "skew pin needs live pairs")
+    assert(unsalted == want, "unsalted kernel diverged from the join")
+    Seq(2, 3, 7).foreach { sNum =>
+      val salted = run(sNum)
+      assert(salted == want,
+        s"salts=$sNum diverged: ${salted.size} vs ${want.size}, " +
+          s"extra=${(salted -- want).take(3)} missing=${(want -- salted).take(3)}")
+    }
+  }
+
+  test("kernel cap fails loudly on an oversized cell block (r20)") {
+    val assigned = emb.limit(50).withColumn("cell", lit(0))
+    spark.conf.set("graft.cell.maxKernelRows", "10")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        VectorSearch.pairsWithinCells(assigned, 0.4).collect()
+      }
+      assert(e.getMessage.contains("graft.cell.maxKernelRows") ||
+        String.valueOf(e.getCause).contains("graft.cell.maxKernelRows"))
+    } finally spark.conf.unset("graft.cell.maxKernelRows")
+  }
+
   test("two-level descent == flat margin gate when every super is probed " +
       "(r16 hier exactness pin)") {
     import graft.functions.{NativeExpressions => NE, VectorFunctions => VF}

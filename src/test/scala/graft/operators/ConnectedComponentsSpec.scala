@@ -64,6 +64,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("neighbor-min seeding: a clique converges in ONE round (r20)") {
+    // labels start at min(Γ(n) ∪ {n}) — for a clique that is already the
+    // component min, so round 1 changes nothing and certifies the
+    // fixpoint. The pre-r20 identity seed needed round 1 to propagate and
+    // round 2 to certify, so maxIter = 1 would have failed loudly here.
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 9L))
+    assert(run(clique, maxIter = 1) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("non-convergence within maxIter fails loudly") {
     val path = (0L until 50L).map(i => (i, i + 1))
     val e = intercept[IllegalArgumentException](run(path, maxIter = 1))
