@@ -376,6 +376,7 @@ object AnnIndex {
           assigned.select(col("vec_id"), col("cell"),
             NativeExpressions.pqEncode(col("embedding"), cb).as("codes")),
           s"$db.codes", "cell", p.coarseK)))
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(assigned)
     }
 
   /** [[append]] for an `ensure`-managed dataset catalog: appends the delta
@@ -1070,6 +1071,7 @@ object AnnIndex {
         .coalesce(1).write.mode("overwrite").format("parquet")
         .saveAsTable(s"$db.pq_codebook"),
       () => writeParamsTable(s, db, params)))
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(assigned)
     // an empty tombstone table completes the catalog: snapshot() can
     // always anti-join without probing for the table's existence
     s.sql(s"CREATE TABLE $db.tombstones (vec_id BIGINT) USING parquet")

@@ -132,6 +132,11 @@ object ConnectedComponents {
     val und = withAqeOff(edges.sparkSession) {
       snap(raw.repartition(nParts, col("b")).distinct())
     }
+    // the one-pass staging checkpoint is retired the moment `und`
+    // materializes; freeing it NOW (not at the next GC) keeps retired
+    // blocks from piling onto whatever runs next (r20 — the async
+    // ContextCleaner was stealing time from neighboring queries)
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(raw)
 
     // r20: labels seed at the FIRST round's neighbor minimum instead of
     // the identity — min(Γ(node) ∪ {node}) is one aggregation over `und`
@@ -195,10 +200,14 @@ object ConnectedComponents {
       // this filter only scans the materialized label blocks (take(1),
       // short-circuits on the first changed row)
       converged = stepped.filter(col("lbl") =!= col("prev")).isEmpty
+      // round t's labels are dead once `stepped` is materialized and
+      // checked — free the blocks eagerly (see the staging unpersist)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
       labels = stepped.select(col("node"), col("lbl"))
     }
     require(converged,
       s"connected components did not converge within $maxIter rounds")
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(und)
     labels.select(col("node"), col("lbl").as("component"))
   }
 }

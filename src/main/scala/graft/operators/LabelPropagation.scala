@@ -62,6 +62,7 @@ object LabelPropagation {
             rawBidir.count()), col("src"))
         .localCheckpoint()
     }
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(rawBidir)
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
@@ -75,11 +76,15 @@ object LabelPropagation {
         .groupBy(col("dst"))
         .agg(min(struct((col("cnt") * -1).as("nc"), col("label"))).as("w"))
         .select(col("dst").as("node"), col("w.label").as("newLabel"))
-      labels = labels.join(winner, Seq("node"), "left")
+      val next = labels.join(winner, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("newLabel"), col("label")).as("label"))
         .localCheckpoint()
+      // round t's labels are dead once round t+1 is materialized (r20)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
+      labels = next
     }
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(bidir)
     labels
   }
 }

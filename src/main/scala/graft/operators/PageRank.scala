@@ -72,6 +72,7 @@ object PageRank {
     val edgesWithDeg = withAqeOff(s) {
       rawEdges.repartition(nE, col("src")).localCheckpoint()
     }
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(rawEdges)
     // the node set is re-read every round (left join) — materialize it
     // once, partitioned on the join key. When dangling mass is
     // redistributed, the set carries a has_out flag (computed ONCE by a
@@ -94,6 +95,7 @@ object PageRank {
       rawNodes.repartition(sizedPartitions(s, nodeCount), col("node"))
         .localCheckpoint()
     }
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(rawNodes)
     val n = nodeCount.toDouble
     var pr = nodeSet
       .select(col("node") +: lattice(lit(1.0 / n)).as("pr") +:
@@ -157,8 +159,13 @@ object PageRank {
           .collect()(0).getDouble(0)
         done = delta < tol
       }
+      // round t's rank vector is dead once `next` is materialized and
+      // the delta read — free its blocks eagerly (r20)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(pr)
       pr = next
     }
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(edgesWithDeg)
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(nodeSet)
     PageRankResult(pr.select(col("node"), col("pr")), it)
   }
 
